@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NTZ end-to-end: the testdata parquet holds naive timestamps and the
+      // DuckDB oracle computes on naive timestamps; reading/writing NTZ
+      // keeps our dumped parquet bit-compatible with the oracle's values.
+      .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.values.Warp
+
+/** The `Dataset` operator algebra of the reference
+  * (reference: WarpCore/Sources/Data.swift:216-319) re-expressed as lazy
+  * DataFrame transformations. Every operator here builds a declarative
+  * Catalyst plan — pushdown, pruning, join selection and partial
+  * aggregation come from the optimizer, replacing the reference's
+  * CoalescedDataset rewrites (Data.swift:375-755) and its three hand-written
+  * engines (Raster/Transformer/SQL).
+  */
+object WarpOps {
+
+  /** Multi-key sort order: each key an arbitrary expression with an
+    * ascending flag and a numeric-vs-string collation flag; empty (null)
+    * sorts below everything (Data.swift:81-111, SQL.swift:689-718). */
+  final case class Order(expr: Column, ascending: Boolean = true, numeric: Boolean = true)
+
+  implicit class WarpDataFrame(val df: DataFrame) extends AnyVal {
+
+    /** filter: keep rows where expr evaluates to exactly true
+      * (Data.swift:248-250). Boolean-typed conditions take the native
+      * `filter` path (identical semantics: Spark drops null results) so
+      * predicates stay pushable to the parquet scan; only non-boolean
+      * expressions pay for the Warp bool-coercion wrapper. */
+    def warpFilter(cond: Column): DataFrame = {
+      val dt = df.select(cond).schema.head.dataType
+      if (dt == org.apache.spark.sql.types.BooleanType) df.filter(cond)
+      else df.filter(Warp.filterCond(cond))
+    }
+
+    /** calculate: compute N expressions from ONE snapshot of the input row;
+      * new columns appended, existing overwritten in place; expressions must
+      * NOT see each other's results (Data.swift:221-230). A single `select`
+      * guarantees the snapshot — chained withColumn would not.
+      */
+    def calculate(calcs: Seq[(String, Column)]): DataFrame = {
+      val existing = df.columns
+      val lowerMap = calcs.map { case (n, c) => (n.toLowerCase, c) }.toMap
+      val kept = existing.map { name =>
+        lowerMap.get(name.toLowerCase).map(_.as(name)).getOrElse(col(s"`$name`"))
+      }
+      val existingLower = existing.map(_.toLowerCase).toSet
+      val appended = calcs.collect {
+        case (n, c) if !existingLower.contains(n.toLowerCase) => c.as(n)
+      }
+      df.select(kept ++ appended: _*)
+    }
+
+    /** selectColumns: project + reorder; names not present are silently
+      * ignored; matching is case-insensitive, case-preserving
+      * (Data.swift:256-258, Schema.swift:20-48). */
+    def selectColumns(cols: Seq[String]): DataFrame = {
+      val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+      val present = cols.flatMap(c => byLower.get(c.toLowerCase))
+      df.select(present.map(c => col(s"`$c`")): _*)
+    }
+
+    /** sort: multi-key; numeric flag decides the collation cast; empty
+      * first on ascending, last on descending (mirrors reference NULLS
+      * emulation, SQL.swift:689-718). */
+    def warpSort(orders: Seq[Order]): DataFrame = {
+      val keys = orders.map { o =>
+        val k = if (o.numeric) o.expr.cast("double") else o.expr.cast("string")
+        if (o.ascending) k.asc_nulls_first else k.desc_nulls_last
+      }
+      df.orderBy(keys: _*)
+    }
+
+    /** union by column name, case-insensitive, union-of-schemas, missing
+      * cells => empty/null (Data.swift:300-304). */
+    def warpUnion(other: DataFrame): DataFrame =
+      df.unionByName(alignNames(df, other), allowMissingColumns = true)
+
+    /** Rename `other`'s columns to the case-variant used in `df` where they
+      * match case-insensitively, so unionByName merges them. */
+    private def alignNames(left: DataFrame, right: DataFrame): DataFrame = {
+      val byLower = left.columns.map(c => c.toLowerCase -> c).toMap
+      right.columns.foldLeft(right) { (d, c) =>
+        byLower.get(c.toLowerCase).filter(_ != c)
+          .map(target => d.withColumnRenamed(c, target)).getOrElse(d)
+      }
+    }
+
+    /** join: left-outer or inner over an arbitrary boolean condition; right
+      * columns whose names collide with left columns are DROPPED, not
+      * suffixed (Data.swift:113-145). Catalyst's ExtractEquiJoinKeys gives
+      * the hash-join fast path the reference hand-rolled
+      * (Raster.swift:374-477). Broadcast the right side when told it is a
+      * small dimension. */
+    def warpJoin(right: DataFrame, cond: Column, joinType: String,
+                 broadcastRight: Boolean = false): DataFrame = {
+      val leftLower = df.columns.map(_.toLowerCase).toSet
+      val rightKept = right.columns.filterNot(c => leftLower.contains(c.toLowerCase))
+      val r = if (broadcastRight) broadcast(right) else right
+      df.join(r, cond, joinType)
+        .select(df.columns.map(c => df(s"`$c`")) ++ rightKept.map(c => r(s"`$c`")): _*)
+    }
+
+    /** rank: running (cumulative) aggregation — sort by orders, emit reducer
+      * state so far per row (Data.swift:306-311). Generalizes
+      * rank/row_number/running sum. Each agg builds its windowed column from
+      * the running frame. NOTE: like the reference, the running state is
+      * global — a single ordered partition. For 100 TB use the partitioned
+      * variant [[rankBy]] to keep the window parallel per key.
+      */
+    def rank(aggs: Seq[(String, org.apache.spark.sql.expressions.WindowSpec => Column)],
+             orders: Seq[Order]): DataFrame = {
+      val w = Window.orderBy(sortKeys(orders): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.select(df.columns.map(c => col(s"`$c`")) ++
+        aggs.map { case (name, f) => f(w).as(name) }: _*)
+    }
+
+    /** Partitioned running aggregation — the scale-path variant of [[rank]]:
+      * running state restarts per partition key, so Spark distributes the
+      * window across executors instead of one global sort partition. */
+    def rankBy(partitionBy: Seq[Column],
+               aggs: Seq[(String, org.apache.spark.sql.expressions.WindowSpec => Column)],
+               orders: Seq[Order]): DataFrame = {
+      val w = Window.partitionBy(partitionBy: _*).orderBy(sortKeys(orders): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.select(df.columns.map(c => col(s"`$c`")) ++
+        aggs.map { case (name, f) => f(w).as(name) }: _*)
+    }
+
+    private def sortKeys(orders: Seq[Order]): Seq[Column] =
+      orders.map { o =>
+        val k = if (o.numeric) o.expr.cast("double") else o.expr.cast("string")
+        if (o.ascending) k.asc_nulls_first else k.desc_nulls_last
+      }
+
+    /** flatten (melt/unpivot): one output row per cell; optional column
+      * carrying the source column name and a row-identifier expression
+      * (Data.swift:270-276). Spark-native `unpivot`. */
+    def flatten(valueTo: String, columnNameTo: Option[String],
+                rowIdentifier: Option[(String, Column)]): DataFrame = {
+      val base = rowIdentifier match {
+        case Some((name, expr)) => df.select(expr.as(name) +: df.columns.map(c => col(s"`$c`")): _*)
+        case None               => df
+      }
+      val idCols = rowIdentifier.map(_._1).toSeq
+      val valueCols = df.columns
+      val nameCol = columnNameTo.getOrElse("__column")
+      val melted = base.unpivot(
+        idCols.map(c => col(s"`$c`")).toArray,
+        valueCols.map(c => col(s"`$c`").cast("string")).toArray,
+        nameCol, valueTo)
+      if (columnNameTo.isEmpty) melted.drop(nameCol) else melted
+    }
+
+    /** pivot: spread the label-combinations of the horizontal group
+      * expressions into generated columns `hval1_hval2_...`
+      * (Data.swift:265, Raster.swift:984-1050). `horizontal` columns are
+      * concatenated with `_` exactly like the reference's generated names
+      * (Raster.swift:1012-1022). */
+    def warpPivot(horizontal: Seq[Column], vertical: Seq[String],
+                  valueAgg: Column): DataFrame = {
+      val hkey = concat_ws("_", horizontal.map(_.cast("string")): _*)
+      df.withColumn("__h", hkey)
+        .groupBy(vertical.map(c => col(s"`$c`")): _*)
+        .pivot("__h")
+        .agg(valueAgg)
+    }
+
+    /** explode vertically: one row per element of a split cell
+      * (QBEExplodeStep.swift:230). */
+    def explodeVertically(column: String, sep: String): DataFrame = {
+      val cols = df.columns.map {
+        case c if c.equalsIgnoreCase(column) => explode(split(col(s"`$c`"), sep)).as(c)
+        case c => col(s"`$c`")
+      }
+      df.select(cols.toSeq: _*)
+    }
+
+    /** explode horizontally: split a cell into N new columns
+      * (QBEExplodeStep.swift:327). */
+    def explodeHorizontally(column: String, sep: String, n: Int): DataFrame = {
+      val parts = split(col(s"`$column`"), sep)
+      val newCols = (0 until n).map(i => parts.getItem(i).as(s"${column}_${i + 1}"))
+      df.select(df.columns.map(c => col(s"`$c`")) ++ newCols: _*)
+    }
+
+    /** dummies: one-hot encode — a boolean column `src_value` per distinct
+      * value (QBEDummiesStep.swift:15-96). Distinct set is collected (small
+      * by construction — it becomes the schema). */
+    def dummies(column: String): DataFrame = {
+      val values = df.select(col(s"`$column`").cast("string")).distinct()
+        .collect().map(_.getString(0)).filter(_ != null).sorted
+      val newCols = values.map(v =>
+        (col(s"`$column`").cast("string") === v).as(s"${column}_$v"))
+      df.select(df.columns.map(c => col(s"`$c`")) ++ newCols: _*)
+    }
+
+    /** search: keep rows where any column contains the string,
+      * case-insensitive (QBESearchStep.swift:4). */
+    def search(needle: String): DataFrame = {
+      val cond = df.columns
+        .map(c => lower(col(s"`$c`").cast("string")).contains(needle.toLowerCase))
+        .reduce(_ || _)
+      df.filter(coalesce(cond, lit(false)))
+    }
+
+    /** filter-set: per-column allowed-value filter => IN
+      * (QBERowsStep.swift:88, Expression.swift:860-899). */
+    def filterSet(column: String, values: Seq[Any]): DataFrame =
+      df.filter(col(s"`$column`").isin(values: _*))
+
+    /** transpose: full matrix flip, first column becomes the header
+      * (Raster.swift:657-694). Collect-based like the reference — only
+      * valid for small tables (the reference is equally memory-bound,
+      * SQL.swift:1360-1363). */
+    def transpose(): DataFrame = {
+      val spark = df.sparkSession
+      val cols = df.columns
+      val rows = df.collect()
+      val header = "column" +: rows.map(r => Option(r.get(0)).map(_.toString).getOrElse(""))
+      val out = cols.tail.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          c +: rows.map(r => Option(r.get(i + 1)).map(_.toString).orNull).toSeq)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        header.map(h => org.apache.spark.sql.types.StructField(h,
+          org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq), schema)
+    }
+
+    /** unique: distinct values of one expression (Data.swift:252-254). */
+    def unique(expr: Column, as: String): DataFrame = df.select(expr.as(as)).distinct()
+
+    /** random(n): uniform sample without replacement
+      * (Transformer.swift:357-386 — reservoir sampling). */
+    def randomSample(n: Int, seed: Long = 42L): DataFrame =
+      df.orderBy(rand(seed)).limit(n)
+  }
+}
