@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.ops.WarpOps._
 import graft.ops.WarpOps.Order
+import graft.functions.{WarpAggregates => WA, WarpFunctions => WF}
+import graft.sources.Sequencer
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with an equivalent DuckDB oracle in [[oracleSql]].
@@ -210,6 +212,107 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("hour", "event_type")
+    }),
+
+    // ---- reducer battery: median/variance/stddev/min/max/countDistinct (§2.3)
+    "q_agg_stats" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          WA.warpMedian(col("l_quantity")).as("med_qty"),
+          WA.warpVarianceSample(col("l_quantity")).as("var_qty"),
+          WA.warpStdevSample(col("l_quantity")).as("std_qty"),
+          WA.warpMin(col("l_extendedprice")).as("min_price"),
+          WA.warpMax(col("l_extendedprice")).as("max_price"),
+          WA.warpCountDistinct(col("l_suppkey")).as("n_supp"),
+          WA.warpCountAll().as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- ordered string/list aggregation: concat + list reducers (§2.3)
+    "q_agg_strings" -> ((s, dir) => {
+      T(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+          WA.warpConcat(col("n_name")).as("all_names"),
+          array_join(WA.warpList(col("n_name")), "|").as("name_list"))
+        .orderBy("n_regionkey")
+    }),
+
+    // ---- minimumCount privacy floor (Aggregation.swift:103-134)
+    "q_agg_mincount" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("user_id"), when(col("value") > 150, col("value")).as("v"))
+        .groupBy("user_id")
+        .agg(
+          WA.minimumCount(WA.dsum(col("v")), col("v"), 5).as("big_total"),
+          count(col("v")).as("n_big"))
+        .orderBy("user_id")
+    }),
+
+    // ---- transpose (Raster.swift:657-694) — collect-based like the reference
+    "q_transpose" -> ((s, dir) =>
+      T(s, dir, "region").orderBy("r_regionkey").warpTranspose()),
+
+    // ---- random sample (Data.swift:240-243) — no SQL oracle (rows-only check)
+    "q_random" -> ((s, dir) =>
+      T(s, dir, "orders").randomSample(50).selectColumns(Seq("o_orderkey"))),
+
+    // ---- sequencer pattern source (Sequencer.swift, QBESequencerStep.swift:27)
+    "q_sequencer" -> ((s, dir) =>
+      Sequencer.dataset(s, "[A-Z]{2}", "value").orderBy("value")),
+
+    // ---- sequencer numeric range source
+    "q_sequencer_range" -> ((s, dir) =>
+      Sequencer.range(s, 1, 1001, "n").orderBy("n")),
+
+    // ---- scalar string functions (§2.4)
+    "q_func_string" -> ((s, dir) => {
+      T(s, dir, "part").calculate(Seq(
+        "u" -> WF.fnUppercase(col("p_name")),
+        "l4" -> WF.fnLeft(col("p_name"), lit(4)),
+        "len" -> WF.fnLength(col("p_name")),
+        "rep" -> WF.fnSubstitute(col("p_name"), lit(" "), lit("_")),
+        "lev" -> WF.fnLevenshtein(col("p_name"), lit("widget")),
+        "catd" -> graft.values.Warp.cat(col("p_brand"), lit("#"))))
+        .selectColumns(Seq("p_partkey", "u", "l4", "len", "rep", "lev", "catd"))
+        .warpSort(Seq(Order(col("p_partkey"))))
+    }),
+
+    // ---- scalar math functions (§2.4) — IEEE-stable subset for the oracle
+    "q_func_math" -> ((s, dir) => {
+      T(s, dir, "lineitem").calculate(Seq(
+        "sqrt_qty" -> WF.fnSqrt(col("l_quantity")),
+        // plain IEEE division (round() semantics differ between engines at
+        // half-point doubles; fnRoundTo is pinned by unit tests instead)
+        "unit_price" -> (col("l_extendedprice") / col("l_quantity")),
+        "fl" -> WF.fnFloor(col("l_discount") * 100),
+        "ce" -> WF.fnCeiling(col("l_discount") * 100),
+        "ab" -> WF.fnAbsolute(col("l_discount") - lit(0.05)),
+        "sg" -> WF.fnSign(col("l_discount") - lit(0.05))))
+        .selectColumns(Seq("l_orderkey", "l_linenumber", "sqrt_qty", "unit_price", "fl", "ce", "ab", "sg"))
+        .warpSort(Seq(Order(col("l_orderkey")), Order(col("l_linenumber"))))
+    }),
+
+    // ---- date/time functions (§2.4; Excel serial dates Date.swift:25-38)
+    "q_func_datetime" -> ((s, dir) => {
+      T(s, dir, "orders").calculate(Seq(
+        "y" -> WF.fnUtcYear(col("o_orderdate")),
+        "m" -> WF.fnUtcMonth(col("o_orderdate")),
+        "d" -> WF.fnUtcDay(col("o_orderdate")),
+        "iso" -> WF.fnToUTCISO8601(col("o_orderdate")),
+        "excel" -> WF.fnToExcelDate(col("o_orderdate")),
+        "unix" -> WF.fnToUnixTime(col("o_orderdate"))))
+        .selectColumns(Seq("o_orderkey", "y", "m", "d", "iso", "excel", "unix"))
+        .warpSort(Seq(Order(col("o_orderkey"))))
+    }),
+
+    // ---- JSON extraction (jsonDecode, Function.swift:1579-1590)
+    "q_func_json" -> ((s, dir) => {
+      T(s, dir, "events")
+        .calculate(Seq("k_val" -> get_json_object(col("props"), "$.k").cast("int")))
+        .selectColumns(Seq("event_id", "k_val"))
+        .warpSort(Seq(Order(col("event_id"))))
     })
   )
 
@@ -303,6 +406,75 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+         median(l_quantity) AS med_qty,
+         CASE WHEN COUNT(l_quantity) > 1 THEN
+           (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity))
+           / (COUNT(l_quantity) - 1.0) END AS var_qty,
+         sqrt(CASE WHEN COUNT(l_quantity) > 1 THEN
+           (CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity))
+           / (COUNT(l_quantity) - 1.0) END) AS std_qty,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_strings" ->
+      """SELECT n_regionkey,
+         string_agg(n_name, '' ORDER BY n_name) AS all_names,
+         string_agg(n_name, '|' ORDER BY n_name) AS name_list
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_agg_mincount" ->
+      """SELECT user_id,
+         CASE WHEN COUNT(v) >= 5 THEN CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) END AS big_total,
+         COUNT(v) AS n_big
+         FROM (SELECT user_id, CASE WHEN value > 150 THEN value END AS v FROM events)
+         GROUP BY user_id ORDER BY user_id""",
+    "q_transpose" ->
+      """SELECT 'r_name' AS "column",
+         max(CASE WHEN r_regionkey=0 THEN r_name END) AS "0",
+         max(CASE WHEN r_regionkey=1 THEN r_name END) AS "1",
+         max(CASE WHEN r_regionkey=2 THEN r_name END) AS "2",
+         max(CASE WHEN r_regionkey=3 THEN r_name END) AS "3",
+         max(CASE WHEN r_regionkey=4 THEN r_name END) AS "4"
+         FROM region""",
+    "q_sequencer" ->
+      """SELECT chr(CAST(65 + (a // 26) AS INT)) || chr(CAST(65 + (a % 26) AS INT)) AS value
+         FROM range(676) t(a) ORDER BY value""",
+    "q_sequencer_range" ->
+      "SELECT range AS n FROM range(1, 1001) ORDER BY n",
+    "q_func_string" ->
+      """SELECT p_partkey, upper(p_name) AS u,
+         CASE WHEN length(p_name) < 4 THEN NULL ELSE left(p_name, 4) END AS l4,
+         length(p_name) AS len,
+         replace(p_name, ' ', '_') AS rep,
+         levenshtein(p_name, 'widget') AS lev,
+         p_brand || '#' AS catd
+         FROM part ORDER BY p_partkey""",
+    "q_func_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         sqrt(l_quantity) AS sqrt_qty,
+         l_extendedprice / l_quantity AS unit_price,
+         floor(l_discount * 100) AS fl,
+         ceil(l_discount * 100) AS ce,
+         abs(l_discount - 0.05) AS ab,
+         CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sg
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_func_datetime" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+         epoch(o_orderdate) / 86400.0 + 25569.0 AS excel,
+         CAST(epoch(o_orderdate) AS BIGINT) AS unix
+         FROM orders ORDER BY o_orderkey""",
+    "q_func_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events ORDER BY event_id"""
   )
 }

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.values.Warp
+
+/** The reference's `Reducer` set (reference: WarpCore/Sources/Function.swift:2006-2268,
+  * Aggregation.swift:18-134) as Spark aggregate columns.
+  *
+  * Every reducer in the reference is required to be combinable
+  * (`reduce(reduce(a,b), reduce(c,d)) == reduce(a,b,c,d)`,
+  * Aggregation.swift:27-30) — i.e. already partial-aggregation shaped, so
+  * each maps onto Spark's partial+final aggregation and distributes with
+  * map-side combine for free.
+  *
+  * Numeric-stability discipline: sums accumulate as decimal(28,6) so the
+  * result is independent of partition order (exact addition is
+  * associative); variance/stddev are derived from exact sums with one
+  * float expression at the end instead of Spark's streaming moments, for
+  * the same reason.
+  */
+object WarpAggregates {
+
+  private val D = DecimalType(28, 6)
+
+  /** Exact, partition-order-independent double sum. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** sum: ignores non-numeric, empty set => 0 (SumReducer, Function.swift:2032). */
+  def warpSum(c: Column): Column = coalesce(dsum(c), lit(0.0))
+
+  /** average over valid values (AverageReducer, Function.swift:2006). */
+  def warpAverage(c: Column): Column = dsum(c) / count(c)
+
+  /** min/max with Warp ordering — null (empty) excluded like the reference
+    * excludes invalid (Function.swift:2045,2057). */
+  def warpMin(c: Column): Column = min(c)
+  def warpMax(c: Column): Column = max(c)
+
+  /** count: numeric-convertible values only (CountReducer(all:false),
+    * Function.swift:2069; test WarpCoreTests.swift:206-208). */
+  def warpCount(c: Column): Column = count(when(Warp.num(c).isNotNull, 1))
+
+  /** countAll: every row incl. empty/invalid (CountReducer(all:true)). */
+  def warpCountAll(): Column = count(lit(1))
+
+  /** countDistinct: exact, skips empty (CountDistinctReducer :2120). */
+  def warpCountDistinct(c: Column): Column = count_distinct(c)
+
+  /** Scale path for countDistinct: HLL sketch — same contract, bounded
+    * memory at 100 TB. Flag-gated alternative, not oracle-checked. */
+  def warpCountDistinctApprox(c: Column, rsd: Double = 0.01): Column =
+    approx_count_distinct(c, rsd)
+
+  /** concat: string concatenation (ConcatenationReducer :2096). Reference
+    * order is stream order, explicitly unspecified across wavefronts —
+    * we pin value order so results are deterministic and distributable. */
+  def warpConcat(c: Column): Column =
+    array_join(sort_array(collect_list(c.cast("string"))), "")
+
+  /** pack: escaped-CSV join (PackReducer :2106; escapes Value.swift:266-380). */
+  def warpPack(c: Column): Column =
+    array_join(sort_array(collect_list(WarpFunctions.packEscape(c.cast("string")))), ",")
+
+  /** list: collect into a list value (ListReducer :2023). */
+  def warpList(c: Column): Column = sort_array(collect_list(c))
+
+  /** Exact median with even-count interpolation (MedianReducer :2143,
+    * .average mode). */
+  def warpMedian(c: Column): Column = median(c)
+
+  /** medianLow / medianHigh: lower/upper middle element (MedianReducer
+    * .low/.high). Exact via sorted collect — fine for grouped data where a
+    * group fits an executor; not for a 100 TB single group. */
+  def warpMedianLow(c: Column): Column = {
+    val arr = sort_array(collect_list(c.cast("double")))
+    element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+  }
+  def warpMedianHigh(c: Column): Column = {
+    val arr = sort_array(collect_list(c.cast("double")))
+    element_at(arr, (size(arr) / 2 + 1).cast("int"))
+  }
+
+  /** Sample variance from exact decimal moments: independent of partition
+    * order, unlike streaming-moment implementations. n=1 => null
+    * (reference: invalid, Function.swift:2249-2268). */
+  def warpVarianceSample(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = dsum(c)
+    val sq = dsum(c * c)
+    when(n > 1, (sq - s * s / n) / (n - lit(1.0)))
+  }
+
+  /** Population variance (n=0 => null). */
+  def warpVariancePopulation(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = dsum(c)
+    val sq = dsum(c * c)
+    when(n > 0, (sq - s * s / n) / n)
+  }
+
+  def warpStdevSample(c: Column): Column = sqrt(warpVarianceSample(c))
+  def warpStdevPopulation(c: Column): Column = sqrt(warpVariancePopulation(c))
+
+  /** minimumCount privacy floor: suppress result to empty unless at least
+    * k valid values (MinimumCellReducer, Aggregation.swift:103-134;
+    * SQL form SQL.swift:797-801). */
+  def minimumCount(agg: Column, valueCol: Column, k: Int): Column =
+    when(count(valueCol) >= k, agg)
+}

@@ -211,23 +211,13 @@ object WarpOps {
       df.filter(col(s"`$column`").isin(values: _*))
 
     /** transpose: full matrix flip, first column becomes the header
-      * (Raster.swift:657-694). Collect-based like the reference — only
-      * valid for small tables (the reference is equally memory-bound,
-      * SQL.swift:1360-1363). */
-    def transpose(): DataFrame = {
-      val spark = df.sparkSession
-      val cols = df.columns
-      val rows = df.collect()
-      val header = "column" +: rows.map(r => Option(r.get(0)).map(_.toString).getOrElse(""))
-      val out = cols.tail.zipWithIndex.map { case (c, i) =>
-        org.apache.spark.sql.Row.fromSeq(
-          c +: rows.map(r => Option(r.get(i + 1)).map(_.toString).orNull).toSeq)
-      }
-      val schema = org.apache.spark.sql.types.StructType(
-        header.map(h => org.apache.spark.sql.types.StructField(h,
-          org.apache.spark.sql.types.StringType)))
-      spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq), schema)
-    }
+      * (Raster.swift:657-694). Delegates to Spark 4's native
+      * `Dataset.transpose()` (same first-column-becomes-header contract);
+      * only the name of the generated name-column differs. Like the
+      * reference, transpose is inherently bounded by one row's worth of
+      * columns — not a 100 TB operator (SQL.swift:1360-1363). */
+    def warpTranspose(): DataFrame =
+      df.transpose().withColumnRenamed("key", "column")
 
     /** unique: distinct values of one expression (Data.swift:252-254). */
     def unique(expr: Column, as: String): DataFrame = df.select(expr.as(as)).distinct()
