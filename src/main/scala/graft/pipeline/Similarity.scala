@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three tiers, same contract (top-k neighbors by cosine):
+  *  - [[bruteTopK]]: exact scan — the correctness baseline; one pass, no
+  *    shuffle except the final top-k (TakeOrderedAndProject).
+  *  - [[lshTopK]]: random-hyperplane LSH — sign-bit sketch buckets the
+  *    vectors so only a sliver of the corpus is scored; the scale path
+  *    when the query set is large.
+  *  - [[ivfTopK]]: inverted-file — vectors are pre-assigned to coarse
+  *    centroids; a query scores only the `nProbe` nearest cells.
+  *
+  * Dot products run as higher-order array folds inside codegen (no UDF).
+  * The exact fold accumulates in decimal so results are reproducible
+  * across partition orders and match external oracles bit-for-bit.
+  */
+object Similarity {
+
+  /** Dot product as a sequential left fold in double — bit-reproducible:
+    * the fold order is the array order, independent of partitioning, and
+    * identical to any engine that folds lists left-to-right (the DuckDB
+    * oracle uses list_reduce). Runs inside whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector.
+    * The plan is scan → project → TakeOrderedAndProject: each partition
+    * keeps a local k-heap, the driver merges k×partitions rows — no full
+    * sort, no wide shuffle, scales linearly with corpus size. */
+  def bruteTopK(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes in `dim` dims. */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit sketch of a vector under the given hyperplanes. */
+  def sketch(vecCol: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { i =>
+      when(dot(vecCol, typedLit(planes(i).toSeq)) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** LSH top-k: score only vectors whose sketch is within `maxHamming`
+    * bits of the query's sketch. Trades recall for a corpus-fraction scan;
+    * the sketch filter is a codegen'd bit_count on a 64-bit int — cheap
+    * enough to fold into the parquet scan. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(dim, nBits, seed)
+    val qSketch = {
+      var s = 0L
+      for (i <- planes.indices)
+        if (planes(i).zip(query).map { case (p, x) => p * x }.sum > 0) s |= (1L << i)
+      s
+    }
+    df.withColumn("__sk", sketch(col(vecCol), planes))
+      .filter(bit_count(col("__sk").bitwiseXOR(lit(qSketch))) <= maxHamming)
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build an IVF index: assign every vector to its nearest of `nCells`
+    * coarse centroids (sampled deterministically from the corpus). Returns
+    * (assignments DF with `__cell`, centroid array).
+    * At 100 TB the assignment is a broadcast-join of a tiny centroid table
+    * against the corpus — one narrow pass; write it out partitioned by
+    * `__cell` so queries prune cells at the file level. */
+  def ivfIndex(df: DataFrame, vecCol: String, idCol: String, nCells: Int,
+               seed: Long = 42L): (DataFrame, Array[Seq[Float]]) = {
+    val centroids: Array[Seq[Float]] = df
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)))   // deterministic pseudo-random sample
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](1))
+    val best = (0 until centroids.length).map { i =>
+      struct(cosine(col(vecCol), typedLit(centroids(i))).as("cos"), lit(i).as("cell"))
+    }
+    val assigned = df.withColumn("__cell", greatest(best: _*).getField("cell"))
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: score only the vectors in the `nProbe` cells whose
+    * centroids are nearest the query. */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Seq[Float]],
+              vecCol: String, idCol: String, query: Seq[Float], k: Int,
+              nProbe: Int = 4): DataFrame = {
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val probeCells = centroids.indices
+      .sortBy(i => -cosLocal(centroids(i), query)).take(nProbe)
+    assigned
+      .filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is pure column expressions (whole-stage codegen, pushdown
+  * friendly); nothing collects or loops on the driver. At 100 TB these run
+  * as one narrow map pass over the corpus.
+  */
+object TextAnalysis {
+
+  /** Small built-in stopword lists per language for the n-gram/stopword
+    * language-ID heuristic (the classic "function words" approach). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "una", "que", "no"),
+    "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "te"))
+
+  def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(textCol: Column, lang: String): Column = {
+    val tks = tokens(textCol)
+    val sw = typedLit(stopwords(lang))
+    when(size(tks) > 0,
+      size(filter(tks, t => array_contains(sw, t))).cast("double") / size(tks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Language ID: argmax of per-language stopword ratios; 'und' when no
+    * list scores above `minScore`. Deterministic tie-break by language
+    * code order. */
+  def langId(textCol: Column, langs: Seq[String] = Seq("en", "de", "fr", "es", "it", "nl"),
+             minScore: Double = 0.02): Column = {
+    val scored = langs.map(l => struct(stopwordRatio(textCol, l).as("score"), lit(l).as("lang")))
+    // struct comparison is lexicographic (score, then lang): ties on score
+    // resolve to the alphabetically-largest language code — deterministic
+    val best = greatest(scored: _*)
+    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, 0).otherwise(size(tokens(textCol)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, single other
+    * non-space chars — a cheap proxy for subword-tokenizer counts. */
+  def tokenCountBpe(textCol: Column): Column =
+    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality score components + weighted aggregate, following the usual
+    * heuristic-filter recipe (length, punctuation density, stopword
+    * density, mean word length). All engine-portable arithmetic. */
+  def punctRatio(textCol: Column): Column =
+    when(length(textCol) > 0,
+      (length(textCol) - length(regexp_replace(textCol, "[.,;:!?'\"()-]", ""))).cast("double")
+        / length(textCol).cast("double"))
+      .otherwise(0.0)
+
+  def meanWordLength(textCol: Column): Column = {
+    val tks = tokens(textCol)
+    when(size(tks) > 0,
+      aggregate(tks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(tks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * English-like stopword density, penalizes punctuation soup. */
+  def qualityScore(textCol: Column): Column = {
+    val lenScore = least(length(textCol).cast("double") / 1000.0, lit(1.0))
+    val swScore = least(stopwordRatio(textCol, "en") * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(textCol) * 5.0)
+    (lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3)
+  }
+
+  /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
+    * engine-portable (identical in any SQL engine with md5()). */
+  def fingerprintMd5(textCol: Column): Column =
+    md5(to_binary(regexp_replace(trim(lower(textCol)), "\\s+", " "), lit("utf-8")))
+
+  /** 64-bit rolling-style fingerprint (xxhash64 of normalized text) for
+    * compact dedup keys. */
+  def fingerprint64(textCol: Column): Column =
+    xxhash64(regexp_replace(trim(lower(textCol)), "\\s+", " "))
+}
