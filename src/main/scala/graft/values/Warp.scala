@@ -30,15 +30,17 @@ object Warp {
   /** Regex for "fully numeric, no surrounding space" (Value.swift:810-833). */
   private val NumRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
-  /** Coerce a column to double under Warp rules; non-coercible => null. */
+  /** Coerce a column to double under Warp rules; non-coercible => null.
+    * ANSI-safe: the regex guards the string->double cast, so nothing throws
+    * under Spark 4's default ANSI mode. Booleans coerce to 1/0
+    * (Value.swift:176-190). */
   def num(c: Column): Column = {
-    // typeof-based dispatch at plan time is impossible on a generic Column,
-    // so branch on runtime string form only when needed: numeric casts are
-    // identity-cheap for already-numeric columns.
+    val s = c.cast(StringType)
     when(c.isNull, lit(null).cast(DoubleType))
-      .otherwise(
-        when(c.cast(StringType).rlike(NumRe), c.cast(StringType).cast(DoubleType))
-          .otherwise(lit(null).cast(DoubleType)))
+      .when(lower(s) === "true", lit(1.0))
+      .when(lower(s) === "false", lit(0.0))
+      .when(s.rlike(NumRe), s.cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
   }
 
   /** Typed fast path: column already numeric — avoid the regex. */
@@ -47,10 +49,16 @@ object Warp {
   /** Coerce to string (dates intentionally excluded upstream). */
   def str(c: Column): Column = c.cast(StringType)
 
-  /** Coerce to boolean: true/1/nonzero => true (Value.swift:176-190). */
-  def bool(c: Column): Column =
+  /** Coerce to boolean: true/nonzero => true; non-coercible => null
+    * (Value.swift:176-190). ANSI-safe: never casts a free-form string to
+    * boolean (that throws in Spark 4); routes through the guarded num(). */
+  def bool(c: Column): Column = {
+    val s = lower(c.cast(StringType))
     when(c.isNull, lit(null).cast(BooleanType))
-      .otherwise(coalesce(c.cast(BooleanType), num(c) =!= 0.0))
+      .when(s === "true", lit(true))
+      .when(s === "false", lit(false))
+      .otherwise(num(c) =!= 0.0)
+  }
 
   // ---- arithmetic (Value.swift:484-545): coerce to double, failure => null
 

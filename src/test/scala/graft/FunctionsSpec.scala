@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{WarpFunctions => WF, WarpAggregates => WA}
+
+/** Per-function golden tests mirroring the reference's exhaustive function
+  * switch (reference: WarpCoreTests.swift:158-585). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("logic: and/or poison on invalid, xor, not, if") {
+    assert(eval(WF.fnAnd(lit(true), lit(true))) == true)
+    assert(eval(WF.fnAnd(lit(true), lit(null).cast("boolean"))) == null) // invalid poisons
+    assert(eval(WF.fnOr(lit(false), lit(null).cast("boolean"))) == null)
+    assert(eval(WF.fnXor(lit(true), lit(false))) == true)
+    assert(eval(WF.fnNot(lit(false))) == true)
+    assert(eval(WF.fnIf(lit(true), lit("y"), lit("n"))) == "y")
+  }
+
+  test("ifError falls back, isEmpty/isInvalid detect null") {
+    assert(eval(WF.fnIfError(lit(null).cast("int"), lit(7))) == 7)
+    assert(eval(WF.fnIsEmpty(lit(null).cast("int"))) == true)
+  }
+
+  test("math: ln/log domain, round half-up, floor/ceil, sign") {
+    assert(eval(WF.fnLn(lit(-1))) == null)
+    assert(eval(WF.fnLog(lit(8), lit(2))) == 3.0)
+    assert(eval(WF.fnRound(lit(2.5))) == 3.0)
+    assert(eval(WF.fnRoundTo(lit(2.345), 2)) == 2.35)
+    assert(eval(WF.fnFloor(lit(2.9))) == 2.0)
+    assert(eval(WF.fnCeiling(lit(2.1))) == 3.0)
+    assert(eval(WF.fnSign(lit(-3.0))) == -1.0)
+    assert(eval(WF.fnSum(lit(1), lit("2"), lit(true))) == 4.0) // n-ary with coercion
+    assert(eval(WF.fnMin(lit(3), lit(1), lit(2))) == 1.0)
+  }
+
+  test("normalInverse matches reference quantiles (WarpCoreTests.swift:1051-1057)") {
+    val p50 = eval(WF.fnNormalInverse(lit(0.5), lit(0.0), lit(1.0))).asInstanceOf[Double]
+    val p975 = eval(WF.fnNormalInverse(lit(0.975), lit(0.0), lit(1.0))).asInstanceOf[Double]
+    assert(math.abs(p50) < 1e-8)
+    assert(math.abs(p975 - 1.959963984540054) < 1e-6)
+    assert(eval(WF.fnNormalInverse(lit(1.5), lit(0.0), lit(1.0))) == null)
+  }
+
+  test("string: left/right invalid past length (Function.swift:1115-1135)") {
+    assert(eval(WF.fnLeft(lit("abc"), lit(2))) == "ab")
+    assert(eval(WF.fnLeft(lit("abc"), lit(4))) == null)
+    assert(eval(WF.fnRight(lit("abc"), lit(2))) == "bc")
+    assert(eval(WF.fnRight(lit("abc"), lit(9))) == null)
+    assert(eval(WF.fnMid(lit("abcdef"), lit(1), lit(3))) == "bcd") // 0-based start
+  }
+
+  test("string: case, trim, substitute, levenshtein, concat") {
+    assert(eval(WF.fnUppercase(lit("aB"))) == "AB")
+    assert(eval(WF.fnCapitalize(lit("hello world"))) == "Hello World")
+    assert(eval(WF.fnTrim(lit("  x "))) == "x")
+    assert(eval(WF.fnSubstitute(lit("a-b-c"), lit("-"), lit("+"))) == "a+b+c")
+    assert(eval(WF.fnLevenshtein(lit("kitten"), lit("sitting"))) == 3)
+    assert(eval(WF.fnConcat(lit(1), lit("x"), lit(true))) == "1xtrue")
+    assert(eval(WF.fnUrlEncode(lit("a b&c"))) == "a+b%26c")
+  }
+
+  test("dates: excel serial round-trip (Date.swift:25-38,89-108)") {
+    // 1970-01-01 == excel serial 25569
+    assert(eval(WF.fnToExcelDate(to_timestamp(lit("1970-01-01 00:00:00")))) == 25569.0)
+    val rt = eval(date_format(WF.fnFromExcelDate(lit(25569.0)), "yyyy-MM-dd"))
+    assert(rt == "1970-01-01")
+  }
+
+  test("dates: unix round-trip, utcDate, duration, after") {
+    assert(eval(WF.fnToUnixTime(WF.fnFromUnixTime(lit(1234567890)))) == 1234567890L)
+    assert(eval(date_format(WF.fnUtcDate(lit(2020), lit(2), lit(29)), "yyyy-MM-dd")) == "2020-02-29")
+    val d = eval(WF.fnDuration(
+      to_timestamp(lit("2020-01-01 00:00:00")), to_timestamp(lit("2020-01-01 01:00:00"))))
+    assert(d == 3600.0)
+    assert(eval(date_format(WF.fnAfter(to_timestamp(lit("2020-01-01 00:00:00")), lit(86400)),
+      "yyyy-MM-dd")) == "2020-01-02")
+  }
+
+  test("lists: nth (1-based), valueForKey over pack-pairs, glue, items") {
+    assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(2))) == "b")
+    assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2"), lit("v2")), lit("k2"))) == "v2")
+    assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1")), lit("v1"))) == null) // values aren't keys
+    assert(eval(WF.fnItems(array(lit(1), lit(2), lit(3)))) == 3)
+    assert(eval(WF.fnGlue(array(lit("a"), lit("b")), "-")) == "a-b")
+  }
+
+  test("pack escape round-trip (Value.swift:266-380, WarpCoreTests.swift:134-139)") {
+    assert(eval(WF.packEscape(lit("a,b$c"))) == "a$1b$0c")
+    assert(eval(WF.packUnescape(WF.packEscape(lit("a,b$c")))) == "a,b$c")
+    assert(eval(WF.fnPackList(array(lit("x,y"), lit("z")))) == "x$1y,z")
+    val back = eval(WF.fnUnpackList(lit("x$1y,z"))).asInstanceOf[scala.collection.Seq[String]]
+    assert(back.toSeq == Seq("x,y", "z"))
+  }
+
+  test("encoding: base64/hex round-trips, byte count") {
+    assert(eval(WF.fnBase64Decode(WF.fnBase64Encode(lit("hi"))).cast("string")) == "hi")
+    assert(eval(WF.fnHexEncode(lit("AB"))) == "4142")
+    assert(eval(WF.fnNumberOfBytes(WF.fnEncodeString(lit("héllo")))) == 6)
+    assert(eval(WF.fnParseNumber(lit("1.234,56"), ".", ",")) == 1234.56)
+  }
+
+  test("hilbert curve round-trips (Value.swift:1168-1261)") {
+    for (d <- Seq(0L, 5L, 13L, 255L)) {
+      val x = eval(WF.fnHilbertDToX(lit(16), lit(d))).asInstanceOf[Long]
+      val y = eval(WF.fnHilbertDToY(lit(16), lit(d))).asInstanceOf[Long]
+      assert(eval(WF.fnHilbertXYToD(lit(16), lit(x), lit(y))) == d)
+    }
+  }
+
+  test("powerUp/powerDown (Value.swift:1129-1166)") {
+    assert(eval(WF.fnPowerUp(lit(5.0), lit(2.0))) == 8.0)
+    assert(eval(WF.fnPowerDown(lit(5.0), lit(2.0))) == 4.0)
+    assert(eval(WF.fnPowerUp(lit(8.0), lit(2.0))) == 8.0) // exact power stays
+  }
+
+  test("aggregates: warp count semantics (WarpCoreTests.swift:206-208)") {
+    val df = Seq("1", "2", "x", null).toDF("v")
+    val r = df.agg(
+      WA.warpCount(col("v")).as("numeric"),
+      WA.warpCountAll().as("all"),
+      WA.warpSum(col("v")).as("sum")).collect()(0)
+    assert(r.getAs[Long]("numeric") == 2) // only numeric-convertible
+    assert(r.getAs[Long]("all") == 4)     // everything
+    assert(r.getAs[Double]("sum") == 3.0)
+  }
+
+  test("aggregates: medianLow/High, variance invalid on n=1 (Function.swift:2249)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = df.agg(
+      WA.warpMedian(col("v")).as("m"),
+      WA.warpMedianLow(col("v")).as("lo"),
+      WA.warpMedianHigh(col("v")).as("hi")).collect()(0)
+    assert(r.getAs[Double]("m") == 2.5)
+    assert(r.getAs[Double]("lo") == 2.0)
+    assert(r.getAs[Double]("hi") == 3.0)
+    val one = Seq(5.0).toDF("v").agg(WA.warpVarianceSample(col("v")).as("s")).collect()(0)
+    assert(one.isNullAt(0))
+  }
+
+  test("aggregates: minimumCount suppresses small groups (Aggregation.swift:103-134)") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = df.groupBy("g").agg(WA.minimumCount(WA.dsum(col("v")), col("v"), 2).as("s"))
+      .orderBy("g").collect()
+    assert(r(0).getAs[Double]("s") == 3.0) // a: 2 values => kept
+    assert(r(1).isNullAt(1))               // b: 1 value => suppressed
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Dedup / similarity / text-analysis / multimodal operator tests. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id and counts dupes") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val near = base + " extra"
+    val other = "completely different words describing unrelated matters entirely elsewhere in space and time"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "text", "id",
+      shingleSize = 3, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard is exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()(0)
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("simhash: identical texts collide, near texts are close, far texts differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhashPairs blocks by quarter and verifies hamming") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "id", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: self is the nearest neighbor with cosine 1") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val top = Similarity.bruteTopK(emb, "embedding", "vec_id", q, 5).collect()
+    assert(top(0).getAs[Long]("vec_id") == 7L)
+    assert(math.abs(top(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH top-k achieves recall against brute force") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val brute = Similarity.bruteTopK(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      nBits = 16, maxHamming = 8).select("vec_id").as[Long].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(lsh.contains(7L))
+  }
+
+  test("IVF index assigns cells and probes find the query vector") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val (assigned, centroids) = Similarity.ivfIndex(emb, "embedding", "vec_id", nCells = 8)
+    assert(assigned.select("__cell").distinct().count() <= 8)
+    val top = Similarity.ivfTopK(assigned, centroids, "embedding", "vec_id", q, 5, nProbe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(top.contains(7L))
+  }
+
+  test("language ID picks the language with densest stopwords") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was the best of all"),
+      (2L, "der hund und die katze sind nicht mit dem mann zu hause"),
+      (3L, "xyzzy qwerty plugh")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("hello world, it's 42!").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).collect()(0)
+    assert(r.getAs[Int]("ws") == 4)
+    // hello | world | , | it | ' | s | 42 | !
+    assert(r.getAs[Int]("bpe") == 8)
+  }
+
+  test("quality score orders clean text above punctuation soup") {
+    val df = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and keeps running through the field"),
+      ("soup", "!!! ??? ,,, ;;; ### !!! ??? ,,,")).toDF("k", "text")
+    val m = df.select(col("k"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(m("clean") > m("soup"))
+  }
+
+  test("fingerprints are whitespace-normalization invariant") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "other")).toDF("k", "text")
+    val fps = df.select(col("k"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .as[(String, String)].collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
+  test("multimodal: fabricate schema, extract features, sample frames") {
+    val docs = sf("documents").limit(20)
+    val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val row = feats.limit(1).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 16)
+    // determinism: same payload => same features
+    val f2 = Multimodal.extractFeatures(media, dim = 16).limit(1).collect()(0)
+    assert(row.getAs[scala.collection.Seq[Float]]("features") ==
+      f2.getAs[scala.collection.Seq[Float]]("features"))
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 80) // 20 media x 4 frames
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "ts_ms", "frame_data"))
+  }
+
+  test("multimodal: metadata-only plan does not read the payload column") {
+    val docs = sf("documents").limit(5)
+    val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
+    val resized = Multimodal.resizeMeta(media, 640, 480).select("media_id", "meta")
+    val plan = resized.queryExecution.optimizedPlan.toString
+    assert(resized.count() == 5)
+    assert(!plan.contains("frame_data"))
+  }
+
+  test("sequencer cardinality and enumeration (WarpCoreTests.swift:624-668)") {
+    import graft.sources.Sequencer
+    assert(Sequencer.cardinality("[A-Z]{2}") == 676)
+    assert(Sequencer.cardinality("(foo|bar)[0-9]") == 20)
+    val vals = Sequencer.dataset(spark, "[ab]{2}", "v").as[String].collect().toSet
+    assert(vals == Set("aa", "ab", "ba", "bb"))
+    val r = Sequencer.range(spark, 5, 8, "n").as[Long].collect().toSeq
+    assert(r == Seq(5L, 6L, 7L))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.WarpOps._
+import graft.ops.WarpOps.Order
+
+/** Operator-algebra tests (reference semantics cites in WarpOps). */
+class WarpOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calculate sees the PRE-update row snapshot (Data.swift:221-230)") {
+    val df = Seq((1, 10), (2, 20)).toDF("id", "v")
+    val out = df.calculate(Seq(
+      "v" -> (col("v") * 2),
+      "w" -> (col("v") + 100))) // must read OLD v
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 20, 110), (2, 40, 120)))
+  }
+
+  test("calculate overwrites in place, appends new columns at the end") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    val out = df.calculate(Seq("name" -> lit("z"), "extra" -> lit(9)))
+    assert(out.columns.toSeq == Seq("id", "name", "extra"))
+  }
+
+  test("selectColumns ignores missing names, is case-insensitive (Data.swift:256-258)") {
+    val df = Seq((1, "a", true)).toDF("id", "Name", "flag")
+    val out = df.selectColumns(Seq("NAME", "nope", "id"))
+    assert(out.columns.toSeq == Seq("Name", "id")) // case-preserving, reordered
+  }
+
+  test("warpSort: numeric flag, desc, nulls-first asc (Data.swift:81-111)") {
+    val df = Seq(("10", 1), ("9", 2), (null, 3)).toDF("v", "id")
+    val asc = df.warpSort(Seq(Order(col("v"), ascending = true, numeric = true)))
+      .select("id").as[Int].collect().toSeq
+    assert(asc == Seq(3, 2, 1)) // null first, then 9 < 10 numerically
+    val lex = df.warpSort(Seq(Order(col("v"), ascending = true, numeric = false)))
+      .select("id").as[Int].collect().toSeq
+    assert(lex == Seq(3, 1, 2)) // "10" < "9" lexicographically
+  }
+
+  test("warpUnion merges by name case-insensitively with missing columns (Data.swift:300-304)") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, true)).toDF("ID", "flag")
+    val out = a.warpUnion(b)
+    assert(out.columns.toSeq == Seq("id", "name", "flag"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[String]("name") == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getAs[Boolean]("flag"))
+  }
+
+  test("warpJoin drops name-colliding right columns (Data.swift:113-145)") {
+    val l = Seq((1, "L")).toDF("k", "name")
+    val r = Seq((1, "R", 9.5)).toDF("k", "name", "score")
+    val out = l.warpJoin(r, l("k") === r("k"), "inner")
+    assert(out.columns.toSeq == Seq("k", "name", "score"))
+    assert(out.collect()(0).getAs[String]("name") == "L") // left wins
+  }
+
+  test("rank computes running aggregates in order (Data.swift:306-311)") {
+    val df = Seq((3, 30.0), (1, 10.0), (2, 20.0)).toDF("id", "v")
+    val out = df.rank(Seq(
+      ("rn", w => row_number().over(w)),
+      ("run", w => sum("v").over(w))),
+      Seq(Order(col("id"))))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Double]("run")).toSeq == Seq(10.0, 30.0, 60.0))
+  }
+
+  test("flatten melts every cell with row id (Data.swift:270-276)") {
+    val df = Seq((1, "a", "b")).toDF("id", "c1", "c2")
+    val out = df.flatten("v", Some("src"), Some(("rid", col("id"))))
+    assert(out.columns.toSeq == Seq("rid", "src", "v"))
+    assert(out.count() == 3) // id, c1, c2 all melt
+  }
+
+  test("explode vertical/horizontal (QBEExplodeStep.swift)") {
+    val df = Seq((1, "a,b,c")).toDF("id", "csv")
+    assert(df.explodeVertically("csv", ",").count() == 3)
+    val h = df.explodeHorizontally("csv", ",", 2)
+    assert(h.columns.toSeq == Seq("id", "csv", "csv_1", "csv_2"))
+    assert(h.collect()(0).getAs[String]("csv_2") == "b")
+  }
+
+  test("warpPivot generates h1_h2 column names (Raster.swift:1012-1022)") {
+    val df = Seq(("x", "u", "F", 1.0), ("x", "v", "O", 2.0)).toDF("g", "h1", "h2", "v")
+    val out = df.warpPivot(Seq(col("h1"), col("h2")), Seq("g"), sum("v"))
+    assert(out.columns.sorted.toSeq == Seq("g", "u_F", "v_O"))
+  }
+
+  test("dummies one-hot encodes distinct values (QBEDummiesStep.swift)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val out = df.dummies("v")
+    assert(out.columns.toSeq == Seq("id", "v", "v_a", "v_b"))
+    assert(out.filter(col("id") === 1).collect()(0).getAs[Boolean]("v_a"))
+  }
+
+  test("search matches any column, case-insensitive (QBESearchStep.swift)") {
+    val df = Seq((1, "Hello"), (2, "world")).toDF("id", "v")
+    assert(df.search("HELL").count() == 1)
+    assert(df.search("1").count() == 1) // matches the id column too
+  }
+
+  test("transpose flips the matrix (Raster.swift:657-694)") {
+    val df = Seq(("r1", 1, 2), ("r2", 3, 4)).toDF("k", "a", "b")
+    val t = df.warpTranspose()
+    assert(t.columns.toSeq == Seq("column", "r1", "r2"))
+    assert(t.count() == 2)
+  }
+
+  test("unique returns distinct expression values (Data.swift:252-254)") {
+    val df = Seq(1, 2, 2, 3).toDF("v")
+    assert(df.unique(col("v") * 10, "u").as[Int].collect().toSet == Set(10, 20, 30))
+  }
+
+  test("randomSample returns exactly n rows without replacement") {
+    val df = spark.range(1000).toDF("id")
+    val s = df.randomSample(50)
+    assert(s.count() == 50)
+    assert(s.distinct().count() == 50)
+  }
+}
