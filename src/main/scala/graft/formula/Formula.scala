@@ -1,0 +1,417 @@
+package graft.formula
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.values.Warp
+import graft.functions.{WarpFunctions => WF}
+
+/** The Warp formula language (reference: WarpCore/Sources/Formula.swift:21-353,
+  * grammar :276-350; Expression AST Expression.swift:17-23) compiled to
+  * Catalyst `Column` trees — one target replacing both the reference's
+  * row-interpreter and its SQL translator.
+  *
+  * Surface (en locale):
+  *   =UPPER([name]) & "!"     column refs in brackets, & concatenation
+  *   #[col]                   foreign (join-side) column ref
+  *   @                        current cell (Identity); @123 timestamp literal
+  *   {1;2;3}                  list literal;  x[2] 1-based index;  x->"key" lookup
+  *   50%, 2k, 3M              percent / SI postfix multipliers (Language.swift:47)
+  *   binary ops: + - * / % ^ & = <> < > <= >= ~= ~~= ±= ±±=
+  */
+object Formula {
+
+  // ===== AST (Expression.swift:17-23) =====
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr
+  case object Identity extends Expr                       // `@`
+  case class TimestampLit(seconds: Double) extends Expr   // `@123` — NSDate epoch
+  case class Sibling(name: String) extends Expr           // `[col]`
+  case class Foreign(name: String) extends Expr           // `#[col]`
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class Call(fn: String, args: List[Expr]) extends Expr
+  case class ListLit(items: List[Expr]) extends Expr
+  case class Index(target: Expr, idx: Expr) extends Expr  // `x[2]` (1-based)
+  case class Lookup(target: Expr, key: Expr) extends Expr // `x->"key"`
+
+  /** NSDate epoch offset (Value.swift:43-45): warp date = unix - 978307200. */
+  val NsDateOffset = 978307200L
+
+  // ===== parser: hand-rolled recursive descent =====
+
+  def parse(input: String): Expr = new Parser(input).parseFormula()
+
+  final class Parser(input: String) {
+    private var pos = 0
+    private def eof = pos >= input.length
+    private def peek = input(pos)
+    private def ws(): Unit = while (!eof && peek.isWhitespace) pos += 1
+    private def fail(msg: String) =
+      throw new IllegalArgumentException(s"formula parse error at $pos: $msg in '$input'")
+
+    def parseFormula(): Expr = {
+      ws()
+      if (!eof && peek == '=') pos += 1 // optional leading =
+      val e = parseOr()
+      ws()
+      if (!eof) fail(s"trailing input '${input.substring(pos)}'")
+      e
+    }
+
+    // precedence: comparison < & < +- < */% < ^ < unary < postfix < atom
+    private def parseOr(): Expr = parseComparison()
+
+    private val cmpOps = List("<=", ">=", "<>", "~~=", "~=", "±±=", "±=", "=", "<", ">")
+    private def parseComparison(): Expr = {
+      var l = parseConcat()
+      var done = false
+      while (!done) {
+        ws()
+        cmpOps.find(op => input.startsWith(op, pos)) match {
+          case Some(op) => pos += op.length; l = Bin(op, l, parseConcat())
+          case None => done = true
+        }
+      }
+      l
+    }
+
+    private def parseConcat(): Expr = {
+      var l = parseAdd()
+      ws()
+      while (!eof && peek == '&') { pos += 1; l = Bin("&", l, parseAdd()); ws() }
+      l
+    }
+
+    private def parseAdd(): Expr = {
+      var l = parseMul()
+      ws()
+      while (!eof && (peek == '+' || peek == '-')) {
+        val op = peek.toString; pos += 1
+        l = Bin(op, l, parseMul()); ws()
+      }
+      l
+    }
+
+    private def parseMul(): Expr = {
+      var l = parsePow()
+      ws()
+      // `%` is modulo as a binary op, percent as a postfix — postfix binds in
+      // parseAtomPostfix; binary % must be followed by an operand
+      while (!eof && (peek == '*' || peek == '/' ||
+             (peek == '%' && { val p = pos; pos += 1; ws(); val ok = !eof && startsOperand; pos = p; ok }))) {
+        val op = peek.toString; pos += 1
+        l = Bin(op, l, parsePow()); ws()
+      }
+      l
+    }
+
+    private def startsOperand: Boolean =
+      !eof && (peek.isDigit || peek.isLetter || "([{@#\"-".contains(peek))
+
+    private def parsePow(): Expr = {
+      val l = parseUnary()
+      ws()
+      if (!eof && peek == '^') { pos += 1; Bin("^", l, parsePow()) } else l
+    }
+
+    private def parseUnary(): Expr = {
+      ws()
+      if (!eof && peek == '-') { pos += 1; Bin("*", Lit(-1.0), parseUnary()) }
+      else parsePostfix()
+    }
+
+    private def parsePostfix(): Expr = {
+      var e = parseAtom()
+      var done = false
+      while (!done) {
+        ws()
+        if (!eof && peek == '[') {           // x[2] index
+          pos += 1
+          val idx = parseOr(); ws()
+          if (eof || peek != ']') fail("expected ]")
+          pos += 1
+          e = Index(e, idx)
+        } else if (!eof && input.startsWith("->", pos)) { // x->"key"
+          pos += 2
+          e = Lookup(e, parseAtom())
+        } else done = true
+      }
+      e
+    }
+
+    private def parseAtom(): Expr = {
+      ws()
+      if (eof) fail("unexpected end")
+      peek match {
+        case '(' =>
+          pos += 1; val e = parseOr(); ws()
+          if (eof || peek != ')') fail("expected )")
+          pos += 1; e
+        case '{' => // list literal {a;b;c}
+          pos += 1
+          val items = scala.collection.mutable.ListBuffer[Expr]()
+          ws()
+          if (!eof && peek == '}') { pos += 1; return ListLit(Nil) }
+          items += parseOr(); ws()
+          while (!eof && (peek == ';' || peek == ',')) { pos += 1; items += parseOr(); ws() }
+          if (eof || peek != '}') fail("expected }")
+          pos += 1
+          ListLit(items.toList)
+        case '"' =>
+          pos += 1
+          val sb = new StringBuilder
+          while (!eof && peek != '"') {
+            if (peek == '\\' && pos + 1 < input.length) { pos += 1; sb += peek }
+            else sb += peek
+            pos += 1
+          }
+          if (eof) fail("unterminated string")
+          pos += 1
+          Lit(sb.result())
+        case '[' => // sibling column ref
+          pos += 1
+          val end = input.indexOf(']', pos)
+          if (end < 0) fail("unterminated [column]")
+          val name = input.substring(pos, end); pos = end + 1
+          Sibling(name)
+        case '#' => // foreign ref #[col]
+          pos += 1
+          if (eof || peek != '[') fail("expected [ after #")
+          pos += 1
+          val end = input.indexOf(']', pos)
+          if (end < 0) fail("unterminated #[column]")
+          val name = input.substring(pos, end); pos = end + 1
+          Foreign(name)
+        case '@' =>
+          pos += 1
+          if (!eof && peek.isDigit) {
+            val start = pos
+            while (!eof && (peek.isDigit || peek == '.')) pos += 1
+            TimestampLit(input.substring(start, pos).toDouble)
+          } else Identity
+        case c if c.isDigit || c == '.' =>
+          val start = pos
+          while (!eof && (peek.isDigit || peek == '.')) pos += 1
+          if (!eof && (peek == 'e' || peek == 'E')) {
+            pos += 1
+            if (!eof && (peek == '+' || peek == '-')) pos += 1
+            while (!eof && peek.isDigit) pos += 1
+          }
+          val text = input.substring(start, pos)
+          // postfix multipliers (Language.swift:47). `%` doubles as the
+          // binary modulo operator: treat it as a percent postfix only when
+          // NOT followed by another operand (`50%` vs `10%3`).
+          def followedByOperand: Boolean = {
+            var p = pos + 1
+            while (p < input.length && input(p).isWhitespace) p += 1
+            p < input.length && (input(p).isDigit || input(p).isLetter ||
+              "([{@#\"".contains(input(p)))
+          }
+          if (!eof && peek == '%' && !followedByOperand) {
+            pos += 1; Lit(text.toDouble / 100.0)
+          } else if (!eof && "kMG".contains(peek)) {
+            val mult = peek match { case 'k' => 1e3; case 'M' => 1e6; case _ => 1e9 }
+            pos += 1; Lit(text.toDouble * mult)
+          } else if (!text.contains('.') && !text.toLowerCase.contains('e')) {
+            Lit(text.toLong) // integer literal => Warp .int
+          } else Lit(text.toDouble)
+        case c if c.isLetter =>
+          val start = pos
+          while (!eof && (peek.isLetterOrDigit || peek == '.' || peek == '_')) pos += 1
+          val name = input.substring(start, pos)
+          ws()
+          if (!eof && peek == '(') {
+            pos += 1
+            val args = scala.collection.mutable.ListBuffer[Expr]()
+            ws()
+            if (!eof && peek == ')') { pos += 1; return Call(name.toUpperCase, Nil) }
+            args += parseOr(); ws()
+            while (!eof && (peek == ';' || peek == ',')) { pos += 1; args += parseOr(); ws() }
+            if (eof || peek != ')') fail("expected )")
+            pos += 1
+            Call(name.toUpperCase, args.toList)
+          } else name.toUpperCase match {
+            case "TRUE"  => Lit(true)
+            case "FALSE" => Lit(false)
+            case "NULL" | "EMPTY" => Lit(null)
+            case "PI"    => Lit(math.Pi)
+            case _       => Sibling(name) // bare column shorthand
+          }
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+  }
+
+  // ===== unparse (round-trip, mirrors Formula.toFormula tests
+  //       WarpCoreTests.swift:670-694) =====
+
+  def toFormula(e: Expr): String = e match {
+    case Lit(null)        => "NULL"
+    case Lit(true)        => "TRUE"
+    case Lit(false)       => "FALSE"
+    case Lit(s: String)   => "\"" + s.replace("\"", "\\\"") + "\""
+    case Lit(d: Double)   => if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
+    case Lit(v)           => v.toString
+    case Identity         => "@"
+    case TimestampLit(s)  => s"@${if (s == s.floor) s.toLong.toString else s.toString}"
+    case Sibling(n)       => s"[$n]"
+    case Foreign(n)       => s"#[$n]"
+    case Bin(op, l, r)    => s"(${toFormula(l)}$op${toFormula(r)})"
+    case Call(f, args)    => s"$f(${args.map(toFormula).mkString(";")})"
+    case ListLit(items)   => s"{${items.map(toFormula).mkString(";")}}"
+    case Index(t, i)      => s"${toFormula(t)}[${toFormula(i)}]"
+    case Lookup(t, k)     => s"${toFormula(t)}->${toFormula(k)}"
+  }
+
+  // ===== compile to Catalyst Column =====
+
+  /** Compilation context: how column refs resolve. */
+  final case class Ctx(
+    sibling: String => Column = n => col(s"`$n`"),
+    foreign: String => Column = n => throw new IllegalArgumentException(s"no foreign context for #[$n]"),
+    inputValue: () => Column = () => throw new IllegalArgumentException("no @ (inputValue) in this context"))
+
+  def compile(e: Expr, ctx: Ctx = Ctx()): Column = e match {
+    case Lit(null)       => lit(null)
+    case Lit(v)          => lit(v)
+    case Identity        => ctx.inputValue()
+    case TimestampLit(s) => timestamp_seconds(lit(s + NsDateOffset)).cast("timestamp_ntz")
+    case Sibling(n)      => ctx.sibling(n)
+    case Foreign(n)      => ctx.foreign(n)
+    case ListLit(items)  => array(items.map(compile(_, ctx)): _*)
+    case Index(t, i)     => element_at(compile(t, ctx), compile(i, ctx).cast("int"))
+    case Lookup(t, k)    => WF.fnValueForKey(compile(t, ctx), compile(k, ctx))
+    case Bin(op, l, r) =>
+      val (a, b) = (compile(l, ctx), compile(r, ctx))
+      op match {
+        case "+"   => Warp.add(a, b)
+        case "-"   => Warp.sub(a, b)
+        case "*"   => Warp.mul(a, b)
+        case "/"   => Warp.div(a, b)
+        case "%"   => Warp.mod(a, b)
+        case "^"   => Warp.pow(a, b)
+        case "&"   => Warp.cat(a, b)
+        case "="   => Warp.eq(a, b)
+        case "<>"  => Warp.neq(a, b)
+        case "<"   => Warp.lt(a, b)
+        case ">"   => Warp.gt(a, b)
+        case "<="  => Warp.lte(a, b)
+        case ">="  => Warp.gte(a, b)
+        case "~="  => Warp.containsString(a, b)
+        case "~~=" => Warp.containsStringStrict(a, b)
+        case "±="  => Warp.matchesRegex(a, b)
+        case "±±=" => Warp.matchesRegexStrict(a, b)
+        case _     => throw new IllegalArgumentException(s"unknown operator $op")
+      }
+    case Call("ROUND", List(x, Lit(d: Double))) => WF.fnRoundTo(compile(x, ctx), d.toInt)
+    case Call(f, args) => compileCall(f, args.map(compile(_, ctx)), ctx)
+  }
+
+  /** Function table (en-locale names; reference Function enum
+    * Function.swift:21-134). Arity errors surface at compile time. */
+  private def compileCall(f: String, a: List[Column], ctx: Ctx): Column = (f, a) match {
+    case ("IF", List(c, t, e))      => WF.fnIf(c, t, e)
+    case ("AND", as) if as.size >= 2 => WF.fnAnd(as: _*)
+    case ("OR", as) if as.size >= 2  => WF.fnOr(as: _*)
+    case ("XOR", List(x, y))        => WF.fnXor(x, y)
+    case ("NOT", List(x))           => WF.fnNot(x)
+    case ("COALESCE", as)           => WF.fnCoalesce(as: _*)
+    case ("IFERROR", List(v, fb))   => WF.fnIfError(v, fb)
+    case ("ISEMPTY", List(x))       => WF.fnIsEmpty(x)
+    case ("ISINVALID", List(x))     => WF.fnIsInvalid(x)
+    case ("IN", v :: set) if set.nonEmpty    => WF.fnIn(v, set: _*)
+    case ("NOTIN", v :: set) if set.nonEmpty => WF.fnNotIn(v, set: _*)
+
+    case ("ABS", List(x))    => WF.fnAbsolute(x)
+    case ("SQRT", List(x))   => WF.fnSqrt(x)
+    case ("EXP", List(x))    => WF.fnExp(x)
+    case ("LN", List(x))     => WF.fnLn(x)
+    case ("LOG", List(x))    => WF.fnLog(x, lit(10))
+    case ("LOG", List(x, b)) => WF.fnLog(x, b)
+    case ("SIN", List(x))    => WF.fnSin(x)
+    case ("COS", List(x))    => WF.fnCos(x)
+    case ("TAN", List(x))    => WF.fnTan(x)
+    case ("SINH", List(x))   => WF.fnSinh(x)
+    case ("COSH", List(x))   => WF.fnCosh(x)
+    case ("TANH", List(x))   => WF.fnTanh(x)
+    case ("ASIN", List(x))   => WF.fnAsin(x)
+    case ("ACOS", List(x))   => WF.fnAcos(x)
+    case ("ATAN", List(x))   => WF.fnAtan(x)
+    case ("FLOOR", List(x))  => WF.fnFloor(x)
+    case ("CEILING", List(x)) => WF.fnCeiling(x)
+    case ("ROUND", List(x))  => WF.fnRound(x)
+    case ("SIGN", List(x))   => WF.fnSign(x)
+    case ("NEGATE", List(x)) => WF.fnNegate(x)
+    case ("POWER", List(x, y)) => WF.fnPower(x, y)
+    case ("SUM", as)         => WF.fnSum(as: _*)
+    case ("AVERAGE", as)     => WF.fnAverage(as: _*)
+    case ("MIN", as)         => WF.fnMin(as: _*)
+    case ("MAX", as)         => WF.fnMax(as: _*)
+    case ("NORMAL.INV", List(p, m, s)) => WF.fnNormalInverse(p, m, s)
+
+    case ("UPPER", List(x))      => WF.fnUppercase(x)
+    case ("LOWER", List(x))      => WF.fnLowercase(x)
+    case ("PROPER", List(x))     => WF.fnCapitalize(x)
+    case ("TRIM", List(x))       => WF.fnTrim(x)
+    case ("LEFT", List(x, n))    => WF.fnLeft(x, n)
+    case ("RIGHT", List(x, n))   => WF.fnRight(x, n)
+    case ("MID", List(x, s, l))  => WF.fnMid(x, s, l)
+    case ("LENGTH", List(x)) => WF.fnLength(x)
+    case ("LEN", List(x))    => WF.fnLength(x)
+    case ("SUBSTITUTE", List(x, f2, r)) => WF.fnSubstitute(x, f2, r)
+    case ("REGEXSUBSTITUTE", List(x, p, r)) => WF.fnRegexSubstitute(x, p, r)
+    case ("CONCAT", as)          => WF.fnConcat(as: _*)
+    case ("LEVENSHTEIN", List(x, y)) => WF.fnLevenshtein(x, y)
+    case ("URLENCODE", List(x))  => WF.fnUrlEncode(x)
+
+    case ("NOW", Nil)            => WF.fnNow()
+    case ("FROM.UNIX", List(x))  => WF.fnFromUnixTime(x)
+    case ("TO.UNIX", List(x))    => WF.fnToUnixTime(x)
+    case ("FROM.ISO8601", List(x)) => WF.fnFromISO8601(x)
+    case ("TO.ISO8601", List(x)) => WF.fnToUTCISO8601(x)
+    case ("FROM.EXCELDATE", List(x)) => WF.fnFromExcelDate(x)
+    case ("TO.EXCELDATE", List(x)) => WF.fnToExcelDate(x)
+    case ("DATE.UTC", List(y, m, d)) => WF.fnUtcDate(y, m, d)
+    case ("YEAR.UTC", List(x))   => WF.fnUtcYear(x)
+    case ("MONTH.UTC", List(x))  => WF.fnUtcMonth(x)
+    case ("DAY.UTC", List(x))    => WF.fnUtcDay(x)
+    case ("HOUR.UTC", List(x))   => WF.fnUtcHour(x)
+    case ("MINUTE.UTC", List(x)) => WF.fnUtcMinute(x)
+    case ("SECOND.UTC", List(x)) => WF.fnUtcSecond(x)
+    case ("DURATION", List(x, y)) => WF.fnDuration(x, y)
+    case ("AFTER", List(t, s))   => WF.fnAfter(t, s)
+
+    case ("LIST", as)            => WF.fnList(as: _*)
+    case ("NTH", List(x, i))     => WF.fnNth(x, i)
+    case ("VALUEFORKEY", List(x, k)) => WF.fnValueForKey(x, k)
+    case ("ITEMS", List(x))      => WF.fnItems(x)
+    case ("APPEND", List(x, v))  => WF.fnAppendValue(x, v)
+    case ("APPENDLIST", List(x, y)) => WF.fnAppendList(x, y)
+    case ("PACK.LIST", List(x))  => WF.fnPackList(x)
+    case ("UNPACK.LIST", List(x)) => WF.fnUnpackList(x)
+
+    case ("BASE64.ENCODE", List(x)) => WF.fnBase64Encode(x)
+    case ("BASE64.DECODE", List(x)) => WF.fnBase64Decode(x)
+    case ("HEX.ENCODE", List(x)) => WF.fnHexEncode(x)
+    case ("HEX.DECODE", List(x)) => WF.fnHexDecode(x)
+    case ("NUMBEROFBYTES", List(x)) => WF.fnNumberOfBytes(x)
+    case ("JSON.ENCODE", List(x)) => WF.fnJsonEncode(x)
+    case ("PARSENUMBER", List(x)) => WF.fnParseNumber(x)
+
+    case ("RANDOM", Nil)          => WF.fnRandom()
+    case ("RANDOMBETWEEN", List(x, y)) => WF.fnRandomBetween(x, y)
+    case ("UUID", Nil)            => WF.fnUuid()
+    case ("CHOOSE", i :: as) if as.nonEmpty => WF.fnChoose(i, as: _*)
+
+    case ("HILBERT.XY.TO.D", List(n, x, y)) => WF.fnHilbertXYToD(n, x, y)
+    case ("HILBERT.D.TO.X", List(n, d)) => WF.fnHilbertDToX(n, d)
+    case ("HILBERT.D.TO.Y", List(n, d)) => WF.fnHilbertDToY(n, d)
+    case ("POWER.UP", List(v, b))   => WF.fnPowerUp(v, b)
+    case ("POWER.DOWN", List(v, b)) => WF.fnPowerDown(v, b)
+
+    case _ => throw new IllegalArgumentException(
+      s"unknown function or bad arity: $f/${a.size}")
+  }
+
+  /** One-call convenience: parse + compile against sibling columns. */
+  def column(formula: String): Column = compile(parse(formula))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.formula.Formula
+import graft.formula.Formula._
+
+/** Formula parser tests mirroring the reference's parse/round-trip suites
+  * (reference: WarpCoreTests.swift:670-756). */
+class FormulaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval(formula: String): Any =
+    Seq(1).toDF("x").select(Formula.column(formula).as("r")).collect()(0).get(0)
+
+  private def evalOn(df: org.apache.spark.sql.DataFrame, formula: String): Any =
+    df.select(Formula.column(formula).as("r")).collect()(0).get(0)
+
+  test("arithmetic with precedence and parens") {
+    assert(eval("=1+2*3") == 7.0)
+    assert(eval("=(1+2)*3") == 9.0)
+    assert(eval("=2^10") == 1024.0)
+    assert(eval("=2^3^2") == 512.0) // right-assoc
+    assert(eval("=-3+5") == 2.0)
+    assert(eval("=10%3") == 1.0)    // binary modulo
+  }
+
+  test("percent and SI postfix multipliers (Language.swift:47)") {
+    assert(eval("=50%") == 0.5)
+    assert(eval("=2k") == 2000.0)
+    assert(eval("=3M") == 3000000.0)
+  }
+
+  test("string literals, concatenation, coercion ('13'+37)") {
+    assert(eval("=\"13\"+37") == 50.0)
+    assert(eval("=\"a\" & \"b\" & 1") == "ab1")
+    assert(eval("=UPPER(\"abc\")") == "ABC")
+  }
+
+  test("comparison operators incl. warp-specific ~= and ±=") {
+    assert(eval("=1<2") == true)
+    assert(eval("=\"12\"=12") == true)
+    assert(eval("=\"Hello\"~=\"ELL\"") == true)
+    assert(eval("=\"Hello\"~~=\"ELL\"") == false)
+    assert(eval("=\"Hello\"±=\"^h.*o$\"") == true)
+    assert(eval("=\"Hello\"±±=\"^h.*o$\"") == false)
+    assert(eval("=1<>2") == true)
+  }
+
+  test("sibling column refs: [bracketed] and bare shorthand") {
+    val df = Seq((3.0, 4.0)).toDF("a", "b")
+    assert(evalOn(df, "=[a]+[b]") == 7.0)
+    assert(evalOn(df, "=a*b") == 12.0)
+    assert(evalOn(df, "=SQRT(a^2+b^2)") == 5.0)
+  }
+
+  test("foreign refs #[col] resolve via context") {
+    val ctx = Ctx(
+      sibling = n => lit(10).as(n),
+      foreign = n => lit(32))
+    val c = Formula.compile(Formula.parse("=[x]+#[y]"), ctx)
+    assert(Seq(1).toDF("z").select(c).collect()(0).get(0) == 42.0)
+  }
+
+  test("identity @ resolves to inputValue (Expression.swift:290)") {
+    val ctx = Ctx(inputValue = () => lit(5))
+    val c = Formula.compile(Formula.parse("=@*2"), ctx)
+    assert(Seq(1).toDF("z").select(c).collect()(0).get(0) == 10.0)
+  }
+
+  test("list literals, 1-based index, ->key lookup (Formula.swift grammar)") {
+    assert(eval("={1;2;3}[2]") == 2.0)
+    assert(eval("={\"k\";\"v\"}->\"k\"") == "v")
+    assert(eval("=ITEMS({1;2;3})") == 3)
+  }
+
+  test("timestamp literal @123 is NSDate-epoch seconds (Value.swift:43-45)") {
+    val r = eval("=@0")
+    assert(r.toString.startsWith("2001-01-01"))
+  }
+
+  test("functions: IF/AND/OR, rounding, date parts") {
+    assert(eval("=IF(1<2;\"y\";\"n\")") == "y")
+    assert(eval("=IF(1<2,\"y\",\"n\")") == "y") // both separators
+    assert(eval("=ROUND(2.345;2)") == 2.35)
+    assert(eval("=YEAR.UTC(FROM.UNIX(0))") == 1970)
+  }
+
+  test("parse failures reject garbage (WarpCoreTests.swift:696-756)") {
+    for (bad <- Seq("=1+", "=UPPER(", "=[unclosed", "=1 2", "=NOSUCHFN(1)", "={1;2"))
+      assertThrows[IllegalArgumentException](eval(bad))
+  }
+
+  test("round-trip: parse(toFormula(parse(f))) == parse(f) (WarpCoreTests.swift:670-694)") {
+    for (f <- Seq("=1+2*3", "=UPPER([name])&\"!\"", "=IF(a>1;{1;2};{3})",
+                  "=SQRT(a^2+b^2)", "=\"x\"~=\"y\"", "=#[z]+@"))
+      {
+        val once = Formula.parse(f)
+        val twice = Formula.parse("=" + Formula.toFormula(once))
+        assert(once == twice, s"round-trip failed for $f")
+      }
+  }
+
+  test("constant folding: Catalyst folds literal subtrees (Expression.swift:43-48)") {
+    val c = Formula.column("=1+2*3")
+    val plan = Seq(1).toDF("x").select(c).queryExecution.optimizedPlan.toString
+    assert(plan.contains("7.0")) // folded at plan time
+  }
+}
