@@ -264,63 +264,97 @@ object Formula {
 
   // ===== compile to Catalyst Column =====
 
-  /** Compilation context: how column refs resolve. */
+  import Warp.WV
+
+  /** Compilation context: how column refs resolve. `types` (lower-cased
+    * name -> DataType, e.g. from a DataFrame schema) lets the coercion
+    * kernel use the typed fast path instead of the regex CASE tree. */
   final case class Ctx(
     sibling: String => Column = n => col(s"`$n`"),
     foreign: String => Column = n => throw new IllegalArgumentException(s"no foreign context for #[$n]"),
-    inputValue: () => Column = () => throw new IllegalArgumentException("no @ (inputValue) in this context"))
+    inputValue: () => Column = () => throw new IllegalArgumentException("no @ (inputValue) in this context"),
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
 
-  def compile(e: Expr, ctx: Ctx = Ctx()): Column = e match {
-    case Lit(null)       => lit(null)
-    case Lit(v)          => lit(v)
-    case Identity        => ctx.inputValue()
-    case TimestampLit(s) => timestamp_seconds(lit(s + NsDateOffset)).cast("timestamp_ntz")
-    case Sibling(n)      => ctx.sibling(n)
-    case Foreign(n)      => ctx.foreign(n)
-    case ListLit(items)  => array(items.map(compile(_, ctx)): _*)
-    case Index(t, i)     => element_at(compile(t, ctx), compile(i, ctx).cast("int"))
-    case Lookup(t, k)    => WF.fnValueForKey(compile(t, ctx), compile(k, ctx))
-    case Bin(op, l, r) =>
-      val (a, b) = (compile(l, ctx), compile(r, ctx))
-      op match {
-        case "+"   => Warp.add(a, b)
-        case "-"   => Warp.sub(a, b)
-        case "*"   => Warp.mul(a, b)
-        case "/"   => Warp.div(a, b)
-        case "%"   => Warp.mod(a, b)
-        case "^"   => Warp.pow(a, b)
-        case "&"   => Warp.cat(a, b)
-        case "="   => Warp.eq(a, b)
-        case "<>"  => Warp.neq(a, b)
-        case "<"   => Warp.lt(a, b)
-        case ">"   => Warp.gt(a, b)
-        case "<="  => Warp.lte(a, b)
-        case ">="  => Warp.gte(a, b)
-        case "~="  => Warp.containsString(a, b)
-        case "~~=" => Warp.containsStringStrict(a, b)
-        case "±="  => Warp.matchesRegex(a, b)
-        case "±±=" => Warp.matchesRegexStrict(a, b)
-        case _     => throw new IllegalArgumentException(s"unknown operator $op")
-      }
-    case Call("ROUND", List(x, Lit(d: Double))) => WF.fnRoundTo(compile(x, ctx), d.toInt)
-    case Call(f, args) => compileCall(f, args.map(compile(_, ctx)), ctx)
+  object Ctx {
+    /** Context resolving sibling refs against `df`'s schema (typed). */
+    def forSchema(schema: org.apache.spark.sql.types.StructType): Ctx =
+      Ctx(types = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap)
   }
 
-  /** Function table (en-locale names; reference Function enum
-    * Function.swift:21-134). Arity errors surface at compile time. */
-  private def compileCall(f: String, a: List[Column], ctx: Ctx): Column = (f, a) match {
-    case ("IF", List(c, t, e))      => WF.fnIf(c, t, e)
-    case ("AND", as) if as.size >= 2 => WF.fnAnd(as: _*)
-    case ("OR", as) if as.size >= 2  => WF.fnOr(as: _*)
-    case ("XOR", List(x, y))        => WF.fnXor(x, y)
-    case ("NOT", List(x))           => WF.fnNot(x)
-    case ("COALESCE", as)           => WF.fnCoalesce(as: _*)
-    case ("IFERROR", List(v, fb))   => WF.fnIfError(v, fb)
-    case ("ISEMPTY", List(x))       => WF.fnIsEmpty(x)
-    case ("ISINVALID", List(x))     => WF.fnIsInvalid(x)
-    case ("IN", v :: set) if set.nonEmpty    => WF.fnIn(v, set: _*)
-    case ("NOTIN", v :: set) if set.nonEmpty => WF.fnNotIn(v, set: _*)
+  /** Compile to the error-tagged pair representation (Warp.WV): `.empty`
+    * and `.invalid` stay distinct through the whole tree, collapsing to
+    * null only at [[column]]/operator boundaries. */
+  def compileWV(e: Expr, ctx: Ctx): WV = e match {
+    case Lit(v)          => WV.fromLiteral(v)
+    case Identity        => WV.pure(ctx.inputValue())
+    case TimestampLit(s) => WV.pure(
+      timestamp_seconds(lit(s + NsDateOffset)).cast("timestamp_ntz"),
+      Some(org.apache.spark.sql.types.TimestampNTZType))
+    case Sibling(n)      => WV.pure(ctx.sibling(n), ctx.types.get(n.toLowerCase))
+    case Foreign(n)      => WV.pure(ctx.foreign(n), ctx.types.get(n.toLowerCase))
+    case ListLit(items)  =>
+      val vs = items.map(compileWV(_, ctx))
+      WV(array(vs.map(_.v): _*), vs.map(_.inv).foldLeft(lit(false))(_ || _), None)
+    case Index(t, i)     =>
+      Warp.liftCallW(Seq(compileWV(t, ctx), compileWV(i, ctx))) {
+        case Seq(a, ix) => element_at(a, ix.cast("int")) }
+    case Lookup(t, k)    =>
+      Warp.liftCallW(Seq(compileWV(t, ctx), compileWV(k, ctx))) {
+        case Seq(a, key) => WF.fnValueForKey(a, key) }
+    case Bin(op, l, r) =>
+      val (a, b) = (compileWV(l, ctx), compileWV(r, ctx))
+      op match {
+        case "+"   => Warp.addW(a, b)
+        case "-"   => Warp.subW(a, b)
+        case "*"   => Warp.mulW(a, b)
+        case "/"   => Warp.divW(a, b)
+        case "%"   => Warp.modW(a, b)
+        case "^"   => Warp.powW(a, b)
+        case "&"   => Warp.catW(a, b)
+        case "="   => Warp.eqW(a, b)
+        case "<>"  => Warp.neqW(a, b)
+        case "<"   => Warp.ltW(a, b)
+        case ">"   => Warp.gtW(a, b)
+        case "<="  => Warp.lteW(a, b)
+        case ">="  => Warp.gteW(a, b)
+        case "~="  => Warp.containsW(a, b)
+        case "~~=" => Warp.containsStrictW(a, b)
+        case "±="  => Warp.matchesW(a, b)
+        case "±±=" => Warp.matchesStrictW(a, b)
+        case _     => throw new IllegalArgumentException(s"unknown operator $op")
+      }
+    case Call("ROUND", List(x, Lit(d))) if d.isInstanceOf[Double] || d.isInstanceOf[Long] =>
+      val decimals = d match { case l: Long => l.toInt; case dd: Double => dd.toInt }
+      Warp.liftCallW(Seq(compileWV(x, ctx)))(as => WF.fnRoundTo(as.head, decimals))
+    case Call(f, args) => compileCall(f, args.map(compileWV(_, ctx)), ctx)
+  }
 
+  /** Compile to a plain Column (invalid collapsed to null). */
+  def compile(e: Expr, ctx: Ctx = Ctx()): Column = compileWV(e, ctx).collapse
+
+  /** Logic/conditional functions compile on the tagged track (they are the
+    * ones whose semantics hinge on empty-vs-invalid); the rest of the
+    * closed library lifts its plain-Column builder via [[Warp.liftCallW]]
+    * (argument invalidity propagates; null-from-coercion is invalid). */
+  private def compileCall(f: String, a: List[WV], ctx: Ctx): WV = (f, a) match {
+    case ("IF", List(c, t, e))       => Warp.ifW(c, t, e)
+    case ("AND", as) if as.size >= 2 => Warp.andW(as)
+    case ("OR", as) if as.size >= 2  => Warp.orW(as)
+    case ("XOR", List(x, y))         => Warp.xorW(x, y)
+    case ("NOT", List(x))            => Warp.notW(x)
+    case ("COALESCE", as) if as.nonEmpty => Warp.coalesceW(as)
+    case ("IFERROR", List(v, fb))    => Warp.ifErrorW(v, fb)
+    case ("ISEMPTY", List(x))        => Warp.isEmptyW(x)
+    case ("ISINVALID", List(x))      => Warp.isInvalidW(x)
+    case ("IN", v :: set) if set.nonEmpty    => Warp.inW(v, set)
+    case ("NOTIN", v :: set) if set.nonEmpty =>
+      val in = Warp.inW(v, set); in.copy(v = !in.v)
+    case _ => Warp.liftCallW(a)(cols => plainCall(f, cols.toList))
+  }
+
+  /** Plain-Column function table (en-locale names; reference Function enum
+    * Function.swift:21-134). Arity errors surface at compile time. */
+  private def plainCall(f: String, a: List[Column]): Column = (f, a) match {
     case ("ABS", List(x))    => WF.fnAbsolute(x)
     case ("SQRT", List(x))   => WF.fnSqrt(x)
     case ("EXP", List(x))    => WF.fnExp(x)
@@ -414,4 +448,10 @@ object Formula {
 
   /** One-call convenience: parse + compile against sibling columns. */
   def column(formula: String): Column = compile(parse(formula))
+
+  /** Typed variant: resolve sibling refs against a known schema so the
+    * coercion kernel skips regex CASE trees (smaller codegen, plans that
+    * constant-fold and push down like hand-written Columns). */
+  def columnFor(schema: org.apache.spark.sql.types.StructType, formula: String): Column =
+    compile(parse(formula), Ctx.forSchema(schema))
 }

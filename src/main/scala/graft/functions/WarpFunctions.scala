@@ -15,30 +15,41 @@ import graft.values.Warp
   */
 object WarpFunctions {
 
-  // ===== logic / conditional (Function.swift:974-1029,1332-1358) =====
+  // ===== logic / conditional (Function.swift:973-1029,1332-1358) =====
+  //
+  // Representation note: at the plain-Column level a null cell is EMPTY
+  // (a valid value, Value.swift:22-26) — the invalid value exists only on
+  // the error-tagged track (Warp.WV, used by the formula compiler), where
+  // the reference truth tables (and/or poison on invalid only,
+  // isInvalid(empty)=false, ifError(empty,fb)=empty) are implemented
+  // exactly. The builders below are the "all inputs valid" projections.
 
-  /** and/or with any invalid (null) argument => invalid — NO SQL
-    * three-valued short-circuit (Function.swift:974-1002). */
+  /** and/or: empty or non-true arguments are simply NOT true — null never
+    * propagates (empty is valid; only invalid poisons, which cannot occur
+    * at this level — Function.swift:973-1010). */
   def fnAnd(cs: Column*): Column =
-    when(cs.map(_.isNull).reduce(_ || _), lit(null).cast(BooleanType))
-      .otherwise(cs.map(Warp.bool).reduce(_ && _))
+    cs.map(c => coalesce(Warp.bool(c), lit(false))).reduce(_ && _)
   def fnOr(cs: Column*): Column =
-    when(cs.map(_.isNull).reduce(_ || _), lit(null).cast(BooleanType))
-      .otherwise(cs.map(Warp.bool).reduce(_ || _))
+    cs.map(c => coalesce(Warp.bool(c), lit(false))).reduce(_ || _)
   def fnXor(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(null).cast(BooleanType))
       .otherwise(Warp.bool(a) =!= Warp.bool(b))
   def fnNot(c: Column): Column = !Warp.bool(c)
   def fnIf(cond: Column, t: Column, f: Column): Column =
     when(Warp.bool(cond), t).otherwise(f)
-  /** ifError(value, fallback): fallback when value is invalid. With the
-    * null-unified representation this is coalesce (SURVEY §7.0). */
-  def fnIfError(v: Column, fallback: Column): Column = coalesce(v, fallback)
+  /** ifError(value, fallback): fallback only on INVALID — which plain
+    * columns cannot carry, so this is the identity here; the WV-track
+    * [[graft.values.Warp.ifErrorW]] implements the real semantics
+    * (Function.swift:1028-1029: ifError(empty, fb) = empty). */
+  def fnIfError(v: Column, fallback: Column): Column = v
+  /** coalesce: first valid non-empty argument (Function.swift:985-991). */
   def fnCoalesce(cs: Column*): Column = coalesce(cs: _*)
   def fnIn(v: Column, set: Column*): Column = set.map(Warp.eq(v, _)).reduce(_ || _)
   def fnNotIn(v: Column, set: Column*): Column = !fnIn(v, set: _*)
   def fnIsEmpty(c: Column): Column = c.isNull
-  def fnIsInvalid(c: Column): Column = c.isNull
+  /** isInvalid: false for every plain-column value — empty is VALID
+    * (Function.swift:1509-1513); see [[graft.values.Warp.isInvalidW]]. */
+  def fnIsInvalid(c: Column): Column = lit(false)
 
   // ===== math (Function.swift:1031-1230) =====
 
@@ -131,9 +142,14 @@ object WarpFunctions {
     when(length(s) < k, lit(null).cast(StringType))
       .otherwise(substring(s, -k, k))
   }
+  /** mid: 0-based start; length clamps to the string end, but a start
+    * beyond the end is invalid (Function.swift:1137-1150; start == length
+    * yields the empty string). */
   def fnMid(c: Column, start: Column, len: Column): Column = {
     val s = Warp.str(c)
-    substring(s, Warp.num(start).cast(IntegerType) + 1, Warp.num(len).cast(IntegerType))
+    val st = Warp.num(start).cast(IntegerType)
+    when(st > length(s), lit(null).cast(StringType))
+      .otherwise(substring(s, st + 1, Warp.num(len).cast(IntegerType)))
   }
   def fnLength(c: Column): Column = length(Warp.str(c))
   def fnSubstitute(c: Column, find: Column, repl: Column): Column =

@@ -30,17 +30,43 @@ object Warp {
   /** Regex for "fully numeric, no surrounding space" (Value.swift:810-833). */
   private val NumRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
+  private val nullD = lit(null).cast(DoubleType)
+  private val nullB = lit(null).cast(BooleanType)
+
+  /** Static type of a column when Catalyst can already resolve it (literals
+    * and trees built purely from literals resolve before analysis; plain
+    * `col("x")` does not). Lets the coercion kernel skip the regex CASE tree
+    * — both a constant-folding enabler and a codegen-size win. */
+  def staticType(c: Column): Option[DataType] =
+    scala.util.Try {
+      val e = org.apache.spark.sql.GraftColumnAccess.expression(c)
+      if (e.resolved) Some(e.dataType) else None
+    }.toOption.flatten
+
   /** Coerce a column to double under Warp rules; non-coercible => null.
     * ANSI-safe: the regex guards the string->double cast, so nothing throws
     * under Spark 4's default ANSI mode. Booleans coerce to 1/0
-    * (Value.swift:176-190). */
-  def num(c: Column): Column = {
+    * (Value.swift:176-190). Typed fast path: inputs whose DataType is
+    * already known (statically or via `hint`) skip the regex CASE tree. */
+  def num(c: Column): Column = numH(c, None)
+
+  def numH(c: Column, hint: Option[DataType]): Column =
+    hint.orElse(staticType(c)) match {
+      case Some(_: NumericType) => c.cast(DoubleType)
+      case Some(BooleanType) =>
+        when(c.isNull, nullD).when(c, lit(1.0)).otherwise(0.0)
+      case Some(DateType | TimestampType | TimestampNTZType | NullType) => nullD
+      case Some(StringType) | None => numDyn(c)
+      case Some(_) => nullD // arrays, structs, binary: no numeric form
+    }
+
+  private def numDyn(c: Column): Column = {
     val s = c.cast(StringType)
-    when(c.isNull, lit(null).cast(DoubleType))
+    when(c.isNull, nullD)
       .when(lower(s) === "true", lit(1.0))
       .when(lower(s) === "false", lit(0.0))
       .when(s.rlike(NumRe), s.cast(DoubleType))
-      .otherwise(lit(null).cast(DoubleType))
+      .otherwise(nullD)
   }
 
   /** Typed fast path: column already numeric — avoid the regex. */
@@ -51,13 +77,17 @@ object Warp {
 
   /** Coerce to boolean: true/nonzero => true; non-coercible => null
     * (Value.swift:176-190). ANSI-safe: never casts a free-form string to
-    * boolean (that throws in Spark 4); routes through the guarded num(). */
-  def bool(c: Column): Column = {
-    val s = lower(c.cast(StringType))
-    when(c.isNull, lit(null).cast(BooleanType))
-      .when(s === "true", lit(true))
-      .when(s === "false", lit(false))
-      .otherwise(num(c) =!= 0.0)
+    * boolean (that throws in Spark 4); routes through the guarded num().
+    * Typed fast path mirrors [[num]]. */
+  def bool(c: Column): Column = staticType(c) match {
+    case Some(BooleanType)    => c
+    case Some(_: NumericType) => c.cast(DoubleType) =!= 0.0
+    case _ =>
+      val s = lower(c.cast(StringType))
+      when(c.isNull, nullB)
+        .when(s === "true", lit(true))
+        .when(s === "false", lit(false))
+        .otherwise(numDyn(c) =!= 0.0)
   }
 
   // ---- arithmetic (Value.swift:484-545): coerce to double, failure => null
@@ -136,4 +166,186 @@ object Warp {
   // ---- filter semantics: keep rows where expr is exactly true
   // (Data.swift:248-250): coerce to bool, null => false.
   def filterCond(c: Column): Column = coalesce(bool(c), lit(false))
+
+  // ========================================================================
+  // Error-tagged values (SURVEY §7.0 "scoped error tagging"): inside an
+  // expression tree a Warp value is a PAIR of columns — the value and an
+  // `invalid` flag — so `.empty` (SQL null, VALID) and `.invalid` (error)
+  // stay distinct exactly as in the reference (Value.swift:22-45):
+  //   isInvalid(empty) = false          (Function.swift:1509-1513)
+  //   ifError(empty, fb) = empty        (Function.swift:1028-1029)
+  //   and/or poison on INVALID only     (Function.swift:973-1010)
+  //   1 + empty = invalid               (WarpCoreTests.swift:96-99)
+  // At operator boundaries (calculate/filter output) invalid collapses to
+  // null — [[WV.collapse]].
+  // ========================================================================
+
+  /** An expression-scoped Warp value: `v` the value (null = empty), `inv`
+    * whether it is the invalid value, `dt` a statically-known input type
+    * enabling the typed coercion fast path. */
+  final case class WV(v: Column, inv: Column, dt: Option[DataType] = None) {
+    /** Boundary collapse: invalid becomes plain null. */
+    def collapse: Column = when(!inv, v)
+  }
+  object WV {
+    def pure(c: Column, dt: Option[DataType] = None): WV = WV(c, lit(false), dt)
+    def fromLiteral(x: Any): WV = x match {
+      case null       => pure(lit(null), Some(NullType))
+      case b: Boolean => pure(lit(b), Some(BooleanType))
+      case l: Long    => pure(lit(l), Some(LongType))
+      case i: Int     => pure(lit(i), Some(IntegerType))
+      case d: Double  => pure(lit(d), Some(DoubleType))
+      case s: String  => pure(lit(s), Some(StringType))
+      case other      => pure(lit(other))
+    }
+  }
+
+  def numW(w: WV): Column = numH(w.v, w.dt)
+  def strW(w: WV): Column = w.v.cast(StringType)
+
+  /** Arithmetic on tagged values: any invalid operand, or an operand with
+    * no numeric form (including empty — WarpCoreTests.swift:96-99), makes
+    * the result invalid. */
+  private def arith2(a: WV, b: WV)(f: (Column, Column) => Column): WV = {
+    val na = numW(a); val nb = numW(b)
+    val inv = a.inv || b.inv || na.isNull || nb.isNull
+    WV(when(!inv, f(na, nb)), inv, Some(DoubleType))
+  }
+  def addW(a: WV, b: WV): WV = arith2(a, b)(_ + _)
+  def subW(a: WV, b: WV): WV = arith2(a, b)(_ - _)
+  def mulW(a: WV, b: WV): WV = arith2(a, b)(_ * _)
+  /** Division: /0 => invalid (Value.swift:511-520). */
+  def divW(a: WV, b: WV): WV = {
+    val na = numW(a); val nb = numW(b)
+    val inv = a.inv || b.inv || na.isNull || nb.isNull || nb === 0.0
+    WV(when(!inv, na / nb), inv, Some(DoubleType))
+  }
+  def modW(a: WV, b: WV): WV = {
+    val na = numW(a); val nb = numW(b)
+    val inv = a.inv || b.inv || na.isNull || nb.isNull || nb === 0.0
+    WV(when(!inv, na % nb), inv, Some(DoubleType))
+  }
+  /** Power; NaN results (e.g. (-1)^0.5) are invalid (Value.swift:533-543). */
+  def powW(a: WV, b: WV): WV = {
+    val na = numW(a); val nb = numW(b)
+    val r = org.apache.spark.sql.functions.pow(na, nb)
+    val inv = a.inv || b.inv || na.isNull || nb.isNull || isnan(r)
+    WV(when(!inv, r), inv, Some(DoubleType))
+  }
+  /** `&` concatenation: operands without a string form (empty, invalid)
+    * poison the result (Value.swift:503-509 via stringValue). */
+  def catW(a: WV, b: WV): WV = {
+    val sa = strW(a); val sb = strW(b)
+    val inv = a.inv || b.inv || sa.isNull || sb.isNull
+    WV(when(!inv, concat(sa, sb)), inv, Some(StringType))
+  }
+
+  // Comparisons never produce invalid: an invalid operand compares FALSE
+  // ("invalid equals nothing, not even itself", Value.swift:547-551); for
+  // <> it compares TRUE (Value.swift:583-586).
+  def eqW(a: WV, b: WV): WV =
+    WV(when(a.inv || b.inv, lit(false)).otherwise(eq(a.v, b.v)), lit(false), Some(BooleanType))
+  def neqW(a: WV, b: WV): WV =
+    WV(when(a.inv || b.inv, lit(true)).otherwise(neq(a.v, b.v)), lit(false), Some(BooleanType))
+  private def cmpW(a: WV, b: WV, op: (Column, Column) => Column): WV =
+    WV(when(a.inv || b.inv, lit(false)).otherwise(cmp(a.v, b.v, op)), lit(false), Some(BooleanType))
+  def ltW(a: WV, b: WV): WV = cmpW(a, b, (x, y) => x < y)
+  def gtW(a: WV, b: WV): WV = cmpW(a, b, (x, y) => x > y)
+  def lteW(a: WV, b: WV): WV = cmpW(a, b, (x, y) => x <= y)
+  def gteW(a: WV, b: WV): WV = cmpW(a, b, (x, y) => x >= y)
+  /** String-match operators: operands without a string form => invalid
+    * (Value.swift:714-749). */
+  private def strMatch(a: WV, b: WV)(f: (Column, Column) => Column): WV = {
+    val sa = strW(a); val sb = strW(b)
+    val inv = a.inv || b.inv || sa.isNull || sb.isNull
+    WV(when(!inv, f(sa, sb)), inv, Some(BooleanType))
+  }
+  def containsW(a: WV, b: WV): WV = strMatch(a, b)((h, n) => lower(h).contains(lower(n)))
+  def containsStrictW(a: WV, b: WV): WV = strMatch(a, b)(_ contains _)
+  def matchesW(a: WV, b: WV): WV =
+    strMatch(a, b)((s, p) => regexp_like(s, concat(lit("(?i)"), p)))
+  def matchesStrictW(a: WV, b: WV): WV = strMatch(a, b)(regexp_like(_, _))
+
+  // ---- logic group (Function.swift:973-1029,1509-1513)
+
+  /** Lenient `== true` used by and/or: true for bool true / 1 / "1";
+    * empty and non-numeric strings are simply NOT true (no poison). */
+  private def eqTrueW(w: WV): Column = coalesce(numW(w) === 1.0, lit(false))
+
+  /** and: any INVALID argument poisons; empty/false/non-true => false. */
+  def andW(args: Seq[WV]): WV = {
+    val inv = args.map(_.inv).reduce(_ || _)
+    WV(when(!inv, args.map(eqTrueW).reduce(_ && _)), inv, Some(BooleanType))
+  }
+  /** or: any INVALID argument poisons; else true iff any arg == true. */
+  def orW(args: Seq[WV]): WV = {
+    val inv = args.map(_.inv).reduce(_ || _)
+    WV(when(!inv, args.map(eqTrueW).reduce(_ || _)), inv, Some(BooleanType))
+  }
+
+  /** boolValue as a nullable column (null = "no boolean form" => invalid):
+    * bools pass through; integral values compare ==1; empty and doubles
+    * have no boolean form (Value.swift:199-211). Deviation from the
+    * reference (documented): the strings "true"/"false" are accepted. */
+  def boolValW(w: WV): Column = w.dt.orElse(staticType(w.v)) match {
+    case Some(BooleanType)    => w.v
+    case Some(_: NumericType) => w.v.cast(DoubleType) === 1.0
+    case _ =>
+      val s = lower(w.v.cast(StringType))
+      when(w.v.isNull, nullB)
+        .when(s === "true", lit(true))
+        .when(s === "false", lit(false))
+        .when(s.rlike("^[+-]?\\d+$"), s.cast(DoubleType) === 1.0)
+        .otherwise(nullB)
+  }
+
+  def notW(x: WV): WV = {
+    val bv = boolValW(x)
+    val inv = x.inv || bv.isNull
+    WV(when(!inv, !bv), inv, Some(BooleanType))
+  }
+  def xorW(a: WV, b: WV): WV = {
+    val ba = boolValW(a); val bb = boolValW(b)
+    val inv = a.inv || b.inv || ba.isNull || bb.isNull
+    WV(when(!inv, ba =!= bb), inv, Some(BooleanType))
+  }
+  /** if: condition without a boolean form => invalid; else the chosen
+    * branch passes through untouched (including its own invalidity). */
+  def ifW(c: WV, t: WV, f: WV): WV = {
+    val bv = boolValW(c)
+    val condInv = c.inv || bv.isNull
+    WV(when(!condInv, when(bv, t.v).otherwise(f.v)),
+       condInv || when(coalesce(bv, lit(false)), t.inv).otherwise(f.inv),
+       if (t.dt == f.dt) t.dt else None)
+  }
+  /** ifError: fallback only when the value is INVALID; empty stays empty
+    * (Function.swift:1028-1029). */
+  def ifErrorW(v: WV, fb: WV): WV =
+    WV(when(v.inv, fb.v).otherwise(v.v),
+       when(v.inv, fb.inv).otherwise(lit(false)),
+       if (v.dt == fb.dt) v.dt else None)
+  /** coalesce: first VALID NON-EMPTY argument, else empty
+    * (Function.swift:985-991). */
+  def coalesceW(args: Seq[WV]): WV =
+    args.foldRight(WV.pure(lit(null), Some(NullType))) { (a, acc) =>
+      val take = !a.inv && a.v.isNotNull
+      WV(when(take, a.v).otherwise(acc.v), when(take, lit(false)).otherwise(acc.inv), None)
+    }
+  def isEmptyW(x: WV): WV = WV(!x.inv && x.v.isNull, lit(false), Some(BooleanType))
+  def isInvalidW(x: WV): WV = WV(x.inv, lit(false), Some(BooleanType))
+  def inW(v: WV, set: Seq[WV]): WV = {
+    val anyEq = set.map(s => eqW(v, s).v).reduce(_ || _)
+    WV(anyEq, lit(false), Some(BooleanType))
+  }
+
+  /** Generic lift for the closed scalar function library: arguments'
+    * invalidity propagates, and a null result from non-null coercion is
+    * invalid (the reference's functions return .invalid whenever
+    * double/stringValue is nil — e.g. UPPER(empty) is invalid,
+    * Function.swift:956-967). */
+  def liftCallW(args: Seq[WV])(f: Seq[Column] => Column): WV = {
+    val r = f(args.map(_.v))
+    val inv = args.map(_.inv).foldLeft(lit(false))(_ || _) || r.isNull
+    WV(r, inv, None)
+  }
 }

@@ -101,8 +101,74 @@ class FormulaSpec extends SparkSpec {
   }
 
   test("constant folding: Catalyst folds literal subtrees (Expression.swift:43-48)") {
-    val c = Formula.column("=1+2*3")
-    val plan = Seq(1).toDF("x").select(c).queryExecution.optimizedPlan.toString
-    assert(plan.contains("7.0")) // folded at plan time
+    // use a Range input (a LocalRelation would hide the folded Project);
+    // the alias keeps the attribute name independent of the input tree
+    val c = Formula.column("=1+2*3").as("r")
+    val plan = spark.range(1).select(c).queryExecution.optimizedPlan.toString
+    assert(plan.contains("7.0 AS r"), plan) // folded to a literal at plan time
+  }
+
+  // ==== empty-vs-invalid truth tables (Value.swift:22-45,
+  //      Function.swift:973-1029,1509-1513, WarpCoreTests.swift:51-140) ====
+
+  private val nullDf = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null)),
+      StructType(Seq(StructField("c", DoubleType))))
+  }
+
+  test("ISINVALID: true for errors, false for empty (Function.swift:1509-1513)") {
+    assert(eval("=ISINVALID(1/0)") == true)
+    assert(eval("=ISINVALID(4/2)") == false)
+    assert(evalOn(nullDf, "=ISINVALID([c])") == false) // empty is VALID
+    assert(evalOn(nullDf, "=ISEMPTY([c])") == true)
+    assert(eval("=ISEMPTY(1/0)") == false)             // invalid is not empty
+    assert(evalOn(nullDf, "=ISINVALID(1+[c])") == true) // 1 + empty is invalid
+    assert(evalOn(nullDf, "=ISINVALID(UPPER([c]))") == true) // string fn on empty
+  }
+
+  test("IFERROR: fallback on invalid only; empty passes through (Function.swift:1028)") {
+    assert(eval("=IFERROR(1/0;42)") == 42.0)
+    assert(eval("=IFERROR(6/2;42)") == 3.0)
+    assert(evalOn(nullDf, "=IFERROR([c];42)") == null) // empty stays empty
+  }
+
+  test("AND/OR: poison on invalid only; empty is just not-true (Function.swift:973-1010)") {
+    assert(eval("=AND(1;TRUE)") == true)
+    assert(eval("=AND(TRUE;FALSE)") == false)
+    assert(evalOn(nullDf, "=AND(TRUE;[c])") == false)  // empty arg => false, not invalid
+    assert(evalOn(nullDf, "=ISINVALID(AND(TRUE;[c]))") == false)
+    assert(eval("=ISINVALID(AND(1/0;TRUE))") == true)  // invalid arg poisons
+    assert(eval("=ISINVALID(OR(1/0;TRUE))") == true)
+    assert(evalOn(nullDf, "=OR([c];TRUE)") == true)
+    assert(eval("=NOT(1)") == false)
+    assert(eval("=ISINVALID(NOT(1/0))") == true)
+    assert(evalOn(nullDf, "=ISINVALID(NOT([c]))") == true) // empty has no bool form
+  }
+
+  test("comparisons: invalid equals nothing, empty equals empty (Value.swift:547-586)") {
+    assert(eval("=(1/0)=(1/0)") == false)  // invalid == invalid is FALSE
+    assert(eval("=(1/0)<>(1/0)") == true)
+    assert(evalOn(nullDf, "=[c]=[c]") == true) // empty == empty
+    assert(evalOn(nullDf, "=[c]=0") == false)  // empty is not zero
+    assert(evalOn(nullDf, "=[c]=\"\"") == false) // empty is not empty string
+  }
+
+  test("COALESCE: first valid non-empty, else empty (Function.swift:985-991)") {
+    assert(eval("=COALESCE(1/0;7)") == 7.0)
+    assert(evalOn(nullDf, "=COALESCE([c];7)") == 7.0)
+    assert(evalOn(nullDf, "=COALESCE([c];1/0)") == null)
+  }
+
+  test("typed sibling refs fold the coercion away (Ctx.forSchema)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", LongType)))
+    val c = Formula.compile(Formula.parse("=[a]+[b]"), Formula.Ctx.forSchema(schema))
+    val df = Seq((3.0, 4L)).toDF("a", "b")
+    assert(df.select(c.as("r")).collect()(0).get(0) == 7.0)
+    // no regex CASE tree in the typed plan
+    val plan = df.select(c.as("r")).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("rlike"))
   }
 }

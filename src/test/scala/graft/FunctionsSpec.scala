@@ -11,18 +11,28 @@ class FunctionsSpec extends SparkSpec {
   private def eval(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
 
-  test("logic: and/or poison on invalid, xor, not, if") {
+  test("logic: empty is valid — never poisons and/or (Function.swift:973-1010)") {
     assert(eval(WF.fnAnd(lit(true), lit(true))) == true)
-    assert(eval(WF.fnAnd(lit(true), lit(null).cast("boolean"))) == null) // invalid poisons
-    assert(eval(WF.fnOr(lit(false), lit(null).cast("boolean"))) == null)
+    assert(eval(WF.fnAnd(lit(true), lit(null).cast("boolean"))) == false) // empty != true
+    assert(eval(WF.fnOr(lit(false), lit(null).cast("boolean"))) == false)
+    assert(eval(WF.fnOr(lit(true), lit(null).cast("boolean"))) == true)
     assert(eval(WF.fnXor(lit(true), lit(false))) == true)
     assert(eval(WF.fnNot(lit(false))) == true)
     assert(eval(WF.fnIf(lit(true), lit("y"), lit("n"))) == "y")
   }
 
-  test("ifError falls back, isEmpty/isInvalid detect null") {
-    assert(eval(WF.fnIfError(lit(null).cast("int"), lit(7))) == 7)
+  test("ifError passes empty through; isEmpty/isInvalid (Function.swift:1028,1509-1513)") {
+    // plain columns carry no invalid value: ifError is the identity and
+    // empty (null) flows through — the WV track has the full semantics
+    assert(eval(WF.fnIfError(lit(null).cast("int"), lit(7))) == null)
     assert(eval(WF.fnIsEmpty(lit(null).cast("int"))) == true)
+    assert(eval(WF.fnIsInvalid(lit(null).cast("int"))) == false) // empty is VALID
+  }
+
+  test("mid: start past end invalid; length clamps (Function.swift:1137-1150)") {
+    assert(eval(WF.fnMid(lit("abcdef"), lit(1), lit(99))) == "bcdef") // clamps
+    assert(eval(WF.fnMid(lit("abc"), lit(3), lit(2))) == "")          // start == len
+    assert(eval(WF.fnMid(lit("abc"), lit(4), lit(2))) == null)        // start > len
   }
 
   test("math: ln/log domain, round half-up, floor/ceil, sign") {
