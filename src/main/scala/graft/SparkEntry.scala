@@ -315,6 +315,41 @@ object SparkEntry {
         .warpSort(Seq(Order(col("event_id"))))
     }),
 
+    // ---- formula-language queries: the same computations expressed as
+    // Warp formula STRINGS, parsed and compiled by graft.formula.Formula
+    // (Formula.swift:276-350 grammar). Typed contexts (Ctx.forSchema) keep
+    // the compiled plans free of coercion CASE trees.
+    "q_formula_calc" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val F = (f: String) => graft.formula.Formula.columnFor(l.schema, f)
+      l.calculate(Seq("revenue" -> F("=[l_extendedprice]*(1-[l_discount])")))
+        .warpFilter(F("=AND([l_discount]>=0.05;[l_quantity]<10)"))
+        .selectColumns(Seq("l_orderkey", "l_linenumber", "revenue"))
+        .warpSort(Seq(Order(col("l_orderkey")), Order(col("l_linenumber"))))
+    }),
+
+    "q_formula_logic" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val F = (f: String) => graft.formula.Formula.columnFor(o.schema, f)
+      o.calculate(Seq(
+        "label" -> F("=IF([o_totalprice]>100000;\"big\";\"small\")"),
+        "fb" -> F("=IFERROR([o_totalprice]/0;0-1)"),        // /0 -> invalid -> fallback
+        "third" -> F("=COALESCE(1/0;[o_totalprice]*2;99)"))) // invalid skipped
+        .selectColumns(Seq("o_orderkey", "label", "fb", "third"))
+        .warpSort(Seq(Order(col("o_orderkey"))))
+    }),
+
+    "q_formula_string" -> ((s, dir) => {
+      val p = T(s, dir, "part")
+      val F = (f: String) => graft.formula.Formula.columnFor(p.schema, f)
+      p.calculate(Seq(
+        "tag" -> F("=UPPER([p_name]) & \"-\" & [p_brand]"),
+        "midpart" -> F("=MID([p_name];2;3)"),
+        "nlen" -> F("=LENGTH([p_name])+0")))
+        .selectColumns(Seq("p_partkey", "tag", "midpart", "nlen"))
+        .warpSort(Seq(Order(col("p_partkey"))))
+    }),
+
     // ==== training-data pipeline operators ====
 
     // ---- exact dedup on content hash
@@ -557,6 +592,22 @@ object SparkEntry {
     "q_func_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
          FROM events ORDER BY event_id""",
+    "q_formula_calc" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue
+         FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_formula_logic" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS label,
+         -1.0 AS fb,
+         o_totalprice * 2 AS third
+         FROM orders ORDER BY o_orderkey""",
+    "q_formula_string" ->
+      """SELECT p_partkey,
+         upper(p_name) || '-' || p_brand AS tag,
+         CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
+         CAST(length(p_name) AS DOUBLE) AS nlen
+         FROM part ORDER BY p_partkey""",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM (
            SELECT doc_id, text FROM documents

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-document text-hashing kernels for the dedup pipeline.
+  *
+  * Why Expressions and not Column trees: shingling/minhashing/simhashing
+  * are tight per-row loops (hundreds of tokens x dozens of hash functions).
+  * Expressed as higher-order array functions they evaluate INTERPRETED
+  * (ArrayAggregate/ArrayTransform are CodegenFallback) at ~µs per lambda
+  * call; as a native expression each row is ONE static JIT-compiled call
+  * inside whole-stage codegen, and — crucially for 100 TB — the whole
+  * signature phase becomes a pure map pass with ZERO shuffle before the
+  * LSH band-bucket join.
+  *
+  * Hashing is splitmix64-finalized FNV over UTF-8 bytes — deterministic,
+  * engine-local (these operators are verified by recall properties, not a
+  * SQL oracle).
+  */
+object TextHash {
+  final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** splitmix64 finalizer — strong 64-bit mixing, public-domain constant
+    * set (Steele et al., "Fast splittable pseudorandom number generators"). */
+  def mix(z0: Long): Long = {
+    var z = z0 + GOLDEN
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over the bytes of `s[from..until)`, splitmix-finalized. */
+  def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
+    mix(h)
+  }
+
+  /** Lower-case, whitespace-tokenize, hash each token. One allocation pass;
+    * multiset order preserved. */
+  def tokenHashes(s: UTF8String): Array[Long] = {
+    val lower = s.toLowerCase.getBytes
+    val n = lower.length
+    val out = new java.util.ArrayList[Long]()
+    var i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && !isWs(lower(j))) j += 1
+      if (j > i || (i == 0 && j == n)) out.add(hashRange(lower, i, j))
+      else if (i == 0 && n == 0) out.add(hashRange(lower, 0, 0))
+      i = j + 1
+    }
+    // split("\\s+") on a leading-separator string yields a leading "" token;
+    // we instead emit only real tokens plus the single empty token for ""
+    if (out.isEmpty) out.add(hashRange(lower, 0, 0))
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    arr
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+  /** Distinct, sorted n-word shingle hashes (rolling combine of token
+    * hashes). Fewer than n words => one shingle covering all words —
+    * mirrors [[graft.pipeline.Dedup.shingles]]. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val th = tokenHashes(s)
+    val raw =
+      if (th.length >= n) {
+        val out = new Array[Long](th.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < n) { h = h * 31 + th(i + j); j += 1 }
+          out(i) = mix(h)
+          i += 1
+        }
+        out
+      } else {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < th.length) { h = h * 31 + th(j); j += 1 }
+        Array(mix(h))
+      }
+    java.util.Arrays.sort(raw)
+    var uniq = 0
+    var i = 0
+    while (i < raw.length) {
+      if (i == 0 || raw(i) != raw(i - 1)) { raw(uniq) = raw(i); uniq += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(raw, uniq))
+  }
+
+  /** k-function MinHash signature over a shingle-hash array: the i-th hash
+    * family is mix(h ^ mix(i)), folded to its minimum in one pass. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shingles.getLong(i)
+      var f = 0
+      while (f < k) {
+        val v = mix(h ^ mix(f))
+        if (v < sig(f)) sig(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** LSH band hashes: signature split into `bands` equal bands, each folded
+    * to one 64-bit bucket key. */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rows) { h = mix(h ^ sig.getLong(b * rows + j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, the sign of the
+    * +1/-1 vote sum across token hashes. */
+  def simhash(s: UTF8String): Long = {
+    val th = tokenHashes(s)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class BandHashExpr(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.bandHashes(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashExpr =
+    copy(child = newChild)
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  protected override def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}

@@ -187,10 +187,15 @@ object WarpOps {
 
     /** dummies: one-hot encode — a boolean column `src_value` per distinct
       * value (QBEDummiesStep.swift:15-96). Distinct set is collected (small
-      * by construction — it becomes the schema). */
-    def dummies(column: String): DataFrame = {
-      val values = df.select(col(s"`$column`").cast("string")).distinct()
-        .collect().map(_.getString(0)).filter(_ != null).sorted
+      * by construction — it becomes the schema); `maxValues` guards against
+      * a high-cardinality column exploding the schema: the distinct scan is
+      * a one-column partial aggregation, so the guard costs nothing extra. */
+    def dummies(column: String, maxValues: Int = 1000): DataFrame = {
+      val collected = df.select(col(s"`$column`").cast("string")).distinct()
+        .limit(maxValues + 1).collect()
+      require(collected.length <= maxValues,
+        s"dummies: column $column has more than $maxValues distinct values")
+      val values = collected.map(_.getString(0)).filter(_ != null).sorted
       val newCols = values.map(v =>
         (col(s"`$column`").cast("string") === v).as(s"${column}_$v"))
       df.select(df.columns.map(c => col(s"`$c`")) ++ newCols: _*)

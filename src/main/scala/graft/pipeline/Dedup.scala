@@ -39,11 +39,19 @@ object Dedup {
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.
-    * Seeded by mixing a per-function constant into xxhash64. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
-    }: _*)
+    *
+    * Single pass: each shingle STRING is hashed once (the expensive part),
+    * then the k per-function values derive from re-mixing that 8-byte hash
+    * (xxhash64(h, i) — cheap fixed-width hashing), folded into a running
+    * k-vector of minima. The previous shape (k separate `array_min`
+    * passes re-hashing the string per function) traversed the shingle
+    * array k times and was the dedup bench bottleneck. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hs = transform(shingleCol, s => xxhash64(s))
+    aggregate(hs, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(h, i))))
+  }
 
   /** MinHash+LSH near-duplicate PAIRS.
     *
@@ -64,18 +72,35 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Signature via explode + k codegen'd min-aggregates: each shingle is
+    // hashed once, the k per-function values are cheap re-mixes of that
+    // 8-byte hash, and the min-fold runs inside whole-stage codegen as
+    // partial aggregation (the higher-order-function fold of
+    // [[minhashSignature]] evaluates interpreted — fine for ad-hoc use,
+    // ~10x slower in bulk). Shuffle carries only (id, k longs) per doc;
+    // the shingle text itself never shuffles until the final id-keyed
+    // verify join.
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import graft.functions.{ShingleHashExpr, MinHashSigExpr, BandHashExpr}
 
-    // (bandId, bandHash, id, shingles)
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(to_json(slice(col("sig"), b * rows + 1, rows))).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("bb.band"), col("bb.bh"), col("id"), col("sh"))
+    // Whole signature phase is ONE map pass over the corpus: per document
+    // a native codegen'd kernel produces distinct shingle hashes -> k-min
+    // signature -> band bucket keys, with zero shuffle before the band
+    // join (higher-order-function folds would run interpreted and ~10x
+    // slower; see graft.functions.TextHash). Persisted because the verify
+    // step re-joins the shingle sets (at warehouse scale this is the
+    // materialized index table you would write out once and reuse).
+    val withSh = df.select(col(idCol).as("id"),
+      C(ShingleHashExpr(E(col(textCol)), shingleSize)).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val withSig = withSh.select(col("id"),
+      C(MinHashSigExpr(E(col("shh")), numHashes)).as("sig"))
+
+    // (id, bandId, bandHash)
+    val banded = withSig.select(col("id"),
+      posexplode(C(BandHashExpr(E(col("sig")), bands))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
 
     // bound degenerate buckets, then pair within bucket (id1 < id2)
     val bucketed = banded
@@ -83,16 +108,22 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh").orderBy("id")))
       .filter(col("rn") <= maxBucket)
 
-    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"), col("sh").as("sh2"))
+    val l = bucketed.select(col("band"), col("bh"), col("id").as("id1"))
+    val r = bucketed.select(col("band"), col("bh"), col("id").as("id2"))
     val candidates = l.join(r, Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
-    // exact verify: n-gram Jaccard on the candidate pairs only
+    // exact verify: join the (small) candidate id pairs back to the
+    // distinct shingle-hash sets — two narrow equi-joins — and compute
+    // true Jaccard over the hash sets (64-bit collisions are negligible)
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
     candidates
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .join(withSh.select(col("id").as("id1"), col("shh").as("sh1")), "id1")
+      .join(withSh.select(col("id").as("id2"), col("shh").as("sh2")), "id2")
+      .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
   }
@@ -121,18 +152,13 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine
-    * similarity of the token multiset. Pure column expressions: per bit,
-    * sum +1/-1 over token hashes — all inside codegen, no UDF. */
+    * similarity of the token multiset. A native codegen'd kernel
+    * ([[graft.functions.SimHashExpr]]) — one static call per row inside
+    * whole-stage codegen; the declarative formulation (64 aggregate folds
+    * or a vote-vector zip) evaluates interpreted and dominated the bench. */
   def simhash(textCol: Column): Column = {
-    val tokens = split(lower(textCol), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // bit j of the signature = sign of sum over tokens of (bit j ? +1 : -1)
-    val bitCols: Seq[Column] = (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(0L)
-    }
-    bitCols.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.SimHashExpr(E(textCol)))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -143,6 +169,8 @@ object Dedup {
     * 16-bit quarter by pigeonhole), join per block, verify Hamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // signature phase = pure map pass (native kernel), no shuffle until
+    // the quarter-block join
     val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val blocked = sigd.select(col("id"), col("sig"),
       explode(array((0 until 4).map { q =>

@@ -27,9 +27,6 @@ import org.apache.spark.sql.types._
   */
 object Warp {
 
-  /** Regex for "fully numeric, no surrounding space" (Value.swift:810-833). */
-  private val NumRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
-
   private val nullD = lit(null).cast(DoubleType)
   private val nullB = lit(null).cast(BooleanType)
 
@@ -44,29 +41,14 @@ object Warp {
     }.toOption.flatten
 
   /** Coerce a column to double under Warp rules; non-coercible => null.
-    * ANSI-safe: the regex guards the string->double cast, so nothing throws
-    * under Spark 4's default ANSI mode. Booleans coerce to 1/0
-    * (Value.swift:176-190). Typed fast path: inputs whose DataType is
-    * already known (statically or via `hint`) skip the regex CASE tree. */
-  def num(c: Column): Column = numH(c, None)
-
-  def numH(c: Column, hint: Option[DataType]): Column =
-    hint.orElse(staticType(c)) match {
-      case Some(_: NumericType) => c.cast(DoubleType)
-      case Some(BooleanType) =>
-        when(c.isNull, nullD).when(c, lit(1.0)).otherwise(0.0)
-      case Some(DateType | TimestampType | TimestampNTZType | NullType) => nullD
-      case Some(StringType) | None => numDyn(c)
-      case Some(_) => nullD // arrays, structs, binary: no numeric form
-    }
-
-  private def numDyn(c: Column): Column = {
-    val s = c.cast(StringType)
-    when(c.isNull, nullD)
-      .when(lower(s) === "true", lit(1.0))
-      .when(lower(s) === "false", lit(0.0))
-      .when(s.rlike(NumRe), s.cast(DoubleType))
-      .otherwise(nullD)
+    * Compiles to the native [[graft.functions.WarpNumExpr]] — the type
+    * dispatch happens once at analysis time (numeric child = bare cast,
+    * string child = one strict-parse helper call), never a per-row CASE
+    * tree. ANSI-safe by construction. Booleans coerce to 1/0
+    * (Value.swift:176-190). */
+  def num(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess._
+    column(graft.functions.WarpNumExpr(expression(c)))
   }
 
   /** Typed fast path: column already numeric — avoid the regex. */
@@ -76,18 +58,11 @@ object Warp {
   def str(c: Column): Column = c.cast(StringType)
 
   /** Coerce to boolean: true/nonzero => true; non-coercible => null
-    * (Value.swift:176-190). ANSI-safe: never casts a free-form string to
-    * boolean (that throws in Spark 4); routes through the guarded num().
-    * Typed fast path mirrors [[num]]. */
+    * (Value.swift:176-190). Rides the same native coercion ("true"/"false"
+    * spell 1/0 there), so it is one comparison over [[num]]. */
   def bool(c: Column): Column = staticType(c) match {
-    case Some(BooleanType)    => c
-    case Some(_: NumericType) => c.cast(DoubleType) =!= 0.0
-    case _ =>
-      val s = lower(c.cast(StringType))
-      when(c.isNull, nullB)
-        .when(s === "true", lit(true))
-        .when(s === "false", lit(false))
-        .otherwise(numDyn(c) =!= 0.0)
+    case Some(BooleanType) => c
+    case _                 => num(c) =!= 0.0
   }
 
   // ---- arithmetic (Value.swift:484-545): coerce to double, failure => null
@@ -200,7 +175,7 @@ object Warp {
     }
   }
 
-  def numW(w: WV): Column = numH(w.v, w.dt)
+  def numW(w: WV): Column = num(w.v)
   def strW(w: WV): Column = w.v.cast(StringType)
 
   /** Arithmetic on tagged values: any invalid operand, or an operand with

@@ -13,4 +13,7 @@ object GraftColumnAccess {
     * wrapper whose `dataType` misleadingly reads NullType.) */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a Catalyst expression back into a Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }
