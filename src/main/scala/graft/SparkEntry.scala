@@ -315,6 +315,95 @@ object SparkEntry {
         .warpSort(Seq(Order(col("event_id"))))
     }),
 
+    // ---- rename step (QBERenameStep.swift:15)
+    "q_rename" -> ((s, dir) => {
+      T(s, dir, "nation")
+        .renameColumns(Map("n_name" -> "nation_name", "n_regionkey" -> "region_id"))
+        .selectColumns(Seq("n_nationkey", "nation_name", "region_id"))
+        .warpSort(Seq(Order(col("n_nationkey"))))
+    }),
+
+    // ---- select-rows-by-example (QBERowsStep.swift:15-87)
+    "q_rows_select" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rowsByExample(Seq("l_returnflag", "l_linestatus"),
+          Seq(Seq("A", "F"), Seq("N", "O")))
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- cache + clone steps (QBECacheStep.swift:15, QBECloneStep.swift:15)
+    "q_cache_clone" -> ((s, dir) => {
+      val base = T(s, dir, "region").cacheStep().registerClone("graft_region_clone")
+      val cloned = graft.ops.WarpOps.cloneOf(s, "graft_region_clone")
+        .selectColumns(Seq("r_regionkey")).renameColumns(Map("r_regionkey" -> "rk2"))
+      base.warpJoin(cloned, base("r_regionkey") === cloned("rk2"), "inner")
+        .selectColumns(Seq("r_regionkey", "r_name"))
+        .warpSort(Seq(Order(col("r_regionkey"))))
+    }),
+
+    // ---- CSV sink + source round-trip (CSVStream.swift:19-181,
+    //      QBECSVStep.swift:135): write with the reference's formatting,
+    //      read back with header dedup + locale parse + type inference
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_csv_roundtrip"
+      graft.sources.CsvSource.write(T(s, dir, "customer"), out)
+      val back = graft.sources.CsvSource.inferTyped(
+        graft.sources.CsvSource.read(s, out))
+      back.select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- JSON sink + source round-trip with shape detection
+    //      (JSONStream.swift:16-168)
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_json_roundtrip"
+      graft.sources.JsonSource.write(
+        T(s, dir, "supplier").selectColumns(Seq("s_suppkey", "s_name", "s_nationkey")), out)
+      graft.sources.JsonSource.read(s, out)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- crawl step plumbing (QBECrawlStep.swift:16-60,232): bounded
+    //      concurrency + rate cap are real; the fetcher is the offline
+    //      deterministic stub (md5 of the url), so the oracle can verify
+    "q_crawl" -> ((s, dir) => {
+      val urls = T(s, dir, "region")
+        .calculate(Seq("url" -> concat(lit("https://example.invalid/r/"), col("r_regionkey"))))
+        .selectColumns(Seq("r_regionkey", "url"))
+      graft.sources.Crawl.crawl(urls, "url")
+        .selectColumns(Seq("r_regionkey", "url", "crawl_status", "crawl_body"))
+        .warpSort(Seq(Order(col("r_regionkey"))))
+    }),
+
+    // ---- partitioned running aggregation — the scale-path rank variant
+    //      (Data.swift:306-311; global rank kept as q_rank for parity)
+    "q_rank_by" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .rankBy(Seq(col("o_custkey")), Seq(
+          ("rn", w => row_number().over(w)),
+          ("running", w => sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast("double"))),
+          Seq(Order(col("o_orderkey"))))
+        .selectColumns(Seq("o_orderkey", "o_custkey", "o_totalprice", "rn", "running"))
+        .warpSort(Seq(Order(col("o_orderkey"))))
+    }),
+
+    // ---- medianPack reducer (Function.swift:2143-2188)
+    "q_agg_medianpack" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(WA.warpMedianPack(col("l_quantity")).as("med_pack"),
+             WA.warpCount(col("l_quantity")).as("n_num"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- formula-language queries: the same computations expressed as
     // Warp formula STRINGS, parsed and compiled by graft.formula.Formula
     // (Formula.swift:276-350 grammar). Typed contexts (Ctx.forSchema) keep
@@ -592,6 +681,47 @@ object SparkEntry {
     "q_func_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
          FROM events ORDER BY event_id""",
+    "q_rename" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey AS region_id
+         FROM nation ORDER BY n_nationkey""",
+    "q_rows_select" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+         WHERE (l_returnflag = 'A' AND l_linestatus = 'F')
+            OR (l_returnflag = 'N' AND l_linestatus = 'O')
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_cache_clone" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
+    "q_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+         FROM supplier ORDER BY s_suppkey""",
+    "q_crawl" ->
+      """SELECT r_regionkey, 'https://example.invalid/r/' || r_regionkey AS url,
+         200 AS crawl_status,
+         'stub:' || md5('https://example.invalid/r/' || r_regionkey) AS crawl_body
+         FROM region ORDER BY r_regionkey""",
+    "q_rank_by" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rn,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS running
+         FROM orders ORDER BY o_orderkey""",
+    "q_agg_medianpack" ->
+      """WITH g AS (
+           SELECT l_returnflag, list_sort(list(l_quantity)) AS a,
+                  COUNT(l_quantity) AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           CASE WHEN n = 0 THEN NULL
+                WHEN n % 2 = 1 THEN CAST(a[CAST((n+1)//2 AS INT)] AS VARCHAR)
+                ELSE CAST(a[CAST(n//2 AS INT)] AS VARCHAR) || ',' ||
+                     CAST(a[CAST(n//2+1 AS INT)] AS VARCHAR) END AS med_pack,
+           n AS n_num
+         FROM g ORDER BY l_returnflag""",
     "q_formula_calc" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue
          FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10

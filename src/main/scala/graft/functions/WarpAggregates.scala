@@ -84,6 +84,22 @@ object WarpAggregates {
     element_at(arr, (size(arr) / 2 + 1).cast("int"))
   }
 
+  /** medianPack: odd count => the middle value; even count => the two
+    * middle values as a pack string "lo,hi" (MedianReducer .pack,
+    * Function.swift:2143-2188; pack format Value.swift:266-380). */
+  def warpMedianPack(c: Column): Column = {
+    val arr = sort_array(collect_list(c.cast("double")))
+    val n = size(arr)
+    val lo = element_at(arr, (n / 2).cast("int"))
+    val hi = element_at(arr, (n / 2 + 1).cast("int"))
+    val packTwo = concat_ws(",",
+      WarpFunctions.packEscape(lo.cast("string")),
+      WarpFunctions.packEscape(hi.cast("string")))
+    when(n === 0, lit(null).cast("string"))
+      .when(n % 2 === 1, element_at(arr, ((n + 1) / 2).cast("int")).cast("string"))
+      .otherwise(packTwo)
+  }
+
   /** Sample variance from exact decimal moments: independent of partition
     * order, unlike streaming-moment implementations. n=1 => null
     * (reference: invalid, Function.swift:2249-2268). */

@@ -227,9 +227,53 @@ object WarpOps {
     /** unique: distinct values of one expression (Data.swift:252-254). */
     def unique(expr: Column, as: String): DataFrame = df.select(expr.as(as)).distinct()
 
+    /** rename columns by mapping, case-insensitive on the source name;
+      * unknown names ignored (QBERenameStep.swift:15). */
+    def renameColumns(mapping: Map[String, String]): DataFrame = {
+      val lower = mapping.map { case (k, v) => k.toLowerCase -> v }
+      df.select(df.columns.map { c =>
+        lower.get(c.toLowerCase) match {
+          case Some(to) => col(s"`$c`").as(to)
+          case None     => col(s"`$c`")
+        }
+      }: _*)
+    }
+
+    /** select/remove rows by example: keep (or drop) rows whose values in
+      * `keyColumns` match one of the example tuples
+      * (QBERowsStep.swift:15-87 — the reference builds an OR-of-ANDs
+      * expression; the struct-IN form compiles to the same predicate and
+      * stays pushable). */
+    def rowsByExample(keyColumns: Seq[String], examples: Seq[Seq[Any]],
+                      keep: Boolean = true): DataFrame = {
+      val key = struct(keyColumns.map(c => col(s"`$c`")): _*)
+      val set = examples.map(e => struct(e.map(lit): _*))
+      val cond = key.isin(set: _*)
+      df.filter(if (keep) cond else !coalesce(cond, lit(false)))
+    }
+
+    /** cache step: materialize upstream once, reuse across chains
+      * (QBECacheStep.swift:15). Spark-native `persist`. */
+    def cacheStep(): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
+    /** clone step: reuse another chain's result by name
+      * (QBECloneStep.swift:15) — register as a temp view; readers use
+      * [[WarpOps.cloneOf]]. */
+    def registerClone(name: String): DataFrame = {
+      df.createOrReplaceTempView(name)
+      df
+    }
+
     /** random(n): uniform sample without replacement
       * (Transformer.swift:357-386 — reservoir sampling). */
     def randomSample(n: Int, seed: Long = 42L): DataFrame =
       df.orderBy(rand(seed)).limit(n)
   }
+
+  /** Resolve a chain registered with [[WarpDataFrame.registerClone]]. */
+  def cloneOf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    spark.table(name)
 }

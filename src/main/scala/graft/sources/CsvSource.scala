@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Locale table for value/formula parsing (reference:
+  * WarpCore/Sources/Language.swift:122-135,360-380 — data-driven, the
+  * reference ships "en" and "nl"). */
+final case class WarpLanguage(
+  id: String,
+  decimalSeparator: String,
+  groupingSeparator: String,
+  argumentSeparator: String)
+
+object WarpLanguage {
+  val en: WarpLanguage = WarpLanguage("en", ".", ",", ";")
+  val nl: WarpLanguage = WarpLanguage("nl", ",", ".", ";")
+  val byId: Map[String, WarpLanguage] = Seq(en, nl).map(l => l.id -> l).toMap
+}
+
+/** CSV source/sink with the reference's semantics
+  * (reference: WarpConduit/Sources/CSVStream.swift:19-181 reader,
+  * Warp/Sources/Model/Steps/QBECSVStep.swift:135 writer).
+  *
+  * Reader contract:
+  *  - header row de-duplicated like the reference: a second "a" becomes
+  *    "a_B", a third "a_C" (CSVStream.swift:64-77 via
+  *    Column.defaultNameForIndex, Schema.swift:65-77);
+  *  - without headers, columns are named A, B, ... Z, AA ... (base-26);
+  *  - cells are strings; empty cell = empty (null). With a locale, cells
+  *    that spell a localized number (grouping/decimal separators of the
+  *    language, Language.swift:502-516) are normalized to exchange form
+  *    ('.' decimal, no grouping) so the Warp coercion kernel reads them;
+  *  - [[inferTyped]] optionally lifts all-numeric columns to long/double —
+  *    the columnar analog of the reference's per-cell Value typing (one
+  *    extra aggregate scan; scale-safe partial aggregation).
+  *
+  * The reader is a thin veneer over `spark.read.csv`, so at scale it keeps
+  * Spark's splittable, parallel CSV scan and pushdown on derived frames.
+  */
+object CsvSource {
+
+  /** Excel-style base-26 column name for an index (Schema.swift:65-77). */
+  def defaultNameForIndex(index: Int): String = {
+    var i = index
+    val sb = new StringBuilder
+    while ({
+      sb.insert(0, ('A' + i % 26).toChar)
+      i = i / 26 - 1
+      i >= 0
+    }) ()
+    sb.result()
+  }
+
+  /** De-duplicate header names the reference way: n-th repeat of `name`
+    * becomes `name_<base26(n)>` (CSVStream.swift:64-77). */
+  def dedupHeaders(names: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    names.foreach { n =>
+      if (!out.contains(n)) out += n
+      else {
+        // reference counts existing occurrences to pick the suffix; we
+        // additionally bump until unique (the reference appends into an
+        // OrderedSet, which would silently drop a third duplicate)
+        var c = out.count(_ == n)
+        var candidate = s"${n}_${defaultNameForIndex(c)}"
+        while (out.contains(candidate)) {
+          c += 1; candidate = s"${n}_${defaultNameForIndex(c)}"
+        }
+        out += candidate
+      }
+    }
+    out.toList
+  }
+
+  /** Normalize cells that spell a localized number to exchange form; other
+    * cells pass through untouched. */
+  def normalizeLocalized(c: Column, lang: WarpLanguage): Column = {
+    val g = java.util.regex.Pattern.quote(lang.groupingSeparator)
+    val d = java.util.regex.Pattern.quote(lang.decimalSeparator)
+    val localizedNum = s"^[+-]?(\\d{1,3}($g\\d{3})+|\\d+)($d\\d+)?([eE][+-]?\\d+)?$$"
+    val normalized = {
+      val ungrouped = regexp_replace(c, g, "")
+      if (lang.decimalSeparator == ".") ungrouped
+      else regexp_replace(ungrouped, d, ".")
+    }
+    when(c.rlike(localizedNum), normalized).otherwise(c)
+  }
+
+  /** Read a CSV into an all-string DataFrame under the reference's header
+    * and locale rules. */
+  def read(spark: SparkSession, path: String, sep: String = ",",
+           hasHeaders: Boolean = true,
+           locale: Option[WarpLanguage] = Some(WarpLanguage.en)): DataFrame = {
+    val base = spark.read
+      .option("header", hasHeaders.toString)
+      .option("sep", sep)
+      .option("nullValue", "")
+      .option("inferSchema", "false")
+      .csv(path)
+    val named =
+      if (hasHeaders) {
+        // re-derive OUR names from the raw header tokens (Spark mangles
+        // duplicates its own way); the header row is re-read through the
+        // CSV parser so quoting/escaping match the data rows
+        val rawHeader = spark.read.option("header", "false").option("sep", sep)
+          .csv(path).limit(1).collect()(0).toSeq.map(v => if (v == null) "" else v.toString)
+        base.toDF(dedupHeaders(rawHeader): _*)
+      } else {
+        base.toDF(base.columns.indices.map(defaultNameForIndex): _*)
+      }
+    locale match {
+      case Some(lang) if lang.decimalSeparator != "." || lang.groupingSeparator != "" =>
+        named.select(named.columns.map(c =>
+          normalizeLocalized(col(s"`$c`"), lang).as(c)): _*)
+      case _ => named
+    }
+  }
+
+  /** Lift all-numeric string columns to typed columns: a column whose
+    * non-null cells all parse as Warp numbers becomes double (long when
+    * every cell is integral). One aggregate pass over the data decides the
+    * schema — the columnar analog of per-cell Value typing. */
+  def inferTyped(df: DataFrame): DataFrame = {
+    import graft.values.Warp
+    val checks = df.columns.flatMap { c =>
+      val v = col(s"`$c`")
+      val n = Warp.num(v)
+      Seq(
+        max(when(v.isNotNull && n.isNull, 1).otherwise(0)).as(s"__bad_$c"),
+        max(when(n.isNotNull && n =!= floor(n), 1).otherwise(0)).as(s"__frac_$c"),
+        max(when(v.isNotNull, 1).otherwise(0)).as(s"__any_$c"))
+    }
+    val r = df.agg(checks.head, checks.tail: _*).collect()(0)
+    df.select(df.columns.map { c =>
+      val bad = r.getAs[Int](s"__bad_$c") == 1
+      val frac = r.getAs[Int](s"__frac_$c") == 1
+      val any = r.getAs[Int](s"__any_$c") == 1
+      val v = col(s"`$c`")
+      if (bad || !any) v.as(c)
+      else if (frac) graft.values.Warp.num(v).as(c)
+      else graft.values.Warp.num(v).cast(LongType).as(c)
+    }: _*)
+  }
+
+  /** Write a DataFrame as CSV with the reference's value formatting
+    * (QBECSVStep.swift:135, Language.csvRow Language.swift:518-560):
+    * booleans as 1/0, timestamps as ISO-8601 UTC, '.' decimals, header
+    * row. Strings quote only when needed (the reference always quotes —
+    * indistinguishable after any conforming reader). */
+  def write(df: DataFrame, path: String, sep: String = ","): Unit = {
+    val out = df.select(df.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case BooleanType => when(c, 1).otherwise(0).cast(IntegerType).as(f.name)
+        case TimestampType | TimestampNTZType =>
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name)
+        case _ => c.as(f.name)
+      }
+    }: _*)
+    out.write.mode("overwrite")
+      .option("header", "true").option("sep", sep).option("nullValue", "")
+      .csv(path)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed mutable dataset / warehouse — the full
+  * `DatasetMutation` surface of the reference
+  * (reference: WarpCore/Sources/MutableData.swift:40-196: truncate, drop,
+  * insert, import-with-mapping, alter, rename, update, delete).
+  *
+  * Spark has no in-place row mutation; each mutation is expressed the
+  * warehouse-native way:
+  *  - insert/import  -> append write (the reference's `INSERT INTO ...
+  *    SELECT` fast path, SQL.swift:381-427, becomes a parallel append);
+  *  - update/delete  -> read-transform-rewrite into a staging directory,
+  *    then atomic-ish swap (rename). This is exactly the copy-on-write
+  *    strategy of parquet table formats; at production scale the same
+  *    calls map 1:1 onto a table format with transactional commit;
+  *  - alter/rename   -> projection rewrite.
+  *
+  * Everything flows through DataFrames: mutations are distributed jobs,
+  * never driver-side row loops.
+  */
+final class ParquetWarehouse(spark: SparkSession, root: String) {
+
+  private def dir(table: String) = s"$root/$table"
+
+  def exists(table: String): Boolean =
+    new java.io.File(dir(table)).exists()
+
+  def read(table: String): DataFrame = spark.read.parquet(dir(table))
+
+  /** alter(Schema) with a non-existing table = create (MutableData.swift:145). */
+  def create(table: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(dir(table))
+
+  def drop(table: String): Unit = delete(new java.io.File(dir(table)))
+
+  def truncate(table: String): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], read(table).schema)
+    rewrite(table, _ => empty)
+  }
+
+  /** insert rows: missing columns filled with empty, extra columns
+    * discarded (MutableData.swift:133-137). */
+  def insert(table: String, rows: DataFrame): Unit = {
+    val target = read(table).schema
+    val aligned = rows.select(target.fields.map { f =>
+      if (rows.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    aligned.write.mode("append").parquet(dir(table))
+  }
+
+  /** import with column mapping: keys = target columns, values = source
+    * columns; unmapped target columns become empty (MutableData.swift:138-141). */
+  def importInto(table: String, source: DataFrame, mapping: Map[String, String]): Unit = {
+    val target = read(table).schema
+    val projected = source.select(target.fields.map { f =>
+      mapping.get(f.name) match {
+        case Some(src) => col(s"`$src`").cast(f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+    projected.write.mode("append").parquet(dir(table))
+  }
+
+  /** alter: reshape to the given columns — existing columns carried over,
+    * new ones empty (MutableData.swift:145-147). */
+  def alter(table: String, columns: StructType): Unit =
+    rewrite(table, df => df.select(columns.fields.map { f =>
+      if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*))
+
+  /** rename columns (MutableData.swift:149-151). */
+  def renameColumns(table: String, mapping: Map[String, String]): Unit = {
+    import graft.ops.WarpOps._
+    rewrite(table, _.renameColumns(mapping))
+  }
+
+  /** update: for rows matching the key values, set `column` to `new` when
+    * it currently equals `old` (MutableData.swift:153-156). */
+  def update(table: String, key: Map[String, Any], column: String,
+             oldValue: Any, newValue: Any): Unit =
+    rewrite(table, { df =>
+      val keyMatch = key.map { case (k, v) => col(s"`$k`") === lit(v) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      df.withColumn(column,
+        when(keyMatch && col(s"`$column`") === lit(oldValue), lit(newValue))
+          .otherwise(col(s"`$column`")))
+    })
+
+  /** delete rows identified by key tuples (MutableData.swift:158-160). */
+  def deleteRows(table: String, keys: Seq[Map[String, Any]]): Unit =
+    rewrite(table, { df =>
+      val cond = keys.map(k =>
+        k.map { case (c, v) => col(s"`$c`") === lit(v) }.reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      df.filter(!coalesce(cond, lit(false)))
+    })
+
+  /** copy-on-write rewrite with staging-dir swap. */
+  private def rewrite(table: String, f: DataFrame => DataFrame): Unit = {
+    val staging = dir(table) + ".staging"
+    f(read(table)).write.mode("overwrite").parquet(staging)
+    val live = new java.io.File(dir(table))
+    val old = new java.io.File(dir(table) + ".old")
+    delete(old)
+    live.renameTo(old)
+    new java.io.File(staging).renameTo(live)
+    delete(old)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    if (f.exists()) f.delete()
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{CsvSource, JsonSource, Crawl, ParquetWarehouse, WarpLanguage}
+import graft.ops.WarpOps._
+
+/** Source/sink/step tests: CSV reference semantics (CSVStream.swift:19-181),
+  * JSON shape detection (JSONStream.swift:16-168), crawl plumbing
+  * (QBECrawlStep.swift:16-60), warehouse mutations (MutableData.swift:40-196). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("csv: header dedup a, a_B, a_C (CSVStream.swift:64-77)") {
+    val dir = tmp("csvdup")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "a,b,a,a\n1,2,3,4\n")
+    val df = CsvSource.read(spark, s"$dir/f.csv")
+    assert(df.columns.toSeq == Seq("a", "b", "a_B", "a_C"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "1" && r.getString(3) == "4")
+  }
+
+  test("csv: no headers yields base-26 names A..Z, AA (Schema.swift:65-77)") {
+    assert(CsvSource.defaultNameForIndex(0) == "A")
+    assert(CsvSource.defaultNameForIndex(25) == "Z")
+    assert(CsvSource.defaultNameForIndex(26) == "AA")
+    val dir = tmp("csvnh")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"), "1,2\n3,4\n")
+    val df = CsvSource.read(spark, s"$dir/f.csv", hasHeaders = false)
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.count() == 2)
+  }
+
+  test("csv: locale-aware number normalization (Language.swift:502-516)") {
+    val dir = tmp("csvnl")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "v,s\n\"1.234,56\",hello\n\"7,5\",\"1.000.000\"\n")
+    val df = CsvSource.read(spark, s"$dir/f.csv", locale = Some(WarpLanguage.nl))
+    val rows = df.orderBy("v").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("1234.56", "7.5"))
+    // "1.000.000" is a localized number too; "hello" passes through
+    assert(rows.map(_.getString(1)).toSet == Set("hello", "1000000"))
+    val typed = CsvSource.inferTyped(df)
+    assert(typed.schema("v").dataType == DoubleType)
+    assert(typed.schema("s").dataType == StringType)
+  }
+
+  test("csv: empty cells read as empty/null") {
+    val dir = tmp("csvempty")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "a,b\n1,\n,2\n")
+    val df = CsvSource.read(spark, s"$dir/f.csv")
+    val rows = df.orderBy("a").collect()
+    assert(rows.exists(r => r.isNullAt(1)) && rows.exists(r => r.isNullAt(0)))
+  }
+
+  test("json: array-of-objects, single object, array-of-values, scalar (JSONStream.swift:16-168)") {
+    val d1 = tmp("json1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d1/f.json"),
+      """[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]""")
+    val arrObj = JsonSource.read(spark, s"$d1/f.json")
+    assert(arrObj.columns.sorted.toSeq == Seq("a", "b") && arrObj.count() == 2)
+
+    val d2 = tmp("json2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d2/f.json"),
+      """{"a": 7, "b": "z"}""")
+    val single = JsonSource.read(spark, s"$d2/f.json")
+    assert(single.count() == 1 && single.select("a").as[Long].collect()(0) == 7L)
+
+    val d3 = tmp("json3")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d3/f.json"),
+      """[1, 2, "three"]""")
+    val arrVal = JsonSource.read(spark, s"$d3/f.json")
+    assert(arrVal.columns.toSeq == Seq("value"))
+    assert(arrVal.as[String].collect().toSet == Set("1", "2", "three"))
+
+    val d4 = tmp("json4")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d4/f.json"), "42")
+    val scalar = JsonSource.read(spark, s"$d4/f.json")
+    assert(scalar.as[String].collect().toSeq == Seq("42"))
+  }
+
+  test("json: JSON-Lines detected and read splittable") {
+    val d = tmp("jsonl")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/f.json"),
+      "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n")
+    val df = JsonSource.read(spark, s"$d/f.json")
+    assert(df.select(sum("a")).collect()(0).getLong(0) == 6L)
+  }
+
+  test("crawl: stub fetch produces status/body/time with original columns") {
+    val df = Seq((1L, "https://example.invalid/a"), (2L, "https://example.invalid/b"))
+      .toDF("id", "url")
+    val out = Crawl.crawl(df, "url", maxConcurrency = 4, maxRps = 1000)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Int]("crawl_status") == 200))
+    assert(rows.forall(_.getAs[String]("crawl_body").startsWith("stub:")))
+    assert(rows(0).getAs[String]("crawl_body") != rows(1).getAs[String]("crawl_body"))
+    // deterministic: same url => same body
+    val again = Crawl.crawl(df, "url").orderBy("id").collect()
+    assert(again(0).getAs[String]("crawl_body") == rows(0).getAs[String]("crawl_body"))
+  }
+
+  test("crawl: pluggable fetcher sees errors as rows, not failures") {
+    val df = Seq((1L, "boom")).toDF("id", "url")
+    val failing: Crawl.Fetcher = _ => throw new RuntimeException("no net")
+    val r = Crawl.crawl(df, "url", fetcher = failing).collect()(0)
+    assert(r.getAs[Int]("crawl_status") == 0)
+    assert(r.getAs[String]("crawl_error").contains("no net"))
+  }
+
+  test("warehouse: create/insert/import/update/delete/alter/rename/truncate (MutableData.swift:40-196)") {
+    val wh = new ParquetWarehouse(spark, tmp("wh"))
+    wh.create("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"))
+
+    // insert: extra column discarded, missing column filled with empty
+    wh.insert("t", Seq((3L, 99)).toDF("id", "junk"))
+    assert(wh.read("t").count() == 3)
+    assert(wh.read("t").filter(col("id") === 3 && col("name").isNull).count() == 1)
+
+    // import with mapping
+    wh.importInto("t", Seq((4L, "dd")).toDF("key", "label"),
+      Map("id" -> "key", "name" -> "label"))
+    assert(wh.read("t").filter(col("id") === 4 && col("name") === "dd").count() == 1)
+
+    // update key=2: v 20.0 -> 25.0 only when old matches
+    wh.update("t", Map("id" -> 2L), "v", 20.0, 25.0)
+    assert(wh.read("t").filter(col("id") === 2).select("v").as[Double].collect()(0) == 25.0)
+    wh.update("t", Map("id" -> 2L), "v", 999.0, 1.0) // old mismatch: no-op
+    assert(wh.read("t").filter(col("id") === 2).select("v").as[Double].collect()(0) == 25.0)
+
+    // delete by keys
+    wh.deleteRows("t", Seq(Map("id" -> 1L)))
+    assert(wh.read("t").filter(col("id") === 1).count() == 0)
+
+    // alter: keep id, add flag
+    wh.alter("t", StructType(Seq(
+      StructField("id", LongType), StructField("flag", BooleanType))))
+    assert(wh.read("t").columns.toSeq == Seq("id", "flag"))
+
+    // rename + truncate + drop
+    wh.renameColumns("t", Map("flag" -> "ok"))
+    assert(wh.read("t").columns.contains("ok"))
+    wh.truncate("t")
+    assert(wh.read("t").count() == 0)
+    wh.drop("t")
+    assert(!wh.exists("t"))
+  }
+
+  test("rows-by-example keep and remove (QBERowsStep.swift:15-87)") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val kept = df.rowsByExample(Seq("k", "v"), Seq(Seq("a", 1), Seq("c", 3)))
+    assert(kept.select("k").as[String].collect().sorted.toSeq == Seq("a", "c"))
+    val removed = df.rowsByExample(Seq("k", "v"), Seq(Seq("a", 1)), keep = false)
+    assert(removed.select("k").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("rename step ignores unknown names, is case-insensitive") {
+    val df = Seq((1, 2)).toDF("Alpha", "beta")
+    val out = df.renameColumns(Map("alpha" -> "a", "nope" -> "x"))
+    assert(out.columns.toSeq == Seq("a", "beta"))
+  }
+}
