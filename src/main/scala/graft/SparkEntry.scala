@@ -511,13 +511,49 @@ object SparkEntry {
       graft.pipeline.Similarity.bruteTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
-    // ---- LSH-bucketed cosine top-k (scale path; no SQL oracle)
+    // ---- LSH-bucketed cosine top-k over a prebuilt sketch index
+    //      (scale path; no SQL oracle)
     "q_embed_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0)
-      graft.pipeline.Similarity.lshTopK(emb, "embedding", "vec_id", q, 20,
-        nBits = 16, maxHamming = 8)
+      val index = graft.pipeline.Similarity.lshIndex(emb, "embedding",
+        nBits = 16, dim = q.length)
+      graft.pipeline.Similarity.lshTopKIndexed(index, "embedding", "vec_id",
+        q, 20, nBits = 16, maxHamming = 8)
+    }),
+
+    // ---- IVF index persisted partitioned-by-cell; query prunes files
+    //      (rows-only check: centroid sampling is engine-local)
+    "q_embed_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val path = "/tmp/graft_ivf_index"
+      val centroids = graft.pipeline.Similarity.ivfWriteIndex(
+        emb, "embedding", "vec_id", nCells = 16, path)
+      graft.pipeline.Similarity.ivfReadTopK(s, path, centroids,
+        "embedding", "vec_id", q, 20, nProbe = 4)
+    }),
+
+    // ---- multimodal: metadata transforms never touch the payload bytes
+    "q_media_meta" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.fabricate(
+        T(s, dir, "documents"), "doc_id", "text", "image/fake")
+      graft.pipeline.Multimodal.resizeMeta(media, 640, 480)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    }),
+
+    // ---- multimodal: frame sampling (explode shape; stub frame bytes)
+    "q_media_frames" -> ((s, dir) => {
+      val media = graft.pipeline.Multimodal.fabricate(
+        T(s, dir, "documents"), "doc_id", "text", "video/fake")
+      graft.pipeline.Multimodal.sampleFrames(media, 3)
+        .select(col("media_id"), col("frame_idx"), col("ts_ms"),
+          length(col("frame_data")).as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -785,6 +821,21 @@ object SparkEntry {
                 WHEN s_en = greatest(s_en, s_de, s_es) THEN 'en'
                 ELSE 'de' END AS detected
          FROM scores ORDER BY doc_id""",
+    "q_media_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           (length(text)*7) % 1920 + 1 AS w,
+           (length(text)*13) % 1080 + 1 AS h FROM documents)
+         SELECT media_id, 'image/fake-resized' AS format,
+           CAST(floor(w * least(640.0/w, 480.0/h, 1.0)) AS INT) AS width,
+           CAST(floor(h * least(640.0/w, 480.0/h, 1.0)) AS INT) AS height
+         FROM m ORDER BY media_id""",
+    "q_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           (length(text)*131) % 600000 AS dur,
+           least(16, octet_length(encode(text))) AS fb FROM documents)
+         SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i*dur AS DOUBLE)/3 AS ts_ms, CAST(fb AS INT) AS frame_bytes
+         FROM m, range(3) t(i) ORDER BY media_id, frame_idx""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             d AS (SELECT vec_id,

@@ -35,16 +35,20 @@ object Multimodal {
     StructField("meta", mediaMetaType)))
 
   /** Wrap an existing table into the media schema, treating a string
-    * column's bytes as the payload (used by tests to fabricate media). */
-  def fabricate(df: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame =
+    * column's bytes as the payload (used by tests to fabricate media).
+    * Metadata derives from the payload length with plain arithmetic so an
+    * external SQL oracle can reproduce it. */
+  def fabricate(df: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame = {
+    val len = length(col(payloadCol)).cast(LongType)
     df.select(
       col(idCol).cast(LongType).as("media_id"),
       encode(col(payloadCol), "UTF-8").as("data"),
       struct(
         lit(format).as("format"),
-        (pmod(xxhash64(col(idCol)), lit(1920)) + 1).cast(IntegerType).as("width"),
-        (pmod(xxhash64(col(idCol), lit(1)), lit(1080)) + 1).cast(IntegerType).as("height"),
-        pmod(xxhash64(col(idCol), lit(2)), lit(600000)).as("duration_ms")).as("meta"))
+        ((len * 7) % 1920 + 1).cast(IntegerType).as("width"),
+        ((len * 13) % 1080 + 1).cast(IntegerType).as("height"),
+        ((len * 131) % 600000).as("duration_ms")).as("meta"))
+  }
 
   // ======================================================================
   // STUB CODEC — deterministic fake standing in for libjpeg/ffmpeg/etc.
@@ -62,19 +66,21 @@ object Multimodal {
 
   /** Feature extraction: one decoder context per PARTITION (the expensive
     * init a real codec needs), then batch-decode rows through it. This is
-    * the `mapInPandas` shape in Scala: executor-local, no driver traffic. */
+    * the `mapInPandas` shape in Scala: executor-local, no driver traffic.
+    * Runs as a Dataset `mapPartitions` (NOT an RDD detour): the plan stays
+    * a single Catalyst node, so column pruning below, AQE above, and the
+    * Tungsten binary format end-to-end are all preserved. */
   def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
-    val rdd = df.rdd.mapPartitions { rows =>
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
       // real codec would be initialized HERE, once per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("data")
+        val bytes = r.getAs[Array[Byte]](dataIdx)
         val feat = if (bytes == null) null else decodeStub(bytes, dim)
         Row.fromSeq(r.toSeq :+ feat)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame sampling: emit `n` evenly-spaced "frames" per video payload —

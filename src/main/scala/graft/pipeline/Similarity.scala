@@ -57,27 +57,47 @@ object Similarity {
       when(dot(vecCol, typedLit(planes(i).toSeq)) > 0, lit(1L << i)).otherwise(0L)
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 
-  /** LSH top-k: score only vectors whose sketch is within `maxHamming`
-    * bits of the query's sketch. Trades recall for a corpus-fraction scan;
-    * the sketch filter is a codegen'd bit_count on a 64-bit int — cheap
-    * enough to fold into the parquet scan. */
-  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-              query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val dim = query.length
+  /** Build the LSH sketch INDEX: the corpus with a precomputed `__sk`
+    * sketch column, persisted. The sketch costs nBits dot products per
+    * vector ONCE; every subsequent query pays only a bit_count filter over
+    * the indexed column. At warehouse scale this is the column you write
+    * back to parquet next to the embeddings. */
+  def lshIndex(df: DataFrame, vecCol: String, nBits: Int = 16,
+               seed: Long = 42L, dim: Int): DataFrame = {
     val planes = hyperplanes(dim, nBits, seed)
+    df.withColumn("__sk", sketch(col(vecCol), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH top-k over a prebuilt index (see [[lshIndex]]): score only
+    * vectors whose sketch is within `maxHamming` bits of the query's
+    * sketch — a codegen'd bit_count on a 64-bit int folded into the scan,
+    * followed by exact cosine on the surviving sliver. */
+  def lshTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Float], k: Int, nBits: Int = 16,
+                     maxHamming: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, nBits, seed)
     val qSketch = {
       var s = 0L
       for (i <- planes.indices)
         if (planes(i).zip(query).map { case (p, x) => p * x }.sum > 0) s |= (1L << i)
       s
     }
-    df.withColumn("__sk", sketch(col(vecCol), planes))
+    indexed
       .filter(bit_count(col("__sk").bitwiseXOR(lit(qSketch))) <= maxHamming)
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** One-shot convenience: build the index and query it once. A single
+    * query cannot amortize the sketch pass — use [[lshIndex]] +
+    * [[lshTopKIndexed]] when issuing many queries. */
+  def lshTopK(df: DataFrame, vecCol: String, idCol: String,
+              query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
+              seed: Long = 42L): DataFrame =
+    lshTopKIndexed(lshIndex(df, vecCol, nBits, seed, query.length),
+      vecCol, idCol, query, k, nBits, maxHamming, seed)
 
   /** Build an IVF index: assign every vector to its nearest of `nCells`
     * coarse centroids (sampled deterministically from the corpus). Returns
@@ -99,6 +119,25 @@ object Similarity {
     val assigned = df.withColumn("__cell", greatest(best: _*).getField("cell"))
     (assigned, centroids)
   }
+
+  /** Persist an IVF index partitioned BY CELL: queries that filter on
+    * `__cell` then prune at the FILE level (partition pruning — the scan
+    * never opens non-probed cells' files). This is the promised scale
+    * path: index once, every query reads nProbe/nCells of the data. */
+  def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int, path: String, seed: Long = 42L): Array[Seq[Float]] = {
+    val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    centroids
+  }
+
+  /** Read + query a persisted IVF index (see [[ivfWriteIndex]]). The
+    * `__cell` isin filter is a partition filter — check the scan's
+    * PartitionFilters in explain(). */
+  def ivfReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  centroids: Array[Seq[Float]], vecCol: String, idCol: String,
+                  query: Seq[Float], k: Int, nProbe: Int = 4): DataFrame =
+    ivfTopK(spark.read.parquet(path), centroids, vecCol, idCol, query, k, nProbe)
 
   /** IVF top-k: score only the vectors in the `nProbe` cells whose
     * centroids are nearest the query. */
