@@ -439,6 +439,20 @@ object SparkEntry {
         .warpSort(Seq(Order(col("p_partkey"))))
     }),
 
+    // ---- list + pack function group (§2.4; pack format Value.swift:266-380)
+    "q_func_list" -> ((s, dir) => {
+      val withComma = concat(col("n_name"), lit(",x")) // exercises pack escaping
+      val lst = WF.fnList(col("n_name"), withComma)
+      T(s, dir, "nation").calculate(Seq(
+        "packed" -> WF.fnPackList(lst),
+        "n_items" -> WF.fnItems(lst),
+        "second" -> WF.fnNth(lst, lit(2)),
+        "unpacked2" -> WF.fnNth(WF.fnUnpackList(WF.fnPackList(lst)), lit(2)),
+        "glued" -> WF.fnGlue(lst, "-")))
+        .selectColumns(Seq("n_nationkey", "packed", "n_items", "second", "unpacked2", "glued"))
+        .warpSort(Seq(Order(col("n_nationkey"))))
+    }),
+
     // ==== training-data pipeline operators ====
 
     // ---- exact dedup on content hash
@@ -821,6 +835,14 @@ object SparkEntry {
                 WHEN s_en = greatest(s_en, s_de, s_es) THEN 'en'
                 ELSE 'de' END AS detected
          FROM scores ORDER BY doc_id""",
+    "q_func_list" ->
+      """SELECT n_nationkey,
+         n_name || ',' || replace(replace(n_name || ',x', '$', '$0'), ',', '$1') AS packed,
+         2 AS n_items,
+         n_name || ',x' AS second,
+         n_name || ',x' AS unpacked2,
+         n_name || '-' || n_name || ',x' AS glued
+         FROM nation ORDER BY n_nationkey""",
     "q_media_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
            (length(text)*7) % 1920 + 1 AS w,

@@ -23,6 +23,7 @@ object Formula {
   // ===== AST (Expression.swift:17-23) =====
   sealed trait Expr
   case class Lit(v: Any) extends Expr
+  case object InvalidLit extends Expr                     // `ERROR` / nl `FOUT`
   case object Identity extends Expr                       // `@`
   case class TimestampLit(seconds: Double) extends Expr   // `@123` — NSDate epoch
   case class Sibling(name: String) extends Expr           // `[col]`
@@ -36,15 +37,23 @@ object Formula {
   /** NSDate epoch offset (Value.swift:43-45): warp date = unix - 978307200. */
   val NsDateOffset = 978307200L
 
-  // ===== parser: hand-rolled recursive descent =====
+  // ===== parser: hand-rolled recursive descent; locale-driven literals,
+  //       separators, constants and function names (Language.swift) =====
 
-  def parse(input: String): Expr = new Parser(input).parseFormula()
+  def parse(input: String): Expr = parse(input, graft.values.WarpLanguage.en)
+  def parse(input: String, lang: graft.values.WarpLanguage): Expr =
+    new Parser(input, lang).parseFormula()
 
-  final class Parser(input: String) {
+  final class Parser(input: String, lang: graft.values.WarpLanguage = graft.values.WarpLanguage.en) {
     private var pos = 0
     private def eof = pos >= input.length
     private def peek = input(pos)
     private def ws(): Unit = while (!eof && peek.isWhitespace) pos += 1
+    private val decSep: Char = lang.decimalSeparator.head
+    /** ';' always separates; ',' only in locales where it is not the
+      * decimal separator (Language.swift:132-135). */
+    private def isArgSep(c: Char): Boolean =
+      c == ';' || (c == ',' && decSep != ',')
     private def fail(msg: String) =
       throw new IllegalArgumentException(s"formula parse error at $pos: $msg in '$input'")
 
@@ -152,7 +161,7 @@ object Formula {
           ws()
           if (!eof && peek == '}') { pos += 1; return ListLit(Nil) }
           items += parseOr(); ws()
-          while (!eof && (peek == ';' || peek == ',')) { pos += 1; items += parseOr(); ws() }
+          while (!eof && isArgSep(peek)) { pos += 1; items += parseOr(); ws() }
           if (eof || peek != '}') fail("expected }")
           pos += 1
           ListLit(items.toList)
@@ -188,53 +197,73 @@ object Formula {
             while (!eof && (peek.isDigit || peek == '.')) pos += 1
             TimestampLit(input.substring(start, pos).toDouble)
           } else Identity
-        case c if c.isDigit || c == '.' =>
-          val start = pos
-          while (!eof && (peek.isDigit || peek == '.')) pos += 1
-          if (!eof && (peek == 'e' || peek == 'E')) {
-            pos += 1
-            if (!eof && (peek == '+' || peek == '-')) pos += 1
-            while (!eof && peek.isDigit) pos += 1
+        case c if c.isDigit || (c == decSep && pos + 1 < input.length && input(pos + 1).isDigit) =>
+          val sb = new StringBuilder
+          var sawDot = false; var sawExp = false
+          while (!eof && peek.isDigit) { sb += peek; pos += 1 }
+          if (!eof && peek == decSep &&
+              ((pos + 1 < input.length && input(pos + 1).isDigit) || sb.isEmpty)) {
+            pos += 1; sb += '.'; sawDot = true
+            while (!eof && peek.isDigit) { sb += peek; pos += 1 }
           }
-          val text = input.substring(start, pos)
-          // postfix multipliers (Language.swift:47). `%` doubles as the
-          // binary modulo operator: treat it as a percent postfix only when
-          // NOT followed by another operand (`50%` vs `10%3`).
-          def followedByOperand: Boolean = {
-            var p = pos + 1
+          // exponent only when digits follow — a bare E is the exa postfix
+          if (!eof && (peek == 'e' || peek == 'E') && {
+              val p1 = pos + 1
+              p1 < input.length && (input(p1).isDigit ||
+                ((input(p1) == '+' || input(p1) == '-') &&
+                  p1 + 1 < input.length && input(p1 + 1).isDigit))
+            }) {
+            sawExp = true; sb += 'e'; pos += 1
+            if (peek == '+' || peek == '-') { sb += peek; pos += 1 }
+            while (!eof && peek.isDigit) { sb += peek; pos += 1 }
+          }
+          val text = sb.result()
+          // data-driven postfix multipliers (Language.swift:88-120).
+          // `%` doubles as binary modulo: percent-postfix only when NOT
+          // followed by another operand (`50%` vs `10%3`).
+          def followedByOperand(after: Int): Boolean = {
+            var p = after
             while (p < input.length && input(p).isWhitespace) p += 1
             p < input.length && (input(p).isDigit || input(p).isLetter ||
               "([{@#\"".contains(input(p)))
           }
-          if (!eof && peek == '%' && !followedByOperand) {
-            pos += 1; Lit(text.toDouble / 100.0)
-          } else if (!eof && "kMG".contains(peek)) {
-            val mult = peek match { case 'k' => 1e3; case 'M' => 1e6; case _ => 1e9 }
-            pos += 1; Lit(text.toDouble * mult)
-          } else if (!text.contains('.') && !text.toLowerCase.contains('e')) {
-            Lit(text.toLong) // integer literal => Warp .int
-          } else Lit(text.toDouble)
+          val postfix = lang.postfixes.keys.toList.sortBy(-_.length).find { pf =>
+            input.startsWith(pf, pos) && {
+              val after = pos + pf.length
+              val notWord = after >= input.length || !input(after).isLetterOrDigit
+              val percentOk = pf != "%" || !followedByOperand(after)
+              notWord && percentOk
+            }
+          }
+          postfix match {
+            case Some(pf) =>
+              pos += pf.length
+              Lit(text.toDouble * lang.postfixes(pf))
+            case None if !sawDot && !sawExp => Lit(text.toLong) // Warp .int
+            case None => Lit(text.toDouble)
+          }
         case c if c.isLetter =>
           val start = pos
           while (!eof && (peek.isLetterOrDigit || peek == '.' || peek == '_')) pos += 1
           val name = input.substring(start, pos)
           ws()
           if (!eof && peek == '(') {
+            // localized function names map onto the canonical (en) table
+            val up = name.toUpperCase
+            val canonical = lang.functionNames.getOrElse(up, up)
             pos += 1
             val args = scala.collection.mutable.ListBuffer[Expr]()
             ws()
-            if (!eof && peek == ')') { pos += 1; return Call(name.toUpperCase, Nil) }
+            if (!eof && peek == ')') { pos += 1; return Call(canonical, Nil) }
             args += parseOr(); ws()
-            while (!eof && (peek == ';' || peek == ',')) { pos += 1; args += parseOr(); ws() }
+            while (!eof && isArgSep(peek)) { pos += 1; args += parseOr(); ws() }
             if (eof || peek != ')') fail("expected )")
             pos += 1
-            Call(name.toUpperCase, args.toList)
-          } else name.toUpperCase match {
-            case "TRUE"  => Lit(true)
-            case "FALSE" => Lit(false)
-            case "NULL" | "EMPTY" => Lit(null)
-            case "PI"    => Lit(math.Pi)
-            case _       => Sibling(name) // bare column shorthand
+            Call(canonical, args.toList)
+          } else lang.constants.get(name.toUpperCase) match {
+            case Some(graft.values.WarpLanguage.Invalid) => InvalidLit
+            case Some(v)                                 => Lit(v)
+            case None => Sibling(name) // bare column shorthand
           }
         case c => fail(s"unexpected '$c'")
       }
@@ -245,6 +274,7 @@ object Formula {
   //       WarpCoreTests.swift:670-694) =====
 
   def toFormula(e: Expr): String = e match {
+    case InvalidLit       => "ERROR"
     case Lit(null)        => "NULL"
     case Lit(true)        => "TRUE"
     case Lit(false)       => "FALSE"
@@ -285,6 +315,8 @@ object Formula {
     * and `.invalid` stay distinct through the whole tree, collapsing to
     * null only at [[column]]/operator boundaries. */
   def compileWV(e: Expr, ctx: Ctx): WV = e match {
+    case InvalidLit      => WV(lit(null), lit(true),
+      Some(org.apache.spark.sql.types.NullType))
     case Lit(v)          => WV.fromLiteral(v)
     case Identity        => WV.pure(ctx.inputValue())
     case TimestampLit(s) => WV.pure(
@@ -450,8 +482,9 @@ object Formula {
   def column(formula: String): Column = compile(parse(formula))
 
   /** Typed variant: resolve sibling refs against a known schema so the
-    * coercion kernel skips regex CASE trees (smaller codegen, plans that
-    * constant-fold and push down like hand-written Columns). */
-  def columnFor(schema: org.apache.spark.sql.types.StructType, formula: String): Column =
-    compile(parse(formula), Ctx.forSchema(schema))
+    * compiled plan constant-folds and pushes down like hand-written
+    * Columns. Optional locale drives literals/separators/function names. */
+  def columnFor(schema: org.apache.spark.sql.types.StructType, formula: String,
+                lang: graft.values.WarpLanguage = graft.values.WarpLanguage.en): Column =
+    compile(parse(formula, lang), Ctx.forSchema(schema))
 }

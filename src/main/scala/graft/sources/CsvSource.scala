@@ -4,20 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Locale table for value/formula parsing (reference:
-  * WarpCore/Sources/Language.swift:122-135,360-380 — data-driven, the
-  * reference ships "en" and "nl"). */
-final case class WarpLanguage(
-  id: String,
-  decimalSeparator: String,
-  groupingSeparator: String,
-  argumentSeparator: String)
-
-object WarpLanguage {
-  val en: WarpLanguage = WarpLanguage("en", ".", ",", ";")
-  val nl: WarpLanguage = WarpLanguage("nl", ",", ".", ";")
-  val byId: Map[String, WarpLanguage] = Seq(en, nl).map(l => l.id -> l).toMap
-}
+import graft.values.WarpLanguage
 
 /** CSV source/sink with the reference's semantics
   * (reference: WarpConduit/Sources/CSVStream.swift:19-181 reader,

@@ -161,6 +161,31 @@ class FormulaSpec extends SparkSpec {
     assert(evalOn(nullDf, "=COALESCE([c];1/0)") == null)
   }
 
+  test("locale: nl decimal comma, localized names, constants (Language.swift:69-380)") {
+    import graft.values.WarpLanguage
+    def evalNl(f: String): Any =
+      Seq(1).toDF("x").select(Formula.compile(Formula.parse(f, WarpLanguage.nl)).as("r"))
+        .collect()(0).get(0)
+    assert(evalNl("=1,5+2") == 3.5)                       // decimal comma
+    assert(evalNl("=ALS(1<2;\"j\";\"n\")") == "j")        // ALS = IF
+    assert(evalNl("=GEMIDDELDE(1;2;3)") == 2.0)           // AVERAGE
+    assert(evalNl("=WORTEL(16)") == 4.0)                  // SQRT
+    assert(evalNl("=WAAR") == true)                       // constants
+    assert(evalNl("=HOOFDLETTERS(\"ab\")") == "AB")       // UPPER
+    assert(evalNl("=ALS.FOUT(1/0;42)") == 42.0)           // IFERROR
+    assert(eval("=ISINVALID(ERROR)") == true)             // en invalid constant
+    assert(evalNl("=LENGTE(\"abc\")+0") == 3.0)
+  }
+
+  test("locale: data-driven SI/IEC postfix multipliers (Language.swift:88-120)") {
+    assert(eval("=2Ki") == 2048.0)
+    assert(eval("=1Mi") == 1048576.0)
+    assert(eval("=5m") == 0.005)   // milli
+    assert(eval("=3T") == 3e12)    // tera
+    assert(eval("=2E") == 2e18)    // exa: bare E is a postfix...
+    assert(eval("=2E3") == 2000.0) // ...but E+digits is an exponent
+  }
+
   test("typed sibling refs fold the coercion away (Ctx.forSchema)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", LongType)))

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{CsvSource, JsonSource, Crawl, ParquetWarehouse, WarpLanguage}
+import graft.sources.{CsvSource, JsonSource, Crawl, ParquetWarehouse}
+import graft.values.WarpLanguage
 import graft.ops.WarpOps._
 
 /** Source/sink/step tests: CSV reference semantics (CSVStream.swift:19-181),
@@ -161,6 +162,51 @@ class SourcesSpec extends SparkSpec {
     assert(kept.select("k").as[String].collect().sorted.toSeq == Seq("a", "c"))
     val removed = df.rowsByExample(Seq("k", "v"), Seq(Seq("a", 1)), keep = false)
     assert(removed.select("k").as[String].collect().sorted.toSeq == Seq("b", "c"))
+  }
+
+  test("dbf: reads dBase III records with typed fields (DBFStream.swift:132)") {
+    // hand-build a DBF: fields NAME C(8), QTY N(5,0), PRICE N(8,2), OK L(1)
+    val fields = Seq(("NAME", 'C', 8, 0), ("QTY", 'N', 5, 0), ("PRICE", 'N', 8, 2), ("OK", 'L', 1, 0))
+    val recordSize = 1 + fields.map(_._3).sum
+    val headerSize = 32 + fields.size * 32 + 1
+    val records = Seq(
+      Seq("ALPHA   ", "   12", "   10.50", "T"),
+      Seq("BETA    ", "    7", "    2.25", "F"))
+    val buf = java.nio.ByteBuffer.allocate(headerSize + records.size * recordSize + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x03.toByte).put(Array[Byte](24, 1, 1)) // version, last-update
+    buf.putInt(records.size).putShort(headerSize.toShort).putShort(recordSize.toShort)
+    buf.position(32)
+    fields.foreach { case (name, t, len, dec) =>
+      val fd = new Array[Byte](32)
+      name.getBytes("ASCII").copyToArray(fd)
+      fd(11) = t.toByte; fd(16) = len.toByte; fd(17) = dec.toByte
+      buf.put(fd)
+    }
+    buf.put(0x0D.toByte)
+    records.foreach { r =>
+      buf.put(' '.toByte) // active record
+      r.foreach(v => buf.put(v.getBytes("ASCII")))
+    }
+    buf.put(0x1A.toByte)
+    val path = tmp("dbf") + "/t.dbf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+
+    val df = graft.sources.DbfSource.read(spark, path)
+    assert(df.columns.toSeq == Seq("NAME", "QTY", "PRICE", "OK"))
+    assert(df.schema("QTY").dataType == LongType)
+    assert(df.schema("PRICE").dataType == DoubleType)
+    val rows = df.orderBy("NAME").collect()
+    assert(rows(0).getString(0) == "ALPHA" && rows(0).getLong(1) == 12L)
+    assert(rows(0).getDouble(2) == 10.50 && rows(0).getBoolean(3))
+    assert(rows(1).getString(0) == "BETA" && !rows(1).getBoolean(3))
+  }
+
+  test("http source: one-row fetch table (QBEHTTPStep.swift:73)") {
+    val df = graft.sources.HttpSource.read(spark, "https://example.invalid/x")
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("crawl_status") == 200)
+    assert(r.getAs[String]("crawl_body").startsWith("stub:"))
   }
 
   test("rename step ignores unknown names, is case-insensitive") {

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured Streaming tests driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts: watermarked tumbling windows aggregate incrementally") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1L, "click", ts(1), 1.0),
+        Event(2L, "click", ts(4), 2.0),
+        Event(1L, "view", ts(12), 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("total"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 10:10:00", "view", 1L, 5.0)))
+      // second micro-batch lands in an existing window
+      input.addData(Event(3L, "click", ts(7), 4.0))
+      query.processAllAvailable()
+      val n2 = spark.table("win").filter(col("event_type") === "click")
+        .select("n").as[Long].collect().toSeq
+      assert(n2 == Seq(3L))
+    } finally query.stop()
+  }
+
+  test("sessionize: per-user state survives micro-batches, gap restarts session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      input.addData(Event(7L, "click", ts(0), 1.0), Event(7L, "click", ts(5), 2.0))
+      query.processAllAvailable()
+      input.addData(Event(7L, "click", ts(8), 3.0)) // within gap: same session
+      query.processAllAvailable()
+      val s = spark.table("sess").orderBy(col("ended").desc).limit(1)
+        .as[EventStream.Session].collect()(0)
+      assert(s.events == 3L && s.total == 6.0)
+      assert(s.started == ts(0) && s.ended == ts(8))
+
+      input.addData(Event(7L, "click", ts(40), 9.0)) // gap exceeded: new session
+      query.processAllAvailable()
+      val s2 = spark.table("sess").orderBy(col("ended").desc).limit(1)
+        .as[EventStream.Session].collect()(0)
+      assert(s2.events == 1L && s2.total == 9.0)
+    } finally query.stop()
+  }
+
+  test("readEvents streams a parquet directory with the events schema") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
+    val batch = Seq(Event(1L, "click", ts(1), 1.0), Event(2L, "view", ts(2), 2.0)).toDS()
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = EventStream.readEvents(spark, dir, batch.schema)
+    assert(stream.isStreaming)
+    val query = EventStream.windowedCounts(stream, "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("files").outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("files").agg(sum("n")).collect()(0).getLong(0) == 2L)
+    } finally query.stop()
+  }
+}
