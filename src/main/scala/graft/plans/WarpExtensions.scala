@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
+import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, WarpNumExpr}
+
+/** Catalyst-level integration of the graft engine.
+  *
+  * [[SimplifyWarpCoercion]]: after analysis the input types of
+  * [[WarpNumExpr]] are known; over an already-numeric or boolean child the
+  * coercion IS a cast, and rewriting it to a real `Cast` matters beyond
+  * cosmetics — Cast is something the data-source strategies understand, so
+  * filters written through the Warp coercion kernel regain predicate
+  * pushdown eligibility, and downstream rules (constant folding,
+  * simplifyCasts) see through it.
+  *
+  * [[WarpExtensions]]: `spark.sql.extensions`-style injection point that
+  * installs the rule and registers the native kernels as SQL functions
+  * (`warp_num`, `simhash64`, `shingle_hashes`, `minhash_sig`,
+  * `band_hashes`) so `spark.sql(...)` users reach them without the Scala
+  * API. [[Graft.install]] does the same on an already-built session.
+  */
+object SimplifyWarpCoercion extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // already double: the coercion is the identity — drop it entirely
+    // (this runs after SimplifyCasts, so emit no redundant cast)
+    case WarpNumExpr(c) if c.resolved && c.dataType == DoubleType => c
+    case WarpNumExpr(c) if c.resolved && c.dataType.isInstanceOf[NumericType] =>
+      Cast(c, DoubleType)
+    case WarpNumExpr(c) if c.resolved && c.dataType == BooleanType =>
+      Cast(c, DoubleType)
+  }
+}
+
+class WarpExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SimplifyWarpCoercion)
+    WarpExtensions.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+  }
+}
+
+object WarpExtensions {
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "warp_num" -> (args => WarpNumExpr(args.head)),
+    "simhash64" -> (args => SimHashExpr(args.head)),
+    "shingle_hashes" -> (args => ShingleHashExpr(args.head, intArg(args, 1, 5))),
+    "minhash_sig" -> (args => MinHashSigExpr(args.head, intArg(args, 1, 64))),
+    "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))))
+
+  private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length > i) args(i).eval(null).toString.toInt else default
+}
+
+object Graft {
+  /** Install rule + SQL functions on an existing session. Note the
+    * difference from the [[WarpExtensions]] builder path:
+    * `experimental.extraOptimizations` runs AFTER the scan-pushdown batch,
+    * so this gives plan simplification + SQL functions but not restored
+    * predicate pushdown; sessions built with
+    * `spark.sql.extensions=graft.plans.WarpExtensions` (or
+    * `builder.withExtensions`) get the rule inside the operator-
+    * optimization batch and full pushdown. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(SimplifyWarpCoercion))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimplifyWarpCoercion
+    WarpExtensions.sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+  }
+}

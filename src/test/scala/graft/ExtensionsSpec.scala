@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Graft
+import graft.values.Warp
+
+/** Catalyst extension tests: coercion simplification restores pushdown;
+  * native kernels reachable from SQL. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SimplifyWarpCoercion rewrites warp_num over numerics to a cast") {
+    Graft.install(spark)
+    val df = Seq(1.5, 2.5).toDF("v")
+    val plan = df.filter(Warp.num(col("v")) > 2.0).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("warp_num"), plan) // rewritten away
+    // string children keep the kernel (the parse IS the semantics)
+    val s = Seq("1", "x").toDF("v")
+    val plan2 = s.select(Warp.num(col("v"))).queryExecution.optimizedPlan.toString
+    assert(plan2.contains("warp_num"), plan2)
+  }
+
+  test("coercion filter reaches the parquet scan as a pushed predicate") {
+    // full pushdown needs the rule INSIDE the operator-optimization batch
+    // (before V2ScanRelationPushDown) — i.e. the SparkSessionExtensions
+    // path, not experimental.extraOptimizations which runs after pushdown
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toFile.getAbsolutePath
+    Seq(1.0, 5.0, 9.0).toDF("v").write.mode("overwrite").parquet(dir)
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val extended = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.WarpExtensions()(_))
+        .getOrCreate()
+      val q = extended.read.parquet(dir).filter(Warp.num(col("v")) > 4.0)
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,4.0)]"), physical)
+      assert(q.count() == 2)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("native kernels callable from SQL after install") {
+    Graft.install(spark)
+    Seq((1L, "the quick brown fox")).toDF("id", "text")
+      .createOrReplaceTempView("sqldocs")
+    val r = spark.sql(
+      """SELECT warp_num('13') AS n, simhash64(text) AS sig,
+                size(shingle_hashes(text, 2)) AS nsh,
+                size(minhash_sig(shingle_hashes(text, 2), 8)) AS k
+         FROM sqldocs""").collect()(0)
+    assert(r.getAs[Double]("n") == 13.0)
+    assert(r.getAs[Long]("sig") != 0L)
+    assert(r.getAs[Int]("nsh") == 3) // 4 words -> 3 bigram shingles
+    assert(r.getAs[Int]("k") == 8)
+  }
+}
