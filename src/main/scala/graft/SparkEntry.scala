@@ -395,11 +395,16 @@ object SparkEntry {
         .warpSort(Seq(Order(col("o_orderkey"))))
     }),
 
-    // ---- medianPack reducer (Function.swift:2143-2188)
+    // ---- medianPack + medianLow/High + population variance reducers
+    //      (Function.swift:2143-2188, 2196-2268)
     "q_agg_medianpack" -> ((s, dir) => {
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(WA.warpMedianPack(col("l_quantity")).as("med_pack"),
+             WA.warpMedianLow(col("l_quantity")).as("med_lo"),
+             WA.warpMedianHigh(col("l_quantity")).as("med_hi"),
+             WA.warpVariancePopulation(col("l_quantity")).as("var_pop"),
+             WA.warpStdevPopulation(col("l_quantity")).as("std_pop"),
              WA.warpCount(col("l_quantity")).as("n_num"))
         .orderBy("l_returnflag")
     }),
@@ -763,13 +768,19 @@ object SparkEntry {
     "q_agg_medianpack" ->
       """WITH g AS (
            SELECT l_returnflag, list_sort(list(l_quantity)) AS a,
-                  COUNT(l_quantity) AS n
+                  COUNT(l_quantity) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s,
+                  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sq
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag,
            CASE WHEN n = 0 THEN NULL
                 WHEN n % 2 = 1 THEN CAST(a[CAST((n+1)//2 AS INT)] AS VARCHAR)
                 ELSE CAST(a[CAST(n//2 AS INT)] AS VARCHAR) || ',' ||
                      CAST(a[CAST(n//2+1 AS INT)] AS VARCHAR) END AS med_pack,
+           a[CAST((n+1)//2 AS INT)] AS med_lo,
+           a[CAST(n//2+1 AS INT)] AS med_hi,
+           CASE WHEN n > 0 THEN (sq - s*s/n) / n END AS var_pop,
+           CASE WHEN n > 0 THEN sqrt((sq - s*s/n) / n) END AS std_pop,
            n AS n_num
          FROM g ORDER BY l_returnflag""",
     "q_formula_calc" ->

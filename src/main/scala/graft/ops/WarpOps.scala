@@ -101,6 +101,21 @@ object WarpOps {
         .select(df.columns.map(c => df(s"`$c`")) ++ rightKept.map(c => r(s"`$c`")): _*)
     }
 
+    /** Skew-safe equi-join: shard the (large, skewed) left side's hot keys
+      * across `salt` random shards and replicate the right side into every
+      * shard, joining on (key, shard). The classic salting pattern for the
+      * hot-key joins AQE's skew splitting can't fully absorb; the right
+      * side grows ×salt, so use for moderate `salt` against dimension-ish
+      * right sides. */
+    def saltedJoin(right: DataFrame, key: String, salt: Int,
+                   joinType: String = "inner"): DataFrame = {
+      require(salt > 0, "salt must be positive")
+      val saltedLeft = df.withColumn("__salt", (rand(42) * salt).cast("int"))
+      val expandedRight = right.withColumn("__salt",
+        explode(array((0 until salt).map(lit): _*)))
+      saltedLeft.join(expandedRight, Seq(key, "__salt"), joinType).drop("__salt")
+    }
+
     /** rank: running (cumulative) aggregation — sort by orders, emit reducer
       * state so far per row (Data.swift:306-311). Generalizes
       * rank/row_number/running sum. Each agg builds its windowed column from

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.WarpOps._
+
+/** Executable plan audits: the physical-plan properties that make these
+  * operators survive a 100x scale-up, asserted so a regression (a lost
+  * pushdown, a surprise cartesian, a de-parallelized window) fails CI
+  * instead of shipping. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_calc_filter: predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("q_calc_filter")
+    assert(p.contains("PushedFilters"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(2000))
+    assert(p.contains("LessThan(l_qu"), p.take(2000)) // plan string truncates the list
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(2000))
+    // scan reads only the referenced columns
+    assert(!p.contains("l_comment"), "column pruning lost")
+  }
+
+  test("q_join_left: small filtered dimension broadcasts") {
+    assert(plan("q_join_left").contains("BroadcastHashJoin"))
+  }
+
+  test("q_embed_topk: top-k via per-partition heaps, no global sort") {
+    assert(plan("q_embed_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup pair queries never degrade to cartesian/nested-loop joins") {
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("q_rank_by: window is hash-partitioned across executors") {
+    val p = plan("q_rank_by")
+    assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
+  }
+
+  test("saltedJoin spreads a hot key across shards and preserves results") {
+    val hot = (1 to 1000).map(i => (42L, i)) ++ Seq((7L, 0))
+    val left = hot.toDF("k", "v")
+    val right = Seq((42L, "hot"), (7L, "cold"), (9L, "unseen")).toDF("k", "label")
+    val salted = left.saltedJoin(right, "k", salt = 8)
+    val straight = left.join(right, "k")
+    assert(salted.count() == straight.count())
+    // join key includes the shard: the shuffle key space is (k, __salt)
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), p.take(1500))
+  }
+}
