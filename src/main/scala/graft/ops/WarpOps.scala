@@ -101,6 +101,19 @@ object WarpOps {
         .select(df.columns.map(c => df(s"`$c`")) ++ rightKept.map(c => r(s"`$c`")): _*)
     }
 
+    /** Materialize as a bucketed table: co-locates all rows with equal
+      * keys in the same bucket file, so later equi-joins/aggregations on
+      * `key` between tables bucketed the same way run WITHOUT a shuffle —
+      * the pre-partitioning strategy for repeatedly-joined 100 TB fact
+      * tables. (Spark bucketing rides the session catalog, hence a table
+      * name rather than a path.) */
+    def bucketize(table: String, key: String, buckets: Int): DataFrame = {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
+      df.sparkSession.table(table)
+    }
+
     /** Skew-safe equi-join: shard the (large, skewed) left side's hot keys
       * across `salt` random shards and replicate the right side into every
       * shard, joining on (key, shard). The classic salting pattern for the

@@ -49,6 +49,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
   }
 
+  test("bucketized tables equi-join without a shuffle") {
+    // the in-memory catalog forgets tables across JVMs but leaves their
+    // warehouse directories — clear both
+    for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    val ba = a.bucketize("graft_bucket_a", "k", 4)
+    val bb = b.bucketize("graft_bucket_b", "k", 4)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val j = ba.join(bb, "k")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), p.take(2000)) // co-located: no shuffle
+      assert(j.count() == 200)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("saltedJoin spreads a hot key across shards and preserves results") {
     val hot = (1 to 1000).map(i => (42L, i)) ++ Seq((7L, 0))
     val left = hot.toDF("k", "v")

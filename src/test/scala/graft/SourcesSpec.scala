@@ -202,6 +202,21 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(0) == "BETA" && !rows(1).getBoolean(3))
   }
 
+  test("xml: round-trips the reference's graph/grid export shape (QBEXMLStep.swift:41-110)") {
+    val df = Seq((1L, "a<b", null.asInstanceOf[String]), (2L, "y&z", "ok"))
+      .toDF("id", "name", "note")
+    val path = tmp("xml") + "/t.xml"
+    graft.sources.XmlSource.write(df, path, title = "t")
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(text.contains("<graph xmlns=\"http://dialogicplatform.com/data/1.0\">"))
+    assert(text.contains("<cell>a&lt;b</cell>")) // escaped
+    val back = graft.sources.XmlSource.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "note"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "a<b" && rows(0).isNullAt(2))
+    assert(rows(1).getString(2) == "ok")
+  }
+
   test("http source: one-row fetch table (QBEHTTPStep.swift:73)") {
     val df = graft.sources.HttpSource.read(spark, "https://example.invalid/x")
     val r = df.collect()(0)
