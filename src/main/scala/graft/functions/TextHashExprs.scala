@@ -192,6 +192,60 @@ case class BandHashExpr(child: Expression, bands: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document stopword scores for N languages in ONE pass: tokenizes
+  * exactly like `split(lower(s), "\\s+")` (Java regex, limit -1 — leading
+  * empty token kept) and returns `array<double>` of
+  * stopword-matches/total-tokens per language. The declarative form (one
+  * interpreted `filter` HOF per language, each re-splitting) dominated the
+  * text-analysis bench; this is one static call per row. Division is the
+  * same IEEE op, so results are bit-identical to the Column formulation. */
+case class LangScoresExpr(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String]()
+      l.foreach(s.add)
+      s
+    }.toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangScoresExpr.compute(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangScoresExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScoresExpr =
+    copy(child = newChild)
+}
+
+object LangScoresExpr {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    // exact split(lower(s), "\s+") semantics: UTF8String lowercase, Java
+    // regex split with limit -1
+    val tokens = ws.split(s.toLowerCase.toString, -1)
+    val out = new Array[Double](sets.length)
+    var li = 0
+    while (li < sets.length) {
+      var matches = 0
+      var i = 0
+      while (i < tokens.length) {
+        if (sets(li).contains(tokens(i))) matches += 1
+        i += 1
+      }
+      out(li) = matches.toDouble / tokens.length.toDouble
+      li += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
