@@ -271,25 +271,42 @@ object Formula {
   }
 
   // ===== unparse (round-trip, mirrors Formula.toFormula tests
-  //       WarpCoreTests.swift:670-694) =====
+  //       WarpCoreTests.swift:670-694; localized form Language.swift) =====
 
-  def toFormula(e: Expr): String = e match {
-    case InvalidLit       => "ERROR"
-    case Lit(null)        => "NULL"
-    case Lit(true)        => "TRUE"
-    case Lit(false)       => "FALSE"
-    case Lit(s: String)   => "\"" + s.replace("\"", "\\\"") + "\""
-    case Lit(d: Double)   => if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
-    case Lit(v)           => v.toString
-    case Identity         => "@"
-    case TimestampLit(s)  => s"@${if (s == s.floor) s.toLong.toString else s.toString}"
-    case Sibling(n)       => s"[$n]"
-    case Foreign(n)       => s"#[$n]"
-    case Bin(op, l, r)    => s"(${toFormula(l)}$op${toFormula(r)})"
-    case Call(f, args)    => s"$f(${args.map(toFormula).mkString(";")})"
-    case ListLit(items)   => s"{${items.map(toFormula).mkString(";")}}"
-    case Index(t, i)      => s"${toFormula(t)}[${toFormula(i)}]"
-    case Lookup(t, k)     => s"${toFormula(t)}->${toFormula(k)}"
+  def toFormula(e: Expr): String = toFormula(e, graft.values.WarpLanguage.en)
+
+  def toFormula(e: Expr, lang: graft.values.WarpLanguage): String = {
+    import graft.values.WarpLanguage
+    // canonical -> localized spelling (first mapping wins)
+    lazy val localName: Map[String, String] =
+      lang.functionNames.map { case (local, canon) => canon -> local }
+    def constant(v: Any): Option[String] =
+      lang.constants.collectFirst { case (name, cv) if cv == v => name }
+    def num(d: Double): String = {
+      val s = if (d == d.floor && d.abs < 1e15) d.toLong.toString else d.toString
+      s.replace(".", lang.decimalSeparator)
+    }
+    val sep = lang.argumentSeparator
+    def go(e: Expr): String = e match {
+      case InvalidLit       => constant(WarpLanguage.Invalid).getOrElse("ERROR")
+      case Lit(null)        => constant(null).getOrElse("NULL")
+      case Lit(true)        => constant(true).getOrElse("TRUE")
+      case Lit(false)       => constant(false).getOrElse("FALSE")
+      case Lit(s: String)   => "\"" + s.replace("\"", "\\\"") + "\""
+      case Lit(d: Double)   => num(d)
+      case Lit(v)           => v.toString
+      case Identity         => "@"
+      case TimestampLit(s)  => s"@${if (s == s.floor) s.toLong.toString else s.toString}"
+      case Sibling(n)       => s"[$n]"
+      case Foreign(n)       => s"#[$n]"
+      case Bin(op, l, r)    => s"(${go(l)}$op${go(r)})"
+      case Call(f, args)    =>
+        s"${localName.getOrElse(f, f)}(${args.map(go).mkString(sep)})"
+      case ListLit(items)   => s"{${items.map(go).mkString(sep)}}"
+      case Index(t, i)      => s"${go(t)}[${go(i)}]"
+      case Lookup(t, k)     => s"${go(t)}->${go(k)}"
+    }
+    go(e)
   }
 
   // ===== compile to Catalyst Column =====

@@ -45,6 +45,18 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
 
+  /** Streaming exact dedup — the incremental form of
+    * [[graft.pipeline.Dedup.exact]]: drop rows repeating the key columns
+    * within the watermark horizon. State is bounded by the watermark
+    * (expired keys age out), so this runs indefinitely over an unbounded
+    * stream — the standard ingest-dedup stage of a training-data
+    * pipeline. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Per-user sessionization with an inactivity gap: custom state via
     * mapGroupsWithState. State per key is one small struct; the processing-
     * time timeout closes idle sessions so state never grows unboundedly. */

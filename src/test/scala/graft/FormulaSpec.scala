@@ -186,6 +186,18 @@ class FormulaSpec extends SparkSpec {
     assert(eval("=2E3") == 2000.0) // ...but E+digits is an exponent
   }
 
+  test("locale round-trip: toFormula in nl re-parses to the same AST") {
+    import graft.values.WarpLanguage.nl
+    for (f <- Seq("=ALS(1<2;1,5;2,5)", "=GEMIDDELDE([a];[b];3,5)", "=WAAR",
+                  "=ALS.FOUT([x]/0;LEEG)")) {
+      val once = Formula.parse(f, nl)
+      val twice = Formula.parse("=" + Formula.toFormula(once, nl), nl)
+      assert(once == twice, s"nl round-trip failed for $f -> ${Formula.toFormula(once, nl)}")
+    }
+    assert(Formula.toFormula(Formula.parse("=ALS(WAAR;1,5;2,5)", nl), nl)
+      .contains("ALS")) // localized spelling preserved
+  }
+
   test("typed sibling refs fold the coercion away (Ctx.forSchema)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", LongType)))

@@ -61,6 +61,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupStream drops repeated keys within the watermark horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.dedupStream(input.toDF(), Seq("user_id", "event_type"), "ts")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, "click", ts(1), 1.0),
+        Event(1L, "click", ts(2), 2.0), // dup key within batch
+        Event(2L, "view", ts(3), 3.0))
+      query.processAllAvailable()
+      input.addData(Event(1L, "click", ts(4), 4.0)) // dup across batches
+      query.processAllAvailable()
+      val rows = spark.table("dedup").select("user_id", "event_type").collect()
+      assert(rows.length == 2) // one (1,click), one (2,view)
+    } finally query.stop()
+  }
+
   test("readEvents streams a parquet directory with the events schema") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
     val batch = Seq(Event(1L, "click", ts(1), 1.0), Event(2L, "view", ts(2), 2.0)).toDS()
