@@ -381,11 +381,32 @@ object Formula {
   /** Compile to a plain Column (invalid collapsed to null). */
   def compile(e: Expr, ctx: Ctx = Ctx()): Column = compileWV(e, ctx).collapse
 
+  /** The reference's en display names where they differ from this
+    * compiler's canonical spellings (Language.swift allFunctions en table)
+    * — reference formulas parse verbatim. */
+  private val enAliases: Map[String, String] = Map(
+    "REPLACE" -> "SUBSTITUTE", "REPLACE.PATTERN" -> "REGEXSUBSTITUTE",
+    "COUNTA" -> "COUNTALL", "RANDBETWEEN" -> "RANDOMBETWEEN", "RAND" -> "RANDOM",
+    "PACK.VALUES" -> "PACKSCALAR", "NORM.INV" -> "NORMAL.INV",
+    "SIMILARITY" -> "LEVENSHTEIN", "ENCODEURL" -> "URLENCODE",
+    "NOT.IN" -> "NOTIN", "SMALL" -> "MIN", "LARGE" -> "MAX",
+    "TO.ISO8601.UTC" -> "TO.ISO8601", "RANDSTRING" -> "RANDOMSTRING",
+    "DATE.FORMAT" -> "WRITE.DATE", "DATE.PARSE" -> "READ.DATE",
+    "MEDIAN.LOW" -> "MEDIANLOW", "MEDIAN.HIGH" -> "MEDIANHIGH",
+    "MEDIAN.PACK" -> "MEDIANPACK", "FROM.JSON" -> "JSON.DECODE",
+    "READ.NUMBER" -> "PARSENUMBER", "HILBERT.D" -> "HILBERT.XY.TO.D",
+    "HILBERT.X" -> "HILBERT.D.TO.X", "HILBERT.Y" -> "HILBERT.D.TO.Y",
+    "SIZE.OF" -> "NUMBEROFBYTES", "TO.JSON" -> "JSON.ENCODE",
+    "PACK" -> "PACK.LIST", "UNPACK" -> "UNPACK.LIST",
+    "APPEND.LIST" -> "APPENDLIST")
+
   /** Logic/conditional functions compile on the tagged track (they are the
     * ones whose semantics hinge on empty-vs-invalid); the rest of the
     * closed library lifts its plain-Column builder via [[Warp.liftCallW]]
     * (argument invalidity propagates; null-from-coercion is invalid). */
-  private def compileCall(f: String, a: List[WV], ctx: Ctx): WV = (f, a) match {
+  private def compileCall(f0: String, a: List[WV], ctx: Ctx): WV = {
+    val f = enAliases.getOrElse(f0, f0)
+    (f, a) match {
     case ("IF", List(c, t, e))       => Warp.ifW(c, t, e)
     case ("AND", as) if as.size >= 2 => Warp.andW(as)
     case ("OR", as) if as.size >= 2  => Warp.orW(as)
@@ -399,6 +420,7 @@ object Formula {
     case ("NOTIN", v :: set) if set.nonEmpty =>
       val in = Warp.inW(v, set); in.copy(v = !in.v)
     case _ => Warp.liftCallW(a)(cols => plainCall(f, cols.toList))
+    }
   }
 
   /** Plain-Column function table (en-locale names; reference Function enum
@@ -430,6 +452,21 @@ object Formula {
     case ("MIN", as)         => WF.fnMin(as: _*)
     case ("MAX", as)         => WF.fnMax(as: _*)
     case ("NORMAL.INV", List(p, m, s)) => WF.fnNormalInverse(p, m, s)
+    case ("IDENTITY", List(x))   => x
+
+    // scalar (argument-level) reducer forms (Function.swift:17-20)
+    case ("COUNT", as)           => WF.fnCountScalar(as: _*)
+    case ("COUNTALL", as)        => WF.fnCountAllScalar(as: _*)
+    case ("COUNTDISTINCT", as)   => WF.fnCountDistinctScalar(as: _*)
+    case ("MEDIAN", as) if as.nonEmpty     => WF.fnMedianScalar(as: _*)
+    case ("MEDIANLOW", as) if as.nonEmpty  => WF.fnMedianLowScalar(as: _*)
+    case ("MEDIANHIGH", as) if as.nonEmpty => WF.fnMedianHighScalar(as: _*)
+    case ("MEDIANPACK", as) if as.nonEmpty => WF.fnMedianPackScalar(as: _*)
+    case ("VAR.S", as) if as.nonEmpty      => WF.fnVarianceSampleScalar(as: _*)
+    case ("VAR.P", as) if as.nonEmpty      => WF.fnVariancePopulationScalar(as: _*)
+    case ("STDEV.S", as) if as.nonEmpty    => WF.fnStdevSampleScalar(as: _*)
+    case ("STDEV.P", as) if as.nonEmpty    => WF.fnStdevPopulationScalar(as: _*)
+    case ("PACKSCALAR", as) if as.nonEmpty => WF.fnPackScalar(as: _*)
 
     case ("UPPER", List(x))      => WF.fnUppercase(x)
     case ("LOWER", List(x))      => WF.fnLowercase(x)
@@ -464,6 +501,8 @@ object Formula {
     case ("AFTER", List(t, s))   => WF.fnAfter(t, s)
 
     case ("LIST", as)            => WF.fnList(as: _*)
+    case ("SPLIT", List(x, s))   => WF.fnSplitCol(x, s)
+    case ("GLUE", List(x, s))    => WF.fnGlueCol(x, s)
     case ("NTH", List(x, i))     => WF.fnNth(x, i)
     case ("VALUEFORKEY", List(x, k)) => WF.fnValueForKey(x, k)
     case ("ITEMS", List(x))      => WF.fnItems(x)
@@ -478,12 +517,25 @@ object Formula {
     case ("HEX.DECODE", List(x)) => WF.fnHexDecode(x)
     case ("NUMBEROFBYTES", List(x)) => WF.fnNumberOfBytes(x)
     case ("JSON.ENCODE", List(x)) => WF.fnJsonEncode(x)
+    case ("JSON.DECODE", List(x)) => WF.fnJsonDecodeVariant(x)
     case ("PARSENUMBER", List(x)) => WF.fnParseNumber(x)
+    case ("ENCODE", List(x))      => WF.fnEncodeString(x)
+    case ("DECODE", List(x))      => WF.fnDecodeString(x)
 
     case ("RANDOM", Nil)          => WF.fnRandom()
     case ("RANDOMBETWEEN", List(x, y)) => WF.fnRandomBetween(x, y)
+    case ("RANDOMITEM", as) if as.nonEmpty  => WF.fnRandomItem(as: _*)
+    case ("RANDOMSTRING", List(p)) => WF.fnRandomString(p)
     case ("UUID", Nil)            => WF.fnUuid()
     case ("CHOOSE", i :: as) if as.nonEmpty => WF.fnChoose(i, as: _*)
+
+    // UTC-pinned sessions: local == UTC (documented deviation; the
+    // reference formats in the viewer's zone, Function.swift:1398-1403)
+    case ("TO.LOCALISO8601", List(x)) => WF.fnToUTCISO8601(x)
+    case ("WRITE.DATE", List(t, fmt)) =>
+      call_function("date_format", t, Warp.str(fmt))
+    case ("READ.DATE", List(s, fmt)) =>
+      call_function("to_timestamp", Warp.str(s), Warp.str(fmt))
 
     case ("HILBERT.XY.TO.D", List(n, x, y)) => WF.fnHilbertXYToD(n, x, y)
     case ("HILBERT.D.TO.X", List(n, d)) => WF.fnHilbertDToX(n, d)

@@ -92,6 +92,59 @@ object WarpFunctions {
 
   private def nanToNull(c: Column): Column = when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
 
+  // ===== scalar (argument-level) forms of the reducers: the reference's
+  // `any`-arity functions double as scalar calls over their arguments —
+  // `=MEDIAN(1;2;3)` etc. (Function.swift:17-20, dispatch :1729-1753) =====
+
+  private def numArgs(cs: Seq[Column]): Column =
+    filter(array(cs.map(Warp.num): _*), v => v.isNotNull)
+
+  /** count: numeric-convertible arguments only (WarpCoreTests.swift:206-208). */
+  def fnCountScalar(cs: Column*): Column = size(numArgs(cs))
+  /** countAll: every argument, including empty/invalid. */
+  def fnCountAllScalar(cs: Column*): Column = lit(cs.size)
+  def fnCountDistinctScalar(cs: Column*): Column =
+    size(array_distinct(filter(array(cs: _*), v => v.isNotNull)))
+
+  private def sortedNums(cs: Seq[Column]): Column = sort_array(numArgs(cs))
+  def fnMedianScalar(cs: Column*): Column = {
+    val a = sortedNums(cs); val n = size(a)
+    when(n > 0,
+      (element_at(a, ((n + 1) / 2).cast(IntegerType)) +
+       element_at(a, (n / 2 + 1).cast(IntegerType))) / 2.0)
+  }
+  def fnMedianLowScalar(cs: Column*): Column = {
+    val a = sortedNums(cs); val n = size(a)
+    when(n > 0, element_at(a, ((n + 1) / 2).cast(IntegerType)))
+  }
+  def fnMedianHighScalar(cs: Column*): Column = {
+    val a = sortedNums(cs); val n = size(a)
+    when(n > 0, element_at(a, (n / 2 + 1).cast(IntegerType)))
+  }
+  def fnMedianPackScalar(cs: Column*): Column = {
+    val a = sortedNums(cs); val n = size(a)
+    val lo = element_at(a, (n / 2).cast(IntegerType))
+    val hi = element_at(a, (n / 2 + 1).cast(IntegerType))
+    when(n === 0, lit(null).cast(StringType))
+      .when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast(IntegerType)).cast(StringType))
+      .otherwise(concat_ws(",", packEscape(lo.cast(StringType)), packEscape(hi.cast(StringType))))
+  }
+  def fnVarianceSampleScalar(cs: Column*): Column = varScalar(cs, sample = true)
+  def fnVariancePopulationScalar(cs: Column*): Column = varScalar(cs, sample = false)
+  def fnStdevSampleScalar(cs: Column*): Column = sqrt(varScalar(cs, sample = true))
+  def fnStdevPopulationScalar(cs: Column*): Column = sqrt(varScalar(cs, sample = false))
+  private def varScalar(cs: Seq[Column], sample: Boolean): Column = {
+    val a = numArgs(cs)
+    val n = size(a).cast(DoubleType)
+    val s = aggregate(a, lit(0.0), (acc, v) => acc + v)
+    val sq = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val denom = if (sample) n - 1.0 else n
+    when(denom > 0, (sq - s * s / n) / denom)
+  }
+  /** pack: the arguments as one pack string (PackReducer, Function.swift:2106). */
+  def fnPackScalar(cs: Column*): Column =
+    concat_ws(",", cs.map(c => packEscape(Warp.str(c))): _*)
+
   /** normalInverse(p, mu, sigma) — Acklam's rational approximation of the
     * inverse normal CDF (reference port: WarpCore/Sources/Stats.swift:21-116). */
   val normalInverseUdf = udf { (p: Double, mu: Double, sigma: Double) =>
@@ -158,6 +211,17 @@ object WarpFunctions {
     regexp_replace(Warp.str(c), Warp.str(pattern), Warp.str(repl))
   def fnSplit(c: Column, sep: String): Column =
     split(Warp.str(c), java.util.regex.Pattern.quote(sep))
+  /** split with a dynamic separator column: the separator is a LITERAL
+    * string in Warp (Function.swift:1266-1272), so regex-escape it before
+    * handing it to Spark's regex-based split. */
+  def fnSplitCol(c: Column, sep: Column): Column =
+    call_function("split", Warp.str(c),
+      regexp_replace(Warp.str(sep), "([^a-zA-Z0-9])", "\\\\$1"))
+  /** glue with a dynamic separator column (array_join needs a literal). */
+  def fnGlueCol(arr: Column, sep: Column): Column =
+    aggregate(arr, lit(null).cast(StringType), (acc, v) =>
+      when(acc.isNull, v.cast(StringType))
+        .otherwise(concat(acc, Warp.str(sep), v.cast(StringType))))
   def fnLevenshtein(a: Column, b: Column): Column = levenshtein(Warp.str(a), Warp.str(b))
   def fnConcat(cs: Column*): Column = concat(cs.map(Warp.str): _*)
   val urlEncodeUdf = udf { (s: String) =>
@@ -242,6 +306,10 @@ object WarpFunctions {
   def fnNumberOfBytes(c: Column): Column = octet_length(c)
   def fnJsonEncode(c: Column): Column = to_json(c)
   def fnJsonDecode(c: Column, schema: String): Column = from_json(Warp.str(c), lit(schema))
+  /** schemaless jsonDecode (Function.swift:1515-1531 parses arbitrary
+    * JSON): Spark 4's VARIANT type is the analog — parse once, navigate
+    * with variant_get / `:` paths. */
+  def fnJsonDecodeVariant(c: Column): Column = parse_json(Warp.str(c))
   /** parseNumber with locale separators (Function.swift:1661-1716). */
   def fnParseNumber(c: Column, thousands: String = ",", decimal: String = "."): Column = {
     val cleaned = regexp_replace(
@@ -268,6 +336,8 @@ object WarpFunctions {
   val randomStringUdf = udf { (pattern: String, seed: Long) =>
     graft.sources.Sequencer.randomFromPattern(pattern, new scala.util.Random(seed))
   }
+  def fnRandomString(pattern: Column): Column =
+    randomStringUdf(Warp.str(pattern), (rand() * Long.MaxValue).cast(LongType))
 
   // ===== esoteric (Function.swift:1592-1659) =====
 

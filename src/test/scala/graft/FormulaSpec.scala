@@ -186,6 +186,29 @@ class FormulaSpec extends SparkSpec {
     assert(eval("=2E3") == 2000.0) // ...but E+digits is an exponent
   }
 
+  test("scalar reducer forms and reference en spellings (Function.swift:17-20, Language.swift)") {
+    assert(eval("=MEDIAN(1;2;3)") == 2.0)
+    assert(eval("=MEDIAN(1;2;3;4)") == 2.5)
+    assert(eval("=MEDIAN.LOW(1;2;3;4)") == 2.0)
+    assert(eval("=MEDIAN.HIGH(1;2;3;4)") == 3.0)
+    assert(eval("=MEDIAN.PACK(1;2;3;4)") == "2.0,3.0")
+    assert(eval("=COUNT(1;\"x\";2)") == 2)       // numeric-convertible only
+    assert(eval("=COUNTA(1;\"x\";2)") == 3)      // everything
+    assert(eval("=VAR.S(1;2;3)") == 1.0)
+    assert(eval("=STDEV.P(2;2;2)") == 0.0)
+    assert(eval("=PACK.VALUES(\"a,b\";\"c\")") == "a$1b,c") // pack-escaped args
+    assert(eval("=IDENTITY(42)") == 42L)
+    // reference spellings alias onto the canonical table
+    assert(eval("=REPLACE(\"a-b\";\"-\";\"+\")") == "a+b")
+    assert(eval("=SIMILARITY(\"kitten\";\"sitting\")") == 3)
+    assert(eval("=SMALL(3;1;2)") == 1.0)
+    assert(eval("=SIZE.OF(ENCODE(\"ab\"))") == 2)
+    assert(eval("=GLUE(LIST(\"a\";\"b\";\"c\");\"-\")") == "a-b-c")
+    assert(eval("=SPLIT(\"a.b.c\";\".\")[2]") == "b") // literal separator, not regex
+    assert(eval("=NTH(UNPACK(PACK(LIST(\"x\";\"y\")));2)") == "y")
+    assert(eval("=WRITE.DATE(FROM.UNIX(0);\"yyyy\")") == "1970")
+  }
+
   test("locale round-trip: toFormula in nl re-parses to the same AST") {
     import graft.values.WarpLanguage.nl
     for (f <- Seq("=ALS(1<2;1,5;2,5)", "=GEMIDDELDE([a];[b];3,5)", "=WAAR",
