@@ -530,6 +530,19 @@ object SparkEntry {
       graft.pipeline.Similarity.bruteTopK(emb, "embedding", "vec_id", q, 20)
     }),
 
+    // ---- embedding-cosine near-dup pairs (no SQL oracle: hyperplane-
+    //      seeded; recall pinned in PipelineSpec on planted duplicates)
+    "q_dedup_embed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      // plant near-duplicates: vectors 0-24 re-appear with a tiny nudge
+      val near = emb.warpFilter(col("vec_id") < 25).calculate(Seq(
+        "vec_id" -> (col("vec_id") + 1000000),
+        "embedding" -> transform(col("embedding"), v => v * lit(1.0001f))))
+      graft.pipeline.Dedup.embeddingPairs(emb.warpUnion(near),
+        "embedding", "vec_id", cosineThreshold = 0.99)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- LSH-bucketed cosine top-k over a prebuilt sketch index
     //      (scale path; no SQL oracle)
     "q_embed_lsh" -> ((s, dir) => {

@@ -151,6 +151,52 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS: random-hyperplane sketches
+    * (see [[Similarity.sketch]]) are split into bands; vectors sharing a
+    * band bucket become candidates, verified by exact cosine. Same scale
+    * shape as [[minhashPairs]]: one map pass to sketch, a banded bucket
+    * join (capped buckets), exact verification only on candidates — never
+    * all-pairs. High cosine => small sketch Hamming distance => the pair
+    * shares a band with high probability (tune `bands`/`nBits` for the
+    * target threshold). */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     cosineThreshold: Double = 0.9, nBits: Int = 16,
+                     bands: Int = 4, dim: Int = 64, seed: Long = 42L,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.sketch(col(vecCol), Similarity.hyperplanes(dim, nBits, seed)).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sk.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sk"), b * rows).bitwiseAND(mask).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bh"), col("id"))
+
+    val bucketed = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh").orderBy("id")))
+      .filter(col("rn") <= maxBucket)
+
+    val candidates = bucketed.select(col("band"), col("bh"), col("id").as("id1"))
+      .join(bucketed.select(col("band"), col("bh"), col("id").as("id2")), Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+
+    candidates
+      .join(sk.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(sk.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("id1", "id2", "cosine")
+  }
+
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine
     * similarity of the token multiset. A native codegen'd kernel
     * ([[graft.functions.SimHashExpr]]) — one static call per row inside

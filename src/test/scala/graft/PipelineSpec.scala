@@ -42,6 +42,19 @@ class PipelineSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("embeddingPairs finds planted scaled-copy vectors, skips orthogonal ones") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(_ * 1.0001f) // cosine ~ 1
+    val ortho = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(df, "vec", "id", cosineThreshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhashPairs blocks by quarter and verifies hamming") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
