@@ -160,7 +160,7 @@ object Dedup {
     * shares a band with high probability (tune `bands`/`nBits` for the
     * target threshold). */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     cosineThreshold: Double = 0.9, nBits: Int = 16,
+                     cosineThreshold: Double = 0.9, nBits: Int = 32,
                      bands: Int = 4, dim: Int = 64, seed: Long = 42L,
                      maxBucket: Int = 1000): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")

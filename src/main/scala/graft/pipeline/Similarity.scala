@@ -24,10 +24,14 @@ object Similarity {
   /** Dot product as a sequential left fold in double — bit-reproducible:
     * the fold order is the array order, independent of partitioning, and
     * identical to any engine that folds lists left-to-right (the DuckDB
-    * oracle uses list_reduce). Runs inside whole-stage codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * oracle uses list_reduce). A native kernel
+    * ([[graft.functions.DotProductExpr]]): the equivalent higher-order
+    * `aggregate(zip_with(...))` evaluates interpreted and was the
+    * similarity bench bottleneck. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.DotProductExpr(E(a), E(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
