@@ -214,6 +214,14 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // ---- rollup (surface extension; SURVEY §2.3 note)
+    "q_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .warpRollup(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- reducer battery: median/variance/stddev/min/max/countDistinct (§2.3)
     "q_agg_stats" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -680,6 +688,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_stats" ->
       """SELECT l_returnflag,
          median(l_quantity) AS med_qty,

@@ -243,6 +243,15 @@ object WarpOps {
     def filterSet(column: String, values: Seq[Any]): DataFrame =
       df.filter(col(s"`$column`").isin(values: _*))
 
+    /** rollup/cube: multi-level aggregation — a surface EXTENSION beyond
+      * the reference (SURVEY §2.3: "no grouping sets anywhere in the
+      * reference; Spark gives them free"). Same partial-aggregation
+      * machinery as groupBy, so they scale identically. */
+    def warpRollup(groups: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.rollup(groups: _*).agg(aggs.head, aggs.tail: _*)
+    def warpCube(groups: Seq[Column], aggs: Seq[Column]): DataFrame =
+      df.cube(groups: _*).agg(aggs.head, aggs.tail: _*)
+
     /** transpose: full matrix flip, first column becomes the header
       * (Raster.swift:657-694). Delegates to Spark 4's native
       * `Dataset.transpose()` (same first-column-becomes-header contract);
