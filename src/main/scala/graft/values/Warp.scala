@@ -263,8 +263,11 @@ object Warp {
     * have no boolean form (Value.swift:199-211). Deviation from the
     * reference (documented): the strings "true"/"false" are accepted. */
   def boolValW(w: WV): Column = w.dt.orElse(staticType(w.v)) match {
-    case Some(BooleanType)    => w.v
-    case Some(_: NumericType) => w.v.cast(DoubleType) === 1.0
+    case Some(BooleanType) => w.v
+    case Some(LongType | IntegerType | ShortType | ByteType) =>
+      w.v.cast(LongType) === 1L
+    // doubles/decimals have NO boolean form (Value.swift:205): invalid
+    case Some(DoubleType | FloatType) | Some(_: DecimalType) => nullB
     case _ =>
       val s = lower(w.v.cast(StringType))
       when(w.v.isNull, nullB)

@@ -155,6 +155,20 @@ class FormulaSpec extends SparkSpec {
     assert(evalOn(nullDf, "=[c]=\"\"") == false) // empty is not empty string
   }
 
+  test("WV operator edges: XOR/pow-NaN/concat-empty/modulo (Value.swift:484-545)") {
+    assert(eval("=XOR(1;0)") == true)
+    assert(eval("=XOR(TRUE;TRUE)") == false)
+    assert(evalOn(nullDf, "=ISINVALID(XOR(TRUE;[c]))") == true) // empty: no bool form
+    assert(eval("=ISINVALID((0-1)^0.5)") == true)  // NaN result is invalid
+    assert(eval("=ISINVALID(1%0)") == true)        // mod by zero
+    assert(evalOn(nullDf, "=ISINVALID(\"x\" & [c])") == true) // empty has no string form
+    assert(evalOn(nullDf, "=[c]<0") == true)  // empty sorts below EVERY value
+    assert(evalOn(nullDf, "=[c]<5") == true)  // (WarpCoreTests.swift:77-78)
+    assert(evalOn(nullDf, "=[c]>0") == false)
+    assert(eval("=IF(2;\"t\";\"f\")") == "f")      // boolValue(2) = false (int != 1)
+    assert(eval("=ISINVALID(IF(2.5;1;2))") == true) // doubles have no bool form
+  }
+
   test("COALESCE: first valid non-empty, else empty (Function.swift:985-991)") {
     assert(eval("=COALESCE(1/0;7)") == 7.0)
     assert(evalOn(nullDf, "=COALESCE([c];7)") == 7.0)
