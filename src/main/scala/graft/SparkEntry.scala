@@ -206,6 +206,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- as-of join (custom operator; DuckDB verifies with native ASOF
+    //      JOIN): each event picks up the latest hourly per-type mark
+    //      at-or-before its timestamp
+    "q_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .selectColumns(Seq("event_id", "event_type", "ts", "value"))
+      val marks = T(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("mark_ts"))
+        .agg(dsum(col("value")).as("mark_total"))
+      graft.ops.AsofJoin.asofJoin(ev, marks, Seq("event_type"),
+        "ts", "mark_ts", Seq("mark_total"))
+        .selectColumns(Seq("event_id", "event_type", "mark_total"))
+        .warpSort(Seq(Order(col("event_id"))))
+    }),
+
     // ---- time-bucketed aggregation over the events table
     "q_events_window" -> ((s, dir) => {
       T(s, dir, "events")
@@ -684,6 +699,15 @@ object SparkEntry {
     "q_filterset" ->
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
          WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_asof_join" ->
+      """WITH marks AS (
+           SELECT event_type, date_trunc('hour', ts) AS mark_ts,
+                  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS mark_total
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+         SELECT e.event_id, e.event_type, m.mark_total
+         FROM events e ASOF LEFT JOIN marks m
+           ON e.event_type = m.event_type AND e.ts >= m.mark_ts
+         ORDER BY e.event_id""",
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total

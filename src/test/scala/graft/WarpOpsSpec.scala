@@ -6,6 +6,24 @@ import graft.ops.WarpOps.Order
 
 /** Operator-algebra tests (reference semantics cites in WarpOps). */
 class WarpOpsSpec extends SparkSpec {
+
+  test("asofJoin: latest right version at-or-before each event; null before first") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, "a", ts(5)), (2L, "a", ts(10)), (3L, "a", ts(2)),
+      (4L, "b", ts(10)), (5L, "b", ts(1))).toDF("id", "k", "ts")
+    val versions = Seq(
+      ("a", ts(4), 40.0), ("a", ts(10), 100.0), // inclusive at equal ts
+      ("b", ts(3), 30.0)).toDF("k", "vts", "price")
+    val out = graft.ops.AsofJoin.asofJoin(events, versions, Seq("k"), "ts", "vts", Seq("price"))
+      .select("id", "price").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out(1L) == 40.0)   // 10:05 -> version at 10:04
+    assert(out(2L) == 100.0)  // 10:10 -> inclusive same-timestamp version
+    assert(out(3L) == null)   // 10:02 precedes the first version
+    assert(out(4L) == 30.0)
+    assert(out(5L) == null)
+  }
   import spark.implicits._
 
   test("calculate sees the PRE-update row snapshot (Data.swift:221-230)") {
