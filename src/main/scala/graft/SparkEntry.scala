@@ -221,6 +221,16 @@ object SparkEntry {
         .warpSort(Seq(Order(col("event_id"))))
     }),
 
+    // ---- range join (custom operator: binned equi-join, no nested loop)
+    "q_range_join" -> ((s, dir) => {
+      val bands = Sequencer.range(s, 0, 20, "band")
+        .select(col("band"), (col("band") * 50.0).as("lo"), (col("band") * 50.0 + 50.0).as("hi"))
+      val ev = T(s, dir, "events").selectColumns(Seq("event_id", "value"))
+      graft.ops.RangeJoin.rangeJoin(ev, "value", bands, "lo", "hi", binWidth = 50.0)
+        .selectColumns(Seq("event_id", "value", "band"))
+        .warpSort(Seq(Order(col("event_id"))))
+    }),
+
     // ---- time-bucketed aggregation over the events table
     "q_events_window" -> ((s, dir) => {
       T(s, dir, "events")
@@ -699,6 +709,12 @@ object SparkEntry {
     "q_filterset" ->
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
          WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_range_join" ->
+      """WITH bands AS (
+           SELECT b AS band, b*50.0 AS lo, b*50.0+50.0 AS hi FROM range(20) t(b))
+         SELECT event_id, value, band FROM events e
+         JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+         ORDER BY event_id""",
     "q_asof_join" ->
       """WITH marks AS (
            SELECT event_type, date_trunc('hour', ts) AS mark_ts,

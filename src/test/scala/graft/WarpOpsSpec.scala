@@ -7,6 +7,18 @@ import graft.ops.WarpOps.Order
 /** Operator-algebra tests (reference semantics cites in WarpOps). */
 class WarpOpsSpec extends SparkSpec {
 
+  test("rangeJoin: half-open containment via binned equi-join, no nested loop") {
+    import spark.implicits._
+    val vals = Seq((1L, 5.0), (2L, 10.0), (3L, 25.0), (4L, 99.0)).toDF("id", "v")
+    val ivs = Seq(("x", 0.0, 10.0), ("y", 10.0, 30.0), ("z", 20.0, 26.0)).toDF("tag", "lo", "hi")
+    val out = graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", binWidth = 7.0)
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "x"), (2L, "y"), (3L, "y"), (3L, "z"))) // 10.0: hi-exclusive, lo-inclusive
+    val plan = graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("asofJoin: latest right version at-or-before each event; null before first") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
