@@ -212,11 +212,14 @@ object WarpFunctions {
   def fnSplit(c: Column, sep: String): Column =
     split(Warp.str(c), java.util.regex.Pattern.quote(sep))
   /** split with a dynamic separator column: the separator is a LITERAL
-    * string in Warp (Function.swift:1266-1272), so regex-escape it before
-    * handing it to Spark's regex-based split. */
-  def fnSplitCol(c: Column, sep: Column): Column =
-    call_function("split", Warp.str(c),
-      regexp_replace(Warp.str(sep), "([^a-zA-Z0-9])", "\\\\$1"))
+    * string in Warp (Function.swift:1266-1272), so \Q...\E-quote it before
+    * handing it to Spark's regex-based split (per-character backslash
+    * escaping would produce illegal patterns for non-ASCII letters). */
+  def fnSplitCol(c: Column, sep: Column): Column = {
+    val quoted = concat(lit("\\Q"),
+      replace(Warp.str(sep), lit("\\E"), lit("\\E\\\\E\\Q")), lit("\\E"))
+    call_function("split", Warp.str(c), quoted)
+  }
   /** glue with a dynamic separator column (array_join needs a literal). */
   def fnGlueCol(arr: Column, sep: Column): Column =
     aggregate(arr, lit(null).cast(StringType), (acc, v) =>

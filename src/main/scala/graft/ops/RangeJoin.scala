@@ -22,15 +22,19 @@ object RangeJoin {
                 right: DataFrame, loCol: String, hiCol: String,
                 binWidth: Double, joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val lb = left.withColumn("__bin",
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      "rangeJoin supports inner and left joins (right rows explode per bin; " +
+        "outer-preserving them would duplicate unmatched intervals)")
+    val lb = left.withColumn("__lbin",
       floor(col(s"`$leftVal`") / binWidth).cast("long"))
-    val rb = right.withColumn("__bin",
+    val rb = right.withColumn("__rbin",
       explode(sequence(
         floor(col(s"`$loCol`") / binWidth).cast("long"),
         floor(col(s"`$hiCol`") / binWidth).cast("long"))))
-    lb.join(rb, Seq("__bin"), joinType)
-      .filter(col(s"`$leftVal`") >= col(s"`$loCol`") &&
-              col(s"`$leftVal`") < col(s"`$hiCol`"))
-      .drop("__bin")
+    // range predicate INSIDE the join condition: with a left join an
+    // unmatched left row null-extends (a post-join filter would drop it)
+    val cond = lb("__lbin") === rb("__rbin") &&
+      col(s"`$leftVal`") >= col(s"`$loCol`") && col(s"`$leftVal`") < col(s"`$hiCol`")
+    lb.join(rb, cond, joinType).drop("__lbin", "__rbin")
   }
 }

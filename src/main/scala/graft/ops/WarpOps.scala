@@ -123,6 +123,10 @@ object WarpOps {
     def saltedJoin(right: DataFrame, key: String, salt: Int,
                    joinType: String = "inner"): DataFrame = {
       require(salt > 0, "salt must be positive")
+      require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+        "saltedJoin supports inner and left joins (the right side is " +
+          "replicated per shard, so right/full-outer would emit one " +
+          "null-extended row per shard for unmatched right keys)")
       val saltedLeft = df.withColumn("__salt", (rand(42) * salt).cast("int"))
       val expandedRight = right.withColumn("__salt",
         explode(array((0 until salt).map(lit): _*)))

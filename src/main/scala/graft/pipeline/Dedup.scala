@@ -161,14 +161,19 @@ object Dedup {
     * target threshold). */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      cosineThreshold: Double = 0.9, nBits: Int = 32,
-                     bands: Int = 4, dim: Int = 64, seed: Long = 42L,
+                     bands: Int = 4, dim: Int = -1, seed: Long = 42L,
                      maxBucket: Int = 1000): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rows = nBits / bands
     val mask = (1L << rows) - 1
+    // hyperplane dimensionality must match the data: a mismatch nulls every
+    // dot product and silently collapses all sketches to one bucket
+    val theDim =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).head().getInt(0)
 
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      Similarity.sketch(col(vecCol), Similarity.hyperplanes(dim, nBits, seed)).as("sk"))
+      Similarity.sketch(col(vecCol), Similarity.hyperplanes(theDim, nBits, seed)).as("sk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sk.select(col("id"),

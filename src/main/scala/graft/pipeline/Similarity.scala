@@ -94,14 +94,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** One-shot convenience: build the index and query it once. A single
-    * query cannot amortize the sketch pass — use [[lshIndex]] +
-    * [[lshTopKIndexed]] when issuing many queries. */
+  /** One-shot convenience: sketch inline and query once — no persist (the
+    * index is read exactly once, caching it would only leak a cached
+    * DataFrame into the session). Use [[lshIndex]] + [[lshTopKIndexed]]
+    * when issuing many queries against the same corpus. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
-              seed: Long = 42L): DataFrame =
-    lshTopKIndexed(lshIndex(df, vecCol, nBits, seed, query.length),
+              seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, nBits, seed)
+    lshTopKIndexed(df.withColumn("__sk", sketch(col(vecCol), planes)),
       vecCol, idCol, query, k, nBits, maxHamming, seed)
+  }
 
   /** Build an IVF index: assign every vector to its nearest of `nCells`
     * coarse centroids (sampled deterministically from the corpus). Returns

@@ -51,6 +51,10 @@ object Crawl {
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, maxConcurrency))
+      // the task may stop pulling mid-iterator (limit/abort): tie pool
+      // shutdown to task completion, not iterator exhaustion
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdown()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val minNanosPerReq = (1e9 / rpsPerPartition).toLong
       var lastLaunch = 0L
@@ -79,7 +83,7 @@ object Crawl {
       }
       new Iterator[Row] {
         def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
-        def next(): Row = out.next()
+        def next(): Row = out.next() // shutdown also hooked on task completion
       }
     }(Encoders.row(outSchema))
   }

@@ -116,7 +116,10 @@ object CsvSource {
       val n = Warp.num(v)
       Seq(
         max(when(v.isNotNull && n.isNull, 1).otherwise(0)).as(s"__bad_$c"),
-        max(when(n.isNotNull && n =!= floor(n), 1).otherwise(0)).as(s"__frac_$c"),
+        // fractional OR outside Long range: either way the long cast is
+        // unsafe (ANSI CAST_OVERFLOW), so such columns stay double
+        max(when(n.isNotNull && (n =!= floor(n) || abs(n) > 9.2e18), 1)
+          .otherwise(0)).as(s"__frac_$c"),
         max(when(v.isNotNull, 1).otherwise(0)).as(s"__any_$c"))
     }
     val r = df.agg(checks.head, checks.tail: _*).collect()(0)

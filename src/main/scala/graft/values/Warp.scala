@@ -180,39 +180,49 @@ object Warp {
 
   /** Arithmetic on tagged values: any invalid operand, or an operand with
     * no numeric form (including empty — WarpCoreTests.swift:96-99), makes
-    * the result invalid. */
+    * the result invalid.
+    *
+    * Tree-size note: the value is NOT wrapped in `when(!inv, ...)` — the
+    * arithmetic already null-propagates, and every consumer (collapse,
+    * comparisons, logic ops) gates on `inv` first. Omitting the guard
+    * keeps the value branch free of the invalid tree, which bounds the
+    * compiled expression's growth per nesting level (the guarded form
+    * roughly quadruples per level and blows up deep formulas). */
   private def arith2(a: WV, b: WV)(f: (Column, Column) => Column): WV = {
     val na = numW(a); val nb = numW(b)
     val inv = a.inv || b.inv || na.isNull || nb.isNull
-    WV(when(!inv, f(na, nb)), inv, Some(DoubleType))
+    WV(f(na, nb), inv, Some(DoubleType))
   }
   def addW(a: WV, b: WV): WV = arith2(a, b)(_ + _)
   def subW(a: WV, b: WV): WV = arith2(a, b)(_ - _)
   def mulW(a: WV, b: WV): WV = arith2(a, b)(_ * _)
-  /** Division: /0 => invalid (Value.swift:511-520). */
+  /** Division: /0 => invalid (Value.swift:511-520). Value branch
+    * unguarded like [[arith2]] — a /0 yields Infinity in the value column
+    * but `inv` is true, and every consumer gates on `inv`. */
   def divW(a: WV, b: WV): WV = {
     val na = numW(a); val nb = numW(b)
     val inv = a.inv || b.inv || na.isNull || nb.isNull || nb === 0.0
-    WV(when(!inv, na / nb), inv, Some(DoubleType))
+    WV(when(nb =!= 0.0, na / nb), inv, Some(DoubleType))
   }
   def modW(a: WV, b: WV): WV = {
     val na = numW(a); val nb = numW(b)
     val inv = a.inv || b.inv || na.isNull || nb.isNull || nb === 0.0
-    WV(when(!inv, na % nb), inv, Some(DoubleType))
+    WV(when(nb =!= 0.0, na % nb), inv, Some(DoubleType))
   }
   /** Power; NaN results (e.g. (-1)^0.5) are invalid (Value.swift:533-543). */
   def powW(a: WV, b: WV): WV = {
     val na = numW(a); val nb = numW(b)
     val r = org.apache.spark.sql.functions.pow(na, nb)
     val inv = a.inv || b.inv || na.isNull || nb.isNull || isnan(r)
-    WV(when(!inv, r), inv, Some(DoubleType))
+    WV(nanToNullD(r), inv, Some(DoubleType))
   }
+  private def nanToNullD(c: Column): Column = when(!isnan(c), c)
   /** `&` concatenation: operands without a string form (empty, invalid)
     * poison the result (Value.swift:503-509 via stringValue). */
   def catW(a: WV, b: WV): WV = {
     val sa = strW(a); val sb = strW(b)
     val inv = a.inv || b.inv || sa.isNull || sb.isNull
-    WV(when(!inv, concat(sa, sb)), inv, Some(StringType))
+    WV(concat(sa, sb), inv, Some(StringType))
   }
 
   // Comparisons never produce invalid: an invalid operand compares FALSE
