@@ -235,6 +235,18 @@ class FormulaSpec extends SparkSpec {
       .contains("ALS")) // localized spelling preserved
   }
 
+  test("deeply nested formulas compile and run (bounded tree growth)") {
+    // 16 nesting levels: the guarded-value formulation grew ~4x per level
+    // (millions of nodes); the unguarded one stays linear-ish
+    val f = (1 to 16).foldLeft("[a]") { (acc, i) => s"(($acc+$i)*1)" }
+    val df = Seq(2.0).toDF("a")
+    val t0 = System.nanoTime()
+    val r = df.select(Formula.columnFor(df.schema, "=" + f).as("r")).collect()(0).get(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r == (1 to 16).foldLeft(2.0)(_ + _))
+    assert(secs < 30.0, f"deep formula took $secs%.1f s")
+  }
+
   test("typed sibling refs fold the coercion away (Ctx.forSchema)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("a", DoubleType), StructField("b", LongType)))

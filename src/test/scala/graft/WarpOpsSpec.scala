@@ -17,6 +17,13 @@ class WarpOpsSpec extends SparkSpec {
     val plan = graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(1500))
+    // left join: rows matching no interval survive null-extended (the
+    // range predicate is inside the join condition, not a post-filter)
+    val lj = graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0, "left")
+    assert(lj.count() == 5) // 4 matches + the unmatched 99.0 row
+    assert(lj.filter(col("id") === 4 && col("tag").isNull).count() == 1)
+    assertThrows[IllegalArgumentException](
+      graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0, "full"))
   }
 
   test("asofJoin: latest right version at-or-before each event; null before first") {
