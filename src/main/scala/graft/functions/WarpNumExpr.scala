@@ -97,8 +97,12 @@ object WarpNumExpr {
       j += 1
     }
     if (ok && digits > 0) {
-      try Double.box(java.lang.Double.parseDouble(s.toString))
-      catch { case _: NumberFormatException => null }
+      try {
+        val d = java.lang.Double.parseDouble(s.toString)
+        // NaN/Inf are banned values (Value.swift:95-102): overflowing
+        // literals like 1e999 have no numeric form
+        if (java.lang.Double.isFinite(d)) Double.box(d) else null
+      } catch { case _: NumberFormatException => null }
     } else {
       // booleans spell a numeric form too (Value.swift:176-190)
       if (s.toString.equalsIgnoreCase("true")) Double.box(1.0)

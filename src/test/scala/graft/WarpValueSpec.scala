@@ -26,6 +26,17 @@ class WarpValueSpec extends SparkSpec {
     assert(eval(Warp.add(lit(false), lit(1))) == 1.0)
   }
 
+  test("numeric parse kernel edges: strictness, exponents, banned Inf (Value.swift:95-102,810-833)") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val p = (s: String) => Option(graft.functions.WarpNumExpr.parse(u(s))).map(_.doubleValue())
+    assert(p("13") == Some(13.0) && p("-4.5") == Some(-4.5) && p(".5") == Some(0.5))
+    assert(p("1e3") == Some(1000.0) && p("1E-2") == Some(0.01) && p("5.") == Some(5.0))
+    assert(p("true") == Some(1.0) && p("FALSE") == Some(0.0))
+    assert(p(" 5") == None && p("5 ") == None && p("") == None && p(".") == None)
+    assert(p("1.2.3") == None && p("1e") == None && p("--5") == None && p("NaN") == None)
+    assert(p("Infinity") == None && p("1e999") == None) // Inf is banned
+  }
+
   test("strings with leading space do NOT parse as numbers (Value.swift:810-833)") {
     assert(eval(Warp.add(lit(" 13"), lit(1))) == null)
     assert(eval(Warp.add(lit("13x"), lit(1))) == null)
