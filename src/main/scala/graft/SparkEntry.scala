@@ -538,6 +538,14 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- composite quality score (heuristic-filter recipe)
+    "q_text_scored" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .calculate(Seq("score" -> graft.pipeline.TextAnalysis.qualityScore(col("text"))))
+        .selectColumns(Seq("doc_id", "score"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- content fingerprint (md5 — engine portable)
     "q_text_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -887,6 +895,22 @@ object SparkEntry {
              t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
              / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS sw_en
          FROM documents ORDER BY doc_id""",
+    "q_text_scored" ->
+      """WITH c AS (
+           SELECT doc_id,
+             least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
+             CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+                 / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS sw,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END AS punct
+           FROM documents)
+         SELECT doc_id,
+           least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
+           greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
+         FROM c ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
