@@ -124,7 +124,16 @@ object Formula {
 
     private def parseUnary(): Expr = {
       ws()
-      if (!eof && peek == '-') { pos += 1; Bin("*", Lit(-1.0), parseUnary()) }
+      if (!eof && peek == '-') {
+        pos += 1
+        // fold unary minus into numeric literals: `-3` IS Lit(-3), so
+        // printed negative literals round-trip through the parser
+        parseUnary() match {
+          case Lit(l: Long)   => Lit(-l)
+          case Lit(d: Double) => Lit(-d)
+          case other          => Bin("*", Lit(-1.0), other)
+        }
+      }
       else parsePostfix()
     }
 

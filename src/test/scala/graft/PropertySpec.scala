@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.formula.Formula
+import graft.formula.Formula._
+
+/** Property-based invariants (ScalaCheck): formula round-trip over random
+  * ASTs (mirrors the reference's hand-picked round-trip tests at
+  * WarpCoreTests.swift:670-694, but over the whole expression space),
+  * pack-escape and numeric-parse laws, header dedup uniqueness. */
+class PropertySpec extends SparkSpec {
+
+  /** Offline cache ships scalacheck without the scalatest bridge: sample
+    * generators directly. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  // ---- random formula ASTs (parser-reachable subset: integer/double/
+  // string/bool literals, sibling refs, binary ops, calls, lists)
+
+  private val genName: Gen[String] =
+    for { h <- Gen.alphaChar; t <- Gen.listOfN(4, Gen.alphaNumChar) } yield (h :: t).mkString
+
+  private val genLit: Gen[Expr] = Gen.oneOf(
+    Gen.choose(-999999L, 999999L).map(Lit(_)),
+    Gen.choose(-1e6, 1e6).map(d => Lit(math.rint(d * 100) / 100.0)),
+    Gen.alphaNumStr.map(s => Lit(s.take(8))),
+    Gen.oneOf(Lit(true), Lit(false)))
+
+  private def genExpr(depth: Int): Gen[Expr] =
+    if (depth <= 0) Gen.oneOf(genLit, genName.map(Sibling(_)))
+    else Gen.frequency(
+      3 -> genLit,
+      3 -> genName.map(Sibling(_)),
+      4 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/", "&", "=", "<", ">", "<=", ">=", "<>")
+        l <- genExpr(depth - 1); r <- genExpr(depth - 1)
+      } yield Bin(op, l, r)),
+      2 -> (for {
+        f <- Gen.oneOf("UPPER", "LOWER", "TRIM", "ABS", "SQRT", "LENGTH")
+        a <- genExpr(depth - 1)
+      } yield Call(f, List(a))),
+      1 -> Gen.listOfN(3, genExpr(depth - 1)).map(ListLit(_)))
+
+  test("formula round-trip: parse(toFormula(e)) == e for random ASTs") {
+    for (e <- samples(genExpr(3), 300)) {
+      val once = Formula.toFormula(e)
+      val reparsed = Formula.parse("=" + once)
+      // integer literals survive as Long; double literals that happen to be
+      // integral print without a fraction and reparse as Long — normalize
+      def norm(x: Expr): Expr = x match {
+        case Lit(d: Double) if d == d.floor && d.abs < 1e15 => Lit(d.toLong)
+        case Bin(op, l, r) => Bin(op, norm(l), norm(r))
+        case Call(f, as)   => Call(f, as.map(norm))
+        case ListLit(as)   => ListLit(as.map(norm))
+        case Index(t, i)   => Index(norm(t), norm(i))
+        case Lookup(t, k)  => Lookup(norm(t), norm(k))
+        case other         => other
+      }
+      assert(norm(reparsed) == norm(e), s"round-trip failed for: $once")
+    }
+  }
+
+  test("pack escape round-trip is the identity for any string") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (ss <- samples(Gen.listOfN(20, Gen.asciiPrintableStr.map(_.take(12))), 5)) {
+      {
+        val df = ss.toDF("s")
+        val back = df.select(graft.functions.WarpFunctions.packUnescape(
+          graft.functions.WarpFunctions.packEscape(col("s"))).as("r"))
+          .as[String].collect().toSeq
+        assert(back == ss)
+      }
+    }
+  }
+
+  test("numeric parse kernel agrees with the strict-grammar law") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val numRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+    for (s <- samples(Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(10)),
+      Gen.choose(-1e9, 1e9).map(_.toString),
+      Gen.choose(-999999L, 999999L).map(_.toString)), 500)) {
+      val parsed = Option(graft.functions.WarpNumExpr.parse(UTF8String.fromString(s)))
+      val grammarSaysNumeric = numRe.findFirstIn(s).isDefined
+      val isBool = s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")
+      if (grammarSaysNumeric && parsed.isEmpty)
+        // only legal escape hatch: overflow to Inf is banned
+        assert(!java.lang.Double.isFinite(s.toDouble), s"rejected valid number: '$s'")
+      if (!grammarSaysNumeric && !isBool)
+        assert(parsed.isEmpty, s"accepted non-number: '$s' -> $parsed")
+    }
+  }
+
+  test("header dedup always yields unique names preserving first occurrences") {
+    for (names <- samples(Gen.listOf(Gen.oneOf("a", "b", "c", "a_B")), 200)) {
+      val out = graft.sources.CsvSource.dedupHeaders(names)
+      assert(out.length == names.length)
+      assert(out.distinct == out, s"duplicates in $out")
+      // originals keep their first-occurrence spelling
+      names.distinct.foreach(n => assert(out.contains(n)))
+    }
+  }
+}
