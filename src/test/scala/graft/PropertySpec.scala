@@ -93,6 +93,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("differential: local inference evaluator agrees with the compiled WV track") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // two independently-written evaluators (Infer.evalLocal for the
+    // programming-by-example search, the WV compiler for execution) must
+    // agree on the shared subset, or inference suggests formulas that
+    // behave differently at scale
+    val row = Map[String, Any]("a" -> 3.5, "b" -> "xy", "c" -> null, "d" -> 7L)
+    val schema = StructType(Seq(
+      StructField("a", DoubleType), StructField("b", StringType),
+      StructField("c", DoubleType), StructField("d", LongType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(3.5, "xy", null, 7L)), schema)
+
+    val genLeaf: Gen[Expr] = Gen.oneOf(
+      Gen.oneOf("a", "b", "c", "d").map(Sibling(_)),
+      Gen.choose(-99L, 99L).map(Lit(_)),
+      Gen.choose(-9.0, 9.0).map(d => Lit(math.rint(d * 10) / 10.0)),
+      Gen.oneOf("p", "q", "").map(Lit(_)))
+    def genE(depth: Int): Gen[Expr] =
+      if (depth <= 0) genLeaf
+      else Gen.frequency(
+        2 -> genLeaf,
+        4 -> (for {
+          op <- Gen.oneOf("+", "-", "*", "/", "^", "&")
+          l <- genE(depth - 1); r <- genE(depth - 1)
+        } yield Bin(op, l, r)),
+        2 -> (for {
+          f <- Gen.oneOf("UPPER", "LOWER", "TRIM", "ABS", "SQRT", "LENGTH")
+          x <- genE(depth - 1)
+        } yield Call(f, List(x))))
+
+    val ctx = Formula.Ctx.forSchema(schema)
+    for (e <- samples(genE(3), 250)) {
+      val local = graft.formula.Infer.evalLocal(e, row, null)
+      val compiled = df.select(Formula.compile(e, ctx).as("r")).collect()(0).get(0)
+      def normNum(v: Any): Option[Any] = v match {
+        case null => None
+        case n: Number => Some(math.rint(n.doubleValue() * 1e9) / 1e9)
+        case other => Some(other)
+      }
+      assert(normNum(local.orNull) == normNum(compiled),
+        s"evaluators disagree on ${Formula.toFormula(e)}: local=$local compiled=$compiled")
+    }
+  }
+
   test("header dedup always yields unique names preserving first occurrences") {
     for (names <- samples(Gen.listOf(Gen.oneOf("a", "b", "c", "a_B")), 200)) {
       val out = graft.sources.CsvSource.dedupHeaders(names)
