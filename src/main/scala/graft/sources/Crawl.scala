@@ -43,8 +43,12 @@ object Crawl {
       .add("crawl_error", StringType)
       .add("crawl_time", DoubleType)
     val urlIdx = inSchema.fieldIndex(urlCol)
+    require(maxRps > 0, "maxRps must be positive")
     val partitions = math.max(1, df.rdd.getNumPartitions)
-    val rpsPerPartition = math.max(1.0, maxRps.toDouble / partitions)
+    // fractional per-partition rates are fine (launch spacing > 1 s); a
+    // 1-rps floor would let the AGGREGATE rate exceed maxRps whenever
+    // partitions > maxRps
+    val rpsPerPartition = maxRps.toDouble / partitions
 
     df.mapPartitions { rows =>
       import scala.concurrent.{Await, Future, ExecutionContext}

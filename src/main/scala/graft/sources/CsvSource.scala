@@ -143,8 +143,13 @@ object CsvSource {
     val out = df.select(df.schema.fields.map { f =>
       val c = col(s"`${f.name}`")
       f.dataType match {
-        case BooleanType => when(c, 1).otherwise(0).cast(IntegerType).as(f.name)
-        case TimestampType | TimestampNTZType =>
+        case BooleanType => // null stays null (empty cell), not 0
+          when(c.isNull, lit(null).cast(IntegerType))
+            .when(c, 1).otherwise(0).as(f.name)
+        case TimestampType => // instant: render in UTC regardless of session tz
+          date_format(to_utc_timestamp(c, current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name)
+        case TimestampNTZType => // naive wall time: written verbatim
           date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name)
         case _ => c.as(f.name)
       }

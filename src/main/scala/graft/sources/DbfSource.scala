@@ -32,14 +32,16 @@ object DbfSource {
     var off = 32
     while (off < headerSize && u8(off) != 0x0D) {
       val nameEnd = (off until off + 11).find(i => bytes(i) == 0).getOrElse(off + 11)
-      val name = new String(bytes, off, nameEnd - off, "ASCII").trim
+      val name = new String(bytes, off, nameEnd - off, "ISO-8859-1").trim
       fields += Field(name, u8(off + 11).toChar, u8(off + 16), u8(off + 17))
       off += 32
     }
 
+    // a DBF N field is at most 18 digits, which always fits Long — typing
+    // zero-decimal fields as double would corrupt ids beyond 2^53
     val schema = StructType(fields.map { f =>
       val dt = f.ftype match {
-        case 'N' | 'F' => if (f.decimals == 0 && f.len < 10) LongType else DoubleType
+        case 'N' | 'F' => if (f.decimals == 0 && f.len <= 18) LongType else DoubleType
         case 'L'       => BooleanType
         case 'D'       => DateType
         case _         => StringType
@@ -53,12 +55,14 @@ object DbfSource {
       else {
         var pos = base + 1
         val vals = fields.map { f =>
-          val raw = new String(bytes, pos, f.len, "ASCII").trim
+          // ISO-8859-1: DBF text is code-page bytes, not ASCII — replacing
+          // accented characters with U+FFFD would corrupt every C field
+          val raw = new String(bytes, pos, f.len, "ISO-8859-1").trim
           pos += f.len
           if (raw.isEmpty) null
           else f.ftype match {
             case 'N' | 'F' =>
-              if (f.decimals == 0 && f.len < 10)
+              if (f.decimals == 0 && f.len <= 18)
                 scala.util.Try(raw.toLong).getOrElse(null)
               else scala.util.Try(raw.toDouble).getOrElse(null)
             case 'L' => "YyTt".contains(raw.head)

@@ -20,16 +20,25 @@ import org.apache.spark.sql.types._
 object JsonSource {
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    // Shape-detect on the first bytes of the (first) file, like the
+    // Shape-detect on the first lines of the (first) file, like the
     // reference's whole-doc JSONSerialization pass — a driver-side peek,
-    // not a data scan.
-    val head = spark.read.text(path).limit(10).collect().map(_.getString(0))
-    val firstNonEmpty = head.find(_.trim.nonEmpty).map(_.trim).getOrElse("")
-    val jsonl = firstNonEmpty.startsWith("{") &&
-      head.count(l => l.trim.startsWith("{") && l.trim.endsWith("}")) > 1
+    // not a data scan. JSON-Lines = 2+ non-empty lines, EACH a complete
+    // JSON value on its own (validated with Jackson, not a prefix guess).
+    val head = spark.read.text(path).limit(10).collect()
+      .map(_.getString(0).trim).filter(_.nonEmpty)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def selfContained(l: String): Boolean =
+      try { mapper.readTree(l); true } catch { case _: Exception => false }
+    val jsonl = head.length > 1 && head.forall(selfContained)
+    val firstNonEmpty = head.headOption.getOrElse("")
 
-    if (jsonl) {
-      spark.read.json(path) // line-per-record: splittable, parallel
+    if (jsonl && firstNonEmpty.startsWith("{")) {
+      spark.read.json(path) // object per line: splittable, parallel
+    } else if (jsonl) {
+      // scalar/array per line: one "value" row per line (arrays kept as
+      // their JSON text — the reference has no JSONL notion at all)
+      spark.read.text(path).select(trim(col("value")).as("value"))
+        .filter(length(col("value")) > 0)
     } else if (firstNonEmpty.startsWith("{") || firstNonEmpty.startsWith("[")) {
       val std = spark.read.option("multiLine", "true").json(path)
       val cols = std.columns

@@ -38,7 +38,10 @@ object Sequencer {
   }
 
   final case class Seqn(nodes: List[Node]) extends Node {
-    val cardinality: Long = nodes.map(_.cardinality).product
+    // overflow-checked: a pattern like [0-9a-z]{13} exceeds Long and must
+    // error, not silently wrap into a wrong row count
+    val cardinality: Long = nodes.map(_.cardinality)
+      .foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
     def decode(i: Long): String = {
       // mixed-radix, last node varies fastest (odometer order)
       val sb = new StringBuilder
@@ -58,7 +61,8 @@ object Sequencer {
   }
 
   final case class Alt(nodes: List[Node]) extends Node {
-    val cardinality: Long = nodes.map(_.cardinality).sum
+    val cardinality: Long = nodes.map(_.cardinality)
+      .foldLeft(0L)((a, b) => Math.addExact(a, b))
     def decode(i: Long): String = {
       var rem = i
       for (n <- nodes) {
@@ -151,9 +155,12 @@ object Sequencer {
   def range(spark: SparkSession, from: Long, to: Long, colName: String = "n"): DataFrame =
     spark.range(from, to).withColumnRenamed("id", colName)
 
-  /** One uniform sample from the pattern language (randomString). */
+  /** One uniform sample from the pattern language (randomString); null
+    * for a degenerate pattern denoting the empty language (e.g. `[]` or an
+    * inverted range) — a malformed user pattern must not kill the task. */
   def randomFromPattern(pattern: String, rnd: scala.util.Random): String = {
     val root = parse(pattern)
-    root.decode(math.floorMod(rnd.nextLong(), root.cardinality))
+    if (root.cardinality <= 0) null
+    else root.decode(math.floorMod(rnd.nextLong(), root.cardinality))
   }
 }

@@ -104,15 +104,21 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       df.filter(!coalesce(cond, lit(false)))
     })
 
-  /** copy-on-write rewrite with staging-dir swap. */
+  /** copy-on-write rewrite with staging-dir swap. Rename results are
+    * CHECKED: a failed swap must surface as an error, never silently drop
+    * the mutation or lose the table. */
   private def rewrite(table: String, f: DataFrame => DataFrame): Unit = {
     val staging = dir(table) + ".staging"
     f(read(table)).write.mode("overwrite").parquet(staging)
     val live = new java.io.File(dir(table))
     val old = new java.io.File(dir(table) + ".old")
     delete(old)
-    live.renameTo(old)
-    new java.io.File(staging).renameTo(live)
+    if (!live.renameTo(old))
+      throw new java.io.IOException(s"warehouse: cannot move $live aside for swap")
+    if (!new java.io.File(staging).renameTo(live)) {
+      old.renameTo(live) // roll back so the table survives
+      throw new java.io.IOException(s"warehouse: staging swap failed for $table")
+    }
     delete(old)
   }
 

@@ -58,30 +58,49 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Per-user sessionization with an inactivity gap: custom state via
-    * mapGroupsWithState. State per key is one small struct; the processing-
-    * time timeout closes idle sessions so state never grows unboundedly. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    * mapGroupsWithState. State per key is one small struct.
+    *
+    * `expireIdleState` (processing-time timeout = the gap) bounds the
+    * state store to the ACTIVE user population instead of every key ever
+    * seen — REQUIRED for unbounded key spaces in production. It is opt-in
+    * because pending wake-up timers keep synchronous drains
+    * (`processAllAvailable`, the standard test idiom) from ever returning;
+    * long-running queries with real triggers are unaffected. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 expireIdleState: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (expireIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(timeoutConf)(
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = batch.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L, 0.0))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            st =
-              if (st.events > 0 && t - st.ended > gapMs)
-                // gap exceeded: a real pipeline would emit the closed
-                // session here (flatMapGroupsWithState); we restart state
-                SessionState(t, t, 1L, e.value)
-              else
-                SessionState(math.min(st.started, t), math.max(st.ended, t),
-                  st.events + 1, st.total + e.value)
+          if (state.hasTimedOut) {
+            // idle past the gap: emit the closed session and drop state
+            val st = state.get
+            state.remove()
+            Session(user, new java.sql.Timestamp(st.started),
+              new java.sql.Timestamp(st.ended), st.events, st.total)
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L, 0.0))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st =
+                if (st.events > 0 && t - st.ended > gapMs)
+                  // gap exceeded: a real pipeline would emit the closed
+                  // session here (flatMapGroupsWithState); we restart state
+                  SessionState(t, t, 1L, e.value)
+                else
+                  SessionState(math.min(st.started, t), math.max(st.ended, t),
+                    st.events + 1, st.total + e.value)
+            }
+            state.update(st)
+            if (expireIdleState) state.setTimeoutDuration(gapMs)
+            Session(user, new java.sql.Timestamp(st.started),
+              new java.sql.Timestamp(st.ended), st.events, st.total)
           }
-          state.update(st)
-          Session(user, new java.sql.Timestamp(st.started),
-            new java.sql.Timestamp(st.ended), st.events, st.total)
         })
   }
 }
