@@ -65,7 +65,10 @@ object DbfSource {
               if (f.decimals == 0 && f.len <= 18)
                 scala.util.Try(raw.toLong).getOrElse(null)
               else scala.util.Try(raw.toDouble).getOrElse(null)
-            case 'L' => "YyTt".contains(raw.head)
+            case 'L' => // '?' marks unknown in dBase logicals
+              if ("YyTt".contains(raw.head)) true
+              else if ("NnFf".contains(raw.head)) false
+              else null
             case 'D' => scala.util.Try(
               java.sql.Date.valueOf(java.time.LocalDate.parse(raw,
                 java.time.format.DateTimeFormatter.BASIC_ISO_DATE))).getOrElse(null)

@@ -128,6 +128,7 @@ object Sequencer {
         if (alts.size == 1) alts.head else Alt(alts.toList)
       case '\\' =>
         pos += 1
+        require(!eof, s"dangling escape at end of '$pattern'")
         val c = peek; pos += 1
         Lit(c.toString)
       case c =>

@@ -52,10 +52,12 @@ object EventStream {
     * stream — the standard ingest-dedup stage of a training-data
     * pipeline. */
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
-                  lateness: String = "10 minutes"): DataFrame =
+                  lateness: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Per-user sessionization with an inactivity gap: custom state via
     * mapGroupsWithState. State per key is one small struct.
