@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,6 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHash {
   final val GOLDEN = 0x9E3779B97F4A7C15L
+
+  /** Analysis-time input check for the kernel expressions: a wrong child
+    * type must fail resolution with a readable message, not a
+    * ClassCastException inside generated code. Nullability is ignored
+    * (an array<long> with nullable elements still hashes fine — nulls
+    * cannot occur in practice because the producers emit containsNull=false). */
+  private[functions] def requireType(fn: String, actual: DataType,
+                                     expected: DataType): TypeCheckResult =
+    if (DataType.equalsIgnoreNullability(actual, expected))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires ${expected.simpleString} input, got ${actual.simpleString}")
 
   /** splitmix64 finalizer — strong 64-bit mixing, public-domain constant
     * set (Steele et al., "Fast splittable pseudorandom number generators"). */
@@ -160,6 +173,8 @@ object TextHash {
 }
 
 case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   protected override def nullSafeEval(input: Any): Any =
@@ -171,6 +186,8 @@ case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   protected override def nullSafeEval(input: Any): Any =
@@ -182,6 +199,8 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 }
 
 case class BandHashExpr(child: Expression, bands: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_hashes"
   protected override def nullSafeEval(input: Any): Any =
@@ -201,6 +220,8 @@ case class BandHashExpr(child: Expression, bands: Int) extends UnaryExpression {
   * same IEEE op, so results are bit-identical to the Column formulation. */
 case class LangScoresExpr(child: Expression, lists: Seq[Seq[String]])
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "lang_scores"
 
@@ -247,6 +268,8 @@ object LangScoresExpr {
 }
 
 case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   protected override def nullSafeEval(input: Any): Any =

@@ -220,11 +220,18 @@ object WarpFunctions {
       replace(Warp.str(sep), lit("\\E"), lit("\\E\\\\E\\Q")), lit("\\E"))
     call_function("split", Warp.str(c), quoted)
   }
-  /** glue with a dynamic separator column (array_join needs a literal). */
-  def fnGlueCol(arr: Column, sep: Column): Column =
-    aggregate(arr, lit(null).cast(StringType), (acc, v) =>
+  /** glue with a dynamic separator column (array_join needs a literal).
+    * A null element invalidates the WHOLE result (reference: stringValue
+    * nil => .invalid, Function.swift Glue) — without the guard the fold's
+    * `concat` would null the accumulator and the next element would
+    * silently RESTART accumulation, dropping the prefix. */
+  def fnGlueCol(arr: Column, sep: Column): Column = {
+    val joined = aggregate(arr, lit(null).cast(StringType), (acc, v) =>
       when(acc.isNull, v.cast(StringType))
         .otherwise(concat(acc, Warp.str(sep), v.cast(StringType))))
+    when(exists(arr, v => v.isNull), lit(null).cast(StringType))
+      .otherwise(joined)
+  }
   def fnLevenshtein(a: Column, b: Column): Column = levenshtein(Warp.str(a), Warp.str(b))
   def fnConcat(cs: Column*): Column = concat(cs.map(Warp.str): _*)
   val urlEncodeUdf = udf { (s: String) =>

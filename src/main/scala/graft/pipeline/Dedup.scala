@@ -120,12 +120,18 @@ object Dedup {
     // true Jaccard over the hash sets (64-bit collisions are negligible)
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
-    candidates
+    val result = candidates
       .join(withSh.select(col("id").as("id1"), col("shh").as("sh1")), "id1")
       .join(withSh.select(col("id").as("id2"), col("shh").as("sh2")), "id2")
       .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id1", "id2", "jaccard")
+    // materialize the (small) pairs result eagerly so the corpus-sized
+    // cached intermediate can be released NOW — otherwise repeated pipeline
+    // invocations in one session accumulate cached frames indefinitely
+    val out = result.localCheckpoint(true)
+    withSh.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
@@ -194,12 +200,17 @@ object Dedup {
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
-    candidates
+    val result = candidates
       .join(sk.select(col("id").as("id1"), col("vec").as("v1")), "id1")
       .join(sk.select(col("id").as("id2"), col("vec").as("v2")), "id2")
       .withColumn("cosine", Similarity.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= cosineThreshold)
       .select("id1", "id2", "cosine")
+    // eager pairs materialization -> release the cached sketch frame (see
+    // minhashPairs; same leak shape)
+    val out = result.localCheckpoint(true)
+    sk.unpersist()
+    out
   }
 
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine

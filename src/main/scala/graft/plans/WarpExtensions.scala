@@ -55,8 +55,27 @@ object WarpExtensions {
     "minhash_sig" -> (args => MinHashSigExpr(args.head, intArg(args, 1, 64))),
     "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))))
 
+  /** Extract a required-literal integer argument (e.g. the shingle size of
+    * `shingle_hashes(text, 5)`). These kernels bake the parameter into the
+    * generated code, so a non-foldable argument is a user error surfaced at
+    * analysis time, not a ClassCastException at runtime. */
   private def intArg(args: Seq[Expression], i: Int, default: Int): Int =
-    if (args.length > i) args(i).eval(null).toString.toInt else default
+    if (args.length <= i) default
+    else {
+      val e = args(i)
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"argument ${i + 1} must be a literal integer, got non-foldable ${e.sql}")
+      e.eval(null) match {
+        case n: Int => n
+        case n: Long if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
+        case n: Short => n.toInt
+        case n: Byte => n.toInt
+        case other =>
+          throw new IllegalArgumentException(
+            s"argument ${i + 1} must be a literal integer, got $other")
+      }
+    }
 }
 
 object Graft {

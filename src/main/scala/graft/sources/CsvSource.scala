@@ -75,6 +75,23 @@ object CsvSource {
     when(c.rlike(localizedNum), normalized).otherwise(c)
   }
 
+  /** Lexicographically-first plain data file under `path` (the path itself
+    * when it is a file) — the one whose first line is the header. Hidden
+    * and metadata files (`_SUCCESS`, dotfiles) are skipped like Spark's
+    * own file index does. */
+  private def firstDataFile(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) path
+    else fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getLen > 0)
+      .map(_.getPath)
+      .filterNot(n => n.getName.startsWith("_") || n.getName.startsWith("."))
+      .map(_.toString).toSeq.sorted
+      .headOption.getOrElse(path)
+  }
+
   /** Read a CSV into an all-string DataFrame under the reference's header
     * and locale rules. */
   def read(spark: SparkSession, path: String, sep: String = ",",
@@ -90,9 +107,14 @@ object CsvSource {
       if (hasHeaders) {
         // re-derive OUR names from the raw header tokens (Spark mangles
         // duplicates its own way); the header row is re-read through the
-        // CSV parser so quoting/escaping match the data rows
+        // CSV parser so quoting/escaping match the data rows. The header
+        // file is resolved EXPLICITLY (lexicographically-first data file,
+        // matching Spark's own multi-file header choice) — limit(1) over a
+        // directory scan returns whichever split is packed first, not the
+        // first line of the first file.
+        val headerFile = firstDataFile(spark, path)
         val rawHeader = spark.read.option("header", "false").option("sep", sep)
-          .csv(path).limit(1).collect()(0).toSeq.map(v => if (v == null) "" else v.toString)
+          .csv(headerFile).limit(1).collect()(0).toSeq.map(v => if (v == null) "" else v.toString)
         base.toDF(dedupHeaders(rawHeader): _*)
       } else {
         base.toDF(base.columns.indices.map(defaultNameForIndex): _*)
@@ -120,16 +142,24 @@ object CsvSource {
         // unsafe (ANSI CAST_OVERFLOW), so such columns stay double
         max(when(n.isNotNull && (n =!= floor(n) || abs(n) > 9.2e18), 1)
           .otherwise(0)).as(s"__frac_$c"),
+        // every non-null cell long-parses DIRECTLY from its string — the
+        // only route that keeps ids beyond 2^53 exact (double round-trips
+        // lose low bits; DbfSource parses longs directly for this reason)
+        max(when(v.isNotNull && v.try_cast(LongType).isNull, 1)
+          .otherwise(0)).as(s"__notlong_$c"),
         max(when(v.isNotNull, 1).otherwise(0)).as(s"__any_$c"))
     }
     val r = df.agg(checks.head, checks.tail: _*).collect()(0)
     df.select(df.columns.map { c =>
       val bad = r.getAs[Int](s"__bad_$c") == 1
       val frac = r.getAs[Int](s"__frac_$c") == 1
+      val notlong = r.getAs[Int](s"__notlong_$c") == 1
       val any = r.getAs[Int](s"__any_$c") == 1
       val v = col(s"`$c`")
       if (bad || !any) v.as(c)
+      else if (!notlong) v.try_cast(LongType).as(c) // exact string->long
       else if (frac) graft.values.Warp.num(v).as(c)
+      // integral-by-value spellings ("1.0", "2e3"): double->long fallback
       else graft.values.Warp.num(v).cast(LongType).as(c)
     }: _*)
   }

@@ -58,4 +58,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("nsh") == 3) // 4 words -> 3 bigram shingles
     assert(r.getAs[Int]("k") == 8)
   }
+
+  test("kernel misuse fails at analysis with a readable message") {
+    Graft.install(spark)
+    Seq((1L, "txt")).toDF("id", "text").createOrReplaceTempView("sqldocs2")
+    // non-literal size argument: rejected when the function is built
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, id) FROM sqldocs2").collect()
+    }
+    assert(e1.getMessage.contains("literal integer"), e1.getMessage)
+    // wrong child type: analysis error from checkInputDataTypes, not a
+    // ClassCastException inside generated code
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT simhash64(id) FROM sqldocs2").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("requires string"), e2.getMessage)
+  }
 }

@@ -96,6 +96,11 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1")), lit("v1"))) == null) // values aren't keys
     assert(eval(WF.fnItems(array(lit(1), lit(2), lit(3)))) == 3)
     assert(eval(WF.fnGlue(array(lit("a"), lit("b")), "-")) == "a-b")
+    // dynamic-separator glue matches, and a null element invalidates the
+    // WHOLE result instead of silently restarting accumulation at "b"
+    assert(eval(WF.fnGlueCol(array(lit("a"), lit("b"), lit("c")), lit("-"))) == "a-b-c")
+    assert(eval(WF.fnGlueCol(
+      array(lit("a"), lit(null).cast("string"), lit("b")), lit("-"))) == null)
   }
 
   test("pack escape round-trip (Value.swift:266-380, WarpCoreTests.swift:134-139)") {

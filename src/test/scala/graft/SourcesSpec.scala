@@ -53,6 +53,33 @@ class SourcesSpec extends SparkSpec {
     assert(typed.schema("s").dataType == StringType)
   }
 
+  test("csv: inferTyped keeps ids beyond 2^53 exact (direct long parse)") {
+    val dir = tmp("csvbig")
+    // 9007199254740993 = 2^53+1: round-trips through double as ...992
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "id,v\n9007199254740993,1\n9223372036854775807,2\n")
+    val typed = CsvSource.inferTyped(CsvSource.read(spark, s"$dir/f.csv"))
+    assert(typed.schema("id").dataType == LongType)
+    val ids = typed.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(9007199254740993L, Long.MaxValue))
+  }
+
+  test("csv: multi-file directory derives header from the FIRST file") {
+    val dir = tmp("csvmulti")
+    // part-1 is lexicographically later and much larger — a naive limit(1)
+    // over the directory scan would pick its first row (Spark packs the
+    // biggest split first)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-0.csv"),
+      "a,b\n1,2\n")
+    val big = new StringBuilder("a,b\n")
+    (1 to 5000).foreach(i => big.append(s"$i,${i * 2}\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part-1.csv"),
+      big.toString)
+    val df = CsvSource.read(spark, dir)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 5001)
+  }
+
   test("csv: empty cells read as empty/null") {
     val dir = tmp("csvempty")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
