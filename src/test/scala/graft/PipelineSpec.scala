@@ -85,6 +85,60 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.contains(7L))
   }
 
+  test("persisted LSH index round-trips and matches the inline path") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toFile.getAbsolutePath + "/idx"
+    Similarity.lshWriteIndex(emb, "embedding", nBits = 16, dim = q.length, path)
+    val fromIndex = Similarity.lshReadTopK(spark, path, "embedding", "vec_id",
+      q, 10, nBits = 16, maxHamming = 8).select("vec_id").as[Long].collect().toSeq
+    val inline = Similarity.lshTopK(emb, "embedding", "vec_id", q, 10,
+      nBits = 16, maxHamming = 8).select("vec_id").as[Long].collect().toSeq
+    assert(fromIndex == inline) // same hyperplane seed => identical result
+  }
+
+  test("persisted IVF index: centroids reload, probe prunes partitions") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toFile.getAbsolutePath + "/idx"
+    val built = Similarity.ivfWriteIndex(emb, "embedding", "vec_id", nCells = 8, path)
+    val loaded = Similarity.ivfReadCentroids(spark, path)
+    assert(loaded.toSeq == built.toSeq) // centroid table survives the round-trip
+    val probe = Similarity.ivfReadTopK(spark, path, loaded,
+      "embedding", "vec_id", q, 5, nProbe = 4)
+    // the __cell isin filter must prune at the FILE level, not post-scan
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      probe.queryExecution.executedPlan.toString.take(2000))
+    assert(probe.select("vec_id").as[Long].collect().contains(7L))
+  }
+
+  test("kNN graph: brute is exact; sketch gate keeps identical planted copies") {
+    val emb = sf("embeddings")
+    // plant an exact copy of vector 7 under a new id: cosine 1, sketch
+    // Hamming 0 — the gate can never drop it
+    val dup = emb.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(1007L))
+    val corpus = emb.unionByName(dup, allowMissingColumns = true)
+
+    val brute = Similarity.knnGraphBrute(corpus, "embedding", "vec_id", 3)
+    val b7 = brute.filter(col("qid") === 7).orderBy(col("cosine").desc)
+      .select("id").as[Long].collect()
+    assert(b7.head == 1007L) // the exact copy is the nearest neighbor
+    // self never appears; per-query cardinality bounded by k
+    assert(brute.filter(col("qid") === col("id")).count() == 0)
+    assert(brute.groupBy("qid").count().agg(max("count")).as[Long].head() <= 3)
+
+    val path = java.nio.file.Files.createTempDirectory("knnidx").toFile.getAbsolutePath + "/idx"
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    Similarity.lshWriteIndex(corpus, "embedding", nBits = 64, dim = dim, path)
+    val gated = Similarity.knnGraphSketch(spark.read.parquet(path),
+      "embedding", "vec_id", 3, maxHamming = 28)
+    val g7 = gated.filter(col("qid") === 7).orderBy(col("cosine").desc)
+      .select("id").as[Long].collect()
+    assert(g7.nonEmpty && g7.head == 1007L)
+    assert(gated.filter(col("qid") === col("id")).count() == 0)
+  }
+
   test("IVF index assigns cells and probes find the query vector") {
     val emb = sf("embeddings")
     val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
