@@ -323,7 +323,8 @@ object SparkEntry {
         .groupBy("n_regionkey")
         .agg(
           WA.warpConcat(col("n_name")).as("all_names"),
-          array_join(WA.warpList(col("n_name")), "|").as("name_list"))
+          array_join(WA.warpList(col("n_name")), "|").as("name_list"),
+          WA.warpPack(col("n_name")).as("packed"))
         .orderBy("n_regionkey")
     }),
 
@@ -456,6 +457,19 @@ object SparkEntry {
       graft.sources.JsonSource.read(s, out)
         .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("long").as("s_nationkey"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- JDBC roundtrip through embedded Derby (in-process, serverless):
+    //      batched-insert sink -> dialect type mapping (BIGINT/CLOB/DOUBLE)
+    //      -> JDBC scan back. Proves the same relation/sink code path the
+    //      server engines (PG/MySQL) use, end-to-end against a real DB
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      val sup = T(s, dir, "supplier")
+        .selectColumns(Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+      val db = s"/tmp/graft_derby_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.JdbcSource.derbyWrite(sup, db, "supplier_rt")
+      graft.sources.JdbcSource.derby(s, db, "supplier_rt")
         .orderBy("s_suppkey")
     }),
 
@@ -858,7 +872,9 @@ object SparkEntry {
     "q_agg_strings" ->
       """SELECT n_regionkey,
          string_agg(n_name, '' ORDER BY n_name) AS all_names,
-         string_agg(n_name, '|' ORDER BY n_name) AS name_list
+         string_agg(n_name, '|' ORDER BY n_name) AS name_list,
+         string_agg(replace(replace(n_name, '$', '$0'), ',', '$1'), ','
+           ORDER BY replace(replace(n_name, '$', '$0'), ',', '$1')) AS packed
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_agg_mincount" ->
       """SELECT user_id,
@@ -1067,6 +1083,9 @@ object SparkEntry {
                   FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
          FROM d ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "q_jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
+         FROM supplier ORDER BY s_suppkey""",
     "q_embed_lsh_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_ivf_build" ->

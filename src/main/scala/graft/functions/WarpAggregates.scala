@@ -69,12 +69,28 @@ object WarpAggregates {
   def warpList(c: Column): Column = sort_array(collect_list(c))
 
   /** Exact median with even-count interpolation (MedianReducer :2143,
-    * .average mode). */
+    * .average mode). MEMORY BOUND: Spark's `median` buffers every value of
+    * a group in one aggregation buffer (TypedImperativeAggregate) — fine
+    * when groups are small, an executor OOM when one group holds a large
+    * fraction of a 100 TB table. For such shapes use [[warpMedianApprox]]. */
   def warpMedian(c: Column): Column = median(c)
+
+  /** Scale path for the median family: `percentile_approx(0.5)` — a
+    * bounded-memory quantile sketch (Greenwald-Khanna) whose buffer size
+    * depends on `accuracy`, NOT on group cardinality. Error bound: the
+    * returned value's rank is within n/accuracy of the true median rank.
+    * Flag-gated alternative like [[warpCountDistinctApprox]]: same
+    * contract, not reference-exact, not oracle-checked. */
+  def warpMedianApprox(c: Column, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(0.5), lit(accuracy))
 
   /** medianLow / medianHigh: lower/upper middle element (MedianReducer
     * .low/.high). Exact via sorted collect — fine for grouped data where a
-    * group fits an executor; not for a 100 TB single group. */
+    * group fits an executor; not for a 100 TB single group. MEMORY BOUND:
+    * `collect_list` holds the whole group in one buffer, like
+    * [[warpMedian]]; the bounded-memory stand-in is [[warpMedianApprox]]
+    * (percentile_approx returns an actual element of the group, i.e. a
+    * low/high-style median, never an interpolated midpoint). */
   def warpMedianLow(c: Column): Column = {
     val arr = sort_array(collect_list(c.cast("double")))
     element_at(arr, ((size(arr) + 1) / 2).cast("int"))

@@ -36,6 +36,26 @@ object JdbcSource {
   def sqlite(spark: SparkSession, file: String, table: String): DataFrame =
     read(spark, s"jdbc:sqlite:$file", table, Map.empty)
 
+  /** Embedded Apache Derby — the in-process, serverless engine (ships with
+    * Spark), filling the same "file-backed SQL database" role SQLite has
+    * in the reference (SQLiteStream.swift:738). It exercises the identical
+    * code path as the server engines: Spark's JDBC relation, dialect type
+    * mapping, batched-insert sink, range-partitioned bulk read. */
+  private val derbyOpts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  def derby(spark: SparkSession, dbDir: String, table: String): DataFrame =
+    read(spark, s"jdbc:derby:$dbDir", table, derbyOpts)
+
+  def derbyPartitioned(spark: SparkSession, dbDir: String, table: String,
+                       partitionColumn: String, lowerBound: Long,
+                       upperBound: Long, numPartitions: Int): DataFrame =
+    readPartitioned(spark, s"jdbc:derby:$dbDir", table, partitionColumn,
+      lowerBound, upperBound, numPartitions, derbyOpts)
+
+  def derbyWrite(df: DataFrame, dbDir: String, table: String,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(df, s"jdbc:derby:$dbDir;create=true", table, derbyOpts, mode)
+
   /** Single-partition read — dimension tables only. */
   def read(spark: SparkSession, url: String, table: String,
            options: Map[String, String]): DataFrame =

@@ -156,6 +156,20 @@ class FunctionsSpec extends SparkSpec {
     assert(one.isNullAt(0))
   }
 
+  test("warpMedianApprox tracks exact median within sketch tolerance") {
+    // real data, real groups: per-returnflag median of l_quantity — the
+    // approx sketch must land within 1 quantity unit of the exact median
+    val l = sf("lineitem")
+    val rows = l.groupBy("l_returnflag").agg(
+      WA.warpMedian(col("l_quantity")).as("exact"),
+      WA.warpMedianApprox(col("l_quantity")).as("approx")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("exact"); val a = r.getAs[Double]("approx")
+      assert(math.abs(e - a) <= 1.0, s"approx $a vs exact $e")
+    }
+  }
+
   test("aggregates: minimumCount suppresses small groups (Aggregation.swift:103-134)") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
     val r = df.groupBy("g").agg(WA.minimumCount(WA.dsum(col("v")), col("v"), 2).as("s"))

@@ -251,6 +251,25 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[String]("crawl_body").startsWith("stub:"))
   }
 
+  test("jdbc: embedded Derby write, read, and range-partitioned bulk read") {
+    import graft.sources.JdbcSource
+    val db = tmp("derbydb") + "/db"
+    val src = sf("nation").select("n_nationkey", "n_name", "n_regionkey")
+    JdbcSource.derbyWrite(src, db, "nation_rt")
+    val back = JdbcSource.derby(spark, db, "nation_rt")
+    assert(back.count() == src.count())
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    // bulk-extract path: the scan splits into range-parallel JDBC queries
+    val part = JdbcSource.derbyPartitioned(spark, db, "nation_rt",
+      "n_nationkey", 0, 25, 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == src.count())
+    // overwrite is idempotent (drop + recreate, not append)
+    JdbcSource.derbyWrite(src, db, "nation_rt")
+    assert(JdbcSource.derby(spark, db, "nation_rt").count() == src.count())
+  }
+
   test("rename step ignores unknown names, is case-insensitive") {
     val df = Seq((1, 2)).toDF("Alpha", "beta")
     val out = df.renameColumns(Map("alpha" -> "a", "nope" -> "x"))
