@@ -460,6 +460,18 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---- DBF roundtrip (reference reader DBFStream.swift:132, writer
+    //      QBEDBFStep.swift): single-file dBase III export then re-read;
+    //      column names shortened to DBF's 10-char limit
+    "q_dbf_roundtrip" -> ((s, dir) => {
+      val sup = T(s, dir, "supplier").select(
+        col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"), col("s_nationkey").as("nation"))
+      val path = s"/tmp/graft_dbf_${Integer.toHexString(dir.hashCode)}.dbf"
+      graft.sources.DbfSource.write(sup, path)
+      graft.sources.DbfSource.read(s, path).orderBy("suppkey")
+    }),
+
     // ---- JDBC roundtrip through embedded Derby (in-process, serverless):
     //      batched-insert sink -> dialect type mapping (BIGINT/CLOB/DOUBLE)
     //      -> JDBC scan back. Proves the same relation/sink code path the
@@ -1086,6 +1098,10 @@ object SparkEntry {
     "q_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
          FROM supplier ORDER BY s_suppkey""",
+    "q_dbf_roundtrip" ->
+      """SELECT s_suppkey AS suppkey, s_name AS name,
+         s_acctbal AS acctbal, s_nationkey AS nation
+         FROM supplier ORDER BY suppkey""",
     "q_embed_lsh_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_ivf_build" ->

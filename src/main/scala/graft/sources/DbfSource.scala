@@ -82,4 +82,103 @@ object DbfSource {
     rows.foreach(list.add)
     spark.createDataFrame(list, schema)
   }
+
+  /** dBase III writer (reference: QBEDBFStep.swift export). DBF is a
+    * single-file desktop EXPORT format: rows stream through the driver
+    * (`toLocalIterator`), exactly like the reference's single-stream
+    * writer — use it for bounded results (a report, a dimension table),
+    * never as a warehouse sink. Column names truncate to DBF's
+    * 10-character limit; strings are written as ISO-8859-1; string field
+    * widths come from ONE aggregate pass over the data (distributed);
+    * unsupported column types fail fast. */
+  def write(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, length, max}
+    val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    val widths: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.map(c => max(length(col(s"`$c`"))).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        strCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 1 else math.min(254, math.max(1, r.getInt(i))))
+        }.toMap
+      }
+    val fields = df.schema.fields.map { f =>
+      val name = f.name.take(10)
+      f.dataType match {
+        case StringType => Field(name, 'C', widths(f.name), 0)
+        case LongType | IntegerType | ShortType | ByteType => Field(name, 'N', 18, 0)
+        case DoubleType | FloatType => Field(name, 'N', 18, 6)
+        case BooleanType => Field(name, 'L', 1, 0)
+        case DateType => Field(name, 'D', 8, 0)
+        case dt => throw new IllegalArgumentException(
+          s"DBF cannot store column ${f.name} of type ${dt.simpleString}")
+      }
+    }
+    val recordSize = 1 + fields.map(_.len).sum
+    val headerSize = 32 + fields.length * 32 + 1
+    val n = df.count()
+    require(n <= Int.MaxValue, "DBF record count is a 32-bit field")
+
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      val header = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val today = java.time.LocalDate.now()
+      header.put(0x03.toByte).put((today.getYear - 1900).toByte)
+        .put(today.getMonthValue.toByte).put(today.getDayOfMonth.toByte)
+      header.putInt(n.toInt).putShort(headerSize.toShort).putShort(recordSize.toShort)
+      out.write(header.array())
+      fields.foreach { f =>
+        val fd = new Array[Byte](32)
+        val nb = f.name.getBytes("ISO-8859-1")
+        System.arraycopy(nb, 0, fd, 0, math.min(nb.length, 10))
+        fd(11) = f.ftype.toByte; fd(16) = f.len.toByte; fd(17) = f.decimals.toByte
+        out.write(fd)
+      }
+      out.write(0x0D)
+
+      val pads = " " * 254
+      def padLeft(s: String, len: Int): String =
+        if (s.length >= len) s else pads.substring(0, len - s.length) + s
+      def padRight(s: String, len: Int): String =
+        if (s.length >= len) s else s + pads.substring(0, len - s.length)
+
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        out.write(' ')
+        var i = 0
+        while (i < fields.length) {
+          val f = fields(i)
+          val cell: String =
+            if (row.isNullAt(i)) pads.substring(0, f.len)
+            else f.ftype match {
+              case 'C' => padRight(row.get(i).toString, f.len)
+              case 'N' =>
+                val s =
+                  if (f.decimals == 0) row.get(i) match {
+                    case l: Long => l.toString
+                    case x => x.toString
+                  }
+                  else String.format(java.util.Locale.ROOT, s"%.${f.decimals}f",
+                    Double.box(row.get(i) match {
+                      case d: Double => d
+                      case fl: Float => fl.toDouble
+                    }))
+                if (s.length > f.len) throw new IllegalArgumentException(
+                  s"value $s overflows DBF field ${f.name}(${f.len})")
+                padLeft(s, f.len)
+              case 'L' => if (row.getBoolean(i)) "T" else "F"
+              case 'D' => row.getAs[java.sql.Date](i).toLocalDate
+                .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+            }
+          out.write(cell.getBytes("ISO-8859-1"))
+          i += 1
+        }
+      }
+      out.write(0x1A)
+    } finally out.close()
+  }
 }

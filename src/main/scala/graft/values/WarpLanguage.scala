@@ -43,9 +43,10 @@ object WarpLanguage {
     functionNames = Map.empty, // canonical names ARE the en names
     postfixes = siPostfixes)
 
-  /** Dutch locale: decimal comma, Excel-NL function spellings
-    * (representative subset of Language.swift:137-358's 108 entries —
-    * the mechanism is the point; extending the table is pure data). */
+  /** Dutch locale: decimal comma, Excel-NL function spellings — the COMPLETE
+    * reference table (Language.swift:252-358, all 108 entries), mapped to
+    * this compiler's canonical spellings (the right-hand sides the formula
+    * dispatcher matches on, see Formula's enAliases for the en synonyms). */
   val nl: WarpLanguage = WarpLanguage(
     id = "nl", decimalSeparator = ",", groupingSeparator = ".",
     argumentSeparator = ";",
@@ -53,28 +54,54 @@ object WarpLanguage {
       "WAAR" -> true, "ONWAAR" -> false, "PI" -> math.Pi,
       "LEEG" -> null, "FOUT" -> Invalid),
     functionNames = Map(
-      "ALS" -> "IF", "ALS.FOUT" -> "IFERROR", "EN" -> "AND", "OF" -> "OR",
-      "NIET" -> "NOT", "GEMIDDELDE" -> "AVERAGE", "SOM" -> "SUM",
-      "AANTAL" -> "COUNT", "AANTALARG" -> "COUNTALL",
-      "AANTAL.UNIEK" -> "COUNTDISTINCT",
-      "MIN" -> "MIN", "MAX" -> "MAX", "ABS" -> "ABS",
-      "BOOGCOS" -> "ACOS", "BOOGSIN" -> "ASIN", "BOOGTAN" -> "ATAN",
-      "COS" -> "COS", "SIN" -> "SIN", "TAN" -> "TAN", "EXP" -> "EXP",
-      "LN" -> "LN", "LOG" -> "LOG", "WORTEL" -> "SQRT",
-      "AFRONDEN" -> "ROUND", "GEHEEL" -> "FLOOR",
-      "KIEZEN" -> "CHOOSE", "LINKS" -> "LEFT", "RECHTS" -> "RIGHT",
-      "MIDDEN" -> "MID", "LENGTE" -> "LENGTH",
-      "KLEINE.LETTERS" -> "LOWER", "HOOFDLETTERS" -> "UPPER",
-      "TEKST.SAMENVOEGEN" -> "CONCAT", "SUBSTITUEREN" -> "SUBSTITUTE",
-      "MEDIAAN" -> "MEDIAN", "MEDIAAN.LAAG" -> "MEDIANLOW",
+      "ABS" -> "ABS", "BOOGCOS" -> "ACOS", "EN" -> "AND",
+      "BOOGSIN" -> "ASIN", "BOOGTAN" -> "ATAN", "GEMIDDELDE" -> "AVERAGE",
+      "KIEZEN" -> "CHOOSE", "TEKST.SAMENVOEGEN" -> "CONCAT",
+      "COS" -> "COS", "COSH" -> "COSH", "AANTAL" -> "COUNT",
+      "AANTALARG" -> "COUNTALL", "EXP" -> "EXP", "ALS" -> "IF",
+      "ALS.FOUT" -> "IFERROR", "LINKS" -> "LEFT", "LENGTE" -> "LENGTH",
+      "LN" -> "LN", "LOG" -> "LOG", "KLEINE.LETTERS" -> "LOWER",
+      "MAX" -> "MAX", "DEEL" -> "MID", "MIN" -> "MIN", "NIET" -> "NOT",
+      "OF" -> "OR", "ASELECTTUSSEN" -> "RANDOMBETWEEN", "ASELECT" -> "RANDOM",
+      "RECHTS" -> "RIGHT", "AFRONDEN" -> "ROUND", "SIN" -> "SIN",
+      "SINH" -> "SINH", "WORTEL" -> "SQRT",
+      "SUBSTITUEREN.PATROON" -> "REGEXSUBSTITUTE",
+      "SUBSTITUEREN" -> "SUBSTITUTE", "SOM" -> "SUM", "TAN" -> "TAN",
+      "TANH" -> "TANH", "SPATIES.WISSEN" -> "TRIM",
+      "HOOFDLETTERS" -> "UPPER", "EX.OF" -> "XOR",
+      "EERSTE.GELDIG" -> "COALESCE", "WAARDEN.INPAKKEN" -> "PACKSCALAR",
+      "NORM.INV.N" -> "NORMAL.INV", "POS.NEG" -> "SIGN",
+      "SPLITS" -> "SPLIT", "ITEMS" -> "ITEMS",
+      "GELIJKENIS" -> "LEVENSHTEIN", "URL.CODEREN" -> "URLENCODE",
+      "IN" -> "IN", "NIET.IN" -> "NOTIN", "KLEINSTE" -> "MIN",
+      "GROOTSTE" -> "MAX", "BEGINLETTERS" -> "PROPER", "NU" -> "NOW",
+      "NAAR.UNIX" -> "TO.UNIX", "VAN.UNIX" -> "FROM.UNIX",
+      "NAAR.ISO8601.UTC" -> "TO.ISO8601",
+      "NAAR.ISO8601" -> "TO.LOCALISO8601", "VAN.ISO8601" -> "FROM.ISO8601",
+      "NAAR.EXCELDATUM" -> "TO.EXCELDATE",
+      "VAN.EXCELDATUM" -> "FROM.EXCELDATE", "DATUM.UTC" -> "DATE.UTC",
+      "JAAR.UTC" -> "YEAR.UTC", "MAAND.UTC" -> "MONTH.UTC",
+      "DAG.UTC" -> "DAY.UTC", "UUR.UTC" -> "HOUR.UTC",
+      "MINUUT.UTC" -> "MINUTE.UTC", "SECONDE.UTC" -> "SECOND.UTC",
+      "TIJDSDUUR" -> "DURATION", "NA" -> "AFTER", "OMKEREN" -> "NEGATE",
+      "AFRONDEN.BOVEN" -> "CEILING", "AFRONDEN.BENEDEN" -> "FLOOR",
+      "ASELECTTEKST" -> "RANDOMSTRING", "SCHRIJF.DATUM" -> "WRITE.DATE",
+      "LEES.DATUM" -> "READ.DATE", "MACHT" -> "POWER", "UUID" -> "UUID",
+      "AANTAL.UNIEK" -> "COUNTDISTINCT", "MEDIAAN.LAAG" -> "MEDIANLOW",
       "MEDIAAN.HOOG" -> "MEDIANHIGH", "MEDIAAN.PAKKET" -> "MEDIANPACK",
-      "LIJST" -> "LIST", "INPAKKEN" -> "PACK.LIST",
-      "UITPAKKEN" -> "UNPACK.LIST", "LIJMEN" -> "GLUE",
-      "NAAR.JSON" -> "JSON.ENCODE", "LEES.GETAL" -> "PARSENUMBER",
+      "MEDIAAN" -> "MEDIAN", "STDEV.P" -> "STDEV.P", "STDEV.S" -> "STDEV.S",
+      "VAR.P" -> "VAR.P", "VAR.S" -> "VAR.S", "VAN.JSON" -> "JSON.DECODE",
+      "LEES.GETAL" -> "PARSENUMBER", "HILBERT.D" -> "HILBERT.XY.TO.D",
+      "HILBERT.X" -> "HILBERT.D.TO.X", "HILBERT.Y" -> "HILBERT.D.TO.Y",
       "MACHT.OMHOOG" -> "POWER.UP", "MACHT.OMLAAG" -> "POWER.DOWN",
       "BASE64.ENCODEREN" -> "BASE64.ENCODE",
       "BASE64.DECODEREN" -> "BASE64.DECODE",
-      "HEX.ENCODEREN" -> "HEX.ENCODE", "HEX.DECODEREN" -> "HEX.DECODE"),
+      "HEX.ENCODEREN" -> "HEX.ENCODE", "HEX.DECODEREN" -> "HEX.DECODE",
+      "ENCODEREN" -> "ENCODE", "DECODEREN" -> "DECODE",
+      "GROOTTE.VAN" -> "NUMBEROFBYTES", "LIJST" -> "LIST",
+      "INPAKKEN" -> "PACK.LIST", "UITPAKKEN" -> "UNPACK.LIST",
+      "INVOEGEN" -> "APPEND", "INVOEGEN.LIJST" -> "APPENDLIST",
+      "NAAR.JSON" -> "JSON.ENCODE", "LIJMEN" -> "GLUE"),
     postfixes = siPostfixes)
 
   val byId: Map[String, WarpLanguage] = Seq(en, nl).map(l => l.id -> l).toMap

@@ -100,6 +100,23 @@ class FormulaSpec extends SparkSpec {
       }
   }
 
+  test("nl: all 108 reference spellings parse to their canonical and round-trip") {
+    val nl = graft.values.WarpLanguage.nl
+    assert(nl.functionNames.size == 108) // complete Language.swift:252-358 table
+    nl.functionNames.foreach { case (local, canon) =>
+      Formula.parse(s"=$local(1)", nl) match {
+        case Formula.Call(fn, _) => assert(fn == canon, s"$local -> $fn, want $canon")
+        case other => fail(s"$local parsed to $other")
+      }
+      // unparse under nl, re-parse under nl: the canonical must survive
+      val e = Formula.parse(s"=$local(1)", nl)
+      Formula.parse("=" + Formula.toFormula(e, nl), nl) match {
+        case Formula.Call(fn, _) => assert(fn == canon, s"$local round-trip lost $canon")
+        case other => fail(s"$local round-tripped to $other")
+      }
+    }
+  }
+
   test("constant folding: Catalyst folds literal subtrees (Expression.swift:43-48)") {
     // use a Range input (a LocalRelation would hide the folded Project);
     // the alias keeps the attribute name independent of the input tree

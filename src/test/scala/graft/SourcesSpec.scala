@@ -229,6 +229,29 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(0) == "BETA" && !rows(1).getBoolean(3))
   }
 
+  test("dbf: writer round-trips types, nulls, and the 10-char name limit") {
+    val path = tmp("dbfw") + "/w.dbf"
+    val df = Seq(
+      (1L, "alpha", 1.25, true, "2020-03-05"),
+      (2L, "bé", -0.5, false, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], 1234567.875, true, "1999-12-31"))
+      .toDF("id", "name", "ratio_of_something", "ok", "d")
+      .withColumn("d", col("d").cast(DateType))
+    graft.sources.DbfSource.write(df, path)
+    val back = graft.sources.DbfSource.read(spark, path)
+    // name truncated to 10 chars; types survive (N,0 -> long; N,6 -> double)
+    assert(back.columns.toSeq == Seq("id", "name", "ratio_of_s", "ok", "d"))
+    assert(back.schema("id").dataType == LongType)
+    assert(back.schema("ratio_of_s").dataType == DoubleType)
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "alpha" && rows(0).getDouble(2) == 1.25)
+    assert(rows(1).getString(1) == "bé") // ISO-8859-1 text survives
+    assert(rows(1).getDouble(2) == -0.5 && !rows(1).getBoolean(3))
+    assert(rows(1).isNullAt(4) && rows(2).isNullAt(1))
+    assert(rows(2).getDouble(2) == 1234567.875)
+    assert(rows(2).getDate(4).toString == "1999-12-31")
+  }
+
   test("xml: round-trips the reference's graph/grid export shape (QBEXMLStep.swift:41-110)") {
     val df = Seq((1L, "a<b", null.asInstanceOf[String]), (2L, "y&z", "ok"))
       .toDF("id", "name", "note")
