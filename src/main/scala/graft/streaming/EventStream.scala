@@ -59,6 +59,34 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Watermarked stream-stream INTERVAL join (events ⋈ marks): each event
+    * joins the marks of the same key whose timestamp lies within
+    * [event.ts - tolerance, event.ts]. Both inputs carry watermarks and
+    * the time-range predicate is part of the join condition — that pair is
+    * what lets Spark EXPIRE join state on both sides (a mark older than
+    * every possible future event ages out), the requirement for an
+    * unbounded stream-stream join to run indefinitely. The batch
+    * equivalent is [[graft.ops.RangeJoin]] with the same predicate
+    * (equivalence pinned in StreamingSpec); the as-of "latest mark only"
+    * refinement is a downstream max-by aggregation per event.
+    *
+    * `events` needs columns (key, ts, ...); `marks` needs (key, mts, ...).
+    * Mark columns other than the key are carried through. */
+  def intervalJoinMarks(events: DataFrame, marks: DataFrame, keyCol: String,
+                        tolerance: String,
+                        lateness: String = "10 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", lateness).alias("e")
+    val m = marks.withWatermark("mts", lateness).alias("m")
+    val cond =
+      col(s"e.$keyCol") === col(s"m.$keyCol") &&
+        col("m.mts") >= col("e.ts") - expr(s"INTERVAL $tolerance") &&
+        col("m.mts") <= col("e.ts")
+    val markCols = marks.columns.filter(_ != keyCol)
+      .map(c => col(s"m.`$c`")).toSeq
+    e.join(m, cond, "inner")
+      .select(events.columns.map(c => col(s"e.`$c`")).toSeq ++ markCols: _*)
+  }
+
   /** Per-user sessionization with an inactivity gap: custom state via
     * mapGroupsWithState. State per key is one small struct.
     *

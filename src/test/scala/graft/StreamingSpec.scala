@@ -38,6 +38,51 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoinMarks: stream-stream join equals the batch range join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      Event(1L, "click", ts(10), 1.0), Event(1L, "view", ts(20), 2.0),
+      Event(2L, "click", ts(15), 3.0), Event(3L, "view", ts(30), 4.0))
+    val marks: Seq[(Long, java.sql.Timestamp, String)] = Seq(
+      (1L, ts(5), "a"),  // within 10 min of the ts(10) event only
+      (1L, ts(19), "b"), // within 10 min of ts(20)
+      (2L, ts(15), "c"), // exactly at the event: inclusive bound
+      (2L, ts(16), "d"), // AFTER the event: excluded
+      (3L, ts(1), "e"))  // older than the tolerance: excluded
+
+    val es = MemoryStream[Event]; val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = EventStream.intervalJoinMarks(
+      es.toDF(), ms.toDF().toDF("user_id", "mts", "mark"),
+      "user_id", tolerance = "10 minutes")
+    val query = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      // two micro-batches with interleaved arrival order
+      es.addData(events.take(2): _*)
+      ms.addData(marks.take(3): _*)
+      query.processAllAvailable()
+      es.addData(events.drop(2): _*)
+      ms.addData(marks.drop(3): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("ij")
+        .select("user_id", "ts", "mts", "mark")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, String)].collect().toSet
+
+      // batch equivalent: same predicate as a plain range join
+      val be = events.toDF().alias("e")
+      val bm = marks.toDF("user_id", "mts", "mark").alias("m")
+      val batch = be.join(bm,
+          col("e.user_id") === col("m.user_id") &&
+            col("m.mts") >= col("e.ts") - expr("INTERVAL 10 minutes") &&
+            col("m.mts") <= col("e.ts"))
+        .select(col("e.user_id"), col("e.ts"), col("m.mts"), col("m.mark"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, String)].collect().toSet
+
+      assert(streamed == batch)
+      assert(streamed.map(_._4) == Set("a", "b", "c")) // d and e excluded
+    } finally query.stop()
+  }
+
   test("sessionize: per-user state survives micro-batches, gap restarts session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
