@@ -36,6 +36,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_embed_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_embed_ivf: probe prunes non-probed cells at the file level") {
+    // the __cell isin filter must appear as a PartitionFilter on the scan
+    // (file-level pruning), not a post-scan Filter over all cells
+    assert(plan("q_embed_ivf").contains("PartitionFilters: [__cell"),
+      plan("q_embed_ivf").take(2000))
+  }
+
+  test("q_embed_knn_lsh: sketch gate runs inside the join, before any cosine") {
+    val p = plan("q_embed_knn_lsh")
+    // the all-pairs enumeration is a DELIBERATE broadcast nested-loop join
+    // whose condition is the cheap bit_count gate — survivors only reach
+    // the projected dot product
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("bit_count"), p.take(2000))
+  }
+
   test("dedup pair queries never degrade to cartesian/nested-loop joins") {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash")) {
       val p = plan(q)
