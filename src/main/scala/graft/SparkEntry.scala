@@ -48,9 +48,17 @@ object SparkEntry {
   // q_embed_lsh / q_embed_ivf then measure only the probe against the
   // persisted index — the number a user sees per query in steady state.
 
-  /** Index root keyed by the data directory so SFs never share an index. */
-  private def idxRoot(dir: String): String =
-    s"/tmp/graft_index_${Integer.toHexString(dir.hashCode)}"
+  /** Index root keyed by the data directory AND the embeddings file's
+    * (mtime, size) fingerprint: different SFs never share an index, and
+    * REGENERATED data at the same path invalidates the old index instead
+    * of silently probing stale neighbors. */
+  private def idxRoot(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val fp = (dir, st.getModificationTime, st.getLen).hashCode()
+    s"/tmp/graft_index_${Integer.toHexString(fp)}"
+  }
 
   private def indexExists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
@@ -68,7 +76,7 @@ object SparkEntry {
   def ensureLshIndex(s: SparkSession, dir: String): String = {
     // param-versioned path: a sketch of different width must never be
     // mistaken for the current index
-    val path = s"${idxRoot(dir)}/lsh$LshBits"
+    val path = s"${idxRoot(s, dir)}/lsh$LshBits"
     if (!indexExists(s, path)) {
       val emb = T(s, dir, "embeddings")
       graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
@@ -80,7 +88,7 @@ object SparkEntry {
   /** Build-if-missing; returns the IVF index path (centroids persisted
     * beside it). */
   def ensureIvfIndex(s: SparkSession, dir: String): String = {
-    val path = s"${idxRoot(dir)}/ivf"
+    val path = s"${idxRoot(s, dir)}/ivf"
     if (!indexExists(s, path)) {
       val emb = T(s, dir, "embeddings")
       graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
@@ -669,7 +677,7 @@ object SparkEntry {
     //      later probe; oracle = index row count equals corpus count)
     "q_embed_lsh_build" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val path = s"${idxRoot(dir)}/lsh$LshBits"
+      val path = s"${idxRoot(s, dir)}/lsh$LshBits"
       graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
         nBits = LshBits, dim = embDim(emb), path)
       s.read.parquet(path).agg(count(lit(1)).as("n"))
@@ -713,7 +721,7 @@ object SparkEntry {
     //      (oracle = index row count equals corpus count)
     "q_embed_ivf_build" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val path = s"${idxRoot(dir)}/ivf"
+      val path = s"${idxRoot(s, dir)}/ivf"
       graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
         nCells = 16, path)
       s.read.parquet(path).agg(count(lit(1)).as("n"))

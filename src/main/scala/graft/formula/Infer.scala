@@ -65,8 +65,11 @@ object Infer {
         case "-" => for (a <- num(l); b <- num(r)) yield a - b
         case "*" => for (a <- num(l); b <- num(r)) yield a * b
         case "/" => for (a <- num(l); b <- num(r); if b != 0.0) yield a / b
+        // StrictMath, not math.pow: Spark's Pow evaluates StrictMath.pow
+        // (platform-reproducible), while the Math.pow intrinsic can differ
+        // in the last ulp — enough to fail the differential property
         case "^" => for (a <- num(l); b <- num(r);
-                         v = math.pow(a, b); if !v.isNaN) yield v
+                         v = StrictMath.pow(a, b); if !v.isNaN) yield v
         case "&" => for (a <- str(l); b <- str(r)) yield a + b
         case _   => None
       }

@@ -226,10 +226,13 @@ object WarpFunctions {
     * `concat` would null the accumulator and the next element would
     * silently RESTART accumulation, dropping the prefix. */
   def fnGlueCol(arr: Column, sep: Column): Column = {
+    val s = Warp.str(sep)
     val joined = aggregate(arr, lit(null).cast(StringType), (acc, v) =>
       when(acc.isNull, v.cast(StringType))
-        .otherwise(concat(acc, Warp.str(sep), v.cast(StringType))))
-    when(exists(arr, v => v.isNull), lit(null).cast(StringType))
+        .otherwise(concat(acc, s, v.cast(StringType))))
+    // a null separator has the same restart-the-fold failure mode as a
+    // null element: both invalidate the WHOLE result
+    when(s.isNull || exists(arr, v => v.isNull), lit(null).cast(StringType))
       .otherwise(joined)
   }
   def fnLevenshtein(a: Column, b: Column): Column = levenshtein(Warp.str(a), Warp.str(b))

@@ -68,7 +68,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-                   jaccardThreshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                   jaccardThreshold: Double = 0.8, maxBucket: Int = 1000,
+                   materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -128,10 +129,15 @@ object Dedup {
       .select("id1", "id2", "jaccard")
     // materialize the (small) pairs result eagerly so the corpus-sized
     // cached intermediate can be released NOW — otherwise repeated pipeline
-    // invocations in one session accumulate cached frames indefinitely
-    val out = result.localCheckpoint(true)
-    withSh.unpersist()
-    out
+    // invocations in one session accumulate cached frames indefinitely.
+    // materialize=false keeps the lazy plan (no cache cleanup): for plan
+    // inspection/audits, or callers that manage the cache themselves
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      withSh.unpersist()
+      out
+    }
   }
 
   /** Exact n-gram Jaccard similarity of two shingle arrays. */
@@ -168,7 +174,7 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      cosineThreshold: Double = 0.9, nBits: Int = 32,
                      bands: Int = 4, dim: Int = -1, seed: Long = 42L,
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = 1000, materialize: Boolean = true): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rows = nBits / bands
     val mask = (1L << rows) - 1
@@ -207,10 +213,13 @@ object Dedup {
       .filter(col("cosine") >= cosineThreshold)
       .select("id1", "id2", "cosine")
     // eager pairs materialization -> release the cached sketch frame (see
-    // minhashPairs; same leak shape)
-    val out = result.localCheckpoint(true)
-    sk.unpersist()
-    out
+    // minhashPairs; same leak shape and same materialize=false escape hatch)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      sk.unpersist()
+      out
+    }
   }
 
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine

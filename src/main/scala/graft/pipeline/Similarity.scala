@@ -216,10 +216,12 @@ object Similarity {
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
                     nCells: Int, path: String, seed: Long = 42L): Array[Seq[Float]] = {
     val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
-    // persist the (tiny) centroid table beside the index so later sessions
-    // can probe without re-running the build (sibling path — a stray
-    // subdirectory would break the cell-partition discovery of `path`)
+    // centroids FIRST: the main index's _SUCCESS is the build-complete
+    // marker (ensure* checks it), so everything it implies must already
+    // exist — a crash between the two writes must never leave a
+    // probe-breaking index that looks finished.
+    // (Sibling path: a stray subdirectory inside `path` would break its
+    // cell-partition discovery.)
     val spark = df.sparkSession
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(
@@ -233,6 +235,7 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType), nullable = false))))
       .write.mode("overwrite").parquet(centroidsPath(path))
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     centroids
   }
 

@@ -71,9 +71,15 @@ object WarpExtensions {
         case n: Long if n >= Int.MinValue && n <= Int.MaxValue => n.toInt
         case n: Short => n.toInt
         case n: Byte => n.toInt
-        case other =>
-          throw new IllegalArgumentException(
-            s"argument ${i + 1} must be a literal integer, got $other")
+        case d: org.apache.spark.sql.types.Decimal if d.toLong == d.toDouble =>
+          d.toInt
+        case other => // quoted numerals ('5') keep working, like before
+          val s = String.valueOf(other)
+          try s.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"argument ${i + 1} must be a literal integer, got '$s'")
+          }
       }
     }
 }

@@ -92,17 +92,19 @@ object DbfSource {
     * widths come from ONE aggregate pass over the data (distributed);
     * unsupported column types fail fast. */
   def write(df: DataFrame, path: String): Unit = {
-    import org.apache.spark.sql.functions.{col, length, max}
+    import org.apache.spark.sql.functions.{col, count, length, lit, max}
     val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    val widths: Map[String, Int] =
-      if (strCols.isEmpty) Map.empty
-      else {
-        val aggs = strCols.map(c => max(length(col(s"`$c`"))).as(c))
-        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        strCols.zipWithIndex.map { case (c, i) =>
-          c -> (if (r.isNullAt(i)) 1 else math.min(254, math.max(1, r.getInt(i))))
-        }.toMap
-      }
+    // ONE aggregate pass decides the string widths AND the header record
+    // count, so a changing/nondeterministic source cannot give the header
+    // a different row count than the layout was sized for
+    val (widths: Map[String, Int], n: Long) = {
+      val aggs = strCols.map(c => max(length(col(s"`$c`"))).as(c)) :+
+        count(lit(1)).as("__n")
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (strCols.zipWithIndex.map { case (c, i) =>
+        c -> (if (r.isNullAt(i)) 1 else math.min(254, math.max(1, r.getInt(i))))
+      }.toMap, r.getLong(strCols.length))
+    }
     val fields = df.schema.fields.map { f =>
       val name = f.name.take(10)
       f.dataType match {
@@ -117,7 +119,6 @@ object DbfSource {
     }
     val recordSize = 1 + fields.map(_.len).sum
     val headerSize = 32 + fields.length * 32 + 1
-    val n = df.count()
     require(n <= Int.MaxValue, "DBF record count is a 32-bit field")
 
     val out = new java.io.BufferedOutputStream(
@@ -142,8 +143,13 @@ object DbfSource {
       val pads = " " * 254
       def padLeft(s: String, len: Int): String =
         if (s.length >= len) s else pads.substring(0, len - s.length) + s
-      def padRight(s: String, len: Int): String =
-        if (s.length >= len) s else s + pads.substring(0, len - s.length)
+      // C values truncate at the field width (dBase semantics; width is the
+      // observed max capped at 254, so truncation only fires at the cap) —
+      // writing past the slot would shift every later field and row
+      def fitRight(s: String, len: Int): String =
+        if (s.length > len) s.substring(0, len)
+        else if (s.length == len) s
+        else s + pads.substring(0, len - s.length)
 
       val it = df.toLocalIterator()
       while (it.hasNext) {
@@ -155,7 +161,7 @@ object DbfSource {
           val cell: String =
             if (row.isNullAt(i)) pads.substring(0, f.len)
             else f.ftype match {
-              case 'C' => padRight(row.get(i).toString, f.len)
+              case 'C' => fitRight(row.get(i).toString, f.len)
               case 'N' =>
                 val s =
                   if (f.decimals == 0) row.get(i) match {
@@ -171,8 +177,12 @@ object DbfSource {
                   s"value $s overflows DBF field ${f.name}(${f.len})")
                 padLeft(s, f.len)
               case 'L' => if (row.getBoolean(i)) "T" else "F"
-              case 'D' => row.getAs[java.sql.Date](i).toLocalDate
-                .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+              case 'D' =>
+                val d8 = row.getAs[java.sql.Date](i).toLocalDate
+                  .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+                if (d8.length != 8) throw new IllegalArgumentException(
+                  s"date $d8 does not fit DBF's yyyymmdd field ${f.name}")
+                d8
             }
           out.write(cell.getBytes("ISO-8859-1"))
           i += 1

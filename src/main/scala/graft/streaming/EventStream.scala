@@ -75,10 +75,13 @@ object EventStream {
   def intervalJoinMarks(events: DataFrame, marks: DataFrame, keyCol: String,
                         tolerance: String,
                         lateness: String = "10 minutes"): DataFrame = {
+    val collisions = (marks.columns.toSet - keyCol) intersect events.columns.toSet
+    require(collisions.isEmpty,
+      s"rename mark columns colliding with event columns: ${collisions.mkString(", ")}")
     val e = events.withWatermark("ts", lateness).alias("e")
     val m = marks.withWatermark("mts", lateness).alias("m")
     val cond =
-      col(s"e.$keyCol") === col(s"m.$keyCol") &&
+      col(s"e.`$keyCol`") === col(s"m.`$keyCol`") &&
         col("m.mts") >= col("e.ts") - expr(s"INTERVAL $tolerance") &&
         col("m.mts") <= col("e.ts")
     val markCols = marks.columns.filter(_ != keyCol)

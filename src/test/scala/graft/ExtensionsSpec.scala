@@ -62,6 +62,10 @@ class ExtensionsSpec extends SparkSpec {
   test("kernel misuse fails at analysis with a readable message") {
     Graft.install(spark)
     Seq((1L, "txt")).toDF("id", "text").createOrReplaceTempView("sqldocs2")
+    // quoted numerals still work (pre-existing lenient behavior)
+    val lenient = spark.sql(
+      "SELECT size(shingle_hashes(text, '1')) AS n FROM sqldocs2").collect()(0)
+    assert(lenient.getAs[Int]("n") == 1)
     // non-literal size argument: rejected when the function is built
     val e1 = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(text, id) FROM sqldocs2").collect()

@@ -101,6 +101,9 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(WF.fnGlueCol(array(lit("a"), lit("b"), lit("c")), lit("-"))) == "a-b-c")
     assert(eval(WF.fnGlueCol(
       array(lit("a"), lit(null).cast("string"), lit("b")), lit("-"))) == null)
+    // a null SEPARATOR has the same restart-accumulation hazard: invalid
+    assert(eval(WF.fnGlueCol(
+      array(lit("a"), lit("b"), lit("c")), lit(null).cast("string"))) == null)
   }
 
   test("pack escape round-trip (Value.swift:266-380, WarpCoreTests.swift:134-139)") {

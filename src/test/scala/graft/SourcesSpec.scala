@@ -252,6 +252,17 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getDate(4).toString == "1999-12-31")
   }
 
+  test("dbf: writer truncates at the 254 width cap without shifting fields") {
+    val path = tmp("dbfcap") + "/cap.dbf"
+    val long300 = "x" * 300
+    val df = Seq((1L, long300, true), (2L, "short", false)).toDF("id", "s", "ok")
+    graft.sources.DbfSource.write(df, path)
+    val back = graft.sources.DbfSource.read(spark, path).orderBy("id").collect()
+    assert(back(0).getString(1) == "x" * 254) // truncated at the cap
+    assert(back(0).getBoolean(2) && !back(1).getBoolean(2)) // later fields intact
+    assert(back(1).getString(1) == "short")
+  }
+
   test("xml: round-trips the reference's graph/grid export shape (QBEXMLStep.swift:41-110)") {
     val df = Seq((1L, "a<b", null.asInstanceOf[String]), (2L, "y&z", "ok"))
       .toDF("id", "name", "note")
