@@ -31,6 +31,8 @@ object WarpLanguage {
     "d" -> 1e-1, "c" -> 1e-2, "m" -> 1e-3, "µ" -> 1e-6, "n" -> 1e-9,
     "p" -> 1e-12, "f" -> 1e-15, "a" -> 1e-18, "z" -> 1e-21, "y" -> 1e-24,
     "Ki" -> 1024.0, "Mi" -> 1024.0 * 1024, "Gi" -> 1024.0 * 1024 * 1024,
+    // the reference's Ti is 1024^3 (Language.swift:115 repeats Gi — an
+    // obvious typo in its public table); we use the correct 1024^4
     "Ti" -> 1024.0 * 1024 * 1024 * 1024,
     "%" -> 0.01, "‰" -> 0.001, "‱" -> 0.0001)
 
@@ -38,7 +40,9 @@ object WarpLanguage {
     id = "en", decimalSeparator = ".", groupingSeparator = ",",
     argumentSeparator = ";",
     constants = Map(
-      "TRUE" -> true, "FALSE" -> false, "PI" -> math.Pi,
+      // 3.141592654, not math.Pi: the reference's PI constant is this
+      // rounded literal (Language.swift:73) — formulas must match it
+      "TRUE" -> true, "FALSE" -> false, "PI" -> 3.141592654,
       "NULL" -> null, "EMPTY" -> null, "ERROR" -> Invalid),
     functionNames = Map.empty, // canonical names ARE the en names
     postfixes = siPostfixes)
@@ -51,7 +55,7 @@ object WarpLanguage {
     id = "nl", decimalSeparator = ",", groupingSeparator = ".",
     argumentSeparator = ";",
     constants = Map(
-      "WAAR" -> true, "ONWAAR" -> false, "PI" -> math.Pi,
+      "WAAR" -> true, "ONWAAR" -> false, "PI" -> 3.141592654,
       "LEEG" -> null, "FOUT" -> Invalid),
     functionNames = Map(
       "ABS" -> "ABS", "BOOGCOS" -> "ACOS", "EN" -> "AND",
