@@ -148,4 +148,41 @@ class PropertySpec extends SparkSpec {
       names.distinct.foreach(n => assert(out.contains(n)))
     }
   }
+
+  test("dbf: write-read roundtrip is the identity on its value domain") {
+    // the format's own lossy edges are excluded by construction: strings
+    // are Latin-1 without leading/trailing blanks ("" reads as null), and
+    // field widths stay under the 254 cap (truncation tested separately)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val latin1: Gen[String] = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('é', 'ß', 'ñ', '#', '_'))).map(_.mkString))
+    val genRow: Gen[(String, Long, Double, Boolean)] = for {
+      s <- latin1
+      // dBase III N fields are 18 chars wide: 17 digits + sign is the
+      // format's own long domain (wider values throw, tested elsewhere)
+      l <- Gen.choose(-99999999999999999L, 99999999999999999L)
+      d <- Gen.choose(-1e9, 1e9).map(d => math.rint(d * 1e6) / 1e6) // 6-dec domain
+      b <- Gen.oneOf(true, false)
+    } yield (s, l, d, b)
+
+    val schema = StructType(Seq(StructField("s", StringType),
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("b", BooleanType)))
+    for (trial <- 1 to 3) {
+      val rows = samples(genRow, 40).zipWithIndex
+        .map { case ((s, l, d, b), i) => Row(s + i, l, d, b) } // unique keys
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      val path = java.nio.file.Files.createTempDirectory("dbfprop")
+        .toFile.getAbsolutePath + s"/p$trial.dbf"
+      graft.sources.DbfSource.write(df, path)
+      val back = graft.sources.DbfSource.read(spark, path)
+      assert(back.orderBy("s").collect().toSeq ==
+        df.orderBy("s").collect().toSeq)
+    }
+  }
 }

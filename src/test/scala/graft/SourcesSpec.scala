@@ -252,6 +252,19 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getDate(4).toString == "1999-12-31")
   }
 
+  test("jdbc: Derby roundtrip preserves nulls and negative doubles") {
+    import graft.sources.JdbcSource
+    val db = tmp("derbynull") + "/db"
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "alpha", -2.5), (2L, null, 0.0), (3L, "gamma", null))
+      .toDF("id", "name", "score")
+    JdbcSource.derbyWrite(df, db, "t_nulls")
+    val back = JdbcSource.derby(spark, db, "t_nulls").orderBy("id").collect()
+    assert(back(1).isNullAt(1) && back(2).isNullAt(2))
+    assert(back(0).getDouble(2) == -2.5 && back(1).getDouble(2) == 0.0)
+    assert(back(0).getString(1) == "alpha" && back(2).getString(1) == "gamma")
+  }
+
   test("dbf: writer truncates at the 254 width cap without shifting fields") {
     val path = tmp("dbfcap") + "/cap.dbf"
     val long300 = "x" * 300
