@@ -57,7 +57,11 @@ object WarpAggregates {
 
   /** concat: string concatenation (ConcatenationReducer :2096). Reference
     * order is stream order, explicitly unspecified across wavefronts —
-    * we pin value order so results are deterministic and distributable. */
+    * we pin value order so results are deterministic and distributable.
+    * MEMORY BOUND: like every collecting aggregate here (concat/pack/list),
+    * the whole group's values sit in one aggregation buffer — inherent to
+    * the result type (the output IS the group); keep group cardinality
+    * bounded at warehouse scale. */
   def warpConcat(c: Column): Column =
     array_join(sort_array(collect_list(c.cast("string"))), "")
 
