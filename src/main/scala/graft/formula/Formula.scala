@@ -113,8 +113,12 @@ object Formula {
       l
     }
 
+    // NO '-' here, matching the percent-postfix lookahead: the reference
+    // grammar has no binary % at all (modulus is `~`, Formula.swift:329),
+    // so `10%-3` must read as (10%)-3 with or without spaces — a `-` after
+    // % is subtraction from the percent value, never a modulo operand
     private def startsOperand: Boolean =
-      !eof && (peek.isDigit || peek.isLetter || "([{@#\"-".contains(peek))
+      !eof && (peek.isDigit || peek.isLetter || "([{@#\"".contains(peek))
 
     private def parsePow(): Expr = {
       val l = parseUnary()
@@ -286,9 +290,14 @@ object Formula {
 
   def toFormula(e: Expr, lang: graft.values.WarpLanguage): String = {
     import graft.values.WarpLanguage
-    // canonical -> localized spelling (first mapping wins)
+    // canonical -> localized spelling. Built with a first-wins fold: nl
+    // maps several spellings to one canonical (MIN/KLEINSTE, MAX/GROOTSTE)
+    // and Map.map would keep an arbitrary hash-order "last" one
     lazy val localName: Map[String, String] =
-      lang.functionNames.map { case (local, canon) => canon -> local }
+      lang.functionNames.foldLeft(Map.empty[String, String]) {
+        case (acc, (local, canon)) =>
+          if (acc.contains(canon)) acc else acc + (canon -> local)
+      }
     def constant(v: Any): Option[String] =
       lang.constants.collectFirst { case (name, cv) if cv == v => name }
     def num(d: Double): String = {
@@ -301,7 +310,10 @@ object Formula {
       case Lit(null)        => constant(null).getOrElse("NULL")
       case Lit(true)        => constant(true).getOrElse("TRUE")
       case Lit(false)       => constant(false).getOrElse("FALSE")
-      case Lit(s: String)   => "\"" + s.replace("\"", "\\\"") + "\""
+      // backslash FIRST: the parser treats \x as an escape for any x, so
+      // an unescaped backslash before a quote would swallow the terminator
+      case Lit(s: String)   =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       case Lit(d: Double)   => num(d)
       case Lit(v)           => v.toString
       case Identity         => "@"
@@ -354,8 +366,10 @@ object Formula {
       val vs = items.map(compileWV(_, ctx))
       WV(array(vs.map(_.v): _*), vs.map(_.inv).foldLeft(lit(false))(_ || _), None)
     case Index(t, i)     =>
+      // fnNth, not bare element_at: under ANSI (Spark 4 default) an
+      // out-of-range or zero index must become invalid, not kill the job
       Warp.liftCallW(Seq(compileWV(t, ctx), compileWV(i, ctx))) {
-        case Seq(a, ix) => element_at(a, ix.cast("int")) }
+        case Seq(a, ix) => WF.fnNth(a, ix) }
     case Lookup(t, k)    =>
       Warp.liftCallW(Seq(compileWV(t, ctx), compileWV(k, ctx))) {
         case Seq(a, key) => WF.fnValueForKey(a, key) }
@@ -384,6 +398,9 @@ object Formula {
     case Call("ROUND", List(x, Lit(d))) if d.isInstanceOf[Double] || d.isInstanceOf[Long] =>
       val decimals = d match { case l: Long => l.toInt; case dd: Double => dd.toInt }
       Warp.liftCallW(Seq(compileWV(x, ctx)))(as => WF.fnRoundTo(as.head, decimals))
+    case Call("ROUND", List(x, n)) => // dynamic decimals (non-literal operand)
+      Warp.liftCallW(Seq(compileWV(x, ctx), compileWV(n, ctx))) {
+        case Seq(v, d) => WF.fnRoundDyn(v, d) }
     case Call(f, args) => compileCall(f, args.map(compileWV(_, ctx)), ctx)
   }
 
@@ -543,8 +560,8 @@ object Formula {
     case ("TO.LOCALISO8601", List(x)) => WF.fnToUTCISO8601(x)
     case ("WRITE.DATE", List(t, fmt)) =>
       call_function("date_format", t, Warp.str(fmt))
-    case ("READ.DATE", List(s, fmt)) =>
-      call_function("to_timestamp", Warp.str(s), Warp.str(fmt))
+    case ("READ.DATE", List(s, fmt)) => // try_: unparseable => invalid, not an ANSI throw
+      call_function("try_to_timestamp", Warp.str(s), Warp.str(fmt))
 
     case ("HILBERT.XY.TO.D", List(n, x, y)) => WF.fnHilbertXYToD(n, x, y)
     case ("HILBERT.D.TO.X", List(n, d)) => WF.fnHilbertDToX(n, d)

@@ -78,6 +78,14 @@ object WarpFunctions {
     * whole number (Function.swift:1186-1206). */
   def fnRound(c: Column): Column = round(Warp.num(c), 0)
   def fnRoundTo(c: Column, decimals: Int): Column = round(Warp.num(c), decimals)
+  /** ROUND with a DYNAMIC decimals operand: Spark's Round requires a
+    * foldable scale, so this rounds half-away-from-zero manually; the
+    * literal-decimals form stays on Spark's exact round. */
+  def fnRoundDyn(c: Column, decimals: Column): Column = {
+    val p = pow(lit(10.0), Warp.num(decimals).cast(IntegerType))
+    val x = Warp.num(c)
+    signum(x) * floor(abs(x) * p + lit(0.5)) / p
+  }
   def fnFloor(c: Column): Column = floor(Warp.num(c)).cast(DoubleType)
   def fnCeiling(c: Column): Column = ceil(Warp.num(c)).cast(DoubleType)
   def fnAbsolute(c: Column): Column = abs(Warp.num(c))
@@ -283,12 +291,21 @@ object WarpFunctions {
 
   def fnList(cs: Column*): Column = array(cs: _*)
   /** nth: 1-based element access (Function.swift:1282-1292). */
-  def fnNth(arr: Column, i: Column): Column = element_at(arr, i.cast(IntegerType))
+  /** nth, 1-based. try_element_at + zero guard: under ANSI (the Spark 4
+    * default) bare element_at THROWS on out-of-range or zero — the Warp
+    * contract is invalid (null) instead. */
+  def fnNth(arr: Column, i: Column): Column = {
+    val ix = i.cast(IntegerType)
+    when(ix.isNotNull && ix =!= 0, call_function("try_element_at", arr, ix))
+  }
   /** valueForKey over an alternating key/value list (Value.swift:62-67). */
   def fnValueForKey(arr: Column, key: Column): Column = {
-    // pairs: (arr[1],arr[2]), (arr[3],arr[4]), ... 1-based
+    // pairs: (arr[1],arr[2]), (arr[3],arr[4]), ... 1-based. The idx+1 <=
+    // size guard keeps a key in LAST position of an odd-length list from
+    // tripping ANSI element_at out-of-range
     val idx = array_position(arr, key)
-    when(idx > 0 && idx % 2 === 1, element_at(arr, (idx + 1).cast(IntegerType)))
+    when(idx > 0 && idx % 2 === 1 && idx < size(arr),
+      element_at(arr, (idx + 1).cast(IntegerType)))
   }
   def fnItems(arr: Column): Column = size(arr)
   def fnGlue(arr: Column, sep: String): Column = array_join(arr, sep)

@@ -40,9 +40,14 @@ object AsofJoin {
     val r = right
       .select(keys.map(c => col(s"`$c`")) :+ col(s"`$rightTs`").as("__ts") :+
         lit(0).as("__side") :+ payload.as("__payload"): _*)
-    // align left's full schema: right rows carry nulls for left columns
+    // align left's full schema: right rows carry nulls for left columns.
+    // The presence check must be case-INSENSITIVE like withColumn's
+    // replacement semantics — a case-sensitive contains() on a right side
+    // spelling the key as "ID" vs left's "id" would null out the join key
+    // for every right row (all payloads land in one null partition)
     val rAligned = leftCols.foldLeft(r) { (d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+      if (d.columns.exists(_.equalsIgnoreCase(c))) d
+      else d.withColumn(c, lit(null))
     }.select(l.columns.map(c => col(s"`$c`")): _*)
 
     val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)

@@ -63,13 +63,8 @@ object WarpOps {
     /** sort: multi-key; numeric flag decides the collation cast; empty
       * first on ascending, last on descending (mirrors reference NULLS
       * emulation, SQL.swift:689-718). */
-    def warpSort(orders: Seq[Order]): DataFrame = {
-      val keys = orders.map { o =>
-        val k = if (o.numeric) o.expr.cast("double") else o.expr.cast("string")
-        if (o.ascending) k.asc_nulls_first else k.desc_nulls_last
-      }
-      df.orderBy(keys: _*)
-    }
+    def warpSort(orders: Seq[Order]): DataFrame =
+      df.orderBy(sortKeys(orders): _*) // one collation definition: sortKeys
 
     /** union by column name, case-insensitive, union-of-schemas, missing
       * cells => empty/null (Data.swift:300-304). */
@@ -203,7 +198,10 @@ object WarpOps {
       * (QBEExplodeStep.swift:230). */
     def explodeVertically(column: String, sep: String): DataFrame = {
       val cols = df.columns.map {
-        case c if c.equalsIgnoreCase(column) => explode(split(col(s"`$c`"), sep)).as(c)
+        // explode_outer: a null cell must keep its ROW (with a null part),
+        // not silently delete it — split(null) is null and plain explode
+        // emits zero rows for it
+        case c if c.equalsIgnoreCase(column) => explode_outer(split(col(s"`$c`"), sep)).as(c)
         case c => col(s"`$c`")
       }
       df.select(cols.toSeq: _*)
@@ -223,11 +221,14 @@ object WarpOps {
       * a high-cardinality column exploding the schema: the distinct scan is
       * a one-column partial aggregation, so the guard costs nothing extra. */
     def dummies(column: String, maxValues: Int = 1000): DataFrame = {
-      val collected = df.select(col(s"`$column`").cast("string")).distinct()
+      // null is not a dummy column: exclude it BEFORE the cardinality
+      // guard, or maxValues distinct values + nulls spuriously fails
+      val collected = df.select(col(s"`$column`").cast("string"))
+        .filter(col(column).isNotNull).distinct()
         .limit(maxValues + 1).collect()
       require(collected.length <= maxValues,
         s"dummies: column $column has more than $maxValues distinct values")
-      val values = collected.map(_.getString(0)).filter(_ != null).sorted
+      val values = collected.map(_.getString(0)).sorted
       val newCols = values.map(v =>
         (col(s"`$column`").cast("string") === v).as(s"${column}_$v"))
       df.select(df.columns.map(c => col(s"`$c`")) ++ newCols: _*)
@@ -287,10 +288,14 @@ object WarpOps {
       * stays pushable). */
     def rowsByExample(keyColumns: Seq[String], examples: Seq[Seq[Any]],
                       keep: Boolean = true): DataFrame = {
-      val key = struct(keyColumns.map(c => col(s"`$c`")): _*)
-      val set = examples.map(e => struct(e.map(lit): _*))
-      val cond = key.isin(set: _*)
-      df.filter(if (keep) cond else !coalesce(cond, lit(false)))
+      // null-safe OR-of-ANDs, like the reference expression: an example
+      // cell of empty matches an empty cell (Warp equality: empty == empty
+      // is TRUE) — struct isin would make any null cell unmatchable
+      val cond = examples.map { e =>
+        keyColumns.zip(e).map { case (c, v) => col(s"`$c`") <=> lit(v) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      df.filter(if (keep) cond else !cond)
     }
 
     /** cache step: materialize upstream once, reuse across chains

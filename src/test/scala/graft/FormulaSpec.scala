@@ -100,6 +100,35 @@ class FormulaSpec extends SparkSpec {
       }
   }
 
+  test("percent binds before minus regardless of spacing (reference has no binary %)") {
+    // Formula.swift:329: modulus is `~` in the reference; % before `-` is
+    // never a modulo operand, so `10%-3` reads (10%)-3. The spaced form
+    // `10 % -3` is neither postfix (not adjacent) nor modulo: a parse
+    // error, not a silent meaning switch — parenthesize for modulo.
+    assert(eval("=10%-3") == -2.9)
+    assertThrows[IllegalArgumentException](eval("=10 % -3"))
+    assert(eval("=10%(-3)") == 10.0 % -3.0) // parenthesized operand: modulo
+    assert(eval("=10%3") == 1.0)            // binary modulo still works
+  }
+
+  test("ANSI edges yield invalid, not job-killing throws") {
+    assert(eval("={1;2}[5]") == null)  // out of range
+    assert(eval("={1;2}[0]") == null)  // SQL arrays are 1-based
+    assert(eval("""=READ.DATE("nonsense"; "yyyy-MM-dd")""") == null)
+  }
+
+  test("two-arg ROUND accepts computed decimals") {
+    assert(eval("=ROUND(2.567; 1+1)") == 2.57)
+    assert(eval("=ROUND(-2.5; 0)") == -3.0) // half away from zero
+    val df = Seq((2.567, 2L)).toDF("x", "n")
+    assert(evalOn(df, "=ROUND([x]; [n])") == 2.57)
+  }
+
+  test("string literals with backslashes round-trip through toFormula") {
+    for (s <- Seq("a\\", "a\\\"b", "\\\\", "plain"))
+      assert(Formula.parse("=" + Formula.toFormula(Formula.Lit(s))) == Formula.Lit(s), s)
+  }
+
   test("nl: all 108 reference spellings parse to their canonical and round-trip") {
     val nl = graft.values.WarpLanguage.nl
     assert(nl.functionNames.size == 108) // complete Language.swift:252-358 table

@@ -92,6 +92,11 @@ class FunctionsSpec extends SparkSpec {
 
   test("lists: nth (1-based), valueForKey over pack-pairs, glue, items") {
     assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(2))) == "b")
+    // ANSI edges: out-of-range / zero index => invalid, not a throw
+    assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(5))) == null)
+    assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(0))) == null)
+    // key in last position of an odd-length list has no value => invalid
+    assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2")), lit("k2"))) == null)
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2"), lit("v2")), lit("k2"))) == "v2")
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1")), lit("v1"))) == null) // values aren't keys
     assert(eval(WF.fnItems(array(lit(1), lit(2), lit(3)))) == 3)

@@ -121,6 +121,38 @@ class WarpOpsSpec extends SparkSpec {
     assert(h.collect()(0).getAs[String]("csv_2") == "b")
   }
 
+  test("explodeVertically keeps rows whose cell is null") {
+    val df = Seq((1, "a,b"), (2, null)).toDF("id", "csv")
+    val out = df.explodeVertically("csv", ",")
+    assert(out.count() == 3) // a, b, and the null row — not silently dropped
+    assert(out.filter(col("id") === 2).count() == 1)
+  }
+
+  test("asofJoin aligns key columns case-insensitively") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq((1L, "a", ts(5))).toDF("id", "k", "ts")
+    val versions = Seq(("a", ts(4), 40.0)).toDF("K", "vts", "price") // upper K
+    val out = graft.ops.AsofJoin.asofJoin(events, versions,
+      Seq("k"), "ts", "vts", Seq("price")).select("price").collect()
+    assert(out(0).getDouble(0) == 40.0) // key not nulled by case mismatch
+  }
+
+  test("rowsByExample matches empty example cells (empty == empty)") {
+    val df = Seq(("x", "1"), ("x", null), ("y", "2")).toDF("a", "b")
+    val kept = df.rowsByExample(Seq("a", "b"), Seq(Seq("x", null)), keep = true)
+    assert(kept.count() == 1 && kept.collect()(0).getString(0) == "x")
+    val removed = df.rowsByExample(Seq("a", "b"), Seq(Seq("x", null)), keep = false)
+    assert(removed.count() == 2)
+  }
+
+  test("dummies: nulls do not count toward the cardinality guard") {
+    val df = Seq((1, "a"), (2, "b"), (3, null)).toDF("id", "v")
+    val out = df.dummies("v", maxValues = 2) // 2 real values + a null is OK
+    assert(out.columns.toSeq == Seq("id", "v", "v_a", "v_b"))
+    assert(out.count() == 3)
+  }
+
   test("warpPivot generates h1_h2 column names (Raster.swift:1012-1022)") {
     val df = Seq(("x", "u", "F", 1.0), ("x", "v", "O", 2.0)).toDF("g", "h1", "h2", "v")
     val out = df.warpPivot(Seq(col("h1"), col("h2")), Seq("g"), sum("v"))
