@@ -137,13 +137,20 @@ object TextHash {
     * to one 64-bit bucket key. */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
-    val rows = k / bands
-    val out = new Array[Long](bands)
+    // effective band count: bands > k would give rows = 0 and CONSTANT
+    // per-band keys (every document collides in every LSH bucket); the
+    // last band absorbs the k % b remainder so no signature entry is
+    // silently dropped when bands does not divide k
+    val b0 = math.min(bands, math.max(k, 1))
+    val rows = if (b0 == 0) 0 else k / b0
+    val out = new Array[Long](math.max(b0, 0))
     var b = 0
-    while (b < bands) {
+    while (b < b0) {
       var h = b.toLong
-      var j = 0
-      while (j < rows) { h = mix(h ^ sig.getLong(b * rows + j)); j += 1 }
+      val from = b * rows
+      val until = if (b == b0 - 1) k else from + rows
+      var j = from
+      while (j < until) { h = mix(h ^ sig.getLong(j)); j += 1 }
       out(b) = h
       b += 1
     }

@@ -22,6 +22,20 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // a wrong element type must fail ANALYSIS: getDouble over an int-
+    // element ArrayData would reinterpret memory and return garbage
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
@@ -60,6 +74,10 @@ object DotProductExpr {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT poisons the product, exactly like the declarative
+      // aggregate(zip_with(...)) — reading the slot raw would return
+      // whatever bits happen to be there
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

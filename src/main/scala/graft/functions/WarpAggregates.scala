@@ -96,19 +96,21 @@ object WarpAggregates {
     * (percentile_approx returns an actual element of the group, i.e. a
     * low/high-style median, never an interpolated midpoint). */
   def warpMedianLow(c: Column): Column = {
-    val arr = sort_array(collect_list(c.cast("double")))
-    element_at(arr, ((size(arr) + 1) / 2).cast("int"))
+    val arr = sort_array(collect_list(Warp.num(c)))
+    // n=0 guard: an all-null group collects [], and element_at(arr, 0)
+    // throws unconditionally ("SQL array indices start at 1")
+    when(size(arr) > 0, element_at(arr, ((size(arr) + 1) / 2).cast("int")))
   }
   def warpMedianHigh(c: Column): Column = {
-    val arr = sort_array(collect_list(c.cast("double")))
-    element_at(arr, (size(arr) / 2 + 1).cast("int"))
+    val arr = sort_array(collect_list(Warp.num(c)))
+    when(size(arr) > 0, element_at(arr, (size(arr) / 2 + 1).cast("int")))
   }
 
   /** medianPack: odd count => the middle value; even count => the two
     * middle values as a pack string "lo,hi" (MedianReducer .pack,
     * Function.swift:2143-2188; pack format Value.swift:266-380). */
   def warpMedianPack(c: Column): Column = {
-    val arr = sort_array(collect_list(c.cast("double")))
+    val arr = sort_array(collect_list(Warp.num(c)))
     val n = size(arr)
     val lo = element_at(arr, (n / 2).cast("int"))
     val hi = element_at(arr, (n / 2 + 1).cast("int"))
@@ -124,17 +126,19 @@ object WarpAggregates {
     * order, unlike streaming-moment implementations. n=1 => null
     * (reference: invalid, Function.swift:2249-2268). */
   def warpVarianceSample(c: Column): Column = {
-    val n = count(c).cast("double")
-    val s = dsum(c)
-    val sq = dsum(c * c)
+    val nm = Warp.num(c) // coerce first: c*c on a string column is an ANSI throw
+    val n = count(nm).cast("double")
+    val s = dsum(nm)
+    val sq = dsum(nm * nm)
     when(n > 1, (sq - s * s / n) / (n - lit(1.0)))
   }
 
   /** Population variance (n=0 => null). */
   def warpVariancePopulation(c: Column): Column = {
-    val n = count(c).cast("double")
-    val s = dsum(c)
-    val sq = dsum(c * c)
+    val nm = Warp.num(c)
+    val n = count(nm).cast("double")
+    val s = dsum(nm)
+    val sq = dsum(nm * nm)
     when(n > 0, (sq - s * s / n) / n)
   }
 

@@ -94,7 +94,13 @@ object WarpFunctions {
   def fnPower(a: Column, b: Column): Column = Warp.pow(a, b)
   /** n-ary scalar sum/average/min/max (arity `any`, Function.swift:17-20). */
   def fnSum(cs: Column*): Column = cs.map(c => coalesce(Warp.num(c), lit(0.0))).reduce(_ + _)
-  def fnAverage(cs: Column*): Column = fnSum(cs: _*) / cs.size
+  /** average: sum/count of NUMERIC-CONVERTIBLE arguments — the scalar
+    * form delegates to the reducer in the reference (Function.swift:775-
+    * 780), so empty/non-numeric arguments don't drag the mean toward 0. */
+  def fnAverage(cs: Column*): Column = {
+    val a = numArgs(cs)
+    when(size(a) > 0, aggregate(a, lit(0.0), (acc, v) => acc + v) / size(a))
+  }
   def fnMin(cs: Column*): Column = least(cs.map(Warp.num): _*)
   def fnMax(cs: Column*): Column = greatest(cs.map(Warp.num): _*)
 
@@ -300,12 +306,17 @@ object WarpFunctions {
   }
   /** valueForKey over an alternating key/value list (Value.swift:62-67). */
   def fnValueForKey(arr: Column, key: Column): Column = {
-    // pairs: (arr[1],arr[2]), (arr[3],arr[4]), ... 1-based. The idx+1 <=
-    // size guard keeps a key in LAST position of an odd-length list from
-    // tripping ANSI element_at out-of-range
-    val idx = array_position(arr, key)
-    when(idx > 0 && idx % 2 === 1 && idx < size(arr),
-      element_at(arr, (idx + 1).cast(IntegerType)))
+    // pairs: (arr[1],arr[2]), (arr[3],arr[4]), ... 1-based. Scan ONLY the
+    // key (odd) positions — array_position would find the key anywhere,
+    // so a value that happens to equal a later key would shadow it. The
+    // idx < size guard keeps a key in LAST position of an odd-length list
+    // from reading past the end; try_element_at never throws under ANSI.
+    val n = size(arr)
+    val keyIdxs = when(n > 0, filter(sequence(lit(1), n), i =>
+      i % 2 === 1 && (call_function("try_element_at", arr, i.cast(IntegerType)) <=> key)))
+    val idx = call_function("try_element_at", keyIdxs, lit(1))
+    when(idx.isNotNull && idx < n,
+      call_function("try_element_at", arr, (idx + 1).cast(IntegerType)))
   }
   def fnItems(arr: Column): Column = size(arr)
   def fnGlue(arr: Column, sep: String): Column = array_join(arr, sep)
@@ -359,7 +370,7 @@ object WarpFunctions {
     element_at(array(cs: _*), (floor(rand() * cs.size) + 1).cast(IntegerType))
   def fnUuid(): Column = expr("uuid()")
   def fnChoose(i: Column, cs: Column*): Column =
-    element_at(array(cs: _*), Warp.num(i).cast(IntegerType))
+    fnNth(array(cs: _*), i) // out-of-range/zero => invalid, not an ANSI throw
 
   /** randomString(pattern) — the Sequencer's pattern alphabet applied
     * randomly (QBESequencerStep.swift; Sequencer.swift grammar). */

@@ -58,7 +58,11 @@ object JsonSource {
     asArray.select(
       explode(
         when(col("arr").isNotNull, col("arr"))
-          .otherwise(array(trim(col("value"))))).as("value"))
+          // bare scalar: decode through the JSON reader so "hello" loses
+          // its quotes like array elements do; non-JSON text passes raw
+          .otherwise(array(coalesce(
+            get_json_object(trim(col("value")), "$"),
+            trim(col("value")))))).as("value"))
   }
 
   /** Write as JSON-Lines (the scale-friendly exchange shape). */

@@ -159,9 +159,12 @@ object Sequencer {
   /** One uniform sample from the pattern language (randomString); null
     * for a degenerate pattern denoting the empty language (e.g. `[]` or an
     * inverted range) — a malformed user pattern must not kill the task. */
-  def randomFromPattern(pattern: String, rnd: scala.util.Random): String = {
-    val root = parse(pattern)
-    if (root.cardinality <= 0) null
-    else root.decode(math.floorMod(rnd.nextLong(), root.cardinality))
-  }
+  def randomFromPattern(pattern: String, rnd: scala.util.Random): String =
+    // Try: a malformed USER pattern inside the per-row UDF must yield
+    // invalid (null), not a task-killing parse exception
+    scala.util.Try {
+      val root = parse(pattern)
+      if (root.cardinality <= 0) null
+      else root.decode(math.floorMod(rnd.nextLong(), root.cardinality))
+    }.getOrElse(null)
 }

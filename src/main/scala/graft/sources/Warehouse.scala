@@ -88,10 +88,13 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   def update(table: String, key: Map[String, Any], column: String,
              oldValue: Any, newValue: Any): Unit =
     rewrite(table, { df =>
-      val keyMatch = key.map { case (k, v) => col(s"`$k`") === lit(v) }
+      // null-safe <=>: an empty key/old value must MATCH empty cells
+      // (Warp equality: empty == empty is TRUE) — === would null the
+      // predicate and silently no-op the whole mutation
+      val keyMatch = key.map { case (k, v) => col(s"`$k`") <=> lit(v) }
         .reduceOption(_ && _).getOrElse(lit(true))
       df.withColumn(column,
-        when(keyMatch && col(s"`$column`") === lit(oldValue), lit(newValue))
+        when(keyMatch && (col(s"`$column`") <=> lit(oldValue)), lit(newValue))
           .otherwise(col(s"`$column`")))
     })
 
@@ -99,9 +102,9 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   def deleteRows(table: String, keys: Seq[Map[String, Any]]): Unit =
     rewrite(table, { df =>
       val cond = keys.map(k =>
-        k.map { case (c, v) => col(s"`$c`") === lit(v) }.reduce(_ && _))
+        k.map { case (c, v) => col(s"`$c`") <=> lit(v) }.reduce(_ && _))
         .reduceOption(_ || _).getOrElse(lit(false))
-      df.filter(!coalesce(cond, lit(false)))
+      df.filter(!cond)
     })
 
   /** copy-on-write rewrite with staging-dir swap. Rename results are

@@ -97,6 +97,15 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(0))) == null)
     // key in last position of an odd-length list has no value => invalid
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2")), lit("k2"))) == null)
+    // a VALUE equal to a later key must not shadow it: scan key positions only
+    assert(eval(WF.fnValueForKey(
+      array(lit("name"), lit("x"), lit("x"), lit("42")), lit("x"))) == "42")
+    // CHOOSE: out-of-range index => invalid, not an ANSI throw
+    assert(eval(WF.fnChoose(lit(4), lit("a"), lit("b"))) == null)
+    assert(eval(WF.fnChoose(lit(2), lit("a"), lit("b"))) == "b")
+    // scalar AVERAGE uses the reducer semantics: valid values only
+    assert(eval(WF.fnAverage(lit(1.0), lit(null).cast("double"), lit(3.0))) == 2.0)
+    assert(eval(WF.fnAverage(lit(null).cast("double"))) == null)
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2"), lit("v2")), lit("k2"))) == "v2")
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1")), lit("v1"))) == null) // values aren't keys
     assert(eval(WF.fnItems(array(lit(1), lit(2), lit(3)))) == 3)
@@ -176,6 +185,22 @@ class FunctionsSpec extends SparkSpec {
       val e = r.getAs[Double]("exact"); val a = r.getAs[Double]("approx")
       assert(math.abs(e - a) <= 1.0, s"approx $a vs exact $e")
     }
+  }
+
+  test("aggregates: all-null groups yield null medians, not index errors") {
+    val df = Seq(("g", null.asInstanceOf[java.lang.Double]),
+                 ("g", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
+    val r = df.groupBy("k").agg(
+      WA.warpMedianLow(col("v")).as("lo"),
+      WA.warpMedianHigh(col("v")).as("hi"),
+      WA.warpMedianPack(col("v")).as("pk")).collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("aggregates: variance coerces mixed-type columns instead of ANSI-throwing") {
+    val df = Seq(("g", "1"), ("g", "abc"), ("g", "3")).toDF("k", "v")
+    val r = df.groupBy("k").agg(WA.warpVarianceSample(col("v")).as("s")).collect()(0)
+    assert(r.getDouble(1) == 2.0) // variance of {1,3}; "abc" skipped
   }
 
   test("aggregates: minimumCount suppresses small groups (Aggregation.swift:103-134)") {
