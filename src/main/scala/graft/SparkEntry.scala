@@ -1014,27 +1014,27 @@ object SparkEntry {
     "q_text_quality" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(lower(text), '\s+')) END AS n_tokens,
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
          CASE WHEN length(text) > 0 THEN
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
              / length(text) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
-           CAST(list_sum(list_transform(string_split_regex(lower(text), '\s+'), t -> length(t))) AS DOUBLE)
-             / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS mean_wlen,
-         CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
-           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
+           CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> length(t))) AS DOUBLE)
+             / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
              t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-             / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS sw_en
+             / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw_en
          FROM documents ORDER BY doc_id""",
     "q_text_scored" ->
       """WITH c AS (
            SELECT doc_id,
              least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
-             CASE WHEN len(string_split_regex(lower(text), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                  t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(lower(text), '\s+')) ELSE 0.0 END AS sw,
+                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw,
              CASE WHEN length(text) > 0 THEN
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(text) ELSE 0.0 END AS punct
@@ -1048,7 +1048,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tks FROM documents
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks FROM documents
          ), scores AS (
            SELECT doc_id,
              CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
@@ -1081,15 +1081,16 @@ object SparkEntry {
            (length(text)*7) % 1920 + 1 AS w,
            (length(text)*13) % 1080 + 1 AS h FROM documents)
          SELECT media_id, 'image/fake-resized' AS format,
-           CAST(floor(w * least(640.0/w, 480.0/h, 1.0)) AS INT) AS width,
-           CAST(floor(h * least(640.0/w, 480.0/h, 1.0)) AS INT) AS height
+           CAST(round(w * least(640.0/w, 480.0/h, 1.0)) AS INT) AS width,
+           CAST(round(h * least(640.0/w, 480.0/h, 1.0)) AS INT) AS height
          FROM m ORDER BY media_id""",
     "q_media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
            (length(text)*131) % 600000 AS dur,
            least(16, octet_length(encode(text))) AS fb FROM documents)
          SELECT media_id, CAST(i AS INT) AS frame_idx,
-           CAST(i*dur AS DOUBLE)/3 AS ts_ms, CAST(fb AS INT) AS frame_bytes
+           CAST(floor(CAST(i*dur AS DOUBLE)/3) AS BIGINT) AS ts_ms,
+           CAST(fb AS INT) AS frame_bytes
          FROM m, range(3) t(i) ORDER BY media_id, frame_idx""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -255,9 +255,10 @@ object LangScoresExpr {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   def compute(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
-    // exact split(lower(s), "\s+") semantics: UTF8String lowercase, Java
-    // regex split with limit -1
-    val tokens = ws.split(s.toLowerCase.toString, -1)
+    // exact split(trim(lower(s)), "\s+") semantics (matches
+    // TextAnalysis.tokens): trim first so leading/trailing whitespace
+    // cannot mint empty tokens that dilute every ratio
+    val tokens = ws.split(s.toLowerCase.toString.trim, -1)
     val out = new Array[Double](sets.length)
     var li = 0
     while (li < sets.length) {

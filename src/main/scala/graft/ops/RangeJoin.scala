@@ -32,9 +32,12 @@ object RangeJoin {
         floor(col(s"`$loCol`") / binWidth).cast("long"),
         floor(col(s"`$hiCol`") / binWidth).cast("long"))))
     // range predicate INSIDE the join condition: with a left join an
-    // unmatched left row null-extends (a post-join filter would drop it)
+    // unmatched left row null-extends (a post-join filter would drop it).
+    // Every reference is side-QUALIFIED (lb(...)/rb(...)): unqualified
+    // col("...") would be AMBIGUOUS whenever both inputs share the value
+    // or bound column names
     val cond = lb("__lbin") === rb("__rbin") &&
-      col(s"`$leftVal`") >= col(s"`$loCol`") && col(s"`$leftVal`") < col(s"`$hiCol`")
+      lb(leftVal) >= rb(loCol) && lb(leftVal) < rb(hiCol)
     lb.join(rb, cond, joinType).drop("__lbin", "__rbin")
   }
 }

@@ -87,10 +87,16 @@ object Multimodal {
     * one output row per frame (explode shape). Frame bytes are STUB
     * slices; offsets/indices are the real contract. */
   def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    // n=0 would make sequence(0, -1) count DOWN ([0, -1]: two bogus
+    // frames) and the ts_ms division ANSI-throw
+    require(n > 0, s"sampleFrames needs n > 0 frames, got $n")
     val frames = transform(sequence(lit(0), lit(n - 1)), i =>
       struct(
         i.as("frame_idx"),
-        (i * coalesce(col("meta.duration_ms"), lit(0L)) / n).as("ts_ms"),
+        // integral milliseconds (floor): the metadata contract is LongType
+        // offsets, not fractional doubles
+        floor(i * coalesce(col("meta.duration_ms"), lit(0L)) / n)
+          .cast("long").as("ts_ms"),
         // STUB: a real implementation decodes the frame at ts_ms
         substring(col("data"), 1, 16).as("frame_data")))
     df.select(col("media_id"), explode(frames).as("frame"))
@@ -106,8 +112,11 @@ object Multimodal {
     val scale = least(lit(maxW).cast("double") / w, lit(maxH).cast("double") / h, lit(1.0))
     df.withColumn("meta", struct(
       concat(col("meta.format"), lit("-resized")).as("format"),
-      floor(w * scale).cast(IntegerType).as("width"),
-      floor(h * scale).cast(IntegerType).as("height"),
+      // round, not floor: 640/1920 as a double is a hair BELOW 1/3, so
+      // floor would undersize the limiting dimension (639x359 for a
+      // 1920x1080 input bounded to 640x480)
+      round(w * scale).cast(IntegerType).as("width"),
+      round(h * scale).cast(IntegerType).as("height"),
       col("meta.duration_ms").as("duration_ms")))
   }
 }

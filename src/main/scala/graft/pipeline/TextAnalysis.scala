@@ -22,7 +22,10 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"),
     "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "te"))
 
-  def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+  /** Whitespace tokens. trim() first: Java split keeps the empty token a
+    * LEADING separator produces (and a trailing one via limit -1), which
+    * would inflate counts and deflate mean word length. */
+  def tokens(textCol: Column): Column = split(trim(lower(textCol)), "\\s+")
 
   private def langScores(textCol: Column, langs: Seq[String]): Column = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
@@ -39,12 +42,16 @@ object TextAnalysis {
     * Deterministic tie-break by language code order. */
   def langId(textCol: Column, langs: Seq[String] = Seq("en", "de", "fr", "es", "it", "nl"),
              minScore: Double = 0.02): Column = {
+    require(langs.nonEmpty, "langId needs at least one language")
+    val unknown = langs.filterNot(stopwords.contains)
+    require(unknown.isEmpty,
+      s"no stopword list for: ${unknown.mkString(", ")} (have ${stopwords.keys.toSeq.sorted.mkString(", ")})")
     val scores = langScores(textCol, langs)
     val scored = langs.zipWithIndex.map { case (l, i) =>
       struct(element_at(scores, i + 1).as("score"), lit(l).as("lang")) }
     // struct comparison is lexicographic (score, then lang): ties on score
     // resolve to the alphabetically-largest language code — deterministic
-    val best = greatest(scored: _*)
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 

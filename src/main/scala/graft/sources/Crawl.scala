@@ -34,7 +34,8 @@ object Crawl {
 
   def crawl(df: DataFrame, urlCol: String,
             fetcher: Fetcher = stubFetcher,
-            maxConcurrency: Int = 50, maxRps: Int = 256): DataFrame = {
+            maxConcurrency: Int = 50, maxRps: Int = 256,
+            fetchTimeoutSec: Int = 120): DataFrame = {
     val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = inSchema
@@ -78,9 +79,14 @@ object Crawl {
             (res, (System.nanoTime() - t0) / 1e9)
           }
         }
+        // ONE deadline for the whole window, not a fresh timeout per
+        // future: the drains run sequentially, and per-future timeouts
+        // would let a window of hung fetches wait maxConcurrency x timeout
+        val deadline = System.nanoTime() + fetchTimeoutSec * 1000000000L
         futures.map { case (r, fut) =>
+          val remaining = math.max(1L, deadline - System.nanoTime())
           val ((status, body, err), dt) =
-            try Await.result(fut, Duration(120, "s"))
+            try Await.result(fut, Duration(remaining, "ns"))
             catch { case e: Throwable => ((0, null: String, Some(e.toString)), 0.0) }
           Row.fromSeq(r.toSeq ++ Seq(status, body, err.orNull, dt))
         }

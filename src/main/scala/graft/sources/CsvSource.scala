@@ -113,8 +113,11 @@ object CsvSource {
         // directory scan returns whichever split is packed first, not the
         // first line of the first file.
         val headerFile = firstDataFile(spark, path)
-        val rawHeader = spark.read.option("header", "false").option("sep", sep)
-          .csv(headerFile).limit(1).collect()(0).toSeq.map(v => if (v == null) "" else v.toString)
+        val headerRows = spark.read.option("header", "false").option("sep", sep)
+          .csv(headerFile).limit(1).collect()
+        if (headerRows.isEmpty) throw new IllegalArgumentException(
+          s"no header row found in $headerFile (empty or blank-line-only file)")
+        val rawHeader = headerRows(0).toSeq.map(v => if (v == null) "" else v.toString)
         base.toDF(dedupHeaders(rawHeader): _*)
       } else {
         base.toDF(base.columns.indices.map(defaultNameForIndex): _*)
@@ -179,8 +182,10 @@ object CsvSource {
         case TimestampType => // instant: render in UTC regardless of session tz
           date_format(to_utc_timestamp(c, current_timezone()),
             "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name)
-        case TimestampNTZType => // naive wall time: written verbatim
-          date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'").as(f.name)
+        case TimestampNTZType => // naive wall time: NO zone suffix — a 'Z'
+          // would relabel the wall time as a UTC instant (silently shifting
+          // its meaning for any conforming reader)
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss").as(f.name)
         case _ => c.as(f.name)
       }
     }: _*)

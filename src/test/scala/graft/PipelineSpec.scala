@@ -161,6 +161,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("tokens: surrounding whitespace mints no empty tokens") {
+    import graft.pipeline.{TextAnalysis => TA}
+    val df = Seq((1L, "  hello world  ")).toDF("id", "text")
+    val r = df.select(TA.tokenCountWs(col("text")).as("n"),
+      TA.meanWordLength(col("text")).as("m")).collect()(0)
+    assert(r.getInt(0) == 2, s"got ${r.getInt(0)} tokens")
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("langId validates its language list and works with one language") {
+    import graft.pipeline.{TextAnalysis => TA}
+    val df = Seq((1L, "the cat and the hat is it")).toDF("id", "text")
+    assertThrows[IllegalArgumentException](
+      df.select(TA.langId(col("text"), Seq("en", "pt"))).collect())
+    assertThrows[IllegalArgumentException](
+      df.select(TA.langId(col("text"), Seq.empty)).collect())
+    assert(df.select(TA.langId(col("text"), Seq("en"))).as[String].head() == "en")
+  }
+
+  test("resizeMeta hits the limiting dimension exactly; sampleFrames rejects n=0") {
+    import graft.pipeline.Multimodal
+    val media = Seq((1L, Array[Byte](1), "img", 1920, 1080, 0L))
+      .toDF("media_id", "data", "fmt", "w", "h", "dur")
+      .select(col("media_id"), col("data"),
+        struct(col("fmt").as("format"), col("w").as("width"),
+          col("h").as("height"), col("dur").as("duration_ms")).as("meta"))
+    val r = Multimodal.resizeMeta(media, 640, 480)
+      .select("meta.width", "meta.height").collect()(0)
+    assert(r.getInt(0) == 640 && r.getInt(1) == 360) // not 639x359
+    assertThrows[IllegalArgumentException](Multimodal.sampleFrames(media, 0))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("hello world, it's 42!").toDF("text")
     val r = df.select(

@@ -80,6 +80,19 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 5001)
   }
 
+  test("csv: NTZ timestamps write without a zone suffix (no fake UTC label)") {
+    val dir = tmp("csvntz")
+    val df = Seq((1L, "2024-06-01 12:30:45")).toDF("id", "t")
+      .select(col("id"), col("t").cast("timestamp_ntz").as("t"))
+    CsvSource.write(df, s"$dir/out")
+    val line = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .filter(p => p.getFileName.toString.endsWith(".csv"))
+      .findFirst.get
+    val rows = java.nio.file.Files.readAllLines(line)
+    assert(rows.get(1).contains("2024-06-01T12:30:45"))
+    assert(!rows.get(1).contains("Z"), rows.get(1)) // naive wall time stays naive
+  }
+
   test("csv: empty cells read as empty/null") {
     val dir = tmp("csvempty")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),

@@ -26,6 +26,18 @@ class WarpOpsSpec extends SparkSpec {
       graft.ops.RangeJoin.rangeJoin(vals, "v", ivs, "lo", "hi", 7.0, "full"))
   }
 
+  test("rangeJoin resolves shared column names without ambiguity") {
+    import spark.implicits._
+    // both sides have a column named "value" — references must qualify
+    val left = Seq((1L, 5.0), (2L, 25.0)).toDF("id", "value")
+    val right = Seq((0.0, 10.0, "low"), (20.0, 30.0, "value-band"))
+      .toDF("value", "hi", "label")
+    val out = graft.ops.RangeJoin.rangeJoin(left, "value", right, "value", "hi", 10.0)
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 2).select("label").as[String].collect()(0)
+      == "value-band")
+  }
+
   test("asofJoin: latest right version at-or-before each event; null before first") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
