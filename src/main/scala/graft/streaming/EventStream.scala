@@ -90,6 +90,56 @@ object EventStream {
       .select(events.columns.map(c => col(s"e.`$c`")).toSeq ++ markCols: _*)
   }
 
+  /** Per-user sessionization that EMITS each session exactly once, when it
+    * CLOSES — the production form of [[sessionize]] (which re-emits the
+    * running session every micro-batch). flatMapGroupsWithState in append
+    * mode: a session is output when a later event arrives past the gap, or
+    * when the key times out idle. State per key is one small struct and
+    * expires via the processing-time timeout, so the store is bounded by
+    * the ACTIVE user population over an unbounded stream. */
+  def sessionizeClosed(events: Dataset[Event], gapMs: Long,
+                       expireIdleState: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // Same trade-off as [[sessionize]]: the idle-timeout (which closes a
+    // session when its user goes quiet and bounds the state store) is
+    // opt-in because pending wake-up timers keep synchronous drains
+    // (processAllAvailable, the test idiom) from returning. Production
+    // streams with real triggers set expireIdleState = true.
+    val timeoutConf =
+      if (expireIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(st.started),
+              new java.sql.Timestamp(st.ended), st.events, st.total))
+          } else {
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(
+              SessionState(Long.MaxValue, Long.MinValue, 0L, 0.0))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.events > 0 && t - st.ended > gapMs) {
+                closed += Session(user, new java.sql.Timestamp(st.started),
+                  new java.sql.Timestamp(st.ended), st.events, st.total)
+                st = SessionState(t, t, 1L, e.value)
+              } else {
+                st = SessionState(math.min(st.started, t), math.max(st.ended, t),
+                  st.events + 1, st.total + e.value)
+              }
+            }
+            state.update(st)
+            if (expireIdleState) state.setTimeoutDuration(gapMs)
+            closed.iterator
+          }
+        })
+  }
+
   /** Per-user sessionization with an inactivity gap: custom state via
     * mapGroupsWithState. State per key is one small struct.
     *

@@ -106,6 +106,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeClosed emits each session exactly once, on close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionizeClosed(input.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    try {
+      input.addData(Event(7L, "click", ts(0), 1.0), Event(7L, "click", ts(5), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("closed").count() == 0) // session still open
+
+      // an event past the gap CLOSES the first session and emits it once
+      input.addData(Event(7L, "click", ts(40), 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("closed").as[EventStream.Session].collect()
+      assert(rows.length == 1)
+      assert(rows(0).events == 2L && rows(0).total == 3.0)
+      assert(rows(0).started == ts(0) && rows(0).ended == ts(5))
+    } finally query.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
