@@ -72,11 +72,16 @@ object SparkEntry {
     * pair-gate is then a single XOR + POPCNT. */
   val LshBits = 64
 
+  /** Param-versioned LSH path: a sketch of a different width must never
+    * be mistaken for the current index. */
+  private def lshIndexPath(s: SparkSession, dir: String): String =
+    s"${idxRoot(s, dir)}/lsh$LshBits"
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    s"${idxRoot(s, dir)}/ivf"
+
   /** Build-if-missing; returns the LSH index path. */
   def ensureLshIndex(s: SparkSession, dir: String): String = {
-    // param-versioned path: a sketch of different width must never be
-    // mistaken for the current index
-    val path = s"${idxRoot(s, dir)}/lsh$LshBits"
+    val path = lshIndexPath(s, dir)
     if (!indexExists(s, path)) {
       val emb = T(s, dir, "embeddings")
       graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
@@ -88,7 +93,7 @@ object SparkEntry {
   /** Build-if-missing; returns the IVF index path (centroids persisted
     * beside it). */
   def ensureIvfIndex(s: SparkSession, dir: String): String = {
-    val path = s"${idxRoot(s, dir)}/ivf"
+    val path = ivfIndexPath(s, dir)
     if (!indexExists(s, path)) {
       val emb = T(s, dir, "embeddings")
       graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
@@ -677,7 +682,7 @@ object SparkEntry {
     //      later probe; oracle = index row count equals corpus count)
     "q_embed_lsh_build" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val path = s"${idxRoot(s, dir)}/lsh$LshBits"
+      val path = lshIndexPath(s, dir)
       graft.pipeline.Similarity.lshWriteIndex(emb, "embedding",
         nBits = LshBits, dim = embDim(emb), path)
       s.read.parquet(path).agg(count(lit(1)).as("n"))
@@ -721,7 +726,7 @@ object SparkEntry {
     //      (oracle = index row count equals corpus count)
     "q_embed_ivf_build" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val path = s"${idxRoot(s, dir)}/ivf"
+      val path = ivfIndexPath(s, dir)
       graft.pipeline.Similarity.ivfWriteIndex(emb, "embedding", "vec_id",
         nCells = 16, path)
       s.read.parquet(path).agg(count(lit(1)).as("n"))
@@ -730,12 +735,12 @@ object SparkEntry {
     // ---- IVF top-k PROBE: the __cell filter prunes non-probed cells at
     //      the FILE level (rows-only check: centroid sampling engine-local)
     "q_embed_ivf" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).select("embedding")
-        .collect()(0).getSeq[Float](0)
       val path = ensureIvfIndex(s, dir)
+      val idx = s.read.parquet(path)
+      val q = idx.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0)
       val centroids = graft.pipeline.Similarity.ivfReadCentroids(s, path)
-      graft.pipeline.Similarity.ivfReadTopK(s, path, centroids,
+      graft.pipeline.Similarity.ivfTopK(idx, centroids,
         "embedding", "vec_id", q, 20, nProbe = 4)
     }),
 

@@ -61,19 +61,7 @@ object Similarity {
       when(dot(vecCol, typedLit(planes(i).toSeq)) > 0, lit(1L << i)).otherwise(0L)
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
 
-  /** Build the LSH sketch INDEX: the corpus with a precomputed `__sk`
-    * sketch column, persisted. The sketch costs nBits dot products per
-    * vector ONCE; every subsequent query pays only a bit_count filter over
-    * the indexed column. At warehouse scale this is the column you write
-    * back to parquet next to the embeddings. */
-  def lshIndex(df: DataFrame, vecCol: String, nBits: Int = 16,
-               seed: Long = 42L, dim: Int): DataFrame = {
-    val planes = hyperplanes(dim, nBits, seed)
-    df.withColumn("__sk", sketch(col(vecCol), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-
-  /** LSH top-k over a prebuilt index (see [[lshIndex]]): score only
+  /** LSH top-k over a prebuilt index (see [[lshWriteIndex]]): score only
     * vectors whose sketch is within `maxHamming` bits of the query's
     * sketch — a codegen'd bit_count on a 64-bit int folded into the scan,
     * followed by exact cosine on the surviving sliver. */
@@ -119,8 +107,9 @@ object Similarity {
 
   /** One-shot convenience: sketch inline and query once — no persist (the
     * index is read exactly once, caching it would only leak a cached
-    * DataFrame into the session). Use [[lshIndex]] + [[lshTopKIndexed]]
-    * when issuing many queries against the same corpus. */
+    * DataFrame into the session). Use [[lshWriteIndex]] +
+    * [[lshTopKIndexed]] when issuing many queries against the same
+    * corpus. */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
               query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
               seed: Long = 42L): DataFrame = {
@@ -145,20 +134,9 @@ object Similarity {
     * query id. At 100 TB you would block the query set (broadcast B
     * queries at a time) and union; the per-block plan is exactly this one. */
   def knnGraphBrute(df: DataFrame, vecCol: String, idCol: String, k: Int,
-                    queries: Option[DataFrame] = None): DataFrame = {
-    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nv"))
-    val qs = queries.getOrElse(df).select(col(idCol).as("qid"),
-      col(vecCol).as("qv"), norm(col(vecCol)).as("nq"))
-    val pairs = base.crossJoin(broadcast(qs))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    pairs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
-  }
+                    queries: Option[DataFrame] = None): DataFrame =
+    knnPairsTopK(df, vecCol, idCol, k, queries.getOrElse(df),
+      gate = lit(true), withSketch = false)
 
   /** Sketch-gated kNN graph over a persisted LSH index (see
     * [[lshWriteIndex]]): same pair enumeration as [[knnGraphBrute]], but
@@ -171,15 +149,27 @@ object Similarity {
     * `maxHamming` is missed (recall pinned in PipelineSpec). */
   def knnGraphSketch(indexed: DataFrame, vecCol: String, idCol: String,
                      k: Int, maxHamming: Int,
-                     queries: Option[DataFrame] = None): DataFrame = {
-    val base = spread(indexed).select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nv"), col("__sk").as("sk"))
-    val qs = queries.getOrElse(indexed).select(col(idCol).as("qid"),
-      col(vecCol).as("qv"), norm(col(vecCol)).as("nq"), col("__sk").as("qsk"))
-    val pairs = base.crossJoin(broadcast(qs))
+                     queries: Option[DataFrame] = None): DataFrame =
+    knnPairsTopK(indexed, vecCol, idCol, k, queries.getOrElse(indexed),
       // sketch gate FIRST: the cheap conjunct prunes before any dot product
-      .filter(bit_count(col("sk").bitwiseXOR(col("qsk"))) <= maxHamming &&
-        col("id") =!= col("qid"))
+      gate = bit_count(col("sk").bitwiseXOR(col("qsk"))) <= maxHamming,
+      withSketch = true)
+
+  /** Shared kNN shape: enumerate (corpus x broadcast queries) pairs, gate,
+    * score the survivors with one dot product (norms precomputed per
+    * side), then window per-query top-k. */
+  private def knnPairsTopK(df: DataFrame, vecCol: String, idCol: String,
+                           k: Int, queryDf: DataFrame, gate: Column,
+                           withSketch: Boolean): DataFrame = {
+    def side(d: DataFrame, id: String, v: String, nm: String, sk: String) = {
+      val cols = Seq(col(idCol).as(id), col(vecCol).as(v),
+        norm(col(vecCol)).as(nm)) ++
+        (if (withSketch) Seq(col("__sk").as(sk)) else Nil)
+      d.select(cols: _*)
+    }
+    val pairs = side(spread(df), "id", "v", "nv", "sk")
+      .crossJoin(broadcast(side(queryDf, "qid", "qv", "nq", "qsk")))
+      .filter(gate && col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
