@@ -30,10 +30,11 @@ object Verify {
         // half-written dir) behind — the compare would silently validate
         // stale results instead of flagging the regression
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete()
         }
-        rm(new java.io.File(s"$outDir/$name"))
+        // best-effort: cleanup failure must not abort the remaining queries
+        scala.util.Try(rm(new java.io.File(s"$outDir/$name")))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -256,9 +256,15 @@ object LangScoresExpr {
 
   def compute(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
     // exact split(trim(lower(s)), "\s+") semantics (matches
-    // TextAnalysis.tokens): trim first so leading/trailing whitespace
-    // cannot mint empty tokens that dilute every ratio
-    val tokens = ws.split(s.toLowerCase.toString.trim, -1)
+    // TextAnalysis.tokens and the DuckDB oracles): SQL trim strips SPACES
+    // only — Java String.trim would also strip tabs/newlines and silently
+    // diverge from the declarative path on control-padded text
+    val lower = s.toLowerCase.toString
+    var from = 0
+    var until = lower.length
+    while (from < until && lower.charAt(from) == ' ') from += 1
+    while (until > from && lower.charAt(until - 1) == ' ') until -= 1
+    val tokens = ws.split(lower.substring(from, until), -1)
     val out = new Array[Double](sets.length)
     var li = 0
     while (li < sets.length) {

@@ -301,7 +301,9 @@ object WarpFunctions {
     * default) bare element_at THROWS on out-of-range or zero — the Warp
     * contract is invalid (null) instead. */
   def fnNth(arr: Column, i: Column): Column = {
-    val ix = i.cast(IntegerType)
+    // Warp.num first: a string index ("2", "2.5") coerces like everywhere
+    // else — a raw ANSI cast would throw on non-numeric text
+    val ix = Warp.num(i).cast(IntegerType)
     when(ix.isNotNull && ix =!= 0, call_function("try_element_at", arr, ix))
   }
   /** valueForKey over an alternating key/value list (Value.swift:62-67). */

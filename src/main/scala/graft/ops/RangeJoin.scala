@@ -37,7 +37,7 @@ object RangeJoin {
     // col("...") would be AMBIGUOUS whenever both inputs share the value
     // or bound column names
     val cond = lb("__lbin") === rb("__rbin") &&
-      lb(leftVal) >= rb(loCol) && lb(leftVal) < rb(hiCol)
+      lb(s"`$leftVal`") >= rb(s"`$loCol`") && lb(s"`$leftVal`") < rb(s"`$hiCol`")
     lb.join(rb, cond, joinType).drop("__lbin", "__rbin")
   }
 }

@@ -95,6 +95,9 @@ class FunctionsSpec extends SparkSpec {
     // ANSI edges: out-of-range / zero index => invalid, not a throw
     assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(5))) == null)
     assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit(0))) == null)
+    // string indexes coerce like every Warp numeric argument
+    assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit("2"))) == "b")
+    assert(eval(WF.fnNth(array(lit("a"), lit("b")), lit("abc"))) == null)
     // key in last position of an odd-length list has no value => invalid
     assert(eval(WF.fnValueForKey(array(lit("k1"), lit("v1"), lit("k2")), lit("k2"))) == null)
     // a VALUE equal to a later key must not shadow it: scan key positions only

@@ -168,6 +168,14 @@ class PipelineSpec extends SparkSpec {
       TA.meanWordLength(col("text")).as("m")).collect()(0)
     assert(r.getInt(0) == 2, s"got ${r.getInt(0)} tokens")
     assert(r.getDouble(1) == 5.0)
+    // SQL trim strips spaces ONLY: a trailing newline stays a separator in
+    // BOTH the declarative path and the native stopword kernel (they must
+    // tokenize identically or ratios use a different denominator)
+    val nl = Seq((1L, "the cat\n")).toDF("id", "text")
+    val n2 = nl.select(TA.tokenCountWs(col("text")).as("n"),
+      TA.stopwordRatio(col("text"), "en").as("sw")).collect()(0)
+    assert(n2.getInt(0) == 3) // "the", "cat", "" — newline not trimmed
+    assert(n2.getDouble(1) == 1.0 / 3.0)
   }
 
   test("langId validates its language list and works with one language") {

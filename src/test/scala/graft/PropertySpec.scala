@@ -25,6 +25,9 @@ class PropertySpec extends SparkSpec {
     Gen.choose(-999999L, 999999L).map(Lit(_)),
     Gen.choose(-1e6, 1e6).map(d => Lit(math.rint(d * 100) / 100.0)),
     Gen.alphaNumStr.map(s => Lit(s.take(8))),
+    // escape-hostile strings: backslashes and quotes in any position must
+    // survive the unparse/reparse cycle
+    Gen.listOfN(4, Gen.oneOf('a', '\\', '"', 'z')).map(cs => Lit(cs.mkString)),
     Gen.oneOf(Lit(true), Lit(false)))
 
   private def genExpr(depth: Int): Gen[Expr] =

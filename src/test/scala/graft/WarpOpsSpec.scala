@@ -36,6 +36,11 @@ class WarpOpsSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("id") === 2).select("label").as[String].collect()(0)
       == "value-band")
+    // dotted column names resolve as literals, not nested-field paths
+    val dl = Seq((1L, 5.0)).toDF("id", "price.usd")
+    val dr = Seq((0.0, 10.0)).toDF("lo", "hi")
+    assert(graft.ops.RangeJoin.rangeJoin(dl, "price.usd", dr, "lo", "hi", 10.0)
+      .count() == 1)
   }
 
   test("asofJoin: latest right version at-or-before each event; null before first") {
