@@ -290,14 +290,19 @@ object Formula {
 
   def toFormula(e: Expr, lang: graft.values.WarpLanguage): String = {
     import graft.values.WarpLanguage
-    // canonical -> localized spelling. Built with a first-wins fold: nl
-    // maps several spellings to one canonical (MIN/KLEINSTE, MAX/GROOTSTE)
-    // and Map.map would keep an arbitrary hash-order "last" one
-    lazy val localName: Map[String, String] =
-      lang.functionNames.foldLeft(Map.empty[String, String]) {
+    // canonical -> localized spelling. nl maps several spellings to one
+    // canonical (MIN/KLEINSTE, MAX/GROOTSTE): prefer the spelling that
+    // EQUALS the canonical when the locale has one, else first-wins —
+    // Map.map would keep an arbitrary hash-order "last" entry
+    lazy val localName: Map[String, String] = {
+      val firstWins = lang.functionNames.foldLeft(Map.empty[String, String]) {
         case (acc, (local, canon)) =>
           if (acc.contains(canon)) acc else acc + (canon -> local)
       }
+      firstWins ++ lang.functionNames.collect {
+        case (local, canon) if local == canon => canon -> local
+      }
+    }
     def constant(v: Any): Option[String] =
       lang.constants.collectFirst { case (name, cv) if cv == v => name }
     def num(d: Double): String = {

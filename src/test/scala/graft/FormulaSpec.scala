@@ -129,6 +129,15 @@ class FormulaSpec extends SparkSpec {
       assert(Formula.parse("=" + Formula.toFormula(Formula.Lit(s))) == Formula.Lit(s), s)
   }
 
+  test("nl: aliased canonicals unparse to their identity spelling") {
+    // MIN has two nl spellings (MIN, KLEINSTE): unparse must pick the one
+    // equal to the canonical, deterministically
+    val nl = graft.values.WarpLanguage.nl
+    val f = Formula.toFormula(Formula.parse("=MIN(1;2)", nl), nl)
+    assert(f.startsWith("MIN("), f)
+    assert(Formula.toFormula(Formula.parse("=GROOTSTE(1;2)", nl), nl).startsWith("MAX("))
+  }
+
   test("nl: all 108 reference spellings parse to their canonical and round-trip") {
     val nl = graft.values.WarpLanguage.nl
     assert(nl.functionNames.size == 108) // complete Language.swift:252-358 table
