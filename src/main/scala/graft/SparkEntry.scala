@@ -37,6 +37,14 @@ object SparkEntry {
   /** Matching exact average: exact decimal sum, one double division. */
   private def davg(c: Column): Column = (sum(c.cast(DecimalType(28, 6))).cast("double") / count(c))
 
+  /** Deterministic duplicate-pair fixture for the connected-components
+    * queries: doc i ~ doc i+1 whenever both exist and i % 10 < 9 — 10-node
+    * chains, reproducible in SQL (no hash seeds involved). */
+  private def chainEdges(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      .where(col("doc_id") % 10 < 9)
+      .join(docs.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -657,6 +665,57 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- repetition signals (Gopher-style filters; one native kernel pass)
+    "q_text_repetition" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      T(s, dir, "documents").calculate(Seq(
+        "dup_token_ratio" -> ta.dupTokenRatio(col("text")),
+        "top_token_frac" -> ta.topTokenFraction(col("text")),
+        "dup_bigram_ratio" -> ta.dupBigramRatio(col("text")),
+        // the corpus is single-line; fold tokens onto lines so the
+        // duplicate-line filter is exercised non-trivially
+        "dup_line_frac" -> ta.duplicateLineFraction(translate(col("text"), " ", "\n"))))
+        .selectColumns(Seq("doc_id", "dup_token_ratio", "top_token_frac",
+          "dup_bigram_ratio", "dup_line_frac"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- PII detection + redaction (planted deterministically: the
+    //      corpus text is clean, so counts would all be zero otherwise)
+    "q_text_pii" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      T(s, dir, "documents").calculate(Seq(
+        "synth" -> concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0.1 tel +1555"), lpad(col("doc_id").cast("string"), 7, "0"))))
+        .calculate(Seq(
+          "emails" -> ta.piiEmailCount(col("synth")),
+          "ips" -> ta.piiIpv4Count(col("synth")),
+          "phones" -> ta.piiPhoneCount(col("synth")),
+          "redacted" -> ta.redactPii(col("synth"))))
+        .selectColumns(Seq("doc_id", "emails", "ips", "phones", "redacted"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- duplicate-cluster resolution: connected components over a
+    //      deterministic chain graph (doc i ~ i+1 within each decade).
+    //      Chains are the WORST case for label propagation, so the oracle
+    //      (a recursive CTE) genuinely checks multi-round convergence, not
+    //      just clique collapsing.
+    "q_dedup_clusters" -> ((s, dir) => {
+      graft.pipeline.Dedup.connectedComponents(chainEdges(T(s, dir, "documents")))
+        .orderBy("id")
+    }),
+
+    // ---- near-dedup canonicalization: pairs -> components -> keep the
+    //      minimum id per cluster, pass untouched rows through
+    "q_dedup_canon" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Dedup.dedupByPairs(docs, "doc_id", chainEdges(docs))
+        .selectColumns(Seq("doc_id", "n_chars"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- brute-force cosine top-k over embeddings (exact-decimal dot)
     "q_embed_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -1073,6 +1132,73 @@ object SparkEntry {
                 WHEN s_en = greatest(s_en, s_de, s_es) THEN 'en'
                 ELSE 'de' END AS detected
          FROM scores ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts,
+                  string_split(text, ' ') AS ls
+           FROM documents
+         ), tstats AS (
+           SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS mx FROM (
+             SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+             GROUP BY doc_id, t) GROUP BY doc_id
+         ), bstats AS (
+           SELECT doc_id, SUM(c) AS nb, COUNT(*) AS db FROM (
+             SELECT doc_id, b, COUNT(*) AS c FROM (
+               SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS b
+               FROM toks, unnest(range(1, len(ts))) AS u(i)) GROUP BY doc_id, b)
+           GROUP BY doc_id
+         )
+         SELECT t.doc_id,
+           CASE WHEN s.n > 0 THEN CAST(s.n - s.d AS DOUBLE) / s.n ELSE 0.0 END AS dup_token_ratio,
+           CASE WHEN s.n > 0 THEN CAST(s.mx AS DOUBLE) / s.n ELSE 0.0 END AS top_token_frac,
+           CASE WHEN coalesce(b.nb, 0) > 0 THEN CAST(b.nb - b.db AS DOUBLE) / b.nb ELSE 0.0 END AS dup_bigram_ratio,
+           CASE WHEN len(t.ls) > 0 THEN CAST(len(t.ls) - len(list_distinct(t.ls)) AS DOUBLE) / len(t.ls) ELSE 0.0 END AS dup_line_frac
+         FROM toks t JOIN tstats s USING (doc_id) LEFT JOIN bstats b USING (doc_id)
+         ORDER BY doc_id""",
+    "q_text_pii" ->
+      """WITH synth AS (
+           SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
+             || CAST(doc_id % 200 AS VARCHAR) || '.0.1 tel +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS s
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+           len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+           len(regexp_extract_all(s, '\+\d{7,15}')) AS phones,
+           regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{7,15}', '<PHONE>', 'g') AS redacted
+         FROM synth ORDER BY doc_id""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+           WHERE d.doc_id % 10 < 9
+             AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+         ), und AS (
+           SELECT a, b FROM e UNION SELECT b, a FROM e
+         ), reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM und
+           UNION
+           SELECT u.a, r.lab FROM und u JOIN reach r ON r.id = u.b
+         )
+         SELECT id, min(lab) AS cluster FROM reach GROUP BY id ORDER BY id""",
+    "q_dedup_canon" ->
+      """WITH RECURSIVE e AS (
+           SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+           WHERE d.doc_id % 10 < 9
+             AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+         ), und AS (
+           SELECT a, b FROM e UNION SELECT b, a FROM e
+         ), reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM und
+           UNION
+           SELECT u.a, r.lab FROM und u JOIN reach r ON r.id = u.b
+         ), cc AS (
+           SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         )
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
+         ORDER BY doc_id""",
     "q_func_list" ->
       """SELECT n_nationkey,
          n_name || ',' || replace(replace(n_name || ',x', '$', '$0'), ',', '$1') AS packed,

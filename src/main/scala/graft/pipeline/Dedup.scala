@@ -222,6 +222,106 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected edge list — the cluster-
+    * resolution step between "near-duplicate PAIRS" (minhashPairs /
+    * simhashPairs / embeddingPairs) and "deduplicated corpus": duplicate
+    * relations are transitive in effect (A~B, B~C usually means A,B,C are
+    * one template), so pairs must be folded into clusters before choosing
+    * one representative per cluster.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    * rounds, each round pure join + min-aggregate. Scale shape: no
+    * per-node adjacency lists are ever collected (the usual OOM in naive
+    * CC), the per-round state is one (u,v) edge table with 16-byte rows,
+    * and lineage is truncated every round with an eager localCheckpoint so
+    * the plan does not grow with iteration count. Skewed high-degree nodes
+    * cost one hot reduce key in the min-aggregate (partial aggregation
+    * absorbs it map-side), not a hot join bucket.
+    *
+    * Returns one row per node appearing in `pairs`: `(id, cluster)` where
+    * `cluster` is the minimum node id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+                          idCol2: String = "id2", maxIter: Int = 30): DataFrame = {
+    val raw = pairs
+      .select(col(idCol1).cast("long").as("a"), col(idCol2).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val nodes = raw.select(col("a").as("id"))
+      .unionAll(raw.select(col("b").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // canonical direction: u (larger) -> v (smaller); invariant held by
+    // both star operations below
+    var e = raw.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // convergence = identical edge set. count + order-independent
+    // xor-of-hashes is one cheap scan per round (an except().count()
+    // would cost a full join); a 64-bit collision calling a non-fixpoint
+    // "converged" is ~2^-64 and maxIter bounds the loop regardless.
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every node links its LARGER neighbors to its local min
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NO distinct here: duplicates (two nodes linking the same (v, m))
+      // are harmless — min-aggregate dedups keys, the mins2 join cannot
+      // multiply rows (mins2 is unique per u), and small-star's final
+      // distinct restores set semantics — so skipping it saves one full
+      // shuffle of the edge set per round
+      val large = und.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: all edges now point large->small; every node folds its
+      // smaller neighbors (and itself) onto their minimum
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+      val prevE = e
+      e = small.localCheckpoint(true)
+      prevE.unpersist()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    // fixpoint: e is a star forest (child -> componentMin); roots and
+    // isolated nodes label themselves
+    val out = nodes
+      .join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .localCheckpoint(true)
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
+
+  /** Keep one representative (the minimum id) per duplicate cluster:
+    * resolves `pairs` into components, then anti-joins the non-canonical
+    * members out of `df`. Rows never named in `pairs` pass through. The
+    * anti-join key set is only the duplicate ids — Spark broadcasts it
+    * when small, shuffles when not; either way no corpus self-join. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                   idCol1: String = "id1", idCol2: String = "id2"): DataFrame = {
+    val nonCanonical = connectedComponents(pairs, idCol1, idCol2)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(nonCanonical, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine
     * similarity of the token multiset. A native codegen'd kernel
     * ([[graft.functions.SimHashExpr]]) — one static call per row inside

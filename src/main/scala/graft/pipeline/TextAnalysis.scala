@@ -89,6 +89,74 @@ object TextAnalysis {
     (lenScore * 0.4 + swScore * 0.3 + punctPenalty * 0.3)
   }
 
+  // ===== repetition signals (Gopher-style filters, Rae et al. 2021) =====
+
+  /** `[nTokens, nDistinct, maxTokenFreq, nBigrams, nDistinctBigrams,
+    * maxBigramFreq]` in one native codegen pass ([[graft.functions.TokenStatsExpr]]).
+    * Whole-stage codegen's subexpression elimination computes this ONCE per
+    * row even when several ratio columns below are derived from it. */
+  def tokenStats(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.TokenStatsExpr(E(textCol)))
+  }
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+
+  /** Fraction of tokens that repeat an earlier token: `1 - distinct/total`.
+    * High values flag boilerplate / keyword-stuffed documents. */
+  def dupTokenRatio(textCol: Column): Column = {
+    val ts = tokenStats(textCol)
+    ratio(element_at(ts, 1) - element_at(ts, 2), element_at(ts, 1))
+  }
+
+  /** Fraction of all tokens taken by the single most frequent token. */
+  def topTokenFraction(textCol: Column): Column = {
+    val ts = tokenStats(textCol)
+    ratio(element_at(ts, 3), element_at(ts, 1))
+  }
+
+  /** Fraction of word bigrams that repeat an earlier bigram — catches
+    * looping/templated text that token-level stats miss. */
+  def dupBigramRatio(textCol: Column): Column = {
+    val ts = tokenStats(textCol)
+    ratio(element_at(ts, 4) - element_at(ts, 5), element_at(ts, 4))
+  }
+
+  /** Fraction of lines that duplicate an earlier line (C4/Gopher duplicate-
+    * line filter). Pure array expressions — `split` keeps trailing empties
+    * (limit -1) so blank-line runs count as duplicates too. */
+  def duplicateLineFraction(textCol: Column): Column = {
+    val lines = split(textCol, "\n", -1)
+    ratio(size(lines) - size(array_distinct(lines)), size(lines))
+  }
+
+  // ===== PII detection / redaction =====
+  // Patterns are deliberately conservative ASCII regexes that parse
+  // identically under Java regex (Spark) and RE2 (DuckDB/engines) — the
+  // point is engine-portable counts, not maximal recall.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{7,15}"
+
+  def piiEmailCount(textCol: Column): Column =
+    regexp_count(textCol, lit(emailPattern)).cast("long")
+  def piiIpv4Count(textCol: Column): Column =
+    regexp_count(textCol, lit(ipv4Pattern)).cast("long")
+  def piiPhoneCount(textCol: Column): Column =
+    regexp_count(textCol, lit(phonePattern)).cast("long")
+
+  /** Replace emails, then IPv4 addresses, then international-format phone
+    * numbers with typed placeholder tags. Order matters: the email pattern
+    * would otherwise leave its host part for the IP pattern to re-match. */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, lit(emailPattern), lit("<EMAIL>")),
+        lit(ipv4Pattern), lit("<IP>")),
+      lit(phonePattern), lit("<PHONE>"))
+
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */
   def fingerprintMd5(textCol: Column): Column =

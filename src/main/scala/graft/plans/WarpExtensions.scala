@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
-import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, WarpNumExpr}
+import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TokenStatsExpr, WarpNumExpr}
 
 /** Catalyst-level integration of the graft engine.
   *
@@ -22,7 +22,7 @@ import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashEx
   * [[WarpExtensions]]: `spark.sql.extensions`-style injection point that
   * installs the rule and registers the native kernels as SQL functions
   * (`warp_num`, `simhash64`, `shingle_hashes`, `minhash_sig`,
-  * `band_hashes`) so `spark.sql(...)` users reach them without the Scala
+  * `band_hashes`, `token_stats`) so `spark.sql(...)` users reach them without the Scala
   * API. [[Graft.install]] does the same on an already-built session.
   */
 object SimplifyWarpCoercion extends Rule[LogicalPlan] {
@@ -53,7 +53,8 @@ object WarpExtensions {
     "simhash64" -> (args => SimHashExpr(args.head)),
     "shingle_hashes" -> (args => ShingleHashExpr(args.head, intArg(args, 1, 5))),
     "minhash_sig" -> (args => MinHashSigExpr(args.head, intArg(args, 1, 64))),
-    "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))))
+    "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))),
+    "token_stats" -> (args => TokenStatsExpr(args.head)))
 
   /** Extract a required-literal integer argument (e.g. the shingle size of
     * `shingle_hashes(text, 5)`). These kernels bake the parameter into the

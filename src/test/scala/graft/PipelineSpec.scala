@@ -253,6 +253,104 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("frame_data"))
   }
 
+  // ===== duplicate-cluster resolution (connected components) =====
+
+  /** Driver-side union-find oracle; always hangs the larger root under the
+    * smaller, so every find() returns the component minimum. */
+  private def ufClusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components equal a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val edges = Seq.fill(5 + rnd.nextInt(30))(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+      val want = ufClusters(edges)
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial edges=$edges")
+    }
+  }
+
+  test("connected components: a 12-node chain collapses to one cluster") {
+    // chains force multi-round convergence (the hardest shape for
+    // star-contraction); 12 nodes must finish well inside maxIter
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
+  test("dedupByPairs keeps cluster minima and passes untouched rows through") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")).toDF("id", "v")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2") // transitive: {1,2,3}
+    val kept = Dedup.dedupByPairs(df, "id", pairs).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(kept == Seq((1L, "a"), (4L, "d"), (9L, "z")))
+  }
+
+  // ===== repetition signals =====
+
+  test("tokenStats: golden values and agreement with a scala recount") {
+    val ta = TextAnalysis
+    def recount(s: String): Seq[Long] = {
+      val l = s.toLowerCase
+      val toks = l.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ')
+        .reverse.split("\\s+", -1)
+      val bis = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tf = toks.groupBy(identity).map(_._2.length)
+      val bf = bis.groupBy(identity).map(_._2.length)
+      Seq(toks.length, tf.size, tf.max, math.max(toks.length - 1, 0),
+        bf.size, if (bf.isEmpty) 0 else bf.max).map(_.toLong)
+    }
+    val inputs = Seq("a b a b a", "one", "", "  padded \t with\ttabs  ", "x x x x", "A a A")
+    val got = inputs.toDF("text")
+      .select(ta.tokenStats(col("text"))).as[Seq[Long]].collect()
+    inputs.zip(got).foreach { case (s, g) => assert(g == recount(s), s"input '$s'") }
+    // golden: "a b a b a" -> 5 tokens, 2 distinct, 'a' x3; 4 bigrams, 2 distinct
+    assert(got(0) == Seq(5L, 2L, 3L, 4L, 2L, 2L))
+    val ratios = Seq("a b a b a").toDF("text").select(
+      ta.dupTokenRatio(col("text")), ta.topTokenFraction(col("text")),
+      ta.dupBigramRatio(col("text"))).as[(Double, Double, Double)].collect()(0)
+    assert(ratios == ((0.6, 0.6, 0.5)))
+  }
+
+  test("single-token text has no bigrams and zero bigram ratio") {
+    val r = Seq("one").toDF("text")
+      .select(TextAnalysis.dupBigramRatio(col("text"))).as[Double].collect()(0)
+    assert(r == 0.0)
+  }
+
+  test("duplicateLineFraction counts repeated and blank lines") {
+    val r = Seq("l1\nl2\nl1\n\n").toDF("text")
+      .select(TextAnalysis.duplicateLineFraction(col("text"))).as[Double].collect()(0)
+    // lines: l1, l2, l1, "", "" -> 5 total, 3 distinct
+    assert(r == 2.0 / 5.0)
+  }
+
+  // ===== PII =====
+
+  test("pii counts and typed redaction") {
+    val df = Seq("mail bob.smith+x@corp.example.org and 192.168.0.1 or +31612345678 end",
+      "clean text with no pii at all").toDF("t")
+    val rows = df.select(TextAnalysis.piiEmailCount(col("t")),
+      TextAnalysis.piiIpv4Count(col("t")), TextAnalysis.piiPhoneCount(col("t")),
+      TextAnalysis.redactPii(col("t"))).collect()
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 1 && rows(0).getLong(2) == 1)
+    assert(rows(0).getString(3) == "mail <EMAIL> and <IP> or <PHONE> end")
+    assert(rows(1).getLong(0) == 0 && rows(1).getLong(1) == 0 && rows(1).getLong(2) == 0)
+    assert(rows(1).getString(3) == "clean text with no pii at all")
+  }
+
   test("sequencer cardinality and enumeration (WarpCoreTests.swift:624-668)") {
     import graft.sources.Sequencer
     assert(Sequencer.cardinality("[A-Z]{2}") == 676)
