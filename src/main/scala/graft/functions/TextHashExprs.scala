@@ -80,6 +80,23 @@ object TextHash {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exact `split(trim(lower(s)), "\s+")` semantics, shared by every
+    * string-token kernel ([[LangScoresExpr]], [[TokenStatsExpr]]) so their
+    * "bit-compatible with [[graft.pipeline.TextAnalysis.tokens]] and the
+    * DuckDB oracle" claim is structural, not copy-paste. SQL trim strips
+    * SPACES only — Java String.trim would also strip tabs/newlines and
+    * silently diverge from the declarative path on control-padded text. */
+  def tokenize(s: UTF8String): Array[String] = {
+    val lower = s.toLowerCase.toString
+    var from = 0
+    var until = lower.length
+    while (from < until && lower.charAt(from) == ' ') from += 1
+    while (until > from && lower.charAt(until - 1) == ' ') until -= 1
+    ws.split(lower.substring(from, until), -1)
+  }
+
   /** Distinct, sorted n-word shingle hashes (rolling combine of token
     * hashes). Fewer than n words => one shingle covering all words —
     * mirrors [[graft.pipeline.Dedup.shingles]]. */
@@ -252,19 +269,8 @@ case class LangScoresExpr(child: Expression, lists: Seq[Seq[String]])
 }
 
 object LangScoresExpr {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-
   def compute(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
-    // exact split(trim(lower(s)), "\s+") semantics (matches
-    // TextAnalysis.tokens and the DuckDB oracles): SQL trim strips SPACES
-    // only — Java String.trim would also strip tabs/newlines and silently
-    // diverge from the declarative path on control-padded text
-    val lower = s.toLowerCase.toString
-    var from = 0
-    var until = lower.length
-    while (from < until && lower.charAt(from) == ' ') from += 1
-    while (until > from && lower.charAt(until - 1) == ' ') until -= 1
-    val tokens = ws.split(lower.substring(from, until), -1)
+    val tokens = TextHash.tokenize(s)
     val out = new Array[Double](sets.length)
     var li = 0
     while (li < sets.length) {

@@ -28,16 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * document size) — no hash-collision caveat to carry into the oracle.
   */
 object TokenStatsExpr {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-
   def compute(s: UTF8String): ArrayData = {
-    // space-only trim (SQL trim), NOT Java String.trim (see LangScoresExpr)
-    val lower = s.toLowerCase.toString
-    var from = 0
-    var until = lower.length
-    while (from < until && lower.charAt(from) == ' ') from += 1
-    while (until > from && lower.charAt(until - 1) == ' ') until -= 1
-    val tokens = ws.split(lower.substring(from, until), -1)
+    val tokens = TextHash.tokenize(s)
 
     val tf = new java.util.HashMap[String, Integer]()
     var maxTf = 0

@@ -244,12 +244,30 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
                           idCol2: String = "id2", maxIter: Int = 30): DataFrame = {
+    // ids may be integral (cast to long for a uniform 8-byte shuffle key)
+    // or strings (UUIDs/URLs/content hashes — kept as-is, cluster = the
+    // lexicographic minimum). Anything else fails loudly HERE: a blind
+    // cast("long") would null out non-numeric ids, drop every edge, and
+    // make dedupByPairs a silent no-op.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val t1 = pairs.schema(idCol1).dataType
+    val t2 = pairs.schema(idCol2).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val idExpr: String => Column =
+      if (integral(t1) && integral(t2)) c => col(c).cast("long")
+      else if (t1 == StringType && t2 == StringType) c => col(c)
+      else throw new IllegalArgumentException(
+        s"connectedComponents needs integral or string id columns, got " +
+          s"$idCol1: ${t1.simpleString}, $idCol2: ${t2.simpleString} — " +
+          "hash or index non-conforming ids first")
     val raw = pairs
-      .select(col(idCol1).cast("long").as("a"), col(idCol2).cast("long").as("b"))
+      .select(idExpr(idCol1).as("a"), idExpr(idCol2).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // no persist: the node table is evaluated exactly once (the final
+    // labeling join) — caching it would be a pure extra materialization
     val nodes = raw.select(col("a").as("id"))
       .unionAll(raw.select(col("b").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // canonical direction: u (larger) -> v (smaller); invariant held by
     // both star operations below
@@ -304,7 +322,6 @@ object Dedup {
       .join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
       .localCheckpoint(true)
-    nodes.unpersist()
     e.unpersist()
     out
   }

@@ -276,9 +276,12 @@ class PipelineSpec extends SparkSpec {
       val edges = Seq.fill(5 + rnd.nextInt(30))(
         (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
       val want = ufClusters(edges)
-      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
-        .as[(Long, Long)].collect().toMap
-      assert(got == want, s"trial $trial edges=$edges")
+      val rows = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect()
+      // exactly ONE row per node — toMap alone would mask duplicate or
+      // conflicting labels
+      assert(rows.length == want.size, s"trial $trial row count")
+      assert(rows.toMap == want, s"trial $trial edges=$edges")
     }
   }
 
@@ -286,8 +289,19 @@ class PipelineSpec extends SparkSpec {
     // chains force multi-round convergence (the hardest shape for
     // star-contraction); 12 nodes must finish well inside maxIter
     val edges = (0L until 11L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    assert(got == (0L to 11L).map(_ -> 0L).toMap)
+    val rows = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(rows.length == 12)
+    assert(rows.toMap == (0L to 11L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components on string ids; unsupported types fail loudly") {
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id1", "id2")
+    val rows = Dedup.connectedComponents(edges).as[(String, String)].collect()
+    assert(rows.length == 5)
+    assert(rows.toMap == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val bad = Seq((1.5, 2.5)).toDF("id1", "id2")
+    val err = intercept[IllegalArgumentException](Dedup.connectedComponents(bad))
+    assert(err.getMessage.contains("integral or string"))
   }
 
   test("dedupByPairs keeps cluster minima and passes untouched rows through") {
