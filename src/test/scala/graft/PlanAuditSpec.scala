@@ -52,6 +52,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bit_count"), p.take(2000))
   }
 
+  test("q_text_repetition: scoring is one map pass; only the output sort shuffles") {
+    val p = plan("q_text_repetition")
+    // the native token_stats kernel keeps all four ratios in one projection
+    // over the scan — a second Exchange would mean the scoring phase itself
+    // started shuffling (the single one here is the final presentation sort)
+    assert("Exchange".r.findAllMatchIn(p).length == 1, p.take(2000))
+    assert(p.contains("token_stats"), p.take(2000))
+  }
+
   test("dedup pair queries never degrade to cartesian/nested-loop joins") {
     // q_dedup_minhash's entry eagerly checkpoints (cache hygiene), which
     // collapses its plan to a LogicalRDD scan — audit the SAME pipeline in
