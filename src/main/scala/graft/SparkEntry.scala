@@ -544,6 +544,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- bounded-memory EXACT median (bracket-and-refine): same result
+    //      as warpMedian/DuckDB median, hash-matched by the oracle, but no
+    //      per-group aggregation buffer — the 100-TB path when a group
+    //      holds a large fraction of the table. Grouped by linestatus so
+    //      this exercises different group shapes than q_agg_stats.
+    "q_agg_median_scalable" -> ((s, dir) => {
+      graft.ops.BracketMedian.exactMedian(
+        T(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity", out = "med_qty")
+        .orderBy("l_linestatus")
+    }),
+
     // ---- formula-language queries: the same computations expressed as
     // Warp formula STRINGS, parsed and compiled by graft.formula.Formula
     // (Formula.swift:276-350 grammar). Typed contexts (Ctx.forSchema) keep
@@ -1053,6 +1064,9 @@ object SparkEntry {
            CASE WHEN n > 0 THEN sqrt((sq - s*s/n) / n) END AS std_pop,
            n AS n_num
          FROM g ORDER BY l_returnflag""",
+    "q_agg_median_scalable" ->
+      """SELECT l_linestatus, median(l_quantity) AS med_qty
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_formula_calc" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue
          FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10

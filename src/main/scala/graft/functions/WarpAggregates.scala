@@ -76,7 +76,10 @@ object WarpAggregates {
     * .average mode). MEMORY BOUND: Spark's `median` buffers every value of
     * a group in one aggregation buffer (TypedImperativeAggregate) — fine
     * when groups are small, an executor OOM when one group holds a large
-    * fraction of a 100 TB table. For such shapes use [[warpMedianApprox]]. */
+    * fraction of a 100 TB table. For such shapes use [[warpMedianApprox]]
+    * (bounded memory, approximate) or
+    * [[graft.ops.BracketMedian.exactMedian]] (bounded memory AND exact —
+    * two passes instead of one). */
   def warpMedian(c: Column): Column = median(c)
 
   /** Scale path for the median family: `percentile_approx(0.5)` — a

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.values.Warp
+
+/** EXACT median with bounded executor memory — the 100-TB-safe alternative
+  * to both [[graft.functions.WarpAggregates.warpMedian]] (exact, but
+  * buffers a whole group per aggregation buffer: Spark's `median` is a
+  * TypedImperativeAggregate) and
+  * [[graft.functions.WarpAggregates.warpMedianApprox]] (bounded memory,
+  * but only approximate).
+  *
+  * Bracket-and-refine, two passes over the data:
+  *
+  *  1. per group: `n` and a value bracket `[lo, hi]` from a
+  *     Greenwald-Khanna quantile sketch (`percentile_approx` at
+  *     0.5 ± 4/accuracy). The sketch's rank error is ≤ n/accuracy, so the
+  *     true median ranks are guaranteed inside the bracket's rank range.
+  *  2. per group: count rows below `lo`, then aggregate the bracket rows as
+  *     (value, count) pairs — run-length encoding, so heavy duplicate
+  *     values cost ONE row, not one per occurrence — and walk cumulative
+  *     counts over the distinct values (a window over the small bracket
+  *     partition) to find the value(s) covering the exact middle ranks.
+  *
+  * Nothing collects a group into a buffer: state is the sketch
+  * (O(accuracy·log n)), hash-aggregate rows, and a spillable window sort
+  * whose partition holds only the DISTINCT bracket values (≈ 8·n/accuracy
+  * rows worst case, fewer under duplicates). Even-count groups return the
+  * mean of the two middle values, matching `median()` in Spark and DuckDB.
+  *
+  * Groups with no valid (non-null numeric) values do not appear in the
+  * output, like any aggregate over filtered input. If a sketch ever
+  * violated its rank bound (mathematically excluded), the group's median
+  * would surface as null rather than a silently wrong value.
+  */
+object BracketMedian {
+
+  def exactMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  accuracy: Int = 10000, out: String = "median"): DataFrame = {
+    require(groupCols.nonEmpty, "exactMedian needs at least one group column")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val gs = groupCols.map(col)
+    val delta = math.min(0.49, 4.0 / accuracy)
+
+    val vals = df.select(gs :+ Warp.num(col(valueCol)).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+
+    // pass 1: count + sketch bracket per group
+    val br = vals.groupBy(gs: _*).agg(
+      count(lit(1)).as("__n"),
+      percentile_approx(col("__v"), lit(0.5 - delta), lit(accuracy)).as("__lo"),
+      percentile_approx(col("__v"), lit(0.5 + delta), lit(accuracy)).as("__hi"))
+
+    // pass 2a: rows strictly below the bracket fix the bracket's rank offset
+    val j = vals.join(br, groupCols)
+    val below = j.groupBy(gs: _*)
+      .agg(count(when(col("__v") < col("__lo"), 1)).as("__below"))
+
+    // pass 2b: run-length encode the bracket (one row per DISTINCT value),
+    // then cumulative counts in value order locate the exact middle ranks
+    val rle = j.filter(col("__v").between(col("__lo"), col("__hi")))
+      .groupBy(gs :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rle.withColumn("__cumEnd", sum(col("__c")).over(w))
+      .join(below, groupCols)
+    // 1-based global target ranks: odd n -> the middle twice, even n -> the
+    // two middles (their mean is the median)
+    val r1 = expr("(__n + 1) DIV 2") // Column./ would be DOUBLE division
+    val r2 = expr("__n DIV 2 + 1")
+    def covers(r: Column): Column =
+      r > col("__below") + col("__cumEnd") - col("__c") &&
+        r <= col("__below") + col("__cumEnd")
+    cum.groupBy(gs: _*).agg(
+      max(when(covers(r1), col("__v"))).as("__m1"),
+      max(when(covers(r2), col("__v"))).as("__m2"))
+      .select(gs :+ ((col("__m1") + col("__m2")) / 2).as(out): _*)
+  }
+}

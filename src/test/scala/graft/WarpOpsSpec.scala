@@ -207,4 +207,38 @@ class WarpOpsSpec extends SparkSpec {
     assert(s.count() == 50)
     assert(s.distinct().count() == 50)
   }
+
+  test("bracket median equals the buffering exact median across distributions") {
+    import graft.ops.BracketMedian
+    val rnd = new scala.util.Random(7)
+    // continuous, heavy-duplicate discrete, skewed, tiny, and odd/even
+    // group sizes — per group the bracket path must match Spark's exact
+    // `median` bit for bit
+    val rows = Seq.tabulate(5000) { i =>
+      val g = i % 7
+      val v = g match {
+        case 0 => rnd.nextDouble() * 100                  // continuous
+        case 1 => (rnd.nextInt(5) + 1).toDouble           // 5 distinct values
+        case 2 => math.pow(rnd.nextDouble(), 8) * 1e6     // heavy skew
+        case 3 => 42.0                                    // constant
+        case _ => rnd.nextGaussian()
+      }
+      (g.toLong, v)
+    } ++ Seq((7L, 1.0), (8L, 1.0), (8L, 2.0), (9L, 1.0), (9L, 2.0), (9L, 3.0))
+    val df = rows.toDF("g", "v")
+    val exact = df.groupBy("g").agg(median(col("v")).as("m"))
+      .as[(Long, Double)].collect().toMap
+    val bracket = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
+      .as[(Long, Double)].collect().toMap
+    assert(bracket == exact)
+  }
+
+  test("bracket median skips nulls and drops all-null groups") {
+    import graft.ops.BracketMedian
+    val df = Seq((1L, Some(1.0)), (1L, None), (1L, Some(3.0)), (2L, None))
+      .toDF("g", "v")
+    val got = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 2.0))
+  }
 }
