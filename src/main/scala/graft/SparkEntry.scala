@@ -550,8 +550,8 @@ object SparkEntry {
     //      holds a large fraction of the table. Grouped by linestatus so
     //      this exercises different group shapes than q_agg_stats.
     "q_agg_median_scalable" -> ((s, dir) => {
-      graft.ops.BracketMedian.exactMedian(
-        T(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity", out = "med_qty")
+      graft.ops.BracketMedian.exactMedianFamily(
+        T(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity", prefix = "med_qty")
         .orderBy("l_linestatus")
     }),
 
@@ -1065,8 +1065,15 @@ object SparkEntry {
            n AS n_num
          FROM g ORDER BY l_returnflag""",
     "q_agg_median_scalable" ->
-      """SELECT l_linestatus, median(l_quantity) AS med_qty
-         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+      """WITH g AS (
+           SELECT l_linestatus, list_sort(list(l_quantity)) AS a,
+                  COUNT(l_quantity) AS n
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus,
+           (a[CAST((n+1)//2 AS INT)] + a[CAST(n//2+1 AS INT)]) / 2 AS med_qty,
+           a[CAST((n+1)//2 AS INT)] AS med_qty_low,
+           a[CAST(n//2+1 AS INT)] AS med_qty_high
+         FROM g ORDER BY l_linestatus""",
     "q_formula_calc" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue
          FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10

@@ -37,8 +37,19 @@ import graft.values.Warp
   */
 object BracketMedian {
 
+  /** Interpolated median only — see [[exactMedianFamily]] for low/high. */
   def exactMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  accuracy: Int = 10000, out: String = "median"): DataFrame = {
+                  accuracy: Int = 10000, out: String = "median"): DataFrame =
+    exactMedianFamily(df, groupCols, valueCol, accuracy, prefix = out)
+      .select(groupCols.map(col) :+ col(out): _*)
+
+  /** The whole median family from one bracket: `<prefix>` (mean of the two
+    * middles — the reference's `.average` mode), `<prefix>_low` and
+    * `<prefix>_high` (lower/upper middle element — `.low`/`.high` modes),
+    * matching [[graft.functions.WarpAggregates.warpMedianLow]]/`High`
+    * without their whole-group `collect_list` buffers. */
+  def exactMedianFamily(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                        accuracy: Int = 10000, prefix: String = "median"): DataFrame = {
     require(groupCols.nonEmpty, "exactMedian needs at least one group column")
     require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
     val gs = groupCols.map(col)
@@ -53,30 +64,34 @@ object BracketMedian {
       percentile_approx(col("__v"), lit(0.5 - delta), lit(accuracy)).as("__lo"),
       percentile_approx(col("__v"), lit(0.5 + delta), lit(accuracy)).as("__hi"))
 
-    // pass 2a: rows strictly below the bracket fix the bracket's rank offset
+    // pass 2: one linear chain — join the (broadcast-small) brackets back,
+    // drop rows above the bracket, and run-length encode by key
+    // `__k = v inside the bracket, null below it`: all below-bracket rows
+    // fold into a single null-key row per group. Ordering the cumulative
+    // window NULLS FIRST makes that row the partition's head, so its count
+    // IS the bracket's global rank offset — no second aggregation, no
+    // branch, no rejoin; this pass reads the data exactly once, which is
+    // what a two-pass algorithm promises (and the null row can never be
+    // selected: `when(covers, __k)` yields null there, invisible to max).
     val j = vals.join(br, groupCols)
-    val below = j.groupBy(gs: _*)
-      .agg(count(when(col("__v") < col("__lo"), 1)).as("__below"))
-
-    // pass 2b: run-length encode the bracket (one row per DISTINCT value),
-    // then cumulative counts in value order locate the exact middle ranks
-    val rle = j.filter(col("__v").between(col("__lo"), col("__hi")))
-      .groupBy(gs :+ col("__v"): _*)
+    val counts = j.filter(col("__v") <= col("__hi"))
+      .groupBy(gs :+ when(col("__v") >= col("__lo"), col("__v")).as("__k"): _*)
       .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))
-    val w = Window.partitionBy(gs: _*).orderBy(col("__v"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__k").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = rle.withColumn("__cumEnd", sum(col("__c")).over(w))
-      .join(below, groupCols)
+    val cum = counts.withColumn("__cumEnd", sum(col("__c")).over(w))
     // 1-based global target ranks: odd n -> the middle twice, even n -> the
     // two middles (their mean is the median)
     val r1 = expr("(__n + 1) DIV 2") // Column./ would be DOUBLE division
     val r2 = expr("__n DIV 2 + 1")
     def covers(r: Column): Column =
-      r > col("__below") + col("__cumEnd") - col("__c") &&
-        r <= col("__below") + col("__cumEnd")
+      r > col("__cumEnd") - col("__c") && r <= col("__cumEnd")
     cum.groupBy(gs: _*).agg(
-      max(when(covers(r1), col("__v"))).as("__m1"),
-      max(when(covers(r2), col("__v"))).as("__m2"))
-      .select(gs :+ ((col("__m1") + col("__m2")) / 2).as(out): _*)
+      max(when(covers(r1), col("__k"))).as("__m1"),
+      max(when(covers(r2), col("__k"))).as("__m2"))
+      .select(gs ++ Seq(
+        ((col("__m1") + col("__m2")) / 2).as(prefix),
+        col("__m1").as(s"${prefix}_low"),
+        col("__m2").as(s"${prefix}_high")): _*)
   }
 }

@@ -61,6 +61,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("token_stats"), p.take(2000))
   }
 
+  test("q_agg_median_scalable: exact median with no whole-group buffer") {
+    val p = plan("q_agg_median_scalable")
+    // the point of the bracket path: the only sketchy aggregate is the
+    // bounded percentile sketch — never Spark's buffering `median` or a
+    // collect_list of the group
+    assert(p.contains("percentile_approx"), p.take(2000))
+    assert(!p.contains("median("), p.take(2000))
+    assert(!p.contains("collect_list"), p.take(2000))
+  }
+
   test("dedup pair queries never degrade to cartesian/nested-loop joins") {
     // q_dedup_minhash's entry eagerly checkpoints (cache hygiene), which
     // collapses its plan to a LogicalRDD scan — audit the SAME pipeline in

@@ -226,11 +226,15 @@ class WarpOpsSpec extends SparkSpec {
       (g.toLong, v)
     } ++ Seq((7L, 1.0), (8L, 1.0), (8L, 2.0), (9L, 1.0), (9L, 2.0), (9L, 3.0))
     val df = rows.toDF("g", "v")
-    val exact = df.groupBy("g").agg(median(col("v")).as("m"))
-      .as[(Long, Double)].collect().toMap
-    val bracket = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
-      .as[(Long, Double)].collect().toMap
+    val exact = df.groupBy("g").agg(median(col("v")).as("m"),
+      graft.functions.WarpAggregates.warpMedianLow(col("v")).as("lo"),
+      graft.functions.WarpAggregates.warpMedianHigh(col("v")).as("hi"))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val bracket = BracketMedian.exactMedianFamily(df, Seq("g"), "v", prefix = "m")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(bracket == exact)
+    val single = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
+    assert(single.columns.toSeq == Seq("g", "m"))
   }
 
   test("bracket median skips nulls and drops all-null groups") {
