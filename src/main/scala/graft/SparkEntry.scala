@@ -727,6 +727,38 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- deterministic train/val/test split: md5-bucket assignment, the
+    //      same row lands in the same split on every engine and every run
+    "q_split" -> ((s, dir) => {
+      graft.pipeline.Sampling.splitByHash(T(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .selectColumns(Seq("doc_id", "lang", "split"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- deterministic stratified sampling: per-stratum hash-threshold
+    //      keep fractions (NOT rand() — re-runs agree row-for-row)
+    "q_stratified" -> ((s, dir) => {
+      graft.pipeline.Sampling.stratifiedSample(T(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.2))
+        .selectColumns(Seq("doc_id", "lang"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- corpus-level boilerplate line removal (C4 recipe): drop lines
+    //      occurring in >= 78% of documents. The corpus is single-line, so
+    //      tokens are folded onto lines first; the 78% threshold removes
+    //      the most common vocabulary lines and keeps the rest.
+    "q_text_boilerplate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .calculate(Seq("lined" -> translate(col("text"), " ", "\n")))
+      val minDocs = math.ceil(0.78 * docs.count()).toInt
+      graft.pipeline.TextAnalysis.removeBoilerplateLines(
+        docs, "doc_id", "lined", minDocs = minDocs)
+        .selectColumns(Seq("doc_id", "clean_text"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- brute-force cosine top-k over embeddings (exact-decimal dot)
     "q_embed_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -1220,6 +1252,32 @@ object SparkEntry {
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
          ORDER BY doc_id""",
+    "q_split" ->
+      """SELECT doc_id, lang,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <
+           CASE WHEN lang = 'de' THEN 2000 WHEN lang = 'en' THEN 5000 ELSE 0 END
+         ORDER BY doc_id""",
+    "q_text_boilerplate" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS ls FROM documents
+         ), lines AS (
+           SELECT doc_id, i, ls[i] AS l FROM d, unnest(range(1, len(ls) + 1)) AS u(i)
+         ), bad AS (
+           SELECT l FROM lines GROUP BY l
+           HAVING count(DISTINCT doc_id) >= CAST(ceil(0.78 * (SELECT count(*) FROM documents)) AS BIGINT)
+         ), kept AS (
+           SELECT doc_id, i, l FROM lines WHERE l NOT IN (SELECT l FROM bad)
+         ), agg AS (
+           SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS c FROM kept GROUP BY doc_id
+         )
+         SELECT d2.doc_id, coalesce(a.c, '') AS clean_text
+         FROM documents d2 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "q_func_list" ->
       """SELECT n_nationkey,
          n_name || ',' || replace(replace(n_name || ',x', '$', '$0'), ',', '$1') AS packed,

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -129,6 +129,38 @@ object TextAnalysis {
   def duplicateLineFraction(textCol: Column): Column = {
     val lines = split(textCol, "\n", -1)
     ratio(size(lines) - size(array_distinct(lines)), size(lines))
+  }
+
+  /** CORPUS-level boilerplate removal (the C4 recipe, Raffel et al. 2020):
+    * drop every line that occurs verbatim in at least `minDocs` distinct
+    * documents — navigation chrome, cookie banners, license footers — and
+    * reassemble each document from its surviving lines in order.
+    *
+    * Scale shape: lines explode narrowly; the cross-corpus frequency count
+    * groups on an 8-byte line hash (the line text itself never shuffles for
+    * counting); the boilerplate set joins back as a hash-key anti-join
+    * (broadcast when small, shuffle when not). Reassembly buffers one
+    * DOCUMENT per aggregation buffer — bounded by document size, never by
+    * corpus or group size. Documents whose every line is boilerplate come
+    * back as the empty string, not dropped. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int = 2, out: String = "clean_text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val bad = lines.groupBy("__lh")
+      .agg(count_distinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__lh")
+    val rebuilt = lines.join(bad, Seq("__lh"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as(out))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
+      .drop("__id")
+      .withColumn(out, coalesce(col(out), lit("")))
   }
 
   // ===== PII detection / redaction =====

@@ -351,6 +351,62 @@ class PipelineSpec extends SparkSpec {
     assert(r == 2.0 / 5.0)
   }
 
+  // ===== deterministic sampling / splits =====
+
+  test("splitByHash: stable assignment, roughly proportional, every row labeled") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val s2 = Sampling.splitByHash(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700, counts.toString)
+    assert(counts("val") > 120 && counts("val") < 280, counts.toString)
+    // determinism: identical assignment across invocations
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+  }
+
+  test("stratifiedSample keeps per-stratum hash fractions, drops unlisted strata") {
+    val df = Seq.tabulate(900)(i => (i.toLong, Seq("a", "b", "c")(i % 3))).toDF("id", "g")
+    val kept = Sampling.stratifiedSample(df, "id", "g", Map("a" -> 1.0, "b" -> 0.5))
+    val counts = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("a") == 300)
+    assert(counts("b") > 100 && counts("b") < 200, counts.toString)
+    assert(!counts.contains("c"))
+    // subset property: sampling again with a smaller fraction nests
+    val kept2 = Sampling.stratifiedSample(df, "id", "g", Map("b" -> 0.25))
+    assert(kept2.join(kept, Seq("id"), "left_anti").isEmpty)
+  }
+
+  test("splitLabel validates weights") {
+    intercept[IllegalArgumentException](Sampling.splitLabel(col("x"), Seq()))
+    intercept[IllegalArgumentException](Sampling.splitLabel(col("x"), Seq("a" -> -1.0)))
+  }
+
+  // ===== boilerplate removal =====
+
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order, empties covered docs") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nunique one\nFOOTER"),
+      (2L, "COOKIE BANNER\nunique two\nFOOTER"),
+      (3L, "COOKIE BANNER\nunique three"),
+      (4L, "COOKIE BANNER\nFOOTER")).toDF("id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(df, "id", "text", minDocs = 3)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    // COOKIE BANNER in 4 docs, FOOTER in 3 -> both boilerplate
+    assert(out == Map(1L -> "unique one", 2L -> "unique two",
+      3L -> "unique three", 4L -> ""))
+  }
+
+  test("removeBoilerplateLines: duplicate lines within ONE doc are not boilerplate") {
+    val df = Seq(
+      (1L, "same\nsame\nsame"),
+      (2L, "other\nlines")).toDF("id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(df, "id", "text", minDocs = 2)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    // 'same' occurs 3x but only in one DISTINCT doc -> kept, order preserved
+    assert(out == Map(1L -> "same\nsame\nsame", 2L -> "other\nlines"))
+  }
+
   // ===== PII =====
 
   test("pii counts and typed redaction") {
