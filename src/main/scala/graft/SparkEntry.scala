@@ -750,11 +750,13 @@ object SparkEntry {
     //      tokens are folded onto lines first; the 78% threshold removes
     //      the most common vocabulary lines and keeps the rest.
     "q_text_boilerplate" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-        .calculate(Seq("lined" -> translate(col("text"), " ", "\n")))
-      val minDocs = math.ceil(0.78 * docs.count()).toInt
+      // threshold from the RAW table count (the translate projection is
+      // never evaluated for it), clamped so a tiny corpus still constructs
+      val n = T(s, dir, "documents").count()
+      val minDocs = math.max(2L, math.ceil(0.78 * n).toLong)
       graft.pipeline.TextAnalysis.removeBoilerplateLines(
-        docs, "doc_id", "lined", minDocs = minDocs)
+        T(s, dir, "documents").calculate(Seq("lined" -> translate(col("text"), " ", "\n"))),
+        "doc_id", "lined", minDocs = minDocs)
         .selectColumns(Seq("doc_id", "clean_text"))
         .warpSort(Seq(Order(col("doc_id"))))
     }),

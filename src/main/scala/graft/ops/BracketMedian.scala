@@ -73,7 +73,13 @@ object BracketMedian {
     // branch, no rejoin; this pass reads the data exactly once, which is
     // what a two-pass algorithm promises (and the null row can never be
     // selected: `when(covers, __k)` yields null there, invisible to max).
-    val j = vals.join(br, groupCols)
+    // NULL-SAFE join back: a null group key is a legitimate group (groupBy
+    // keeps it, and so do warpMedian and SQL GROUP BY) — a plain equi-join
+    // would silently drop it
+    val brR = br.toDF(groupCols.map(c => s"__g_$c") ++ Seq("__n", "__lo", "__hi"): _*)
+    val j = vals.join(brR,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
     val counts = j.filter(col("__v") <= col("__hi"))
       .groupBy(gs :+ when(col("__v") >= col("__lo"), col("__v")).as("__k"): _*)
       .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))

@@ -249,11 +249,17 @@ object Dedup {
     // lexicographic minimum). Anything else fails loudly HERE: a blind
     // cast("long") would null out non-numeric ids, drop every edge, and
     // make dedupByPairs a silent no-op.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType}
     val t1 = pairs.schema(idCol1).dataType
     val t2 = pairs.schema(idCol2).dataType
-    val integral = Set[org.apache.spark.sql.types.DataType](
-      ByteType, ShortType, IntegerType, LongType)
+    // scale-0 decimals (the standard JDBC NUMBER key shape) are integral
+    // too; a value beyond long range fails the ANSI cast loudly, it does
+    // not silently null out
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
     val idExpr: String => Column =
       if (integral(t1) && integral(t2)) c => col(c).cast("long")
       else if (t1 == StringType && t2 == StringType) c => col(c)

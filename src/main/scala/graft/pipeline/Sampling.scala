@@ -35,10 +35,15 @@ object Sampling {
     val b = hashBucket(idCol, buckets)
     val thresholds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .tail.map(f => math.round(f * buckets))
-    // when-chain over cumulative thresholds; final otherwise = last label
-    weights.init.zip(thresholds.init).foldRight(lit(weights.last._1): Column) {
-      case (((label, _), t), rest) => when(b < t, label).otherwise(rest)
-    }
+    // when-chain over cumulative thresholds; final otherwise = last label.
+    // A null id must yield a null LABEL, not fall through every null
+    // comparison into the last split (a batch of null ids would silently
+    // flood the eval split); stratifiedSample's filter drops the same rows.
+    val chain = weights.init.zip(thresholds.init)
+      .foldRight(lit(weights.last._1): Column) {
+        case (((label, _), t), rest) => when(b < t, label).otherwise(rest)
+      }
+    when(b.isNotNull, chain)
   }
 
   /** Add a `split` column with a stable train/val/test-style assignment. */
@@ -49,8 +54,10 @@ object Sampling {
   /** Deterministic stratified sample: keep a per-stratum fraction of rows,
     * selected by hash threshold (NOT rand()), so re-runs and engines agree
     * row-for-row. Strata absent from `fractions` fall back to
-    * `defaultFraction` (0 = drop). Scale shape: one map+filter pass, the
-    * stratum lookup is a compiled when-chain — no join, no shuffle. */
+    * `defaultFraction` (0 = drop). Null ids are dropped (their bucket is
+    * null, matching [[splitLabel]]'s null label). Scale shape: one
+    * map+filter pass, the stratum lookup is a compiled when-chain — no
+    * join, no shuffle. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        fractions: Map[String, Double],
                        defaultFraction: Double = 0.0,

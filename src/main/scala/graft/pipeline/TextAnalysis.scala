@@ -137,30 +137,40 @@ object TextAnalysis {
     * reassemble each document from its surviving lines in order.
     *
     * Scale shape: lines explode narrowly; the cross-corpus frequency count
-    * groups on an 8-byte line hash (the line text itself never shuffles for
-    * counting); the boilerplate set joins back as a hash-key anti-join
-    * (broadcast when small, shuffle when not). Reassembly buffers one
-    * DOCUMENT per aggregation buffer — bounded by document size, never by
-    * corpus or group size. Documents whose every line is boilerplate come
-    * back as the empty string, not dropped. */
+    * groups on the line TEXT — exactness over an 8-byte hash key, whose
+    * 64-bit collisions would silently delete innocent lines corpus-wide at
+    * billions of distinct lines — with map-side partial aggregation
+    * collapsing per-partition repeats before the shuffle, so the shuffle
+    * carries each distinct line once per partition, not once per
+    * occurrence. The boilerplate set anti-joins back (broadcast when
+    * small, shuffle when not). Reassembly buffers one DOCUMENT per
+    * aggregation buffer — bounded by document size, never by corpus or
+    * group size. Documents whose every line is boilerplate come back as
+    * the empty string, not dropped. A null id is rejected at runtime: all
+    * null-id documents would otherwise merge into ONE reconstruction group
+    * (and a join back to them cannot distinguish rows), silently
+    * destroying their text. */
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                             minDocs: Int = 2, out: String = "clean_text"): DataFrame = {
+                             minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = df.select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
-      .withColumn("__lh", xxhash64(col("__line")))
-    val bad = lines.groupBy("__lh")
+    val guardedId = when(col(idCol).isNotNull, col(idCol))
+      .otherwise(raise_error(lit(s"removeBoilerplateLines: null $idCol")))
+    val lines = df.select(guardedId.as("__id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+    val bad = lines.groupBy("__line")
       .agg(count_distinct(col("__id")).as("__docs"))
       .filter(col("__docs") >= minDocs)
-      .select("__lh")
-    val rebuilt = lines.join(bad, Seq("__lh"), "left_anti")
+      .select("__line")
+    val rebuilt = lines.join(bad, Seq("__line"), "left_anti")
       .groupBy("__id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        s => s.getField("__line")), "\n").as(out))
+        s => s.getField("__line")), "\n").as("__rebuilt"))
+    // scratch name sidesteps ambiguity when df already has an `out` column
     df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
       .drop("__id")
-      .withColumn(out, coalesce(col(out), lit("")))
+      .withColumn(out, coalesce(col("__rebuilt"), lit("")))
+      .drop("__rebuilt")
   }
 
   // ===== PII detection / redaction =====

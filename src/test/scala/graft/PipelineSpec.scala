@@ -382,6 +382,29 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.splitLabel(col("x"), Seq("a" -> -1.0)))
   }
 
+  test("null ids get a null split label, never a silent last-split assignment") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val labels = Sampling.splitByHash(df, "id", Seq("train" -> 0.9, "test" -> 0.1))
+      .select("split").as[Option[String]].collect()
+    assert(labels.count(_.isEmpty) == 1)
+    assert(labels.flatten.forall(Set("train", "test")))
+  }
+
+  test("connected components accept scale-0 decimal ids (JDBC NUMBER keys)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+      .select(col("id1").cast("decimal(18,0)").as("id1"),
+        col("id2").cast("decimal(18,0)").as("id2"))
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("removeBoilerplateLines rejects null ids loudly") {
+    val df = Seq((Some(1L), "a\nb"), (None, "c")).toDF("id", "text")
+    val e = intercept[Exception](
+      TextAnalysis.removeBoilerplateLines(df, "id", "text").collect())
+    assert(e.getMessage != null)
+  }
+
   // ===== boilerplate removal =====
 
   test("removeBoilerplateLines drops corpus-frequent lines, keeps order, empties covered docs") {

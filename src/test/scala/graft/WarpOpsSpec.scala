@@ -237,6 +237,14 @@ class WarpOpsSpec extends SparkSpec {
     assert(single.columns.toSeq == Seq("g", "m"))
   }
 
+  test("bracket median keeps null group keys like groupBy-median does") {
+    import graft.ops.BracketMedian
+    val df = Seq((Option(1L), 5.0), (None, 1.0), (None, 3.0)).toDF("g", "v")
+    val got = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
+      .as[(Option[Long], Double)].collect().toMap
+    assert(got == Map(Option(1L) -> 5.0, None -> 2.0))
+  }
+
   test("bracket median skips nulls and drops all-null groups") {
     import graft.ops.BracketMedian
     val df = Seq((1L, Some(1.0)), (1L, None), (1L, Some(3.0)), (2L, None))
