@@ -37,7 +37,10 @@ object Bench {
     // explicitly by q_embed_lsh_build/q_embed_ivf_build
     try SparkEntry.prepareIndexes(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] index prepare failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // stable name order: Map iteration order shifts whenever a query is
+    // added, silently moving the JIT-warmup cost onto different queries
+    // between rounds and making per-query numbers incomparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -48,7 +51,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")

@@ -777,8 +777,10 @@ object SparkEntry {
       val near = emb.warpFilter(col("vec_id") < 25).calculate(Seq(
         "vec_id" -> (col("vec_id") + 1000000),
         "embedding" -> transform(col("embedding"), v => v * lit(1.0001f))))
+      // dim passed explicitly: omitting it makes embeddingPairs probe the
+      // dimensionality with a driver-side head()
       graft.pipeline.Dedup.embeddingPairs(emb.warpUnion(near),
-        "embedding", "vec_id", cosineThreshold = 0.99)
+        "embedding", "vec_id", cosineThreshold = 0.99, dim = embDim(emb))
         .orderBy("id1", "id2")
     }),
 

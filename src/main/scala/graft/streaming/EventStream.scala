@@ -59,6 +59,23 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Streaming corpus intake: score quality, identify language, count
+    * tokens, fingerprint, then watermark-dedup on the fingerprint — the
+    * standard ingest stage of a training-data pipeline, incremental. The
+    * batch pipeline columns ([[graft.pipeline.TextAnalysis]]) compose with
+    * `readStream` UNCHANGED because they are pure map expressions; the
+    * only stateful stage is the dedup, whose state the watermark bounds. */
+  def ingestDocumentsStream(docs: DataFrame, textCol: String, tsCol: String,
+                            lateness: String = "10 minutes"): DataFrame = {
+    val ta = graft.pipeline.TextAnalysis
+    val scored = docs
+      .withColumn("quality", ta.qualityScore(col(textCol)))
+      .withColumn("lang_id", ta.langId(col(textCol)))
+      .withColumn("n_tokens", ta.tokenCountWs(col(textCol)))
+      .withColumn("fp", ta.fingerprint64(col(textCol)))
+    dedupStream(scored, Seq("fp"), tsCol, lateness)
+  }
+
   /** Watermarked stream-stream INTERVAL join (events ⋈ marks): each event
     * joins the marks of the same key whose timestamp lies within
     * [event.ts - tolerance, event.ts]. Both inputs carry watermarks and

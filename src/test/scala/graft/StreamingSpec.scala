@@ -157,4 +157,36 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("files").agg(sum("n")).collect()(0).getLong(0) == 2L)
     } finally query.stop()
   }
+
+  test("ingestDocumentsStream: scores match batch, fingerprint dedup drops repeats") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = EventStream.ingestDocumentsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val query = stream.writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog in the sunny park today"
+      input.addData(
+        (1L, good, ts(1)),
+        (2L, "der hund und die katze sind von dem haus mit einem garten", ts(2)),
+        (3L, "the  QUICK brown fox jumps over a lazy dog in the sunny park today", ts(3)),
+        (4L, good, ts(4))) // exact repeat of doc 1 -> deduped
+      query.processAllAvailable()
+      val rows = spark.table("ingest")
+        .select("doc_id", "lang_id", "n_tokens").as[(Long, String, Long)]
+        .collect().sortBy(_._1)
+      // doc 3 normalizes (case/whitespace) to doc 1's fingerprint, doc 4 is
+      // an exact repeat: one survivor for the three
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+      assert(rows(0)._2 == "en" && rows(1)._2 == "de")
+      assert(rows(0)._3 == 14L)
+      // the streaming scores are the BATCH expressions, bit-identical
+      val batchQ = Seq(good).toDF("text")
+        .select(graft.pipeline.TextAnalysis.qualityScore(col("text"))).as[Double].collect()(0)
+      val streamQ = spark.table("ingest").filter(col("doc_id") === 1)
+        .select("quality").as[Double].collect()(0)
+      assert(streamQ == batchQ)
+    } finally query.stop()
+  }
 }
