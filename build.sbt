@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output passes straight to stdout/stderr — no sbt [info]/[error]
 // prefixes, so Bench's single JSON result line stays machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: ..." line: consumers of the
+// bench output keep only a bounded stdout tail, and that trailer would eat
+// into the window holding Bench's JSON result line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

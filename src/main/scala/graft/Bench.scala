@@ -49,10 +49,15 @@ object Bench {
       // stderr: -1 marks a query that did not run to completion
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: the harness reading this line keeps only a bounded
+    // stdout tail, so the line must stay short even as queries are added —
+    // full-precision doubles pushed 70 queries past that window (r3/r4
+    // parsed=null). 1 ms resolution is below run-to-run noise anyway.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
