@@ -40,14 +40,25 @@ object Bench {
     // stable name order: Map iteration order shifts whenever a query is
     // added, silently moving the JIT-warmup cost onto different queries
     // between rounds and making per-query numbers incomparable
+    //
+    // steady state: each query runs TWICE and reports the MINIMUM — the
+    // first run pays JIT/codegen compilation and cold file-cache reads,
+    // which r3-r5 history shows land on different queries every round
+    // (±5 s attribution swings drowning real regressions). The min is the
+    // per-query cost a warmed-up deployment actually pays.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      // failures must be visible in the machine-readable output, not just
-      // stderr: -1 marks a query that did not run to completion
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          // failures must be visible in the machine-readable output, not
+          // just stderr: -1 marks a query that did not run to completion
+          case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
+        }
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()))
     }
     // 3-decimal timings: the harness reading this line keeps only a bounded
     // stdout tail, so the line must stay short even as queries are added —

@@ -67,6 +67,98 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane sketch: all `nBits` sign bits of plane·vec in
+  * ONE pass over the vector, packed into `ceil(nBits/64)` longs
+  * (word w, bit i = sign of plane 64w+i).
+  *
+  * The declarative formulation — nBits separate `when(vec_dot(v, plane_i)
+  * > 0, ...)` columns OR-folded together — re-reads the vector nBits times
+  * and at 256 bits generates pathological codegen (hundreds of literal
+  * arrays in one method). This kernel is a single static call per row;
+  * plane data is one flat double[] referenced from the generated code.
+  * A vector whose length differs from the planes' dimension yields null
+  * (same poisoning contract as [[DotProductExpr]]). */
+case class SketchExpr(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val nBits = planes.length
+  private val dim = if (nBits == 0) 0 else planes(0).length
+  require(nBits > 0 && planes.forall(_.length == dim),
+    "sketch planes must be non-empty and rectangular")
+
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](nBits * dim)
+    var b = 0
+    while (b < nBits) { System.arraycopy(planes(b), 0, f, b * dim, dim); b += 1 }
+    f
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>/array<double> input, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    SketchExpr.compute(v.asInstanceOf[ArrayData], isFloat, flat, nBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = isFloat
+    val planesRef = ctx.addReferenceObj("sketchPlanes", flat, "double[]")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("sketch")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        ArrayData ${ev.value} = null;
+        if (!${c.isNull}) {
+          ArrayData $out = graft.functions.SketchExpr.compute(
+            ${c.value}, $fl, $planesRef, $nBits, $dim);
+          if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SketchExpr =
+    copy(child = newChild)
+}
+
+object SketchExpr {
+  def compute(v: ArrayData, vFloat: Boolean, flat: Array[Double],
+              nBits: Int, dim: Int): ArrayData = {
+    if (v.numElements() != dim) return null
+    val vec = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      vec(j) = if (vFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      j += 1
+    }
+    val words = new Array[Long]((nBits + 63) / 64)
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      val off = b * dim
+      var i = 0
+      while (i < dim) { acc += flat(off + i) * vec(i); i += 1 }
+      if (acc > 0) words(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
 object DotProductExpr {
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()

@@ -28,7 +28,14 @@ object WarpOps {
       * predicates stay pushable to the parquet scan; only non-boolean
       * expressions pay for the Warp bool-coercion wrapper. */
     def warpFilter(cond: Column): DataFrame = {
-      val dt = df.select(cond).schema.head.dataType
+      // resolve the condition's type against the existing analyzed plan —
+      // a driver-side expression-tree walk, NOT an extra per-call analysis
+      // pass on deep filter chains. Conditions the walk cannot type
+      // (implicit casts, lambdas) fall back to the one-projection analysis
+      // `df.select(cond).schema` — correct, just not walk-cheap.
+      val dt = org.apache.spark.sql.GraftColumnAccess
+        .resolvedDataType(df, cond)
+        .getOrElse(df.select(cond).schema.head.dataType)
       if (dt == org.apache.spark.sql.types.BooleanType) df.filter(cond)
       else df.filter(Warp.filterCond(cond))
     }
@@ -184,14 +191,24 @@ object WarpOps {
       * expressions into generated columns `hval1_hval2_...`
       * (Data.swift:265, Raster.swift:984-1050). `horizontal` columns are
       * concatenated with `_` exactly like the reference's generated names
-      * (Raster.swift:1012-1022). */
+      * (Raster.swift:1012-1022).
+      *
+      * Pass `values` (the expected labels) whenever they are known: the
+      * unbounded form runs an EAGER distinct-label job and collects the
+      * labels to the driver at plan-build time — a full extra scan at
+      * 100 TB, and unbounded label cardinality. The unbounded form stays
+      * available for exploration and is label-capped by Spark's
+      * `spark.sql.pivotMaxValues` (default 10000), matching the
+      * reference's label-bounded pivot (Raster.swift:984-1050). */
     def warpPivot(horizontal: Seq[Column], vertical: Seq[String],
-                  valueAgg: Column): DataFrame = {
+                  valueAgg: Column, values: Seq[String] = Nil): DataFrame = {
       val hkey = concat_ws("_", horizontal.map(_.cast("string")): _*)
-      df.withColumn("__h", hkey)
+      val grouped = df.withColumn("__h", hkey)
         .groupBy(vertical.map(c => col(s"`$c`")): _*)
-        .pivot("__h")
-        .agg(valueAgg)
+      val pivoted =
+        if (values.nonEmpty) grouped.pivot("__h", values)
+        else grouped.pivot("__h")
+      pivoted.agg(valueAgg)
     }
 
     /** explode vertically: one row per element of a split cell

@@ -71,7 +71,6 @@ object Dedup {
                    jaccardThreshold: Double = 0.8, maxBucket: Int = 1000,
                    materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // Signature via explode + k codegen'd min-aggregates: each shingle is
     // hashed once, the k per-function values are cheap re-mixes of that
@@ -177,7 +176,11 @@ object Dedup {
                      maxBucket: Int = 1000, materialize: Boolean = true): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val rows = nBits / bands
-    val mask = (1L << rows) - 1
+    // sketches are packed into 64-bit words; a band must sit inside one
+    // word so its bits come out with one shift+mask
+    require(rows <= 64 && (0 until bands).forall(b => (b * rows) % 64 + rows <= 64),
+      s"band width $rows straddles a 64-bit sketch word")
+    val mask = if (rows == 64) -1L else (1L << rows) - 1
     // hyperplane dimensionality must match the data: a mismatch nulls every
     // dot product and silently collapses all sketches to one bucket
     val theDim =
@@ -190,8 +193,10 @@ object Dedup {
 
     val banded = sk.select(col("id"),
       explode(array((0 until bands).map { b =>
+        val bit = b * rows
         struct(lit(b).as("band"),
-          shiftright(col("sk"), b * rows).bitwiseAND(mask).as("bh"))
+          shiftright(element_at(col("sk"), bit / 64 + 1), bit % 64)
+            .bitwiseAND(mask).as("bh"))
       }: _*)).as("bb"))
       .select(col("bb.band"), col("bb.bh"), col("id"))
 

@@ -55,28 +55,47 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit sketch of a vector under the given hyperplanes. */
-  def sketch(vecCol: Column, planes: Array[Array[Double]]): Column =
-    (0 until planes.length).map { i =>
-      when(dot(vecCol, typedLit(planes(i).toSeq)) > 0, lit(1L << i)).otherwise(0L)
-    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  /** Sign-bit sketch of a vector under the given hyperplanes, packed into
+    * `ceil(nBits/64)` longs (`array<bigint>`). One native kernel pass over
+    * the vector ([[graft.functions.SketchExpr]]) — the declarative
+    * per-plane formulation re-reads the vector nBits times and generates
+    * pathological codegen at wide sketches. */
+  def sketch(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.SketchExpr(E(vecCol), planes))
+  }
+
+  /** Hamming distance between two packed sketches of `nBits` bits: an
+    * unrolled sum of per-word `bit_count(xor)` — 2 instructions per 64
+    * bits, stays inside whole-stage codegen. */
+  def hamming(a: Column, b: Column, nBits: Int): Column =
+    (1 to (nBits + 63) / 64)
+      .map(w => bit_count(element_at(a, w).bitwiseXOR(element_at(b, w))))
+      .reduce(_ + _)
+
+  /** Driver-side sketch of one query vector (same packing as [[sketch]]). */
+  def sketchLocal(planes: Array[Array[Double]], query: Seq[Float]): Array[Long] = {
+    val words = new Array[Long]((planes.length + 63) / 64)
+    for (i <- planes.indices) {
+      var acc = 0.0
+      var j = 0
+      while (j < planes(i).length) { acc += planes(i)(j) * query(j); j += 1 }
+      if (acc > 0) words(i / 64) |= (1L << (i % 64))
+    }
+    words
+  }
 
   /** LSH top-k over a prebuilt index (see [[lshWriteIndex]]): score only
     * vectors whose sketch is within `maxHamming` bits of the query's
-    * sketch — a codegen'd bit_count on a 64-bit int folded into the scan,
+    * sketch — codegen'd per-word bit_counts folded into the scan,
     * followed by exact cosine on the surviving sliver. */
   def lshTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Float], k: Int, nBits: Int = 16,
                      maxHamming: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, nBits, seed)
-    val qSketch = {
-      var s = 0L
-      for (i <- planes.indices)
-        if (planes(i).zip(query).map { case (p, x) => p * x }.sum > 0) s |= (1L << i)
-      s
-    }
+    val qSketch = sketchLocal(planes, query)
     indexed
-      .filter(bit_count(col("__sk").bitwiseXOR(lit(qSketch))) <= maxHamming)
+      .filter(hamming(col("__sk"), typedLit(qSketch.toSeq), nBits) <= maxHamming)
       .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -87,7 +106,7 @@ object Similarity {
     * filter over the stored sketch plus exact cosine on the surviving
     * sliver — the nBits·dim dot products per vector are never recomputed.
     * At 100 TB this is the "write the sketch column back next to the
-    * embeddings" path; the index is the corpus + 8 bytes/row. */
+    * embeddings" path; the index is the corpus + nBits/8 bytes/row. */
   def lshWriteIndex(df: DataFrame, vecCol: String, nBits: Int, dim: Int,
                     path: String, seed: Long = 42L): Unit = {
     val planes = hyperplanes(dim, nBits, seed)
@@ -140,19 +159,23 @@ object Similarity {
 
   /** Sketch-gated kNN graph over a persisted LSH index (see
     * [[lshWriteIndex]]): same pair enumeration as [[knnGraphBrute]], but
-    * each candidate pair is first tested with a 64-bit `bit_count` on the
+    * each candidate pair is first tested with per-word `bit_count`s on the
     * stored sketches — only pairs within `maxHamming` ever pay a dot
     * product, and only survivors enter the top-k shuffle. This is THE
     * amortized-index win: the nBits·dim sketch dot products were paid once
-    * at build time; per query-pair the gate costs two instructions.
-    * Approximate: a true neighbor whose sketch distance exceeds
-    * `maxHamming` is missed (recall pinned in PipelineSpec). */
+    * at build time; per query-pair the gate costs 2 instructions per 64
+    * bits. Sketch WIDTH sets the recall/prune trade: on weakly-clustered
+    * corpora (true neighbors at cosine ~0.3) 64 bits cannot separate
+    * neighbors from noise (recall 0.9 ⇒ ~40% of pairs pass), while 256
+    * bits reaches recall ~0.95 with only ~12% passing. Approximate: a true
+    * neighbor whose sketch distance exceeds `maxHamming` is missed (recall
+    * pinned in PipelineSpec). */
   def knnGraphSketch(indexed: DataFrame, vecCol: String, idCol: String,
-                     k: Int, maxHamming: Int,
+                     k: Int, maxHamming: Int, nBits: Int = 64,
                      queries: Option[DataFrame] = None): DataFrame =
     knnPairsTopK(indexed, vecCol, idCol, k, queries.getOrElse(indexed),
       // sketch gate FIRST: the cheap conjunct prunes before any dot product
-      gate = bit_count(col("sk").bitwiseXOR(col("qsk"))) <= maxHamming,
+      gate = hamming(col("sk"), col("qsk"), nBits) <= maxHamming,
       withSketch = true)
 
   /** Shared kNN shape: enumerate (corpus x broadcast queries) pairs, gate,

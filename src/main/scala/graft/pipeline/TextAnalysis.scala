@@ -153,13 +153,38 @@ object TextAnalysis {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    removeBoilerplateCore(df, idCol, textCol,
+      counts => counts.filter(col("__docs") >= minDocs), out)
+  }
+
+  /** [[removeBoilerplateLines]] with the threshold as a FRACTION of the
+    * corpus ("drop lines occurring in >= frac of documents", the C4
+    * formulation). The corpus size is computed INSIDE the plan — a 1-row
+    * count aggregate broadcast-cross-joined onto the line frequencies — so
+    * building the query runs no job and the corpus is scanned once, not
+    * twice (a driver-side `df.count()` at plan-build time would be a full
+    * extra scan at 100 TB). Clamped to at least 2 distinct documents so a
+    * tiny corpus never declares every line boilerplate. */
+  def removeBoilerplateLinesByFrac(df: DataFrame, idCol: String, textCol: String,
+                                   minDocFrac: Double, out: String = "clean_text"): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    val totals = df.agg(count(lit(1)).as("__total"))
+    removeBoilerplateCore(df, idCol, textCol,
+      counts => counts.crossJoin(broadcast(totals)).filter(
+        col("__docs") >= greatest(lit(2L),
+          ceil(lit(minDocFrac) * col("__total")).cast("long"))), out)
+  }
+
+  private def removeBoilerplateCore(df: DataFrame, idCol: String, textCol: String,
+                                    selectBad: DataFrame => DataFrame,
+                                    out: String): DataFrame = {
     val guardedId = when(col(idCol).isNotNull, col(idCol))
       .otherwise(raise_error(lit(s"removeBoilerplateLines: null $idCol")))
     val lines = df.select(guardedId.as("__id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
-    val bad = lines.groupBy("__line")
-      .agg(count_distinct(col("__id")).as("__docs"))
-      .filter(col("__docs") >= minDocs)
+    val bad = selectBad(
+      lines.groupBy("__line").agg(count_distinct(col("__id")).as("__docs")))
       .select("__line")
     val rebuilt = lines.join(bad, Seq("__line"), "left_anti")
       .groupBy("__id")

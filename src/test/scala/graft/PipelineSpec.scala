@@ -139,6 +139,24 @@ class PipelineSpec extends SparkSpec {
     assert(gated.filter(col("qid") === col("id")).count() == 0)
   }
 
+  test("256-bit sketch gate: recall >= 0.8 on true top-10 (the production params)") {
+    // pins the LshBits/LshMaxHamming pair SparkEntry ships: at 256 bits a
+    // 112 gate measured recall ~0.95 at sf0.1 and ~0.86 at this test SF
+    // (smaller corpus => farther top-10); 0.8 leaves seed margin
+    val emb = sf("embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("recallidx").toFile.getAbsolutePath + "/idx"
+    Similarity.lshWriteIndex(emb, "embedding", nBits = SparkEntry.LshBits, dim = dim, path)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10))
+    val gated = pairs(Similarity.knnGraphSketch(spark.read.parquet(path),
+      "embedding", "vec_id", 10,
+      maxHamming = SparkEntry.LshMaxHamming, nBits = SparkEntry.LshBits))
+    val recall = (brute intersect gated).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
+
   test("IVF index assigns cells and probes find the query vector") {
     val emb = sf("embeddings")
     val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
@@ -428,6 +446,27 @@ class PipelineSpec extends SparkSpec {
       .select("id", "clean_text").as[(Long, String)].collect().toMap
     // 'same' occurs 3x but only in one DISTINCT doc -> kept, order preserved
     assert(out == Map(1L -> "same\nsame\nsame", 2L -> "other\nlines"))
+  }
+
+  test("removeBoilerplateLinesByFrac matches the absolute threshold and clamps tiny corpora") {
+    val df = Seq(
+      (1L, "BANNER\none"), (2L, "BANNER\ntwo"),
+      (3L, "BANNER\nthree"), (4L, "solo")).toDF("id", "text")
+    // frac 0.7 of 4 docs -> ceil(2.8) = 3 distinct docs, same as minDocs=3
+    val byFrac = TextAnalysis.removeBoilerplateLinesByFrac(df, "id", "text", 0.7)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    val byAbs = TextAnalysis.removeBoilerplateLines(df, "id", "text", minDocs = 3)
+      .select("id", "clean_text").as[(Long, String)].collect().toMap
+    assert(byFrac == byAbs)
+    assert(byFrac(1L) == "one")
+    // one-doc corpus: ceil(frac*1) = 1 would declare every line shared by
+    // the single doc boilerplate — the >=2 clamp must keep the text
+    val solo = Seq((1L, "a\nb")).toDF("id", "text")
+    val kept = TextAnalysis.removeBoilerplateLinesByFrac(solo, "id", "text", 0.9)
+      .select("clean_text").as[String].collect()
+    assert(kept.toSeq == Seq("a\nb"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.removeBoilerplateLinesByFrac(df, "id", "text", 0.0))
   }
 
   // ===== PII =====

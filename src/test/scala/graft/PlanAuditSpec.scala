@@ -87,6 +87,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("operator BUILD runs no Spark job (no plan-time scans/collects)") {
+    // removeBoilerplateLines once ran a driver-side count() and warpPivot
+    // an eager distinct-label collect at plan-BUILD time — a full extra
+    // scan before the query even runs at 100 TB. (Targets the operators on
+    // pre-read DataFrames: `spark.read.parquet` itself launches a footer
+    // schema-inference job, which is a source concern, not an operator
+    // one.) Listener-bus delivery is FIFO: flush with a marker job and
+    // assert it is the ONLY job seen.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("lined", translate(col("text"), " ", "\n"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // drain still-queued events (the reads' footer jobs) so a freshly
+    // registered listener starts from a quiet bus
+    spark.sparkContext.parallelize(Seq(1)).count()
+    Thread.sleep(500)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add(js.jobId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.pipeline.TextAnalysis.removeBoilerplateLinesByFrac(
+        docs, "doc_id", "lined", minDocFrac = 0.78)
+      li.warpPivot(Seq(col("l_linestatus")), Seq("l_returnflag"),
+        sum("l_quantity"), values = Seq("F", "O"))
+      li.warpFilter(col("l_discount") >= 0.05) // type probe must not analyze eagerly either
+      // marker flushes the bus; an RDD count is exactly ONE job (a SQL
+      // count under AQE submits two)
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(500) // settle: the first delivered event may precede the marker
+      assert(seen.size == 1, s"plan build ran ${seen.size - 1} job(s) before the marker")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
