@@ -21,6 +21,10 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+  // deterministic pure function => constant-foldable: lets Catalyst fold
+  // norm(queryLiteral) = sqrt(vec_dot(q, q)) into ONE literal instead of a
+  // dim-length loop PER ROW in every brute/probe scoring pass
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     // a wrong element type must fail ANALYSIS: getDouble over an int-
@@ -95,6 +99,8 @@ case class SketchExpr(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_sketch"
+  // pure function of the child (planes are frozen into the expression)
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

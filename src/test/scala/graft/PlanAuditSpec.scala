@@ -36,6 +36,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_embed_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("query-vector norm constant-folds to a literal (not a per-row fold)") {
+    // cosine(v, qLit) = vec_dot(v,q) / (norm(v) * norm(qLit)); with
+    // DotProductExpr foldable, Catalyst folds sqrt(vec_dot(qLit,qLit)) to
+    // ONE double literal — a non-foldable kernel re-runs the dim-length
+    // loop per scanned row in every brute/probe scoring pass
+    // exactly two kernels survive: vec_dot(v, qLit) and vec_dot(v, v) for
+    // norm(v); the third — norm(qLit)'s vec_dot(qLit, qLit) — must be gone
+    val p = SparkEntry.queries("q_embed_topk")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("vec_dot".r.findAllMatchIn(p).length == 2, p.take(2000))
+  }
+
   test("q_embed_ivf: probe prunes non-probed cells at the file level") {
     // the __cell isin filter must appear as a PartitionFilter on the scan
     // (file-level pruning), not a post-scan Filter over all cells
