@@ -97,12 +97,13 @@ object SparkEntry {
     * recall pinned in PipelineSpec). */
   val LshMaxHamming = 112
 
-  /** Param-versioned LSH path: a sketch of a different width must never
-    * be mistaken for the current index. */
+  /** Param-versioned LSH path: a sketch of a different width — or an
+    * index layout without the stored `__norm` column (the `n` suffix) —
+    * must never be mistaken for the current index. */
   private def lshIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/lsh$LshBits"
+    s"${idxRoot(s, dir)}/lsh${LshBits}n"
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/ivf"
+    s"${idxRoot(s, dir)}/ivfn"
 
   /** Build-if-missing; returns the LSH index path. */
   def ensureLshIndex(s: SparkSession, dir: String): String = {
@@ -674,7 +675,7 @@ object SparkEntry {
     //      blocking set by design: it is the small-data / verification
     //      path; the LSH variants are the 100 TB path.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 20 === 0)
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 50 === 0)
       val near = docs.calculate(Seq(
         "doc_id" -> (col("doc_id") + 1000000),
         "text" -> concat(col("text"), lit(" nearly identical content"))))
@@ -859,7 +860,7 @@ object SparkEntry {
     }),
 
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
-    //      the 4M candidate pairs fail the 8-instruction bit_count gate
+    //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
     //      top-k shuffle (rows-only check: hyperplane-seeded)
     "q_embed_knn_lsh" -> ((s, dir) => {
@@ -1232,10 +1233,10 @@ object SparkEntry {
          ) GROUP BY text ORDER BY doc_id""",
     "q_dedup_jaccard" ->
       """WITH d AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+           SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
            UNION ALL
            SELECT doc_id + 1000000 AS doc_id, text || ' nearly identical content' AS text
-           FROM documents WHERE doc_id % 20 = 0
+           FROM documents WHERE doc_id % 50 = 0
          ), w AS (
            SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM d
          ), sh AS (

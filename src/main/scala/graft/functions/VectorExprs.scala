@@ -21,9 +21,11 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
-  // deterministic pure function => constant-foldable: lets Catalyst fold
-  // norm(queryLiteral) = sqrt(vec_dot(q, q)) into ONE literal instead of a
-  // dim-length loop PER ROW in every brute/probe scoring pass
+  // explicit pin of the BinaryExpression default (left && right foldable):
+  // probe plans RELY on Catalyst folding norm(queryLiteral) =
+  // sqrt(vec_dot(q, q)) into one literal — a non-foldable kernel would
+  // re-run that dim-length loop per scanned row (PlanAuditSpec asserts the
+  // fold), so the contract is stated here rather than inherited silently
   override def foldable: Boolean = left.foldable && right.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -99,7 +101,8 @@ case class SketchExpr(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "vec_sketch"
-  // pure function of the child (planes are frozen into the expression)
+  // explicit pin of the UnaryExpression default (child.foldable): pure
+  // function of the child — the planes are frozen into the expression
   override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -162,6 +165,73 @@ object SketchExpr {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+}
+
+/** Native Hamming distance between two packed bit sketches
+  * (`array<bigint>`, as produced by [[SketchExpr]]): one static call
+  * XOR+POPCNTs all words. The declarative per-word formulation —
+  * `bit_count(element_at(a,w) ^ element_at(b,w))` summed over words —
+  * costs 2 ArrayData accessor expressions per word plus the adds; at a
+  * 256-bit sketch that is ~8 boxed accessor calls per candidate PAIR,
+  * which rivals the dot product the gate exists to avoid. Mismatched
+  * lengths yield null (same poisoning contract as [[DotProductExpr]]). */
+case class HammingDistExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bits_hamming"
+  // same explicit foldability pin as DotProductExpr: the query sketch is
+  // a literal, so literal-vs-literal distances must fold
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val boxed = ctx.freshName("hd")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        int ${ev.value} = 0;
+        if (!${l.isNull} && !${r.isNull}) {
+          java.lang.Integer $boxed = graft.functions.HammingDistExpr.compute(
+            ${l.value}, ${r.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.intValue(); }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HammingDistExpr = copy(left = newLeft, right = newRight)
+}
+
+object HammingDistExpr {
+  def compute(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    Integer.valueOf(acc)
   }
 }
 

@@ -147,19 +147,31 @@ object Dedup {
     when(uni === 0, lit(1.0)).otherwise(inter / uni.cast("double"))
   }
 
-  /** n-gram Jaccard near-dup pairs WITHOUT LSH — exact all-pairs within
-    * blocking key (first shingle hash mod blocks). Quadratic per block;
-    * baseline / small-data path. */
+  /** n-gram Jaccard near-dup pairs WITHOUT LSH — exact all-pairs.
+    * Quadratic by design: the small-data / verification baseline (the
+    * 100 TB path is [[minhashPairs]], whose banding approximates exactly
+    * this measure). The per-pair set intersection is the whole cost, so
+    * it is computed ONCE per pair: Catalyst's CollapseProject would inline
+    * a `jaccard >= t` filter through the alias and re-evaluate the
+    * intersect per reference, so the threshold is applied to a
+    * materialized `jaccard` column AFTER an eager per-pair projection
+    * (the no-collapse hint is the `__inter` alias used twice). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
     val l = withSh.select(col("id").as("id1"), col("sh").as("sh1"))
     val r = withSh.select(col("id").as("id2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     l.crossJoin(r).filter(col("id1") < col("id2"))
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .select(col("id1"), col("id2"), size(col("sh1")).as("__n1"),
+        size(col("sh2")).as("__n2"), inter.as("__inter"))
+      .select(col("id1"), col("id2"),
+        when((col("__n1") + col("__n2")).cast("double") === col("__inter"), lit(1.0))
+          .otherwise(col("__inter") /
+            ((col("__n1") + col("__n2")).cast("double") - col("__inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
   }
 
   /** Embedding-cosine near-duplicate PAIRS: random-hyperplane sketches

@@ -65,13 +65,17 @@ object Similarity {
     C(graft.functions.SketchExpr(E(vecCol), planes))
   }
 
-  /** Hamming distance between two packed sketches of `nBits` bits: an
-    * unrolled sum of per-word `bit_count(xor)` — 2 instructions per 64
-    * bits, stays inside whole-stage codegen. */
-  def hamming(a: Column, b: Column, nBits: Int): Column =
-    (1 to (nBits + 63) / 64)
-      .map(w => bit_count(element_at(a, w).bitwiseXOR(element_at(b, w))))
-      .reduce(_ + _)
+  /** Hamming distance between two packed sketches: one native kernel call
+    * ([[graft.functions.HammingDistExpr]]) XOR+POPCNTs every word. The
+    * previous per-word `bit_count(element_at ^ element_at)` chain spent
+    * more on ArrayData accessors than the dot product it gates against
+    * at small embedding dims. `nBits` is kept for call-site documentation
+    * (the kernel derives the word count from the arrays; a width mismatch
+    * nulls out and the gate drops the pair). */
+  def hamming(a: Column, b: Column, nBits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.HammingDistExpr(E(a), E(b)))
+  }
 
   /** Driver-side sketch of one query vector (same packing as [[sketch]]). */
   def sketchLocal(planes: Array[Array[Double]], query: Seq[Float]): Array[Long] = {
@@ -85,10 +89,20 @@ object Similarity {
     words
   }
 
+  /** Cosine against one query vector, using the stored `__norm` column
+    * when the frame carries one (persisted indexes do) — the stored norm
+    * replaces a second per-row dim-length pass that the index already
+    * paid at build time. norm(queryLit) constant-folds either way. */
+  private def cosineVsQuery(d: DataFrame, vecCol: String, q: Column): Column =
+    if (d.columns.contains("__norm"))
+      dot(col(vecCol), q) / (col("__norm") * norm(q))
+    else cosine(col(vecCol), q)
+
   /** LSH top-k over a prebuilt index (see [[lshWriteIndex]]): score only
     * vectors whose sketch is within `maxHamming` bits of the query's
     * sketch — codegen'd per-word bit_counts folded into the scan,
-    * followed by exact cosine on the surviving sliver. */
+    * followed by exact cosine on the surviving sliver (vector norms come
+    * from the index's stored `__norm`, not a per-row recompute). */
   def lshTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Float], k: Int, nBits: Int = 16,
                      maxHamming: Int = 4, seed: Long = 42L): DataFrame = {
@@ -96,21 +110,24 @@ object Similarity {
     val qSketch = sketchLocal(planes, query)
     indexed
       .filter(hamming(col("__sk"), typedLit(qSketch.toSeq), nBits) <= maxHamming)
-      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .select(col(idCol),
+        cosineVsQuery(indexed, vecCol, typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
 
   /** Persist the LSH sketch index to parquet: the corpus plus its `__sk`
-    * column, written once. Queries then pay ONLY a codegen'd bit_count
-    * filter over the stored sketch plus exact cosine on the surviving
-    * sliver — the nBits·dim dot products per vector are never recomputed.
+    * sketch and `__norm` (precomputed vector norm) columns, written once.
+    * Queries then pay ONLY a codegen'd bit_count filter over the stored
+    * sketch plus one dot product on the surviving sliver — neither the
+    * nBits·dim sketch products nor the per-vector norm is ever recomputed.
     * At 100 TB this is the "write the sketch column back next to the
-    * embeddings" path; the index is the corpus + nBits/8 bytes/row. */
+    * embeddings" path; the index is the corpus + nBits/8 + 8 bytes/row. */
   def lshWriteIndex(df: DataFrame, vecCol: String, nBits: Int, dim: Int,
                     path: String, seed: Long = 42L): Unit = {
     val planes = hyperplanes(dim, nBits, seed)
     df.withColumn("__sk", sketch(col(vecCol), planes))
+      .withColumn("__norm", norm(col(vecCol)))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -185,8 +202,11 @@ object Similarity {
                            k: Int, queryDf: DataFrame, gate: Column,
                            withSketch: Boolean): DataFrame = {
     def side(d: DataFrame, id: String, v: String, nm: String, sk: String) = {
-      val cols = Seq(col(idCol).as(id), col(vecCol).as(v),
-        norm(col(vecCol)).as(nm)) ++
+      // persisted-index inputs carry a precomputed __norm — reuse it
+      // instead of a second dim-length pass per row per query block
+      val nmCol =
+        if (d.columns.contains("__norm")) col("__norm") else norm(col(vecCol))
+      val cols = Seq(col(idCol).as(id), col(vecCol).as(v), nmCol.as(nm)) ++
         (if (withSketch) Seq(col("__sk").as(sk)) else Nil)
       d.select(cols: _*)
     }
@@ -228,7 +248,10 @@ object Similarity {
     * path: index once, every query reads nProbe/nCells of the data. */
   def ivfWriteIndex(df: DataFrame, vecCol: String, idCol: String,
                     nCells: Int, path: String, seed: Long = 42L): Array[Seq[Float]] = {
-    val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
+    val (assignedRaw, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
+    // store the vector norm next to the cell assignment: probes then pay
+    // one dot product per scanned row, not dot + a norm recompute
+    val assigned = assignedRaw.withColumn("__norm", norm(col(vecCol)))
     // centroids FIRST: the main index's _SUCCESS is the build-complete
     // marker (ensure* checks it), so everything it implies must already
     // exist — a crash between the two writes must never leave a
@@ -284,7 +307,8 @@ object Similarity {
       .sortBy(i => -cosLocal(centroids(i), query)).take(nProbe)
     assigned
       .filter(col("__cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cosine"))
+      .select(col(idCol),
+        cosineVsQuery(assigned, vecCol, typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -58,10 +58,10 @@ class PlanAuditSpec extends SparkSpec {
   test("q_embed_knn_lsh: sketch gate runs inside the join, before any cosine") {
     val p = plan("q_embed_knn_lsh")
     // the all-pairs enumeration is a DELIBERATE broadcast nested-loop join
-    // whose condition is the cheap bit_count gate — survivors only reach
-    // the projected dot product
+    // whose condition is the cheap native Hamming gate — survivors only
+    // reach the projected dot product
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(p.contains("bit_count"), p.take(2000))
+    assert(p.contains("bits_hamming"), p.take(2000))
   }
 
   test("q_text_repetition: scoring is one map pass; only the output sort shuffles") {

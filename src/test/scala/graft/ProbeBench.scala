@@ -18,9 +18,10 @@ object ProbeBench {
       SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
       println(f"$n%-16s ${(System.nanoTime() - t0) / 1e9}%.3f")
     }
-    for (_ <- 1 to 6) {
-      time("q_embed_topk"); time("q_embed_lsh"); time("q_embed_ivf")
-    }
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_embed_topk", "q_embed_lsh", "q_embed_ivf")
+    for (_ <- 1 to 4; n <- names) time(n)
     spark.stop()
   }
 }
