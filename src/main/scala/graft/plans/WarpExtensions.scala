@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
-import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TokenStatsExpr, WarpNumExpr}
+import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TokenStatsExpr, WarpNumExpr}
 
 /** Catalyst-level integration of the graft engine.
   *
@@ -22,8 +22,9 @@ import graft.functions.{BandHashExpr, MinHashSigExpr, ShingleHashExpr, SimHashEx
   * [[WarpExtensions]]: `spark.sql.extensions`-style injection point that
   * installs the rule and registers the native kernels as SQL functions
   * (`warp_num`, `simhash64`, `shingle_hashes`, `minhash_sig`,
-  * `band_hashes`, `token_stats`) so `spark.sql(...)` users reach them without the Scala
-  * API. [[Graft.install]] does the same on an already-built session.
+  * `band_hashes`, `token_stats`, `vec_dot`, `bits_hamming`) so
+  * `spark.sql(...)` users reach them without the Scala API.
+  * [[Graft.install]] does the same on an already-built session.
   */
 object SimplifyWarpCoercion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
@@ -54,7 +55,11 @@ object WarpExtensions {
     "shingle_hashes" -> (args => ShingleHashExpr(args.head, intArg(args, 1, 5))),
     "minhash_sig" -> (args => MinHashSigExpr(args.head, intArg(args, 1, 64))),
     "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))),
-    "token_stats" -> (args => TokenStatsExpr(args.head)))
+    "token_stats" -> (args => TokenStatsExpr(args.head)),
+    // vector kernels: SQL users score embeddings / probe sketch indexes
+    // without the Scala API (cosine = vec_dot(a,b)/(vec_dot-derived norms))
+    "vec_dot" -> (args => DotProductExpr(args(0), args(1))),
+    "bits_hamming" -> (args => HammingDistExpr(args(0), args(1))))
 
   /** Extract a required-literal integer argument (e.g. the shingle size of
     * `shingle_hashes(text, 5)`). These kernels bake the parameter into the

@@ -57,6 +57,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Long]("sig") != 0L)
     assert(r.getAs[Int]("nsh") == 3) // 4 words -> 3 bigram shingles
     assert(r.getAs[Int]("k") == 8)
+    val v = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                bits_hamming(array(0L), array(7L)) AS h""").collect()(0)
+    assert(v.getAs[Double]("d") == 11.0)
+    assert(v.getAs[Int]("h") == 3)
   }
 
   test("kernel misuse fails at analysis with a readable message") {

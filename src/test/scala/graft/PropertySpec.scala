@@ -142,6 +142,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("differential: bits_hamming kernel agrees with per-word bit_count(xor)") {
+    // the native gate kernel must be bit-identical to the declarative
+    // formulation it replaced, including null/length poisoning
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(6)
+      (Seq.fill(n)(rnd.nextLong()), Seq.fill(n)(rnd.nextLong()))
+    } ++ Seq((Seq(1L, 2L), Seq(1L)))   // length mismatch => null
+    val df = rows.toDF("a", "b")
+    val kernel = C(graft.functions.HammingDistExpr(E(col("a")), E(col("b"))))
+    val declarative = when(size(col("a")) === size(col("b")),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")), lit(0), _ + _))
+    val bad = df.select(kernel.as("k"), declarative.as("d"))
+      .filter(!(col("k") <=> col("d"))).count()
+    assert(bad == 0)
+  }
+
   test("header dedup always yields unique names preserving first occurrences") {
     for (names <- samples(Gen.listOf(Gen.oneOf("a", "b", "c", "a_B")), 200)) {
       val out = graft.sources.CsvSource.dedupHeaders(names)
