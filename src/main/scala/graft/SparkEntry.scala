@@ -80,7 +80,9 @@ object SparkEntry {
     * charge every probe one fixture job that no deployed probe pays. */
   private val fixtureVec = new scala.collection.concurrent.TrieMap[String, Seq[Float]]
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
-    fixtureVec.getOrElseUpdate(dir,
+    // keyed by the embeddings file's fingerprint (idxRoot), not the bare
+    // dir: regenerated data at the same path must refresh the memo
+    fixtureVec.getOrElseUpdate(idxRoot(s, dir),
       T(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0))
 
@@ -101,9 +103,9 @@ object SparkEntry {
     * index layout without the stored `__norm` column (the `n` suffix) —
     * must never be mistaken for the current index. */
   private def lshIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/lsh${LshBits}n"
+    s"${idxRoot(s, dir)}/lsh${LshBits}n2"
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/ivfn"
+    s"${idxRoot(s, dir)}/ivfn2"
 
   /** Build-if-missing; returns the LSH index path. */
   def ensureLshIndex(s: SparkSession, dir: String): String = {

@@ -150,12 +150,20 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs WITHOUT LSH — exact all-pairs.
     * Quadratic by design: the small-data / verification baseline (the
     * 100 TB path is [[minhashPairs]], whose banding approximates exactly
-    * this measure). The per-pair set intersection is the whole cost, so
-    * it is computed ONCE per pair: Catalyst's CollapseProject would inline
-    * a `jaccard >= t` filter through the alias and re-evaluate the
-    * intersect per reference, so the threshold is applied to a
-    * materialized `jaccard` column AFTER an eager per-pair projection
-    * (the no-collapse hint is the `__inter` alias used twice). */
+    * this measure).
+    *
+    * The per-pair set intersection is the whole cost, so the threshold
+    * lives ENTIRELY in the join condition, ordered cheap-first (join
+    * conjuncts short-circuit left to right): `id1 < id2`, then the
+    * division-free gate `i*(1+t) >= t*n - 1e-9` (algebraically equivalent
+    * to `i/(n-i) >= t` over the reals; the slack makes the double-rounded
+    * form a strict superset) evaluating ONE intersect per pair, then the
+    * exact divide-form predicate — the operator's contract, and what
+    * external oracles compute — on gate survivors only. A naive
+    * `filter(jaccard >= t)` ABOVE the join does NOT behave this way:
+    * predicate pushdown re-inlines the alias into the join condition
+    * AHEAD of the existing conjuncts, evaluating the intersect 3x per
+    * candidate pair (observed via PlanDump). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
@@ -163,15 +171,11 @@ object Dedup {
     val l = withSh.select(col("id").as("id1"), col("sh").as("sh1"))
     val r = withSh.select(col("id").as("id2"), col("sh").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    l.crossJoin(r).filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), size(col("sh1")).as("__n1"),
-        size(col("sh2")).as("__n2"), inter.as("__inter"))
-      .select(col("id1"), col("id2"),
-        when((col("__n1") + col("__n2")).cast("double") === col("__inter"), lit(1.0))
-          .otherwise(col("__inter") /
-            ((col("__n1") + col("__n2")).cast("double") - col("__inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val sizes = (size(col("sh1")) + size(col("sh2"))).cast("double")
+    val gate = inter * lit(1.0 + threshold) >= lit(threshold) * sizes - lit(1e-9)
+    val jac = when(sizes === inter, lit(1.0)).otherwise(inter / (sizes - inter))
+    l.join(r, col("id1") < col("id2") && gate && jac >= threshold, "inner")
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate PAIRS: random-hyperplane sketches

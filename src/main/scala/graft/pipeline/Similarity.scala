@@ -89,13 +89,20 @@ object Similarity {
     words
   }
 
-  /** Cosine against one query vector, using the stored `__norm` column
-    * when the frame carries one (persisted indexes do) — the stored norm
-    * replaces a second per-row dim-length pass that the index already
-    * paid at build time. norm(queryLit) constant-folds either way. */
+  /** Name of the stored-norm column an index carries for `vecCol`. The
+    * vector column's name is part of the column name, so a stored norm can
+    * never be silently applied to a DIFFERENT vector column (a bare
+    * `__norm` next to two vector columns would be ambiguous poison). */
+  def normColName(vecCol: String): String = s"__norm_$vecCol"
+
+  /** Cosine against one query vector, using the stored norm column when
+    * the frame carries one FOR THIS vector column (persisted indexes do)
+    * — the stored norm replaces a second per-row dim-length pass that the
+    * index already paid at build time. norm(queryLit) constant-folds
+    * either way. */
   private def cosineVsQuery(d: DataFrame, vecCol: String, q: Column): Column =
-    if (d.columns.contains("__norm"))
-      dot(col(vecCol), q) / (col("__norm") * norm(q))
+    if (d.columns.contains(normColName(vecCol)))
+      dot(col(vecCol), q) / (col(normColName(vecCol)) * norm(q))
     else cosine(col(vecCol), q)
 
   /** LSH top-k over a prebuilt index (see [[lshWriteIndex]]): score only
@@ -127,7 +134,7 @@ object Similarity {
                     path: String, seed: Long = 42L): Unit = {
     val planes = hyperplanes(dim, nBits, seed)
     df.withColumn("__sk", sketch(col(vecCol), planes))
-      .withColumn("__norm", norm(col(vecCol)))
+      .withColumn(normColName(vecCol), norm(col(vecCol)))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -202,10 +209,12 @@ object Similarity {
                            k: Int, queryDf: DataFrame, gate: Column,
                            withSketch: Boolean): DataFrame = {
     def side(d: DataFrame, id: String, v: String, nm: String, sk: String) = {
-      // persisted-index inputs carry a precomputed __norm — reuse it
-      // instead of a second dim-length pass per row per query block
+      // persisted-index inputs carry a precomputed norm column for this
+      // vector column — reuse it instead of a second dim-length pass per
+      // row per query block
       val nmCol =
-        if (d.columns.contains("__norm")) col("__norm") else norm(col(vecCol))
+        if (d.columns.contains(normColName(vecCol))) col(normColName(vecCol))
+        else norm(col(vecCol))
       val cols = Seq(col(idCol).as(id), col(vecCol).as(v), nmCol.as(nm)) ++
         (if (withSketch) Seq(col("__sk").as(sk)) else Nil)
       d.select(cols: _*)
@@ -251,7 +260,7 @@ object Similarity {
     val (assignedRaw, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
     // store the vector norm next to the cell assignment: probes then pay
     // one dot product per scanned row, not dot + a norm recompute
-    val assigned = assignedRaw.withColumn("__norm", norm(col(vecCol)))
+    val assigned = assignedRaw.withColumn(normColName(vecCol), norm(col(vecCol)))
     // centroids FIRST: the main index's _SUCCESS is the build-complete
     // marker (ensure* checks it), so everything it implies must already
     // exist — a crash between the two writes must never leave a

@@ -58,8 +58,20 @@ object WarpExtensions {
     "token_stats" -> (args => TokenStatsExpr(args.head)),
     // vector kernels: SQL users score embeddings / probe sketch indexes
     // without the Scala API (cosine = vec_dot(a,b)/(vec_dot-derived norms))
-    "vec_dot" -> (args => DotProductExpr(args(0), args(1))),
-    "bits_hamming" -> (args => HammingDistExpr(args(0), args(1))))
+    "vec_dot" -> (args => DotProductExpr(arity(args, 2, "vec_dot")(0),
+      args(1))),
+    "bits_hamming" -> (args => HammingDistExpr(
+      arity(args, 2, "bits_hamming")(0), args(1))))
+
+  /** Readable analysis-time arity error, matching the convention the other
+    * kernels establish via [[intArg]] — a raw IndexOutOfBoundsException
+    * from the builder is not an acceptable user-facing failure. */
+  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name takes exactly $n arguments, got ${args.length}")
+    args
+  }
 
   /** Extract a required-literal integer argument (e.g. the shingle size of
     * `shingle_hashes(text, 5)`). These kernels bake the parameter into the
