@@ -82,5 +82,11 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT simhash64(id) FROM sqldocs2").collect()
     }
     assert(e2.getMessage.toLowerCase.contains("requires string"), e2.getMessage)
+    // wrong arity on the vector kernels: readable builder error, not an
+    // IndexOutOfBoundsException
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D)) FROM sqldocs2").collect()
+    }
+    assert(e3.getMessage.contains("exactly 2 arguments"), e3.getMessage)
   }
 }
