@@ -356,6 +356,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- cube: all grouping-set combinations (the rollup twin; same
+    //      partial-aggregation machinery, so it scales identically)
+    "q_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .warpCube(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty")))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- reducer battery: median/variance/stddev/min/max/countDistinct (§2.3)
     "q_agg_stats" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1082,6 +1091,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_agg_stats" ->
       """SELECT l_returnflag,
