@@ -99,11 +99,15 @@ object SparkEntry {
     * recall pinned in PipelineSpec). */
   val LshMaxHamming = 112
 
-  /** Param-versioned LSH path: a sketch of a different width — or an
-    * index layout without the stored `__norm` column (the `n` suffix) —
-    * must never be mistaken for the current index. */
+  /** Param-versioned index paths: an index of a different sketch width or
+    * an older on-disk LAYOUT must never be mistaken for the current index.
+    * Layout history: (bare) = corpus + bare `__sk`; `n` = + bare `__norm`;
+    * `n2` = norm renamed `__norm_<vecCol>`; `n3` = sketch renamed
+    * `__sk_<vecCol>` (provenance-named stored columns, see
+    * [[graft.pipeline.Similarity.normColName]]). Bump the suffix whenever
+    * the written schema changes. */
   private def lshIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/lsh${LshBits}n2"
+    s"${idxRoot(s, dir)}/lsh${LshBits}n3"
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     s"${idxRoot(s, dir)}/ivfn2"
 

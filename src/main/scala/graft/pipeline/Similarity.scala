@@ -89,11 +89,13 @@ object Similarity {
     words
   }
 
-  /** Name of the stored-norm column an index carries for `vecCol`. The
-    * vector column's name is part of the column name, so a stored norm can
-    * never be silently applied to a DIFFERENT vector column (a bare
-    * `__norm` next to two vector columns would be ambiguous poison). */
+  /** Names of the stored columns an index carries for `vecCol`. The
+    * vector column's name is part of each column name, so a stored norm
+    * or sketch can never be silently applied to a DIFFERENT vector column
+    * (a bare `__norm`/`__sk` next to two vector columns would be
+    * ambiguous poison). */
   def normColName(vecCol: String): String = s"__norm_$vecCol"
+  def skColName(vecCol: String): String = s"__sk_$vecCol"
 
   /** Cosine against one query vector, using the stored norm column when
     * the frame carries one FOR THIS vector column (persisted indexes do)
@@ -109,22 +111,24 @@ object Similarity {
     * vectors whose sketch is within `maxHamming` bits of the query's
     * sketch — codegen'd per-word bit_counts folded into the scan,
     * followed by exact cosine on the surviving sliver (vector norms come
-    * from the index's stored `__norm`, not a per-row recompute). */
+    * from the index's stored provenance-named norm column, not a per-row
+    * recompute). */
   def lshTopKIndexed(indexed: DataFrame, vecCol: String, idCol: String,
                      query: Seq[Float], k: Int, nBits: Int = 16,
                      maxHamming: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, nBits, seed)
     val qSketch = sketchLocal(planes, query)
     indexed
-      .filter(hamming(col("__sk"), typedLit(qSketch.toSeq), nBits) <= maxHamming)
+      .filter(hamming(col(skColName(vecCol)), typedLit(qSketch.toSeq), nBits) <= maxHamming)
       .select(col(idCol),
         cosineVsQuery(indexed, vecCol, typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
 
-  /** Persist the LSH sketch index to parquet: the corpus plus its `__sk`
-    * sketch and `__norm` (precomputed vector norm) columns, written once.
+  /** Persist the LSH sketch index to parquet: the corpus plus its
+    * `__sk_<vecCol>` sketch and `__norm_<vecCol>` (precomputed vector
+    * norm) columns, written once.
     * Queries then pay ONLY a codegen'd bit_count filter over the stored
     * sketch plus one dot product on the surviving sliver — neither the
     * nBits·dim sketch products nor the per-vector norm is ever recomputed.
@@ -133,13 +137,13 @@ object Similarity {
   def lshWriteIndex(df: DataFrame, vecCol: String, nBits: Int, dim: Int,
                     path: String, seed: Long = 42L): Unit = {
     val planes = hyperplanes(dim, nBits, seed)
-    df.withColumn("__sk", sketch(col(vecCol), planes))
+    df.withColumn(skColName(vecCol), sketch(col(vecCol), planes))
       .withColumn(normColName(vecCol), norm(col(vecCol)))
       .write.mode("overwrite").parquet(path)
   }
 
   /** Query a parquet-persisted LSH index (see [[lshWriteIndex]]). The scan
-    * reads only (id, __sk, vec) columns; the Hamming filter runs inside
+    * reads only the (id, sketch, vector, norm) columns; the Hamming filter runs inside
     * whole-stage codegen before any cosine is computed. */
   def lshReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                   vecCol: String, idCol: String, query: Seq[Float], k: Int,
@@ -157,7 +161,7 @@ object Similarity {
               query: Seq[Float], k: Int, nBits: Int = 16, maxHamming: Int = 4,
               seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(query.length, nBits, seed)
-    lshTopKIndexed(df.withColumn("__sk", sketch(col(vecCol), planes)),
+    lshTopKIndexed(df.withColumn(skColName(vecCol), sketch(col(vecCol), planes)),
       vecCol, idCol, query, k, nBits, maxHamming, seed)
   }
 
@@ -216,7 +220,7 @@ object Similarity {
         if (d.columns.contains(normColName(vecCol))) col(normColName(vecCol))
         else norm(col(vecCol))
       val cols = Seq(col(idCol).as(id), col(vecCol).as(v), nmCol.as(nm)) ++
-        (if (withSketch) Seq(col("__sk").as(sk)) else Nil)
+        (if (withSketch) Seq(col(skColName(vecCol)).as(sk)) else Nil)
       d.select(cols: _*)
     }
     val pairs = side(spread(df), "id", "v", "nv", "sk")

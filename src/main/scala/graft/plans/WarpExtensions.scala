@@ -50,26 +50,33 @@ class WarpExtensions extends (SparkSessionExtensions => Unit) {
 
 object WarpExtensions {
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "warp_num" -> (args => WarpNumExpr(args.head)),
-    "simhash64" -> (args => SimHashExpr(args.head)),
-    "shingle_hashes" -> (args => ShingleHashExpr(args.head, intArg(args, 1, 5))),
-    "minhash_sig" -> (args => MinHashSigExpr(args.head, intArg(args, 1, 64))),
-    "band_hashes" -> (args => BandHashExpr(args.head, intArg(args, 1, 16))),
-    "token_stats" -> (args => TokenStatsExpr(args.head)),
+    "warp_num" -> (args => WarpNumExpr(arity(args, 1, 1, "warp_num")(0))),
+    "simhash64" -> (args => SimHashExpr(arity(args, 1, 1, "simhash64")(0))),
+    "shingle_hashes" -> (args => ShingleHashExpr(
+      arity(args, 1, 2, "shingle_hashes")(0), intArg(args, 1, 5))),
+    "minhash_sig" -> (args => MinHashSigExpr(
+      arity(args, 1, 2, "minhash_sig")(0), intArg(args, 1, 64))),
+    "band_hashes" -> (args => BandHashExpr(
+      arity(args, 1, 2, "band_hashes")(0), intArg(args, 1, 16))),
+    "token_stats" -> (args => TokenStatsExpr(arity(args, 1, 1, "token_stats")(0))),
     // vector kernels: SQL users score embeddings / probe sketch indexes
     // without the Scala API (cosine = vec_dot(a,b)/(vec_dot-derived norms))
-    "vec_dot" -> (args => DotProductExpr(arity(args, 2, "vec_dot")(0),
+    "vec_dot" -> (args => DotProductExpr(arity(args, 2, 2, "vec_dot")(0),
       args(1))),
     "bits_hamming" -> (args => HammingDistExpr(
-      arity(args, 2, "bits_hamming")(0), args(1))))
+      arity(args, 2, 2, "bits_hamming")(0), args(1))))
 
-  /** Readable analysis-time arity error, matching the convention the other
-    * kernels establish via [[intArg]] — a raw IndexOutOfBoundsException
-    * from the builder is not an acceptable user-facing failure. */
-  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {
-    if (args.length != n)
+  /** Readable analysis-time arity error for every registered builder — a
+    * raw IndexOutOfBoundsException (too few args) or a silently IGNORED
+    * extra argument (`args.head` on too many) are both unacceptable
+    * user-facing behavior. */
+  private def arity(args: Seq[Expression], min: Int, max: Int,
+                    name: String): Seq[Expression] = {
+    if (args.length < min || args.length > max)
       throw new IllegalArgumentException(
-        s"$name takes exactly $n arguments, got ${args.length}")
+        s"$name takes " +
+          (if (min == max) s"exactly $min" else s"$min to $max") +
+          s" argument(s), got ${args.length}")
     args
   }
 

@@ -87,6 +87,6 @@ class ExtensionsSpec extends SparkSpec {
     val e3 = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1.0D)) FROM sqldocs2").collect()
     }
-    assert(e3.getMessage.contains("exactly 2 arguments"), e3.getMessage)
+    assert(e3.getMessage.contains("exactly 2 argument"), e3.getMessage)
   }
 }

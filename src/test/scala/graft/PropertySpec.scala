@@ -163,6 +163,37 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("differential: ngramJaccardPairs join-condition gate equals brute-force filter") {
+    // the division-free gate (i*(1+t) >= t*n - eps) in the join condition
+    // is load-bearing at EVERY threshold, not just q_dedup_jaccard's 0.5:
+    // compare against the naive cross-join + exact-jaccard filter on
+    // random word-soup docs across thresholds, including exact-boundary
+    // pairs (identical docs, j == 1.0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg", "hhh")
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, "a bb ccc"), (101L, "a bb ccc")) // j == 1.0 boundary
+    val df = docs.toDF("id", "text")
+    for (t <- Seq(0.05, 0.3, 0.5, 0.72, 1.0)) {
+      val fast = graft.pipeline.Dedup.ngramJaccardPairs(df, "text", "id",
+        shingleSize = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sh = df.select(col("id"),
+        array_distinct(graft.pipeline.Dedup.shingles(col("text"), 2)).as("sh"))
+      val brute = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+        .crossJoin(sh.select(col("id").as("id2"), col("sh").as("sh2")))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          graft.pipeline.Dedup.jaccard(col("sh1"), col("sh2")).as("j"))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == brute, s"threshold $t: ${fast.diff(brute)} vs ${brute.diff(fast)}")
+    }
+  }
+
   test("header dedup always yields unique names preserving first occurrences") {
     for (names <- samples(Gen.listOf(Gen.oneOf("a", "b", "c", "a_B")), 200)) {
       val out = graft.sources.CsvSource.dedupHeaders(names)
