@@ -163,6 +163,56 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("differential: vec_dot kernel is bit-identical to the HOF left fold") {
+    // the kernel's doc contract: same value as
+    // aggregate(zip_with(a,b,_*_), 0.0, _+_) — index-order left fold in
+    // double — including null-element and length-mismatch poisoning
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(8)
+      (Seq.fill(n)(rnd.nextFloat() * 2 - 1), Seq.fill(n)(rnd.nextFloat() * 2 - 1))
+    } ++ Seq((Seq(1f, 2f), Seq(3f)))   // length mismatch => null
+    val df = rows.toDF("a", "b")
+    val kernel = C(graft.functions.DotProductExpr(E(col("a")), E(col("b"))))
+    val hof = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0), (acc, p) => acc + p)
+    val bad = df.select(kernel.as("k"), hof.as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    assert(bad == 0)
+  }
+
+  test("differential: vec_sketch kernel equals the per-plane sign-bit formulation") {
+    // packing contract: word w, bit i = sign of plane (64w + i) · v; the
+    // kernel must agree with nBits independent vec_dot sign tests
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 5
+    val nBits = 70 // straddles a word boundary on purpose
+    val planes = graft.pipeline.Similarity.hyperplanes(dim, nBits, seed = 3L)
+    val df = Seq.fill(50)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)).toDF("v")
+    val kernel = C(graft.functions.SketchExpr(E(col("v")), planes))
+    val declared = (0 until (nBits + 63) / 64).map { w =>
+      (0 until 64).flatMap { i =>
+        val b = w * 64 + i
+        if (b >= nBits) None
+        else Some(when(
+          C(graft.functions.DotProductExpr(E(col("v")),
+            E(typedLit(planes(b).toSeq)))) > 0.0,
+          lit(1L << i)).otherwise(lit(0L)))
+      }.reduce(_.bitwiseOR(_))
+    }
+    val bad = df.select(kernel.as("k"), array(declared: _*).as("d"))
+      .filter(!(col("k") <=> col("d"))).count()
+    assert(bad == 0)
+  }
+
   test("differential: ngramJaccardPairs join-condition gate equals brute-force filter") {
     // the division-free gate (i*(1+t) >= t*n - eps) in the join condition
     // is load-bearing at EVERY threshold, not just q_dedup_jaccard's 0.5:
