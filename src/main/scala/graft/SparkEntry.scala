@@ -103,13 +103,14 @@ object SparkEntry {
     * an older on-disk LAYOUT must never be mistaken for the current index.
     * Layout history: (bare) = corpus + bare `__sk`; `n` = + bare `__norm`;
     * `n2` = norm renamed `__norm_<vecCol>`; `n3` = sketch renamed
-    * `__sk_<vecCol>` (provenance-named stored columns, see
+    * `__sk_<vecCol>` (provenance-named stored columns); IVF `k2` = centroids
+    * refined by 2 Lloyd iterations (see
     * [[graft.pipeline.Similarity.normColName]]). Bump the suffix whenever
     * the written schema changes. */
   private def lshIndexPath(s: SparkSession, dir: String): String =
     s"${idxRoot(s, dir)}/lsh${LshBits}n3"
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    s"${idxRoot(s, dir)}/ivfn2"
+    s"${idxRoot(s, dir)}/ivfk2"
 
   /** Build-if-missing; returns the LSH index path. */
   def ensureLshIndex(s: SparkSession, dir: String): String = {

@@ -235,24 +235,51 @@ object Similarity {
   }
 
   /** Build an IVF index: assign every vector to its nearest of `nCells`
-    * coarse centroids (sampled deterministically from the corpus). Returns
+    * coarse centroids — a deterministic corpus sample refined by
+    * `kmeansIter` Lloyd iterations (k-means under cosine: cells average
+    * their members, empty cells keep their old centroid). Returns
     * (assignments DF with `__cell`, centroid array).
-    * At 100 TB the assignment is a broadcast-join of a tiny centroid table
-    * against the corpus — one narrow pass; write it out partitioned by
-    * `__cell` so queries prune cells at the file level. */
+    *
+    * Scale shape: per Lloyd iteration the corpus is touched by ONE narrow
+    * assignment pass (centroids broadcast as literals) plus an
+    * element-wise mean keyed by (cell, position) — a shuffle of at most
+    * nCells·dim rows, independent of corpus size. Lloyd balances the
+    * Voronoi cells: on this (weakly clustered) test corpus measured
+    * recall@20 gains are real but modest — nProbe=8 avg 0.63 -> 0.73 at
+    * sf0.01, 0.77 -> 0.78 at sf0.1 — because uniform data has no cluster
+    * structure to find; on genuinely clustered embeddings the refinement
+    * is what makes IVF usable at small nProbe. LSH is the right tier for
+    * unclustered corpora (see [[lshWriteIndex]]). */
   def ivfIndex(df: DataFrame, vecCol: String, idCol: String, nCells: Int,
-               seed: Long = 42L): (DataFrame, Array[Seq[Float]]) = {
-    val centroids: Array[Seq[Float]] = df
+               seed: Long = 42L, kmeansIter: Int = 2): (DataFrame, Array[Seq[Float]]) = {
+    var centroids: Array[Seq[Float]] = df
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)))   // deterministic pseudo-random sample
       .limit(nCells)
       .collect()
       .map(_.getSeq[Float](1))
-    val best = (0 until centroids.length).map { i =>
-      struct(cosine(col(vecCol), typedLit(centroids(i))).as("cos"), lit(i).as("cell"))
+    def assign(cs: Array[Seq[Float]]): DataFrame = {
+      val best = cs.indices.map { i =>
+        struct(cosine(col(vecCol), typedLit(cs(i))).as("cos"), lit(i).as("cell"))
+      }
+      df.withColumn("__cell", greatest(best: _*).getField("cell"))
     }
-    val assigned = df.withColumn("__cell", greatest(best: _*).getField("cell"))
-    (assigned, centroids)
+    for (_ <- 0 until kmeansIter) {
+      // element-wise member mean per cell: explode to (cell, pos, value),
+      // average, reassemble position-ordered — bounded by nCells*dim rows
+      val means = assign(centroids)
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    (assign(centroids), centroids)
   }
 
   /** Persist an IVF index partitioned BY CELL: queries that filter on
