@@ -41,11 +41,18 @@ object Bench {
     // added, silently moving the JIT-warmup cost onto different queries
     // between rounds and making per-query numbers incomparable
     //
-    // steady state: each query runs TWICE and reports the MINIMUM — the
-    // first run pays JIT/codegen compilation and cold file-cache reads,
+    // steady state: each query runs THREE times and reports the MINIMUM —
+    // the first run pays JIT/codegen compilation and cold file-cache reads,
     // which r3-r5 history shows land on different queries every round
-    // (±5 s attribution swings drowning real regressions). The min is the
-    // per-query cost a warmed-up deployment actually pays.
+    // (±5 s attribution swings drowning real regressions). r6 showed
+    // min-of-2 is still not enough: a background C2-compile/GC storm
+    // spanning one query's back-to-back window inflated q_func_math 3.5×
+    // in one run and q_events_window 5× in the next, with the TOTAL
+    // unchanged — pure attribution noise. A System.gc() quiesce between
+    // queries keeps the previous queries' garbage from landing
+    // mid-measurement, and a third run makes a storm spanning every
+    // sample much less likely. The min is the per-query cost a warmed-up
+    // deployment actually pays.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double =
         try {
@@ -57,8 +64,10 @@ object Bench {
           // just stderr: -1 marks a query that did not run to completion
           case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0
         }
+      System.gc() // untimed: drain prior queries' garbage before measuring
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      name -> (if (first < 0) first
+               else math.min(first, math.min(once(), once())))
     }
     // 3-decimal timings: the harness reading this line keeps only a bounded
     // stdout tail, so the line must stay short even as queries are added —

@@ -56,17 +56,25 @@ object SparkEntry {
   // q_embed_lsh / q_embed_ivf then measure only the probe against the
   // persisted index — the number a user sees per query in steady state.
 
+  /** Data fingerprint tag: the directory embedded verbatim (sanitized for
+    * path use) plus the table file's (mtime, size). The full tuple is kept
+    * in the string rather than collapsed to a 32-bit hash — a hash
+    * collision between two data directories would silently serve the wrong
+    * memoized fixture/centroids/index. */
+  private def dataFp(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${dirTag}_${st.getModificationTime}_${st.getLen}"
+  }
+
   /** Index root keyed by the data directory AND the embeddings file's
     * (mtime, size) fingerprint: different SFs never share an index, and
     * REGENERATED data at the same path invalidates the old index instead
     * of silently probing stale neighbors. */
-  private def idxRoot(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val fp = (dir, st.getModificationTime, st.getLen).hashCode()
-    s"/tmp/graft_index_${Integer.toHexString(fp)}"
-  }
+  private def idxRoot(s: SparkSession, dir: String): String =
+    s"/tmp/graft_index_${dataFp(s, dir, "embeddings")}"
 
   private def indexExists(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
@@ -535,8 +543,13 @@ object SparkEntry {
       val sup = T(s, dir, "supplier").select(
         col("s_suppkey").as("suppkey"), col("s_name").as("name"),
         col("s_acctbal").as("acctbal"), col("s_nationkey").as("nation"))
-      val path = s"/tmp/graft_dbf_${Integer.toHexString(dir.hashCode)}.dbf"
-      graft.sources.DbfSource.write(sup, path)
+      // export fingerprint-cached like the similarity indexes: the write
+      // runs driver-side at plan-build time, so an uncached export charges
+      // every bench iteration a full file re-write; keyed by the supplier
+      // file's (dir, mtime, size) so regenerated data still re-exports
+      val path = s"/tmp/graft_dbf_${dataFp(s, dir, "supplier")}.dbf"
+      if (!new java.io.File(path).exists())
+        graft.sources.DbfSource.write(sup, path)
       graft.sources.DbfSource.read(s, path).orderBy("suppkey")
     }),
 
@@ -563,6 +576,15 @@ object SparkEntry {
       graft.sources.Crawl.crawl(urls, "url")
         .selectColumns(Seq("r_regionkey", "url", "crawl_status", "crawl_body"))
         .warpSort(Seq(Order(col("r_regionkey"))))
+    }),
+
+    // ---- HTTP source (QBEHTTPStep.swift:73): one URL -> one-row table,
+    //      riding the crawl machinery's deterministic offline stub (the
+    //      same fetcher a real deployment swaps for an HTTP client);
+    //      crawl_error/crawl_time dropped (null / wall-clock)
+    "q_http_source" -> ((s, dir) => {
+      graft.sources.HttpSource.read(s, "https://example.invalid/doc/42")
+        .selectColumns(Seq("url", "crawl_status", "crawl_body"))
     }),
 
     // ---- partitioned running aggregation — the scale-path rank variant
@@ -883,7 +905,27 @@ object SparkEntry {
       val path = ensureLshIndex(s, dir)
       graft.pipeline.Similarity.knnGraphSketch(
         s.read.parquet(path), "embedding", "vec_id", 10,
-        maxHamming = LshMaxHamming, nBits = LshBits)
+        maxHamming = LshMaxHamming)
+        .orderBy("qid", "id")
+    }),
+
+    // ---- BATCH probe pair: 64 query vectors against the corpus — the
+    //      regime the LSH index exists for (single-query probes are
+    //      fixed-job-cost bound; at 64 queries the per-pair gate savings
+    //      dominate). Brute twin is exact (DuckDB-oracled); the gated twin
+    //      is rows-only (hyperplane-seeded), recall pinned in PipelineSpec
+    "q_embed_topk_batch" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10,
+        queries = Some(emb.filter(col("vec_id") < 64)))
+        .orderBy("qid", "id")
+    }),
+    "q_embed_lsh_batch" -> ((s, dir) => {
+      val path = ensureLshIndex(s, dir)
+      val idx = s.read.parquet(path)
+      graft.pipeline.Similarity.knnGraphSketch(idx, "embedding", "vec_id", 10,
+        maxHamming = LshMaxHamming,
+        queries = Some(idx.filter(col("vec_id") < 64)))
         .orderBy("qid", "id")
     }),
 
@@ -1194,6 +1236,9 @@ object SparkEntry {
          200 AS crawl_status,
          'stub:' || md5('https://example.invalid/r/' || r_regionkey) AS crawl_body
          FROM region ORDER BY r_regionkey""",
+    "q_http_source" ->
+      """SELECT 'https://example.invalid/doc/42' AS url, 200 AS crawl_status,
+         'stub:' || md5('https://example.invalid/doc/42') AS crawl_body""",
     "q_rank_by" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS rn,
@@ -1515,6 +1560,20 @@ object SparkEntry {
                pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
                (acc, v) -> acc + v) / (d.nv * q.nv) AS cosine
            FROM b d, b q WHERE d.vec_id <> q.vec_id),
+         r AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+           FROM p)
+         SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+    "q_embed_topk_batch" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         p AS (SELECT q.vec_id AS qid, d.vec_id AS id,
+             list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+               pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+               (acc, v) -> acc + v) / (d.nv * q.nv) AS cosine
+           FROM b d, b q WHERE d.vec_id <> q.vec_id AND q.vec_id < 64),
          r AS (SELECT qid, id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)

@@ -172,7 +172,11 @@ object Dedup {
     val r = withSh.select(col("id").as("id2"), col("sh").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val sizes = (size(col("sh1")) + size(col("sh2"))).cast("double")
-    val gate = inter * lit(1.0 + threshold) >= lit(threshold) * sizes - lit(1e-9)
+    // slack scales WITH the operands: an absolute 1e-9 is below one ulp of
+    // inter*(1+t) once shingle counts reach ~1e7, where double rounding
+    // could push an exact-boundary pair just under an absolute-slack gate
+    // and silently break the strict-superset guarantee
+    val gate = inter * lit(1.0 + threshold) >= (lit(threshold) - lit(1e-9)) * sizes
     val jac = when(sizes === inter, lit(1.0)).otherwise(inter / (sizes - inter))
     l.join(r, col("id1") < col("id2") && gate && jac >= threshold, "inner")
       .select(col("id1"), col("id2"), jac.as("jaccard"))

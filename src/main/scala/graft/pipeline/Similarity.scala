@@ -69,10 +69,11 @@ object Similarity {
     * ([[graft.functions.HammingDistExpr]]) XOR+POPCNTs every word. The
     * previous per-word `bit_count(element_at ^ element_at)` chain spent
     * more on ArrayData accessors than the dot product it gates against
-    * at small embedding dims. `nBits` is kept for call-site documentation
-    * (the kernel derives the word count from the arrays; a width mismatch
-    * nulls out and the gate drops the pair). */
-  def hamming(a: Column, b: Column, nBits: Int): Column = {
+    * at small embedding dims. The kernel derives the word count from the
+    * arrays; a width mismatch nulls out and the gate drops the pair.
+    * (An earlier signature took an `nBits` parameter the kernel ignored —
+    * dropped rather than left as a silent no-op.) */
+  def hamming(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
     C(graft.functions.HammingDistExpr(E(a), E(b)))
   }
@@ -119,7 +120,7 @@ object Similarity {
     val planes = hyperplanes(query.length, nBits, seed)
     val qSketch = sketchLocal(planes, query)
     indexed
-      .filter(hamming(col(skColName(vecCol)), typedLit(qSketch.toSeq), nBits) <= maxHamming)
+      .filter(hamming(col(skColName(vecCol)), typedLit(qSketch.toSeq)) <= maxHamming)
       .select(col(idCol),
         cosineVsQuery(indexed, vecCol, typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
@@ -199,11 +200,11 @@ object Similarity {
     * neighbor whose sketch distance exceeds `maxHamming` is missed (recall
     * pinned in PipelineSpec). */
   def knnGraphSketch(indexed: DataFrame, vecCol: String, idCol: String,
-                     k: Int, maxHamming: Int, nBits: Int = 64,
+                     k: Int, maxHamming: Int,
                      queries: Option[DataFrame] = None): DataFrame =
     knnPairsTopK(indexed, vecCol, idCol, k, queries.getOrElse(indexed),
       // sketch gate FIRST: the cheap conjunct prunes before any dot product
-      gate = hamming(col("sk"), col("qsk"), nBits) <= maxHamming,
+      gate = hamming(col("sk"), col("qsk")) <= maxHamming,
       withSketch = true)
 
   /** Shared kNN shape: enumerate (corpus x broadcast queries) pairs, gate,
@@ -249,7 +250,16 @@ object Similarity {
     * sf0.01, 0.77 -> 0.78 at sf0.1 — because uniform data has no cluster
     * structure to find; on genuinely clustered embeddings the refinement
     * is what makes IVF usable at small nProbe. LSH is the right tier for
-    * unclustered corpora (see [[lshWriteIndex]]). */
+    * unclustered corpora (see [[lshWriteIndex]]).
+    *
+    * Determinism caveat: the initial sample is fully deterministic, but
+    * Lloyd's member means run through Spark `avg` over doubles, whose
+    * partial-aggregation order is not guaranteed — two rebuilds of the
+    * same corpus can produce bit-different centroids and hence slightly
+    * different cell assignments. Recall contracts are pinned on the
+    * probe results (PipelineSpec), not on centroid bits; callers needing
+    * bit-stable rebuilds should persist the index once ([[ivfWriteIndex]])
+    * rather than rebuild. */
   def ivfIndex(df: DataFrame, vecCol: String, idCol: String, nCells: Int,
                seed: Long = 42L, kmeansIter: Int = 2): (DataFrame, Array[Seq[Float]]) = {
     var centroids: Array[Seq[Float]] = df
@@ -337,14 +347,15 @@ object Similarity {
   def ivfTopK(assigned: DataFrame, centroids: Array[Seq[Float]],
               vecCol: String, idCol: String, query: Seq[Float], k: Int,
               nProbe: Int = 4): DataFrame = {
-    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
-      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
-      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
-      d / (na * nb)
+    def normLocal(v: Seq[Float]): Double =
+      math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val qNorm = normLocal(query) // once, not per centroid
+    def cosLocal(a: Seq[Float]): Double = {
+      val d = a.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (normLocal(a) * qNorm)
     }
     val probeCells = centroids.indices
-      .sortBy(i => -cosLocal(centroids(i), query)).take(nProbe)
+      .sortBy(i => -cosLocal(centroids(i))).take(nProbe)
     assigned
       .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol),

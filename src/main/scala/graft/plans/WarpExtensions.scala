@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
@@ -22,7 +22,8 @@ import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSi
   * [[WarpExtensions]]: `spark.sql.extensions`-style injection point that
   * installs the rule and registers the native kernels as SQL functions
   * (`warp_num`, `simhash64`, `shingle_hashes`, `minhash_sig`,
-  * `band_hashes`, `token_stats`, `vec_dot`, `bits_hamming`) so
+  * `band_hashes`, `token_stats`, `vec_dot`, `bits_hamming`,
+  * `vec_cosine`) so
   * `spark.sql(...)` users reach them without the Scala API.
   * [[Graft.install]] does the same on an already-built session.
   */
@@ -64,7 +65,21 @@ object WarpExtensions {
     "vec_dot" -> (args => DotProductExpr(arity(args, 2, 2, "vec_dot")(0),
       args(1))),
     "bits_hamming" -> (args => HammingDistExpr(
-      arity(args, 2, 2, "bits_hamming")(0), args(1))))
+      arity(args, 2, 2, "bits_hamming")(0), args(1))),
+    // cosine as ONE call instead of the three-call hand-assembly
+    // (vec_dot(a,b)/(sqrt(vec_dot(a,a))*sqrt(vec_dot(b,b)))). Composed from
+    // the native kernel rather than a dedicated single-pass loop ON
+    // PURPOSE: for the dominant column-vs-literal probe shape Catalyst
+    // constant-folds sqrt(vec_dot(q,q)) into one literal (the kernels pin
+    // foldable), so the per-row cost is dot + one norm — a fused kernel
+    // would re-derive the literal's norm every row. Also keeps SQL results
+    // bit-identical to the Scala Similarity.cosine path (same fold order,
+    // same divide-by-zero semantics).
+    "vec_cosine" -> (args => {
+      val as = arity(args, 2, 2, "vec_cosine"); val a = as(0); val b = as(1)
+      Divide(DotProductExpr(a, b),
+        Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+    }))
 
   /** Readable analysis-time arity error for every registered builder — a
     * raw IndexOutOfBoundsException (too few args) or a silently IGNORED

@@ -64,6 +64,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(v.getAs[Int]("h") == 3)
   }
 
+  test("vec_cosine: one call, folds over literals, matches the Scala path") {
+    Graft.install(spark)
+    val c = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+                vec_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth,
+                vec_cosine(array(3.0D, 4.0D), array(6.0D, 8.0D)) AS par""").collect()(0)
+    assert(math.abs(c.getAs[Double]("same") - 1.0) < 1e-12)
+    assert(math.abs(c.getAs[Double]("orth")) < 1e-12)
+    assert(math.abs(c.getAs[Double]("par") - 1.0) < 1e-12)
+    // fold contract: literal-vs-literal cosine is computed ONCE at
+    // optimization time — probe plans rely on the query-norm folding
+    val folded = spark.sql(
+      "SELECT vec_cosine(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS c")
+      .queryExecution.optimizedPlan.toString
+    assert(!folded.contains("vec_dot"), folded)
+    // column-vs-literal matches Similarity.cosine bit-for-bit (same kernel,
+    // same fold order, same divide semantics)
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    df.createOrReplaceTempView("cosdocs")
+    val sqlRes = spark.sql(
+      "SELECT vec_cosine(v, array(0.5D, -1.0D, 2.0D)) AS c FROM cosdocs")
+      .collect()(0).getAs[Double]("c")
+    val scalaRes = df.select(graft.pipeline.Similarity.cosine(col("v"),
+      typedLit(Seq(0.5, -1.0, 2.0))).as("c")).collect()(0).getAs[Double]("c")
+    assert(sqlRes == scalaRes)
+    // arity error is readable
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 argument"), e.getMessage)
+  }
+
   test("kernel misuse fails at analysis with a readable message") {
     Graft.install(spark)
     Seq((1L, "txt")).toDF("id", "text").createOrReplaceTempView("sqldocs2")

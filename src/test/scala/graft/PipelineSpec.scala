@@ -151,8 +151,7 @@ class PipelineSpec extends SparkSpec {
       df.select("qid", "id").as[(Long, Long)].collect().toSet
     val brute = pairs(Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10))
     val gated = pairs(Similarity.knnGraphSketch(spark.read.parquet(path),
-      "embedding", "vec_id", 10,
-      maxHamming = SparkEntry.LshMaxHamming, nBits = SparkEntry.LshBits))
+      "embedding", "vec_id", 10, maxHamming = SparkEntry.LshMaxHamming))
     val recall = (brute intersect gated).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
