@@ -154,6 +154,12 @@ class PipelineSpec extends SparkSpec {
       "embedding", "vec_id", 10, maxHamming = SparkEntry.LshMaxHamming))
     val recall = (brute intersect gated).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall below 0.8")
+    // the 64-query batch slice (q_embed_lsh_batch) rides the same gate:
+    // its recall is the same measure restricted to qid < 64
+    val bruteB = brute.filter(_._1 < 64)
+    val gatedB = gated.filter(_._1 < 64)
+    val recallB = (bruteB intersect gatedB).size.toDouble / bruteB.size
+    assert(recallB >= 0.8, s"batch recall $recallB below 0.8")
   }
 
   test("IVF index assigns cells and probes find the query vector") {

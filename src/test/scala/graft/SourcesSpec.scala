@@ -330,6 +330,42 @@ class SourcesSpec extends SparkSpec {
     assert(JdbcSource.derby(spark, db, "nation_rt").count() == src.count())
   }
 
+  test("jdbc: per-dialect DDL type mapping pinned (PG/MySQL/SQLite/Derby)") {
+    // The server engines never run live here (no driver jars in the
+    // sandbox), and the Derby roundtrip exercises the shared relation/sink
+    // path — so the residual per-engine risk is exactly the DDL type each
+    // dialect generates on write (the reference hand-maintains these
+    // per-dialect tables: MySQLStream.swift:19-67,
+    // PostgresStream.swift:20-106, SQLiteStream.swift:738). Pin the full
+    // matrix; a Spark upgrade that changes a mapping must fail loudly
+    // here, not corrupt a warehouse export.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.types._
+    val urls = Seq("jdbc:postgresql://h/d", "jdbc:mysql://h/d",
+      "jdbc:sqlite:/f", "jdbc:derby:/d")
+    //                         postgres     mysql               sqlite(common)      derby
+    val expected: Seq[(DataType, Seq[String])] = Seq(
+      LongType    -> Seq("BIGINT", "BIGINT", "BIGINT", "BIGINT"),
+      IntegerType -> Seq("INTEGER", "INTEGER", "INTEGER", "INTEGER"),
+      ShortType   -> Seq("SMALLINT", "SMALLINT", "INTEGER", "SMALLINT"),
+      DoubleType  -> Seq("FLOAT8", "DOUBLE PRECISION", "DOUBLE PRECISION", "DOUBLE PRECISION"),
+      FloatType   -> Seq("FLOAT4", "FLOAT", "REAL", "REAL"),
+      StringType  -> Seq("TEXT", "LONGTEXT", "TEXT", "CLOB"),
+      BooleanType -> Seq("BOOLEAN", "BIT(1)", "BIT(1)", "BOOLEAN"),
+      BinaryType  -> Seq("BYTEA", "BLOB", "BLOB", "BLOB"),
+      TimestampType -> Seq("TIMESTAMP WITH TIME ZONE", "TIMESTAMP", "TIMESTAMP", "TIMESTAMP"),
+      TimestampNTZType -> Seq("TIMESTAMP", "DATETIME", "TIMESTAMP", "TIMESTAMP"),
+      DateType    -> Seq("DATE", "DATE", "DATE", "DATE"),
+      DecimalType(28, 6) -> Seq("NUMERIC(28,6)", "DECIMAL(28,6)", "DECIMAL(28,6)", "DECIMAL(28,6)"))
+    for (((t, wants), _) <- expected.zipWithIndex; (url, want) <- urls.zip(wants)) {
+      val dialect = JdbcDialects.get(url)
+      val got = dialect.getJDBCType(t).orElse(JdbcUtils.getCommonJDBCType(t))
+        .map(_.databaseTypeDefinition)
+      assert(got.contains(want), s"$url ${t.simpleString}: got $got, want $want")
+    }
+  }
+
   test("rename step ignores unknown names, is case-insensitive") {
     val df = Seq((1, 2)).toDF("Alpha", "beta")
     val out = df.renameColumns(Map("alpha" -> "a", "nope" -> "x"))
