@@ -71,3 +71,99 @@ case class TokenStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
     copy(child = newChild)
 }
+
+/** Length/shape statistics of a document in ONE pass:
+  * `[nTokensWs, sumTokenLens, nBpe, punctCount, rawChars]` (`array<long>`).
+  *
+  * Declarative equivalents (what the quality-scoring operators previously
+  * ran per row, verified bit-equal by PropertySpec):
+  *  - nTokensWs     = `size(split(trim(lower(s)), "\\s+"))`, 0 for
+  *    space-trim-empty input — Java split semantics exactly: a LEADING
+  *    non-space whitespace char (space-only SQL trim leaves tabs) yields
+  *    an empty first token, a trailing one an empty last token (limit -1)
+  *  - sumTokenLens  = `aggregate(split(...), 0L, acc + length)` — an
+  *    interpreted HOF per row (ArrayAggregate is CodegenFallback)
+  *  - nBpe          = `size(regexp_extract_all(lower(s),
+  *    "[a-z]+|[0-9]+|[^a-z0-9\\s]"))` — which BUILT the match array only
+  *    to count it
+  *  - punctCount    = `length(s) - length(regexp_replace(s,
+  *    "[.,;:!?'\"()-]", ""))` — which REBUILT the string only to diff
+  *    lengths (counted here over the lowered text: Unicode lowercasing
+  *    never maps into, out of, or onto ASCII punctuation)
+  *  - rawChars      = `length(s)` (code points, pre-lowercase — the İ→i̇
+  *    class of mappings changes char counts)
+  *
+  * Replacing five string/array-building passes with one scan is what
+  * keeps corpus quality scoring a pure map pass at 100 TB. */
+object TextStatsExpr {
+  // Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  private def isPunct(c: Int): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '-' => true
+    case _ => false
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    // length() == UTF8String.numChars (code points) — no String detour
+    val rawChars = s.numChars().toLong
+    val lower = s.toLowerCase.toString
+
+    var punct = 0L
+    var nBpe = 0L
+    var prevCls = 0 // 0 ws, 1 letter-run, 2 digit-run, 3 single-other
+    var i = 0
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      val cls =
+        if (cp >= 'a' && cp <= 'z') 1
+        else if (cp >= '0' && cp <= '9') 2
+        else if (isWs(cp)) 0
+        else 3
+      if (cls == 3) nBpe += 1
+      else if (cls != 0 && cls != prevCls) nBpe += 1
+      prevCls = cls
+      if (isPunct(cp)) punct += 1
+      i += Character.charCount(cp)
+    }
+
+    // space-only SQL trim, then Java split-on-\s+ token accounting
+    var from = 0
+    var until = lower.length
+    while (from < until && lower.charAt(from) == ' ') from += 1
+    while (until > from && lower.charAt(until - 1) == ' ') until -= 1
+    var nTokens = 0L
+    var sumLens = 0L
+    if (until > from) {
+      if (isWs(lower.codePointAt(from))) nTokens += 1 // leading empty token
+      var inRun = false
+      var j = from
+      while (j < until) {
+        val cp = lower.codePointAt(j)
+        if (isWs(cp)) inRun = false
+        else {
+          if (!inRun) { nTokens += 1; inRun = true }
+          sumLens += 1
+        }
+        j += Character.charCount(cp)
+      }
+      if (isWs(lower.codePointBefore(until))) nTokens += 1 // trailing empty
+    }
+
+    UnsafeArrayData.fromPrimitiveArray(Array[Long](
+      nTokens, sumLens, nBpe, punct, rawChars))
+  }
+}
+
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_stats"
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatsExpr.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsExpr.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}

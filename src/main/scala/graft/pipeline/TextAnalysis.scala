@@ -55,29 +55,36 @@ object TextAnalysis {
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** `[nTokensWs, sumTokenLens, nBpe, punctCount, rawChars]` in one native
+    * codegen pass ([[graft.functions.TextStatsExpr]]) — the length/shape
+    * twin of [[tokenStats]]. Every scalar below derives from it;
+    * whole-stage codegen's subexpression elimination computes it once per
+    * row however many are selected together. */
+  def textStats(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.TextStatsExpr(E(textCol)))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(textCol: Column): Column =
-    when(length(trim(textCol)) === 0, 0).otherwise(size(tokens(textCol)))
+    element_at(textStats(textCol), 1).cast("int")
 
   /** BPE-ish token count: runs of letters, runs of digits, single other
     * non-space chars — a cheap proxy for subword-tokenizer counts. */
   def tokenCountBpe(textCol: Column): Column =
-    size(regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    element_at(textStats(textCol), 3).cast("int")
 
   /** Quality score components + weighted aggregate, following the usual
     * heuristic-filter recipe (length, punctuation density, stopword
     * density, mean word length). All engine-portable arithmetic. */
-  def punctRatio(textCol: Column): Column =
-    when(length(textCol) > 0,
-      (length(textCol) - length(regexp_replace(textCol, "[.,;:!?'\"()-]", ""))).cast("double")
-        / length(textCol).cast("double"))
-      .otherwise(0.0)
+  def punctRatio(textCol: Column): Column = {
+    val ts = textStats(textCol)
+    ratio(element_at(ts, 4), element_at(ts, 5))
+  }
 
   def meanWordLength(textCol: Column): Column = {
-    val tks = tokens(textCol)
-    when(size(tks) > 0,
-      aggregate(tks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(tks).cast("double"))
-      .otherwise(0.0)
+    val ts = textStats(textCol)
+    ratio(element_at(ts, 2), element_at(ts, 1))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with
@@ -207,22 +214,24 @@ object TextAnalysis {
   val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phonePattern = "\\+\\d{7,15}"
 
-  def piiEmailCount(textCol: Column): Column =
-    regexp_count(textCol, lit(emailPattern)).cast("long")
-  def piiIpv4Count(textCol: Column): Column =
-    regexp_count(textCol, lit(ipv4Pattern)).cast("long")
-  def piiPhoneCount(textCol: Column): Column =
-    regexp_count(textCol, lit(phonePattern)).cast("long")
+  /** All PII signals in one native pass ([[graft.functions.PiiScanExpr]]):
+    * `struct<emails, ips, phones, redacted>`. The scalar accessors below
+    * share one kernel call per row via codegen subexpression elimination;
+    * each field is differentially pinned against the regex formulation
+    * (PropertySpec). */
+  def piiScan(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.PiiScanExpr(E(textCol)))
+  }
+
+  def piiEmailCount(textCol: Column): Column = piiScan(textCol).getField("emails")
+  def piiIpv4Count(textCol: Column): Column = piiScan(textCol).getField("ips")
+  def piiPhoneCount(textCol: Column): Column = piiScan(textCol).getField("phones")
 
   /** Replace emails, then IPv4 addresses, then international-format phone
     * numbers with typed placeholder tags. Order matters: the email pattern
     * would otherwise leave its host part for the IP pattern to re-match. */
-  def redactPii(textCol: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(textCol, lit(emailPattern), lit("<EMAIL>")),
-        lit(ipv4Pattern), lit("<IP>")),
-      lit(phonePattern), lit("<PHONE>"))
+  def redactPii(textCol: Column): Column = piiScan(textCol).getField("redacted")
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Expr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
-import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TokenStatsExpr, WarpNumExpr}
+import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TextStatsExpr, TokenStatsExpr, WarpNumExpr}
 
 /** Catalyst-level integration of the graft engine.
   *
@@ -60,6 +60,7 @@ object WarpExtensions {
     "band_hashes" -> (args => BandHashExpr(
       arity(args, 1, 2, "band_hashes")(0), intArg(args, 1, 16))),
     "token_stats" -> (args => TokenStatsExpr(arity(args, 1, 1, "token_stats")(0))),
+    "text_stats" -> (args => TextStatsExpr(arity(args, 1, 1, "text_stats")(0))),
     // vector kernels: SQL users score embeddings / probe sketch indexes
     // without the Scala API (cosine = vec_dot(a,b)/(vec_dot-derived norms))
     "vec_dot" -> (args => DotProductExpr(arity(args, 2, 2, "vec_dot")(0),

@@ -213,6 +213,75 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("differential: text_stats kernel equals the five declarative passes") {
+    // the single-pass kernel must reproduce each formulation it replaced,
+    // over whitespace-hostile and Unicode-bearing inputs: leading tabs
+    // (space-only SQL trim + Java split's leading empty token), trailing
+    // \s, punctuation runs, digits, non-ASCII letters, surrogate pairs
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import spark.implicits._
+    val alphabet = "ab z.,;:!?'\"()-09\t\n\r\fÉéÜü中𝄞 "
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "\t", " \tfoo bar\n", "a.b,c!", "𝄞𝄞 𝄞", "İstanbul Iı")
+    val df = rows.toDF("t")
+    val ts = C(graft.functions.TextStatsExpr(E(col("t"))))
+    val tks = split(trim(lower(col("t"))), "\\s+")
+    val decl = Seq(
+      when(length(trim(col("t"))) === 0, 0L).otherwise(size(tks).cast("long")),
+      aggregate(tks, lit(0L), (acc, t) => acc + length(t)),
+      size(regexp_extract_all(lower(col("t")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[.,;:!?'\"()-]", "")))
+        .cast("long"),
+      length(col("t")).cast("long"))
+    val checks = decl.zipWithIndex.map { case (d, i) =>
+      (!(element_at(ts, i + 1) <=> d)).as(s"bad_$i") }
+    val bad = df.select(checks: _*)
+      .filter(checks.indices.map(i => col(s"bad_$i")).reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
+  test("differential: pii_scan kernel equals the six regex passes") {
+    // counts on the original text, redaction sequential — bit-equal to
+    // java.util.regex over inputs built to hit every backtracking corner:
+    // TLD splits, local-run/domain-run overlaps, long digit runs, \b edges
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.pipeline.{TextAnalysis => TA}
+    val alphabet = "a b z @ . + - _ % 0 1 9 x , co".split(" ") ++ Seq(" ", "")
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(400) {
+      Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq(
+      "a@b.co", "a@b.c", "a@b.co.x", "user@@example.co", "a@b.c_d@e.co",
+      "x@y.co@z.co", "reach me at a.b%c+d@ex-1.mple.org today",
+      "1.2.3.4", "1.2.3.4.5", "12345.1.2.3", "1234x5.6.7.8", "1.2.3.45.6",
+      "10.200.0.1x", "_1.2.3.4", "+1234567", "+123456", "tel +1555000123",
+      "+1234567890123456789", "u@10.1.2.3.com or 10.1.2.3",
+      "a@-.co", "@.co", "a@.co", "..@..", "")
+    val df = rows.toDF("t")
+    val k = TA.piiScan(col("t"))
+    val declRedact =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), lit(TA.emailPattern), lit("<EMAIL>")),
+          lit(TA.ipv4Pattern), lit("<IP>")),
+        lit(TA.phonePattern), lit("<PHONE>"))
+    val bad = df.select(
+      (!(k.getField("emails") <=> regexp_count(col("t"), lit(TA.emailPattern)).cast("long"))).as("b1"),
+      (!(k.getField("ips") <=> regexp_count(col("t"), lit(TA.ipv4Pattern)).cast("long"))).as("b2"),
+      (!(k.getField("phones") <=> regexp_count(col("t"), lit(TA.phonePattern)).cast("long"))).as("b3"),
+      (!(k.getField("redacted") <=> declRedact)).as("b4"),
+      col("t"))
+      .filter(col("b1") || col("b2") || col("b3") || col("b4"))
+    val offenders = bad.collect()
+    assert(offenders.isEmpty,
+      offenders.take(5).map(_.toString).mkString("; "))
+  }
+
   test("differential: ngramJaccardPairs join-condition gate equals brute-force filter") {
     // the division-free gate (i*(1+t) >= t*n - eps) in the join condition
     // is load-bearing at EVERY threshold, not just q_dedup_jaccard's 0.5:
