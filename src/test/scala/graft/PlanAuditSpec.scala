@@ -48,6 +48,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("vec_dot".r.findAllMatchIn(p).length == 2, p.take(2000))
   }
 
+  test("multi-field kernel queries run ONE kernel call per row (subexpr elim)") {
+    // q_text_pii derives 4 columns from piiScan and q_text_quality derives
+    // 4 of its 5 from textStats; whole-stage codegen's subexpression
+    // elimination must collapse these to one compute() call per row —
+    // losing it (e.g. by marking the kernels nondeterministic) would
+    // silently multiply the per-row cost by the fan-out
+    // probed on the bare projection (the sort stage above it would wrap
+    // the plan in a not-yet-final AdaptiveSparkPlan whose codegen is not
+    // inspectable before execution)
+    import org.apache.spark.sql.execution.debug.codegenString
+    import graft.pipeline.{TextAnalysis => TA}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def calls(q: org.apache.spark.sql.DataFrame, needle: String): Int =
+      needle.r.findAllIn(codegenString(q.queryExecution.executedPlan)).length
+    val pii = docs.select(
+      TA.piiEmailCount(col("text")).as("e"), TA.piiIpv4Count(col("text")).as("i"),
+      TA.piiPhoneCount(col("text")).as("p"), TA.redactPii(col("text")).as("r"))
+    assert(calls(pii, "PiiScanExpr\\.compute") == 1)
+    val quality = docs.select(
+      TA.tokenCountWs(col("text")).as("a"), TA.tokenCountBpe(col("text")).as("b"),
+      TA.punctRatio(col("text")).as("c"), TA.meanWordLength(col("text")).as("d"))
+    assert(calls(quality, "TextStatsExpr\\.compute") == 1)
+  }
+
   test("q_embed_ivf: probe prunes non-probed cells at the file level") {
     // the __cell isin filter must appear as a PartitionFilter on the scan
     // (file-level pruning), not a post-scan Filter over all cells
