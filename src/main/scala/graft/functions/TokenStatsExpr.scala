@@ -30,32 +30,54 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenStatsExpr {
   def compute(s: UTF8String): ArrayData = {
     val tokens = TextHash.tokenize(s)
+    val n = tokens.length
 
-    val tf = new java.util.HashMap[String, Integer]()
+    // one String-keyed pass assigns each DISTINCT token a dense id (still
+    // exact — no hash-collision caveat) and counts frequencies unboxed
+    val ids = new java.util.HashMap[String, Integer](math.max(4, n * 2))
+    val freq = new Array[Int](math.max(1, n))
+    val idSeq = new Array[Int](math.max(1, n))
+    var distinct = 0
     var maxTf = 0
     var i = 0
-    while (i < tokens.length) {
-      val c = tf.getOrDefault(tokens(i), 0) + 1
-      tf.put(tokens(i), c)
+    while (i < n) {
+      var id = ids.putIfAbsent(tokens(i), distinct)
+      if (id == null) { id = distinct; distinct += 1 }
+      val c = freq(id) + 1
+      freq(id) = c
       if (c > maxTf) maxTf = c
+      idSeq(i) = id
       i += 1
     }
 
-    val bf = new java.util.HashMap[String, Integer]()
+    // bigram counting over EXACT id pairs (ids are bijective with distinct
+    // token strings, so (id1,id2) distinctness == joined-string
+    // distinctness) in an open-addressed long->int map: no per-bigram
+    // String concat, no boxing — this was the dominant cost of the pass
+    var nDistinctBg = 0
     var maxBf = 0
-    i = 0
-    while (i < tokens.length - 1) {
-      // tokens contain no whitespace, so ' ' is an unambiguous joiner
-      val bg = tokens(i) + " " + tokens(i + 1)
-      val c = bf.getOrDefault(bg, 0) + 1
-      bf.put(bg, c)
-      if (c > maxBf) maxBf = c
-      i += 1
+    if (n > 1) {
+      val cap = java.lang.Integer.highestOneBit(math.max(4, (n - 1) * 2 - 1)) << 1
+      val mask = cap - 1
+      val keys = new Array[Long](cap)
+      java.util.Arrays.fill(keys, -1L)
+      val counts = new Array[Int](cap)
+      i = 0
+      while (i < n - 1) {
+        val key = (idSeq(i).toLong << 32) | idSeq(i + 1).toLong
+        var slot = (TextHash.mix(key) & 0x7FFFFFFF).toInt & mask
+        while (keys(slot) != -1L && keys(slot) != key) slot = (slot + 1) & mask
+        if (keys(slot) == -1L) { keys(slot) = key; nDistinctBg += 1 }
+        val c = counts(slot) + 1
+        counts(slot) = c
+        if (c > maxBf) maxBf = c
+        i += 1
+      }
     }
 
     UnsafeArrayData.fromPrimitiveArray(Array[Long](
-      tokens.length.toLong, tf.size.toLong, maxTf.toLong,
-      math.max(tokens.length - 1, 0).toLong, bf.size.toLong, maxBf.toLong))
+      n.toLong, distinct.toLong, maxTf.toLong,
+      math.max(n - 1, 0).toLong, nDistinctBg.toLong, maxBf.toLong))
   }
 }
 
@@ -69,6 +91,49 @@ case class TokenStatsExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenStatsExpr.compute($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
+/** `[nSegments, nDistinctSegments]` of a string split on ONE literal
+  * character (`array<long>`) — the kernel behind the duplicate-line
+  * filter. Declaratively this was `split(s, d, -1)` (an ArrayData of
+  * per-line UTF8Strings) followed by `array_distinct` (a hash set AND a
+  * second array rebuild) just to take two sizes; this is one scan with a
+  * seen-set and no array materialization. Split semantics match Java
+  * `split(d, -1)` exactly: n = separator count + 1, empty segments (and
+  * the lone empty segment of an empty string) all count. Exact over
+  * segment STRINGS — no hash-collision caveat. */
+object SegmentDupStatsExpr {
+  def compute(s: UTF8String, delim: Char): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.HashSet[String]()
+    var n = 0L
+    var from = 0
+    var i = 0
+    val len = str.length
+    while (i <= len) {
+      if (i == len || str.charAt(i) == delim) {
+        n += 1
+        seen.add(str.substring(from, i))
+        from = i + 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array[Long](n, seen.size.toLong))
+  }
+}
+
+case class SegmentDupStatsExpr(child: Expression, delim: Char) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "segment_dup_stats"
+  protected override def nullSafeEval(input: Any): Any =
+    SegmentDupStatsExpr.compute(input.asInstanceOf[UTF8String], delim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SegmentDupStatsExpr.compute($c, (char) ${delim.toInt})")
+  override protected def withNewChildInternal(newChild: Expression): SegmentDupStatsExpr =
     copy(child = newChild)
 }
 

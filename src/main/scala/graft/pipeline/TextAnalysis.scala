@@ -131,11 +131,14 @@ object TextAnalysis {
   }
 
   /** Fraction of lines that duplicate an earlier line (C4/Gopher duplicate-
-    * line filter). Pure array expressions — `split` keeps trailing empties
-    * (limit -1) so blank-line runs count as duplicates too. */
+    * line filter). One native pass ([[graft.functions.SegmentDupStatsExpr]]):
+    * split semantics keep trailing empties (limit -1) so blank-line runs
+    * count as duplicates too, exactly like the
+    * `split`/`array_distinct` formulation it replaced (PropertySpec). */
   def duplicateLineFraction(textCol: Column): Column = {
-    val lines = split(textCol, "\n", -1)
-    ratio(size(lines) - size(array_distinct(lines)), size(lines))
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val st = C(graft.functions.SegmentDupStatsExpr(E(textCol), '\n'))
+    ratio(element_at(st, 1) - element_at(st, 2), element_at(st, 1))
   }
 
   /** CORPUS-level boilerplate removal (the C4 recipe, Raffel et al. 2020):

@@ -244,6 +244,48 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("differential: token_stats id-pair bigram counting equals joined-string counting") {
+    // the open-addressed (id1,id2) map must count exactly what the
+    // straightforward "tok1 + ' ' + tok2" string multiset counts —
+    // including repeated tokens, empty docs, and single-token docs
+    val alphabet = Seq("a", "b", "c", "aa", "b b", "", " ", "\t")
+    val rnd = new scala.util.Random(37)
+    val docs = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString(" ")
+    } ++ Seq("", " ", "x", "x x x x", "a b a b a b")
+    for (d <- docs) {
+      val got = graft.functions.TokenStatsExpr.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d)).toLongArray()
+      val toks = graft.functions.TextHash.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d))
+      val tf = toks.groupBy(identity).map(_._2.length)
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bf = bgs.groupBy(identity).map(_._2.length)
+      val want = Array[Long](toks.length, tf.size, if (tf.isEmpty) 0 else tf.max,
+        math.max(toks.length - 1, 0), bf.size, if (bf.isEmpty) 0 else bf.max)
+      assert(got.toSeq == want.toSeq, s"doc '$d': got ${got.toSeq}, want ${want.toSeq}")
+    }
+  }
+
+  test("differential: segment_dup_stats equals split/array_distinct sizes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import spark.implicits._
+    val alphabet = "a b \n \n\n x a\n  ".split("(?<= )") :+ ""
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "\n", "a\na\n", "\n\n\n", "x")
+    val df = rows.toDF("t")
+    val k = C(graft.functions.SegmentDupStatsExpr(E(col("t")), '\n'))
+    val lines = split(col("t"), "\n", -1)
+    val bad = df.select(
+      (!(element_at(k, 1) <=> size(lines).cast("long"))).as("b1"),
+      (!(element_at(k, 2) <=> size(array_distinct(lines)).cast("long"))).as("b2"))
+      .filter(col("b1") || col("b2")).count()
+    assert(bad == 0)
+  }
+
   test("differential: pii_scan kernel equals the six regex passes") {
     // counts on the original text, redaction sequential — bit-equal to
     // java.util.regex over inputs built to hit every backtracking corner:
