@@ -954,6 +954,20 @@ object SparkEntry {
         "embedding", "vec_id", queryVec(s, dir), 20, nProbe = 4)
     }),
 
+    // ---- BATCH kNN over the partitioned IVF index: 64 queries ranked
+    //      against the centroid table, broadcast into a cell equi-join —
+    //      the corpus never shuffles, only candidates pay a dot product
+    //      (rows-only: probe set is centroid-seeded; recall pinned in
+    //      PipelineSpec)
+    "q_embed_ivf_batch" -> ((s, dir) => {
+      val path = ensureIvfIndex(s, dir)
+      val idx = s.read.parquet(path)
+      graft.pipeline.Similarity.knnGraphIvf(idx, ivfCentroids(s, path),
+        "embedding", "vec_id", 10, nProbe = 4,
+        queries = idx.filter(col("vec_id") < 64))
+        .orderBy("qid", "id")
+    }),
+
     // ---- multimodal: metadata transforms never touch the payload bytes
     "q_media_meta" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.fabricate(

@@ -235,6 +235,48 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Batch kNN over a prebuilt IVF index (see [[ivfWriteIndex]]): each
+    * query scores only the rows of its `nProbe` nearest cells. The query
+    * side ranks all `nCells` centroids declaratively (array_sort of
+    * (−cos, cell) structs — nCells is small by construction), explodes to
+    * (query, cell) pairs, and BROADCASTS into an equi-join on `__cell`,
+    * so the corpus never shuffles and only candidate pairs pay a dot
+    * product; the per-query top-k window is the only shuffle, carrying
+    * candidates (nProbe/nCells of the corpus per query), not all pairs.
+    * At query-set sizes past broadcast range, flip the join to the
+    * co-partitioned shuffle form — the index is already partitioned by
+    * cell on disk. Approximate like any IVF probe: a true neighbor
+    * outside the probed cells is missed (recall pinned in PipelineSpec). */
+  def knnGraphIvf(assigned: DataFrame, centroids: Array[Seq[Float]],
+                  vecCol: String, idCol: String, k: Int, nProbe: Int,
+                  queries: DataFrame): DataFrame = {
+    val ranked = centroids.indices.map { i =>
+      struct((lit(0.0) - cosine(col(vecCol), typedLit(centroids(i)))).as("negcos"),
+        lit(i).as("cell"))
+    }
+    val qNorm =
+      if (queries.columns.contains(normColName(vecCol))) col(normColName(vecCol))
+      else norm(col(vecCol))
+    val qcells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), qNorm.as("nq"),
+        slice(array_sort(array(ranked: _*)), 1, nProbe).as("__ranked"))
+      .select(col("qid"), col("qv"), col("nq"),
+        explode(transform(col("__ranked"), r => r.getField("cell"))).as("__cell"))
+    val cNorm =
+      if (assigned.columns.contains(normColName(vecCol))) col(normColName(vecCol))
+      else norm(col(vecCol))
+    val corpus = assigned.select(col("__cell"), col(idCol).as("id"),
+      col(vecCol).as("v"), cNorm.as("nv"))
+    val pairs = corpus.join(broadcast(qcells), Seq("__cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Build an IVF index: assign every vector to its nearest of `nCells`
     * coarse centroids — a deterministic corpus sample refined by
     * `kmeansIter` Lloyd iterations (k-means under cosine: cells average

@@ -172,6 +172,34 @@ class PipelineSpec extends SparkSpec {
     assert(top.contains(7L))
   }
 
+  test("batch kNN over the IVF index: agrees with per-query probes, recall vs brute") {
+    val emb = sf("embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivfbatch").toFile.getAbsolutePath + "/idx"
+    val centroids = Similarity.ivfWriteIndex(emb, "embedding", "vec_id", nCells = 8, path)
+    val idx = spark.read.parquet(path)
+    val batch = Similarity.knnGraphIvf(idx, centroids, "embedding", "vec_id",
+      k = 10, nProbe = 4, queries = idx.filter(col("vec_id") < 32))
+    // self never appears; per-query cardinality bounded by k
+    assert(batch.filter(col("qid") === col("id")).count() == 0)
+    assert(batch.groupBy("qid").count().agg(max("count")).as[Long].head() <= 10)
+    // the batch join path returns EXACTLY what 32 separate ivfTopK probes
+    // return (same cells probed, same scoring) modulo the self-exclusion
+    // the graph form adds
+    val q7 = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val single = Similarity.ivfTopK(idx, centroids, "embedding", "vec_id", q7, 11, nProbe = 4)
+      .filter(col("vec_id") =!= 7).limit(10)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val batched = batch.filter(col("qid") === 7).select("id").as[Long].collect().toSet
+    assert(batched == single, s"batch $batched vs single $single")
+    // probing half the cells keeps usable recall on true top-10
+    val brute = Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10,
+      queries = Some(emb.filter(col("vec_id") < 32)))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val got = batch.select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF batch recall $recall below 0.5")
+  }
+
   test("language ID picks the language with densest stopwords") {
     val df = Seq(
       (1L, "the cat sat on the mat and it was the best of all"),
