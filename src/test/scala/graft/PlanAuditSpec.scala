@@ -72,6 +72,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(calls(quality, "TextStatsExpr\\.compute") == 1)
   }
 
+  test("q_embed_ivf_batch: corpus streams into a broadcast cell-join, top-k pre-pruned") {
+    val p = plan("q_embed_ivf_batch")
+    // queries broadcast; the corpus side of the join never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // rank()<=k is applied per partition BEFORE the window's shuffle
+    // (WindowGroupLimit), so the exchange carries per-partition top-k
+    // survivors, not every candidate pair
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // exactly two non-broadcast exchanges: the qid window + the
+    // presentation sort — nothing reshuffles the corpus
+    assert("Exchange (?!.*BroadcastExchange)".r.findAllMatchIn(
+      p.linesIterator.filterNot(_.contains("BroadcastExchange")).mkString("\n"))
+      .length == 2, p.take(2000))
+  }
+
   test("q_embed_ivf: probe prunes non-probed cells at the file level") {
     // the __cell isin filter must appear as a PartitionFilter on the scan
     // (file-level pruning), not a post-scan Filter over all cells
