@@ -80,21 +80,41 @@ object TextHash {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 
   /** Exact `split(trim(lower(s)), "\s+")` semantics, shared by every
     * string-token kernel ([[LangScoresExpr]], [[TokenStatsExpr]]) so their
     * "bit-compatible with [[graft.pipeline.TextAnalysis.tokens]] and the
     * DuckDB oracle" claim is structural, not copy-paste. SQL trim strips
     * SPACES only — Java String.trim would also strip tabs/newlines and
-    * silently diverge from the declarative path on control-padded text. */
+    * silently diverge from the declarative path on control-padded text.
+    * Hand split (no regex engine): Java `"\\s+".split(t, -1)` == the
+    * non-whitespace runs of t, plus a leading empty token when t starts
+    * with whitespace and a trailing one when it ends with whitespace
+    * (limit −1 keeps trailing empties; `\s` is the ASCII class, no
+    * UNICODE_CHARACTER_CLASS) — differentially pinned in PropertySpec. */
   def tokenize(s: UTF8String): Array[String] = {
     val lower = s.toLowerCase.toString
     var from = 0
     var until = lower.length
     while (from < until && lower.charAt(from) == ' ') from += 1
     while (until > from && lower.charAt(until - 1) == ' ') until -= 1
-    ws.split(lower.substring(from, until), -1)
+    if (from >= until) return Array("") // split("", -1) == [""]
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    if (isWsChar(lower.charAt(from))) out += ""
+    var i = from
+    while (i < until) {
+      if (isWsChar(lower.charAt(i))) i += 1
+      else {
+        var j = i
+        while (j < until && !isWsChar(lower.charAt(j))) j += 1
+        out += lower.substring(i, j)
+        i = j
+      }
+    }
+    if (isWsChar(lower.charAt(until - 1))) out += ""
+    out.toArray
   }
 
   /** Distinct, sorted n-word shingle hashes (rolling combine of token

@@ -243,13 +243,17 @@ object Similarity {
     * so the corpus never shuffles and only candidate pairs pay a dot
     * product; the per-query top-k window is the only shuffle, carrying
     * candidates (nProbe/nCells of the corpus per query), not all pairs.
-    * At query-set sizes past broadcast range, flip the join to the
-    * co-partitioned shuffle form — the index is already partitioned by
-    * cell on disk. Approximate like any IVF probe: a true neighbor
-    * outside the probed cells is missed (recall pinned in PipelineSpec). */
+    * At query-set sizes past broadcast range, pass
+    * `broadcastQueries = false`: the same operator becomes a
+    * co-partitioned shuffle join on `__cell` — the index is already
+    * partitioned by cell on disk, so its side arrives pre-bucketed, and
+    * results are identical (pinned in PipelineSpec). Approximate like any
+    * IVF probe: a true neighbor outside the probed cells is missed
+    * (recall pinned in PipelineSpec). */
   def knnGraphIvf(assigned: DataFrame, centroids: Array[Seq[Float]],
                   vecCol: String, idCol: String, k: Int, nProbe: Int,
-                  queries: DataFrame): DataFrame = {
+                  queries: DataFrame,
+                  broadcastQueries: Boolean = true): DataFrame = {
     val ranked = centroids.indices.map { i =>
       struct((lit(0.0) - cosine(col(vecCol), typedLit(centroids(i)))).as("negcos"),
         lit(i).as("cell"))
@@ -267,7 +271,8 @@ object Similarity {
       else norm(col(vecCol))
     val corpus = assigned.select(col("__cell"), col(idCol).as("id"),
       col(vecCol).as("v"), cNorm.as("nv"))
-    val pairs = corpus.join(broadcast(qcells), Seq("__cell"))
+    val qside = if (broadcastQueries) broadcast(qcells) else qcells
+    val pairs = corpus.join(qside, Seq("__cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))

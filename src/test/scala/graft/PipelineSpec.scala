@@ -198,6 +198,12 @@ class PipelineSpec extends SparkSpec {
     val got = batch.select("qid", "id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect got).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF batch recall $recall below 0.5")
+    // the past-broadcast-range shuffle form is the SAME operator: results
+    // identical, join co-partitioned on __cell instead of broadcast
+    val shuffled = Similarity.knnGraphIvf(idx, centroids, "embedding", "vec_id",
+      k = 10, nProbe = 4, queries = idx.filter(col("vec_id") < 32),
+      broadcastQueries = false)
+    assert(shuffled.select("qid", "id").as[(Long, Long)].collect().toSet == got)
   }
 
   test("language ID picks the language with densest stopwords") {

@@ -267,6 +267,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("differential: hand tokenize equals regex split(trim(lower), \\s+)") {
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    def reference(s: String): Seq[String] = {
+      val lower = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        .toLowerCase.toString
+      var from = 0; var until = lower.length
+      while (from < until && lower.charAt(from) == ' ') from += 1
+      while (until > from && lower.charAt(until - 1) == ' ') until -= 1
+      ws.split(lower.substring(from, until), -1).toSeq
+    }
+    val alphabet = "aB z.\t\n\r\f  É中"
+    val rnd = new scala.util.Random(43)
+    val docs = Seq.fill(500) {
+      Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "\t", " \ta b\n", "x", "  x  ", "\t\t", "ab")
+    for (d <- docs) {
+      val got = graft.functions.TextHash.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d)).toSeq
+      assert(got == reference(d), s"doc ${d.map(_.toInt)}: $got vs ${reference(d)}")
+    }
+  }
+
   test("differential: segment_dup_stats equals split/array_distinct sizes") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
