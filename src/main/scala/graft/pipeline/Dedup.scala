@@ -300,11 +300,21 @@ object Dedup {
     val nodes = raw.select(col("a").as("id"))
       .unionAll(raw.select(col("b").as("id"))).distinct()
 
+    // per-round lineage cut — MANDATORY (the iterated plan would grow
+    // exponentially) — but which kind is a deployment property: with a
+    // checkpoint dir configured (cluster runs) use the RELIABLE
+    // checkpoint, because a lost executor invalidates localCheckpoint
+    // blocks and kills the whole multi-hour job; without one (local
+    // sessions, tests) localCheckpoint avoids pointless disk round-trips
+    def cut(d: DataFrame): DataFrame =
+      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined) d.checkpoint(true)
+      else d.localCheckpoint(true)
+
     // canonical direction: u (larger) -> v (smaller); invariant held by
     // both star operations below
-    var e = raw.select(greatest(col("a"), col("b")).as("u"),
+    var e = cut(raw.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
 
     // convergence = identical edge set. count + order-independent
     // xor-of-hashes is one cheap scan per round (an except().count()
@@ -340,7 +350,7 @@ object Dedup {
         .unionAll(mins2.select(col("u"), col("m").as("v")))
         .distinct()
       val prevE = e
-      e = small.localCheckpoint(true)
+      e = cut(small)
       prevE.unpersist()
       val cur = checksum(e)
       converged = cur == prev
@@ -349,10 +359,9 @@ object Dedup {
     }
     // fixpoint: e is a star forest (child -> componentMin); roots and
     // isolated nodes label themselves
-    val out = nodes
+    val out = cut(nodes
       .join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-      .localCheckpoint(true)
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
     e.unpersist()
     out
   }

@@ -351,6 +351,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toMap == (0L to 11L).map(_ -> 0L).toMap)
   }
 
+  test("connected components use the RELIABLE checkpoint when a dir is configured") {
+    // cluster deployments set a checkpoint dir; the per-round lineage cut
+    // must then survive executor loss (localCheckpoint blocks would not).
+    // Isolated session: setCheckpointDir is session-global state.
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+      val ckpt = java.nio.file.Files.createTempDirectory("ccckpt").toFile.getAbsolutePath
+      s2.sparkContext.setCheckpointDir(ckpt)
+      import s2.implicits._
+      val edges = (0L until 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+      val rows = Dedup.connectedComponents(edges).as[(Long, Long)].collect()
+      assert(rows.toMap == (0L to 7L).map(_ -> 0L).toMap)
+      // the reliable path actually wrote checkpoint data
+      val written = new java.io.File(ckpt).listFiles()
+      assert(written != null && written.nonEmpty, s"no checkpoint data under $ckpt")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("connected components on string ids; unsupported types fail loudly") {
     val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id1", "id2")
     val rows = Dedup.connectedComponents(edges).as[(String, String)].collect()
