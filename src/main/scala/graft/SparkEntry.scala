@@ -988,6 +988,22 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- REAL image codec round-trip (javax.imageio, in-JDK): encode a
+    //      PNG per document whose dimensions are a pure function of the
+    //      id, decode the actual bytes back, then resize-bounded decode
+    //      again — the oracle recomputes what a correct codec MUST return
+    "q_media_decode" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val imgs = mm.fabricateImages(T(s, dir, "documents"), "doc_id")
+      val decoded = mm.decodeImages(imgs)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+      val resized = mm.decodeImages(mm.resizeImages(imgs, 8, 8))
+        .select(col("media_id"), col("meta.width").as("r_width"),
+          col("meta.height").as("r_height"))
+      decoded.join(resized, "media_id").orderBy("media_id")
+    }),
+
     // ---- warehouse mutation battery (MutableData.swift:40-196): create →
     //      insert (schema-aligned, missing column -> null) → keyed update
     //      (null-safe match) → keyed delete, then read the surviving table.
@@ -1514,6 +1530,16 @@ object SparkEntry {
            CAST(floor(CAST(i*dur AS DOUBLE)/3) AS BIGINT) AS ts_ms,
            CAST(fb AS INT) AS frame_bytes
          FROM m, range(3) t(i) ORDER BY media_id, frame_idx""",
+    "q_media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CAST(doc_id % 31 + 1 AS INT) AS width,
+           CAST(doc_id % 17 + 1 AS INT) AS height FROM documents)
+         SELECT media_id, 'image/png' AS format, width, height,
+           CAST(GREATEST(1, ROUND(width *
+             LEAST(1.0, 8.0/width, 8.0/height))) AS INT) AS r_width,
+           CAST(GREATEST(1, ROUND(height *
+             LEAST(1.0, 8.0/width, 8.0/height))) AS INT) AS r_height
+         FROM m ORDER BY media_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             d AS (SELECT vec_id,

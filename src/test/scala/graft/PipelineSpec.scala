@@ -301,6 +301,47 @@ class PipelineSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "ts_ms", "frame_data"))
   }
 
+  test("multimodal: REAL PNG codec — decode, resize, grid features (javax.imageio)") {
+    val docs = sf("documents").limit(25)
+    val imgs = Multimodal.fabricateImages(docs, "doc_id")
+    // decode returns what the actual bytes contain
+    val dec = Multimodal.decodeImages(imgs)
+      .select("media_id", "meta.format", "meta.width", "meta.height")
+      .as[(Long, String, Int, Int)].collect()
+    assert(dec.nonEmpty)
+    for ((id, fmt, w, h) <- dec) {
+      assert(fmt == "image/png")
+      assert(w == (id % 31 + 1).toInt && h == (id % 17 + 1).toInt, s"id=$id $w x $h")
+    }
+    // resize bounds both dimensions, preserves aspect, never upscales —
+    // verified by DECODING the rewritten payload, not trusting metadata
+    val res = Multimodal.decodeImages(Multimodal.resizeImages(imgs, 8, 8))
+      .select("media_id", "meta.width", "meta.height")
+      .as[(Long, Int, Int)].collect()
+    for ((id, w, h) <- res) {
+      val (ow, oh) = ((id % 31 + 1).toInt, (id % 17 + 1).toInt)
+      assert(w <= 8 && h <= 8, s"id=$id resized $w x $h")
+      assert(w <= ow && h <= oh, s"id=$id upscaled")
+      val scale = math.min(1.0, math.min(8.0 / ow, 8.0 / oh))
+      assert(w == math.max(1, math.round(ow * scale).toInt), s"id=$id width")
+      assert(h == math.max(1, math.round(oh * scale).toInt), s"id=$id height")
+    }
+    // grid features: fixed width, [0,1], deterministic
+    val f = Multimodal.imageGridFeatures(imgs, 4, 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f.values.forall(v => v.length == 16 && v.forall(x => x >= 0f && x <= 1f)))
+    val f2 = Multimodal.imageGridFeatures(imgs, 4, 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f == f2)
+    // a truncated payload decodes to null meta, not a task failure
+    val broken = imgs.withColumn("data",
+      when(col("media_id") === dec.head._1, expr("substring(data, 1, 4)"))
+        .otherwise(col("data")))
+    val nulls = Multimodal.decodeImages(broken)
+      .filter(col("meta").isNull).count()
+    assert(nulls == 1)
+  }
+
   test("multimodal: metadata-only plan does not read the payload column") {
     val docs = sf("documents").limit(5)
     val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
