@@ -994,7 +994,11 @@ object SparkEntry {
     //      again — the oracle recomputes what a correct codec MUST return
     "q_media_decode" -> ((s, dir) => {
       val mm = graft.pipeline.Multimodal
-      val imgs = mm.fabricateImages(T(s, dir, "documents"), "doc_id")
+      // bounded corpus slice: the query measures codec CORRECTNESS
+      // end-to-end (6 ImageIO passes per row); full-corpus throughput is
+      // not the contract and would dominate the whole bench
+      val imgs = mm.fabricateImages(
+        T(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id")
       val decoded = mm.decodeImages(imgs)
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"))
@@ -1533,7 +1537,8 @@ object SparkEntry {
     "q_media_decode" ->
       """WITH m AS (SELECT doc_id AS media_id,
            CAST(doc_id % 31 + 1 AS INT) AS width,
-           CAST(doc_id % 17 + 1 AS INT) AS height FROM documents)
+           CAST(doc_id % 17 + 1 AS INT) AS height
+         FROM documents WHERE doc_id < 1000)
          SELECT media_id, 'image/png' AS format, width, height,
            CAST(GREATEST(1, ROUND(width *
              LEAST(1.0, 8.0/width, 8.0/height))) AS INT) AS r_width,

@@ -61,10 +61,18 @@ object Multimodal {
   // never pass through the driver.
   // ======================================================================
 
+  /** ImageIO's default stream cache is a TEMP FILE per operation — for
+    * per-row codec calls that is a disk round-trip per image. In-memory
+    * caching is what a columnar engine wants; applied once per JVM
+    * (executor), idempotent. */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic PNG payload: `w`×`h` RGB pixels derived from `seed`
     * by splitmix64. Runs on executors ([[fabricateImages]]); also the
     * test fixture generator. */
   def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    imageIoInMemory
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -99,8 +107,10 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoInMemory
     javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
 
   /** REAL decode: replace `meta` with what the bytes actually contain
     * (format name from the ImageIO reader, pixel dimensions from the
@@ -111,6 +121,7 @@ object Multimodal {
     val dataIdx = df.schema.fieldIndex("data")
     val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
+      imageIoInMemory // per-executor codec init, once per partition at most
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
         val meta =
