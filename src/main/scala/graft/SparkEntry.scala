@@ -1008,6 +1008,22 @@ object SparkEntry {
       decoded.join(resized, "media_id").orderBy("media_id")
     }),
 
+    // ---- REAL audio codec round-trip (javax.sound.sampled, in-JDK):
+    //      encode a WAV per document whose duration is a pure function of
+    //      the id, decode the actual bytes back — the oracle recomputes
+    //      what a correct header decode MUST return
+    "q_audio_decode" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val wavs = mm.fabricateAudio(
+        T(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id")
+      mm.decodeAudio(wavs)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("sample_rate"),
+          col("meta.height").as("channels"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- warehouse mutation battery (MutableData.swift:40-196): create →
     //      insert (schema-aligned, missing column -> null) → keyed update
     //      (null-safe match) → keyed delete, then read the surviving table.
@@ -1545,6 +1561,11 @@ object SparkEntry {
            CAST(GREATEST(1, ROUND(height *
              LEAST(1.0, 8.0/width, 8.0/height))) AS INT) AS r_height
          FROM m ORDER BY media_id""",
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id, 'audio/wave' AS format,
+           8000 AS sample_rate, 1 AS channels,
+           doc_id % 997 + 125 AS duration_ms
+         FROM documents WHERE doc_id < 1000 ORDER BY media_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             d AS (SELECT vec_id,

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * The IMAGE codec path is REAL: `javax.imageio` ships inside the JDK
   * (PNG/JPEG/BMP/GIF), so [[decodeImages]], [[resizeImages]] and
   * [[imageGridFeatures]] decode, rescale and re-encode actual pixel data
-  * with no external libraries. AUDIO/VIDEO remain clearly-marked
-  * deterministic STUBS — those codecs (ffmpeg et al.) are not in this
-  * container and would be swapped in per-executor on a real cluster.
+  * with no external libraries. The AUDIO codec path is REAL too:
+  * `javax.sound.sampled` (WAV/AIFF/AU) backs [[decodeAudio]] and
+  * [[audioRmsFeatures]]. Only VIDEO remains a clearly-marked
+  * deterministic STUB — ffmpeg is not in this container and would be
+  * swapped in per-executor on a real cluster.
   *
   * Design points for 100 TB:
   *  - binary payloads never pass through the driver; all operators are
@@ -129,16 +131,18 @@ object Multimodal {
           else {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) null
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis)
-                Row("image/" + reader.getFormatName.toLowerCase,
-                  reader.getWidth(0), reader.getHeight(0), null)
-              } finally reader.dispose()
-            }
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) null
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  Row("image/" + reader.getFormatName.toLowerCase,
+                    reader.getWidth(0), reader.getHeight(0), null)
+                } finally reader.dispose()
+              }
+            } finally iis.close()
           }
         Row.fromSeq(r.toSeq.updated(metaIdx, meta))
       }
@@ -213,7 +217,143 @@ object Multimodal {
   }
 
   // ======================================================================
-  // STUB CODEC — deterministic fake standing in for ffmpeg/audio codecs.
+  // REAL AUDIO CODEC — javax.sound.sampled (in-JDK): WAV/AIFF/AU header
+  // decode, PCM extraction, windowed RMS features. Same mapPartitions
+  // batch shape as the image codec; payloads never pass the driver.
+  // ======================================================================
+
+  /** Deterministic 16-bit PCM mono WAV payload: `nFrames` samples derived
+    * from `seed` by splitmix64 (full-scale noise). Runs on executors
+    * ([[fabricateAudio]]); also the test fixture generator. */
+  def encodeWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = ((graft.functions.TextHash.mix(seed + i) & 0xFFFFL) - 32768L).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table with REAL WAV payloads: one clip per row of `df`, with
+    * `(id % 997 + 125) * 8` frames at 8 kHz — so a correct decode must
+    * report exactly `id % 997 + 125` ms, a pure function of the id an
+    * external SQL oracle can recompute. In the shared media envelope,
+    * audio carries sample rate in `width` and channel count in `height`. */
+  def fabricateAudio(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = ((id % 997 + 125) * 8).toInt
+        Row(id, encodeWav(frames, 8000, id),
+          Row("audio/wave", 8000, 1, frames / 8L))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
+  /** REAL audio decode: replace `meta` with what the bytes actually
+    * contain — container type from the header, sample rate as `width`,
+    * channels as `height`, duration from frame count / frame rate.
+    * Header-only: the PCM body is never materialized, so this stays cheap
+    * even on long clips. Unparseable/null payloads yield a null meta. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val dataIdx = df.schema.fieldIndex("data")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val meta =
+          if (bytes == null) null
+          else try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = aff.getFormat
+            val durMs =
+              if (aff.getFrameLength < 0 || f.getFrameRate <= 0) null
+              else java.lang.Long.valueOf(
+                math.round(aff.getFrameLength * 1000.0 / f.getFrameRate))
+            Row("audio/" + aff.getType.toString.toLowerCase,
+              math.round(f.getSampleRate), f.getChannels, durMs)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          }
+        Row.fromSeq(r.toSeq.updated(metaIdx, meta))
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  /** REAL audio features: decode the PCM body and emit per-window RMS
+    * energy (channel-averaged, normalized to [0,1]) as `array<float>` —
+    * the standard loudness-envelope feature, directly consumable by
+    * [[Similarity]]. One codec pass per row, executor-local. */
+  def audioRmsFeatures(df: DataFrame, nWindows: Int = 8): DataFrame = {
+    require(nWindows > 0, s"audioRmsFeatures needs nWindows > 0, got $nWindows")
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val feat = if (bytes == null) null else decodeRms(bytes, nWindows)
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  private def decodeRms(bytes: Array[Byte], nWindows: Int): Array[Float] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        // normalize to signed 16-bit little-endian PCM: the JDK converts
+        // between PCM encodings; anything it can't reach throws and nulls
+        val target = new javax.sound.sampled.AudioFormat(
+          f.getSampleRate, 16, f.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val raw = pcm.readAllBytes()
+        val ch = target.getChannels
+        val nSamp = raw.length / 2 / ch
+        if (nSamp == 0) return Array.fill(nWindows)(0f)
+        val out = new Array[Float](nWindows)
+        var w = 0
+        while (w < nWindows) {
+          val from = (w.toLong * nSamp / nWindows).toInt
+          val until = ((w + 1).toLong * nSamp / nWindows).toInt
+          var acc = 0.0
+          var i = from
+          while (i < until) {
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val v = ((raw(o) & 0xFF) | (raw(o + 1) << 8)).toShort / 32768.0
+              acc += v * v
+              c += 1
+            }
+            i += 1
+          }
+          val n = (until - from).toLong * ch
+          out(w) = if (n == 0) 0f else math.sqrt(acc / n).toFloat
+          w += 1
+        }
+        out
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: IllegalArgumentException => null // unreachable conversion
+    }
+
+  // ======================================================================
+  // STUB CODEC — deterministic fake standing in for ffmpeg/video codecs.
   // Real deployment swaps `decodeStub` for the native decoder; everything
   // around it (batching, schema, partitioning) is production-shaped.
   // ======================================================================

@@ -342,6 +342,60 @@ class PipelineSpec extends SparkSpec {
     assert(nulls == 1)
   }
 
+  test("multimodal: REAL WAV codec — decode, RMS features (javax.sound)") {
+    val docs = sf("documents").limit(25)
+    val wavs = Multimodal.fabricateAudio(docs, "doc_id")
+    // header decode returns what the actual bytes contain
+    val dec = Multimodal.decodeAudio(wavs)
+      .select("media_id", "meta.format", "meta.width", "meta.height",
+        "meta.duration_ms")
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(dec.nonEmpty)
+    for ((id, fmt, rate, ch, durMs) <- dec) {
+      assert(fmt == "audio/wave" && rate == 8000 && ch == 1, s"id=$id")
+      assert(durMs == id % 997 + 125, s"id=$id duration $durMs")
+    }
+    // RMS features: a full-scale square wave has RMS 1.0, silence 0.0 —
+    // build one clip that alternates per window and check the envelope
+    val sr = 8000
+    val nFrames = 8 * 100
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val win = i / 100
+      val v = if (win % 2 == 0) 0 else { if (i % 2 == 0) 32767 else -32767 }
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmtSpec = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmtSpec, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    import spark.implicits._
+    val one = Seq((1L, bos.toByteArray, null: String)).toDF("media_id", "data", "pad")
+      .select(col("media_id"), col("data"),
+        lit(null).cast(Multimodal.mediaMetaType).as("meta"))
+    val rms = Multimodal.audioRmsFeatures(one, nWindows = 8)
+      .select("features").as[Seq[Float]].head()
+    assert(rms.length == 8)
+    for (w <- 0 until 8) {
+      if (w % 2 == 0) assert(rms(w) < 0.01f, s"window $w should be silent")
+      else assert(rms(w) > 0.99f, s"window $w should be full-scale")
+    }
+    // determinism + envelope shape across the fabricated corpus
+    val f = Multimodal.audioRmsFeatures(wavs, 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f.values.forall(v => v.length == 4 && v.forall(x => x >= 0f && x <= 1f)))
+    // a truncated payload decodes to null meta, not a task failure
+    val broken = wavs.withColumn("data",
+      when(col("media_id") === dec.head._1, expr("substring(data, 1, 4)"))
+        .otherwise(col("data")))
+    val nulls = Multimodal.decodeAudio(broken)
+      .filter(col("meta").isNull).count()
+    assert(nulls == 1)
+  }
+
   test("multimodal: metadata-only plan does not read the payload column") {
     val docs = sf("documents").limit(5)
     val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
