@@ -81,7 +81,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // heap matters for interpretation: an undersized driver turns the big
+    // shuffles into spill benchmarks (q_embed_knn 36->207s at sf1 on 8g)
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"heap_gb":$heapGb}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()

@@ -1024,6 +1024,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL video container round-trip (RIFF/AVI + MJPEG frames via
+    //      javax.imageio): encode an AVI per document whose geometry is a
+    //      pure function of the id, parse the actual container back —
+    //      the oracle recomputes what a correct header parse MUST return
+    "q_video_decode" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val vids = mm.fabricateVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 500), "doc_id")
+      mm.decodeVideos(vids)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // ---- REAL frame extraction: sample 2 frames per clip from the movi
+    //      stream and DECODE each JPEG — emitted dimensions come from the
+    //      decoded raster, so the oracle checks the whole path
+    "q_video_frames" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val vids = mm.fabricateVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 500), "doc_id")
+      mm.sampleVideoFrames(vids, 2)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- warehouse mutation battery (MutableData.swift:40-196): create →
     //      insert (schema-aligned, missing column -> null) → keyed update
     //      (null-safe match) → keyed delete, then read the surviving table.
@@ -1566,6 +1592,21 @@ object SparkEntry {
            8000 AS sample_rate, 1 AS channels,
            doc_id % 997 + 125 AS duration_ms
          FROM documents WHERE doc_id < 1000 ORDER BY media_id""",
+    "q_video_decode" ->
+      """SELECT doc_id AS media_id, 'video/avi' AS format,
+           CAST(doc_id % 31 + 1 AS INT) AS width,
+           CAST(doc_id % 17 + 1 AS INT) AS height,
+           (doc_id % 7 + 2) * 250 AS duration_ms
+         FROM documents WHERE doc_id < 500 ORDER BY media_id""",
+    "q_video_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, doc_id % 7 + 2 AS total,
+           CAST(doc_id % 31 + 1 AS INT) AS w, CAST(doc_id % 17 + 1 AS INT) AS h
+         FROM documents WHERE doc_id < 500)
+         SELECT media_id,
+           CAST(floor(i * total / 2.0) AS BIGINT) AS frame_idx,
+           CAST(floor(i * total / 2.0) AS BIGINT) * 250 AS ts_ms,
+           w AS f_width, h AS f_height
+         FROM m, range(2) t(i) ORDER BY media_id, frame_idx""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             d AS (SELECT vec_id,

@@ -396,6 +396,46 @@ class PipelineSpec extends SparkSpec {
     assert(nulls == 1)
   }
 
+  test("multimodal: REAL AVI container — header parse, frame decode (RIFF)") {
+    val docs = sf("documents").limit(25)
+    val vids = Multimodal.fabricateVideos(docs, "doc_id")
+    // spec-level byte pins: RIFF magic, AVI form type, little-endian size
+    val first = vids.select("media_id", "data").as[(Long, Array[Byte])].head()
+    val (fid, bytes) = first
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val riffSize = (bytes(4) & 0xFFL) | ((bytes(5) & 0xFFL) << 8) |
+      ((bytes(6) & 0xFFL) << 16) | ((bytes(7) & 0xFFL) << 24)
+    assert(riffSize == bytes.length - 8, "RIFF size field covers the body")
+    // header decode returns what the actual container says
+    val dec = Multimodal.decodeVideos(vids)
+      .select("media_id", "meta.format", "meta.width", "meta.height",
+        "meta.duration_ms")
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(dec.nonEmpty)
+    for ((id, fmt, w, h, durMs) <- dec) {
+      assert(fmt == "video/avi", s"id=$id")
+      assert(w == (id % 31 + 1).toInt && h == (id % 17 + 1).toInt, s"id=$id $w x $h")
+      assert(durMs == (id % 7 + 2) * 250, s"id=$id duration $durMs")
+    }
+    // frame extraction decodes real JPEGs: dimensions from the raster
+    val fr = Multimodal.sampleVideoFrames(vids, 2)
+      .select("media_id", "frame_idx", "ts_ms", "f_width", "f_height")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    assert(fr.length == dec.length * 2) // every clip has >= 2 frames
+    for ((id, fi, ts, fw, fh) <- fr) {
+      val total = id % 7 + 2
+      assert(fi == 0 || fi == total / 2, s"id=$id frame $fi")
+      assert(ts == fi * 250, s"id=$id ts $ts")
+      assert(fw == (id % 31 + 1).toInt && fh == (id % 17 + 1).toInt, s"id=$id frame dims")
+    }
+    // a corrupted container parses to null meta, not a task failure
+    val broken = vids.withColumn("data",
+      when(col("media_id") === fid, expr("substring(data, 1, 6)"))
+        .otherwise(col("data")))
+    assert(Multimodal.decodeVideos(broken).filter(col("meta").isNull).count() == 1)
+  }
+
   test("multimodal: metadata-only plan does not read the payload column") {
     val docs = sf("documents").limit(5)
     val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
