@@ -526,6 +526,74 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** REAL clip embedding: sample `nFrames` frames, decode each JPEG,
+    * rescale to a `gw`×`gh` grayscale grid, and mean-pool across frames —
+    * a `gw*gh`-float clip vector directly consumable by [[Similarity]]
+    * (index it with `lshWriteIndex`/`ivfWriteIndex` like any embedding
+    * column). One codec pass per sampled frame, executor-local; clips
+    * with no decodable frames yield null. */
+  def videoGridFeatures(df: DataFrame, n: Int = 4, gw: Int = 8, gh: Int = 8): DataFrame = {
+    require(n > 0, s"videoGridFeatures needs n > 0 frames, got $n")
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      imageIoInMemory
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val feat =
+          if (bytes == null || bytes.length < 12 || fcc(bytes, 0) != "RIFF") null
+          else findChunk(bytes, 12, bytes.length, "movi") match {
+            case None => null
+            case Some((mo, mlen)) =>
+              val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+              var o = mo
+              val end = mo + mlen
+              while (o + 8 <= end) {
+                val cid = fcc(bytes, o)
+                val size = rdU32(bytes, o + 4).toInt
+                if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((o + 8, size))
+                o += 8 + size + (size & 1)
+              }
+              val total = frames.length
+              if (total == 0) null
+              else {
+                val acc = new Array[Float](gw * gh)
+                var used = 0
+                val m = math.min(n, total)
+                var i = 0
+                while (i < m) {
+                  val fi = if (total <= n) i else (i.toLong * total / n).toInt
+                  val (fo, flen) = frames(fi)
+                  val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
+                  if (img != null) {
+                    val small = new java.awt.image.BufferedImage(
+                      gw, gh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val g = small.createGraphics()
+                    try g.drawImage(img, 0, 0, gw, gh, null) finally g.dispose()
+                    var y = 0
+                    while (y < gh) {
+                      var x = 0
+                      while (x < gw) {
+                        val rgb = small.getRGB(x, y)
+                        acc(y * gw + x) += (0.299f * ((rgb >> 16) & 0xFF) +
+                          0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)) / 255f
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    used += 1
+                  }
+                  i += 1
+                }
+                if (used == 0) null
+                else { var j = 0; while (j < acc.length) { acc(j) /= used; j += 1 }; acc }
+              }
+          }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Media table with REAL AVI-MJPEG payloads: one clip per row of `df`,
     * `(id % 31 + 1) × (id % 17 + 1)` pixels, `id % 7 + 2` frames at 4 fps
     * — so a correct header decode must report exactly

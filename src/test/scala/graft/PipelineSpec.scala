@@ -434,6 +434,17 @@ class PipelineSpec extends SparkSpec {
       when(col("media_id") === fid, expr("substring(data, 1, 6)"))
         .otherwise(col("data")))
     assert(Multimodal.decodeVideos(broken).filter(col("meta").isNull).count() == 1)
+    // clip embeddings: fixed width, [0,1], deterministic, and directly
+    // consumable by the similarity operators (end of the multimodal story)
+    val emb = Multimodal.videoGridFeatures(vids, n = 2, gw = 4, gh = 4)
+      .select("media_id", "features")
+    val ev = emb.as[(Long, Seq[Float])].collect().toMap
+    assert(ev.values.forall(v => v.length == 16 && v.forall(x => x >= 0f && x <= 1f)))
+    val ev2 = Multimodal.videoGridFeatures(vids, n = 2, gw = 4, gh = 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(ev == ev2)
+    val knn = Similarity.knnGraphBrute(emb, "features", "media_id", 3).collect()
+    assert(knn.length == ev.size * 3)
   }
 
   test("multimodal: metadata-only plan does not read the payload column") {
