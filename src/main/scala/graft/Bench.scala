@@ -37,6 +37,22 @@ object Bench {
     // explicitly by q_embed_lsh_build/q_embed_ivf_build
     try SparkEntry.prepareIndexes(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] index prepare failed: $e") }
+    // untimed per-query codegen warmup on the smallest dataset: generated
+    // class shapes depend on the PLAN (schema), not the data volume, so one
+    // tiny-SF pass C2-compiles every query's generated loops before any
+    // timed run. Without it the first timed runs at large SF pay
+    // compilation inside the measurement window (q_embed_knn at sf1:
+    // 158 s cold vs ~32 s steady) and even min-of-3 under-corrects.
+    // SPARK_GRAFT_WARM_DIR="" disables.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && warmDir != sfDir && Files.exists(Paths.get(warmDir))) {
+      try SparkEntry.prepareIndexes(spark, warmDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warm index prepare failed: $e") }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
+      }
+    }
     // stable name order: Map iteration order shifts whenever a query is
     // added, silently moving the JIT-warmup cost onto different queries
     // between rounds and making per-query numbers incomparable

@@ -748,6 +748,33 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- END-TO-END CURATION PIPELINE: the engine's flagship composite —
+    //      quality-score + language-ID (map-only, one pass), filter, exact
+    //      near-dup removal on the normalized-content fingerprint (ONE
+    //      shuffle, keyed on the 16-byte md5 — never the text), then the
+    //      deterministic md5-bucket train/val/test split (map-only,
+    //      rand()-free). At 100 TB this plan is: scan -> project ->
+    //      filter -> one hash shuffle -> project, with every text column
+    //      dropped before the shuffle.
+    "q_curate" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      val scored = T(s, dir, "documents")
+        .calculate(Seq(
+          "score" -> ta.qualityScore(col("text")),
+          "detected" -> ta.langId(col("text"), Seq("en", "de", "es")),
+          "fp" -> ta.fingerprintMd5(col("text"))))
+        .warpFilter(col("score") >= 0.5 && col("detected") === "en")
+        .selectColumns(Seq("doc_id", "score", "fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val deduped = scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "fp")
+      graft.pipeline.Sampling.splitByHash(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .selectColumns(Seq("doc_id", "score", "split"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- content fingerprint (md5 — engine portable)
     "q_text_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -1437,6 +1464,46 @@ object SparkEntry {
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_curate" ->
+      """WITH toks AS (
+           SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS tks
+           FROM documents
+         ), feat AS (
+           SELECT doc_id, text,
+             least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_en,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('der','die','das','und','ist','von','mit','ein','nicht','zu'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_de,
+             CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
+               t -> t IN ('el','la','los','y','es','de','un','una','que','no'))) AS DOUBLE) / len(tks)
+               ELSE 0.0 END AS s_es,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END AS punct
+           FROM toks
+         ), scored AS (
+           SELECT doc_id, text,
+             least(len_score, 1.0) * 0.4 + least(s_en * 5.0, 1.0) * 0.3 +
+               greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score,
+             CASE WHEN greatest(s_en, s_de, s_es) < 0.02 THEN 'und'
+                  WHEN s_es = greatest(s_en, s_de, s_es) THEN 'es'
+                  WHEN s_en = greatest(s_en, s_de, s_es) THEN 'en'
+                  ELSE 'de' END AS detected
+           FROM feat
+         ), dedup AS (
+           SELECT doc_id, score, row_number() OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+           FROM scored WHERE score >= 0.5 AND detected = 'en'
+         )
+         SELECT doc_id, score,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM dedup WHERE rn = 1 ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks FROM documents

@@ -175,6 +175,29 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q_curate: text is projected away before the dedup shuffle") {
+    // the curation pipeline's one shuffle keys on the 16-byte md5
+    // fingerprint; if the raw text column ever rides through that
+    // exchange, shuffle volume scales with document size instead of
+    // row count and the pipeline stops being 100 TB-shaped
+    val df = SparkEntry.queries("q_curate")(spark, dir)
+    // AdaptiveSparkPlanExec has no children, so collect() over the
+    // executedPlan sees nothing — audit the pre-AQE plan (exchange
+    // placement is decided there; AQE only re-plans at runtime)
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected the fingerprint dedup shuffle")
+    for (e <- exchanges)
+      assert(!e.child.output.exists(_.name == "text"),
+        s"text column crosses a shuffle: ${e.child.output.map(_.name)}")
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
