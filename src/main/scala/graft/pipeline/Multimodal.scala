@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
   * frame-sample operators whose SPARK SIDE (schema, batching, partition
   * shape) is real and tested.
   *
-  * The IMAGE codec path is REAL: `javax.imageio` ships inside the JDK
-  * (PNG/JPEG/BMP/GIF), so [[decodeImages]], [[resizeImages]] and
-  * [[imageGridFeatures]] decode, rescale and re-encode actual pixel data
-  * with no external libraries. The AUDIO codec path is REAL too:
-  * `javax.sound.sampled` (WAV/AIFF/AU) backs [[decodeAudio]] and
-  * [[audioRmsFeatures]]. Only VIDEO remains a clearly-marked
-  * deterministic STUB — ffmpeg is not in this container and would be
-  * swapped in per-executor on a real cluster.
+  * All three modality paths are REAL with zero external libraries:
+  * IMAGES via `javax.imageio` (PNG/JPEG/BMP/GIF — [[decodeImages]],
+  * [[resizeImages]], [[imageGridFeatures]]); AUDIO via
+  * `javax.sound.sampled` (WAV/AIFF/AU — [[decodeAudio]],
+  * [[audioRmsFeatures]]); VIDEO via a hand-rolled RIFF/AVI container
+  * layer (public Microsoft spec, pure byte arithmetic) whose MJPEG
+  * frames ride the imageio path ([[decodeVideos]], [[sampleVideoFrames]],
+  * [[videoGridFeatures]]). Only inter-frame codecs (H.264 et al.) remain
+  * a clearly-marked deterministic STUB — ffmpeg is not in this container
+  * and would be swapped in per-executor on a real cluster.
   *
   * Design points for 100 TB:
   *  - binary payloads never pass through the driver; all operators are
@@ -109,9 +111,13 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  /** null on ANY parse failure: ImageIO.read returns null for formats it
+    * doesn't recognize but THROWS for ones it recognizes with a rotten
+    * body — corpus garbage must mean a null row, never a task failure. */
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     imageIoInMemory
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** REAL decode: replace `meta` with what the bytes actually contain
@@ -126,9 +132,12 @@ object Multimodal {
       imageIoInMemory // per-executor codec init, once per partition at most
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
+        // corpus garbage law: a payload that merely LOOKS like an image
+        // (valid magic, rotten body) makes the reader throw on getWidth —
+        // any parse failure is a null meta, never a task failure
         val meta =
           if (bytes == null) null
-          else {
+          else try {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))
             try {
@@ -143,7 +152,7 @@ object Multimodal {
                 } finally reader.dispose()
               }
             } finally iis.close()
-          }
+          } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq.updated(metaIdx, meta))
       }
     }(org.apache.spark.sql.Encoders.row(df.schema))
@@ -285,7 +294,7 @@ object Multimodal {
             Row("audio/" + aff.getType.toString.toLowerCase,
               math.round(f.getSampleRate), f.getChannels, durMs)
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case scala.util.control.NonFatal(_) => null // garbage header
           }
         Row.fromSeq(r.toSeq.updated(metaIdx, meta))
       }
@@ -348,8 +357,7 @@ object Multimodal {
         out
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => null
-      case _: IllegalArgumentException => null // unreachable conversion
+      case scala.util.control.NonFatal(_) => null // garbage body/conversion
     }
 
   // ======================================================================
@@ -431,14 +439,17 @@ object Multimodal {
     var o = from
     while (o + 8 <= until) {
       val cid = fcc(b, o)
-      val size = rdU32(b, o + 4)
-      val end = math.min(until, o + 8 + size.toInt)
+      // clamp lying size fields (garbage containers): size stays within
+      // the physical buffer, so offsets never overrun and the scan always
+      // advances by >= 8 bytes — no infinite loop on adversarial input
+      val size = math.min(rdU32(b, o + 4), (until - o - 8).toLong).toInt
+      val end = o + 8 + size
       if (cid == "LIST" || cid == "RIFF") {
-        if (o + 12 <= until && fcc(b, o + 8) == id) return Some((o + 12, size.toInt - 4))
+        if (size >= 4 && fcc(b, o + 8) == id) return Some((o + 12, size - 4))
         val sub = findChunk(b, o + 12, end, id)
         if (sub.isDefined) return sub
-      } else if (cid == id) return Some((o + 8, size.toInt))
-      o += 8 + size.toInt + (size.toInt & 1)
+      } else if (cid == id) return Some((o + 8, size))
+      o += 8 + size + (size & 1)
     }
     None
   }
@@ -503,7 +514,7 @@ object Multimodal {
               val end = mo + mlen
               while (o + 8 <= end) {
                 val cid = fcc(bytes, o)
-                val size = rdU32(bytes, o + 4).toInt
+                val size = math.min(rdU32(bytes, o + 4), (end - o - 8).toLong).toInt
                 if (cid.endsWith("dc") || cid.endsWith("db"))
                   frames += ((o + 8, size))
                 o += 8 + size + (size & 1)
@@ -550,7 +561,7 @@ object Multimodal {
               val end = mo + mlen
               while (o + 8 <= end) {
                 val cid = fcc(bytes, o)
-                val size = rdU32(bytes, o + 4).toInt
+                val size = math.min(rdU32(bytes, o + 4), (end - o - 8).toLong).toInt
                 if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((o + 8, size))
                 o += 8 + size + (size & 1)
               }

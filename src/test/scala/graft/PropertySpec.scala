@@ -267,6 +267,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media decoders never throw on arbitrary bytes (corpus garbage law)") {
+    // corpus-scale media columns ALWAYS contain truncated/corrupt payloads;
+    // the decode contract is null meta, never a task failure. Random bytes
+    // plus adversarial prefixes (valid magics with garbage bodies).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val magics = Seq(
+      "RIFF".getBytes("US-ASCII"),                      // RIFF, no form
+      "RIFF1234AVI ".getBytes("US-ASCII"),              // AVI, bogus size
+      "RIFF$   WAVE".getBytes("ISO-8859-1"), // WAV stub
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),    // PNG magic
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte))     // JPEG SOI
+    val payloads: Seq[Array[Byte]] =
+      (1 to 40).map(i => Array.fill(rnd.nextInt(200))(rnd.nextInt.toByte)) ++
+        magics.flatMap(m => Seq(m, m ++ Array.fill(64)(rnd.nextInt.toByte))) :+
+        Array.empty[Byte]
+    val df = payloads.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("media_id", "data")
+      .select(col("media_id"), col("data"),
+        lit(null).cast(graft.pipeline.Multimodal.mediaMetaType).as("meta"))
+    // decode paths: all rows survive; garbage rows yield null meta
+    assert(graft.pipeline.Multimodal.decodeImages(df).count() == payloads.size)
+    assert(graft.pipeline.Multimodal.decodeAudio(df).count() == payloads.size)
+    assert(graft.pipeline.Multimodal.decodeVideos(df).count() == payloads.size)
+    // feature/frame paths: must also survive (rows may drop, never throw)
+    graft.pipeline.Multimodal.audioRmsFeatures(df, 4).count()
+    graft.pipeline.Multimodal.sampleVideoFrames(df, 2).count()
+    graft.pipeline.Multimodal.videoGridFeatures(df, 2, 4, 4).count()
+  }
+
   test("differential: hand tokenize equals regex split(trim(lower), \\s+)") {
     val ws = java.util.regex.Pattern.compile("\\s+")
     def reference(s: String): Seq[String] = {
