@@ -188,6 +188,31 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
+  /** Rec. 601 luminance of an image rescaled to `gw`×`gh`, row-major in
+    * [0,1] — the shared grid kernel behind [[imageGridFeatures]] and
+    * [[videoGridFeatures]]. */
+  private def luminanceGrid(img: java.awt.image.BufferedImage,
+                            gw: Int, gh: Int): Array[Float] = {
+    val small = new java.awt.image.BufferedImage(
+      gw, gh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try g.drawImage(img, 0, 0, gw, gh, null) finally g.dispose()
+    val out = new Array[Float](gw * gh)
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw) {
+        val rgb = small.getRGB(x, y)
+        val lum = 0.299f * ((rgb >> 16) & 0xFF) +
+          0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)
+        out(y * gw + x) = lum / 255f
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** REAL image features: decode, rescale to a `gw`×`gh` grid, emit the
     * grayscale grid as `array<float>` in [0,1] row-major — the classic
     * thumbnail embedding, directly consumable by [[Similarity]]. */
@@ -198,28 +223,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
         val img = if (bytes == null) null else readImage(bytes)
-        val feat =
-          if (img == null) null
-          else {
-            val small = new java.awt.image.BufferedImage(
-              gw, gh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = small.createGraphics()
-            try g.drawImage(img, 0, 0, gw, gh, null) finally g.dispose()
-            val out = new Array[Float](gw * gh)
-            var y = 0
-            while (y < gh) {
-              var x = 0
-              while (x < gw) {
-                val rgb = small.getRGB(x, y)
-                val lum = 0.299f * ((rgb >> 16) & 0xFF) +
-                  0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)
-                out(y * gw + x) = lum / 255f
-                x += 1
-              }
-              y += 1
-            }
-            out
-          }
+        val feat = if (img == null) null else luminanceGrid(img, gw, gh)
         Row.fromSeq(r.toSeq :+ feat)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -481,6 +485,33 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
+  /** Frame-chunk (offset, size) list of an AVI `movi` stream, in stream
+    * order, sizes clamped to the physical buffer; empty when the payload
+    * is not a parseable RIFF container. */
+  private def aviFrameChunks(bytes: Array[Byte]): IndexedSeq[(Int, Int)] =
+    if (bytes == null || bytes.length < 12 || fcc(bytes, 0) != "RIFF")
+      Vector.empty
+    else findChunk(bytes, 12, bytes.length, "movi") match {
+      case None => Vector.empty
+      case Some((mo, mlen)) =>
+        val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var o = mo
+        val end = mo + mlen
+        while (o + 8 <= end) {
+          val cid = fcc(bytes, o)
+          val size = math.min(rdU32(bytes, o + 4), (end - o - 8).toLong).toInt
+          if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((o + 8, size))
+          o += 8 + size + (size & 1)
+        }
+        frames.toIndexedSeq
+    }
+
+  /** Evenly-spaced source index for sample `i` of `n` over `total`
+    * frames: every frame once when total <= n; otherwise floor(i*total/n),
+    * strictly increasing — no frame repeats. */
+  private def sampleIdx(i: Int, n: Int, total: Int): Long =
+    if (total <= n) i.toLong else i.toLong * total / n
+
   /** REAL frame sampling: walk the `movi` list for `00dc`/`00db` frame
     * chunks, pick `n` evenly-spaced frames, and DECODE each one through
     * javax.imageio — emitted dimensions come from the decoded JPEG
@@ -501,36 +532,19 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](dataIdx)
-        if (bytes == null || bytes.length < 12 || fcc(bytes, 0) != "RIFF") Nil
+        val frames = aviFrameChunks(bytes)
+        if (frames.isEmpty) Nil
         else {
           val usPerFrame = findChunk(bytes, 12, bytes.length, "avih")
             .map { case (o, _) => rdU32(bytes, o) }.getOrElse(0L)
-          findChunk(bytes, 12, bytes.length, "movi") match {
-            case None => Nil
-            case Some((mo, mlen)) =>
-              // offsets of every frame chunk, in stream order
-              val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-              var o = mo
-              val end = mo + mlen
-              while (o + 8 <= end) {
-                val cid = fcc(bytes, o)
-                val size = math.min(rdU32(bytes, o + 4), (end - o - 8).toLong).toInt
-                if (cid.endsWith("dc") || cid.endsWith("db"))
-                  frames += ((o + 8, size))
-                o += 8 + size + (size & 1)
-              }
-              val total = frames.length
-              // fewer frames than requested -> each frame once; otherwise
-              // evenly spaced source indices (floor(i*total/n) is strictly
-              // increasing when total >= n, so no frame repeats)
-              (0 until math.min(n, total)).map { i =>
-                val fi = if (total <= n) i.toLong else i.toLong * total / n
-                val (fo, flen) = frames(fi.toInt)
-                val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
-                Row(id, fi, fi * usPerFrame / 1000L,
-                  if (img == null) null else Integer.valueOf(img.getWidth),
-                  if (img == null) null else Integer.valueOf(img.getHeight))
-              }
+          val total = frames.length
+          (0 until math.min(n, total)).map { i =>
+            val fi = sampleIdx(i, n, total)
+            val (fo, flen) = frames(fi.toInt)
+            val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
+            Row(id, fi, fi * usPerFrame / 1000L,
+              if (img == null) null else Integer.valueOf(img.getWidth),
+              if (img == null) null else Integer.valueOf(img.getHeight))
           }
         }
       }
@@ -551,54 +565,28 @@ object Multimodal {
       imageIoInMemory
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
+        val frames = aviFrameChunks(bytes)
         val feat =
-          if (bytes == null || bytes.length < 12 || fcc(bytes, 0) != "RIFF") null
-          else findChunk(bytes, 12, bytes.length, "movi") match {
-            case None => null
-            case Some((mo, mlen)) =>
-              val frames = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-              var o = mo
-              val end = mo + mlen
-              while (o + 8 <= end) {
-                val cid = fcc(bytes, o)
-                val size = math.min(rdU32(bytes, o + 4), (end - o - 8).toLong).toInt
-                if (cid.endsWith("dc") || cid.endsWith("db")) frames += ((o + 8, size))
-                o += 8 + size + (size & 1)
+          if (frames.isEmpty) null
+          else {
+            val total = frames.length
+            val acc = new Array[Float](gw * gh)
+            var used = 0
+            val m = math.min(n, total)
+            var i = 0
+            while (i < m) {
+              val (fo, flen) = frames(sampleIdx(i, n, total).toInt)
+              val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
+              if (img != null) {
+                val grid = luminanceGrid(img, gw, gh)
+                var j = 0
+                while (j < acc.length) { acc(j) += grid(j); j += 1 }
+                used += 1
               }
-              val total = frames.length
-              if (total == 0) null
-              else {
-                val acc = new Array[Float](gw * gh)
-                var used = 0
-                val m = math.min(n, total)
-                var i = 0
-                while (i < m) {
-                  val fi = if (total <= n) i else (i.toLong * total / n).toInt
-                  val (fo, flen) = frames(fi)
-                  val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
-                  if (img != null) {
-                    val small = new java.awt.image.BufferedImage(
-                      gw, gh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                    val g = small.createGraphics()
-                    try g.drawImage(img, 0, 0, gw, gh, null) finally g.dispose()
-                    var y = 0
-                    while (y < gh) {
-                      var x = 0
-                      while (x < gw) {
-                        val rgb = small.getRGB(x, y)
-                        acc(y * gw + x) += (0.299f * ((rgb >> 16) & 0xFF) +
-                          0.587f * ((rgb >> 8) & 0xFF) + 0.114f * (rgb & 0xFF)) / 255f
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    used += 1
-                  }
-                  i += 1
-                }
-                if (used == 0) null
-                else { var j = 0; while (j < acc.length) { acc(j) /= used; j += 1 }; acc }
-              }
+              i += 1
+            }
+            if (used == 0) null
+            else { var j = 0; while (j < acc.length) { acc(j) /= used; j += 1 }; acc }
           }
         Row.fromSeq(r.toSeq :+ feat)
       }
