@@ -267,6 +267,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AVI writer/parser round-trip over random clip geometry") {
+    // the RIFF layer is hand-rolled on both sides; a shared byte-layout
+    // bug would cancel out in fixture tests with fixed dims, so the
+    // property randomizes geometry and checks the parsed header AND the
+    // per-frame decode against the generating parameters
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      nf <- Gen.choose(1, 9); fps <- Gen.choose(1, 30)
+    } yield (w, h, nf, fps)
+    val cases = samples(gen, 12).zipWithIndex
+    val df = cases.map { case ((w, h, nf, fps), i) =>
+      (i.toLong, graft.pipeline.Multimodal.encodeAviMjpeg(w, h, nf, fps, seed = i * 7L),
+        null: String)
+    }.toDF("media_id", "data", "pad")
+      .select(col("media_id"), col("data"),
+        lit(null).cast(graft.pipeline.Multimodal.mediaMetaType).as("meta"))
+    val metas = graft.pipeline.Multimodal.decodeVideos(df)
+      .select("media_id", "meta.width", "meta.height", "meta.duration_ms")
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (id, w, h, d) => (id.toInt, (w, h, d)) }.toMap
+    for (((w, h, nf, fps), i) <- cases) {
+      val (pw, ph, dur) = metas(i)
+      assert(pw == w && ph == h, s"case $i dims")
+      assert(dur == nf.toLong * (1000000L / fps) / 1000L, s"case $i duration")
+    }
+    // every frame decodes with the generating dimensions
+    val fr = graft.pipeline.Multimodal.sampleVideoFrames(df, 100)
+      .select("media_id", "f_width", "f_height")
+      .as[(Long, Int, Int)].collect()
+    val byId = fr.groupBy(_._1.toInt)
+    for (((w, h, nf, _), i) <- cases) {
+      assert(byId(i).length == nf, s"case $i frame count")
+      assert(byId(i).forall(f => f._2 == w && f._3 == h), s"case $i frame dims")
+    }
+  }
+
   test("media decoders never throw on arbitrary bytes (corpus garbage law)") {
     // corpus-scale media columns ALWAYS contain truncated/corrupt payloads;
     // the decode contract is null meta, never a task failure. Random bytes
