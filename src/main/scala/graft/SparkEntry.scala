@@ -727,6 +727,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- train/test contamination: docs in the train split sharing >= 2
+    //      distinct trigrams with any doc in the held-out split (n=3 fits
+    //      these short synthetic docs; real corpora use the published
+    //      n=13). Gram HASHES cross the shuffle, never gram strings.
+    "q_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Dedup.contamination(
+        docs.warpFilter(col("doc_id") % 10 =!= 7),
+        docs.warpFilter(col("doc_id") % 10 === 7),
+        "text", "doc_id", n = 3, minOverlap = 2)
+        .orderBy("doc_id", "probe_id")
+    }),
+
     // ---- text quality metrics (portable arithmetic => full oracle)
     "q_text_quality" -> ((s, dir) => {
       val ta = graft.pipeline.TextAnalysis
@@ -1406,6 +1419,25 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
          ) GROUP BY text ORDER BY doc_id""",
+    "q_contamination" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+               ELSE list_distinct([array_to_string(ws, ' ')]) END AS s
+           FROM w
+         ), corpus AS (
+           SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 7
+         ), probe AS (
+           SELECT doc_id AS probe_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 7
+         )
+         SELECT c.doc_id, p.probe_id, count(*) AS overlap
+         FROM corpus c JOIN probe p USING (g)
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY doc_id, probe_id""",
     "q_dedup_jaccard" ->
       """WITH d AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0

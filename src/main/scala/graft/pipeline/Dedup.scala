@@ -182,6 +182,36 @@ object Dedup {
       .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
+  /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair
+    * sharing at least `minOverlap` distinct word `n`-grams, with the
+    * shared-gram count — the decontamination primitive (flag or drop
+    * training documents that leak evaluation content; n=13 is the
+    * standard published choice, smaller n for short-document corpora).
+    *
+    * Scale shape: the one-pass native [[graft.functions.ShingleHashExpr]]
+    * kernel turns each document into its distinct 8-byte gram hashes
+    * (never the gram strings, and never the quadratic HOF slice-per-
+    * element shape of the declarative [[shingles]] builder), one explode
+    * per side, a hash equi-join, and a count per (doc, probe). Never
+    * all-pairs: cost is the shared-gram join volume, and each side's
+    * grams are per-document distinct so the count IS the distinct-overlap
+    * count. The probe side (an eval benchmark) is small by nature — Spark
+    * broadcasts it when it fits. Hash-keyed matching accepts a
+    * 2^-64-per-pair false-match rate; exact-match semantics (what
+    * external oracles compute) coincide at any realistic corpus size. */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 13, minOverlap: Long = 1): DataFrame = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    def grams(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+        explode(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))).as("__gh"))
+    grams(corpus, "doc_id").join(grams(probes, "probe_id"), "__gh")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS: random-hyperplane sketches
     * (see [[Similarity.sketch]]) are split into bands; vectors sharing a
     * band bucket become candidates, verified by exact cosine. Same scale

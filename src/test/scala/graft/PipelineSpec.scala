@@ -31,6 +31,25 @@ class PipelineSpec extends SparkSpec {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("contamination flags the leaking train doc, spares the clean one") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // leaks 2 trigrams to probe
+      (2L, "zeta eta theta iota kappa"),        // clean
+      (3L, "alpha beta zzz gamma delta")        // 0 shared trigrams (order differs)
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, probe, "text", "doc_id",
+      n = 3, minOverlap = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // doc 1 shares "alpha beta gamma" + "beta gamma delta"; docs 2/3 share < 2
+    assert(hits == Seq((1L, 100L, 2L)))
+    // minOverlap = 1 admits nothing new from doc 2, still nothing from doc 3
+    val loose = Dedup.contamination(train, probe, "text", "doc_id",
+      n = 3, minOverlap = 1)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(loose == Seq((1L, 100L, 2L)))
+  }
+
   test("simhash: identical texts collide, near texts are close, far texts differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
