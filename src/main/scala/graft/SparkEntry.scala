@@ -1445,7 +1445,7 @@ object SparkEntry {
            SELECT doc_id + 1000000 AS doc_id, text || ' nearly identical content' AS text
            FROM documents WHERE doc_id % 50 = 0
          ), w AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM d
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM d
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3

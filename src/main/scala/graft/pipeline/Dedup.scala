@@ -29,13 +29,21 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
       .drop("__h", "__len")
 
-  /** Word shingles of size n as an array column (deterministic, codegen'd). */
+  /** Word shingles of size n as an array column. The word array is
+    * LAMBDA-BOUND (`transform` over a one-element wrapper): the naive
+    * formulation references the split() three times and higher-order
+    * `slice` re-evaluates it PER ELEMENT — quadratic in document length.
+    * Tokenization is split(trim(lower), \s+), aligned with
+    * [[graft.functions.TextHash.tokenize]] and the fingerprint recipe. */
   def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), "\\s+")
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(words, " ")))
+    val words = split(trim(lower(textCol)), "\\s+")
+    element_at(
+      transform(array(words), ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => array_join(slice(ws, i + 1, lit(n)), " ")))
+          .otherwise(array(array_join(ws, " ")))),
+      1)
   }
 
   /** MinHash signature: k independent min-hashes over the shingle set.
@@ -166,8 +174,15 @@ object Dedup {
     * candidate pair (observed via PlanDump). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // shingle HASHES, not strings: the one-pass native kernel emits each
+    // document's distinct sorted 8-byte gram hashes, so the all-pairs
+    // intersect runs over long arrays (set cardinalities — and hence
+    // jaccard values — are identical to the string formulation modulo a
+    // 2^-64 collision rate; pinned differentially against the string
+    // brute force in PropertySpec)
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
     val withSh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+      C(graft.functions.ShingleHashExpr(E(col(textCol)), shingleSize)).as("sh"))
     val l = withSh.select(col("id").as("id1"), col("sh").as("sh1"))
     val r = withSh.select(col("id").as("id2"), col("sh").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
