@@ -740,6 +740,17 @@ object SparkEntry {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // ---- out-of-vocabulary rate vs the corpus top-16 vocabulary
+    //      (CCNet-style rarity signal; ties break on the token string so
+    //      the vocabulary is engine-reproducible. topK=16 because the
+    //      synthetic corpus has only 31 distinct tokens — real corpora
+    //      use the 10k default)
+    "q_text_oov" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.oovRate(
+        T(s, dir, "documents"), "doc_id", "text", topK = 16)
+        .orderBy("doc_id")
+    }),
+
     // ---- text quality metrics (portable arithmetic => full oracle)
     "q_text_quality" -> ((s, dir) => {
       val ta = graft.pipeline.TextAnalysis
@@ -1419,6 +1430,18 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
          ) GROUP BY text ORDER BY doc_id""",
+    "q_text_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), vocab AS (
+           SELECT tok FROM toks GROUP BY tok
+           ORDER BY count(*) DESC, tok ASC LIMIT 16
+         )
+         SELECT t.doc_id,
+           CAST(count(*) - count(v.tok) AS DOUBLE) / count(*) AS oov_rate
+         FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q_contamination" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents

@@ -160,6 +160,34 @@ object TextAnalysis {
     * null-id documents would otherwise merge into ONE reconstruction group
     * (and a join back to them cannot distinguish rows), silently
     * destroying their text. */
+  /** Out-of-vocabulary rate: per document, the fraction of its token
+    * OCCURRENCES outside the corpus's `topK` most frequent tokens — the
+    * CCNet-style rarity/quality signal that needs no external language
+    * model (high OOV = gibberish/rare-script text; near-zero OOV =
+    * boilerplate). Ties at the vocabulary boundary break on the token
+    * string, so the vocabulary — and hence every rate — is deterministic
+    * and external-engine-reproducible.
+    *
+    * Plan shape: one token-frequency aggregate (partial map-side combine,
+    * then an 8-byte-hash-keyed shuffle), a TakeOrdered top-K for the
+    * vocabulary (per-partition heaps, no global sort), then a broadcast
+    * LEFT join of the exploded corpus against the K-row vocabulary and a
+    * per-document re-aggregate. The corpus is scanned twice (once for the
+    * vocabulary, once for scoring) — at 100 TB persist the vocabulary
+    * like the similarity indexes if it is reused across runs. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              topK: Int = 10000, out: String = "oov_rate"): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok").asc).limit(topK)
+      .select(col("__tok"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(((count(lit(1)) - count(col("__in_vocab"))).cast("double") /
+        count(lit(1))).as(out))
+  }
+
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -31,6 +31,22 @@ class PipelineSpec extends SparkSpec {
     assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("oovRate scores token occurrences outside the top-K vocabulary") {
+    val df = Seq(
+      (1L, "a a a b"),  // all in top-2 vocab {a, b}
+      (2L, "a b x y"),  // x, y out of vocab -> 0.5
+      (3L, "a a b b")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.oovRate(df, "doc_id", "text", topK = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.0))
+    // boundary tie: a=2, b=1, c=1 -> top-2 = {a, b} (tie breaks on token)
+    val tie = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val rt = TextAnalysis.oovRate(tie, "doc_id", "text", topK = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(rt(1L) == 0.25)
+  }
+
   test("contamination flags the leaking train doc, spares the clean one") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),   // leaks 2 trigrams to probe
