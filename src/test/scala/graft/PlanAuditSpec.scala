@@ -175,27 +175,63 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // AdaptiveSparkPlanExec has no children, so collect() over the
+  // executedPlan sees nothing — audit the pre-AQE plan (exchange
+  // placement is decided there; AQE only re-plans at runtime)
+  private def preAqePlan(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+
+  private def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
   test("q_curate: text is projected away before the dedup shuffle") {
     // the curation pipeline's one shuffle keys on the 16-byte md5
     // fingerprint; if the raw text column ever rides through that
     // exchange, shuffle volume scales with document size instead of
     // row count and the pipeline stops being 100 TB-shaped
-    val df = SparkEntry.queries("q_curate")(spark, dir)
-    // AdaptiveSparkPlanExec has no children, so collect() over the
-    // executedPlan sees nothing — audit the pre-AQE plan (exchange
-    // placement is decided there; AQE only re-plans at runtime)
-    val p = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.initialPlan
-      case other => other
-    }
-    val exchanges = p.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
+    val exchanges = shuffles(preAqePlan("q_curate"))
     assert(exchanges.nonEmpty, "expected the fingerprint dedup shuffle")
     for (e <- exchanges)
       assert(!e.child.output.exists(_.name == "text"),
         s"text column crosses a shuffle: ${e.child.output.map(_.name)}")
+  }
+
+  test("q_contamination: no string column crosses any shuffle") {
+    // gram hashes (8-byte longs) are the join currency; if gram STRINGS
+    // ever cross an exchange, shuffle volume scales with n*avg-word-len
+    // per gram instead of 8 bytes
+    val p = preAqePlan("q_contamination")
+    val exchanges = shuffles(p)
+    assert(exchanges.nonEmpty, "expected the overlap-count shuffle")
+    for (e <- exchanges)
+      assert(!e.child.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+        s"string column crosses a shuffle: ${e.child.output.map(a => s"${a.name}:${a.dataType}")}")
+    // the probe side broadcasts into the gram join
+    assert(p.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q_text_oov: top-K vocabulary via per-partition heaps, then broadcast") {
+    // vocabulary selection must be TakeOrdered (per-partition heaps),
+    // not a global sort, and must BROADCAST into the scoring join so the
+    // exploded corpus side never shuffles for the join. Node-match, not
+    // string-match: the vocabulary subtree hangs under a
+    // BroadcastExchange whose toString is elided in the outer tree.
+    val p = preAqePlan("q_text_oov")
+    def count(pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int =
+      p.collect { case n if pred(n) => n }.length +
+        p.subqueriesAll.flatMap(_.collect { case n if pred(n) => n }).length
+    val s = p.toString
+    assert(count(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) >= 1 ||
+      s.contains("TakeOrderedAndProject"), s.take(2000))
+    assert(count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 1 ||
+      s.contains("BroadcastHashJoin"), s.take(2000))
   }
 
   test("q_rank_by: window is hash-partitioned across executors") {
