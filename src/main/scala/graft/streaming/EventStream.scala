@@ -76,6 +76,42 @@ object EventStream {
     dedupStream(scored, Seq("fp"), tsCol, lateness)
   }
 
+  /** Streaming CONTAMINATION flagging: annotate a document stream with
+    * `overlap` = the count of distinct word n-grams it shares with a
+    * STATIC probe set (an eval benchmark) — the decontamination gate
+    * applied at ingest time instead of in a batch sweep. The probe
+    * grams are hash-reduced once ([[graft.pipeline.Dedup.contamination]]'s
+    * kernel recipe), collected to a sorted long array — bounded by
+    * contract: eval benchmarks are small; for probe sets beyond driver
+    * memory use the batch `contamination` sweep — and BROADCAST as a
+    * binary-search lookup. The stream side is then a PURE PROJECTION
+    * (one kernel pass + k·log m lookups per document): stateless, no
+    * watermark, no shuffle, state never grows. Gate downstream with
+    * `filter(col("overlap") < threshold)`. */
+  def contaminationFlagStream(docs: DataFrame, probes: DataFrame,
+                              textCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import org.apache.spark.sql.expressions.UserDefinedFunction
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val probeGrams: Array[Long] = probes
+      .select(explode(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))).as("g"))
+      .distinct().as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(probeGrams)
+    val overlapOf: UserDefinedFunction = udf { hs: Seq[Long] =>
+      if (hs == null) 0L
+      else {
+        var c = 0L
+        val it = hs.iterator
+        while (it.hasNext)
+          if (java.util.Arrays.binarySearch(bc.value, it.next()) >= 0) c += 1
+        c
+      }
+    }
+    docs.withColumn("overlap",
+      overlapOf(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))))
+  }
+
   /** Watermarked stream-stream INTERVAL join (events ⋈ marks): each event
     * joins the marks of the same key whose timestamp lies within
     * [event.ts - tolerance, event.ts]. Both inputs carry watermarks and

@@ -189,4 +189,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamQ == batchQ)
     } finally query.stop()
   }
+
+  test("contaminationFlagStream: overlaps match the batch operator, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val probes = Seq((100L, "alpha beta gamma delta qqq")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 2 shared trigrams
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "alpha beta gamma delta qqq"))     // identical to probe: 3 shared
+    val input = MemoryStream[(Long, String)]
+    val flagged = EventStream.contaminationFlagStream(
+      input.toDF().toDF("doc_id", "text"), probes, "text", n = 3)
+    val query = flagged.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start() // append works: the plan is stateless
+    try {
+      input.addData(corpus.take(2): _*)
+      query.processAllAvailable()
+      input.addData(corpus.drop(2): _*) // second micro-batch, no state carried
+      query.processAllAvailable()
+      val got = spark.table("contam").select("doc_id", "overlap")
+        .as[(Long, Long)].collect().toMap
+      // the batch operator is the semantics oracle (minOverlap = 1 keeps
+      // every overlapping pair; stream reports 0 for clean docs)
+      val batch = graft.pipeline.Dedup.contamination(
+        corpus.toDF("doc_id", "text"), probes, "text", "doc_id",
+        n = 3, minOverlap = 1)
+        .select("doc_id", "overlap").as[(Long, Long)].collect().toMap
+      assert(got == batch + (2L -> 0L), s"got $got, batch $batch")
+    } finally query.stop()
+  }
 }
