@@ -45,9 +45,12 @@ object SparkEntry {
       .where(col("doc_id") % 10 < 9)
       .join(docs.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The end-to-end curation pipeline (quality + language scoring,
+    * filter, fingerprint dedup, deterministic split) — the engine's
+    * reason to exist in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_curate")(spark, "/root/testdata/sf0.001")
 
   // ===== persisted similarity indexes ======================================
   // The whole point of a sketch/IVF index is AMORTIZATION: build once, query
