@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Expr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
-import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr, TextStatsExpr, TokenStatsExpr, WarpNumExpr}
+import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, LangScoresExpr, MinHashSigExpr, PiiScanExpr, ShingleHashExpr, SimHashExpr, TextStatsExpr, TokenStatsExpr, WarpNumExpr}
 
 /** Catalyst-level integration of the graft engine.
   *
@@ -22,8 +22,8 @@ import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, MinHashSi
   * [[WarpExtensions]]: `spark.sql.extensions`-style injection point that
   * installs the rule and registers the native kernels as SQL functions
   * (`warp_num`, `simhash64`, `shingle_hashes`, `minhash_sig`,
-  * `band_hashes`, `token_stats`, `vec_dot`, `bits_hamming`,
-  * `vec_cosine`) so
+  * `band_hashes`, `token_stats`, `text_stats`, `pii_scan`,
+  * `lang_scores`, `vec_dot`, `bits_hamming`, `vec_cosine`) so
   * `spark.sql(...)` users reach them without the Scala API.
   * [[Graft.install]] does the same on an already-built session.
   */
@@ -61,6 +61,14 @@ object WarpExtensions {
       arity(args, 1, 2, "band_hashes")(0), intArg(args, 1, 16))),
     "token_stats" -> (args => TokenStatsExpr(arity(args, 1, 1, "token_stats")(0))),
     "text_stats" -> (args => TextStatsExpr(arity(args, 1, 1, "text_stats")(0))),
+    "pii_scan" -> (args => PiiScanExpr(arity(args, 1, 1, "pii_scan")(0))),
+    // stopword-ratio scores against the six built-in language profiles in
+    // en/de/fr/es/it/nl order (the Scala langId surface takes caller
+    // lists; SQL gets the built-ins)
+    "lang_scores" -> (args => LangScoresExpr(
+      arity(args, 1, 1, "lang_scores")(0),
+      Seq("en", "de", "fr", "es", "it", "nl")
+        .map(graft.pipeline.TextAnalysis.stopwords))),
     // vector kernels: SQL users score embeddings / probe sketch indexes
     // without the Scala API (cosine = vec_dot(a,b)/(vec_dot-derived norms))
     "vec_dot" -> (args => DotProductExpr(arity(args, 2, 2, "vec_dot")(0),

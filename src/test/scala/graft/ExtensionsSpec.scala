@@ -62,6 +62,16 @@ class ExtensionsSpec extends SparkSpec {
                 bits_hamming(array(0L), array(7L)) AS h""").collect()(0)
     assert(v.getAs[Double]("d") == 11.0)
     assert(v.getAs[Int]("h") == 3)
+    // text kernels: pii_scan struct fields, lang_scores six-profile array
+    val t = spark.sql(
+      """SELECT pii_scan('mail me at a@b.com or 1.2.3.4').emails AS e,
+                pii_scan('mail me at a@b.com or 1.2.3.4').ips AS i,
+                lang_scores('the cat of the house') AS ls""").collect()(0)
+    assert(t.getAs[Long]("e") == 1L && t.getAs[Long]("i") == 1L)
+    val ls = t.getAs[scala.collection.Seq[Double]]("ls")
+    assert(ls.length == 6)
+    assert(ls.head == 0.6) // en: "the","of","the" of 5 tokens
+    assert(ls.head == ls.max) // en profile is index 0 and wins
   }
 
   test("vec_cosine: one call, folds over literals, matches the Scala path") {
