@@ -1078,6 +1078,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- REAL audio resample: 8 kHz fixtures down to 4 kHz by linear
+    //      interpolation, then decode the rewritten bytes — frame counts
+    //      halve exactly (fixture frames are even), so duration is
+    //      preserved to the millisecond and the oracle is exact
+    "q_audio_resample" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val wavs = mm.fabricateAudio(
+        T(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id")
+      mm.decodeAudio(mm.resampleAudio(wavs, 4000))
+        .select(col("media_id"), col("meta.width").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL video container round-trip (RIFF/AVI + MJPEG frames via
     //      javax.imageio): encode an AVI per document whose geometry is a
     //      pure function of the id, parse the actual container back —
@@ -1715,6 +1729,10 @@ object SparkEntry {
     "q_audio_decode" ->
       """SELECT doc_id AS media_id, 'audio/wave' AS format,
            8000 AS sample_rate, 1 AS channels,
+           doc_id % 997 + 125 AS duration_ms
+         FROM documents WHERE doc_id < 1000 ORDER BY media_id""",
+    "q_audio_resample" ->
+      """SELECT doc_id AS media_id, 4000 AS sample_rate,
            doc_id % 997 + 125 AS duration_ms
          FROM documents WHERE doc_id < 1000 ORDER BY media_id""",
     "q_video_decode" ->

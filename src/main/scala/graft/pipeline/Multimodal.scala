@@ -305,6 +305,86 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
+  /** REAL resample: decode the PCM body, sample-rate-convert by linear
+    * interpolation (the JDK's converters handle encodings/channels but
+    * ship no rate converter), re-encode as 16-bit PCM WAV at
+    * `targetRate` — payload AND metadata rewritten, duration preserved
+    * to the frame. One codec pass per row, executor-local; undecodable
+    * payloads pass through with a null meta. */
+  def resampleAudio(df: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"resampleAudio needs targetRate > 0, got $targetRate")
+    val dataIdx = df.schema.fieldIndex("data")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val out = if (bytes == null) null else resampleWav(bytes, targetRate)
+        if (out == null) Row.fromSeq(r.toSeq.updated(metaIdx, null))
+        else {
+          val (payload, ch, nFrames) = out
+          Row.fromSeq(r.toSeq
+            .updated(dataIdx, payload)
+            .updated(metaIdx, Row("audio/wave", targetRate, ch,
+              math.round(nFrames * 1000.0 / targetRate))))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  /** Linear-interpolation SRC on normalized 16-bit PCM; returns
+    * (wav bytes, channels, frames) or null on parse failure. */
+  private def resampleWav(bytes: Array[Byte], targetRate: Int): (Array[Byte], Int, Int) =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val norm = new javax.sound.sampled.AudioFormat(
+          f.getSampleRate, 16, f.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(norm, ais)
+        val raw = pcm.readAllBytes()
+        val ch = norm.getChannels
+        val srcRate = norm.getSampleRate.toDouble
+        val nSrc = raw.length / 2 / ch
+        if (nSrc == 0) return null
+        val nDst = math.max(1, math.round(nSrc * targetRate / srcRate).toInt)
+        val outPcm = new Array[Byte](nDst * 2 * ch)
+        def sample(i: Int, c: Int): Double = {
+          val o = (i * ch + c) * 2
+          ((raw(o) & 0xFF) | (raw(o + 1) << 8)).toShort.toDouble
+        }
+        var i = 0
+        while (i < nDst) {
+          // source position of destination frame i; clamp the right
+          // neighbor at the final frame (no wrap, no extrapolation)
+          val pos = i * (nSrc - 1).toDouble / math.max(1, nDst - 1)
+          val i0 = pos.toInt
+          val i1 = math.min(nSrc - 1, i0 + 1)
+          val frac = pos - i0
+          var c = 0
+          while (c < ch) {
+            val v = math.round(sample(i0, c) * (1 - frac) + sample(i1, c) * frac).toInt
+            val clamped = math.max(-32768, math.min(32767, v))
+            val o = (i * ch + c) * 2
+            outPcm(o) = (clamped & 0xFF).toByte
+            outPcm(o + 1) = ((clamped >> 8) & 0xFF).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          targetRate.toFloat, 16, ch, true, false)
+        val outAis = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(outPcm), outFmt, nDst.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          outAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (bos.toByteArray, ch, nDst)
+      } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
   /** REAL audio features: decode the PCM body and emit per-window RMS
     * energy (channel-averaged, normalized to [0,1]) as `array<float>` —
     * the standard loudness-envelope feature, directly consumable by

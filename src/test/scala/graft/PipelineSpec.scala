@@ -422,6 +422,39 @@ class PipelineSpec extends SparkSpec {
     val f = Multimodal.audioRmsFeatures(wavs, 4)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(f.values.forall(v => v.length == 4 && v.forall(x => x >= 0f && x <= 1f)))
+    // resample: rate halves, frame count halves exactly (fixtures are
+    // even-length), duration survives to the millisecond
+    val rdec = Multimodal.decodeAudio(Multimodal.resampleAudio(wavs, 4000))
+      .select("media_id", "meta.width", "meta.duration_ms")
+      .as[(Long, Int, Long)].collect()
+    assert(rdec.nonEmpty)
+    for ((id, rate, durMs) <- rdec) {
+      assert(rate == 4000, s"id=$id rate $rate")
+      assert(durMs == id % 997 + 125, s"id=$id duration $durMs")
+    }
+    // the loudness envelope survives resampling: DC blocks (constant
+    // amplitude), which linear interpolation reproduces exactly
+    val dcPcm = new Array[Byte](8 * 100 * 2)
+    for (i <- 0 until 8 * 100) {
+      val v = if ((i / 100) % 2 == 0) 0 else 20000
+      dcPcm(2 * i) = (v & 0xFF).toByte
+      dcPcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val dcAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(dcPcm), fmtSpec, (8 * 100).toLong)
+    val dcBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      dcAis, javax.sound.sampled.AudioFileFormat.Type.WAVE, dcBos)
+    val dcDf = Seq((1L, dcBos.toByteArray)).toDF("media_id", "data")
+      .select(col("media_id"), col("data"),
+        lit(null).cast(Multimodal.mediaMetaType).as("meta"))
+    val dcRms = Multimodal.audioRmsFeatures(
+      Multimodal.resampleAudio(dcDf, 4000), nWindows = 8)
+      .select("features").as[Seq[Float]].head()
+    for (w <- 0 until 8) {
+      val want = if (w % 2 == 0) 0.0f else 20000f / 32768f
+      assert(math.abs(dcRms(w) - want) < 0.02f, s"window $w: ${dcRms(w)} vs $want")
+    }
     // a truncated payload decodes to null meta, not a task failure
     val broken = wavs.withColumn("data",
       when(col("media_id") === dec.head._1, expr("substring(data, 1, 4)"))
