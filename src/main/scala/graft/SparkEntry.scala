@@ -1062,6 +1062,19 @@ object SparkEntry {
       decoded.join(resized, "media_id").orderBy("media_id")
     }),
 
+    // ---- REAL image transcode: PNG fixtures re-encoded as BMP, decoded
+    //      back from the rewritten bytes — the reader's reported format
+    //      and dimensions are the oracle contract
+    "q_media_transcode" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val imgs = mm.fabricateImages(
+        T(s, dir, "documents").filter(col("doc_id") < 1000), "doc_id")
+      mm.decodeImages(mm.transcodeImages(imgs, "bmp"))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL audio codec round-trip (javax.sound.sampled, in-JDK):
     //      encode a WAV per document whose duration is a pure function of
     //      the id, decode the actual bytes back — the oracle recomputes
@@ -1726,6 +1739,11 @@ object SparkEntry {
            CAST(GREATEST(1, ROUND(height *
              LEAST(1.0, 8.0/width, 8.0/height))) AS INT) AS r_height
          FROM m ORDER BY media_id""",
+    "q_media_transcode" ->
+      """SELECT doc_id AS media_id, 'image/bmp' AS format,
+           CAST(doc_id % 31 + 1 AS INT) AS width,
+           CAST(doc_id % 17 + 1 AS INT) AS height
+         FROM documents WHERE doc_id < 1000 ORDER BY media_id""",
     "q_audio_decode" ->
       """SELECT doc_id AS media_id, 'audio/wave' AS format,
            8000 AS sample_rate, 1 AS channels,

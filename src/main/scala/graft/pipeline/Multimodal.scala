@@ -213,6 +213,44 @@ object Multimodal {
     out
   }
 
+  /** REAL transcode: decode and re-encode every image in `format`
+    * (any ImageIO writer: png, jpg, bmp, gif) — payload and metadata
+    * rewritten, dimensions preserved. One codec pass per row,
+    * executor-local; undecodable payloads pass through with null meta. */
+  def transcodeImages(df: DataFrame, format: String): DataFrame = {
+    require(javax.imageio.ImageIO.getImageWritersByFormatName(format).hasNext,
+      s"no ImageIO writer for format '$format'")
+    val dataIdx = df.schema.fieldIndex("data")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      imageIoInMemory
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val img = if (bytes == null) null else readImage(bytes)
+        if (img == null) Row.fromSeq(r.toSeq.updated(metaIdx, null))
+        else {
+          // writers like jpg/bmp reject rasters with alpha: normalize to RGB
+          val rgb =
+            if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+            else {
+              val c = new java.awt.image.BufferedImage(
+                img.getWidth, img.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = c.createGraphics()
+              try g.drawImage(img, 0, 0, null) finally g.dispose()
+              c
+            }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(rgb, format, bos)
+          Row.fromSeq(r.toSeq
+            .updated(dataIdx, bos.toByteArray)
+            .updated(metaIdx,
+              Row("image/" + format.toLowerCase, img.getWidth, img.getHeight, null)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
   /** REAL image features: decode, rescale to a `gw`×`gh` grid, emit the
     * grayscale grid as `array<float>` in [0,1] row-major — the classic
     * thumbnail embedding, directly consumable by [[Similarity]]. */

@@ -368,6 +368,21 @@ class PipelineSpec extends SparkSpec {
     val f2 = Multimodal.imageGridFeatures(imgs, 4, 4)
       .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
     assert(f == f2)
+    // transcode png -> bmp: format rewritten, dimensions preserved, and
+    // (both formats lossless) the pixel grid survives bit-exact
+    val bmp = Multimodal.transcodeImages(imgs, "bmp")
+    val bdec = Multimodal.decodeImages(bmp)
+      .select("media_id", "meta.format", "meta.width", "meta.height")
+      .as[(Long, String, Int, Int)].collect()
+    for ((id, fmt, w, h) <- bdec) {
+      assert(fmt == "image/bmp", s"id=$id")
+      assert(w == (id % 31 + 1).toInt && h == (id % 17 + 1).toInt, s"id=$id")
+    }
+    val gPng = Multimodal.imageGridFeatures(imgs, 4, 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val gBmp = Multimodal.imageGridFeatures(bmp, 4, 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(gPng == gBmp)
     // a truncated payload decodes to null meta, not a task failure
     val broken = imgs.withColumn("data",
       when(col("media_id") === dec.head._1, expr("substring(data, 1, 4)"))
