@@ -693,6 +693,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sub-document span dedup (keep-first repeated-span removal)
+    "q_dedup_spans" -> ((s, dir) => {
+      // plant span repeats: docs 0-24 re-appear as new docs whose text is
+      // their first 20 words TWICE — for docs with >= 20 words the planted
+      // chunks align with the originals' first two spans, exercising both
+      // cross-document and within-document keep-first drops
+      val docs = T(s, dir, "documents")
+      val head20 = array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 20), " ")
+      val planted = docs.warpFilter(col("doc_id") < 25).calculate(Seq(
+        "doc_id" -> (col("doc_id") + 200000),
+        "text" -> concat_ws(" ", head20, head20)))
+      graft.pipeline.Dedup.dedupSpans(docs.warpUnion(planted), "text", "doc_id", 10)
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash LSH near-dup pairs (no SQL oracle: xxhash64-based)
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -772,6 +787,21 @@ object SparkEntry {
       T(s, dir, "documents")
         .calculate(Seq("score" -> graft.pipeline.TextAnalysis.qualityScore(col("text"))))
         .selectColumns(Seq("doc_id", "score"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- top-k salient terms per document (tf/df ranking)
+    "q_tfidf_terms" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.salientTerms(T(s, dir, "documents"), "doc_id", "text", 3)
+        .warpSort(Seq(Order(col("doc_id")), Order(col("term_rank"))))
+    }),
+
+    // ---- concat-and-chunk sequence packing (per-source token streams)
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.pipeline.Packing.packSequences(T(s, dir, "documents"),
+          graft.pipeline.TextAnalysis.tokenCountWs(col("text")),
+          col("source"), col("doc_id"), budget = 256)
+        .selectColumns(Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
@@ -1460,6 +1490,69 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
          ) GROUP BY text ORDER BY doc_id""",
+    "q_dedup_spans" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000,
+                  array_to_string(w[1:20], ' ') || ' ' || array_to_string(w[1:20], ' ')
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM documents WHERE doc_id < 25)
+         ), words AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM base
+         ), sp AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS span
+           FROM words, unnest(generate_series(1, ((len(ws) - 1) // 10) + 1)) AS t(i)
+         ), keep AS (
+           SELECT doc_id, pos, span,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+           FROM sp
+         ), agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(span, ' ' ORDER BY pos) AS text_dedup
+           FROM keep WHERE rn = 1 GROUP BY doc_id
+         ), tot AS (
+           SELECT doc_id, CAST(((len(ws) - 1) // 10) + 1 AS INT) AS n_spans FROM words
+         )
+         SELECT t.doc_id, t.n_spans,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                coalesce(a.text_dedup, '') AS text_dedup
+         FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    "q_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term
+         ), r AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                  CAST(row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term ASC) AS INT)
+                    AS term_rank
+           FROM tf JOIN dfq USING (term)
+         )
+         SELECT doc_id, term_rank, term, tf, df FROM r WHERE term_rank <= 3
+         ORDER BY doc_id, term_rank""",
+    "q_pack_sequences" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+                    AS n_tokens
+           FROM documents
+         ), s AS (
+           SELECT doc_id, source, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS strt
+           FROM c
+         )
+         SELECT doc_id, source, n_tokens,
+                CAST(strt // 256 AS BIGINT) AS pack_id,
+                CAST(strt % 256 AS BIGINT) AS pack_offset
+         FROM s ORDER BY doc_id""",
     "q_text_oov" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok

@@ -437,6 +437,71 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Consecutive fixed-width word spans (`w` words each, last one short)
+    * as an array column. The chunked variant of sub-document segmentation:
+    * where a corpus has real paragraph breaks, split on the separator
+    * instead and feed the pieces to the same keep-first machinery — the
+    * synthetic corpus is single-line, so spans are the unit that actually
+    * collides. Word array is lambda-bound once (see [[shingles]] for why
+    * the naive formulation is quadratic in document length). */
+  def spans(textCol: Column, w: Int): Column = {
+    require(w > 0, s"span width must be positive, got $w")
+    val words = split(trim(lower(textCol)), "\\s+")
+    when(length(trim(textCol)) === 0, array().cast("array<string>"))
+      .otherwise(element_at(
+        transform(array(words), ws =>
+          transform(sequence(lit(0), floor((size(ws) - 1) / w).cast("int")),
+            i => array_join(slice(ws, i * w + 1, lit(w)), " "))),
+        1))
+  }
+
+  /** Sub-document exact dedup: drop every repeated span, keeping only the
+    * globally FIRST occurrence (ordered by (id, position)), and reassemble
+    * each document from its surviving spans. The fixed-window form of
+    * repeated-substring removal for training corpora — boilerplate,
+    * licence blocks, and templated passages repeat VERBATIM across crawled
+    * documents, and document-level dedup never sees them.
+    *
+    * Scale shape (100 TB): span text is hashed to 8 bytes in the map
+    * stage; the winner-election aggregation shuffles only
+    * (hash, id, pos) — map-side partial `min` keeps the exchange at
+    * unique-span cardinality. The winner table joins BACK on the hash, so
+    * the only stage that carries span text is the final per-document
+    * reassembly, which shuffles exactly the KEPT spans, partitioned by
+    * document id. Nothing is all-pairs and nothing collects.
+    *
+    * Output: one row per input row — id, n_spans, n_kept, `text_dedup`
+    * (empty string when every span was dropped). Keep-first is resolved on
+    * the 64-bit xxhash of the span (collision odds 2^-64, same contract as
+    * [[exact]]'s hash-group).
+    *
+    * Reference analogue: warp has document-level dedup only (distinct /
+    * unique steps); sub-document dedup is part of the LLM-pipeline
+    * extension surface. */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 windowWords: Int = 10): DataFrame = {
+    val sp = df.select(col(idCol).as("__id"),
+        posexplode(spans(col(textCol), windowWords)).as(Seq("__pos", "__span")))
+      .select(col("__id"), col("__pos"), col("__span"),
+        xxhash64(col("__span")).as("__h"))
+    // winner = first (id, pos) per span hash; struct min orders
+    // lexicographically, so (id, pos) ties resolve deterministically
+    val winners = sp.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__h"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
+    val kept = sp.join(winners, Seq("__h"))
+      .filter(col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
+          x => x.getField("__span")), " ").as("text_dedup"))
+    df.select(col(idCol), size(spans(col(textCol), windowWords)).as("n_spans"))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit signature prefixes (two
     * signatures within Hamming distance <=3 share at least one identical
     * 16-bit quarter by pigeonhole), join per block, verify Hamming. */

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining: assign each document a position in a
+  * fixed-token-budget training-sequence stream ("concat and chunk" — the
+  * standard GPT-style data loader layout where documents are concatenated
+  * in a stable order and the stream is cut every `budget` tokens).
+  *
+  * The assignment is pure arithmetic over a running token total, so it is
+  * reproducible on any engine and SQL-oracle-checkable: a document's pack
+  * is `floor(start / budget)` where `start` is the token count of
+  * everything before it in its shard's stream. A document may straddle a
+  * pack boundary — `pack_offset` (= `start % budget`) tells the loader
+  * where inside the pack it begins, which is exactly the information a
+  * chunking data loader needs.
+  *
+  * Scale shape (100 TB): the running total is a window sum PARTITIONED BY
+  * SHARD (source/domain/file), so the sort is per-shard, not global —
+  * shards process in parallel and no single-partition global scan exists.
+  * Packing an entire corpus as ONE stream would serialize it through one
+  * partition; shard-relative packing is what a multi-host data loader
+  * consumes anyway (each host reads its shards independently).
+  */
+object Packing {
+
+  /** Add `pack_id` / `pack_offset` / `n_tokens` columns.
+    *
+    * @param tokensCol integer token count per row (any tokenizer — pair
+    *                  with [[TextAnalysis.tokenCountWs]] or the BPE-ish
+    *                  counter for text columns)
+    * @param shardCol  stream partition key (e.g. source); packing is
+    *                  independent per shard
+    * @param orderCol  stable within-shard order (e.g. doc id) — must be
+    *                  unique per shard for a deterministic stream
+    * @param budget    tokens per training sequence, e.g. 2048
+    */
+  def packSequences(df: DataFrame, tokensCol: Column, shardCol: Column,
+                    orderCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val toks = tokensCol.cast("long")
+    val start = sum(toks).over(w) - toks
+    df.withColumn("n_tokens", toks)
+      .withColumn("pack_id", floor(start / budget))
+      .withColumn("pack_offset", (start % budget).cast("long"))
+  }
+}

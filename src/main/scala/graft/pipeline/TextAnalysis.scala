@@ -188,6 +188,38 @@ object TextAnalysis {
         count(lit(1))).as(out))
   }
 
+  /** Top-`k` salient terms per document, ranked by term frequency over
+    * document frequency (tf/df — tf·idf with the linear idf variant
+    * `N/df`; the ranking is identical for any fixed document, and the
+    * integer-derived ratio is bit-reproducible across engines, which a
+    * log-based idf is not). Ties break on the term string, so the output
+    * is fully deterministic.
+    *
+    * Output: (id, term_rank, term, tf, df) — `k` rows per document (fewer
+    * for documents with under `k` distinct terms).
+    *
+    * Plan shape: tf is one (id, term)-keyed aggregate with map-side
+    * partial combine; df re-aggregates the tf table (already one row per
+    * (doc, term)) by term — document frequency without a distinct. The
+    * join back is term-keyed; the per-document top-k is a rank window
+    * partitioned by document id, which Spark executes as WindowGroupLimit
+    * (partial per-partition top-k before the shuffle). Nothing global,
+    * nothing collected. */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"))
+  }
+
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

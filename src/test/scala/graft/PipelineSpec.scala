@@ -786,4 +786,77 @@ class PipelineSpec extends SparkSpec {
     val r = Sequencer.range(spark, 5, 8, "n").as[Long].collect().toSeq
     assert(r == Seq(5L, 6L, 7L))
   }
+
+  test("spans chunks words into fixed windows with a short tail") {
+    val df = Seq(("a b c d e", 2), ("", 2)).toDF("text", "ignored")
+    val out = df.select(Dedup.spans(col("text"), 2)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "c d", "e"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("dedupSpans keeps only the globally first occurrence of each span") {
+    val df = Seq(
+      (1L, "a b c d"),       // spans: "a b", "c d" — both first
+      (2L, "c d e f"),       // "c d" repeats doc 1 -> dropped; "e f" kept
+      (3L, "a b a b"),       // both spans repeat "a b" -> doc empty
+      (4L, "")               // no spans at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "text", "doc_id", windowWords = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_kept", "text_dedup")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2, 2L, "a b c d"),
+      (2L, 2, 1L, "e f"),
+      (3L, 2, 0L, ""),
+      (4L, 0, 0L, "")))
+  }
+
+  test("dedupSpans within-document repeats keep the earliest position") {
+    val df = Seq((7L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "text", "doc_id", windowWords = 2)
+      .select("n_spans", "n_kept", "text_dedup").as[(Int, Long, String)].collect()(0)
+    assert(out == ((3, 1L, "x y")))
+  }
+
+  test("packSequences assigns concat-and-chunk pack ids per shard") {
+    val df = Seq(
+      // shard A: token counts 100, 100, 100 at budget 256
+      (1L, "A", 100L), (2L, "A", 100L), (3L, "A", 100L),
+      // shard B: a doc longer than the budget straddles multiple packs
+      (4L, "B", 300L), (5L, "B", 10L)
+    ).toDF("id", "shard", "toks")
+    val out = Packing.packSequences(df, col("toks"), col("shard"), col("id"), budget = 256)
+      .orderBy("id").select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L),    // starts at 0
+      (2L, 0L, 100L),  // starts at 100, same pack
+      (3L, 0L, 200L),  // starts at 200 — runs past the boundary into pack 1
+      (4L, 0L, 0L),    // shard B restarts at 0
+      (5L, 1L, 44L)))  // starts at 300 = pack 1, offset 44
+  }
+
+  test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
+    val df = Seq(
+      (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3
+      (2L, "common common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.salientTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term_rank")
+      .select("doc_id", "term_rank", "term", "tf", "df")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    assert(out.take(2) == Seq(
+      (1L, 1, "rare", 2L, 1L),
+      (1L, 2, "common", 1L, 3L)))
+    // doc 2: "common" tf=2 df=3 (0.667) beats "other" tf=1 df=2 (0.5)
+    assert(out.slice(2, 4) == Seq(
+      (2L, 1, "common", 2L, 3L),
+      (2L, 2, "other", 1L, 2L)))
+    // doc 3: tie at ratio? common 1/3 vs other 1/2 -> other first
+    assert(out.drop(4) == Seq(
+      (3L, 1, "other", 1L, 2L),
+      (3L, 2, "common", 1L, 3L)))
+  }
 }

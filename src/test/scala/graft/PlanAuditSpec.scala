@@ -234,6 +234,43 @@ class PlanAuditSpec extends SparkSpec {
       s.contains("BroadcastHashJoin"), s.take(2000))
   }
 
+  test("q_dedup_spans: winner election shuffles hashes, not span text") {
+    // keep-first is resolved on (xxhash64, id, pos): the aggregation
+    // exchange must carry the 8-byte hash + position struct only — if
+    // span STRINGS cross the winner-election shuffle, volume scales with
+    // corpus bytes instead of unique-span count
+    val p = preAqePlan("q_dedup_spans")
+    val winnerExchanges = shuffles(p).filter(_.child.output.exists(_.name == "__h"))
+    assert(winnerExchanges.nonEmpty, "expected the winner-election shuffle on __h")
+    for (e <- winnerExchanges)
+      assert(!e.child.output.exists(_.dataType ==
+        org.apache.spark.sql.types.StringType),
+        s"span text crosses the winner shuffle: ${e.child.output.map(a => s"${a.name}:${a.dataType}")}")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s.take(2000))
+  }
+
+  test("q_tfidf_terms: per-document top-k is rank-limited before the shuffle") {
+    // the k-per-document filter must run as WindowGroupLimit with a
+    // PARTIAL pass ahead of the window exchange — without it every
+    // (doc, term) row shuffles to the window instead of k per partition
+    val s = preAqePlan("q_tfidf_terms").toString
+    assert("WindowGroupLimit".r.findAllMatchIn(s).length >= 2, s.take(2000))
+  }
+
+  test("q_pack_sequences: running total is shard-partitioned, never global") {
+    // the cumulative token sum must window over hashpartitioning(source)
+    // — a global (SinglePartition) window would serialize the corpus
+    // through one task at 100 TB
+    val p = preAqePlan("q_pack_sequences")
+    val s = p.toString
+    assert(s.contains("hashpartitioning(source"), s.take(2000))
+    val winExchanges = shuffles(p).filter(
+      _.outputPartitioning.toString.contains("source"))
+    assert(winExchanges.nonEmpty && winExchanges.forall(
+      !_.outputPartitioning.toString.contains("SinglePartition")))
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
