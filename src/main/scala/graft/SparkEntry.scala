@@ -939,6 +939,23 @@ object SparkEntry {
         queryVec(s, dir), 20)
     }),
 
+    // ---- int8 scalar quantization of the embedding corpus (exact oracle:
+    //      the affine code arithmetic is order-fixed double math)
+    "q_embed_quantize" -> ((s, dir) => {
+      graft.pipeline.Similarity.quantizeInt8(T(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .selectColumns(Seq("vec_id", "q_lo", "q_scale", "q_codes"))
+        .warpSort(Seq(Order(col("vec_id"))))
+    }),
+
+    // ---- asymmetric quantized top-k (codes never reconstructed per-dim;
+    //      one kernel dot + stored-sum scalar arithmetic per row)
+    "q_embed_topk_q8" -> ((s, dir) => {
+      val q8 = graft.pipeline.Similarity.quantizeInt8(T(s, dir, "embeddings"),
+        "embedding", "vec_id")
+      graft.pipeline.Similarity.topKQuantized(q8, "vec_id", queryVec(s, dir), 20)
+    }),
+
     // ---- embedding-cosine near-dup pairs (no SQL oracle: hyperplane-
     //      seeded; recall pinned in PipelineSpec on planted duplicates)
     "q_dedup_embed" -> ((s, dir) => {
@@ -1873,6 +1890,55 @@ object SparkEntry {
                   FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
          FROM d ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "q_embed_quantize" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS q_lo,
+             (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+               AS q_scale
+           FROM embeddings
+         )
+         SELECT vec_id, q_lo, q_scale,
+           CASE WHEN q_scale > 0.0 THEN list_transform(embedding, x ->
+             least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - q_lo) / q_scale) AS INT))))
+           ELSE list_transform(embedding, x -> 0) END AS q_codes
+         FROM s ORDER BY vec_id""",
+    "q_embed_topk_q8" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS q_lo,
+             (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+               AS q_scale
+           FROM embeddings
+         ), c AS (
+           SELECT vec_id, q_lo, q_scale,
+             CASE WHEN q_scale > 0.0 THEN list_transform(embedding, x ->
+               least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - q_lo) / q_scale) AS INT))))
+             ELSE list_transform(embedding, x -> 0) END AS q_codes
+           FROM s
+         ), q AS (
+           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qd
+           FROM embeddings WHERE vec_id = 0
+         ), qc AS (
+           SELECT qd, len(qd) AS dim,
+             list_reduce(qd, (acc, v) -> acc + v) AS sumq,
+             sqrt(list_reduce(list_transform(qd, x -> x * x), (acc, v) -> acc + v)) AS normq
+           FROM q
+         ), d AS (
+           SELECT c.vec_id, c.q_lo, c.q_scale, qc.sumq, qc.normq, qc.dim,
+             list_reduce(list_transform(list_zip(c.q_codes, qc.qd),
+               p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, v) -> acc + v) AS dotcq,
+             list_reduce(list_transform(c.q_codes, x -> CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v) AS csum,
+             list_reduce(list_transform(c.q_codes, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v) AS csum2
+           FROM c, qc
+         )
+         SELECT vec_id,
+           (q_lo * sumq + q_scale * dotcq) /
+           (sqrt(CAST(dim AS DOUBLE) * q_lo * q_lo + 2.0 * q_lo * q_scale * csum +
+                 q_scale * q_scale * csum2) * normq) AS cosine_q8
+         FROM d ORDER BY cosine_q8 DESC, vec_id LIMIT 20""",
     "q_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
          FROM supplier ORDER BY s_suppkey""",

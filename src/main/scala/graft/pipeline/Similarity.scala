@@ -410,4 +410,70 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Int8 scalar quantization: per-vector (min, scale) affine codes —
+    * the memory-bandwidth scale path for ANN (a float32 corpus shrinks
+    * 4×; at 100 TB the scan is bandwidth-bound, so that is a 4× scan
+    * speedup before any algorithmic gain). Codes are
+    * `clamp(floor((x - lo) / scale), 0, 255)` with `scale =
+    * (hi - lo)/255`; a constant vector (hi == lo) codes to all-zeros.
+    *
+    * Alongside the codes, the per-row code sums `q_csum = Σc_i` and
+    * `q_csum2 = Σc_i²` are STORED (the stored-norm pattern): the
+    * asymmetric probe's reconstructed norm is pure scalar arithmetic
+    * over them, so probing never re-walks the codes except for the one
+    * query dot product. Both sums are integer-valued (≤ dim·255²) —
+    * exactly representable in doubles, so they are engine-reproducible
+    * with NO float-ordering caveat.
+    *
+    * Everything is element-wise double arithmetic in a fixed order —
+    * bit-reproducible by any engine evaluating the same formula (the
+    * DuckDB oracle hash-matches codes AND probe scores). Projections
+    * are staged so the min/max/scale aliases are multi-referenced and
+    * CollapseProject keeps them materialized — re-inlined into the
+    * transform lambda they would re-reduce the vector per ELEMENT
+    * (interpreted HOF lambdas re-evaluate bound expressions). */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val staged = df.select(col(idCol), col(vecCol).as("__v"),
+      array_min(col(vecCol)).cast("double").as("q_lo"),
+      ((array_max(col(vecCol)).cast("double") -
+        array_min(col(vecCol)).cast("double")) / 255.0).as("q_scale"))
+    val coded = staged.select(col(idCol), col("q_lo"), col("q_scale"),
+      when(col("q_scale") > 0.0,
+        transform(col("__v"), x => least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - col("q_lo")) / col("q_scale")).cast("int")))))
+        .otherwise(transform(col("__v"), _ => lit(0))).as("q_codes"))
+    val codesD = col("q_codes").cast("array<double>")
+    coded.select(col(idCol), col("q_lo"), col("q_scale"), col("q_codes"),
+      dot(codesD, array_repeat(lit(1.0), size(col("q_codes")))).as("q_csum"),
+      dot(codesD, codesD).as("q_csum2"))
+  }
+
+  /** Asymmetric top-k over an int8-quantized corpus (codes stay coded;
+    * the query stays float): cosine against the AFFINE RECONSTRUCTION
+    * `lo + c_i·scale`, decomposed so the per-row work is ONE kernel dot
+    * product over the codes —
+    *   dot(recon, q)  = lo·Σq + scale·dot(codes, q)
+    *   |recon|²       = n·lo² + 2·lo·scale·Σc + scale²·Σc²
+    * with Σc/Σc² read from the stored [[quantizeInt8]] columns and the
+    * query-side constants folded on the driver. Same
+    * TakeOrderedAndProject shape as [[bruteTopK]]. Score error vs exact
+    * cosine is bounded by the quantization step (pinned in
+    * PipelineSpec); ranking ties break on id. */
+  def topKQuantized(qdf: DataFrame, idCol: String, query: Seq[Float],
+                    k: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val sumQ = qd.sum
+    val normQ = math.sqrt(qd.map(x => x * x).sum)
+    val codesD = col("q_codes").cast("array<double>")
+    val dotCQ = dot(codesD, typedLit(qd))
+    val n = lit(qd.length.toDouble)
+    val dotRQ = col("q_lo") * lit(sumQ) + col("q_scale") * dotCQ
+    val norm2R = n * col("q_lo") * col("q_lo") +
+      lit(2.0) * col("q_lo") * col("q_scale") * col("q_csum") +
+      col("q_scale") * col("q_scale") * col("q_csum2")
+    qdf.select(col(idCol), (dotRQ / (sqrt(norm2R) * lit(normQ))).as("cosine_q8"))
+      .orderBy(col("cosine_q8").desc, col(idCol))
+      .limit(k)
+  }
 }

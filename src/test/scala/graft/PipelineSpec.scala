@@ -837,6 +837,34 @@ class PipelineSpec extends SparkSpec {
       (5L, 1L, 44L)))  // starts at 300 = pack 1, offset 44
   }
 
+  test("quantizeInt8 codes known vectors exactly and stores exact code sums") {
+    val df = Seq((1L, Seq(0f, 51f, 255f)), (2L, Seq(5f, 5f, 5f))).toDF("id", "vec")
+    val r = Similarity.quantizeInt8(df, "vec", "id").orderBy("id").collect()
+    assert(r(0).getDouble(1) == 0.0)          // q_lo
+    assert(r(0).getDouble(2) == 1.0)          // q_scale = (255-0)/255
+    assert(r(0).getSeq[Int](3) == Seq(0, 51, 255))
+    assert(r(0).getDouble(4) == 306.0)        // csum
+    assert(r(0).getDouble(5) == 51.0 * 51 + 255.0 * 255) // csum2
+    // constant vector: scale 0, all-zero codes
+    assert(r(1).getDouble(2) == 0.0)
+    assert(r(1).getSeq[Int](3) == Seq(0, 0, 0))
+  }
+
+  test("topKQuantized keeps the self-match and high overlap with exact top-k") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(5)._2
+    val exact = Similarity.bruteTopK(df, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val q8 = Similarity.quantizeInt8(df, "embedding", "vec_id")
+    val approx = Similarity.topKQuantized(q8, "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(approx.head == 5L, s"self-match lost: $approx")
+    assert(exact.toSet.intersect(approx.toSet).size >= 7,
+      s"q8 recall too low: exact=$exact approx=$approx")
+  }
+
   test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
     val df = Seq(
       (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3

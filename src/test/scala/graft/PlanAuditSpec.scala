@@ -271,6 +271,18 @@ class PlanAuditSpec extends SparkSpec {
       !_.outputPartitioning.toString.contains("SinglePartition")))
   }
 
+  test("q_embed_topk_q8: quantized probe is map-only into per-partition heaps") {
+    val p = preAqePlan("q_embed_topk_q8")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+    assert(shuffles(p).isEmpty, "quantized probe must not shuffle")
+    // the staged min/max/scale aliases must stay materialized: re-inlined
+    // into the coding lambda by CollapseProject they re-reduce the vector
+    // once per ELEMENT (interpreted HOF lambdas re-evaluate bound exprs)
+    assert("lambdafunction[^\\n]*array_min".r.findFirstIn(s).isEmpty,
+      "array_min re-inlined into the transform lambda")
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
