@@ -790,6 +790,16 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- domain-balanced quality filter: top 80% per source by score
+    "q_quality_topfrac" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .calculate(Seq("score" -> graft.pipeline.TextAnalysis.qualityScore(col("text"))))
+      graft.pipeline.Sampling.keepTopFraction(scored, col("score"),
+          col("source"), col("doc_id"), 0.8)
+        .selectColumns(Seq("doc_id", "source", "score", "keep_frac"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- top-k salient terms per document (tf/df ranking)
     "q_tfidf_terms" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.salientTerms(T(s, dir, "documents"), "doc_id", "text", 3)
@@ -1656,6 +1666,31 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_quality_topfrac" ->
+      """WITH c AS (
+           SELECT doc_id, source,
+             least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
+             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END AS punct
+           FROM documents
+         ), sc AS (
+           SELECT doc_id, source,
+             least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
+             greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
+           FROM c
+         ), r AS (
+           SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+               AS keep_frac
+           FROM sc
+         )
+         SELECT doc_id, source, score, keep_frac FROM r
+         WHERE keep_frac <= 0.8 ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",

@@ -73,4 +73,26 @@ object Sampling {
     }
     df.filter(b < threshold)
   }
+
+  /** Domain-balanced score filtering: keep the top `frac` of rows PER
+    * SHARD by `scoreCol` (the curation move that a global threshold gets
+    * wrong — one high-scoring domain would crowd out every other). Rank
+    * position is percent_rank over (score desc, tie), so the cut is
+    * exact, reproducible, and engine-portable: percent_rank is the
+    * integer ratio (rank-1)/(n-1), and `tieCol` (unique per shard) makes
+    * the ordering total — no nondeterministic boundary rows.
+    *
+    * Scale shape: one exchange hash-partitioned by shard + a per-shard
+    * sort — the same shape as [[graft.pipeline.Packing.packSequences]];
+    * nothing global, nothing collected. Shards must be numerous enough
+    * to spread (domains/files, not a 3-value column) — the same contract
+    * as any partitioned window. */
+  def keepTopFraction(df: DataFrame, scoreCol: Column, shardCol: Column,
+                      tieCol: Column, frac: Double,
+                      out: String = "keep_frac"): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0, 1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(scoreCol.desc, tieCol)
+    df.withColumn(out, percent_rank().over(w)).filter(col(out) <= frac)
+  }
 }

@@ -837,6 +837,18 @@ class PipelineSpec extends SparkSpec {
       (5L, 1L, 44L)))  // starts at 300 = pack 1, offset 44
   }
 
+  test("keepTopFraction keeps the per-shard score leaders with an exact cut") {
+    val df = Seq(
+      // shard A: 5 rows, frac 0.5 -> percent_rank <= 0.5 keeps ranks 1-3
+      (1L, "A", 0.9), (2L, "A", 0.8), (3L, "A", 0.7), (4L, "A", 0.2), (5L, "A", 0.1),
+      // shard B: ties at 0.5 resolved by id (asc), frac 0.5 of 3 rows
+      (6L, "B", 0.5), (7L, "B", 0.5), (8L, "B", 0.4)
+    ).toDF("id", "shard", "score")
+    val kept = Sampling.keepTopFraction(df, col("score"), col("shard"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L))
+  }
+
   test("quantizeInt8 codes known vectors exactly and stores exact code sums") {
     val df = Seq((1L, Seq(0f, 51f, 255f)), (2L, Seq(5f, 5f, 5f))).toDF("id", "vec")
     val r = Similarity.quantizeInt8(df, "vec", "id").orderBy("id").collect()

@@ -283,6 +283,13 @@ class PlanAuditSpec extends SparkSpec {
       "array_min re-inlined into the transform lambda")
   }
 
+  test("q_quality_topfrac: per-shard cut windows over hashpartitioning, not global") {
+    val p = preAqePlan("q_quality_topfrac")
+    val s = p.toString
+    assert(s.contains("hashpartitioning(source"), s.take(2000))
+    assert(!s.contains("SinglePartition"), "global window in the per-shard cut")
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
