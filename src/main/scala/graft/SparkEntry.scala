@@ -790,6 +790,29 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- per-source corpus report card: counts, token totals, mean
+    //      quality (decimal-exact), corpus-wide duplicate incidence
+    "q_corpus_stats" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      val docs = T(s, dir, "documents")
+      // plant duplicates so the dup column exercises: docs 0-24 re-appear
+      val planted = docs.warpFilter(col("doc_id") < 25)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 300000)))
+      val enriched = docs.warpUnion(planted).calculate(Seq(
+        "fp" -> ta.fingerprintMd5(col("text")),
+        "ntok" -> ta.tokenCountWs(col("text")).cast("long"),
+        "score" -> ta.qualityScore(col("text"))))
+      val dupFps = enriched.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("fp"), lit(true).as("__dup"))
+      enriched.join(dupFps, Seq("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("tok_total"),
+          davg(col("score")).as("avg_quality"),
+          count(col("__dup")).as("n_dup_docs"))
+        .orderBy("source")
+    }),
+
     // ---- domain-balanced quality filter: top 80% per source by score
     "q_quality_topfrac" -> ((s, dir) => {
       val scored = T(s, dir, "documents")
@@ -1666,6 +1689,36 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """WITH base AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 300000, text, source FROM documents WHERE doc_id < 25
+         ), f AS (
+           SELECT source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+               AS ntok,
+             least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.4 +
+             least((CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+             greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(text) ELSE 0.0 END) * 5.0) * 0.3 AS score
+           FROM base
+         ), d AS (
+           SELECT fp FROM f GROUP BY fp HAVING count(*) > 1
+         )
+         SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS tok_total,
+           CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) / count(score) AS avg_quality,
+           count(d.fp) AS n_dup_docs
+         FROM f LEFT JOIN d USING (fp)
+         GROUP BY source ORDER BY source""",
     "q_quality_topfrac" ->
       """WITH c AS (
            SELECT doc_id, source,

@@ -456,6 +456,89 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupSpans invariants: survivors unique, tokens preserved, counts consistent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val genDoc: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (trial <- 1 to 3) {
+      val docs = samples(genDoc, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.pipeline.Dedup.dedupSpans(df, "text", "doc_id", windowWords = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+      // every input row survives with n_kept <= n_spans
+      assert(out.map(_._1).sorted == docs.map(_._1))
+      out.foreach { case (_, nSpans, nKept, _) => assert(nKept <= nSpans) }
+      // surviving spans are globally unique (re-chunk the dedup output:
+      // spans survive in place, so re-chunking reproduces them)
+      val survived = out.flatMap { case (_, _, _, t) =>
+        if (t.isEmpty) Seq.empty else t.split(" ").grouped(3).map(_.mkString(" ")).toSeq }
+      assert(survived.distinct.size == survived.size,
+        s"duplicate span survived: $survived")
+      // kept token multiset is a subset of the input multiset
+      val inTokens = docs.flatMap(_._2.split(" ").filter(_.nonEmpty)).groupBy(identity)
+      val outTokens = out.flatMap(_._4.split(" ").filter(_.nonEmpty)).groupBy(identity)
+      outTokens.foreach { case (w, occ) =>
+        assert(inTokens.getOrElse(w, Seq.empty).size >= occ.size) }
+    }
+  }
+
+  test("packSequences laws: offsets in range, streams contiguous per shard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genTok: Gen[Long] = Gen.chooseNum(0L, 500L)
+    for (trial <- 1 to 3) {
+      val rows = samples(genTok, 50).zipWithIndex.map { case (t, i) =>
+        (i.toLong, s"shard${i % 4}", t) }
+      val df = rows.toDF("id", "shard", "toks")
+      val out = graft.pipeline.Packing.packSequences(df, col("toks"), col("shard"), col("id"), budget = 128)
+        .select("id", "shard", "n_tokens", "pack_id", "pack_offset")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      out.foreach { case (_, _, _, packId, off) =>
+        assert(off >= 0 && off < 128); assert(packId >= 0) }
+      // global position = pack_id*budget + offset must equal the running
+      // total of everything before the row in its shard's id order
+      out.groupBy(_._2).foreach { case (_, shard) =>
+        var cum = 0L
+        shard.sortBy(_._1).foreach { case (_, _, n, packId, off) =>
+          assert(packId * 128 + off == cum, s"gap in stream at cum=$cum")
+          cum += n
+        }
+      }
+    }
+  }
+
+  test("quantizeInt8 law: reconstruction error bounded by one quantization step") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val genVec: Gen[Seq[Float]] = Gen.listOfN(12,
+      Gen.chooseNum(-100f, 100f)).map(_.toSeq)
+    for (trial <- 1 to 3) {
+      val vecs = samples(genVec, 40).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("id", "vec")
+      val q = graft.pipeline.Similarity.quantizeInt8(df, "vec", "id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Int](3), r.getDouble(4), r.getDouble(5))).toSeq
+      val byId = vecs.toMap
+      q.foreach { case (id, lo, scale, codes, csum, csum2) =>
+        val orig = byId(id)
+        assert(codes.length == orig.length)
+        assert(codes.forall(c => c >= 0 && c <= 255))
+        // stored sums are exactly the integer sums of the codes
+        assert(csum == codes.map(_.toDouble).sum)
+        assert(csum2 == codes.map(c => c.toDouble * c).sum)
+        // affine reconstruction lands within one step of the original
+        orig.zip(codes).foreach { case (x, c) =>
+          val recon = lo + c * scale
+          val bound = math.max(scale, 1e-9) * (1 + 1e-9)
+          assert(math.abs(recon - x) <= bound,
+            s"recon error ${math.abs(recon - x)} > step $scale (id=$id)")
+        }
+      }
+    }
+  }
+
   test("dbf: write-read roundtrip is the identity on its value domain") {
     // the format's own lossy edges are excluded by construction: strings
     // are Latin-1 without leading/trailing blanks ("" reads as null), and
