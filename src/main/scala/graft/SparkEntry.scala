@@ -790,6 +790,19 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- temperature-flattened source mixing (alpha = 0.5); a planted
+    //      head domain (src0 grows 5x) gets trimmed, tail sources kept
+    "q_temperature_mix" -> ((s, dir) => {
+      val base = T(s, dir, "documents").selectColumns(Seq("doc_id", "source"))
+      val planted = T(s, dir, "documents").warpFilter(col("doc_id") < 100)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 400000),
+          "source" -> lit("src0")))
+        .selectColumns(Seq("doc_id", "source"))
+      graft.pipeline.Sampling.temperatureSample(base.warpUnion(planted),
+          col("source"), col("doc_id"), alpha = 0.5)
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- per-source corpus report card: counts, token totals, mean
     //      quality (decimal-exact), corpus-wide duplicate incidence
     "q_corpus_stats" -> ((s, dir) => {
@@ -1689,6 +1702,29 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_temperature_mix" ->
+      """WITH base AS (
+           SELECT doc_id, source FROM documents
+           UNION ALL
+           SELECT doc_id + 400000, 'src0' FROM documents WHERE doc_id < 100
+         ), n AS (
+           SELECT source, count(*) AS n FROM base GROUP BY source
+         ), w AS (
+           SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n
+         ), t AS (
+           SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum,
+                  CAST(sum(n) AS BIGINT) AS ntot
+           FROM w
+         ), tg AS (
+           SELECT source, floor(ntot * w / wsum) AS target FROM w, t
+         ), r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM base
+         )
+         SELECT r.doc_id, r.source FROM r JOIN tg USING (source)
+         WHERE rn <= target ORDER BY doc_id""",
     "q_corpus_stats" ->
       """WITH base AS (
            SELECT doc_id, text, source FROM documents

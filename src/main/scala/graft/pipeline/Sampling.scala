@@ -74,6 +74,49 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** Temperature-based source mixing (α-sampling, the standard
+    * pretraining-mixture move): reallocate the corpus total across
+    * classes proportionally to `n_c^α` — α < 1 flattens the source
+    * distribution so head domains stop drowning the tail — then keep
+    * each class's allocation deterministically (smallest md5-rank rows,
+    * the [[hashBucket]] philosophy: no rand(), engine-reproducible).
+    *
+    * A filter cannot upsample, so classes whose allocation exceeds their
+    * size keep everything (true α-sampling upsamples tail classes WITH
+    * replacement; do that at data-loader time from the allocation this
+    * emits). α = 0.5 (the default) uses sqrt, which is IEEE
+    * correctly-rounded in every engine — the allocation is
+    * bit-reproducible and SQL-oracle-checkable; other α go through pow,
+    * whose last-ulp behavior is libm-specific.
+    *
+    * Scale shape: one small per-class aggregate (map-side combine →
+    * class-cardinality rows), weight normalization through the
+    * exact-decimal sum (order-free — a double sum over partial
+    * aggregates would be partition-order-dependent), a BROADCAST of the
+    * class→allocation table, and a per-class md5-rank window — the
+    * corpus shuffles once, by class. */
+  def temperatureSample(df: DataFrame, classCol: Column, idCol: Column,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(classCol.as("__cls")).agg(count(lit(1)).as("__n"))
+    val wExpr = if (alpha == 0.5) sqrt(col("__n").cast("double"))
+                else org.apache.spark.sql.functions.pow(col("__n").cast("double"), alpha)
+    val weights = counts.select(col("__cls"), col("__n"), wExpr.as("__w"))
+    val tot = weights.agg(
+      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("__wsum"),
+      sum(col("__n")).as("__ntot"))
+    val targets = weights.crossJoin(broadcast(tot))
+      .select(col("__cls"),
+        floor(col("__ntot") * col("__w") / col("__wsum")).as("__target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol).orderBy(md5(idCol.cast("string")), idCol)
+    df.join(broadcast(targets), classCol === col("__cls"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__cls", "__target", "__rn")
+  }
+
   /** Domain-balanced score filtering: keep the top `frac` of rows PER
     * SHARD by `scoreCol` (the curation move that a global threshold gets
     * wrong — one high-scoring domain would crowd out every other). Rank

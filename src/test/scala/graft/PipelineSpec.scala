@@ -837,6 +837,24 @@ class PipelineSpec extends SparkSpec {
       (5L, 1L, 44L)))  // starts at 300 = pack 1, offset 44
   }
 
+  test("temperatureSample flattens head classes and caps at availability") {
+    // class sizes 16/4/1, alpha 0.5 -> weights 4/2/1, wsum 7, ntot 21
+    // -> allocations floor(21*4/7)=12, floor(21*2/7)=6, floor(21*1/7)=3
+    // -> keeps 12 (head trimmed), 4 (capped), 1 (capped)
+    val rows = (1L to 16L).map(i => (i, "big")) ++
+      (17L to 20L).map(i => (i, "mid")) ++ Seq((21L, "tiny"))
+    val df = rows.toDF("id", "cls")
+    val kept = Sampling.temperatureSample(df, col("cls"), col("id"), 0.5)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("big" -> 12L, "mid" -> 4L, "tiny" -> 1L))
+    // deterministic: same input -> identical row set
+    val again = Sampling.temperatureSample(df, col("cls"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.temperatureSample(df, col("cls"), col("id"), 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("keepTopFraction keeps the per-shard score leaders with an exact cut") {
     val df = Seq(
       // shard A: 5 rows, frac 0.5 -> percent_rank <= 0.5 keeps ranks 1-3

@@ -283,6 +283,15 @@ class PlanAuditSpec extends SparkSpec {
       "array_min re-inlined into the transform lambda")
   }
 
+  test("q_temperature_mix: allocations broadcast; rank window per class") {
+    val p = preAqePlan("q_temperature_mix")
+    val s = p.toString
+    // the class->allocation table must broadcast into the corpus (a
+    // shuffle join would move the corpus for a class-cardinality table)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(s.contains("hashpartitioning(source"), s.take(2000))
+  }
+
   test("q_quality_topfrac: per-shard cut windows over hashpartitioning, not global") {
     val p = preAqePlan("q_quality_topfrac")
     val s = p.toString
