@@ -495,7 +495,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
           x => x.getField("__span")), " ").as("text_dedup"))
-    df.select(col(idCol), size(spans(col(textCol), windowWords)).as("n_spans"))
+    df.select(col(idCol),
+        coalesce(size(spans(col(textCol), windowWords)), lit(0)).as("n_spans"))
       .join(rebuilt, col(idCol) === col("__id"), "left")
       .select(col(idCol), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -76,6 +76,26 @@ object EventStream {
     dedupStream(scored, Seq("fp"), tsCol, lateness)
   }
 
+  /** Streaming dedup against a HISTORICAL corpus: drop stream documents
+    * whose normalized-content fingerprint already exists in a static
+    * fingerprint table (the batch corpus indexed once with
+    * [[graft.pipeline.TextAnalysis.fingerprint64]]), THEN watermark-dedup
+    * within the stream itself. Stream-static joins are stateless on the
+    * static side — Spark re-broadcasts/joins per micro-batch without
+    * accumulating state — so corpus size does not grow streaming state;
+    * only the within-stream dedup holds (watermark-bounded) keys. This
+    * is the ingest-time form of [[graft.pipeline.Dedup.exact]]: new data
+    * never re-introduces content the corpus already has. */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame,
+                         textCol: String, tsCol: String,
+                         lateness: String = "10 minutes"): DataFrame = {
+    val fps = corpusFps.select(col("fp"))
+    val tagged = docs.withColumn("fp",
+      graft.pipeline.TextAnalysis.fingerprint64(col(textCol)))
+    dedupStream(tagged.join(fps, Seq("fp"), "left_anti"),
+      Seq("fp"), tsCol, lateness)
+  }
+
   /** Streaming CONTAMINATION flagging: annotate a document stream with
     * `overlap` = the count of distinct word n-grams it shares with a
     * STATIC probe set (an eval benchmark) — the decontamination gate

@@ -801,6 +801,7 @@ class PipelineSpec extends SparkSpec {
       (3L, "a b a b"),       // both spans repeat "a b" -> doc empty
       (4L, "")               // no spans at all
     ).toDF("doc_id", "text")
+      .unionByName(Seq((5L, Option.empty[String])).toDF("doc_id", "text"))
     val out = Dedup.dedupSpans(df, "text", "doc_id", windowWords = 2)
       .orderBy("doc_id")
       .select("doc_id", "n_spans", "n_kept", "text_dedup")
@@ -809,7 +810,8 @@ class PipelineSpec extends SparkSpec {
       (1L, 2, 2L, "a b c d"),
       (2L, 2, 1L, "e f"),
       (3L, 2, 0L, ""),
-      (4L, 0, 0L, "")))
+      (4L, 0, 0L, ""),
+      (5L, 0, 0L, "")))   // null text survives as an empty row
   }
 
   test("dedupSpans within-document repeats keep the earliest position") {

@@ -190,6 +190,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupAgainstCorpus drops known content, then dedups within the stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "old document one"), (2L, "old document two"))
+      .toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      graft.pipeline.TextAnalysis.fingerprint64(col("text")).as("fp"))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = EventStream.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text", "ts"), corpusFps, "text", "ts")
+    val query = deduped.writeStream.format("memory").queryName("corpusdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(
+        (10L, "old document one", t0),   // already in corpus -> dropped
+        (11L, "fresh document", t0),     // new -> kept
+        (12L, "fresh document", t0))     // stream-repeat -> dropped
+      query.processAllAvailable()
+      input.addData((13L, "old document two", t0), // corpus hit, batch 2
+        (14L, "another fresh one", t0))
+      query.processAllAvailable()
+      val got = spark.table("corpusdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(11L, 14L), s"got $got")
+    } finally query.stop()
+  }
+
   test("contaminationFlagStream: overlaps match the batch operator, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = Seq((100L, "alpha beta gamma delta qqq")).toDF("doc_id", "text")
