@@ -790,6 +790,33 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- CURATION CHAIN v2, oracle-verified END-TO-END: sub-document
+    //      span dedup -> quality score on the deduped text -> top-80%
+    //      per-source cut -> temperature-flattened mixing -> sequence
+    //      packing. Every stage is an already-oracle-proven operator;
+    //      this entry proves the COMPOSITION (the thing a user actually
+    //      runs) against one DuckDB query assembled from the same
+    //      recipes. Scale shape = the union of the stages' pinned
+    //      shapes: hash-only winner election, shard-partitioned windows,
+    //      broadcast allocations — nothing global, nothing collected.
+    "q_curate_packed" -> ((s, dir) => {
+      val ta = graft.pipeline.TextAnalysis
+      val docs = T(s, dir, "documents")
+      val dd = graft.pipeline.Dedup.dedupSpans(docs, "text", "doc_id", 10)
+        .warpFilter(col("n_kept") > 0)
+        .selectColumns(Seq("doc_id", "text_dedup"))
+      val joined = dd.join(docs.selectColumns(Seq("doc_id", "source")), Seq("doc_id"))
+      val scored = joined.calculate(Seq("score" -> ta.qualityScore(col("text_dedup"))))
+      val cut = graft.pipeline.Sampling.keepTopFraction(scored, col("score"),
+        col("source"), col("doc_id"), 0.8)
+      val mixed = graft.pipeline.Sampling.temperatureSample(cut,
+        col("source"), col("doc_id"), 0.5)
+      graft.pipeline.Packing.packSequences(mixed,
+          ta.tokenCountWs(col("text_dedup")), col("source"), col("doc_id"), 256)
+        .selectColumns(Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- temperature-flattened source mixing (alpha = 0.5); a planted
     //      head domain (src0 grows 5x) gets trimmed, tail sources kept
     "q_temperature_mix" -> ((s, dir) => {
@@ -1702,6 +1729,73 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_curate_packed" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+         ), sp AS (
+           SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                  array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS span
+           FROM words, unnest(generate_series(1, ((len(ws) - 1) // 10) + 1)) AS t(i)
+         ), keep AS (
+           SELECT doc_id, pos, span,
+                  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+           FROM sp
+         ), agg AS (
+           SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS td
+           FROM keep WHERE rn = 1 GROUP BY doc_id
+         ), dd AS (
+           SELECT d.doc_id, d.source, a.td FROM documents d JOIN agg a USING (doc_id)
+         ), sc AS (
+           SELECT doc_id, source, td,
+             least(CAST(length(td) AS DOUBLE) / 1000.0, 1.0) * 0.4 +
+             least((CASE WHEN len(string_split_regex(trim(lower(td)), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(td)), '\s+'),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(td)), '\s+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+             greatest(0.0, 1.0 - (CASE WHEN length(td) > 0 THEN
+               CAST(length(td) - length(regexp_replace(td, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(td) ELSE 0.0 END) * 5.0) * 0.3 AS score
+           FROM dd
+         ), cut AS (
+           SELECT doc_id, source, td FROM (
+             SELECT doc_id, source, td,
+               percent_rank() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS kf
+             FROM sc)
+           WHERE kf <= 0.8
+         ), n AS (
+           SELECT source, count(*) AS n FROM cut GROUP BY source
+         ), w AS (
+           SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n
+         ), t2 AS (
+           SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wsum,
+                  CAST(sum(n) AS BIGINT) AS ntot
+           FROM w
+         ), tg AS (
+           SELECT source, floor(ntot * w / wsum) AS target FROM w, t2
+         ), r AS (
+           SELECT doc_id, source, td,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM cut
+         ), mixed AS (
+           SELECT r.doc_id, r.source, r.td FROM r JOIN tg USING (source)
+           WHERE rn <= target
+         ), toks AS (
+           SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(td)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(td)), '\s+')) END AS BIGINT)
+               AS n_tokens
+           FROM mixed
+         ), strts AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS strt
+           FROM toks
+         )
+         SELECT doc_id, source, n_tokens,
+                CAST(strt // 256 AS BIGINT) AS pack_id,
+                CAST(strt % 256 AS BIGINT) AS pack_offset
+         FROM strts ORDER BY doc_id""",
     "q_temperature_mix" ->
       """WITH base AS (
            SELECT doc_id, source FROM documents
