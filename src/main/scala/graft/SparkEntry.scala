@@ -163,6 +163,16 @@ object SparkEntry {
     centroidCache.getOrElseUpdate(path,
       graft.pipeline.Similarity.ivfReadCentroids(s, path))
 
+  /** PQ codebook fixture memo (the centroidCache pattern): training is a
+    * deterministic k-row sample — one bounded collect per data directory,
+    * keyed by the data fingerprint so regenerated data refreshes it. */
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(idxRoot(s, dir),
+      graft.pipeline.Similarity.pqTrain(T(s, dir, "embeddings"),
+        "embedding", "vec_id", m = 8, k = 256))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregate (Data.swift:260-263): grouped agg with computed measures
@@ -1010,6 +1020,17 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       graft.pipeline.Similarity.bruteTopK(emb, "embedding", "vec_id",
         queryVec(s, dir), 20)
+    }),
+
+    // ---- product-quantized top-k (no SQL oracle: xxhash64-sampled
+    //      codebooks; recall pinned in PipelineSpec). 32x corpus
+    //      compression (dim*4 bytes -> m bytes); probe = m table lookups
+    //      per row via the asymmetric-distance table
+    "q_embed_pq" -> ((s, dir) => {
+      val books = pqBooks(s, dir)
+      val enc = graft.pipeline.Similarity.pqEncode(T(s, dir, "embeddings"),
+        "embedding", "vec_id", books)
+      graft.pipeline.Similarity.pqTopK(enc, books, "vec_id", queryVec(s, dir), 20)
     }),
 
     // ---- int8 scalar quantization of the embedding corpus (exact oracle:

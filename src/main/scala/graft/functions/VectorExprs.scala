@@ -254,3 +254,115 @@ object DotProductExpr {
     Double.box(acc)
   }
 }
+
+/** Product-quantization encoder: split the vector into `m` equal
+  * subspaces and emit, per subspace, the index of the nearest codebook
+  * centroid (L2, ties to the lowest index — deterministic). Codebooks
+  * are frozen into the expression like [[SketchExpr]]'s planes; one
+  * static call per row inside whole-stage codegen — the declarative
+  * m×k-argmin formulation would run interpreted per element.
+  *
+  * Output: array<int> of length m (code j in [0, k)). Null/ragged
+  * input nulls out, same contract as the other vector kernels. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val m = codebooks.length
+  private val k = if (m == 0) 0 else codebooks(0).length
+  private val sub = if (k == 0) 0 else codebooks(0)(0).length
+  require(m > 0 && k > 0 && sub > 0 &&
+    codebooks.forall(cb => cb.length == k && cb.forall(_.length == sub)),
+    "PQ codebooks must be non-empty and rectangular (m x k x sub)")
+
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](m * k * sub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        System.arraycopy(codebooks(j)(c), 0, f, (j * k + c) * sub, sub)
+        c += 1
+      }
+      j += 1
+    }
+    f
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  // explicit pin of the UnaryExpression default: pure function of the child
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>/array<double> input, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    PqEncodeExpr.compute(v.asInstanceOf[ArrayData], isFloat, flat, m, k, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fl = isFloat
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("pqcodes")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        ArrayData ${ev.value} = null;
+        if (!${c.isNull}) {
+          ArrayData $out = graft.functions.PqEncodeExpr.compute(
+            ${c.value}, $fl, $cbRef, $m, $k, $sub);
+          if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  def compute(v: ArrayData, vFloat: Boolean, flat: Array[Double],
+              m: Int, k: Int, sub: Int): ArrayData = {
+    if (v.numElements() != m * sub) return null
+    val vec = new Array[Double](m * sub)
+    var i = 0
+    while (i < vec.length) {
+      if (v.isNullAt(i)) return null
+      vec(i) = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        val off = (j * k + c) * sub
+        var d = 0
+        while (d < sub) {
+          val diff = vec(j * sub + d) - flat(off + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = c } // strict: ties keep lowest c
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+}

@@ -411,6 +411,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization codebooks from a deterministic corpus sample:
+    * the `k` vectors with the smallest `xxhash64(id, seed)` become the
+    * centroids of EVERY subspace (codebook j = subspace j of the same
+    * sample — the standard sampled-codebook initialization; Lloyd
+    * refinement per subspace would tighten cells but break exact
+    * reproducibility, the [[ivfIndex]] caveat). Driver memory is
+    * k·dim doubles — bounded, independent of corpus size. */
+  def pqTrain(df: DataFrame, vecCol: String, idCol: String,
+              m: Int = 8, k: Int = 256, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sampled = df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sampled.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = sampled(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m, sampled.length)((j, c) => sampled(c).slice(j * sub, (j + 1) * sub))
+  }
+
+  /** Encode a corpus against PQ codebooks: per row, the m nearest-centroid
+    * codes (ONE native kernel call — [[graft.functions.PqEncodeExpr]])
+    * plus the reconstruction norm, which is pure table lookup: subspaces
+    * are orthogonal, so |recon|² = Σ_j |cb_j[code_j]|², read from an
+    * m·k literal of precomputed centroid norms. The corpus never moves:
+    * encode is a map-only projection; store the (id, codes, norm) table
+    * next to the corpus and the float vectors never need scanning again
+    * (dim·4 bytes → m bytes per row, 32× at dim 64 / m 8). */
+  def pqEncode(df: DataFrame, vecCol: String, idCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val m = codebooks.length; val k = codebooks(0).length
+    val norms2 = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
+    val codes = C(graft.functions.PqEncodeExpr(E(col(vecCol)), codebooks))
+    val staged = df.select(col(idCol), codes.as("pq_codes"))
+    staged.select(col(idCol), col("pq_codes"),
+      sqrt(aggregate(zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(typedLit(norms2.toSeq), (j * k + c + 1).cast("int"))),
+        lit(0.0), _ + _)).as("pq_norm"))
+  }
+
+  /** Asymmetric-distance PQ top-k: the query precomputes its m·k dot
+    * table against the codebooks on the driver; per corpus row the score
+    * is m table lookups + one divide — no per-dimension work at all.
+    * Approximate by construction (quantization error); recall is pinned
+    * in PipelineSpec. Same shuffle-free TakeOrderedAndProject shape as
+    * [[bruteTopK]]. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Double]]],
+             idCol: String, query: Seq[Float], kTop: Int): DataFrame = {
+    val m = codebooks.length; val k = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    require(query.length == m * sub, s"query dim ${query.length} != ${m * sub}")
+    val qd = query.map(_.toDouble)
+    val table = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map(c => c.indices.map(d => c(d) * qd(j * sub + d)).sum)
+    }
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    val dotT = aggregate(zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
+      (c, j) => element_at(typedLit(table.toSeq), (j * k + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+    encoded.select(col(idCol), (dotT / (col("pq_norm") * lit(qNorm))).as("cosine_pq"))
+      .orderBy(col("cosine_pq").desc, col(idCol))
+      .limit(kTop)
+  }
+
   /** Int8 scalar quantization: per-vector (min, scale) affine codes —
     * the memory-bandwidth scale path for ANN (a float32 corpus shrinks
     * 4×; at 100 TB the scan is bandwidth-bound, so that is a 4× scan

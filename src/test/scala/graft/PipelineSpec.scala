@@ -897,6 +897,46 @@ class PipelineSpec extends SparkSpec {
       s"q8 recall too low: exact=$exact approx=$approx")
   }
 
+  test("pq encode picks nearest subspace centroids; ties go to the lowest code") {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    // m=2 subspaces of 2 dims; codebooks: subspace 0 has centroids
+    // (0,0) and (10,10); subspace 1 has (5,5) and (-5,-5)
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)))
+    val df = Seq(
+      (1L, Seq(1f, 1f, 4f, 4f)),     // -> codes (0, 0)
+      (2L, Seq(9f, 9f, -4f, -6f)),   // -> codes (1, 1)
+      (3L, Seq(5f, 5f, 0f, 0f))      // equidistant twice -> ties -> (0, 0)
+    ).toDF("id", "vec")
+    val out = df.select(col("id"),
+        C(graft.functions.PqEncodeExpr(E(col("vec")), books)).as("codes"))
+      .orderBy("id").as[(Long, Seq[Int])].collect().toSeq
+    assert(out == Seq((1L, Seq(0, 0)), (2L, Seq(1, 1)), (3L, Seq(0, 0))))
+    // ragged input nulls out
+    val bad = Seq((9L, Seq(1f, 2f, 3f))).toDF("id", "vec")
+      .select(C(graft.functions.PqEncodeExpr(E(col("vec")), books)).as("codes"))
+      .collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
+  test("pqTopK keeps the self-match and reasonable overlap with exact top-k") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "embedding", "vec_id", m = 4, k = 64, seed = 1L)
+    val enc = Similarity.pqEncode(df, "embedding", "vec_id", books)
+    assert(enc.count() == 300)
+    val query = vecs(9)._2
+    val exact = Similarity.bruteTopK(df, "embedding", "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val approx = Similarity.pqTopK(enc, books, "vec_id", query, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(approx.head == 9L, s"self-match lost: $approx")
+    assert(exact.toSet.intersect(approx.toSet).size >= 5,
+      s"pq recall too low: exact=$exact approx=$approx")
+  }
+
   test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
     val df = Seq(
       (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3
