@@ -146,11 +146,28 @@ object SparkEntry {
     path
   }
 
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    s"${idxRoot(s, dir)}/pqm8k256"
+
+  /** Build-if-missing; returns the PQ index path (codebooks persisted
+    * beside it). */
+  def ensurePqIndex(s: SparkSession, dir: String): String = {
+    val path = pqIndexPath(s, dir)
+    if (!indexExists(s, path)) {
+      val emb = T(s, dir, "embeddings")
+      val books = graft.pipeline.Similarity.pqTrain(emb, "embedding", "vec_id",
+        m = 8, k = 256)
+      graft.pipeline.Similarity.pqWriteIndex(emb, "embedding", "vec_id", books, path)
+    }
+    path
+  }
+
   /** Amortization hook: build every persisted index once (Bench calls this
     * untimed before the query loop, mirroring a warehouse's index job). */
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     ensureLshIndex(s, dir)
     ensureIvfIndex(s, dir)
+    ensurePqIndex(s, dir)
   }
 
   /** IVF centroid table memo: the centroids ARE the in-memory half of the
@@ -163,15 +180,15 @@ object SparkEntry {
     centroidCache.getOrElseUpdate(path,
       graft.pipeline.Similarity.ivfReadCentroids(s, path))
 
-  /** PQ codebook fixture memo (the centroidCache pattern): training is a
-    * deterministic k-row sample — one bounded collect per data directory,
-    * keyed by the data fingerprint so regenerated data refreshes it. */
+  /** PQ codebook memo (the centroidCache pattern): the codebooks are the
+    * in-memory half of the PQ index — a deployment loads them once at
+    * startup, not once per probe. Keyed by index path; the build query
+    * invalidates after rewriting. */
   private val pqCache =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Array[Double]]]]
-  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate(idxRoot(s, dir),
-      graft.pipeline.Similarity.pqTrain(T(s, dir, "embeddings"),
-        "embedding", "vec_id", m = 8, k = 256))
+  private def pqBooks(s: SparkSession, path: String): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(path,
+      graft.pipeline.Similarity.pqReadCodebooks(s, path))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1022,15 +1039,26 @@ object SparkEntry {
         queryVec(s, dir), 20)
     }),
 
-    // ---- product-quantized top-k (no SQL oracle: xxhash64-sampled
-    //      codebooks; recall pinned in PipelineSpec). 32x corpus
-    //      compression (dim*4 bytes -> m bytes); probe = m table lookups
-    //      per row via the asymmetric-distance table
+    // ---- PQ index BUILD: train sampled codebooks, encode the corpus,
+    //      persist both (32x smaller than the float corpus)
+    "q_embed_pq_build" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val path = pqIndexPath(s, dir)
+      val books = graft.pipeline.Similarity.pqTrain(emb, "embedding", "vec_id",
+        m = 8, k = 256)
+      graft.pipeline.Similarity.pqWriteIndex(emb, "embedding", "vec_id", books, path)
+      pqCache.remove(path) // rewritten on disk: drop the memo
+      s.read.parquet(path).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- product-quantized top-k PROBE over the persisted index (no SQL
+    //      oracle: xxhash64-sampled codebooks; recall pinned in
+    //      PipelineSpec). The probe reads codes + norms only — never a
+    //      float vector; scoring = m table lookups + one divide per row
     "q_embed_pq" -> ((s, dir) => {
-      val books = pqBooks(s, dir)
-      val enc = graft.pipeline.Similarity.pqEncode(T(s, dir, "embeddings"),
-        "embedding", "vec_id", books)
-      graft.pipeline.Similarity.pqTopK(enc, books, "vec_id", queryVec(s, dir), 20)
+      val path = ensurePqIndex(s, dir)
+      graft.pipeline.Similarity.pqReadTopK(s, path, pqBooks(s, path),
+        "vec_id", queryVec(s, dir), 20)
     }),
 
     // ---- int8 scalar quantization of the embedding corpus (exact oracle:
@@ -2186,6 +2214,8 @@ object SparkEntry {
          s_acctbal AS acctbal, s_nationkey AS nation
          FROM supplier ORDER BY suppkey""",
     "q_embed_lsh_build" ->
+      "SELECT COUNT(*) AS n FROM embeddings",
+    "q_embed_pq_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_ivf_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",

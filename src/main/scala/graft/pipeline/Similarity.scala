@@ -451,6 +451,53 @@ object Similarity {
         lit(0.0), _ + _)).as("pq_norm"))
   }
 
+  /** Persist a PQ index: the encoded (id, codes, norm) table plus the
+    * codebooks beside it. Codebooks write FIRST — the encoded table's
+    * _SUCCESS is the build-complete marker, so everything it implies
+    * must already exist (the [[ivfWriteIndex]] crash-ordering
+    * contract). The index is m+8 bytes per row: at dim 64 / m 8 a 32×
+    * compression of the float corpus, and probes never read vectors. */
+  def pqWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+                   codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = for {
+      (cb, j) <- codebooks.zipWithIndex
+      (c, ci) <- cb.zipWithIndex
+    } yield org.apache.spark.sql.Row(j, ci, c.toSeq)
+    spark.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .write.mode("overwrite").parquet(codebooksPath(path))
+    pqEncode(df, vecCol, idCol, codebooks).write.mode("overwrite").parquet(path)
+  }
+
+  private def codebooksPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + ".codebooks"
+
+  /** Load the codebooks written by [[pqWriteIndex]]. */
+  def pqReadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(codebooksPath(path))
+      .orderBy("subspace", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val grouped = rows.groupBy(_.getInt(0))
+    Array.tabulate(m)(j => grouped(j).sortBy(_.getInt(1))
+      .map(_.getSeq[Double](2).toArray))
+  }
+
+  /** Probe a persisted PQ index (see [[pqWriteIndex]]). */
+  def pqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                 codebooks: Array[Array[Array[Double]]], idCol: String,
+                 query: Seq[Float], kTop: Int): DataFrame =
+    pqTopK(spark.read.parquet(path), codebooks, idCol, query, kTop)
+
   /** Asymmetric-distance PQ top-k: the query precomputes its m·k dot
     * table against the codebooks on the driver; per corpus row the score
     * is m table lookups + one divide — no per-dimension work at all.

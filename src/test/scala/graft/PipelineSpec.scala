@@ -937,6 +937,26 @@ class PipelineSpec extends SparkSpec {
       s"pq recall too low: exact=$exact approx=$approx")
   }
 
+  test("pq index round-trip: codebooks and probe survive persistence") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, "embedding", "vec_id", m = 2, k = 16, seed = 3L)
+    val path = java.nio.file.Files.createTempDirectory("pqidx")
+      .toFile.getAbsolutePath + "/idx"
+    Similarity.pqWriteIndex(df, "embedding", "vec_id", books, path)
+    val back = Similarity.pqReadCodebooks(spark, path)
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = vecs(3)._2
+    val fromDisk = Similarity.pqReadTopK(spark, path, back, "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val inMem = Similarity.pqTopK(
+      Similarity.pqEncode(df, "embedding", "vec_id", books), books, "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fromDisk == inMem)
+  }
+
   test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
     val df = Seq(
       (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3
