@@ -772,6 +772,33 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- banded-Levenshtein fuzzy pairs over a 48-char key (edit
+    //      distance over full documents is not a 100 TB operation; the
+    //      length-band blocking is COMPLETE for the threshold, so a plain
+    //      quadratic SQL oracle verifies it exactly)
+    "q_dedup_fuzzy" -> ((s, dir) => {
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 48).as("k"))
+      graft.pipeline.Dedup.fuzzyPairs(keyed, "k", "doc_id", maxDist = 4)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- Bloom-gated cross-corpus dedup: flag incoming docs already in
+    //      a historical corpus. The two corpora are overlapping md5-bucket
+    //      slices (the q_split recipe) — a re-crawled batch partially
+    //      overlapping yesterday's ingest. The Bloom gate runs map-side;
+    //      only gate survivors reach the exact (hash, length) semi-join,
+    //      so the result is exact and the oracle is plain EXISTS.
+    "q_dedup_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val bk = graft.pipeline.Sampling.hashBucket(col("doc_id"), 100)
+      graft.pipeline.Dedup.crossDupes(
+        docs.warpFilter(bk < 60), docs.warpFilter(bk >= 30),
+        "text", "doc_id", expectedItems = 100000)
+        .selectColumns(Seq("doc_id", "source"))
+        .orderBy("doc_id")
+    }),
+
     // ---- train/test contamination: docs in the train split sharing >= 2
     //      distinct trigrams with any doc in the held-out split (n=3 fits
     //      these short synthetic docs; real corpora use the published
@@ -793,6 +820,16 @@ object SparkEntry {
     "q_text_oov" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.oovRate(
         T(s, dir, "documents"), "doc_id", "text", topK = 16)
+        .orderBy("doc_id")
+    }),
+
+    // ---- unigram-LM mean negative log likelihood (self-trained; the
+    //      CCNet-style perplexity quality signal). Per-token logprobs are
+    //      decimal-summed and the mean rounded to 6 dp, so the oracle's
+    //      ln() needs only ulp-level agreement, not bit equality.
+    "q_text_lm" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lmScore(
+        T(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1746,6 +1783,39 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+    "q_dedup_fuzzy" ->
+      """WITH k AS (
+           SELECT doc_id, substr(text, 1, 48) AS k FROM documents
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+         FROM k a JOIN k b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.k, b.k) <= 4
+         ORDER BY 1, 2""",
+    "q_dedup_bloom" ->
+      """WITH b AS (
+           SELECT doc_id, source, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+           FROM documents
+         )
+         SELECT i.doc_id, i.source FROM b i
+         WHERE i.bk < 60
+           AND EXISTS (SELECT 1 FROM b r WHERE r.bk >= 30 AND r.text = i.text)
+         ORDER BY doc_id""",
+    "q_text_lm" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), c AS (
+           SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         ), t AS (
+           SELECT sum(c) AS t FROM c
+         )
+         SELECT toks.doc_id,
+           round(CAST(sum(CAST(-ln(CAST(c.c AS DOUBLE) / t.t) AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS nll
+         FROM toks JOIN c USING (tok) CROSS JOIN t
+         GROUP BY toks.doc_id ORDER BY toks.doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

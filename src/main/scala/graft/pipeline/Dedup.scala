@@ -503,6 +503,117 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Broadcast Bloom pre-gate for cross-corpus membership: build a Bloom
+    * filter over the REFERENCE corpus's 64-bit content hashes (distributed
+    * build, driver merge — the filter is sized by `expectedItems`/`fpp`,
+    * not by corpus bytes) and return a predicate Column that is true iff
+    * the hash MIGHT be in the reference. Uses Spark's own runtime-filter
+    * machinery ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    * codegen'd) with the filter inlined as a binary literal, so the gate
+    * rides whole-stage codegen on the probe side.
+    *
+    * Scale shape: this is THE pattern for deduping a 100 TB ingest against
+    * a historical corpus whose key set is too big to broadcast as a hash
+    * join but whose Bloom filter is not (1 % fpp ≈ 1.2 bytes/key): the
+    * gate runs map-side and only the ~(dup-rate + fpp) fraction of rows
+    * ever reaches a shuffle. */
+  def bloomMightContain(reference: DataFrame, textCol: String,
+                        expectedItems: Long, fpp: Double = 0.01): Column => Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val bf = reference.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    (hashCol: Column) =>
+      C(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        E(hashCol)))
+  }
+
+  /** Rows of `incoming` whose exact content ALREADY EXISTS in `reference`
+    * (the re-ingestion flag/drop primitive): Bloom pre-gate, then an exact
+    * semi-join on (hash, length) — the same collision contract as
+    * [[exact]] — over gate survivors only. One scan of `incoming`; the
+    * shuffle carries only rows the Bloom filter could not rule out, and
+    * the reference side ships 16-byte keys, never document bodies.
+    * False positives from the Bloom gate are eliminated by the semi-join,
+    * so the result is EXACT (engine-portable, SQL-oracle-checkable);
+    * null text never matches (null join key), matching SQL `EXISTS`
+    * equality semantics. */
+  def crossDupes(incoming: DataFrame, reference: DataFrame,
+                 textCol: String, idCol: String,
+                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val might = bloomMightContain(reference, textCol, expectedItems, fpp)
+    val refKeys = reference
+      .select(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+      .distinct()
+    incoming.withColumn("__h", xxhash64(col(textCol)))
+      .filter(might(col("__h")))
+      .withColumn("__l", length(col(textCol)))
+      .join(refKeys, Seq("__h", "__l"), "left_semi")
+      .drop("__h", "__l")
+  }
+
+  /** Complement of [[crossDupes]]: rows of `incoming` NOT in `reference`
+    * (the kept set of an incremental ingest). Two branches share the
+    * incoming scan: rows failing the Bloom gate are definitely new and
+    * bypass the join entirely (map-only); rows passing it are confirmed
+    * by an exact anti-join on (hash, length). Exact for the same reason
+    * as [[crossDupes]] — the gate admits false positives, never false
+    * negatives, and the join removes the false positives. */
+  def dedupAgainst(incoming: DataFrame, reference: DataFrame,
+                   textCol: String, idCol: String,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val might = bloomMightContain(reference, textCol, expectedItems, fpp)
+    val refKeys = reference
+      .select(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__l"))
+      .distinct()
+    val keyed = incoming.withColumn("__h", xxhash64(col(textCol)))
+    val definitelyNew = keyed.filter(!might(col("__h")))
+    val confirmedNew = keyed.filter(might(col("__h")))
+      .withColumn("__l", length(col(textCol)))
+      .join(refKeys, Seq("__h", "__l"), "left_anti")
+      .drop("__l")
+    definitelyNew.unionByName(confirmedNew).drop("__h")
+  }
+
+  /** Banded-Levenshtein fuzzy near-dup PAIRS over a short key column
+    * (title, URL slug, normalized prefix — edit distance over full
+    * documents is not a 100 TB operation; derive the key first).
+    *
+    * Completeness: `levenshtein(a, b) <= d` implies
+    * `abs(len(a) - len(b)) <= d`, so blocking on length bands of width
+    * `W > d` with the right side exploded to its {band-1, band, band+1}
+    * neighborhood meets every qualifying pair exactly once (each pair's
+    * band distance is at most 1, and `id1 < id2` kills the mirror) —
+    * the banding is a COMPLETE blocking scheme, not an approximation,
+    * and a plain quadratic SQL oracle verifies it.
+    *
+    * Scale shape: the join key (band) is equi — never a theta-join; the
+    * per-pair cost is Spark's THRESHOLDED levenshtein kernel, which
+    * abandons a pair as soon as the running distance exceeds `maxDist`
+    * (O(d·min(m,n)) instead of O(m·n)), behind a cheap length-difference
+    * conjunct that short-circuits first. Band population is bounded by
+    * the key-length distribution; keys are short by contract. */
+  def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
+                 maxDist: Int = 2, bandWidth: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = if (bandWidth > 0) bandWidth else maxDist + 1
+    require(w > maxDist, s"bandWidth must exceed maxDist ($w <= $maxDist)")
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"),
+      floor(length(col(keyCol)) / w).cast("long").as("band"))
+    val l = keyed.select(col("band"), col("id").as("id1"), col("k").as("k1"))
+    val r = keyed.select(explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"),
+      col("id").as("id2"), col("k").as("k2"))
+    val lenGate = abs(length(col("k1")) - length(col("k2"))) <= maxDist
+    val dist = levenshtein(col("k1"), col("k2"), maxDist)
+    l.join(r, l("band") === r("band") && col("id1") < col("id2") &&
+        lenGate && dist >= 0, "inner")
+      .select(col("id1"), col("id2"), dist.as("dist"))
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit signature prefixes (two
     * signatures within Hamming distance <=3 share at least one identical
     * 16-bit quarter by pigeonhole), join per block, verify Hamming. */

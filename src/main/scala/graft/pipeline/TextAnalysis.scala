@@ -188,6 +188,44 @@ object TextAnalysis {
         count(lit(1))).as(out))
   }
 
+  /** Unigram language-model score: per document, the mean negative log
+    * likelihood of its tokens under a unigram model trained on `trainOn`
+    * (default: the corpus itself) — the CCNet/perplexity-style quality
+    * signal without an external LM. Low NLL = common, fluent-ish tokens;
+    * high NLL = rare-token/gibberish text. Filter or bucket on it the way
+    * CCNet buckets on wikipedia-LM perplexity. With an external `trainOn`
+    * corpus, tokens unseen in training are EXCLUDED from the mean (their
+    * model probability is zero; pair with [[oovRate]], which measures
+    * exactly that mass) — self-trained scoring has no unseen tokens.
+    *
+    * Determinism across engines: per-token `-ln(count/total)` is rounded
+    * into a DECIMAL(28,12) before summation, so the per-document sum is
+    * EXACT (no float summation-order drift — the dsum recipe), and the
+    * final mean is rounded to 6 decimals, orders of magnitude coarser
+    * than the ~1-ulp cross-engine `ln` disagreement the decimal carries.
+    *
+    * Plan shape: one token-frequency aggregate over the training corpus
+    * (map-side partial combine), its 1-row total broadcast-cross-joined,
+    * a token-keyed join back to the exploded corpus, one per-document
+    * re-aggregate. Nothing collects; the model IS a distributed table —
+    * at 100 TB persist the (token, count) table like the similarity
+    * indexes if it is reused across runs. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              trainOn: Option[DataFrame] = None,
+              out: String = "nll"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def toks(d: DataFrame) = d.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = toks(trainOn.getOrElse(df))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    val nllTok = (-log(col("__c").cast("double") / col("__t")))
+      .cast(DecimalType(28, 12))
+    toks(df).join(counts, Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(round(sum(nllTok).cast("double") / count(lit(1)), 6).as(out))
+  }
+
   /** Top-`k` salient terms per document, ranked by term frequency over
     * document frequency (tf/df — tf·idf with the linear idf variant
     * `N/df`; the ranking is identical for any fixed document, and the

@@ -957,6 +957,60 @@ class PipelineSpec extends SparkSpec {
     assert(fromDisk == inMem)
   }
 
+  test("crossDupes/dedupAgainst: exact partition of incoming, bloom fpp-proof") {
+    val incoming = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val reference = Seq((10L, "beta"), (11L, "delta"), (12L, "epsilon"),
+      (13L, null.asInstanceOf[String])).toDF("id", "text")
+    // tiny filter + high fpp: false positives likely, result must stay exact
+    val dupes = Dedup.crossDupes(incoming, reference, "text", "id",
+      expectedItems = 2, fpp = 0.5)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(dupes == Seq(2L, 4L), s"got $dupes")
+    val kept = Dedup.dedupAgainst(incoming, reference, "text", "id",
+      expectedItems = 2, fpp = 0.5)
+      .select("id").as[Long].collect().toSeq.sorted
+    // null text matches nothing (SQL EXISTS equality), so id=5 is kept
+    assert(kept == Seq(1L, 3L, 5L), s"got $kept")
+  }
+
+  test("fuzzyPairs matches brute-force thresholded levenshtein across band edges") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab"
+    // short strings over a 2-letter alphabet with lengths straddling many
+    // band boundaries -> plenty of qualifying pairs, incl. cross-band ones
+    val rows = (1L to 60L).map { i =>
+      (i, (0 until (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+    }
+    val df = rows.toDF("id", "k")
+    val got = Dedup.fuzzyPairs(df, "k", "id", maxDist = 2)
+      .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (i1, k1) <- rows; (i2, k2) <- rows if i1 < i2
+      d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(k1, k2)
+      if d <= 2
+    } yield (i1, i2, d.toInt)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("lmScore: hand-computed unigram NLL; external train corpus drops unseen") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, total=5
+    val out = TextAnalysis.lmScore(df, "doc_id", "text")
+      .orderBy("doc_id").select("nll").as[Double].collect()
+    val ln = (x: Double) => math.log(x)
+    val exp1 = (-ln(2.0 / 5) * 2 + -ln(2.0 / 5)) / 3
+    val exp2 = (-ln(2.0 / 5) + -ln(1.0 / 5)) / 2
+    assert(math.abs(out(0) - exp1) < 1e-5 && math.abs(out(1) - exp2) < 1e-5)
+    // train on doc 1 only: 'c' is unseen -> excluded from doc 2's mean
+    val ext = TextAnalysis.lmScore(df, "doc_id", "text",
+      trainOn = Some(df.filter(col("doc_id") === 1)))
+      .orderBy("doc_id").select("nll").as[Double].collect()
+    val expExt2 = -ln(1.0 / 3) // b: count 1 of 3
+    assert(math.abs(ext(1) - expExt2) < 1e-5)
+  }
+
   test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
     val df = Seq(
       (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3

@@ -132,10 +132,25 @@ class PlanAuditSpec extends SparkSpec {
       materialize = false)
     for ((name, p) <- Seq(
         "minhashPairs" -> lazyMinhash.queryExecution.executedPlan.toString,
-        "q_dedup_simhash" -> plan("q_dedup_simhash"))) {
+        "q_dedup_simhash" -> plan("q_dedup_simhash"),
+        "q_dedup_fuzzy" -> plan("q_dedup_fuzzy"))) {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
     }
+  }
+
+  test("q_dedup_bloom: bloom gate filters map-side BEFORE the exact semi-join") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    // the gate must sit BELOW the semi-join in the probe branch: the first
+    // might_contain occurrence (top-down print) comes AFTER the join node
+    // only if the gate were applied post-join — assert the opposite order
+    val joinAt = p.indexOf("LeftSemi")
+    val gateAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && gateAt > joinAt,
+      s"bloom gate not below the semi-join (join@$joinAt gate@$gateAt)")
   }
 
   test("operator BUILD runs no Spark job (no plan-time scans/collects)") {
