@@ -579,39 +579,98 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew).drop("__h")
   }
 
-  /** Banded-Levenshtein fuzzy near-dup PAIRS over a short key column
-    * (title, URL slug, normalized prefix — edit distance over full
-    * documents is not a 100 TB operation; derive the key first).
+  /** Segment-pigeonhole fuzzy (Levenshtein) near-dup PAIRS over a short
+    * key column (title, URL slug, normalized prefix — edit distance over
+    * full documents is not a 100 TB operation; derive the key first).
     *
-    * Completeness: `levenshtein(a, b) <= d` implies
-    * `abs(len(a) - len(b)) <= d`, so blocking on length bands of width
-    * `W > d` with the right side exploded to its {band-1, band, band+1}
-    * neighborhood meets every qualifying pair exactly once (each pair's
-    * band distance is at most 1, and `id1 < id2` kills the mirror) —
-    * the banding is a COMPLETE blocking scheme, not an approximation,
-    * and a plain quadratic SQL oracle verifies it.
+    * Blocking is the PassJoin partition scheme (Li/Deng/Feng, ICDE 2011,
+    * simplified to the ±d position window): the PARTITIONED string is cut
+    * into d+1 contiguous segments; d edits can touch at most d of them,
+    * so at least one segment survives VERBATIM in any string within
+    * distance d, shifted by at most d (the net indels before it). The
+    * probe side therefore enumerates, for every candidate partitioned
+    * length t in [len-d, len+d], every substring matching segment i of a
+    * length-t partition at start(i) ± d — and the block key (t, i,
+    * segment) is a plain EQUI-join key. This blocking is COMPLETE, not
+    * approximate: a plain quadratic SQL oracle verifies the output
+    * exactly. A naive length-band block is NOT used — fixed-width keys
+    * (every title truncated to the same length) collapse all rows into
+    * one band and the join degenerates to all-pairs.
     *
-    * Scale shape: the join key (band) is equi — never a theta-join; the
-    * per-pair cost is Spark's THRESHOLDED levenshtein kernel, which
-    * abandons a pair as soon as the running distance exceeds `maxDist`
-    * (O(d·min(m,n)) instead of O(m·n)), behind a cheap length-difference
-    * conjunct that short-circuits first. Band population is bounded by
-    * the key-length distribution; keys are short by contract. */
+    * Roles: the partitioned side is the LONGER string (ties: lower id),
+    * so partitioning always has >= d+1 characters to cut whenever any
+    * qualifying partner exists on the probe side. Strings shorter than
+    * d+1 characters pair with each other unconditionally (max(len) <= d
+    * implies distance <= d) — the tiny bucket is a self-join of that
+    * residual population only.
+    *
+    * Scale shape: probe-side expansion is (2d+1)·(d+1)·(2d+1) short
+    * substring keys per row WORST case (clamps shrink it) — linear in
+    * rows, never quadratic; candidates deduplicate per pair before the
+    * verify, and the verify is Spark's THRESHOLDED levenshtein kernel
+    * (O(d·min(m,n)), early-abandon), evaluated once per candidate pair. */
   def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
-                 maxDist: Int = 2, bandWidth: Int = 0): DataFrame = {
+                 maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val w = if (bandWidth > 0) bandWidth else maxDist + 1
-    require(w > maxDist, s"bandWidth must exceed maxDist ($w <= $maxDist)")
+    val d = maxDist
+    val k = d + 1 // segments in a partition
     val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"),
-      floor(length(col(keyCol)) / w).cast("long").as("band"))
-    val l = keyed.select(col("band"), col("id").as("id1"), col("k").as("k1"))
-    val r = keyed.select(explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"),
-      col("id").as("id2"), col("k").as("k2"))
-    val lenGate = abs(length(col("k1")) - length(col("k2"))) <= maxDist
-    val dist = levenshtein(col("k1"), col("k2"), maxDist)
-    l.join(r, l("band") === r("band") && col("id1") < col("id2") &&
-        lenGate && dist >= 0, "inner")
+      length(col(keyCol)).as("len"))
+    def segLen(t: Column, i: Column): Column =
+      floor(t / k).cast("int") + when(i < t % k, 1).otherwise(0)
+    def segStart(t: Column, i: Column): Column = // 0-based
+      (i * floor(t / k).cast("int") + least(i, t % k)).cast("int")
+    // partitioned side: own-length segments, one block key per segment
+    val parts = keyed.filter(col("len") >= k).select(col("id"), col("k"), col("len"),
+        explode(transform(sequence(lit(0), lit(d)), i =>
+          struct(col("len").as("t"), i.as("i"),
+            col("k").substr(segStart(col("len"), i) + 1,
+              segLen(col("len"), i)).as("s")))).as("blk"))
+      .select(col("id").as("pid"), col("k").as("pk"), col("len").as("plen"),
+        col("blk.t"), col("blk.i"), col("blk.s"))
+    // probe side: for every candidate partitioned length t >= own length
+    // (role: partitioned side is the longer string) with t <= len + d,
+    // every substring matching segment i of a length-t partition at
+    // start(i) +/- d. sequence(a, b) DESCENDS when a > b — empty windows
+    // must be guarded to an empty array, not a reversed one.
+    val m = length(col("k"))
+    // len=0 would make the outer sequence descend (k > 0+d); an empty
+    // key's qualifying partners are all shorter than k, so its pairs are
+    // covered by the tiny bucket — exclude it from the probe side
+    val probes = keyed.filter(col("len") >= 1).select(col("id"), col("k"), col("len"),
+        explode(flatten(flatten(transform(
+          sequence(greatest(col("len"), lit(k)), col("len") + d), t =>
+            transform(sequence(lit(0), lit(d)), i => {
+              val sl = segLen(t, i); val ss = segStart(t, i)
+              val lo = greatest(ss - d, lit(0))
+              val hi = least(ss + d, m - sl)
+              when(hi >= lo, transform(sequence(lo, hi), p =>
+                struct(t.as("t"), i.as("i"), col("k").substr(p + 1, sl).as("s"))))
+                .otherwise(array().cast("array<struct<t:int,i:int,s:string>>"))
+            }))))).as("blk"))
+      .select(col("id").as("qid"), col("k").as("qk"), col("len").as("qlen"),
+        col("blk.t"), col("blk.i"), col("blk.s"))
+    // longer-string-partitions role (ties: lower id) kills the mirror
+    val role = col("plen") > col("qlen") ||
+      (col("plen") === col("qlen") && col("pid") < col("qid"))
+    val candidates = parts.join(probes, Seq("t", "i", "s"))
+      .filter(role)
+      .select(least(col("pid"), col("qid")).as("id1"),
+        greatest(col("pid"), col("qid")).as("id2"),
+        col("pk").as("k1"), col("qk").as("k2"))
+      .dropDuplicates("id1", "id2")
+    val dist = levenshtein(col("k1"), col("k2"), d)
+    val big = candidates.filter(dist >= 0)
       .select(col("id1"), col("id2"), dist.as("dist"))
+    // tiny bucket: every pair of strings shorter than d+1 chars qualifies
+    // (distance <= max(len) <= d); self-join of the residual only
+    val tiny = keyed.filter(col("len") < k)
+    val tinyPairs = tiny.select(col("id").as("id1"), col("k").as("k1"))
+      .crossJoin(tiny.select(col("id").as("id2"), col("k").as("k2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("k1"), col("k2"), d).as("dist"))
+    big.unionByName(tinyPairs)
   }
 
   /** SimHash near-dup pairs: block on 4 × 16-bit signature prefixes (two

@@ -981,7 +981,7 @@ class PipelineSpec extends SparkSpec {
     // band boundaries -> plenty of qualifying pairs, incl. cross-band ones
     val rows = (1L to 60L).map { i =>
       (i, (0 until (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(2))).mkString)
-    }
+    } ++ Seq(61L -> "", 62L -> "a", 63L -> "ab", 64L -> "b") // tiny bucket + mixed tiny/long
     val df = rows.toDF("id", "k")
     val got = Dedup.fuzzyPairs(df, "k", "id", maxDist = 2)
       .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet

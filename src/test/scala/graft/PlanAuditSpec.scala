@@ -132,10 +132,29 @@ class PlanAuditSpec extends SparkSpec {
       materialize = false)
     for ((name, p) <- Seq(
         "minhashPairs" -> lazyMinhash.queryExecution.executedPlan.toString,
-        "q_dedup_simhash" -> plan("q_dedup_simhash"),
-        "q_dedup_fuzzy" -> plan("q_dedup_fuzzy"))) {
+        "q_dedup_simhash" -> plan("q_dedup_simhash"))) {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+    // q_dedup_fuzzy: the MAIN pair generation must be the (t, i, s) equi
+    // block join; a cartesian is legal ONLY for the tiny bucket (keys
+    // shorter than maxDist+1 chars — a complete graph by definition),
+    // whose inputs are both tiny-length-filtered
+    val fuzzy = SparkEntry.queries("q_dedup_fuzzy")(spark, dir)
+      .queryExecution.executedPlan
+    val nested = fuzzy.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    nested.foreach { j =>
+      j.children.foreach { side =>
+        val hasTinyFilter = side.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("< 5") => f
+        }.nonEmpty
+        assert(hasTinyFilter,
+          s"cartesian side lacks the tiny-length filter:\n${side.toString.take(1500)}")
+      }
     }
   }
 
