@@ -85,15 +85,34 @@ object EventStream {
     * accumulating state — so corpus size does not grow streaming state;
     * only the within-stream dedup holds (watermark-bounded) keys. This
     * is the ingest-time form of [[graft.pipeline.Dedup.exact]]: new data
-    * never re-introduces content the corpus already has. */
+    * never re-introduces content the corpus already has.
+    *
+    * With `bloomExpectedItems > 0` a Bloom filter over the corpus
+    * fingerprints (built ONCE at query start — the static side never
+    * changes within a query) gates each micro-batch map-side
+    * ([[graft.pipeline.Dedup.bloomMightContain]]): documents the filter
+    * rules out skip the anti-join entirely, so the per-batch join carries
+    * only the ~(dup-rate + fpp) fraction of the stream — the difference
+    * between re-joining every batch against a billion-key table and
+    * probing a broadcast bitset. False positives die in the anti-join;
+    * the result is identical either way. */
   def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame,
                          textCol: String, tsCol: String,
-                         lateness: String = "10 minutes"): DataFrame = {
+                         lateness: String = "10 minutes",
+                         bloomExpectedItems: Long = 0,
+                         bloomFpp: Double = 0.01): DataFrame = {
     val fps = corpusFps.select(col("fp"))
     val tagged = docs.withColumn("fp",
       graft.pipeline.TextAnalysis.fingerprint64(col(textCol)))
-    dedupStream(tagged.join(fps, Seq("fp"), "left_anti"),
-      Seq("fp"), tsCol, lateness)
+    val newOnly =
+      if (bloomExpectedItems > 0) {
+        val might = graft.pipeline.Dedup.bloomMightContain(
+          fps, "fp", bloomExpectedItems, bloomFpp)
+        val gate = might(xxhash64(col("fp")))
+        tagged.filter(!gate)
+          .unionByName(tagged.filter(gate).join(fps, Seq("fp"), "left_anti"))
+      } else tagged.join(fps, Seq("fp"), "left_anti")
+    dedupStream(newOnly, Seq("fp"), tsCol, lateness)
   }
 
   /** Streaming CONTAMINATION flagging: annotate a document stream with

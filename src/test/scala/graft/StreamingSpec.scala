@@ -218,6 +218,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupAgainstCorpus with bloom gate: identical output, fpp-proof") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "old document one"), (2L, "old document two"))
+      .toDF("doc_id", "text")
+    val corpusFps = corpus.select(
+      graft.pipeline.TextAnalysis.fingerprint64(col("text")).as("fp"))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // tiny filter + 50% fpp: false positives likely; anti-join must absorb
+    val deduped = EventStream.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text", "ts"), corpusFps, "text", "ts",
+      bloomExpectedItems = 2, bloomFpp = 0.5)
+    val query = deduped.writeStream.format("memory").queryName("bloomdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(
+        (10L, "old document one", t0),   // corpus hit -> dropped
+        (11L, "fresh document", t0),     // new -> kept
+        (12L, "fresh document", t0))     // stream-repeat -> dropped
+      query.processAllAvailable()
+      input.addData((13L, "old document two", t0),
+        (14L, "another fresh one", t0))
+      query.processAllAvailable()
+      val got = spark.table("bloomdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(11L, 14L), s"got $got")
+    } finally query.stop()
+  }
+
   test("contaminationFlagStream: overlaps match the batch operator, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val probes = Seq((100L, "alpha beta gamma delta qqq")).toDF("doc_id", "text")
