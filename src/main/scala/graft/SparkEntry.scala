@@ -162,12 +162,28 @@ object SparkEntry {
     path
   }
 
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    s"${idxRoot(s, dir)}/ivfpq16m8k256"
+
+  /** Build-if-missing; returns the IVF-PQ index path (centroids and
+    * codebooks persisted beside it). */
+  def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val path = ivfPqIndexPath(s, dir)
+    if (!indexExists(s, path)) {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.ivfPqWriteIndex(emb, "embedding", "vec_id",
+        nCells = 16, m = 8, k = 256, path)
+    }
+    path
+  }
+
   /** Amortization hook: build every persisted index once (Bench calls this
     * untimed before the query loop, mirroring a warehouse's index job). */
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     ensureLshIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensurePqIndex(s, dir)
+    ensureIvfPqIndex(s, dir)
   }
 
   /** IVF centroid table memo: the centroids ARE the in-memory half of the
@@ -1096,6 +1112,28 @@ object SparkEntry {
       val path = ensurePqIndex(s, dir)
       graft.pipeline.Similarity.pqReadTopK(s, path, pqBooks(s, path),
         "vec_id", queryVec(s, dir), 20)
+    }),
+
+    // ---- IVF-PQ index BUILD: cell-partitioned AND PQ-encoded — the
+    //      billion-scale composition (probe I/O = nProbe/nCells of the
+    //      files x 1/32 of the bytes)
+    "q_embed_ivfpq_build" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val path = ivfPqIndexPath(s, dir)
+      graft.pipeline.Similarity.ivfPqWriteIndex(emb, "embedding", "vec_id",
+        nCells = 16, m = 8, k = 256, path)
+      centroidCache.remove(path); pqCache.remove(path) // rewritten on disk
+      s.read.parquet(path).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- IVF-PQ probe (no SQL oracle: seeded sample; recall pinned in
+    //      PipelineSpec): partition-prune to 4/16 cells, ADC-score codes —
+    //      no float vector is ever read
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val path = ensureIvfPqIndex(s, dir)
+      graft.pipeline.Similarity.ivfPqReadTopK(s, path,
+        ivfCentroids(s, path), pqBooks(s, path),
+        "vec_id", queryVec(s, dir), 20, nProbe = 4)
     }),
 
     // ---- int8 scalar quantization of the embedding corpus (exact oracle:
@@ -2286,6 +2324,8 @@ object SparkEntry {
     "q_embed_lsh_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_pq_build" ->
+      "SELECT COUNT(*) AS n FROM embeddings",
+    "q_embed_ivfpq_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_ivf_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",

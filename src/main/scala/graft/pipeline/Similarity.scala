@@ -391,9 +391,10 @@ object Similarity {
 
   /** IVF top-k: score only the vectors in the `nProbe` cells whose
     * centroids are nearest the query. */
-  def ivfTopK(assigned: DataFrame, centroids: Array[Seq[Float]],
-              vecCol: String, idCol: String, query: Seq[Float], k: Int,
-              nProbe: Int = 4): DataFrame = {
+  /** The `nProbe` cell ids whose centroids are nearest (by cosine) to the
+    * query — driver arithmetic over the in-memory centroid table. */
+  def nearestCells(centroids: Array[Seq[Float]], query: Seq[Float],
+                   nProbe: Int): Seq[Int] = {
     def normLocal(v: Seq[Float]): Double =
       math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
     val qNorm = normLocal(query) // once, not per centroid
@@ -401,8 +402,13 @@ object Similarity {
       val d = a.zip(query).map { case (x, y) => x.toDouble * y.toDouble }.sum
       d / (normLocal(a) * qNorm)
     }
-    val probeCells = centroids.indices
-      .sortBy(i => -cosLocal(centroids(i))).take(nProbe)
+    centroids.indices.sortBy(i => -cosLocal(centroids(i))).take(nProbe)
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: Array[Seq[Float]],
+              vecCol: String, idCol: String, query: Seq[Float], k: Int,
+              nProbe: Int = 4): DataFrame = {
+    val probeCells = nearestCells(centroids, query, nProbe)
     assigned
       .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol),
@@ -439,16 +445,18 @@ object Similarity {
     * next to the corpus and the float vectors never need scanning again
     * (dim·4 bytes → m bytes per row, 32× at dim 64 / m 8). */
   def pqEncode(df: DataFrame, vecCol: String, idCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+               codebooks: Array[Array[Array[Double]]],
+               keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
     val m = codebooks.length; val k = codebooks(0).length
     val norms2 = codebooks.flatMap(_.map(c => c.map(x => x * x).sum))
     val codes = C(graft.functions.PqEncodeExpr(E(col(vecCol)), codebooks))
-    val staged = df.select(col(idCol), codes.as("pq_codes"))
-    staged.select(col(idCol), col("pq_codes"),
+    val kept = keep.map(col)
+    val staged = df.select(col(idCol) +: codes.as("pq_codes") +: kept: _*)
+    staged.select(col(idCol) +: col("pq_codes") +:
       sqrt(aggregate(zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
         (c, j) => element_at(typedLit(norms2.toSeq), (j * k + c + 1).cast("int"))),
-        lit(0.0), _ + _)).as("pq_norm"))
+        lit(0.0), _ + _)).as("pq_norm") +: kept: _*)
   }
 
   /** Persist a PQ index: the encoded (id, codes, norm) table plus the
@@ -521,6 +529,82 @@ object Similarity {
       .orderBy(col("cosine_pq").desc, col(idCol))
       .limit(kTop)
   }
+
+  /** IVF-PQ: the two persisted index halves COMPOSED, the standard
+    * billion-scale ANN architecture (FAISS's IndexIVFPQ re-expressed as a
+    * partitioned parquet layout). The corpus is cell-partitioned by the
+    * IVF assignment AND stored PQ-encoded (m+8 bytes per row), so a probe
+    * (a) prunes to nProbe/nCells of the FILES via a partition filter and
+    * (b) scores the survivors with the asymmetric-distance table — it
+    * never reads a float vector at all. Probe I/O at 100 TB is
+    * `(nProbe/nCells) · corpus/32` — both reduction factors multiply.
+    *
+    * Codebooks are trained GLOBALLY on raw vectors (not per-cell
+    * residuals as FAISS defaults to): per-cell books would need k·nCells
+    * driver centroids and make every cell's codes non-comparable across
+    * cells; the sampled global book keeps exact rebuild determinism
+    * (the [[pqTrain]] contract) at a modest recall cost, pinned in
+    * PipelineSpec.
+    *
+    * Write ordering: centroids, then codebooks, then the encoded
+    * cell-partitioned table — the main table's _SUCCESS is the
+    * build-complete marker ([[ivfWriteIndex]] crash contract). */
+  def ivfPqWriteIndex(df: DataFrame, vecCol: String, idCol: String,
+                      nCells: Int, m: Int, k: Int, path: String,
+                      seed: Long = 42L): (Array[Seq[Float]], Array[Array[Array[Double]]]) = {
+    val (assigned, centroids) = ivfIndex(df, vecCol, idCol, nCells, seed)
+    val books = pqTrain(df, vecCol, idCol, m, k, seed)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = false))))
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    val rows = for {
+      (cb, j) <- books.zipWithIndex
+      (c, ci) <- cb.zipWithIndex
+    } yield org.apache.spark.sql.Row(j, ci, c.toSeq)
+    spark.createDataFrame(rows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+      .write.mode("overwrite").parquet(codebooksPath(path))
+    pqEncode(assigned, vecCol, idCol, books, keep = Seq("__cell"))
+      .write.mode("overwrite").partitionBy("__cell").parquet(path)
+    (centroids, books)
+  }
+
+  /** Probe an IVF-PQ table: partition-prune to the nearest cells, then
+    * ADC-score the encoded survivors ([[pqTopK]]). */
+  def ivfPqTopK(encoded: DataFrame, centroids: Array[Seq[Float]],
+                codebooks: Array[Array[Array[Double]]], idCol: String,
+                query: Seq[Float], kTop: Int, nProbe: Int = 4): DataFrame = {
+    val cells = nearestCells(centroids, query, nProbe)
+    pqTopK(encoded.filter(col("__cell").isin(cells: _*)),
+      codebooks, idCol, query, kTop)
+  }
+
+  /** Read + probe a persisted IVF-PQ index (see [[ivfPqWriteIndex]];
+    * centroids/codebooks load via [[ivfReadCentroids]] /
+    * [[pqReadCodebooks]] on the same path). */
+  def ivfPqReadTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroids: Array[Seq[Float]],
+                    codebooks: Array[Array[Array[Double]]], idCol: String,
+                    query: Seq[Float], kTop: Int, nProbe: Int = 4): DataFrame =
+    ivfPqTopK(spark.read.parquet(path), centroids, codebooks, idCol,
+      query, kTop, nProbe)
 
   /** Int8 scalar quantization: per-vector (min, scale) affine codes —
     * the memory-bandwidth scale path for ANN (a float32 corpus shrinks

@@ -1011,6 +1011,37 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(ext(1) - expExt2) < 1e-5)
   }
 
+  test("ivfPq: persisted probe prunes partitions, never reads vectors, recalls") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
+    val path = java.nio.file.Files.createTempDirectory("ivfpqidx")
+      .toFile.getAbsolutePath + "/idx"
+    val (cents, books) = Similarity.ivfPqWriteIndex(emb, "embedding", "vec_id",
+      nCells = 8, m = 8, k = 64, path)
+    // both halves survive persistence
+    assert(Similarity.ivfReadCentroids(spark, path).toSeq == cents.toSeq)
+    assert(Similarity.pqReadCodebooks(spark, path).map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val probe = Similarity.ivfPqReadTopK(spark, path, cents, books,
+      "vec_id", q, 10, nProbe = 8) // all cells -> pure PQ ranking
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    assert(!plan.contains("embedding"), "probe plan reads the float vector column")
+    // nProbe = all cells should equal the flat-PQ ranking (same books)
+    val flat = Similarity.pqTopK(
+      Similarity.pqEncode(emb, "embedding", "vec_id", books), books,
+      "vec_id", q, 10).select("vec_id").as[Long].collect().toSeq
+    val got = probe.select("vec_id").as[Long].collect().toSeq
+    assert(got == flat, s"ivfpq(all cells) $got != flat pq $flat")
+    // pruned probe keeps reasonable overlap with exact brute top-k
+    val brute = Similarity.bruteTopK(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pruned = Similarity.ivfPqReadTopK(spark, path, cents, books,
+      "vec_id", q, 10, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    val recall = (brute intersect pruned).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ivfpq recall $recall vs brute too low")
+  }
+
   test("salientTerms ranks by tf/df with deterministic term tie-breaks") {
     val df = Seq(
       (1L, "rare rare common"),   // "rare" df=1 tf=2 -> ratio 2.0 beats "common" df=3
