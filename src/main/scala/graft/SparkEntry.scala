@@ -90,6 +90,20 @@ object SparkEntry {
     * directory — re-running the derivation scan per probe invocation would
     * charge every probe one fixture job that no deployed probe pays. */
   private val fixtureVec = new scala.collection.concurrent.TrieMap[String, Seq[Float]]
+
+  /** Trained-merge-list fixture for q_bpe_segment: in a deployment the
+    * merge list ships WITH the tokenizer (it is the trained artifact);
+    * deriving it per probe invocation would charge segmentation the whole
+    * training run. Memoized per data fingerprint (the fixtureVec pattern);
+    * 8 merges keeps the chained fold inside codegen limits (Bpe.segment's
+    * scaladoc: long merge lists belong in a native kernel). */
+  private val bpeMergeCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+  private def bpeMergeFixture(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.getOrElseUpdate(dataFp(s, dir, "documents"),
+      graft.pipeline.Bpe.trainMerges(T(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     // keyed by the embeddings file's fingerprint (idxRoot), not the bare
     // dir: regenerated data at the same path must refresh the memo
@@ -846,6 +860,33 @@ object SparkEntry {
     "q_text_lm" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.lmScore(
         T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- BPE tokenizer training (Sennrich 2016). Three facets:
+    //      round-1 adjacent-pair statistics (a pure two-aggregate plan,
+    //      full DuckDB oracle), the iterative trainer (deterministic
+    //      count-desc/lexicographic tie-break, but procedural argmax-
+    //      per-round is not SQL-expressible — rows-only; exact merges
+    //      pinned on a known corpus in BpeSpec), and segmentation with
+    //      the trained merges (rows-only; reconstruction law pinned in
+    //      BpeSpec). Scale shape: ONE corpus pass, then vocabulary-sized
+    //      iterations — see Bpe.scala's scaladoc.
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.pipeline.Bpe.pairCounts(
+        graft.pipeline.Bpe.initialVocab(T(s, dir, "documents"), "text"))
+        .orderBy("l", "r")
+    }),
+    "q_bpe_train" -> ((s, dir) =>
+      graft.pipeline.Bpe.trainMerges(T(s, dir, "documents"), "text",
+        numMerges = 16).orderBy("rank")),
+    "q_bpe_segment" -> ((s, dir) => {
+      val merges = bpeMergeFixture(s, dir)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          flatten(graft.pipeline.Bpe.segment(col("text"), merges)).as("pieces"))
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
         .orderBy("doc_id")
     }),
 
@@ -1854,6 +1895,21 @@ object SparkEntry {
              / count(*), 6) AS nll
          FROM toks JOIN c USING (tok) CROSS JOIN t
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    "q_bpe_pairs" ->
+      """WITH words AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents
+         ), wc AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words
+           WHERE len(w) > 0 GROUP BY w
+         ), syms AS (
+           SELECT cnt, list_append(string_split(w, ''), '</w>') AS s FROM wc
+         ), idx AS (
+           SELECT cnt, s, i
+           FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+         )
+         SELECT s[i] AS l, s[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+         FROM idx GROUP BY 1, 2 ORDER BY l, r""",
     "q_text_quality" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0

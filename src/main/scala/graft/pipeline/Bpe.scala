@@ -34,7 +34,7 @@ object Bpe {
   def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"), (acc, s) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
-        concat(slice(acc, 1, size(acc) - 1), array(lit(a + b))))
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
   /** Word vocabulary with counts and initial character symbols. */
@@ -46,12 +46,14 @@ object Bpe {
         concat(filter(split(col("w"), ""), c => c =!= lit("")),
           array(lit(EndOfWord))).as("syms"))
 
-  /** Adjacent-pair frequencies over the current symbol table. */
-  private def pairCounts(vocab: DataFrame): DataFrame =
+  /** Adjacent-pair frequencies over the current symbol table. Public so
+    * the round-1 pair statistics (a pure two-aggregate plan) can be
+    * oracle-checked independently of the iterative trainer. */
+  def pairCounts(vocab: DataFrame): DataFrame =
     vocab.select(col("cnt"),
         explode(arrays_zip(
-          slice(col("syms"), 1, greatest(size(col("syms")) - 1, lit(0))),
-          slice(col("syms"), 2, greatest(size(col("syms")) - 1, lit(0)))))
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))))
           .as("p"))
       .select(col("cnt"), col("p.0").as("l"), col("p.1").as("r"))
       .groupBy("l", "r").agg(sum(col("cnt")).as("pair_count"))

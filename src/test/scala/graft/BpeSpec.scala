@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Bpe
+
+/** BPE trainer/segmenter tests: exact merges on the classic Sennrich
+  * corpus, greedy non-overlapping merge semantics, early stop, and the
+  * reconstruction law (segment pieces concatenate back to the word).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Sennrich et al. 2016 §3.2 worked example vocabulary: low×5, lower×2,
+  // newest×6, widest×3 — expressed as a corpus with those word counts.
+  private def sennrich = Seq(
+    (1L, ("low " * 5).trim),
+    (2L, ("lower " * 2).trim),
+    (3L, ("newest " * 6).trim),
+    (4L, ("widest " * 3).trim)).toDF("id", "text")
+
+  test("trainMerges reproduces the Sennrich worked-example merges in order") {
+    val merges = Bpe.trainMerges(sennrich, "text", numMerges = 4)
+      .orderBy("rank")
+      .select("left", "right", "pair_count")
+      .as[(String, String, Long)].collect().toSeq
+    // est(9) wins round 1 — 'es'+'t' after 'e','s' merge; with the
+    // count-desc/lex tie-break the first four merges are:
+    // (e,s)=9 [newest 6 + widest 3], (es,t)=9, (est,</w>)=9, (l,o)=7.
+    assert(merges == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L), ("l", "o", 7L)))
+  }
+
+  test("applyMerge is greedy left-to-right and non-overlapping") {
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("a", "b", "a", "b"), Seq("b", "a"))
+      .toDF("syms")
+    val aa = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(aa(0) == Seq("aa", "aa")) // "aaaa" -> [aa, aa], not [aa, a, a]
+    val ab = df.select(Bpe.applyMerge(col("syms"), "a", "b").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(ab(1) == Seq("ab", "ab"))
+    assert(ab(2) == Seq("b", "a")) // order matters: (a,b) does not hit "ba"
+  }
+
+  test("trainMerges stops early when the best pair drops below minCount") {
+    val df = Seq((1L, "ab ab cd")).toDF("id", "text")
+    // (a,b)=2 then (ab,</w>)=2 pass minCount=2; after those, every
+    // remaining pair (from cd×1) has count 1 < 2 -> exactly two merges
+    // despite numMerges=10.
+    val merges = Bpe.trainMerges(df, "text", numMerges = 10, minCount = 2)
+      .orderBy("rank").select("left", "right").as[(String, String)].collect().toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("segment applies trained merges and pieces reconstruct each word") {
+    val trained = Bpe.trainMerges(sennrich, "text", numMerges = 4)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val segged = Seq((1L, "newest lowest")).toDF("id", "text")
+      .select(Bpe.segment(col("text"), trained).as("pieces"))
+      .as[Seq[Seq[String]]].collect()(0)
+    // after (e,s),(es,t),(est,</w>),(l,o): newest -> [n,e,w,est</w>],
+    // lowest -> [lo,w,est</w>]
+    assert(segged(0) == Seq("n", "e", "w", "est</w>"))
+    assert(segged(1) == Seq("lo", "w", "est</w>"))
+    // reconstruction law: concatenating pieces minus the marker gives the word
+    val rebuilt = segged.map(_.mkString("").stripSuffix(Bpe.EndOfWord))
+    assert(rebuilt == Seq("newest", "lowest"))
+  }
+
+  test("pairCounts round-1 statistics match hand counts") {
+    val m = Bpe.pairCounts(Bpe.initialVocab(sennrich, "text"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m(("e", "s")) == 9L) // newest(6) + widest(3)
+    assert(m(("l", "o")) == 7L) // low(5) + lower(2)
+    assert(m(("w", "</w>")) == 5L) // low(5)
+  }
+}
