@@ -95,10 +95,23 @@ object Bpe {
 
   /** Segment text with a TRAINED merge list: per word, start from
     * characters + `</w>` and apply each merge in rank order — the
-    * inference half of the tokenizer, a pure map pass (one chained fold
-    * per merge; keep merge lists applied this way short, or bake long
-    * ones into a native kernel). */
+    * inference half of the tokenizer, ONE native kernel call per
+    * document ([[graft.functions.BpeSegmentExpr]]): constant generated-
+    * code size at any merge-list length, O(merges·word) tight in-place
+    * passes, a pure map pass inside whole-stage codegen at 100 TB. */
   def segment(textCol: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.BpeSegmentExpr(E(textCol), merges))
+  }
+
+  /** The declarative formulation of [[segment]] — one chained
+    * `aggregate` fold per merge. Interpreted (ArrayAggregate is
+    * CodegenFallback) and generated-code-linear in the merge count, so
+    * the kernel replaces it in the operator surface; kept as the
+    * independent differential oracle the kernel is pinned against in
+    * BpeSpec. */
+  private[graft] def segmentFold(textCol: Column,
+                                 merges: Seq[(String, String)]): Column = {
     val words = TextAnalysis.tokens(textCol)
     transform(words, w => {
       val init = concat(filter(split(w, ""), c => c =!= lit("")),

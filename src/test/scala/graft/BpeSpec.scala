@@ -68,6 +68,32 @@ class BpeSpec extends SparkSpec {
     assert(rebuilt == Seq("newest", "lowest"))
   }
 
+  test("native segment kernel is bit-identical to the declarative fold") {
+    // the kernel (BpeSegmentExpr) replaces the chained-aggregate fold in
+    // the operator surface; pin them against each other on real corpus
+    // text (unicode, punctuation, odd whitespace) plus crafted edges
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(200)
+      .union(Seq("", "  ", "a", "aaaa aaaa", "\tlead tab", "π señor 𝄞clef",
+        "low lower newest").toDF("text"))
+    val merges = Seq("e" -> "s", "es" -> "t", "est" -> Bpe.EndOfWord,
+      "l" -> "o", "a" -> "a", "aa" -> "aa")
+    val diff = docs.select(
+        Bpe.segment(col("text"), merges).as("k"),
+        Bpe.segmentFold(col("text"), merges).as("f"))
+      .filter(not(col("k") <=> col("f")))
+    assert(diff.count() == 0)
+  }
+
+  test("segment kernel handles a long merge list the fold cannot") {
+    // 200 merges in one kernel call — constant generated-code size
+    val merges = (0 until 200).map(i => (s"x$i", s"y$i")) :+ ("l" -> "o")
+    val out = Seq("low").toDF("text")
+      .select(Bpe.segment(col("text"), merges).as("p"))
+      .as[Seq[Seq[String]]].collect()(0)
+    assert(out == Seq(Seq("lo", "w", Bpe.EndOfWord)))
+  }
+
   test("pairCounts round-1 statistics match hand counts") {
     val m = Bpe.pairCounts(Bpe.initialVocab(sennrich, "text"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
