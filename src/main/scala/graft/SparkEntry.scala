@@ -104,6 +104,16 @@ object SparkEntry {
       graft.pipeline.Bpe.trainMerges(T(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank").collect()
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+  /** Hand-set "English prose quality" weights for q_classify_score: the
+    * POINT of the literal-weight entry is that a trained model applies as
+    * a pure SQL-expressible map pass, so the oracle can recompute it —
+    * fixed literals keep the oracle static text. (q_classify_train
+    * demonstrates the actual training; its output depends on the corpus
+    * and so is rows-only.) Order: len_cap, punct_ratio, stopword_en,
+    * mean_wlen_cap, digit_ratio, upper_ratio, intercept. */
+  private val classifyDemoWeights =
+    Seq(1.0, -2.0, 4.0, 1.0, -3.0, -2.0, -1.0)
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     // keyed by the embeddings file's fingerprint (idxRoot), not the bare
     // dir: regenerated data at the same path must refresh the memo
@@ -910,6 +920,24 @@ object SparkEntry {
         .selectColumns(Seq("doc_id", "score"))
         .warpSort(Seq(Order(col("doc_id"))))
     }),
+
+    // ---- TRAINED quality filter (CCNet/fastText-style model-based
+    //      filtering): scoring with literal trained weights is a pure
+    //      map-only sigmoid — fully oracle-checked vs DuckDB recomputing
+    //      all six features; training (iterative exact-decimal gradient
+    //      descent, one aggregate per iteration over a checkpointed
+    //      compact feature table) is not SQL-expressible -> rows-only,
+    //      with determinism + convergence pinned in ClassifierSpec.
+    "q_classify_score" -> ((s, dir) => {
+      graft.pipeline.Classifier.scored(
+          T(s, dir, "documents"), "text", classifyDemoWeights)
+        .calculate(Seq("score" -> round(col("score"), 6)))
+        .selectColumns(Seq("doc_id", "score"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+    "q_classify_train" -> ((s, dir) =>
+      graft.pipeline.Classifier.weightTable(T(s, dir, "documents"), "text",
+        (col("lang") === "en").cast("double"), iters = 12).orderBy("idx")),
 
     // ---- CURATION CHAIN v2, oracle-verified END-TO-END: sub-document
     //      span dedup -> quality score on the deduped text -> top-80%
@@ -1942,6 +1970,33 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_classify_score" ->
+      """WITH f AS (
+           SELECT doc_id, coalesce(text, '') AS t FROM documents
+         ), feat AS (
+           SELECT doc_id,
+             least(CAST(length(t) AS DOUBLE) / 1000.0, 1.0) AS f1,
+             CASE WHEN length(t) > 0 THEN
+               CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                 / length(t) ELSE 0.0 END AS f2,
+             CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(t)), '\s+'),
+                 w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END AS f3,
+             least((CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
+               CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\s+'),
+                 w -> length(w))) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+             CASE WHEN length(t) > 0 THEN
+               CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+                 / length(t) ELSE 0.0 END AS f5,
+             CASE WHEN length(t) > 0 THEN
+               CAST(length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS DOUBLE)
+                 / length(t) ELSE 0.0 END AS f6
+           FROM f)
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(1.0*f1 - 2.0*f2 + 4.0*f3 + 1.0*f4 - 3.0*f5 - 2.0*f6 - 1.0))), 6) AS score
+         FROM feat ORDER BY doc_id""",
     "q_curate_packed" ->
       """WITH words AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents

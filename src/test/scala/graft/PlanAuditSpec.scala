@@ -112,6 +112,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("token_stats"), p.take(2000))
   }
 
+  test("q_classify_score: trained-filter scoring is map-only; features computed once") {
+    val p = plan("q_classify_score")
+    // scoring with literal weights must stay a stacked pair of map-only
+    // projects over the scan — the one Exchange is the presentation sort
+    assert("Exchange".r.findAllMatchIn(p).length == 1, p.take(2000))
+    // the feature array is materialized in its OWN projection (the
+    // multiply-referenced __feat alias keeps CollapseProject away): the
+    // sigmoid reads it 6 times, so a collapsed plan would repeat every
+    // kernel once per weight — lang_scores appears once in the feature
+    // array, so exactly one occurrence proves the projection survived
+    // (text_stats repeats WITHIN the feature array; runtime subexpression
+    // elimination dedups that, pinned by the kernel-CSE test above)
+    assert(p.contains("__feat_text"), p.take(2000))
+    assert("lang_scores".r.findAllMatchIn(p).length == 1, p.take(2000))
+    // only the two needed columns are read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(2000))
+  }
+
   test("q_agg_median_scalable: exact median with no whole-group buffer") {
     val p = plan("q_agg_median_scalable")
     // the point of the bracket path: the only sketchy aggregate is the
