@@ -921,6 +921,28 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- Unicode hygiene. q_text_nfc: NFC normalization vs DuckDB's own
+    //      nfc_normalize — the corpus is already NFC, so a decomposed
+    //      suffix (e + combining acute) forces one real composition per
+    //      row. q_text_fixmojibake: repair is oracle-checked by
+    //      INVERSION — corrupt the text through a latin-1 misdecode
+    //      in-plan (encode/decode), repair with the kernel, and the
+    //      oracle asserts equality with the pristine original text.
+    "q_text_nfc" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .calculate(Seq("nfc" -> graft.pipeline.TextAnalysis.normalizeUnicode(
+          concat(col("text"), lit("e\u0301"))))) // decomposed; NFC composes it
+        .selectColumns(Seq("doc_id", "nfc"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+    "q_text_fixmojibake" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .calculate(Seq("fixed" -> graft.pipeline.TextAnalysis.fixMojibake(
+          decode(encode(col("text"), "UTF-8"), "ISO-8859-1"))))
+        .selectColumns(Seq("doc_id", "fixed"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- TRAINED quality filter (CCNet/fastText-style model-based
     //      filtering): scoring with literal trained weights is a pure
     //      map-only sigmoid — fully oracle-checked vs DuckDB recomputing
@@ -1970,6 +1992,11 @@ object SparkEntry {
            least(len_score, 1.0) * 0.4 + least(sw * 5.0, 1.0) * 0.3 +
            greatest(0.0, 1.0 - punct * 5.0) * 0.3 AS score
          FROM c ORDER BY doc_id""",
+    "q_text_nfc" ->
+      """SELECT doc_id, nfc_normalize(text || 'e' || chr(769)) AS nfc
+         FROM documents ORDER BY doc_id""",
+    "q_text_fixmojibake" ->
+      """SELECT doc_id, text AS fixed FROM documents ORDER BY doc_id""",
     "q_classify_score" ->
       """WITH f AS (
            SELECT doc_id, coalesce(text, '') AS t FROM documents

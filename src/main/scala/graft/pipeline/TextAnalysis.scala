@@ -334,6 +334,24 @@ object TextAnalysis {
     * would otherwise leave its host part for the IP pattern to re-match. */
   def redactPii(textCol: Column): Column = piiScan(textCol).getField("redacted")
 
+  /** Canonical Unicode normalization ([[graft.functions.NormalizeExpr]]):
+    * `form` is NFC/NFKC/NFD/NFKD. Already-normalized rows (ASCII fast
+    * path) return the input buffer untouched — on a mostly-ASCII corpus
+    * this is a scan, not a rewrite. */
+  def normalizeUnicode(textCol: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.NormalizeExpr(E(textCol), form))
+  }
+
+  /** Repair latin-1/windows-1252 mojibake
+    * ([[graft.functions.UnicodeText.fixMojibake]]): all-or-nothing
+    * re-decode gated on strict UTF-8 validity, so legitimate accented
+    * text never false-repairs. */
+  def fixMojibake(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.FixMojibakeExpr(E(textCol)))
+  }
+
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */
   def fingerprintMd5(textCol: Column): Column =

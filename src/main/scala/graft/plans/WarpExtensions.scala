@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Expr
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DoubleType, NumericType}
-import graft.functions.{BandHashExpr, DotProductExpr, HammingDistExpr, LangScoresExpr, MinHashSigExpr, PiiScanExpr, ShingleHashExpr, SimHashExpr, TextStatsExpr, TokenStatsExpr, WarpNumExpr}
+import graft.functions.{BandHashExpr, DotProductExpr, FixMojibakeExpr, HammingDistExpr, LangScoresExpr, MinHashSigExpr, NormalizeExpr, PiiScanExpr, ShingleHashExpr, SimHashExpr, TextStatsExpr, TokenStatsExpr, WarpNumExpr}
 
 /** Catalyst-level integration of the graft engine.
   *
@@ -88,7 +88,15 @@ object WarpExtensions {
       val as = arity(args, 2, 2, "vec_cosine"); val a = as(0); val b = as(1)
       Divide(DotProductExpr(a, b),
         Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
-    }))
+    }),
+    // Unicode hygiene: canonical normalization (DuckDB-compatible
+    // nfc_normalize naming) + encoding-corruption repair
+    "nfc_normalize" -> (args => NormalizeExpr(
+      arity(args, 1, 1, "nfc_normalize")(0), "NFC")),
+    "nfkc_normalize" -> (args => NormalizeExpr(
+      arity(args, 1, 1, "nfkc_normalize")(0), "NFKC")),
+    "fix_mojibake" -> (args => FixMojibakeExpr(
+      arity(args, 1, 1, "fix_mojibake")(0))))
 
   /** Readable analysis-time arity error for every registered builder — a
     * raw IndexOutOfBoundsException (too few args) or a silently IGNORED

@@ -106,6 +106,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly 2 argument"), e.getMessage)
   }
 
+  test("unicode kernels callable from SQL: normalize + mojibake repair") {
+    Graft.install(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('é') AS n, nfkc_normalize('ﬁ') AS k, " +
+        "fix_mojibake('Ã©') AS f, fix_mojibake('café') AS keep")
+      .collect()(0)
+    assert(r.getAs[String]("n") == "é")    // e + combining acute -> é
+    assert(r.getAs[String]("k") == "fi")        // ﬁ ligature folds under NFKC
+    assert(r.getAs[String]("f") == "é")    // Ã© -> é
+    assert(r.getAs[String]("keep") == "café") // legit accent untouched
+  }
+
   test("kernel misuse fails at analysis with a readable message") {
     Graft.install(spark)
     Seq((1L, "txt")).toDF("id", "text").createOrReplaceTempView("sqldocs2")

@@ -1064,4 +1064,36 @@ class PipelineSpec extends SparkSpec {
       (3L, 1, "other", 1L, 2L),
       (3L, 2, "common", 1L, 3L)))
   }
+
+  test("unicode hygiene: NFC composes, mojibake inverts, legit text survives") {
+    import org.apache.spark.sql.functions.{col, decode, encode}
+    // multilingual round-trip inversion: corrupt through a latin-1
+    // misdecode, repair with the kernel, recover the original exactly
+    val texts = Seq("h\u00e9llo w\u00f6rld", "\u4e2d\u6587\u6587\u672c", "plain ascii",
+      "\u00e9\u00e8\u00ea \u20ac caf\u00e9", "mixed \u00fc and \u4e2d")
+    val df = texts.toDF("text")
+    val roundTrip = df.select(
+        TextAnalysis.fixMojibake(decode(encode(col("text"), "UTF-8"), "ISO-8859-1")).as("fixed"),
+        col("text"))
+      .collect()
+    roundTrip.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"inversion failed for ${r.getString(1)}"))
+    // cp1252-style corruption (curly quote) repairs too
+    val curly = Seq("it\u00e2\u20ac\u2122s here").toDF("t")
+      .select(TextAnalysis.fixMojibake(col("t"))).head().getString(0)
+    assert(curly == "it\u2019s here")
+    // legitimate accents and pure ASCII are untouched
+    val keep = Seq("caf\u00e9 cr\u00e8me", "ascii only").toDF("t")
+      .select(TextAnalysis.fixMojibake(col("t")), col("t")).collect()
+    keep.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // NFC: decomposed e + combining acute composes; idempotent after
+    val nfc = Seq("caf\u0065\u0301").toDF("t")
+      .select(TextAnalysis.normalizeUnicode(col("t"))).head().getString(0)
+    assert(nfc == "caf\u00e9")
+    // null-safe
+    val nulls = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.normalizeUnicode(col("t")), TextAnalysis.fixMojibake(col("t")))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }
