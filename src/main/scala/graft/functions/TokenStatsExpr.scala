@@ -157,8 +157,12 @@ case class SegmentDupStatsExpr(child: Expression, delim: Char) extends UnaryExpr
   *    never maps into, out of, or onto ASCII punctuation)
   *  - rawChars      = `length(s)` (code points, pre-lowercase — the İ→i̇
   *    class of mappings changes char counts)
+  *  - digitCount / upperCount = the `[0-9]` / `[A-Z]` char counts
+  *    (`length(s) - length(regexp_replace(s, cls, ""))`) — counted over
+  *    the RAW UTF-8 bytes, where ASCII values never appear inside
+  *    multi-byte sequences
   *
-  * Replacing five string/array-building passes with one scan is what
+  * Replacing seven string/array-building passes with one scan is what
   * keeps corpus quality scoring a pure map pass at 100 TB. */
 object TextStatsExpr {
   // Java regex \s (no UNICODE_CHARACTER_CLASS): [ \t\n\x0B\f\r]
@@ -215,8 +219,24 @@ object TextStatsExpr {
       if (isWs(lower.codePointBefore(until))) nTokens += 1 // trailing empty
     }
 
+    // ASCII digit / uppercase counts over the RAW UTF-8 bytes: 0x30-0x39
+    // and 0x41-0x5A never appear as lead/continuation bytes, so a byte
+    // scan counts exactly the ASCII chars [0-9] / [A-Z] match — and the
+    // original (pre-lowercase) string, since Unicode lowercasing can
+    // change code-point counts (İ -> i̇)
+    val bytes = s.getBytes
+    var digits = 0L
+    var uppers = 0L
+    var k = 0
+    while (k < bytes.length) {
+      val b = bytes(k)
+      if (b >= '0' && b <= '9') digits += 1
+      else if (b >= 'A' && b <= 'Z') uppers += 1
+      k += 1
+    }
+
     UnsafeArrayData.fromPrimitiveArray(Array[Long](
-      nTokens, sumLens, nBpe, punct, rawChars))
+      nTokens, sumLens, nBpe, punct, rawChars, digits, uppers))
   }
 }
 

@@ -53,16 +53,16 @@ object Classifier {
   def features(textCol: Column): Column = {
     val t = coalesce(textCol, lit(""))
     val len = length(t).cast("double")
-    def charRatio(pattern: String): Column =
-      when(len > 0, (len - length(regexp_replace(t, pattern, ""))) / len)
-        .otherwise(lit(0.0))
+    // every ratio rides the one-pass text_stats kernel (digit/upper
+    // included) — with codegen subexpression elimination the whole
+    // vector costs ONE text_stats + ONE lang_scores call per row
     array(
       least(len / 1000.0, lit(1.0)),
       TextAnalysis.punctRatio(t),
       TextAnalysis.stopwordRatio(t, "en"),
       least(TextAnalysis.meanWordLength(t) / 10.0, lit(1.0)),
-      charRatio("[0-9]"),
-      charRatio("[A-Z]"))
+      TextAnalysis.digitRatio(t),
+      TextAnalysis.upperRatio(t))
   }
 
   /** Linear score `sigmoid(w · x + b)` with LITERAL weights — a trained

@@ -55,7 +55,7 @@ object TextAnalysis {
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
-  /** `[nTokensWs, sumTokenLens, nBpe, punctCount, rawChars]` in one native
+  /** `[nTokensWs, sumTokenLens, nBpe, punctCount, rawChars, digitCount, upperCount]` in one native
     * codegen pass ([[graft.functions.TextStatsExpr]]) — the length/shape
     * twin of [[tokenStats]]. Every scalar below derives from it;
     * whole-stage codegen's subexpression elimination computes it once per
@@ -85,6 +85,21 @@ object TextAnalysis {
   def meanWordLength(textCol: Column): Column = {
     val ts = textStats(textCol)
     ratio(element_at(ts, 2), element_at(ts, 1))
+  }
+
+  /** Fraction of characters that are ASCII digits — same semantics as
+    * `(len - len(regexp_replace(t, '[0-9]', ''))) / len`, but counted in
+    * the one-pass `text_stats` kernel (differential-pinned). */
+  def digitRatio(textCol: Column): Column = {
+    val ts = textStats(textCol)
+    ratio(element_at(ts, 6), element_at(ts, 5))
+  }
+
+  /** Fraction of characters that are ASCII uppercase (`[A-Z]`), from the
+    * same kernel pass. */
+  def upperRatio(textCol: Column): Column = {
+    val ts = textStats(textCol)
+    ratio(element_at(ts, 7), element_at(ts, 5))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with

@@ -213,7 +213,7 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("differential: text_stats kernel equals the five declarative passes") {
+  test("differential: text_stats kernel equals the seven declarative passes") {
     // the single-pass kernel must reproduce each formulation it replaced,
     // over whitespace-hostile and Unicode-bearing inputs: leading tabs
     // (space-only SQL trim + Java split's leading empty token), trailing
@@ -236,7 +236,11 @@ class PropertySpec extends SparkSpec {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"),
       (length(col("t")) - length(regexp_replace(col("t"), "[.,;:!?'\"()-]", "")))
         .cast("long"),
-      length(col("t")).cast("long"))
+      length(col("t")).cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
+        .cast("long"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[A-Z]", "")))
+        .cast("long"))
     val checks = decl.zipWithIndex.map { case (d, i) =>
       (!(element_at(ts, i + 1) <=> d)).as(s"bad_$i") }
     val bad = df.select(checks: _*)
