@@ -66,13 +66,22 @@ object EventStream {
     * `readStream` UNCHANGED because they are pure map expressions; the
     * only stateful stage is the dedup, whose state the watermark bounds. */
   def ingestDocumentsStream(docs: DataFrame, textCol: String, tsCol: String,
-                            lateness: String = "10 minutes"): DataFrame = {
+                            lateness: String = "10 minutes",
+                            modelWeights: Seq[Double] = Nil): DataFrame = {
     val ta = graft.pipeline.TextAnalysis
-    val scored = docs
+    val heur = docs
       .withColumn("quality", ta.qualityScore(col(textCol)))
       .withColumn("lang_id", ta.langId(col(textCol)))
       .withColumn("n_tokens", ta.tokenCountWs(col(textCol)))
       .withColumn("fp", ta.fingerprint64(col(textCol)))
+    // trained-model scoring is a literal-weight map expression
+    // (graft.pipeline.Classifier), so ONLINE inference composes with
+    // readStream unchanged — train batch-side, ship the 7 weights, score
+    // every arriving document with zero extra state
+    val scored =
+      if (modelWeights.isEmpty) heur
+      else graft.pipeline.Classifier.scored(heur, textCol, modelWeights,
+        outCol = "model_score")
     dedupStream(scored, Seq("fp"), tsCol, lateness)
   }
 

@@ -190,6 +190,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingestDocumentsStream scores online with trained-model weights") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = Seq(1.0, -2.0, 4.0, 1.0, -3.0, -2.0, -1.0)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = EventStream.ingestDocumentsStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", modelWeights = w)
+    val query = stream.writeStream.format("memory").queryName("ingest_model")
+      .outputMode("append").start()
+    try {
+      val doc = "the quick brown fox jumps over a lazy dog in the sunny park today"
+      input.addData((1L, doc, ts(1)))
+      query.processAllAvailable()
+      val streamScore = spark.table("ingest_model")
+        .select("model_score").as[Double].collect()(0)
+      // online inference == the batch scoring expression, bit-identical
+      val batchScore = graft.pipeline.Classifier.scored(
+        Seq(doc).toDF("text"), "text", w).select("score").as[Double].collect()(0)
+      assert(streamScore == batchScore)
+    } finally query.stop()
+  }
+
   test("dedupAgainstCorpus drops known content, then dedups within the stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
