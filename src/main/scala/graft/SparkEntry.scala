@@ -104,6 +104,15 @@ object SparkEntry {
       graft.pipeline.Bpe.trainMerges(T(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank").collect()
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+  /** Vocabulary fixture for q_bpe_encode — ships with the merges as the
+    * tokenizer artifact; same memo discipline. */
+  private val bpeVocabCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[String]]
+  private def bpeVocabFixture(s: SparkSession, dir: String): Seq[String] =
+    bpeVocabCache.getOrElseUpdate(dataFp(s, dir, "documents"),
+      graft.pipeline.Bpe.vocabulary(T(s, dir, "documents"), "text",
+          bpeMergeFixture(s, dir))
+        .orderBy("id").collect().map(_.getAs[String]("token")).toSeq)
   /** Hand-set "English prose quality" weights for q_classify_score: the
     * POINT of the literal-weight entry is that a trained model applies as
     * a pure SQL-expressible map pass, so the oracle can recompute it —
@@ -897,6 +906,21 @@ object SparkEntry {
           flatten(graft.pipeline.Bpe.segment(col("text"), merges)).as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
+        .orderBy("doc_id")
+    }),
+    // encode-to-ids: the artifact an LM pipeline actually emits (merges +
+    // vocab frozen into ONE kernel call per document). Rows-only like the
+    // trainer (ids derive from the trained fixture); decode-inversion and
+    // unk laws pinned in BpeSpec.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMergeFixture(s, dir)
+      val vocab = bpeVocabFixture(s, dir)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.Bpe.encode(col("text"), merges, vocab).as("ids"))
+        .select(col("doc_id"), size(col("ids")).as("n_ids"),
+          concat_ws(" ", transform(slice(col("ids"), 1, 16),
+            i => i.cast("string"))).as("head_ids"))
         .orderBy("doc_id")
     }),
 

@@ -39,40 +39,49 @@ object BpeSegmentExpr {
     f
   }
 
+  /** Segment one word: initial symbols are code points (split("") never
+    * cuts a surrogate pair) + the end-of-word marker; each merge is one
+    * greedy in-place pass (write index trails read). Returns the symbol
+    * array; the live prefix length is in `lenOut(0)`. */
+  private[functions] def segmentWord(word: String, flat: Array[String],
+                                     lenOut: Array[Int]): Array[String] = {
+    var n = 0
+    val syms = new Array[String](Character.codePointCount(word, 0, word.length) + 1)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      syms(n) = new String(Character.toChars(cp))
+      n += 1
+      ci += Character.charCount(cp)
+    }
+    syms(n) = graft.pipeline.Bpe.EndOfWord
+    n += 1
+    var m = 0
+    while (m < flat.length && n > 1) {
+      val a = flat(m); val b = flat(m + 1); val ab = flat(m + 2)
+      var w = 0
+      var i = 0
+      while (i < n) {
+        val cur = syms(i)
+        if (w > 0 && b == cur && a == syms(w - 1)) syms(w - 1) = ab
+        else { syms(w) = cur; w += 1 }
+        i += 1
+      }
+      n = w
+      m += 3
+    }
+    lenOut(0) = n
+    syms
+  }
+
   def compute(s: UTF8String, flat: Array[String]): ArrayData = {
     val words = TextHash.tokenize(s)
     val out = new Array[AnyRef](words.length)
+    val lenOut = new Array[Int](1)
     var wi = 0
     while (wi < words.length) {
-      val word = words(wi)
-      // initial symbols: code points (split("") never cuts a surrogate
-      // pair) + the end-of-word marker
-      var n = 0
-      var syms = new Array[String](Character.codePointCount(word, 0, word.length) + 1)
-      var ci = 0
-      while (ci < word.length) {
-        val cp = word.codePointAt(ci)
-        syms(n) = new String(Character.toChars(cp))
-        n += 1
-        ci += Character.charCount(cp)
-      }
-      syms(n) = graft.pipeline.Bpe.EndOfWord
-      n += 1
-      // each merge: one greedy in-place pass (write index trails read)
-      var m = 0
-      while (m < flat.length && n > 1) {
-        val a = flat(m); val b = flat(m + 1); val ab = flat(m + 2)
-        var w = 0
-        var i = 0
-        while (i < n) {
-          val cur = syms(i)
-          if (w > 0 && b == cur && a == syms(w - 1)) syms(w - 1) = ab
-          else { syms(w) = cur; w += 1 }
-          i += 1
-        }
-        n = w
-        m += 3
-      }
+      val syms = segmentWord(words(wi), flat, lenOut)
+      val n = lenOut(0)
       val pieces = new Array[AnyRef](n)
       var k = 0
       while (k < n) { pieces(k) = UTF8String.fromString(syms(k)); k += 1 }
@@ -81,6 +90,70 @@ object BpeSegmentExpr {
     }
     new GenericArrayData(out)
   }
+}
+
+object BpeEncodeExpr {
+  /** Segment + map to vocabulary ids in one pass, flattened across words
+    * (the shape an LM pipeline feeds downstream). Unknown pieces (symbols
+    * outside the training vocabulary) encode as id 0. */
+  def compute(s: UTF8String, flat: Array[String],
+              vocab: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = TextHash.tokenize(s)
+    var buf = new Array[Int](64)
+    var total = 0
+    val lenOut = new Array[Int](1)
+    var wi = 0
+    while (wi < words.length) {
+      val syms = BpeSegmentExpr.segmentWord(words(wi), flat, lenOut)
+      val n = lenOut(0)
+      if (total + n > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, total + n))
+      var k = 0
+      while (k < n) {
+        val id = vocab.get(syms(k))
+        buf(total) = if (id == null) 0 else id.intValue()
+        total += 1
+        k += 1
+      }
+      wi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, total))
+  }
+}
+
+/** `bpe_encode(text)` — segmentation + vocabulary-id lookup fused in one
+  * kernel call; `array<int>` of token ids flattened across words, id 0 =
+  * unknown. The vocabulary (index = id) is frozen into the expression
+  * like the merge list — at scale both ship as one plan-referenced
+  * object, not per-row state. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+                         vocab: Seq[String]) extends UnaryExpression {
+  @transient private lazy val flat: Array[String] = BpeSegmentExpr.flatten(merges)
+  @transient private lazy val vocabMap: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    vocab.zipWithIndex.foreach { case (t, i) => m.putIfAbsent(t, i) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHash.requireType(prettyName, child.dataType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  override def foldable: Boolean = child.foldable
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.compute(input.asInstanceOf[UTF8String], flat, vocabMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mergesRef = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    val vocabRef = ctx.addReferenceObj("bpeVocab", vocabMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeEncodeExpr.compute($c, $mergesRef, $vocabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
 }
 
 case class BpeSegmentExpr(child: Expression, merges: Seq[(String, String)])

@@ -104,6 +104,43 @@ object Bpe {
     C(graft.functions.BpeSegmentExpr(E(textCol), merges))
   }
 
+  /** The deterministic id vocabulary of a trained tokenizer:
+    * id 0 = `<unk>`, then the corpus' base symbols (distinct initial
+    * characters + `</w>`) in lexicographic order, then the merged symbols
+    * in rank order. One vocabulary-table aggregate; the result is the
+    * second half of the shippable artifact (merges + vocab). A merged
+    * string that collides with an earlier entry (e.g. two merge paths
+    * producing the same surface form) keeps the earlier id — the encoder
+    * maps by first occurrence. */
+  def vocabulary(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bounded driver collect by contract: the distinct-character
+    // inventory of a corpus is bounded by Unicode (~1M worst case), like
+    // the dummies label set — not corpus-sized
+    val base = initialVocab(df, textCol)
+      .select(explode(col("syms")).as("token")).distinct()
+      .orderBy("token").collect().map(_.getString(0))
+    val toks = ("<unk>" +: base.toSeq) ++ merges.map { case (a, b) => a + b }
+    val seen = scala.collection.mutable.HashSet[String]()
+    // dedup BEFORE numbering: ids stay consecutive and equal to the
+    // position in the collected token list, which is exactly the Seq
+    // contract `encode` indexes by
+    toks.filter(seen.add).zipWithIndex.map(_.swap).toDF("id", "token")
+  }
+
+  /** Segment + encode to vocabulary ids in ONE kernel call per document
+    * ([[graft.functions.BpeEncodeExpr]]): `array<int>` flattened across
+    * words, unknown symbols -> id 0. `vocab` is the token list indexed by
+    * id ([[vocabulary]] ordered by id) — frozen into the plan alongside
+    * the merges, so encoding stays a pure map pass at 100 TB. */
+  def encode(textCol: Column, merges: Seq[(String, String)],
+             vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.BpeEncodeExpr(E(textCol), merges, vocab))
+  }
+
   /** The declarative formulation of [[segment]] — one chained
     * `aggregate` fold per merge. Interpreted (ArrayAggregate is
     * CodegenFallback) and generated-code-linear in the merge count, so

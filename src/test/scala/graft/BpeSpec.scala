@@ -101,4 +101,42 @@ class BpeSpec extends SparkSpec {
     assert(m(("l", "o")) == 7L) // low(5) + lower(2)
     assert(m(("w", "</w>")) == 5L) // low(5)
   }
+
+  test("vocabulary ids are consecutive, deterministic, and unk-first") {
+    val merges = Bpe.trainMerges(sennrich, "text", numMerges = 4)
+      .orderBy("rank").select("left", "right").as[(String, String)].collect().toSeq
+    val v = Bpe.vocabulary(sennrich, "text", merges).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(v.head == (0, "<unk>"))
+    assert(v.map(_._1) == v.indices)             // consecutive ids
+    val base = v.tail.dropRight(merges.length).map(_._2)
+    assert(base == base.sorted)                   // base symbols lexicographic
+    assert(v.takeRight(merges.length).map(_._2) ==
+      merges.map { case (a, b) => a + b })        // merges in rank order
+    val v2 = Bpe.vocabulary(sennrich, "text", merges).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(v == v2)                               // deterministic rebuild
+  }
+
+  test("encode ids invert to segment pieces through the vocabulary") {
+    val merges = Bpe.trainMerges(sennrich, "text", numMerges = 4)
+      .orderBy("rank").select("left", "right").as[(String, String)].collect().toSeq
+    val vocab = Bpe.vocabulary(sennrich, "text", merges).orderBy("id")
+      .as[(Int, String)].collect().map(_._2).toSeq
+    val df = Seq((1L, "newest lowest"), (2L, ""), (3L, "low")).toDF("id", "text")
+    val got = df.orderBy("id").select(
+        Bpe.encode(col("text"), merges, vocab).as("ids"),
+        flatten(Bpe.segment(col("text"), merges)).as("pieces"))
+      .as[(Seq[Int], Seq[String])].collect()
+    got.foreach { case (ids, pieces) =>
+      assert(ids.length == pieces.length)
+      assert(ids.map(vocab) == pieces)            // decode(encode) == segment
+      assert(ids.forall(i => i > 0 && i < vocab.length)) // no unks in-corpus
+    }
+    // out-of-vocabulary characters encode as id 0
+    val unk = Seq("zzz \u4e2d").toDF("text")
+      .select(Bpe.encode(col("text"), merges, vocab).as("ids"))
+      .as[Seq[Int]].collect()(0)
+    assert(unk.contains(0))
+  }
 }
