@@ -1025,6 +1025,33 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- hard per-source cap (at most n docs per domain): skewed corpus
+    //      (src0 planted to 4x the others), two-phase salted path — the
+    //      production shape for mega-domains; result provably identical to
+    //      the plain window the oracle computes
+    "q_source_cap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").selectColumns(Seq("doc_id", "source"))
+      val planted = T(s, dir, "documents").warpFilter(col("doc_id") % 10 < 3)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 500000),
+          "source" -> lit("src0")))
+        .selectColumns(Seq("doc_id", "source"))
+      graft.pipeline.Sampling.capPerGroup(docs.warpUnion(planted),
+          col("source"), col("doc_id"), n = 15, presaltParts = 4)
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
+    // ---- global token-budget selection: md5-rank order, distributed
+    //      prefix-sum (bucketed by rank prefix; the only global window
+    //      runs over the <=256-row bucket-total aggregate)
+    "q_token_budget" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").calculate(Seq(
+        "n_tokens" -> graft.pipeline.TextAnalysis.tokenCountWs(col("text")).cast("long")))
+      graft.pipeline.Sampling.takeTokenBudget(docs, col("doc_id"),
+          col("n_tokens"), budget = 15000L)
+        .selectColumns(Seq("doc_id", "source", "n_tokens", "cum_tokens"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- per-source corpus report card: counts, token totals, mean
     //      quality (decimal-exact), corpus-wide duplicate incidence
     "q_corpus_stats" -> ((s, dir) => {
@@ -2138,6 +2165,34 @@ object SparkEntry {
          )
          SELECT r.doc_id, r.source FROM r JOIN tg USING (source)
          WHERE rn <= target ORDER BY doc_id""",
+    "q_source_cap" ->
+      """WITH base AS (
+           SELECT doc_id, source FROM documents
+           UNION ALL
+           SELECT doc_id + 500000, 'src0' FROM documents WHERE doc_id % 10 < 3
+         ), r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM base
+         )
+         SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""",
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents
+         ), c AS (
+           SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (ORDER BY pr, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM t
+         )
+         SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""",
     "q_corpus_stats" ->
       """WITH base AS (
            SELECT doc_id, text, source FROM documents

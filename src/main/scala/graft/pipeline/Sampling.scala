@@ -117,6 +117,94 @@ object Sampling {
       .drop("__cls", "__target", "__rn")
   }
 
+  /** Hard per-group cap (the "at most n documents per domain" curation
+    * move; complements [[temperatureSample]], which rebalances by class
+    * frequency but has no absolute ceiling): keep each group's n
+    * smallest-md5-rank rows. Priority is the same portable hash rank the
+    * rest of this object uses — deterministic across runs, engines, and
+    * cluster sizes, and SQL-oracle-checkable, where `rand()` or "first n
+    * seen" would be neither.
+    *
+    * Scale shape: the plain formulation (`presaltParts = 1`) is one hash
+    * exchange by group + per-group sort + row_number — correct at any
+    * size, but a web corpus has pathological domains (one host holding
+    * 1e8 docs lands its whole sort on one reducer). `presaltParts > 1`
+    * switches to two-phase top-n: phase 1 caps each (group, salt)
+    * sub-partition at n, bounding every reducer's sort and shrinking a
+    * mega-group to ≤ presaltParts·n survivors; phase 2 applies the exact
+    * cap on the survivors. The result is IDENTICAL to the plain form for
+    * any salt (pinned in PipelineSpec): every row of a group's true
+    * top-n is also in the top-n of its own salt bucket, so phase 1 keeps
+    * a strict superset. The salt itself (xxhash64 of the id) therefore
+    * needs determinism, not portability. */
+  def capPerGroup(df: DataFrame, groupCol: Column, idCol: Column, n: Int,
+                  presaltParts: Int = 1): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(presaltParts >= 1, s"presaltParts must be >= 1, got $presaltParts")
+    import org.apache.spark.sql.expressions.Window
+    def capped(d: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(md5(idCol.cast("string")), idCol)
+      d.withColumn("__cap_rn", row_number().over(w))
+        .filter(col("__cap_rn") <= n).drop("__cap_rn")
+    }
+    val survivors =
+      if (presaltParts == 1) df
+      else capped(df, Seq(groupCol, pmod(xxhash64(idCol), lit(presaltParts))))
+    capped(survivors, Seq(groupCol))
+  }
+
+  /** Deterministic corpus selection under a global TOKEN budget ("give me
+    * exactly ~B tokens of this corpus"): take rows in md5-rank order while
+    * the inclusive running token total stays ≤ `budget`. Emits the running
+    * total as `out` so downstream (and the SQL oracle) can see exactly
+    * where the cut landed.
+    *
+    * Scale shape — a distributed prefix-sum. The naive formulation (one
+    * global ordered window) serializes the whole corpus through a single
+    * reducer; instead the md5 rank is split at its first `prefixChars` hex
+    * chars into 16^prefixChars ordered buckets (hex-string order == hex
+    * value order, and the bucket is a PREFIX of the rank, so
+    * (bucket, rank) order == global rank order):
+    *  1. per-bucket token totals — a map-side-combined aggregate of
+    *     ≤ 16^prefixChars rows;
+    *  2. each bucket's starting offset — a running sum over that tiny
+    *     aggregate (a single-partition window over ≤ 4096 rows, bounded
+    *     by construction, never by the corpus);
+    *  3. broadcast-join offsets back and window WITHIN each bucket —
+    *     parallel across buckets, exact long arithmetic throughout.
+    * Nothing is collected to the driver; the corpus shuffles once (by
+    * bucket for the per-bucket window). Null ids are dropped (the
+    * [[splitLabel]] null discipline); null token counts count 0. */
+  def takeTokenBudget(df: DataFrame, idCol: Column, tokensCol: Column,
+                      budget: Long, prefixChars: Int = 2,
+                      out: String = "cum_tokens"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(prefixChars >= 1 && prefixChars <= 3,
+      s"prefixChars must be in [1, 3], got $prefixChars")
+    import org.apache.spark.sql.expressions.Window
+    val rank = md5(idCol.cast("string"))
+    val bucket = substring(rank, 1, prefixChars)
+    val toks = coalesce(tokensCol.cast("long"), lit(0L))
+    val tagged = df.withColumn("__tb_rank", rank)
+      .withColumn("__tb_bucket", bucket)
+      .withColumn("__tb_n", toks)
+      .filter(col("__tb_rank").isNotNull)
+    val totals = tagged.groupBy(col("__tb_bucket").as("__tb_b"))
+      .agg(sum(col("__tb_n")).as("__tb_tot"))
+    val offsets = totals.withColumn("__tb_offset",
+      coalesce(sum(col("__tb_tot")).over(Window.orderBy(col("__tb_b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__tb_tot")
+    val wIn = Window.partitionBy(col("__tb_bucket"))
+      .orderBy(col("__tb_rank"), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.join(broadcast(offsets), col("__tb_bucket") === col("__tb_b"))
+      .withColumn(out, col("__tb_offset") + sum(col("__tb_n")).over(wIn))
+      .filter(col(out) <= budget)
+      .drop("__tb_rank", "__tb_bucket", "__tb_n", "__tb_b", "__tb_offset")
+  }
+
   /** Domain-balanced score filtering: keep the top `frac` of rows PER
     * SHARD by `scoreCol` (the curation move that a global threshold gets
     * wrong — one high-scoring domain would crowd out every other). Rank

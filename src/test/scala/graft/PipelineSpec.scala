@@ -857,6 +857,50 @@ class PipelineSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("capPerGroup enforces the cap; salted two-phase path is identical to plain") {
+    // skewed groups: one mega-group of 200, two small ones (one under cap)
+    val rows = (1L to 200L).map(i => (i, "mega")) ++
+      (201L to 220L).map(i => (i, "mid")) ++ Seq((221L, "tiny"))
+    val df = rows.toDF("id", "grp")
+    val plain = Sampling.capPerGroup(df, col("grp"), col("id"), 10)
+    val counts = plain.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("mega" -> 10L, "mid" -> 10L, "tiny" -> 1L))
+    // the two-phase salted form must select the SAME rows for any salt
+    val plainIds = plain.select("id").as[Long].collect().toSet
+    for (parts <- Seq(2, 7)) {
+      val salted = Sampling.capPerGroup(df, col("grp"), col("id"), 10, presaltParts = parts)
+        .select("id").as[Long].collect().toSet
+      assert(salted == plainIds, s"salted(parts=$parts) diverged from plain")
+    }
+    // deterministic re-run
+    assert(Sampling.capPerGroup(df, col("grp"), col("id"), 10)
+      .select("id").as[Long].collect().toSet == plainIds)
+  }
+
+  test("takeTokenBudget: exact greedy prefix in md5-rank order, bucket-invariant") {
+    val df = (1L to 60L).map(i => (i, i % 7 + 1)).toDF("id", "ntok")
+    // local reference: same md5-hex rank order, inclusive running total
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ordered = (1L to 60L).sortBy(i => (md5hex(i.toString), i))
+    var cum = 0L
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    for (i <- ordered) { cum += i % 7 + 1; if (cum <= 100L) expect(i) = cum }
+    for (chars <- Seq(1, 2)) {
+      val got = Sampling.takeTokenBudget(df, col("id"), col("ntok"), 100L,
+          prefixChars = chars)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == expect.toMap, s"prefixChars=$chars diverged from local prefix sum")
+    }
+    // null ids drop; null token counts count as zero
+    val withNulls = Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(2L), None))
+      .toDF("id", "ntok")
+    val kept = Sampling.takeTokenBudget(withNulls, col("id"), col("ntok"), 100L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L) && kept.values.max == 5L)
+  }
+
   test("keepTopFraction keeps the per-shard score leaders with an exact cut") {
     val df = Seq(
       // shard A: 5 rows, frac 0.5 -> percent_rank <= 0.5 keeps ranks 1-3
