@@ -1052,6 +1052,19 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- size-balanced shard layout + manifest: deterministic token-boundary
+    //      shard assignment (same distributed prefix-sum as q_token_budget)
+    //      and an order-free per-shard checksum manifest
+    "q_shard_manifest" -> ((s, dir) => {
+      val Sa = graft.pipeline.Sampling
+      val docs = T(s, dir, "documents").calculate(Seq(
+        "n_tokens" -> graft.pipeline.TextAnalysis.tokenCountWs(col("text")).cast("long")))
+      val assigned = Sa.assignShards(docs, col("doc_id"), col("n_tokens"),
+        tokensPerShard = 2000L)
+      Sa.shardManifest(assigned, col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy("shard_id")
+    }),
+
     // ---- per-source corpus report card: counts, token totals, mean
     //      quality (decimal-exact), corpus-wide duplicate incidence
     "q_corpus_stats" -> ((s, dir) => {
@@ -2193,6 +2206,26 @@ object SparkEntry {
          )
          SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+    "q_shard_manifest" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pr
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY pr, doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS excum
+           FROM t
+         )
+         SELECT CAST(floor(CAST(excum AS DOUBLE) / 2000) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_total,
+           CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
+             AS BIGINT) AS id_checksum
+         FROM c GROUP BY 1 ORDER BY shard_id""",
     "q_corpus_stats" ->
       """WITH base AS (
            SELECT doc_id, text, source FROM documents

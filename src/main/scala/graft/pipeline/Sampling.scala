@@ -180,6 +180,16 @@ object Sampling {
                       budget: Long, prefixChars: Int = 2,
                       out: String = "cum_tokens"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    withRunningTokens(df, idCol, tokensCol, prefixChars, out)
+      .filter(col(out) <= budget)
+  }
+
+  /** The distributed prefix-sum core shared by [[takeTokenBudget]] and
+    * [[assignShards]]: adds `out` = the inclusive running token total in
+    * global (md5(id), id) order, computed without a global window (see
+    * [[takeTokenBudget]]'s scaladoc for the bucket decomposition). */
+  private def withRunningTokens(df: DataFrame, idCol: Column, tokensCol: Column,
+                                prefixChars: Int, out: String): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 3,
       s"prefixChars must be in [1, 3], got $prefixChars")
     import org.apache.spark.sql.expressions.Window
@@ -201,9 +211,40 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged.join(broadcast(offsets), col("__tb_bucket") === col("__tb_b"))
       .withColumn(out, col("__tb_offset") + sum(col("__tb_n")).over(wIn))
-      .filter(col(out) <= budget)
       .drop("__tb_rank", "__tb_bucket", "__tb_n", "__tb_b", "__tb_offset")
   }
+
+  /** Deterministic size-balanced shard assignment (the export layout move:
+    * training corpora ship as ~fixed-token shards plus a manifest): shard
+    * k holds the rows whose EXCLUSIVE running token total (in md5-rank
+    * order) falls in [k·tokensPerShard, (k+1)·tokensPerShard) — every
+    * shard lands within one document of the target size, assignment is a
+    * pure function of (corpus, budget) with no rand() and no dependence on
+    * physical partitioning, and any engine can recompute it (the SQL
+    * oracle does). Built on the same distributed prefix-sum as
+    * [[takeTokenBudget]] — no global window, no driver state. */
+  def assignShards(df: DataFrame, idCol: Column, tokensCol: Column,
+                   tokensPerShard: Long, prefixChars: Int = 2,
+                   out: String = "shard_id"): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
+    val toks = coalesce(tokensCol.cast("long"), lit(0L))
+    withRunningTokens(df, idCol, tokensCol, prefixChars, "__tb_cum")
+      .withColumn(out, floor((col("__tb_cum") - toks) / tokensPerShard).cast("long"))
+      .drop("__tb_cum")
+  }
+
+  /** Per-shard manifest over an [[assignShards]] assignment: document and
+    * token counts plus an order-free content checksum (sum of each id's
+    * 32-bit md5 prefix — portable integer arithmetic any engine
+    * reproduces, and enough to catch a dropped/duplicated/moved row).
+    * One map-side-combined aggregate, shard-count rows out. */
+  def shardManifest(df: DataFrame, idCol: Column, tokensCol: Column,
+                    shardCol: Column): DataFrame =
+    df.groupBy(shardCol.as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(tokensCol.cast("long"), lit(0L))).as("token_total"),
+        sum(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"))
+          .as("id_checksum"))
 
   /** Domain-balanced score filtering: keep the top `frac` of rows PER
     * SHARD by `scoreCol` (the curation move that a global threshold gets

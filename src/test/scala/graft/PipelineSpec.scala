@@ -901,6 +901,31 @@ class PipelineSpec extends SparkSpec {
     assert(kept.keySet == Set(1L, 2L) && kept.values.max == 5L)
   }
 
+  test("assignShards: token-boundary shards match a local computation; manifest checks out") {
+    val df = (1L to 40L).map(i => (i, i % 5 + 2)).toDF("id", "ntok")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // local reference: exclusive running total in md5 order, shard = floor(ex/20)
+    var cum = 0L
+    val expect = (1L to 40L).sortBy(i => (md5hex(i.toString), i)).map { i =>
+      val n = i % 5 + 2; val ex = cum; cum += n; i -> ex / 20L
+    }.toMap
+    val assigned = Sampling.assignShards(df, col("id"), col("ntok"), 20L)
+    val got = assigned.select("id", "shard_id").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // manifest: doc/token counts and order-free checksum agree with a local fold
+    val man = Sampling.shardManifest(assigned, col("id"), col("ntok"), col("shard_id"))
+      .orderBy("shard_id")
+      .select("shard_id", "n_docs", "token_total", "id_checksum")
+      .as[(Long, Long, Long, Long)].collect()
+    val local = expect.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (sh, rows) =>
+      (sh, rows.size.toLong, rows.map { case (i, _) => i % 5 + 2 }.sum,
+        rows.map { case (i, _) => java.lang.Long.parseLong(md5hex(i.toString).take(8), 16) }.sum)
+    }
+    assert(man.toSeq == local)
+  }
+
   test("keepTopFraction keeps the per-shard score leaders with an exact cut") {
     val df = Seq(
       // shard A: 5 rows, frac 0.5 -> percent_rank <= 0.5 keeps ranks 1-3
