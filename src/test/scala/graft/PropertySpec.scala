@@ -513,6 +513,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-sum sampling laws: budget cut exact, shards bounded, caps salt-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val genRow: Gen[(Long, Long)] =
+      for { id <- Gen.chooseNum(1L, 5000L); n <- Gen.chooseNum(0L, 40L) } yield (id, n)
+    for (trial <- 1 to 3) {
+      val rows = samples(genRow, 80).distinctBy(_._1)
+      val df = rows.toDF("id", "ntok")
+      val ordered = rows.sortBy { case (i, _) => (md5hex(i.toString), i) }
+      // takeTokenBudget == local greedy prefix, at a random budget
+      val budget = samples(Gen.chooseNum(0L, rows.map(_._2).sum + 10), 1).head
+      var cum = 0L
+      val expect = ordered.flatMap { case (i, n) =>
+        cum += n; if (cum <= budget) Some(i -> cum) else None }.toMap
+      val got = graft.pipeline.Sampling.takeTokenBudget(df, col("id"), col("ntok"), budget)
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"budget=$budget")
+      // assignShards: shard ids contiguous from 0; per-shard token totals land
+      // within one document of the target on every shard but the last
+      val per = 60L
+      val sh = graft.pipeline.Sampling.assignShards(df, col("id"), col("ntok"), per)
+        .select("id", "shard_id").as[(Long, Long)].collect().toMap
+      val totals = rows.groupBy(r => sh(r._1)).view.mapValues(_.map(_._2).sum).toMap
+      val maxSh = if (totals.isEmpty) -1L else totals.keys.max
+      assert(totals.keySet == (0L to maxSh).toSet, s"non-contiguous shards: $totals")
+      for (k <- 0L until maxSh)
+        assert(totals(k) >= per - 40 && totals(k) < per + 40, s"shard $k total ${totals(k)}")
+      // capPerGroup: salted == plain on random group assignments
+      val grouped = rows.map { case (i, n) => (i, s"g${n % 3}") }.toDF("id", "grp")
+      val plain = graft.pipeline.Sampling.capPerGroup(grouped, col("grp"), col("id"), 5)
+        .select("id").as[Long].collect().toSet
+      val salted = graft.pipeline.Sampling.capPerGroup(grouped, col("grp"), col("id"), 5,
+        presaltParts = 3).select("id").as[Long].collect().toSet
+      assert(plain == salted)
+    }
+  }
+
   test("quantizeInt8 law: reconstruction error bounded by one quantization step") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
