@@ -1052,6 +1052,15 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- per-column descriptives (the reference app's column panel,
+    //      QBEColumnViewController.swift:24-31) as one aggregate pass;
+    //      exactDistinct=true is the oracle twin of the default HLL path
+    "q_profile" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .profileColumns(Seq("doc_id", "text", "lang", "source", "n_chars"),
+          exactDistinct = true)
+        .orderBy("column")),
+
     // ---- size-balanced shard layout + manifest: deterministic token-boundary
     //      shard assignment (same distributed prefix-sum as q_token_budget)
     //      and an order-free per-shard checksum manifest
@@ -2206,6 +2215,87 @@ object SparkEntry {
          )
          SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM c WHERE cum_tokens <= 15000 ORDER BY doc_id""",
+    "q_profile" ->
+      """SELECT 'doc_id' AS "column",
+             CAST(SUM(CAST(TRY_CAST(doc_id AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(doc_id AS DOUBLE)) AS avg,
+             sqrt(CASE WHEN COUNT(TRY_CAST(doc_id AS DOUBLE)) > 1 THEN
+               (CAST(SUM(CAST(TRY_CAST(doc_id AS DOUBLE)*TRY_CAST(doc_id AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(TRY_CAST(doc_id AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(TRY_CAST(doc_id AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(TRY_CAST(doc_id AS DOUBLE)))
+               / (COUNT(TRY_CAST(doc_id AS DOUBLE)) - 1.0) END) AS stdev,
+             CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+             CAST(MAX(doc_id) AS VARCHAR) AS max_val,
+             COUNT(*) AS n,
+             COUNT(DISTINCT doc_id) AS n_distinct,
+             COUNT(*) - COUNT(doc_id) AS n_empty
+           FROM documents
+           UNION ALL
+           SELECT 'text' AS "column",
+             CAST(SUM(CAST(TRY_CAST(text AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(text AS DOUBLE)) AS avg,
+             sqrt(CASE WHEN COUNT(TRY_CAST(text AS DOUBLE)) > 1 THEN
+               (CAST(SUM(CAST(TRY_CAST(text AS DOUBLE)*TRY_CAST(text AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(TRY_CAST(text AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(TRY_CAST(text AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(TRY_CAST(text AS DOUBLE)))
+               / (COUNT(TRY_CAST(text AS DOUBLE)) - 1.0) END) AS stdev,
+             CAST(MIN(text) AS VARCHAR) AS min_val,
+             CAST(MAX(text) AS VARCHAR) AS max_val,
+             COUNT(*) AS n,
+             COUNT(DISTINCT text) AS n_distinct,
+             COUNT(*) - COUNT(text) AS n_empty
+           FROM documents
+           UNION ALL
+           SELECT 'lang' AS "column",
+             CAST(SUM(CAST(TRY_CAST(lang AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(lang AS DOUBLE)) AS avg,
+             sqrt(CASE WHEN COUNT(TRY_CAST(lang AS DOUBLE)) > 1 THEN
+               (CAST(SUM(CAST(TRY_CAST(lang AS DOUBLE)*TRY_CAST(lang AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(TRY_CAST(lang AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(TRY_CAST(lang AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(TRY_CAST(lang AS DOUBLE)))
+               / (COUNT(TRY_CAST(lang AS DOUBLE)) - 1.0) END) AS stdev,
+             CAST(MIN(lang) AS VARCHAR) AS min_val,
+             CAST(MAX(lang) AS VARCHAR) AS max_val,
+             COUNT(*) AS n,
+             COUNT(DISTINCT lang) AS n_distinct,
+             COUNT(*) - COUNT(lang) AS n_empty
+           FROM documents
+           UNION ALL
+           SELECT 'source' AS "column",
+             CAST(SUM(CAST(TRY_CAST(source AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(source AS DOUBLE)) AS avg,
+             sqrt(CASE WHEN COUNT(TRY_CAST(source AS DOUBLE)) > 1 THEN
+               (CAST(SUM(CAST(TRY_CAST(source AS DOUBLE)*TRY_CAST(source AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(TRY_CAST(source AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(TRY_CAST(source AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(TRY_CAST(source AS DOUBLE)))
+               / (COUNT(TRY_CAST(source AS DOUBLE)) - 1.0) END) AS stdev,
+             CAST(MIN(source) AS VARCHAR) AS min_val,
+             CAST(MAX(source) AS VARCHAR) AS max_val,
+             COUNT(*) AS n,
+             COUNT(DISTINCT source) AS n_distinct,
+             COUNT(*) - COUNT(source) AS n_empty
+           FROM documents
+           UNION ALL
+           SELECT 'n_chars' AS "column",
+             CAST(SUM(CAST(TRY_CAST(n_chars AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(TRY_CAST(n_chars AS DOUBLE)) AS avg,
+             sqrt(CASE WHEN COUNT(TRY_CAST(n_chars AS DOUBLE)) > 1 THEN
+               (CAST(SUM(CAST(TRY_CAST(n_chars AS DOUBLE)*TRY_CAST(n_chars AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                - CAST(SUM(CAST(TRY_CAST(n_chars AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(TRY_CAST(n_chars AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                  / COUNT(TRY_CAST(n_chars AS DOUBLE)))
+               / (COUNT(TRY_CAST(n_chars AS DOUBLE)) - 1.0) END) AS stdev,
+             CAST(MIN(n_chars) AS VARCHAR) AS min_val,
+             CAST(MAX(n_chars) AS VARCHAR) AS max_val,
+             COUNT(*) AS n,
+             COUNT(DISTINCT n_chars) AS n_distinct,
+             COUNT(*) - COUNT(n_chars) AS n_empty
+           FROM documents
+           ORDER BY "column"""",
     "q_shard_manifest" ->
       """WITH t AS (
            SELECT doc_id,

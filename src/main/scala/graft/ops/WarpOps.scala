@@ -334,6 +334,52 @@ object WarpOps {
       * (Transformer.swift:357-386 — reservoir sampling). */
     def randomSample(n: Int, seed: Long = 42L): DataFrame =
       df.orderBy(rand(seed)).limit(n)
+
+    /** Column profile — the reference app's per-column descriptives panel
+      * (QBEColumnViewController.swift:24-31,82-90: average, sample stdev,
+      * min, max, countAll, countDistinct, countEmpty) as a first-class
+      * operator: one row per profiled column, the whole profile in ONE
+      * aggregate pass over the data (map-side combined; a per-column loop
+      * of separate jobs would scan the table N times).
+      *
+      * avg/stdev coerce through Warp.num (non-numeric values are excluded,
+      * the reference's reducer semantics); min/max use native ordering and
+      * are emitted as strings so the row shape is column-type-independent.
+      *
+      * Scale contract: with `exactDistinct = false` (the default) distinct
+      * counts are HLL sketches — the single pass stays a single pass at
+      * any width. `exactDistinct = true` is the oracle-checkable twin: N
+      * distinct aggregates make Catalyst expand the input N-fold before
+      * the shuffle (visible as Expand in the plan) — exact answers, one
+      * logical pass, N× the map-side rows; choose it for audits, not for
+      * 100 TB routine profiling. */
+    def profileColumns(cols: Seq[String],
+                       exactDistinct: Boolean = false): DataFrame = {
+      require(cols.nonEmpty, "profileColumns needs at least one column")
+      val A = graft.functions.WarpAggregates
+      def tag(kind: String, c: String) = s"__p_${kind}_$c"
+      val aggs = cols.flatMap { c =>
+        val x = col(s"`$c`")
+        Seq(
+          A.warpAverage(x).as(tag("avg", c)),
+          A.warpStdevSample(x).as(tag("std", c)),
+          min(x).cast("string").as(tag("min", c)),
+          max(x).cast("string").as(tag("max", c)),
+          A.warpCountAll().as(tag("n", c)),
+          (if (exactDistinct) A.warpCountDistinct(x)
+           else A.warpCountDistinctApprox(x)).as(tag("nd", c)),
+          count(when(x.isNull, 1)).as(tag("ne", c)))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = array(cols.map { c =>
+        struct(lit(c).as("column"),
+          col(tag("avg", c)).as("avg"), col(tag("std", c)).as("stdev"),
+          col(tag("min", c)).as("min_val"), col(tag("max", c)).as("max_val"),
+          col(tag("n", c)).as("n"), col(tag("nd", c)).as("n_distinct"),
+          col(tag("ne", c)).as("n_empty"))
+      }: _*)
+      one.select(inline(entries))
+    }
   }
 
   /** Resolve a chain registered with [[WarpDataFrame.registerClone]]. */

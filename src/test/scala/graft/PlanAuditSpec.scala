@@ -351,6 +351,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("SinglePartition"), "global window in the per-shard cut")
   }
 
+  test("q_token_budget: prefix-sum windows per bucket; offsets broadcast back") {
+    // the corpus-side running sum must window over hashpartitioning of the
+    // rank-prefix bucket — the ONLY single-partition window allowed is the
+    // one over the <=256-row bucket-total aggregate
+    val p = preAqePlan("q_token_budget")
+    val s = p.toString
+    assert(s.contains("hashpartitioning(__tb_bucket"), s.take(2000))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    // every SinglePartition exchange must feed from an aggregate (the
+    // bucket totals), never straight from the corpus scan
+    val singles = shuffles(p).filter(
+      _.outputPartitioning.toString.contains("SinglePartition"))
+    singles.foreach { e =>
+      assert(e.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.nonEmpty, s"single-partition exchange without an aggregate below:\n$e")
+    }
+  }
+
+  test("q_source_cap: both cap phases window over source partitions") {
+    val p = preAqePlan("q_source_cap")
+    val s = p.toString
+    assert(s.contains("hashpartitioning(source"), s.take(2000))
+    // no corpus-wide single-partition window: SinglePartition exchanges may
+    // only appear above the final bounded presentation sort, never under a
+    // Window operator
+    val winUnderSingle = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.child.outputPartitioning.toString.contains("SinglePartition") => w
+    }
+    assert(winUnderSingle.isEmpty, "cap window runs on a single partition")
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))

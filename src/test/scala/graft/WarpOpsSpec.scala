@@ -208,6 +208,31 @@ class WarpOpsSpec extends SparkSpec {
     assert(s.distinct().count() == 50)
   }
 
+
+  test("profileColumns: descriptives in one pass, warp coercion, exact vs HLL twin") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "3", Some(10.0)), (2L, "x", Some(10.0)), (3L, "5", None), (4L, "x", Some(30.0))
+    ).toDF("id", "s", "v")
+    val p = df.profileColumns(Seq("id", "s", "v"), exactDistinct = true)
+      .orderBy("column").collect()
+    val byCol = p.map(r => r.getString(0) -> r).toMap
+    // id: plain numeric
+    assert(byCol("id").getDouble(1) == 2.5 && byCol("id").getLong(5) == 4
+      && byCol("id").getLong(6) == 4 && byCol("id").getLong(7) == 0)
+    // s: mixed strings — avg over the warp-coercible subset only ("3","5")
+    assert(byCol("s").getDouble(1) == 4.0)
+    assert(byCol("s").getString(3) == "3" && byCol("s").getString(4) == "x")
+    assert(byCol("s").getLong(6) == 3) // distinct: 3, 5, x
+    // v: null excluded from avg and counted as empty
+    assert(byCol("v").getDouble(1) == 50.0 / 3)
+    assert(byCol("v").getLong(6) == 2 && byCol("v").getLong(7) == 1)
+    // HLL twin: same shape, distinct approximately right at tiny n
+    val approx = df.profileColumns(Seq("s")).collect()(0)
+    assert(approx.getLong(6) >= 2 && approx.getLong(6) <= 4)
+  }
+
+
   test("bracket median equals the buffering exact median across distributions") {
     import graft.ops.BracketMedian
     val rnd = new scala.util.Random(7)
