@@ -637,6 +637,19 @@ object SparkEntry {
       graft.sources.DbfSource.read(s, path).orderBy("suppkey")
     }),
 
+    // ---- ORC roundtrip (beyond-reference columnar interchange): export
+    //      customer once per data fingerprint, read back with a filtered
+    //      projection — pushdown into the ORC scan pinned in PlanAuditSpec
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+      val path = s"/tmp/graft_orc_${dataFp(s, dir, "customer")}"
+      graft.sources.OrcSource.writeOnce(cust, path)
+      graft.sources.OrcSource.read(s, path)
+        .warpFilter(col("c_mktsegment") === "BUILDING")
+        .selectColumns(Seq("c_custkey", "c_name", "c_acctbal"))
+        .warpSort(Seq(Order(col("c_custkey"))))
+    }),
+
     // ---- JDBC roundtrip through embedded Derby (in-process, serverless):
     //      batched-insert sink -> dialect type mapping (BIGINT/CLOB/DOUBLE)
     //      -> JDBC scan back. Proves the same relation/sink code path the
@@ -2661,6 +2674,9 @@ object SparkEntry {
       """SELECT s_suppkey AS suppkey, s_name AS name,
          s_acctbal AS acctbal, s_nationkey AS nation
          FROM supplier ORDER BY suppkey""",
+    "q_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
     "q_embed_lsh_build" ->
       "SELECT COUNT(*) AS n FROM embeddings",
     "q_embed_pq_build" ->

@@ -384,6 +384,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(winUnderSingle.isEmpty, "cap window runs on a single partition")
   }
 
+  test("q_orc_roundtrip: filter and projection push into the ORC scan") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(3000))
+    // pruned read schema: 3 projected columns + the filter column, never
+    // the full 8-column customer row
+    assert(!p.contains("c_address"), "unpruned ORC read schema:\n" + p.take(3000))
+  }
+
   test("q_rank_by: window is hash-partitioned across executors") {
     val p = plan("q_rank_by")
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))

@@ -366,6 +366,21 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("orc: partitioned write round-trips with hive-style layout; writeOnce caches") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "v", "part")
+    val dir = java.nio.file.Files.createTempDirectory("orcrt").toString + "/t"
+    graft.sources.OrcSource.write(df, dir, partitionBy = Seq("part"))
+    // hive-style directories exist per partition value
+    assert(new java.io.File(s"$dir/part=x").isDirectory)
+    val back = graft.sources.OrcSource.read(spark, dir)
+      .select("id", "v", "part").as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")))
+    // writeOnce: second call with different data must NOT overwrite
+    graft.sources.OrcSource.writeOnce(df.limit(1), dir)
+    assert(graft.sources.OrcSource.read(spark, dir).count() == 3)
+  }
+
   test("rename step ignores unknown names, is case-insensitive") {
     val df = Seq((1, 2)).toDF("Alpha", "beta")
     val out = df.renameColumns(Map("alpha" -> "a", "nope" -> "x"))
