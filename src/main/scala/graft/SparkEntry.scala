@@ -1594,6 +1594,19 @@ object SparkEntry {
     //      each user's last session to match. Times compare as epoch ms:
     //      the state machine works on Timestamp.getTime (ms), while the
     //      raw event timestamps carry microseconds.
+    // ---- streaming per-key admission quota, run in batch mode over the
+    //      bounded events table (the q_sessionize recipe): first 1000
+    //      events per type in full-precision event-time order
+    "q_stream_quota" -> ((s, dir) => {
+      import s.implicits._
+      val ev = T(s, dir, "events")
+        .select(col("event_id").cast("long").as("_1"), col("event_type").as("_2"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType).as("_3"))
+        .as[(Long, String, java.sql.Timestamp)]
+      graft.streaming.EventStream.capPerKeyStream(ev, n = 1000L).toDF()
+        .orderBy("key", "admit_seq")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       // explicit LTZ cast: the session maps the NAME "timestamp" to NTZ
@@ -2700,6 +2713,15 @@ object SparkEntry {
          WHERE n_nationkey NOT IN (1, 2) ORDER BY n_nationkey""",
     "q_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_stream_quota" ->
+      """WITH r AS (
+           SELECT event_id AS id, event_type AS key,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS admit_seq
+           FROM events
+         )
+         SELECT id, key, admit_seq FROM r
+         WHERE admit_seq <= 1000 ORDER BY key, admit_seq""",
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
          m AS (SELECT user_id, tms,

@@ -241,6 +241,46 @@ object EventStream {
         })
   }
 
+  final case class Admission(id: Long, key: String, admit_seq: Long)
+
+  /** Streaming per-key admission quota — the incremental twin of
+    * [[graft.pipeline.Sampling.capPerGroup]]'s hard cap ("at most n
+    * documents per source"): admit the first `n` rows per key, drop the
+    * rest. Within a micro-batch, arrival order is made deterministic
+    * (event time at FULL timestamp precision — (epoch-second, nanos) —
+    * then id) so replays admit the same rows and the batch form is
+    * SQL-oracle-matchable (q_stream_quota).
+    *
+    * A stream cannot re-rank history, so the quota is FIRST-ARRIVAL where
+    * the batch cap is md5-rank — the standard intake-throttle semantics
+    * (the batch form remains the one to use for retrospective curation).
+    * State per key is ONE long (the admitted count): bounded by the key
+    * population, not the stream length. Keys that reach their quota keep
+    * the counter so late arrivals stay dropped; for churning key spaces
+    * compose with a processing-time timeout (the [[sessionize]]
+    * `expireIdleState` pattern) to age out closed quotas. */
+  def capPerKeyStream(rows: Dataset[(Long, String, java.sql.Timestamp)],
+                      n: Long): Dataset[Admission] = {
+    import rows.sparkSession.implicits._
+    require(n > 0, s"cap must be positive, got $n")
+    rows
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          val sorted = batch.toSeq.sortBy(r =>
+            (r._3.getTime / 1000, r._3.getNanos, r._1))
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admission]
+          for (r <- sorted if admitted < n) {
+            admitted += 1
+            out += Admission(r._1, key, admitted)
+          }
+          state.update(admitted)
+          out.result().iterator
+        })
+  }
+
   /** Per-user sessionization with an inactivity gap: custom state via
     * mapGroupsWithState. State per key is one small struct.
     *

@@ -144,6 +144,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("capPerKeyStream admits first-n per key across micro-batches, in event order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = EventStream.capPerKeyStream(input.toDS(), n = 4L)
+      .writeStream.format("memory").queryName("quota").outputMode("append").start()
+    try {
+      // batch 1: 3 of srcA (out of order), 1 of srcB
+      input.addData((12L, "srcA", ts(2)), (11L, "srcA", ts(1)),
+        (13L, "srcA", ts(3)), (21L, "srcB", ts(1)))
+      query.processAllAvailable()
+      // batch 2: srcA hits its quota mid-batch; srcB stays open
+      input.addData((14L, "srcA", ts(4)), (15L, "srcA", ts(5)), (22L, "srcB", ts(2)))
+      query.processAllAvailable()
+      // batch 3: closed quota stays closed
+      input.addData((16L, "srcA", ts(6)))
+      query.processAllAvailable()
+      val rows = spark.table("quota").as[(Long, String, Long)].collect().toSet
+      assert(rows == Set(
+        (11L, "srcA", 1L), (12L, "srcA", 2L), (13L, "srcA", 3L), (14L, "srcA", 4L),
+        (21L, "srcB", 1L), (22L, "srcB", 2L)))
+    } finally query.stop()
+  }
+
   test("readEvents streams a parquet directory with the events schema") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
     val batch = Seq(Event(1L, "click", ts(1), 1.0), Event(2L, "view", ts(2), 2.0)).toDS()
