@@ -715,6 +715,14 @@ object SparkEntry {
     //      per-group aggregation buffer — the 100-TB path when a group
     //      holds a large fraction of the table. Grouped by linestatus so
     //      this exercises different group shapes than q_agg_stats.
+    // ---- medianPack without whole-group buffers: the bracket-median twin
+    //      of q_agg_medianpack (same reducer semantics, bounded memory)
+    "q_agg_medianpack_scalable" -> ((s, dir) => {
+      graft.ops.BracketMedian.exactMedianPack(
+        T(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", out = "med_pack")
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_median_scalable" -> ((s, dir) => {
       graft.ops.BracketMedian.exactMedianFamily(
         T(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity", prefix = "med_qty")
@@ -1862,6 +1870,19 @@ object SparkEntry {
            CASE WHEN n > 0 THEN sqrt((sq - s*s/n) / n) END AS std_pop,
            n AS n_num
          FROM g ORDER BY l_returnflag""",
+    "q_agg_medianpack_scalable" ->
+      """WITH g AS (
+           SELECT l_returnflag, list_sort(list(l_quantity)) AS a,
+                  COUNT(l_quantity) AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           CASE WHEN n % 2 = 1 THEN CAST(a[CAST((n+1)//2 AS INT)] AS VARCHAR)
+                ELSE CAST(a[CAST(n//2 AS INT)] AS VARCHAR) || ',' ||
+                     CAST(a[CAST(n//2+1 AS INT)] AS VARCHAR) END AS med_pack,
+           a[CAST((n+1)//2 AS INT)] AS med_pack_low,
+           a[CAST(n//2+1 AS INT)] AS med_pack_high,
+           CAST(n AS BIGINT) AS med_pack_n
+         FROM g ORDER BY l_returnflag""",
     "q_agg_median_scalable" ->
       """WITH g AS (
            SELECT l_linestatus, list_sort(list(l_quantity)) AS a,
@@ -1870,7 +1891,8 @@ object SparkEntry {
          SELECT l_linestatus,
            (a[CAST((n+1)//2 AS INT)] + a[CAST(n//2+1 AS INT)]) / 2 AS med_qty,
            a[CAST((n+1)//2 AS INT)] AS med_qty_low,
-           a[CAST(n//2+1 AS INT)] AS med_qty_high
+           a[CAST(n//2+1 AS INT)] AS med_qty_high,
+           CAST(n AS BIGINT) AS med_qty_n
          FROM g ORDER BY l_linestatus""",
     "q_formula_calc" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice*(1.0-l_discount) AS revenue

@@ -94,10 +94,35 @@ object BracketMedian {
       r > col("__cumEnd") - col("__c") && r <= col("__cumEnd")
     cum.groupBy(gs: _*).agg(
       max(when(covers(r1), col("__k"))).as("__m1"),
-      max(when(covers(r2), col("__k"))).as("__m2"))
+      max(when(covers(r2), col("__k"))).as("__m2"),
+      first(col("__n")).as("__nt"))
       .select(gs ++ Seq(
         ((col("__m1") + col("__m2")) / 2).as(prefix),
         col("__m1").as(s"${prefix}_low"),
-        col("__m2").as(s"${prefix}_high")): _*)
+        col("__m2").as(s"${prefix}_high"),
+        col("__nt").as(s"${prefix}_n")): _*)
+  }
+
+  /** medianPack with bounded memory — the scalable twin of
+    * [[graft.functions.WarpAggregates.warpMedianPack]] (odd count: the
+    * middle value; even count: the two middles as a pack string — the
+    * reference's MedianReducer `.pack` mode, Function.swift:2143-2188).
+    * The collect_list form buffers a whole group per aggregation buffer
+    * (measured 1.2 s at sf0.1 → 11 s at sf1, super-linear); this one
+    * rides [[exactMedianFamily]]'s bracket — two passes, state bounded by
+    * the sketch, group size irrelevant. */
+  def exactMedianPack(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      accuracy: Int = 10000, out: String = "median_pack"): DataFrame = {
+    val fam = exactMedianFamily(df, groupCols, valueCol, accuracy, prefix = "__mp")
+    val lo = col("__mp_low").cast("string")
+    val hi = col("__mp_high").cast("string")
+    fam.select(groupCols.map(col) ++ Seq(
+      when(col("__mp_n") % 2 === 1, lo)
+        .otherwise(concat_ws(",",
+          graft.functions.WarpFunctions.packEscape(lo),
+          graft.functions.WarpFunctions.packEscape(hi))).as(out),
+      col("__mp_low").as(s"${out}_low"),
+      col("__mp_high").as(s"${out}_high"),
+      col("__mp_n").as(s"${out}_n")): _*)
   }
 }

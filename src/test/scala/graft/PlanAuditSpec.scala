@@ -138,6 +138,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("percentile_approx"), p.take(2000))
     assert(!p.contains("median("), p.take(2000))
     assert(!p.contains("collect_list"), p.take(2000))
+    // the pack twin rides the same bracket — same no-buffer contract
+    val pp = plan("q_agg_medianpack_scalable")
+    assert(pp.contains("percentile_approx") && !pp.contains("collect_list"),
+      pp.take(2000))
   }
 
   test("dedup pair queries never degrade to cartesian/nested-loop joins") {

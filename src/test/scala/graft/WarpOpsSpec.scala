@@ -256,10 +256,29 @@ class WarpOpsSpec extends SparkSpec {
       graft.functions.WarpAggregates.warpMedianHigh(col("v")).as("hi"))
       .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val bracket = BracketMedian.exactMedianFamily(df, Seq("g"), "v", prefix = "m")
+      .select("g", "m", "m_low", "m_high")
       .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(bracket == exact)
     val single = BracketMedian.exactMedian(df, Seq("g"), "v", out = "m")
     assert(single.columns.toSeq == Seq("g", "m"))
+  }
+
+  test("bracket medianPack equals the collect_list pack reducer, odd and even") {
+    import graft.ops.BracketMedian
+    val rnd = new scala.util.Random(11)
+    // odd group, even group, duplicate-middle even group, singleton
+    val rows = Seq.tabulate(999)(i => (0L, rnd.nextInt(50).toDouble)) ++
+      Seq.tabulate(1000)(i => (1L, rnd.nextInt(50).toDouble)) ++
+      Seq((2L, 5.0), (2L, 5.0), (2L, 5.0), (2L, 9.0)) ++ Seq((3L, 7.0))
+    val df = rows.toDF("g", "v")
+    val legacy = df.groupBy("g")
+      .agg(graft.functions.WarpAggregates.warpMedianPack(col("v")).as("p"),
+        count(col("v")).as("n"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val scalable = BracketMedian.exactMedianPack(df, Seq("g"), "v", out = "p")
+      .select("g", "p", "p_n")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scalable == legacy)
   }
 
   test("bracket median keeps null group keys like groupBy-median does") {
