@@ -1061,6 +1061,22 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- fixed-width histogram (profiler companion): doc length
+    //      distribution, 12 bins over [0, 600)
+    "q_histogram" -> ((s, dir) =>
+      T(s, dir, "documents").histogram(col("n_chars"), 0.0, 600.0, 12)
+        .orderBy("bin")),
+
+    // ---- DSIR-style importance weights vs an in-domain target sample
+    //      (lang='en' docs): mean per-token smoothed log-probability ratio
+    "q_importance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val target = docs.warpFilter(col("lang") === "en")
+      graft.pipeline.TextAnalysis.importanceWeight(docs, "doc_id", "text",
+          target, "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- global token-budget selection: md5-rank order, distributed
     //      prefix-sum (bucketed by rank prefix; the only global window
     //      runs over the <=256-row bucket-total aggregate)
@@ -2247,6 +2263,45 @@ object SparkEntry {
            FROM base
          )
          SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""",
+    "q_histogram" ->
+      """WITH b AS (
+           SELECT CASE WHEN n_chars = 600 THEN 11
+                  ELSE CAST(floor((n_chars - 0.0) / (600.0 / 12)) AS INT) END AS bin
+           FROM documents WHERE n_chars IS NOT NULL
+         )
+         SELECT bin,
+           0.0 + bin * (600.0 / 12) AS bin_lo,
+           0.0 + (bin + 1) * (600.0 / 12) AS bin_hi,
+           count(*) AS n
+         FROM b WHERE bin >= 0 AND bin < 12
+         GROUP BY bin ORDER BY bin""",
+    "q_importance" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), tt AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents WHERE lang = 'en'
+         ), cc AS (
+           SELECT tok, count(*) AS cc FROM toks GROUP BY tok
+         ), ct AS (
+           SELECT tok, count(*) AS ct FROM tt GROUP BY tok
+         ), vocab AS (
+           SELECT COALESCE(cc.tok, ct.tok) AS tok, cc.cc, ct.ct
+           FROM cc FULL OUTER JOIN ct ON cc.tok = ct.tok
+         ), sizes AS (
+           SELECT count(*) AS v,
+             sum(COALESCE(ct, 0)) AS tt_total,
+             sum(COALESCE(cc, 0)) AS tc_total
+           FROM vocab
+         )
+         SELECT toks.doc_id,
+           round(CAST(sum(CAST(
+               ln((COALESCE(vocab.ct, 0) + CAST(1.0 AS DOUBLE)) / (sizes.tt_total + sizes.v))
+             - ln((COALESCE(vocab.cc, 0) + CAST(1.0 AS DOUBLE)) / (sizes.tc_total + sizes.v))
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS logratio
+         FROM toks JOIN vocab USING (tok) CROSS JOIN sizes
+         GROUP BY toks.doc_id ORDER BY toks.doc_id""",
     "q_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,

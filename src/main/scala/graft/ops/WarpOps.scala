@@ -380,6 +380,35 @@ object WarpOps {
       }: _*)
       one.select(inline(entries))
     }
+
+    /** Fixed-width histogram of one (Warp-coerced) numeric expression —
+      * the profiler's distribution companion: `nBins` equal bins over
+      * `[lo, hi)`, out-of-range and non-coercible values dropped, `hi`
+      * itself folded into the last bin (the standard closed-top
+      * convention). Output: (bin, bin_lo, bin_hi, n), bins with zero rows
+      * omitted (it is an aggregate; densify with a Sequencer range join
+      * if a chart needs empties).
+      *
+      * One map-side-combined aggregate over an integer bin key — at any
+      * scale the shuffle carries ≤ nBins rows per partition. Explicit
+      * bounds keep it one pass and deterministic; computing min/max
+      * in-query would either cost a second pass or an approximation. */
+    def histogram(expr: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+      require(nBins > 0 && nBins <= (1 << 20), s"nBins must be in [1, 2^20], got $nBins")
+      require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+      val v = Warp.num(expr)
+      val width = (hi - lo) / nBins
+      val bin = when(v === hi, nBins - 1)
+        .otherwise(floor((v - lit(lo)) / width).cast("int"))
+      df.select(bin.as("bin"))
+        .filter(col("bin").isNotNull && col("bin") >= 0 && col("bin") < nBins)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bin"),
+          (lit(lo) + col("bin") * width).as("bin_lo"),
+          (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+          col("n"))
+    }
   }
 
   /** Resolve a chain registered with [[WarpDataFrame.registerClone]]. */

@@ -241,6 +241,53 @@ object TextAnalysis {
       .agg(round(sum(nllTok).cast("double") / count(lit(1)), 6).as(out))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — the bag-of-words
+    * unigram form): per document, the mean per-token log-ratio
+    * `ln p_target(tok) − ln p_corpus(tok)` between a TARGET-domain sample
+    * model and the corpus model. High weight = reads like the target
+    * domain; feed it to [[graft.pipeline.Sampling.keepTopFraction]] or a
+    * softmax resampler to select in-domain training data.
+    *
+    * Both unigram models are Laplace-smoothed over the UNION vocabulary
+    * (`(c+1)/(T+V)`), so target-unseen tokens contribute a finite penalty
+    * instead of vanishing (the reference point that makes the ratio
+    * well-defined for every corpus token).
+    *
+    * Determinism across engines: the [[lmScore]] recipe — each token's
+    * log-ratio rounds into DECIMAL(28,12) before the exact sum; the final
+    * mean rounds to 6 decimals, far coarser than cross-engine `ln` ulp
+    * drift.
+    *
+    * Plan shape: two token-frequency aggregates (map-side combined), one
+    * full-outer vocab join (model-sized, not corpus-sized), a 1-row
+    * totals broadcast, a token-keyed join back to the exploded corpus,
+    * one per-document re-aggregate. The models ARE distributed tables —
+    * persist the (token, count) tables at 100 TB when reused. */
+  def importanceWeight(df: DataFrame, idCol: String, textCol: String,
+                       target: DataFrame, targetTextCol: String,
+                       out: String = "logratio"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def tokCounts(d: DataFrame, tc: String, as: String) =
+      d.select(explode(tokens(col(tc))).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as(as))
+    val ct = tokCounts(target, targetTextCol, "__ct")
+    val cc = tokCounts(df, textCol, "__cc")
+    val vocab = cc.join(ct, Seq("__tok"), "full_outer")
+    val sizes = vocab.agg(count(lit(1)).as("__v"),
+      sum(coalesce(col("__ct"), lit(0L))).as("__tt"),
+      sum(coalesce(col("__cc"), lit(0L))).as("__tc"))
+    val ratioTok =
+      (log((coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) / (col("__tt") + col("__v")))
+        - log((coalesce(col("__cc"), lit(0L)).cast("double") + 1.0) / (col("__tc") + col("__v"))))
+        .cast(DecimalType(28, 12))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .join(vocab, Seq("__tok"))
+      .crossJoin(broadcast(sizes))
+      .groupBy(idCol)
+      .agg(round(sum(ratioTok).cast("double") / count(lit(1)), 6).as(out))
+  }
+
   /** Top-`k` salient terms per document, ranked by term frequency over
     * document frequency (tf/df — tf·idf with the linear idf variant
     * `N/df`; the ranking is identical for any fixed document, and the

@@ -857,6 +857,26 @@ class PipelineSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("importanceWeight: in-domain docs score higher; target-unseen tokens stay finite") {
+    val target = Seq((100L, "science physics quantum theory experiment")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "physics experiment quantum theory"),      // fully in-domain
+      (2L, "football match goal score referee"),      // fully out-of-domain
+      (3L, "physics match quantum referee")           // mixed
+    ).toDF("doc_id", "text")
+    val w = graft.pipeline.TextAnalysis.importanceWeight(
+        corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 3 && w.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(w(1L) > w(3L) && w(3L) > w(2L),
+      s"expected in-domain > mixed > out-of-domain, got $w")
+    // deterministic re-run
+    val again = graft.pipeline.TextAnalysis.importanceWeight(
+        corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == w)
+  }
+
   test("capPerGroup enforces the cap; salted two-phase path is identical to plain") {
     // skewed groups: one mega-group of 200, two small ones (one under cap)
     val rows = (1L to 200L).map(i => (i, "mega")) ++

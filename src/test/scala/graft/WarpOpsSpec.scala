@@ -263,6 +263,16 @@ class WarpOpsSpec extends SparkSpec {
     assert(single.columns.toSeq == Seq("g", "m"))
   }
 
+  test("histogram: edges closed-top, out-of-range and non-coercible dropped") {
+    import spark.implicits._
+    val df = Seq("0", "4.9", "5", "9.9", "10", "x", "-1", "10.1", null)
+      .toDF("v")
+    val h = df.histogram(col("v"), 0.0, 10.0, 2)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // [0,5): 0, 4.9; [5,10]: 5, 9.9 and hi itself folds into the top bin
+    assert(h == Seq((0, 0.0, 5.0, 2L), (1, 5.0, 10.0, 3L)))
+  }
+
   test("bracket medianPack equals the collect_list pack reducer, odd and even") {
     import graft.ops.BracketMedian
     val rnd = new scala.util.Random(11)
