@@ -1061,6 +1061,15 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- mergeable per-source distinct sketches -> one merged estimate
+    //      (incremental distinct counting; binary sketches, so rows-only —
+    //      merge-equals-one-pass and accuracy pinned in WarpOpsSpec)
+    "q_distinct_sketch" -> ((s, dir) => {
+      val sk = graft.ops.WarpOps.distinctSketchByShard(
+        T(s, dir, "documents"), col("source"), col("text"))
+      graft.ops.WarpOps.mergeDistinctSketches(sk)
+    }),
+
     // ---- fixed-width histogram (profiler companion): doc length
     //      distribution, 12 bins over [0, 600)
     "q_histogram" -> ((s, dir) =>

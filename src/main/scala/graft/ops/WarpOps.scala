@@ -414,4 +414,26 @@ object WarpOps {
   /** Resolve a chain registered with [[WarpDataFrame.registerClone]]. */
   def cloneOf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Mergeable per-shard distinct sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg`) — the INCREMENTAL form of
+    * [[WarpDataFrame.profileColumns]]'s approximate distinct: build one
+    * sketch per shard (per day / per file / per source), persist the
+    * binary column, and later count distincts over ANY shard subset by
+    * merging sketches — no corpus rescan. The 100 TB pattern: a year of
+    * distinct users = merging 365 daily sketches, milliseconds instead of
+    * a petabyte scan. Merging is exact over sketches: union-then-estimate
+    * equals the single-pass estimate at the same lgK (pinned in
+    * WarpOpsSpec). */
+  def distinctSketchByShard(df: DataFrame, shardCol: Column, valueCol: Column,
+                            lgK: Int = 12): DataFrame =
+    df.groupBy(shardCol.as("shard"))
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+
+  /** Merge a set of shard sketches into one distinct estimate. */
+  def mergeDistinctSketches(sketches: DataFrame,
+                            sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
+        .as("n_distinct_est"))
 }

@@ -263,6 +263,22 @@ class WarpOpsSpec extends SparkSpec {
     assert(single.columns.toSeq == Seq("g", "m"))
   }
 
+  test("distinct sketches: shard merge equals one-pass sketch; estimate near exact") {
+    import spark.implicits._
+    import graft.ops.WarpOps
+    val df = Seq.tabulate(3000)(i => (i % 7, s"val_${i % 911}")).toDF("shard", "v")
+    val shards = WarpOps.distinctSketchByShard(df, col("shard"), col("v"))
+    assert(shards.count() == 7)
+    val merged = WarpOps.mergeDistinctSketches(shards)
+      .collect()(0).getLong(0)
+    // merging shard sketches == sketching the whole corpus in one pass
+    val onePass = df.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))))
+      .collect()(0).getLong(0)
+    assert(merged == onePass, s"merge $merged != one-pass $onePass")
+    // estimate within HLL error bounds of the true 911
+    assert(math.abs(merged - 911.0) / 911.0 < 0.05, s"estimate $merged")
+  }
+
   test("histogram: edges closed-top, out-of-range and non-coercible dropped") {
     import spark.implicits._
     val df = Seq("0", "4.9", "5", "9.9", "10", "x", "-1", "10.1", null)
