@@ -233,6 +233,20 @@ object Sampling {
       .drop("__tb_cum")
   }
 
+  /** Physically write an [[assignShards]] assignment as a hive-layout
+    * corpus: one directory (and, via the pre-repartition, one file) per
+    * shard — the on-disk form training jobs consume, and the layout that
+    * lets a reader open exactly the shards it was assigned. The
+    * repartition keys on the shard id so each output directory is written
+    * by one task: without it every task appends a file fragment to every
+    * shard directory (files ∝ tasks × shards). Parquet here; the ORC
+    * sibling is [[graft.sources.OrcSource.write]]'s partitionBy. */
+  def writeShardedCorpus(assigned: DataFrame, path: String,
+                         shardCol: String = "shard_id"): Unit =
+    assigned
+      .repartition(col(shardCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
   /** Per-shard manifest over an [[assignShards]] assignment: document and
     * token counts plus an order-free content checksum (sum of each id's
     * 32-bit md5 prefix — portable integer arithmetic any engine

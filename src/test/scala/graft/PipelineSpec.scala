@@ -946,6 +946,28 @@ class PipelineSpec extends SparkSpec {
     assert(man.toSeq == local)
   }
 
+  test("writeShardedCorpus: one directory and one data file per shard; round-trips") {
+    val df = (1L to 40L).map(i => (i, i % 5 + 2)).toDF("id", "ntok")
+    val assigned = Sampling.assignShards(df, col("id"), col("ntok"), 20L)
+    val dir = java.nio.file.Files.createTempDirectory("shardw").toString + "/corpus"
+    Sampling.writeShardedCorpus(assigned, dir)
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard_id=")).sorted
+    val nShards = assigned.select("shard_id").distinct().count()
+    assert(shardDirs.length == nShards)
+    // one data file per shard (the repartition contract)
+    shardDirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d has ${files.length} files")
+    }
+    // round-trip: same rows, shard column reconstructed from the layout
+    val back = spark.read.parquet(dir).select("id", "shard_id")
+      .as[(Long, Long)].collect().toSet
+    val want = assigned.select("id", "shard_id").as[(Long, Long)].collect().toSet
+    assert(back == want)
+  }
+
   test("keepTopFraction keeps the per-shard score leaders with an exact cut") {
     val df = Seq(
       // shard A: 5 rows, frac 0.5 -> percent_rank <= 0.5 keeps ranks 1-3
