@@ -107,10 +107,13 @@ object BracketMedian {
     * [[graft.functions.WarpAggregates.warpMedianPack]] (odd count: the
     * middle value; even count: the two middles as a pack string — the
     * reference's MedianReducer `.pack` mode, Function.swift:2143-2188).
-    * The collect_list form buffers a whole group per aggregation buffer
-    * (measured 1.2 s at sf0.1 → 11 s at sf1, super-linear); this one
-    * rides [[exactMedianFamily]]'s bracket — two passes, state bounded by
-    * the sketch, group size irrelevant. */
+    * The collect_list form buffers a whole group per aggregation buffer —
+    * fine while a group fits executor memory (clean sf1 minimum ~3 s vs
+    * ~6 s for this bracket form, which pays a second pass), fatal when it
+    * does not: at 100 TB a single group can exceed any buffer. This twin
+    * rides [[exactMedianFamily]]'s bracket — state bounded by the sketch,
+    * group size irrelevant. Use it when groups are unbounded; keep the
+    * reducer for bounded-group aggregations. */
   def exactMedianPack(df: DataFrame, groupCols: Seq[String], valueCol: String,
                       accuracy: Int = 10000, out: String = "median_pack"): DataFrame = {
     val fam = exactMedianFamily(df, groupCols, valueCol, accuracy, prefix = "__mp")
