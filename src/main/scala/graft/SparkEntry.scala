@@ -1627,6 +1627,38 @@ object SparkEntry {
     //      each user's last session to match. Times compare as epoch ms:
     //      the state machine works on Timestamp.getTime (ms), while the
     //      raw event timestamps carry microseconds.
+    // ---- ordered funnel: signup -> click -> purchase per user, strict
+    //      event-time ordering; timestamps emitted as epoch micros
+    "q_funnel" -> ((s, dir) => {
+      val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      T(s, dir, "events").funnel(col("user_id"), ts, Seq(
+          "signup" -> (col("event_type") === "signup"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .select(col("key").as("user_id"),
+          unix_micros(col("t_signup")).as("us_signup"),
+          unix_micros(col("t_click")).as("us_click"),
+          unix_micros(col("t_purchase")).as("us_purchase"),
+          col("reached"))
+        .orderBy("user_id")
+    }),
+
+    // ---- rolling event-time aggregation: per user, trailing-hour event
+    //      count and value sum at every event (range frame on epoch micros)
+    "q_rolling" -> ((s, dir) => {
+      T(s, dir, "events").rollingByTime(
+          // NTZ -> LTZ cast: session tz is UTC, instant unchanged (the
+          // q_sessionize recipe); unix_micros requires TIMESTAMP
+          Seq(col("user_id")),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          3600L * 1000000,
+          Seq("n_1h" -> (w => count(lit(1)).over(w)),
+            "sum_1h" -> (w => sum(col("value").cast(DecimalType(28, 6))).over(w)
+              .cast("double"))))
+        .selectColumns(Seq("event_id", "user_id", "n_1h", "sum_1h"))
+        .warpSort(Seq(Order(col("event_id"))))
+    }),
+
     // ---- streaming per-key admission quota, run in batch mode over the
     //      bounded events table (the q_sessionize recipe): first 1000
     //      events per type in full-precision event-time order
@@ -2799,6 +2831,33 @@ object SparkEntry {
          WHERE n_nationkey NOT IN (1, 2) ORDER BY n_nationkey""",
     "q_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id
+         ), s2 AS (
+           SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+         ), s3 AS (
+           SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+         )
+         SELECT s1.user_id,
+           epoch_us(t1) AS us_signup, epoch_us(t2) AS us_click,
+           epoch_us(t3) AS us_purchase,
+           1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS reached
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+           LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_stream_quota" ->
       """WITH r AS (
            SELECT event_id AS id, event_type AS key,

@@ -162,6 +162,59 @@ object WarpOps {
         aggs.map { case (name, f) => f(w).as(name) }: _*)
     }
 
+    /** Rolling event-time aggregation — the time-based sibling of
+      * [[rankBy]]: per key, aggregate over the trailing `trailingMicros`
+      * of EVENT TIME ending at each row (inclusive range frame on the
+      * microsecond epoch), e.g. "events and value sum in the last hour,
+      * per user, at every event". Row frames count rows; range frames
+      * honor the actual timestamps — gaps and bursts behave correctly.
+      *
+      * Scale shape: identical to [[rankBy]] — one hash exchange on the
+      * key, per-key ordered frame, distributed across executors; never a
+      * global window. Microsecond integer ordering keeps the frame
+      * arithmetic exact and engine-portable (a seconds cast truncates
+      * sub-second timestamps; doubles drift). */
+    def rollingByTime(partitionBy: Seq[Column], tsCol: Column, trailingMicros: Long,
+                      aggs: Seq[(String, org.apache.spark.sql.expressions.WindowSpec => Column)])
+        : DataFrame = {
+      require(trailingMicros >= 0, s"trailing window must be >= 0, got $trailingMicros")
+      val w = Window.partitionBy(partitionBy: _*).orderBy(unix_micros(tsCol))
+        .rangeBetween(-trailingMicros, 0)
+      df.select(df.columns.map(c => col(s"`$c`")) ++
+        aggs.map { case (name, f) => f(w).as(name) }: _*)
+    }
+
+    /** Ordered funnel — per key, the earliest time each step predicate is
+      * satisfied STRICTLY AFTER the previous step's time (the standard
+      * event-analytics funnel: signup → click → purchase, in order). One
+      * output row per key that entered step 1: `key`, a `t_<name>`
+      * timestamp per step (null once the funnel is abandoned), and
+      * `reached` = completed step count.
+      *
+      * Scale shape: each step is one filtered map-side-combined aggregate
+      * of the events plus one key-keyed join against the (one row per
+      * funnel-entrant, strictly shrinking) previous-step table — never a
+      * self-join of events with events, never a per-key sort. Step
+      * cardinality bounds the chain, not event volume. */
+    def funnel(keyCol: Column, tsCol: Column,
+               steps: Seq[(String, Column)]): DataFrame = {
+      require(steps.nonEmpty, "funnel needs at least one step")
+      require(steps.map(_._1).distinct.size == steps.size, "step names must be unique")
+      val first = df.filter(steps.head._2)
+        .groupBy(keyCol.as("key")).agg(min(tsCol).as(s"t_${steps.head._1}"))
+      val chained = steps.sliding(2).collect { case Seq((prev, _), (name, pred)) =>
+        (s"t_$prev", name, pred)
+      }.foldLeft(first) { case (acc, (prevT, name, pred)) =>
+        val nxt = df.join(acc.select(col("key"), col(prevT)), keyCol === col("key"))
+          .filter(pred && tsCol > col(prevT))
+          .groupBy(col("key")).agg(min(tsCol).as(s"t_$name"))
+        acc.join(nxt, Seq("key"), "left")
+      }
+      chained.withColumn("reached",
+        steps.map(s => when(col(s"t_${s._1}").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+    }
+
     private def sortKeys(orders: Seq[Order]): Seq[Column] =
       orders.map { o =>
         val k = if (o.numeric) o.expr.cast("double") else o.expr.cast("string")

@@ -402,6 +402,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
   }
 
+  test("q_rolling: range-frame window partitions by user, never global") {
+    val p = preAqePlan("q_rolling")
+    assert(p.toString.contains("hashpartitioning(user_id"), p.toString.take(2000))
+    val winUnderSingle = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.child.outputPartitioning.toString.contains("SinglePartition") => w
+    }
+    assert(winUnderSingle.isEmpty, "rolling window runs on a single partition")
+  }
+
   test("bucketized tables equi-join without a shuffle") {
     // the in-memory catalog forgets tables across JVMs but leaves their
     // warehouse directories — clear both

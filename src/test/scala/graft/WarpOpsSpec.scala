@@ -263,6 +263,52 @@ class WarpOpsSpec extends SparkSpec {
     assert(single.columns.toSeq == Seq("g", "m"))
   }
 
+  test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    // two users; sub-second spacing exercises the microsecond frame
+    val rows = Seq(
+      (1L, 10L, 1_000_000L, 1.0), (2L, 10L, 1_500_000L, 2.0),
+      (3L, 10L, 4_600_001L, 4.0),  // 3.6s window: drops the first event
+      (4L, 20L, 1_000_000L, 8.0), (5L, 20L, 4_600_000L, 16.0)) // exactly at the edge: kept
+    val df = rows.map { case (e, u, us, v) => (e, u, t(us), v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = df.rollingByTime(Seq(col("user_id")), col("ts"), 3_600_000L,
+        Seq("n" -> (w => count(lit(1)).over(w)),
+          "s" -> (w => sum(col("value")).over(w))))
+      .select("event_id", "n", "s").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val brute = rows.map { case (e, u, us, _) =>
+      val in = rows.filter { case (_, u2, us2, _) => u2 == u && us2 <= us && us2 >= us - 3_600_000L }
+      e -> ((in.size.toLong, in.map(_._4).sum))
+    }.toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+  }
+
+  test("funnel: strict ordering, abandonment nulls, out-of-order steps don't count") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val df = Seq(
+      // user 1: full funnel in order
+      (1L, "A", t(10)), (1L, "B", t(20)), (1L, "C", t(30)),
+      // user 2: B BEFORE A — must not count; funnel stops at A
+      (2L, "B", t(5)), (2L, "A", t(10)),
+      // user 3: A and C but no B — C unreachable
+      (3L, "A", t(10)), (3L, "C", t(40)),
+      // user 4: never enters the funnel — absent from output
+      (4L, "B", t(10)), (4L, "C", t(20)),
+      // user 5: simultaneous A and B (strict >) — B must not count
+      (5L, "A", t(10)), (5L, "B", t(10))
+    ).toDF("user_id", "et", "ts")
+    val got = df.funnel(col("user_id"), col("ts"), Seq(
+        "a" -> (col("et") === "A"), "b" -> (col("et") === "B"),
+        "c" -> (col("et") === "C")))
+      .select(col("key"), col("reached")).as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 1), got.toString)
+  }
+
   test("distinct sketches: shard merge equals one-pass sketch; estimate near exact") {
     import spark.implicits._
     import graft.ops.WarpOps
