@@ -1627,6 +1627,15 @@ object SparkEntry {
     //      each user's last session to match. Times compare as epoch ms:
     //      the state machine works on Timestamp.getTime (ms), while the
     //      raw event timestamps carry microseconds.
+    // ---- retention cohorts: users bucketed by first-event day, distinct
+    //      actives per (cohort day, day offset)
+    "q_retention" -> ((s, dir) => {
+      val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      T(s, dir, "events")
+        .retentionCohorts(col("user_id"), ts, 86400L * 1000000)
+        .orderBy("cohort", "period_offset")
+    }),
+
     // ---- ordered funnel: signup -> click -> purchase per user, strict
     //      event-time ordering; timestamps emitted as epoch micros
     "q_funnel" -> ((s, dir) => {
@@ -2831,6 +2840,17 @@ object SparkEntry {
          WHERE n_nationkey NOT IN (1, 2) ORDER BY n_nationkey""",
     "q_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_retention" ->
+      """WITH p AS (
+           SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS period
+           FROM events
+         ), f AS (
+           SELECT user_id, min(period) AS cohort FROM p GROUP BY user_id
+         )
+         SELECT cohort, p.period - cohort AS period_offset,
+           count(DISTINCT p.user_id) AS n_active
+         FROM p JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort, period_offset""",
     "q_funnel" ->
       """WITH s1 AS (
            SELECT user_id, min(ts) AS t1 FROM events

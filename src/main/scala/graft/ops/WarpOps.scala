@@ -215,6 +215,30 @@ object WarpOps {
           .reduce(_ + _))
     }
 
+    /** Retention cohorts — the third of the event-analytics trio (with
+      * [[rollingByTime]] and [[funnel]]): assign each key to the period of
+      * its FIRST event (the cohort), then count distinct keys active in
+      * each later period, keyed by (cohort, period offset). Periods are
+      * absolute epoch-based integer buckets of `periodMicros` (e.g. 7
+      * days) — engine-portable integer arithmetic, no calendar-week
+      * disagreement between engines.
+      *
+      * Scale shape: one min-aggregate per key (map-side combined), one
+      * key-keyed join back, one (cohort, offset)-keyed distinct count.
+      * Output cardinality is periods², independent of event volume. */
+    def retentionCohorts(keyCol: Column, tsCol: Column,
+                         periodMicros: Long): DataFrame = {
+      require(periodMicros > 0, s"period must be positive, got $periodMicros")
+      val us = unix_micros(tsCol)
+      val period = floor(us / periodMicros).cast("long")
+      val firsts = df.groupBy(keyCol.as("__r_key"))
+        .agg(min(period).as("cohort"))
+      df.select(keyCol.as("__r_k"), period.as("__r_p"))
+        .join(firsts, col("__r_k") === col("__r_key"))
+        .groupBy(col("cohort"), (col("__r_p") - col("cohort")).as("period_offset"))
+        .agg(count_distinct(col("__r_k")).as("n_active"))
+    }
+
     private def sortKeys(orders: Seq[Order]): Seq[Column] =
       orders.map { o =>
         val k = if (o.numeric) o.expr.cast("double") else o.expr.cast("string")

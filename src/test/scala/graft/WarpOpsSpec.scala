@@ -309,6 +309,19 @@ class WarpOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 1), got.toString)
   }
 
+  test("retentionCohorts: cohort = first-event period, distinct actives per offset") {
+    import spark.implicits._
+    def t(day: Long) = new java.sql.Timestamp(day * 86400L * 1000)
+    val df = Seq(
+      (1L, t(0)), (1L, t(1)), (1L, t(1)),   // cohort 0; active d0, d1 (dup d1 counts once)
+      (2L, t(0)), (2L, t(2)),               // cohort 0; active d0, d2
+      (3L, t(1))                            // cohort 1; active d1 only
+    ).toDF("user_id", "ts")
+    val got = df.retentionCohorts(col("user_id"), col("ts"), 86400L * 1000000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)), got.toString)
+  }
+
   test("distinct sketches: shard merge equals one-pass sketch; estimate near exact") {
     import spark.implicits._
     import graft.ops.WarpOps
