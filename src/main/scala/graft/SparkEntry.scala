@@ -64,12 +64,15 @@ object SparkEntry {
     * in the string rather than collapsed to a 32-bit hash — a hash
     * collision between two data directories would silently serve the wrong
     * memoized fixture/centroids/index. */
+  /** Collision-free path tag: the directory string verbatim, sanitized —
+    * never a 32-bit hash that could alias two data directories. */
+  private def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   private def dataFp(s: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val dirTag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${dirTag}_${st.getModificationTime}_${st.getLen}"
+    s"${dirTag(dir)}_${st.getModificationTime}_${st.getLen}"
   }
 
   /** Index root keyed by the data directory AND the embeddings file's
@@ -657,7 +660,7 @@ object SparkEntry {
     "q_jdbc_roundtrip" -> ((s, dir) => {
       val sup = T(s, dir, "supplier")
         .selectColumns(Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
-      val db = s"/tmp/graft_derby_${Integer.toHexString(dir.hashCode)}"
+      val db = s"/tmp/graft_derby_${dirTag(dir)}"
       graft.sources.JdbcSource.derbyWrite(sup, db, "supplier_rt")
       graft.sources.JdbcSource.derby(s, db, "supplier_rt")
         .orderBy("s_suppkey")
@@ -1159,6 +1162,16 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id")), Order(col("term_rank"))))
     }),
 
+    // ---- sketch-gated EXACT heavy hitters: Misra-Gries candidate pass
+    //      (map-only, ≤k counters/partition) then an exact recount of the
+    //      candidates only — the most frequent tokens across the corpus
+    //      without shuffling the full token cardinality
+    "q_heavyhitters" -> ((s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("item"))
+      graft.pipeline.HeavyHitters.topKExact(toks, col("item"), n = 20, k = 1 << 14)
+    }),
+
     // ---- concat-and-chunk sequence packing (per-source token streams)
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.Packing.packSequences(T(s, dir, "documents"),
@@ -1590,7 +1603,7 @@ object SparkEntry {
     //      (null-safe match) → keyed delete, then read the surviving table.
     //      Oracle = the equivalent DuckDB UPDATE/DELETE algebra.
     "q_warehouse_mutate" -> ((s, dir) => {
-      val root = s"/tmp/graft_wh_${Integer.toHexString(dir.hashCode)}"
+      val root = s"/tmp/graft_wh_${dirTag(dir)}"
       val wh = new graft.sources.ParquetWarehouse(s, root)
       wh.create("nation_mut",
         T(s, dir, "nation").calculate(Seq("flag" -> lit("old"))))
@@ -1605,6 +1618,45 @@ object SparkEntry {
       // keyed delete: nations 1 and 2 removed
       wh.deleteRows("nation_mut", Seq(Map("n_nationkey" -> 1), Map("n_nationkey" -> 2)))
       wh.read("nation_mut").orderBy("n_nationkey")
+    }),
+
+    // ---- warehouse COMPACTION: a fragmented append-heavy table (64
+    //      part-files) coalesced to target-size files via the staging
+    //      swap; file budget from filesystem metadata, no table scan.
+    //      The read-back aggregate proves rows survive byte-identical.
+    "q_compact" -> ((s, dir) => {
+      val root = s"/tmp/graft_whc_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      wh.create("ord_frag", T(s, dir, "orders").repartition(64))
+      wh.compact("ord_frag", targetBytes = 256L << 20)
+      val nf = wh.fileCount("ord_frag")
+      require(nf <= 4, s"compaction left $nf files")
+      wh.read("ord_frag")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- warehouse range-CLUSTERED rewrite + pruned probe: lineitem
+    //      scattered across files, then clusterBy(l_orderkey) —
+    //      repartitionByRange + in-file sort gives each parquet file a
+    //      disjoint key range, so the probe's pushed filter skips every
+    //      row group outside [1000,2000). Cluster step is fingerprint-
+    //      cached (the index recipe): the PROBE is the measured path.
+    "q_cluster_prune" -> ((s, dir) => {
+      val root = s"/tmp/graft_whk_${dataFp(s, dir, "lineitem")}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      if (!wh.exists("li_clu")) {
+        wh.create("li_clu", T(s, dir, "lineitem")
+          .selectColumns(Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"))
+          .repartition(16))
+        wh.clusterBy("li_clu", Seq("l_orderkey"), targetBytes = 1L << 20)
+      }
+      wh.read("li_clu")
+        .warpFilter(col("l_orderkey") >= 1000 && col("l_orderkey") < 2000)
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
@@ -2840,6 +2892,22 @@ object SparkEntry {
          WHERE n_nationkey NOT IN (1, 2) ORDER BY n_nationkey""",
     "q_xml_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_heavyhitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+           FROM documents
+         )
+         SELECT item, count(*) AS cnt FROM toks GROUP BY item
+         ORDER BY cnt DESC, item ASC LIMIT 20""",
+    "q_compact" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_cluster_prune" ->
+      """SELECT count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+         FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000""",
     "q_retention" ->
       """WITH p AS (
            SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS period

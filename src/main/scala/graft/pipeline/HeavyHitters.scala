@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact top-k frequent items at corpus scale ("what are the most common
+  * tokens / domains / licenses across 100 TB?") without ever shuffling the
+  * full key cardinality.
+  *
+  * The naive plan — `groupBy(item).count().orderBy(desc).limit(n)` — is
+  * correct but shuffles one row per DISTINCT item; for web-scale token or
+  * URL columns that is billions of keys through the exchange just to keep
+  * twenty. The classical two-pass alternative (Misra–Gries candidates,
+  * then an exact recount of only the candidates):
+  *
+  *  - Pass 1 (map-only): each partition keeps a Misra–Gries summary of at
+  *    most `k` counters. The summary's guarantee: an item absent from a
+  *    partition's sketch has local count ≤ n_p/(k+1) (each decrement step
+  *    removes k+1 occurrences' worth of weight). Summing over partitions,
+  *    an item absent from EVERY sketch has global count ≤ n/(k+1) — so the
+  *    union of per-partition sketch keys is a SUPERSET of every item with
+  *    frequency above n/(k+1). Only ≤ k·P candidate rows leave the map
+  *    stage.
+  *  - Pass 2: one more scan, broadcast-semi-joined to the candidate set,
+  *    then an exact count of the survivors. Map-side partial aggregation
+  *    bounds the shuffle at |candidates| rows per task; the final top-n is
+  *    a `TakeOrderedAndProject` (per-partition heaps, no global sort).
+  *
+  * The result is EXACT whenever the true n-th most frequent item occurs
+  * more than n_total/(k+1) times — for skewed real-world frequency
+  * distributions (tokens, domains) a `k` of a few thousand makes that
+  * threshold trivially met. [[mgSketch]] exposes pass 1 alone for callers
+  * that want the one-scan approximate summary (counts there are lower
+  * bounds, undercounting by at most n_p/(k+1) per partition).
+  *
+  * Reference scope: the reference's aggregation surface stops at exact
+  * groupBy (Aggregation.swift); this operator is part of the scale
+  * extension set, same family as warpCountDistinctApprox.
+  */
+object HeavyHitters {
+
+  /** Pass 1: per-partition Misra–Gries summaries, one row per surviving
+    * (partition, item) counter. `cnt` is the per-partition residual count
+    * (a lower bound on the partition-local frequency; the undercount is at
+    * most n_p/(k+1)). Map-only — no shuffle.
+    */
+  def mgSketch(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(valueCol.cast("string").as("item"))
+      .filter(col("item").isNotNull).as[String]
+    items.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](k * 2)
+      while (it.hasNext) {
+        val x = it.next()
+        val c = counts.getOrDefault(x, 0L)
+        if (c > 0L) counts.put(x, c + 1L)
+        else if (counts.size < k) counts.put(x, 1L)
+        else {
+          // decrement-all: removes (k+1) occurrences' worth of weight (the
+          // incoming item plus one from each counter); amortized O(1) per
+          // element since every decremented unit was previously added
+          val itr = counts.entrySet().iterator()
+          while (itr.hasNext) {
+            val e = itr.next()
+            if (e.getValue == 1L) itr.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue()))
+    }.toDF("item", "cnt")
+  }
+
+  /** Exact top-`n` items by frequency, sketch-gated: Misra–Gries
+    * candidates (pass 1), exact recount of candidates only (pass 2).
+    * Exact iff the n-th item's true count exceeds n_total/(k+1) — the
+    * caller picks `k` for the skew they expect (default 1<<14 counters ≈
+    * a few hundred KB per task). Ties broken by item ascending so the
+    * result is deterministic.
+    */
+  def topKExact(df: DataFrame, valueCol: Column, n: Int, k: Int = 1 << 14): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    val cands = mgSketch(df, valueCol, k).select("item").distinct()
+    df.select(valueCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc)
+      .limit(n)
+  }
+}

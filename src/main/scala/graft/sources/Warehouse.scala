@@ -107,6 +107,58 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       df.filter(!cond)
     })
 
+  /** Number of parquet data files currently backing the table. Filesystem
+    * metadata only — no data scan. */
+  def fileCount(table: String): Int = dataFiles(table).length
+
+  private def dataFiles(table: String): Array[java.io.File] = {
+    val fs = new java.io.File(dir(table)).listFiles()
+    if (fs == null) Array.empty
+    else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  private def targetFileCount(table: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val total = dataFiles(table).map(_.length).sum
+    math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+  }
+
+  /** Compact the small files an append-heavy table accumulates into
+    * ~`targetBytes`-sized files. The file budget comes from FILESYSTEM
+    * METADATA (sum of part-file sizes), never a row count — sizing the
+    * rewrite must not cost a table scan at 100 TB. The merge itself is a
+    * `coalesce`, not a `repartition`: compaction reduces file count, so no
+    * shuffle is needed — each output task concatenates a handful of input
+    * splits. Same staging-dir swap as every other mutation. At warehouse
+    * scale with hive-partitioned tables the identical call applies per
+    * partition directory; this table layout is flat, so it is table-wide.
+    *
+    * (Reference scope: the reference's warehouse, SQLiteStream.swift, is a
+    * SQL database and has no small-file problem; this is part of the
+    * parquet-warehouse scale surface, like the staging swap itself.)
+    */
+  def compact(table: String, targetBytes: Long = 128L << 20): Unit = {
+    val n = targetFileCount(table, targetBytes)
+    rewrite(table, _.coalesce(n))
+  }
+
+  /** Rewrite the table RANGE-CLUSTERED on `cols`: rows land in files whose
+    * `cols` ranges are disjoint (repartitionByRange) and sorted within each
+    * file (sortWithinPartitions). Parquet footers then carry tight per-file
+    * and per-row-group min/max for `cols`, so any reader — Spark predicate
+    * pushdown included — skips every file whose range misses the filter.
+    * This is the vanilla-parquet equivalent of Z-ordering a table format:
+    * the layout, not a manifest, is what makes point/range queries on the
+    * cluster key cheap at 100 TB. One range-exchange (sampled boundaries)
+    * plus a local sort per file; file budget again from filesystem sizes.
+    */
+  def clusterBy(table: String, cols: Seq[String], targetBytes: Long = 128L << 20): Unit = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    val n = targetFileCount(table, targetBytes)
+    val cs = cols.map(c => col(s"`$c`"))
+    rewrite(table, _.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*))
+  }
+
   /** copy-on-write rewrite with staging-dir swap. Rename results are
     * CHECKED: a failed swap must surface as an error, never silently drop
     * the mutation or lose the table. */

@@ -1207,4 +1207,42 @@ class PipelineSpec extends SparkSpec {
       .head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  // Zipf-ish corpus: item "i<r>" appears n/r times; heavily skewed, so a
+  // tiny sketch must still surface the head
+  private def zipfItems(n: Int, ranks: Int): Seq[String] =
+    (1 to ranks).flatMap(r => Seq.fill(n / r)(s"i$r"))
+
+  test("heavy hitters: MG sketch keys are a superset of items above n/(k+1)") {
+    val items = scala.util.Random.shuffle(zipfItems(4096, 40)) // deterministic-enough law: any shuffle must satisfy it
+    val df = items.toDF("x").repartition(5)
+    val k = 8
+    val sketchKeys = HeavyHitters.mgSketch(df, col("x"), k)
+      .select("item").distinct().as[String].collect().toSet
+    val total = items.size
+    val exact = items.groupBy(identity).view.mapValues(_.size)
+    val mustHave = exact.filter(_._2 > total / (k + 1)).keys.toSet
+    assert(mustHave.subsetOf(sketchKeys),
+      s"missing heavy items: ${mustHave.diff(sketchKeys)}")
+    // counts are lower bounds
+    val cnts = HeavyHitters.mgSketch(df.coalesce(1), col("x"), k)
+      .as[(String, Long)].collect().toMap
+    cnts.foreach { case (i, c) =>
+      assert(c <= exact(i), s"sketch overcounts $i: $c > ${exact(i)}")
+      assert(exact(i) - c <= total / (k + 1), s"sketch undercount of $i beyond bound")
+    }
+  }
+
+  test("heavy hitters: topKExact equals the exact groupBy top-n") {
+    val items = zipfItems(2000, 30)
+    val df = items.toDF("x").repartition(7)
+    val got = HeavyHitters.topKExact(df, col("x"), n = 5, k = 16)
+      .as[(String, Long)].collect().toSeq
+    val want = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (i, c) => (-c, i) }.take(5)
+    assert(got == want)
+    // degenerate inputs: empty frame, all-null column
+    assert(HeavyHitters.topKExact(Seq.empty[String].toDF("x"), col("x"), 3).count() == 0)
+    assert(HeavyHitters.topKExact(Seq(Option.empty[String]).toDF("x"), col("x"), 3).count() == 0)
+  }
 }

@@ -386,4 +386,65 @@ class SourcesSpec extends SparkSpec {
     val out = df.renameColumns(Map("alpha" -> "a", "nope" -> "x"))
     assert(out.columns.toSeq == Seq("a", "beta"))
   }
+
+  test("warehouse compact: file count shrinks to the byte budget, rows survive") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whcompact"))
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("id", "v")
+    wh.create("t", df.repartition(8))
+    assert(wh.fileCount("t") >= 8, s"expected fragmented layout, got ${wh.fileCount("t")}")
+    wh.compact("t", targetBytes = 1L << 30) // everything fits one file
+    assert(wh.fileCount("t") == 1)
+    assert(wh.read("t").as[(Long, String)].collect().toSet ==
+      (1L to 10000L).map(i => (i, s"v$i")).toSet)
+    // byte budget smaller than the table -> more than one file
+    val total = wh.read("t").inputFiles.length // still 1 file
+    assert(total == 1)
+  }
+
+  private def fileKeyRanges(table: java.io.File, column: String): Seq[(Long, Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    table.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val stats = blocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column).map(_.getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+         stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+      } finally r.close()
+    }
+  }
+
+  test("warehouse clusterBy: files carry disjoint sorted key ranges (footer audit)") {
+    import spark.implicits._
+    val root = tmp("whcluster")
+    val wh = new ParquetWarehouse(spark, root)
+    // scattered layout: keys round-robin across 6 files, every file spans
+    // nearly the whole key range
+    val df = (1L to 20000L).map(i => (i, ("x" * 40) + i)).toDF("k", "payload")
+    wh.create("t", df.repartition(6))
+    val before = fileKeyRanges(new java.io.File(s"$root/t"), "k")
+    assert(before.length >= 6)
+    val span = 20000L
+    assert(before.forall { case (lo, hi) => hi - lo > span / 2 },
+      s"pre-cluster files should span the key range, got $before")
+    // cluster: byte budget sized for ~4 files
+    val totalBytes = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    wh.clusterBy("t", Seq("k"), targetBytes = totalBytes / 4)
+    val after = fileKeyRanges(new java.io.File(s"$root/t"), "k").sortBy(_._1)
+    assert(after.length >= 2, s"expected multiple clustered files, got ${after.length}")
+    // disjoint: each file's max strictly below the next file's min
+    after.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges in $after")
+      case _                      => ()
+    }
+    // rows survive the rewrite
+    assert(wh.read("t").count() == 20000L)
+    assert(wh.read("t").agg(sum($"k")).head().getLong(0) == (1L to 20000L).sum)
+  }
 }
