@@ -726,6 +726,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- bounded-memory exact multi-quantile: the bracket technique
+    //      generalized to a p25/p50/p75/p95 summary per group — type-7
+    //      interpolation, bit-equal to Spark's buffering `percentile`
+    "q_quantiles" -> ((s, dir) => {
+      graft.ops.BracketMedian.exactQuantiles(
+        T(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_median_scalable" -> ((s, dir) => {
       graft.ops.BracketMedian.exactMedianFamily(
         T(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity", prefix = "med_qty")
@@ -2001,6 +2011,32 @@ object SparkEntry {
            a[CAST(n//2+1 AS INT)] AS med_pack_high,
            CAST(n AS BIGINT) AS med_pack_n
          FROM g ORDER BY l_returnflag""",
+    "q_quantiles" ->
+      """WITH g AS (
+           SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,
+                  count(l_extendedprice) AS n
+           FROM lineitem GROUP BY l_returnflag),
+         p AS (
+           SELECT l_returnflag, a,
+             (n-1)*CAST(0.25 AS DOUBLE) AS p25p,
+             (n-1)*CAST(0.5  AS DOUBLE) AS p50p,
+             (n-1)*CAST(0.75 AS DOUBLE) AS p75p,
+             (n-1)*CAST(0.95 AS DOUBLE) AS p95p
+           FROM g)
+         SELECT l_returnflag,
+           CASE WHEN ceil(p25p) = floor(p25p) THEN a[CAST(p25p AS INT)+1]
+             ELSE (ceil(p25p)-p25p)*a[CAST(floor(p25p) AS INT)+1]
+                + (p25p-floor(p25p))*a[CAST(ceil(p25p) AS INT)+1] END AS p25,
+           CASE WHEN ceil(p50p) = floor(p50p) THEN a[CAST(p50p AS INT)+1]
+             ELSE (ceil(p50p)-p50p)*a[CAST(floor(p50p) AS INT)+1]
+                + (p50p-floor(p50p))*a[CAST(ceil(p50p) AS INT)+1] END AS p50,
+           CASE WHEN ceil(p75p) = floor(p75p) THEN a[CAST(p75p AS INT)+1]
+             ELSE (ceil(p75p)-p75p)*a[CAST(floor(p75p) AS INT)+1]
+                + (p75p-floor(p75p))*a[CAST(ceil(p75p) AS INT)+1] END AS p75,
+           CASE WHEN ceil(p95p) = floor(p95p) THEN a[CAST(p95p AS INT)+1]
+             ELSE (ceil(p95p)-p95p)*a[CAST(floor(p95p) AS INT)+1]
+                + (p95p-floor(p95p))*a[CAST(ceil(p95p) AS INT)+1] END AS p95
+         FROM p ORDER BY l_returnflag""",
     "q_agg_median_scalable" ->
       """WITH g AS (
            SELECT l_linestatus, list_sort(list(l_quantity)) AS a,

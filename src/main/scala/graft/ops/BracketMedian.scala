@@ -58,11 +58,21 @@ object BracketMedian {
     val vals = df.select(gs :+ Warp.num(col(valueCol)).as("__v"): _*)
       .filter(col("__v").isNotNull)
 
-    // pass 1: count + sketch bracket per group
-    val br = vals.groupBy(gs: _*).agg(
+    // pass 1: count + sketch bracket per group. The sketch's rank slack is
+    // delta*n = 4n/accuracy; for groups SMALLER than accuracy/2 that is
+    // under two ranks and percentile_approx's own rank rounding (±1) could
+    // push the bracket past a target rank — so small groups take the whole
+    // [min,max] range as their bracket instead (they are small by the same
+    // definition that makes the bracket memory-safe).
+    val br0 = vals.groupBy(gs: _*).agg(
       count(lit(1)).as("__n"),
-      percentile_approx(col("__v"), lit(0.5 - delta), lit(accuracy)).as("__lo"),
-      percentile_approx(col("__v"), lit(0.5 + delta), lit(accuracy)).as("__hi"))
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      percentile_approx(col("__v"), lit(0.5 - delta), lit(accuracy)).as("__alo"),
+      percentile_approx(col("__v"), lit(0.5 + delta), lit(accuracy)).as("__ahi"))
+    val smallGroup = col("__n") <= lit(accuracy / 2)
+    val br = br0.select(gs ++ Seq(col("__n"),
+      when(smallGroup, col("__mn")).otherwise(col("__alo")).as("__lo"),
+      when(smallGroup, col("__mx")).otherwise(col("__ahi")).as("__hi")): _*)
 
     // pass 2: one linear chain — join the (broadcast-small) brackets back,
     // drop rows above the bracket, and run-length encode by key
@@ -101,6 +111,107 @@ object BracketMedian {
         col("__m1").as(s"${prefix}_low"),
         col("__m2").as(s"${prefix}_high"),
         col("__nt").as(s"${prefix}_n")): _*)
+  }
+
+  /** EXACT multi-quantile per group with the same bounded-memory bracket
+    * technique — the scalable twin of Spark's exact `percentile` (a
+    * TypedImperativeAggregate that buffers every group value) for the
+    * p25/p50/p95/p99 summaries a corpus report needs.
+    *
+    * Same two passes as [[exactMedianFamily]], generalized: pass 1
+    * sketches a rank bracket around EACH requested quantile (one
+    * `percentile_approx` call with the whole probe array — still one
+    * sketch per group); pass 2 re-reads the data once, exploding each row
+    * into the (≤ m) brackets it can affect, with the below-bracket rows
+    * folding into one RLE null-key row per (group, quantile) exactly as
+    * the median does. Interpolation is the type-7 definition Spark's
+    * `percentile` uses — 0-based position (n−1)·q, linear between the two
+    * neighboring order statistics, identical double arithmetic — so the
+    * result is bit-equal to the built-in on any group that FITS in its
+    * buffer, and still correct on groups that never could. Window
+    * partitions hold distinct bracket values only (≈ 8m·n/accuracy rows).
+    *
+    * `qs` maps output column name -> quantile in [0,1].
+    */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "exactQuantiles needs at least one group column")
+    require(qs.nonEmpty, "exactQuantiles needs at least one quantile")
+    require(qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      s"quantiles must be in [0,1], got $qs")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val gs = groupCols.map(col)
+    val delta = math.min(0.49, 4.0 / accuracy)
+    val m = qs.length
+
+    val vals = df.select(gs :+ Warp.num(col(valueCol)).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+
+    // pass 1: one sketch per group probed at every bracket edge. Small
+    // groups (under accuracy/2 values, where delta*n slack dips below the
+    // sketch's ±1 rank rounding) take the whole [min,max] range as every
+    // bracket — see the identical clamp in exactMedianFamily.
+    val loPs = qs.map { case (_, q) => math.max(0.0, q - delta) }
+    val hiPs = qs.map { case (_, q) => math.min(1.0, q + delta) }
+    val br0 = vals.groupBy(gs: _*).agg(
+      count(lit(1)).as("__n"),
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      percentile_approx(col("__v"), array(loPs.map(lit): _*), lit(accuracy)).as("__alos"),
+      percentile_approx(col("__v"), array(hiPs.map(lit): _*), lit(accuracy)).as("__ahis"))
+    val smallGroup = col("__n") <= lit(accuracy / 2)
+    val br = br0.select(gs ++ Seq(col("__n"),
+      transform(col("__alos"), x => when(smallGroup, col("__mn")).otherwise(x)).as("__los"),
+      transform(col("__ahis"), x => when(smallGroup, col("__mx")).otherwise(x)).as("__his")): _*)
+
+    val brR = br.toDF(groupCols.map(c => s"__g_$c") ++ Seq("__n", "__los", "__his"): _*)
+    val j = vals.join(brR,
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+
+    // pass 2: explode each row into the brackets it can affect (≤ m-way
+    // fan-out, absorbed by map-side combine before any shuffle)
+    val exploded = j.select(
+        gs ++ Seq(col("__v"), col("__n"),
+          posexplode(arrays_zip(col("__los"), col("__his")))): _*)
+      .withColumnRenamed("pos", "__qi")
+      .filter(col("__v") <= col("col.__his"))
+      .select(gs ++ Seq(col("__qi"), col("__n"),
+        when(col("__v") >= col("col.__los"), col("__v")).as("__k")): _*)
+    val counts = exploded.groupBy(gs ++ Seq(col("__qi"), col("__k")): _*)
+      .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))
+    val w = Window.partitionBy(gs :+ col("__qi"): _*)
+      .orderBy(col("__k").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cumEnd", sum(col("__c")).over(w))
+
+    // type-7 target: 0-based position (n-1)q; ranks are 1-based
+    val qv = element_at(array(qs.map(p => lit(p._2)): _*), col("__qi") + 1)
+    val pos0 = (col("__n") - lit(1)).cast("double") * qv
+    val rLo = floor(pos0).cast("long") + lit(1L)
+    val rHi = ceil(pos0).cast("long") + lit(1L)
+    def covers(r: Column): Column =
+      r > col("__cumEnd") - col("__c") && r <= col("__cumEnd")
+    // symmetric interpolation (higher-pos)*low + (pos-lower)*high — the
+    // exact expression Spark's built-in percentile evaluates, so results
+    // are bit-equal, not just within an ulp
+    val perQ = cum.groupBy(gs :+ col("__qi"): _*).agg(
+        max(when(covers(rLo), col("__k"))).as("__vlo"),
+        max(when(covers(rHi), col("__k"))).as("__vhi"),
+        first(col("__n")).as("__nq"))
+      .withColumn("__pos", (col("__nq") - lit(1)).cast("double") * qv)
+      .withColumn("__q",
+        when(ceil(col("__pos")) === floor(col("__pos")), col("__vlo"))
+          .otherwise((ceil(col("__pos")) - col("__pos")) * col("__vlo") +
+                     (col("__pos") - floor(col("__pos"))) * col("__vhi")))
+
+    // wide result: one column per requested quantile
+    perQ.groupBy(gs: _*).agg(
+      qs.zipWithIndex.map { case ((name, _), i) =>
+        max(when(col("__qi") === i, col("__q"))).as(name)
+      }.head,
+      qs.zipWithIndex.map { case ((name, _), i) =>
+        max(when(col("__qi") === i, col("__q"))).as(name)
+      }.tail: _*)
   }
 
   /** medianPack with bounded memory — the scalable twin of

@@ -263,6 +263,40 @@ class WarpOpsSpec extends SparkSpec {
     assert(single.columns.toSeq == Seq("g", "m"))
   }
 
+  test("bracket quantiles equal the buffering exact percentile bit for bit") {
+    import graft.ops.BracketMedian
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(6000) { i =>
+      val g = i % 5
+      val v = g match {
+        case 0 => rnd.nextDouble() * 1000
+        case 1 => (rnd.nextInt(4) + 1).toDouble // heavy duplicates
+        case 2 => math.pow(rnd.nextDouble(), 6) * 1e5
+        case 3 => 7.0
+        case _ => rnd.nextGaussian()
+      }
+      (g.toLong, v)
+    } ++ Seq((5L, 3.0), (6L, 3.0), (6L, 9.0)) // 1- and 2-element groups
+    val df = rows.toDF("g", "v")
+    val qs = Seq("p05" -> 0.05, "p25" -> 0.25, "p50" -> 0.5,
+      "p75" -> 0.75, "p95" -> 0.95, "p99" -> 0.99)
+    val want = df.groupBy("g")
+      .agg(percentile(col("v"), array(qs.map(q => lit(q._2)): _*)).as("a"))
+      .select(col("g"), col("a")(0), col("a")(1), col("a")(2), col("a")(3),
+        col("a")(4), col("a")(5))
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val got = BracketMedian.exactQuantiles(df, Seq("g"), "v", qs)
+      .select("g", "p05", "p25", "p50", "p75", "p95", "p99")
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // q=0 / q=1 are the extremes
+    val ext = BracketMedian.exactQuantiles(df.filter(col("g") === 6), Seq("g"), "v",
+      Seq("lo" -> 0.0, "hi" -> 1.0)).select("lo", "hi").head()
+    assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
+  }
+
   test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000) {
