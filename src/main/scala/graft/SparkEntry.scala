@@ -726,6 +726,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- robust per-group outlier screen: modified z-score over
+    //      median/MAD (both via the bounded-memory bracket median) —
+    //      heavy-tail-safe where mean/stdev screens are not
+    "q_outliers" -> ((s, dir) => {
+      graft.ops.Robust.outliers(
+        T(s, dir, "documents").selectColumns(Seq("doc_id", "source", "n_chars")),
+        Seq("source"), "n_chars", cutoff = 2.0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- regular-grid resampling with forward fill: dense daily series
+    //      per user from sparse events, carrying the last observation
+    //      across gaps (integer epoch buckets, engine-portable)
+    "q_gapfill" -> ((s, dir) => {
+      graft.ops.TimeSeries.resampleFill(T(s, dir, "events"),
+        "user_id", "ts", "value", stepUs = 86400000000L, tieBreak = "event_id")
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // ---- bounded-memory exact multi-quantile: the bracket technique
     //      generalized to a p25/p50/p75/p95 summary per group — type-7
     //      interpolation, bit-equal to Spark's buffering `percentile`
@@ -2011,6 +2030,57 @@ object SparkEntry {
            a[CAST(n//2+1 AS INT)] AS med_pack_high,
            CAST(n AS BIGINT) AS med_pack_n
          FROM g ORDER BY l_returnflag""",
+    "q_outliers" ->
+      """WITH d AS (
+           SELECT doc_id, source, n_chars, CAST(n_chars AS DOUBLE) AS v
+           FROM documents),
+         g AS (
+           SELECT source, list_sort(list(v)) AS a, count(v) AS n
+           FROM d GROUP BY source),
+         m AS (
+           SELECT source,
+             (a[CAST((n+1)//2 AS INT)] + a[CAST(n//2+1 AS INT)]) / 2 AS med
+           FROM g),
+         dev AS (
+           SELECT d.doc_id, d.source, d.n_chars, d.v, m.med,
+                  abs(d.v - m.med) AS adev
+           FROM d JOIN m USING (source)),
+         g2 AS (
+           SELECT source, list_sort(list(adev)) AS a, count(adev) AS n
+           FROM dev GROUP BY source),
+         m2 AS (
+           SELECT source,
+             (a[CAST((n+1)//2 AS INT)] + a[CAST(n//2+1 AS INT)]) / 2 AS mad
+           FROM g2)
+         SELECT dev.doc_id, dev.source, dev.n_chars,
+           CASE WHEN m2.mad > 0
+             THEN CAST(0.6745 AS DOUBLE) * (dev.v - dev.med) / m2.mad END AS robust_z,
+           coalesce(abs(CASE WHEN m2.mad > 0
+             THEN CAST(0.6745 AS DOUBLE) * (dev.v - dev.med) / m2.mad END)
+             > CAST(2.0 AS DOUBLE), false) AS robust_z_outlier
+         FROM dev JOIN m2 USING (source) ORDER BY dev.doc_id""",
+    "q_gapfill" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,
+                  ts, event_id, value
+           FROM events),
+         obs AS (
+           SELECT user_id, b, value AS obs FROM (
+             SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+         rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM rng),
+         j AS (
+           SELECT g.user_id, g.b, o.obs
+           FROM grid g LEFT JOIN obs o USING (user_id, b))
+         SELECT user_id, b * 86400000000 AS bucket_ts,
+           last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           obs IS NULL AS filled
+         FROM j ORDER BY user_id, bucket_ts""",
     "q_quantiles" ->
       """WITH g AS (
            SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier flagging — the modified z-score
+  * (Iglewicz–Hoaglin): `0.6745 * (v - median) / MAD`, where MAD is the
+  * median absolute deviation. Means and standard deviations are useless
+  * for outlier screens on heavy-tailed corpus statistics (the outliers
+  * drag the yardstick); the median/MAD pair is breakdown-point-0.5 robust.
+  *
+  * Scale shape: both medians ride [[BracketMedian.exactMedian]] — two
+  * bounded-memory bracket passes (group medians, then medians of the
+  * absolute deviations) and two key-joins back, never a whole-group
+  * buffer. The per-group median table is tiny (one row per group), so the
+  * joins broadcast under AQE.
+  *
+  * Degenerate groups where MAD = 0 (more than half the values identical)
+  * get a null z-score and are never flagged — a zero yardstick measures
+  * nothing, and silently dividing would flag every non-modal value with
+  * an infinite score.
+  *
+  * (Reference scope: scale-extension family — the reference's statistical
+  * surface stops at variance/stdev, Function.swift:2204-2268.)
+  */
+object Robust {
+
+  /** Input rows plus `<out>` (the modified z-score) and `<out>_outlier`
+    * (|z| > cutoff). Rows with a null value pass through with null z. */
+  def outliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               cutoff: Double = 3.5, accuracy: Int = 10000,
+               out: String = "robust_z"): DataFrame = {
+    require(groupCols.nonEmpty, "outliers needs at least one group column")
+    require(cutoff > 0, s"cutoff must be > 0, got $cutoff")
+    val v = graft.values.Warp.num(col(valueCol))
+
+    val med = BracketMedian.exactMedian(df, groupCols, valueCol,
+      accuracy, out = "__med")
+    val medR = med.toDF(groupCols.map(c => s"__m_$c") :+ "__med": _*)
+    def joinKeys(suffix: String) =
+      groupCols.map(c => col(c) <=> col(s"${suffix}_$c")).reduce(_ && _)
+    val withMed = df.join(medR, joinKeys("__m"))
+      .drop(groupCols.map(c => s"__m_$c"): _*)
+
+    val dev = withMed.select((groupCols.map(col) :+
+      abs(v - col("__med")).as("__dev")): _*)
+    val mad = BracketMedian.exactMedian(dev, groupCols, "__dev",
+      accuracy, out = "__mad")
+    val madR = mad.toDF(groupCols.map(c => s"__d_$c") :+ "__mad": _*)
+
+    val z = when(col("__mad") > 0,
+      lit(0.6745) * (v - col("__med")) / col("__mad"))
+    withMed.join(madR, joinKeys("__d"))
+      .drop(groupCols.map(c => s"__d_$c"): _*)
+      .withColumn(out, z)
+      .withColumn(s"${out}_outlier", coalesce(abs(col(out)) > cutoff, lit(false)))
+      .drop("__med", "__mad")
+  }
+}

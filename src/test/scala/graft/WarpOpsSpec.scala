@@ -297,6 +297,59 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("robust outliers equal brute-force median/MAD modified z-scores") {
+    import graft.ops.Robust
+    def bruteMed(xs: Seq[Double]): Double = {
+      val a = xs.sorted; val n = a.length
+      (a((n + 1) / 2 - 1) + a(n / 2)) / 2
+    }
+    val rows = // a: clear outlier; b: constant (MAD=0); c: tiny; d: even n
+      Seq.tabulate(11)(i => ("a", (i + 1).toDouble)) ++ Seq(("a", 100.0)) ++
+      Seq.fill(5)(("b", 7.0)) ++
+      Seq(("c", 1.0), ("c", 2.0), ("c", 9.0)) ++
+      Seq(("d", 1.0), ("d", 2.0), ("d", 3.0), ("d", 10.0))
+    val df = rows.toDF("g", "v")
+    val got = Robust.outliers(df, Seq("g"), "v", cutoff = 2.0)
+      .select("g", "v", "robust_z", "robust_z_outlier")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))).toSet
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2))
+    val want = rows.map { case (g, v) =>
+      val med = bruteMed(byG(g))
+      val mad = bruteMed(byG(g).map(x => math.abs(x - med)))
+      val z = if (mad > 0) Some(0.6745 * (v - med) / mad) else None
+      (g, v, z, z.exists(x => math.abs(x) > 2.0))
+    }.toSet
+    assert(got == want)
+    assert(got.exists { case (g, v, _, o) => g == "a" && v == 100.0 && o })
+    assert(got.filter(_._1 == "b").forall { case (_, _, z, o) => z.isEmpty && !o })
+  }
+
+  test("resampleFill: dense grid, forward fill, last-in-bucket tiebreak") {
+    import graft.ops.TimeSeries
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    // step=10us. user 1: two events in bucket 0 (later one wins), gap over
+    // buckets 1-2, one event in bucket 3. user 2: single event.
+    val df = Seq(
+      (1L, t(0L), 1.0, 100L), (1L, t(5L), 9.0, 101L),
+      (1L, t(33L), 2.0, 102L),
+      (2L, t(47L), 4.0, 103L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = TimeSeries.resampleFill(df, "user_id", "ts", "value",
+        stepUs = 10L, tieBreak = "event_id")
+      .select("user_id", "bucket_ts", "value", "filled")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 9.0, false), (1L, 10L, 9.0, true), (1L, 20L, 9.0, true),
+      (1L, 30L, 2.0, false), (2L, 40L, 4.0, false)))
+    // same-timestamp tie falls back to the tiebreak column
+    val tie = Seq((3L, t(0L), 5.0, 1L), (3L, t(0L), 6.0, 2L)).toDF("user_id", "ts", "value", "event_id")
+    assert(TimeSeries.resampleFill(tie, "user_id", "ts", "value", 10L, "event_id")
+      .select("value").head().getDouble(0) == 6.0)
+  }
+
   test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000) {
