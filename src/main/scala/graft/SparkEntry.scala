@@ -726,6 +726,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- bivariate statistics from exact decimal moments: corr/covar/
+    //      least-squares fit per group, deterministic under any
+    //      partitioning (unlike streaming-moment corr/regr_slope)
+    "q_regression" -> ((s, dir) => {
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          WA.warpCorr(q, p).as("corr_qp"),
+          WA.warpCovarSample(q, p).as("covar_qp"),
+          WA.warpSlope(q, p).as("slope_qp"),
+          WA.warpIntercept(q, p).as("intercept_qp"),
+          WA.warpR2(q, p).as("r2_qp"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- robust per-group outlier screen: modified z-score over
     //      median/MAD (both via the bounded-memory bracket median) —
     //      heavy-tail-safe where mean/stdev screens are not
@@ -2030,6 +2046,30 @@ object SparkEntry {
            a[CAST(n//2+1 AS INT)] AS med_pack_high,
            CAST(n AS BIGINT) AS med_pack_n
          FROM g ORDER BY l_returnflag""",
+    // decimal->double via VARCHAR in this oracle: DuckDB's direct decimal
+    // cast double-rounds (int128 to double, then /10^scale); the string
+    // path is correctly rounded like Spark's BigDecimal cast
+    "q_regression" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                    * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qp,
+           (sxy - sx*sy/n) / (n - 1.0) AS covar_qp,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope_qp,
+           (sy - sx * (n*sxy - sx*sy) / (n*sxx - sx*sx)) / n AS intercept_qp,
+           ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+             * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2_qp
+         FROM m ORDER BY l_returnflag""",
     "q_outliers" ->
       """WITH d AS (
            SELECT doc_id, source, n_chars, CAST(n_chars AS DOUBLE) AS v

@@ -148,6 +148,65 @@ object WarpAggregates {
   def warpStdevSample(c: Column): Column = sqrt(warpVarianceSample(c))
   def warpStdevPopulation(c: Column): Column = sqrt(warpVariancePopulation(c))
 
+  /** Bivariate statistics from exact decimal moments — corr / covariance /
+    * least-squares slope+intercept / r². Spark's built-ins (`corr`,
+    * `covar_samp`, `regr_slope`) stream Welford-style moments whose float
+    * results depend on partition merge order; these compute the same
+    * quantities from [[dsum]]-exact sums, so they are deterministic under
+    * any partitioning and bit-comparable across engines evaluating the
+    * identical closed forms. Pairs with a null on either side are excluded
+    * from every moment (the SQL `REGR_*` pairwise contract). Degenerate
+    * denominators (zero variance) yield null, never NaN/Inf.
+    *
+    * (Scale-extension family: the reference's statistical surface stops at
+    * variance/stdev, Function.swift:2204-2268.)
+    */
+  private def pairMoments(x: Column, y: Column) = {
+    val xv = when(Warp.num(y).isNotNull, Warp.num(x))
+    val yv = when(Warp.num(x).isNotNull, Warp.num(y))
+    // product moments quantize each FACTOR to decimal before multiplying:
+    // the decimal×decimal product is exact (scale 12), so no per-row
+    // rounding of an 8-decimal double product at 6 digits — where engines'
+    // half-case conventions differ and 20k rows of ±5e-7 drift apart
+    val D2 = DecimalType(18, 6)
+    def dp(a: Column, b: Column) = sum(a.cast(D2) * b.cast(D2)).cast("double")
+    (count(xv).cast("double"), dsum(xv), dsum(yv),
+      dp(xv, xv), dp(yv, yv), dp(xv, yv))
+  }
+
+  /** Sample covariance: (Σxy − ΣxΣy/n) / (n−1); n<2 => null. */
+  def warpCovarSample(x: Column, y: Column): Column = {
+    val (n, sx, sy, _, _, sxy) = pairMoments(x, y)
+    when(n > 1, (sxy - sx * sy / n) / (n - lit(1.0)))
+  }
+
+  /** Pearson correlation; null when either marginal variance is 0. */
+  def warpCorr(x: Column, y: Column): Column = {
+    val (n, sx, sy, sxx, syy, sxy) = pairMoments(x, y)
+    val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    when(n > 1 && den > 0, (n * sxy - sx * sy) / den)
+  }
+
+  /** Least-squares slope of y on x; null when x is constant. */
+  def warpSlope(x: Column, y: Column): Column = {
+    val (n, sx, sy, sxx, _, sxy) = pairMoments(x, y)
+    val den = n * sxx - sx * sx
+    when(n > 1 && den > 0, (n * sxy - sx * sy) / den)
+  }
+
+  /** Least-squares intercept of y on x; null when the slope is. */
+  def warpIntercept(x: Column, y: Column): Column = {
+    val (n, sx, sy, sxx, _, sxy) = pairMoments(x, y)
+    val den = n * sxx - sx * sx
+    when(n > 1 && den > 0, (sy - sx * (n * sxy - sx * sy) / den) / n)
+  }
+
+  /** Coefficient of determination r² of the y-on-x fit (= corr²). */
+  def warpR2(x: Column, y: Column): Column = {
+    val c = warpCorr(x, y)
+    c * c
+  }
+
   /** minimumCount privacy floor: suppress result to empty unless at least
     * k valid values (MinimumCellReducer, Aggregation.swift:103-134;
     * SQL form SQL.swift:797-801). */

@@ -190,6 +190,45 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bivariate aggregates: track built-ins, honor pairwise nulls and degenerates") {
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.tabulate(500)(i => (i % 3, i.toDouble, 2.5 * i + rnd.nextGaussian() * 10))
+    val df = pts.toDF("g", "x", "y")
+    val rows = df.groupBy("g").agg(
+      WA.warpCorr(col("x"), col("y")).as("c"),
+      WA.warpCovarSample(col("x"), col("y")).as("cv"),
+      WA.warpSlope(col("x"), col("y")).as("sl"),
+      WA.warpIntercept(col("x"), col("y")).as("ic"),
+      WA.warpR2(col("x"), col("y")).as("r2"),
+      corr(col("x"), col("y")).as("bc"),
+      covar_samp(col("x"), col("y")).as("bcv"),
+      regr_slope(col("y"), col("x")).as("bsl"),
+      regr_intercept(col("y"), col("x")).as("bic")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("c") - r.getAs[Double]("bc")) < 1e-9)
+      // decimal(28,6) accumulation quantizes the xy products at 1e-6;
+      // the intercept amplifies that by the sum magnitudes
+      assert(math.abs(r.getAs[Double]("cv") - r.getAs[Double]("bcv")) < 1e-5)
+      assert(math.abs(r.getAs[Double]("sl") - r.getAs[Double]("bsl")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("ic") - r.getAs[Double]("bic")) < 1e-4)
+      val c = r.getAs[Double]("c")
+      assert(math.abs(r.getAs[Double]("r2") - c * c) == 0.0)
+    }
+    // pairwise nulls: the (3,?) and (?,30) rows drop from every moment
+    val withNulls = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 20.0), (3.0, null), (null, 30.0), (4.0, 40.0))
+      .toDF("x", "y")
+    val pn = withNulls.agg(WA.warpSlope(col("x"), col("y")).as("sl")).head()
+    assert(math.abs(pn.getDouble(0) - 10.0) < 1e-12)
+    // degenerate: constant x -> null slope/corr; single pair -> null
+    val const = Seq((1.0, 1.0), (1.0, 2.0)).toDF("x", "y")
+      .agg(WA.warpSlope(col("x"), col("y")), WA.warpCorr(col("x"), col("y"))).head()
+    assert(const.isNullAt(0) && const.isNullAt(1))
+    val single = Seq((1.0, 1.0)).toDF("x", "y")
+      .agg(WA.warpCovarSample(col("x"), col("y"))).head()
+    assert(single.isNullAt(0))
+  }
+
   test("aggregates: all-null groups yield null medians, not index errors") {
     val df = Seq(("g", null.asInstanceOf[java.lang.Double]),
                  ("g", null.asInstanceOf[java.lang.Double])).toDF("k", "v")
