@@ -440,6 +440,50 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("q_heavyhitters: exact recount gated by a broadcast join, top-n heaped") {
+    val p = plan("q_heavyhitters")
+    // pass 2 never shuffles the full cardinality: candidates broadcast
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    // partial aggregation bounds the recount shuffle
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(3000))
+    // final top-n is per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q_cluster_prune: probe filter reaches the clustered parquet scan") {
+    val p = plan("q_cluster_prune")
+    assert(p.contains("PushedFilters"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(l_orderkey,1000)"), p.take(3000))
+    // aggregate-only probe reads just the three referenced columns
+    assert(!p.contains("l_partkey"), "column pruning lost")
+  }
+
+  test("q_gapfill: per-key window, no global sort before the fill") {
+    val p = plan("q_gapfill")
+    // forward fill partitions by user_id — a global (empty-partition)
+    // window would serialize the fill through one task
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    // the grid explode stays rows-proportional-to-keys: sequence feeds
+    // from a per-key min/max aggregate, not the raw events
+    assert(p.contains("explode(sequence("), p.take(3000))
+  }
+
+  test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
+    val p = plan("q_quantiles")
+    // the built-in exact percentile (TypedImperativeAggregate over a
+    // whole-group buffer) must not appear; the bracket path aggregates
+    // through approx sketches + hash aggregates only
+    assert(!p.contains("percentile("), p.take(3000))
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"),
+      p.take(3000))
+  }
+
+  test("q_regression: one pass — single aggregate, no self-join of moments") {
+    val p = plan("q_regression")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(3000))
+  }
+
   test("saltedJoin spreads a hot key across shards and preserves results") {
     val hot = (1 to 1000).map(i => (42L, i)) ++ Seq((7L, 0))
     val left = hot.toDF("k", "v")
