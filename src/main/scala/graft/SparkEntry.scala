@@ -340,6 +340,41 @@ object SparkEntry {
         .warpSort(Seq(Order(col("o_orderkey"))))
     }),
 
+    // ---- semi / anti join surface: customers WITH urgent orders and
+    //      suppliers WITHOUT any lineitem — existence predicates as
+    //      shuffle-free broadcast semi/anti joins where the probe side
+    //      never widens (no fan-out, no dedup-after-join)
+    "q_join_semi_anti" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val urgent = T(s, dir, "orders").warpFilter(col("o_orderpriority") === "1-URGENT")
+      val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+        .selectColumns(Seq("c_custkey", "c_name"))
+        .calculate(Seq("side" -> lit("has_urgent")))
+      val s2 = T(s, dir, "supplier")
+      val li = T(s, dir, "lineitem")
+      val anti = s2.join(li, s2("s_suppkey") === li("l_suppkey"), "left_anti")
+        .selectColumns(Seq("s_suppkey", "s_name"))
+        .calculate(Seq("side" -> lit("no_lineitem")))
+        .renameColumns(Map("s_suppkey" -> "c_custkey", "s_name" -> "c_name"))
+      semi.warpUnion(anti)
+        .warpSort(Seq(Order(col("side"), numeric = false), Order(col("c_custkey"))))
+    }),
+
+    // ---- analytic window surface: lead/lag/ntile/cume_dist per customer
+    //      order history — partitioned windows only (the rankBy shape)
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      T(s, dir, "orders")
+        .selectColumns(Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .calculate(Seq(
+          "prev_price" -> lag(col("o_totalprice"), 1).over(w),
+          "next_key" -> lead(col("o_orderkey"), 1).over(w),
+          "quartile" -> ntile(4).over(w),
+          "cdist" -> cume_dist().over(w)))
+        .warpSort(Seq(Order(col("o_custkey")), Order(col("o_orderkey"))))
+    }),
+
     // ---- rank / running aggregation (Data.swift:306-311)
     "q_rank" -> ((s, dir) => {
       T(s, dir, "orders")
@@ -829,6 +864,22 @@ object SparkEntry {
     // ==== training-data pipeline operators ====
 
     // ---- exact dedup on content hash
+    // ---- incremental intake dedup: a new batch (fresh docs + re-keyed
+    //      copies of already-admitted content) anti-joined against the
+    //      historical fingerprint ledger — only genuinely novel content
+    //      survives, and history is never re-scanned as text
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val history = docs.warpFilter(col("doc_id") < 250)
+      val ledger = graft.pipeline.Dedup.fingerprintLedger(history, "text", "doc_id")
+      val batch = docs.warpFilter(col("doc_id") >= 250)
+        .warpUnion(docs.warpFilter(col("doc_id") < 50)
+          .calculate(Seq("doc_id" -> (col("doc_id") + 300000))))
+      graft.pipeline.Dedup.incrementalExact(batch, "text", "doc_id", ledger)
+        .selectColumns(Seq("doc_id", "dupes"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       // plant exact duplicates: docs 0-49 appear again under new ids
       val docs = T(s, dir, "documents")
@@ -2046,6 +2097,24 @@ object SparkEntry {
            a[CAST(n//2+1 AS INT)] AS med_pack_high,
            CAST(n AS BIGINT) AS med_pack_n
          FROM g ORDER BY l_returnflag""",
+    "q_join_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_urgent' AS side FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT s_suppkey AS c_custkey, s_name AS c_name, 'no_lineitem' AS side
+         FROM supplier
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         ORDER BY side, c_custkey""",
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_orderkey, 1) OVER w AS next_key,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     // decimal->double via VARCHAR in this oracle: DuckDB's direct decimal
     // cast double-rounds (int128 to double, then /10^scale); the string
     // path is correctly rounded like Spark's BigDecimal cast
@@ -2174,6 +2243,19 @@ object SparkEntry {
          CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
          CAST(length(p_name) AS DOUBLE) AS nlen
          FROM part ORDER BY p_partkey""",
+    "q_dedup_incremental" ->
+      """WITH batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 250
+           UNION ALL
+           SELECT doc_id + 300000, text FROM documents WHERE doc_id < 50
+         ), dd AS (
+           SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes, text
+           FROM batch GROUP BY text
+         )
+         SELECT doc_id, dupes FROM dd
+         WHERE NOT EXISTS (SELECT 1 FROM documents h
+                           WHERE h.doc_id < 250 AND h.text = dd.text)
+         ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM (
            SELECT doc_id, text FROM documents

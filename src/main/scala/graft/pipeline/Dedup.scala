@@ -29,6 +29,34 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
       .drop("__h", "__len")
 
+  /** Content-fingerprint LEDGER for incremental intake: one row per
+    * distinct content already admitted — the 8-byte hash, the length
+    * collision guard, and the first id that claimed it. A corpus that
+    * grows by batches must not re-dedup 100 TB of history per batch; it
+    * anti-joins each new batch against this (hash, len) table, which is
+    * O(distinct contents) small and never carries text. */
+  def fingerprintLedger(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("fp_hash"),
+               length(col(textCol)).as("fp_len"))
+      .agg(min(col(idCol)).as("first_id"))
+
+  /** Incremental exact dedup: the NOVEL rows of `newDocs` — first
+    * within-batch (lowest id per content, `dupes` counting the batch's
+    * copies), then anti-joined against the historical [[fingerprintLedger]]
+    * on the fingerprint pair. Append `fingerprintLedger(novel…)` (or the
+    * returned fp columns) to the ledger to admit the batch; the batch twin
+    * of the streaming `EventStream.dedupAgainstCorpus`. At warehouse scale
+    * the ledger is a bucketed table on fp_hash so the anti-join never
+    * shuffles the history side. */
+  def incrementalExact(newDocs: DataFrame, textCol: String, idCol: String,
+                       ledger: DataFrame): DataFrame = {
+    val batch = newDocs
+      .groupBy(xxhash64(col(textCol)).as("fp_hash"),
+               length(col(textCol)).as("fp_len"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
+    batch.join(ledger, Seq("fp_hash", "fp_len"), "left_anti")
+  }
+
   /** Word shingles of size n as an array column. The word array is
     * LAMBDA-BOUND (`transform` over a one-element wrapper): the naive
     * formulation references the split() three times and higher-order

@@ -143,6 +143,22 @@ object Similarity {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL index maintenance: sketch only the new batch with the
+    * SAME (dim, nBits, seed) plane family and append its rows to the
+    * persisted index — a growing corpus must not re-sketch 100 TB of
+    * history per intake batch. The planes are deterministic from the
+    * parameters, so appended rows are bit-compatible with the original
+    * build; probes over the merged index are indistinguishable from a
+    * full rebuild (pinned in PipelineSpec). Callers own id uniqueness
+    * across batches (the same contract as any append). */
+  def lshAppendIndex(delta: DataFrame, vecCol: String, nBits: Int, dim: Int,
+                     path: String, seed: Long = 42L): Unit = {
+    val planes = hyperplanes(dim, nBits, seed)
+    delta.withColumn(skColName(vecCol), sketch(col(vecCol), planes))
+      .withColumn(normColName(vecCol), norm(col(vecCol)))
+      .write.mode("append").parquet(path)
+  }
+
   /** Query a parquet-persisted LSH index (see [[lshWriteIndex]]). The scan
     * reads only the (id, sketch, vector, norm) columns; the Hamming filter runs inside
     * whole-stage codegen before any cosine is computed. */

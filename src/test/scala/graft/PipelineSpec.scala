@@ -1208,6 +1208,47 @@ class PipelineSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("lshAppendIndex: build-half-append-half probes equal the full rebuild") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val dim = q.length
+    val full = java.nio.file.Files.createTempDirectory("lshfull").toFile.getAbsolutePath + "/idx"
+    val inc = java.nio.file.Files.createTempDirectory("lshinc").toFile.getAbsolutePath + "/idx"
+    Similarity.lshWriteIndex(emb, "embedding", nBits = 16, dim = dim, path = full)
+    Similarity.lshWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+      "embedding", nBits = 16, dim = dim, path = inc)
+    Similarity.lshAppendIndex(emb.filter(col("vec_id") % 2 === 1),
+      "embedding", nBits = 16, dim = dim, path = inc)
+    def probe(p: String) = Similarity.lshReadTopK(spark, p, "embedding", "vec_id",
+      q, 10, nBits = 16, maxHamming = 8).select("vec_id").as[Long].collect().toSeq
+    assert(probe(inc) == probe(full))
+    // appended rows carry bit-identical sketches (same plane family)
+    val a = spark.read.parquet(full).select("vec_id", "__sk_embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = spark.read.parquet(inc).select("vec_id", "__sk_embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a == b)
+  }
+
+  test("incrementalExact: within-batch dedup then ledger anti-join") {
+    val hist = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "t")
+    val ledger = Dedup.fingerprintLedger(hist, "t", "id")
+    assert(ledger.count() == 2) // aa claimed by id 1
+    val batch = Seq((10L, "aa"), (11L, "cc"), (12L, "cc"), (13L, "dd")).toDF("id", "t")
+    val novel = Dedup.incrementalExact(batch, "t", "id", ledger)
+      .select("id", "dupes").as[(Long, Long)].collect().toSet
+    // "aa" is history, dropped; "cc" dedups within batch to id 11 with 2 copies
+    assert(novel == Set((11L, 2L), (13L, 1L)))
+    // admitting the batch: ledger grows by exactly the novel contents
+    val grown = ledger.unionByName(
+      Dedup.fingerprintLedger(batch.join(
+        novel.map(_._1).toSeq.toDF("id"), Seq("id"), "left_semi"), "t", "id"))
+    assert(grown.count() == 4)
+    val again = Dedup.incrementalExact(batch, "t", "id", grown)
+    assert(again.count() == 0) // idempotent: nothing novel twice
+  }
+
   // Zipf-ish corpus: item "i<r>" appears n/r times; heavily skewed, so a
   // tiny sketch must still surface the head
   private def zipfItems(n: Int, ranks: Int): Seq[String] =
