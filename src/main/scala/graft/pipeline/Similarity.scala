@@ -392,6 +392,23 @@ object Similarity {
     indexPath.stripSuffix("/") + ".centroids"
 
   /** Load the centroid table written by [[ivfWriteIndex]]. */
+  /** INCREMENTAL IVF maintenance: assign only the delta batch to the
+    * index's EXISTING centroids and append into the cell partitions —
+    * the standard IVF intake contract (cells stay fixed between periodic
+    * rebuilds; appending never re-reads or re-centers history). Probes
+    * over the merged index see the delta exactly as a full re-assign
+    * against the same centroids would (pinned in PipelineSpec). */
+  def ivfAppendIndex(delta: DataFrame, vecCol: String, idCol: String,
+                     path: String): Unit = {
+    val centroids = ivfReadCentroids(delta.sparkSession, path)
+    val best = centroids.indices.map { i =>
+      struct(cosine(col(vecCol), typedLit(centroids(i))).as("cos"), lit(i).as("cell"))
+    }
+    delta.withColumn("__cell", greatest(best: _*).getField("cell"))
+      .withColumn(normColName(vecCol), norm(col(vecCol)))
+      .write.mode("append").partitionBy("__cell").parquet(path)
+  }
+
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Array[Seq[Float]] =
     spark.read.parquet(centroidsPath(path))

@@ -1231,6 +1231,33 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ivfAppendIndex: delta lands in argmax cells; probes see appended rows") {
+    val emb = sf("embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivfinc").toFile.getAbsolutePath + "/idx"
+    Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", nCells = 4, path)
+    Similarity.ivfAppendIndex(emb.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", path)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == emb.count())
+    // appended rows sit in the cell whose stored centroid maximizes cosine
+    val cs = Similarity.ivfReadCentroids(spark, path)
+    val manual = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), greatest(cs.indices.map(i => struct(
+        Similarity.cosine(col("embedding"), typedLit(cs(i))).as("cos"),
+        lit(i).as("cell"))): _*).getField("cell").as("c"))
+      .as[(Long, Int)].collect().toMap
+    val stored = idx.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("__cell")).as[(Long, Int)].collect().toMap
+    assert(stored == manual)
+    // a probe with an appended (odd-id) vector finds itself first
+    val q = emb.filter(col("vec_id") === 5).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val top = Similarity.ivfTopK(idx, cs, "embedding", "vec_id", q,
+      k = 3, nProbe = 2).select("vec_id").as[Long].collect()
+    assert(top.headOption.contains(5L))
+  }
+
   test("incrementalExact: within-batch dedup then ledger anti-join") {
     val hist = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "t")
     val ledger = Dedup.fingerprintLedger(hist, "t", "id")
