@@ -1268,6 +1268,24 @@ object SparkEntry {
       graft.pipeline.HeavyHitters.topKExact(toks, col("item"), n = 20, k = 1 << 14)
     }),
 
+    // ---- per-group top-k terms: rank-filtered window, executed as
+    //      WindowGroupLimit (partial top-k before the shuffle)
+    "q_topk_per_group" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.pipeline.HeavyHitters.topKPerGroup(toks, Seq("source"), col("tok"), n = 3)
+        .warpSort(Seq(Order(col("source"), numeric = false), Order(col("rk"))))
+    }),
+
+    // ---- deterministic weighted sampling (Efraimidis-Spirakis priority
+    //      keys from md5 — reproducible on any engine, no rand())
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.pipeline.Sampling.weightedSample(
+        T(s, dir, "documents").selectColumns(Seq("doc_id", "source", "n_chars")),
+        col("doc_id"), col("n_chars"), n = 100)
+        .orderBy("doc_id")
+    }),
+
     // ---- concat-and-chunk sequence packing (per-source token streams)
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.Packing.packSequences(T(s, dir, "documents"),
@@ -2243,6 +2261,26 @@ object SparkEntry {
          CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
          CAST(length(p_name) AS DOUBLE) AS nlen
          FROM part ORDER BY p_partkey""",
+    "q_topk_per_group" ->
+      """WITH toks AS (
+           SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+           FROM documents
+         ), c AS (
+           SELECT source, item, count(*) AS cnt FROM toks GROUP BY source, item
+         )
+         SELECT source, item, cnt,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY cnt DESC, item ASC) AS INT) AS rk
+         FROM c QUALIFY rk <= 3 ORDER BY source, rk""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 + 1.0) / 4294967297.0) / n_chars AS pri
+           FROM documents WHERE n_chars > 0
+           ORDER BY pri DESC, doc_id LIMIT 100)
+         ORDER BY doc_id""",
     "q_dedup_incremental" ->
       """WITH batch AS (
            SELECT doc_id, text FROM documents WHERE doc_id >= 250

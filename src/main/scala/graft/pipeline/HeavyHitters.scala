@@ -73,6 +73,26 @@ object HeavyHitters {
     }.toDF("item", "cnt")
   }
 
+  /** Exact top-`n` items PER GROUP ("top terms per source"). Spark-first:
+    * a (group, item) count then a rank-filtered window — which the
+    * optimizer executes as WindowGroupLimit, a partial per-partition
+    * top-k BEFORE the shuffle, so the exchange carries at most n·k rows
+    * per map task, not the full per-group item cardinality. Use
+    * [[topKExact]] when there is no grouping (a global window would
+    * serialize through one task). Ties break on item ascending. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   n: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topKPerGroup needs group columns — use topKExact")
+    require(n > 0, s"n must be > 0, got $n")
+    val gs = groupCols.map(col)
+    val counts = df.select(gs :+ valueCol.cast("string").as("item"): _*)
+      .filter(col("item").isNotNull)
+      .groupBy(gs :+ col("item"): _*).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("cnt").desc, col("item").asc)
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
   /** Exact top-`n` items by frequency, sketch-gated: Misra–Gries
     * candidates (pass 1), exact recount of candidates only (pass 2).
     * Exact iff the n-th item's true count exceeds n_total/(k+1) — the

@@ -273,6 +273,28 @@ object Sampling {
     * nothing global, nothing collected. Shards must be numerous enough
     * to spread (domains/files, not a 3-value column) — the same contract
     * as any partitioned window. */
+  /** Deterministic weighted sample WITHOUT replacement
+    * (Efraimidis–Spirakis priority sampling): each row gets priority
+    * `ln(u)/w` with `u` a uniform in (0,1] derived from the id's md5 (the
+    * [[hashBucket]] philosophy — no rand(), engine-reproducible), and the
+    * sample is the top-`n` priorities. Inclusion probability is
+    * proportional to weight, the draw is identical on every engine that
+    * can md5, and the plan is map + TakeOrderedAndProject (per-partition
+    * heaps — nothing global, nothing shuffled but n rows per task).
+    * Rows with null or non-positive weight are excluded. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    // 32 hash bits + 1 keeps u strictly positive: ln(0) would be -inf
+    val u = (conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967297.0
+    df.filter(weightCol > 0)
+      .withColumn("__pri", log(u) / weightCol)
+      .orderBy(col("__pri").desc, idCol)
+      .limit(n)
+      .drop("__pri")
+  }
+
   def keepTopFraction(df: DataFrame, scoreCol: Column, shardCol: Column,
                       tieCol: Column, frac: Double,
                       out: String = "keep_frac"): DataFrame = {

@@ -1301,6 +1301,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup equals per-group brute force with item tiebreak") {
+    val rows = Seq("a" -> "x", "a" -> "x", "a" -> "y", "a" -> "z", "a" -> "y",
+      "b" -> "p", "b" -> "q", "b" -> "q")
+    val df = rows.toDF("g", "v").repartition(3)
+    val got = HeavyHitters.topKPerGroup(df, Seq("g"), col("v"), n = 2)
+      .select("g", "item", "cnt", "rk")
+      .as[(String, String, Long, Int)].collect().toSet
+    assert(got == Set(("a", "x", 2L, 1), ("a", "y", 2L, 2),
+      ("b", "q", 2L, 1), ("b", "p", 1L, 2)))
+  }
+
+  test("weightedSample: deterministic E-S priorities, weight contract") {
+    val df = (1L to 1000L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967297.0
+    }
+    val want = (1L to 1000L).map(i => (i, math.log(u(i)) / (i % 7 + 1).toDouble))
+      .sortBy { case (i, p) => (-p, i) }.take(50).map(_._1).toSet
+    val got = Sampling.weightedSample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    // zero/negative/null weights never sampled; n > rows returns all valid
+    val edge = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("id", "w"))
+    assert(Sampling.weightedSample(edge, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // heavier rows are sampled more often across disjoint id universes
+    val big = (1L to 4000L).map(i => (i, if (i <= 2000) 1.0 else 9.0)).toDF("id", "w")
+    val picked = Sampling.weightedSample(big, col("id"), col("w"), 400)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ > 2000)
+    assert(heavy > 300, s"expected weight-9 rows to dominate, got $heavy/400")
+  }
+
   test("heavy hitters: topKExact equals the exact groupBy top-n") {
     val items = zipfItems(2000, 30)
     val df = items.toDF("x").repartition(7)

@@ -468,6 +468,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("explode(sequence("), p.take(3000))
   }
 
+  test("q_topk_per_group: rank filter runs as WindowGroupLimit partial top-k") {
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("q_weighted_sample: priority top-n is per-partition heaps, no global sort") {
+    assert(plan("q_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
   test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
     val p = plan("q_quantiles")
     // the built-in exact percentile (TypedImperativeAggregate over a
