@@ -1268,6 +1268,14 @@ object SparkEntry {
       graft.pipeline.HeavyHitters.topKExact(toks, col("item"), n = 20, k = 1 << 14)
     }),
 
+    // ---- corpus diversity: pairwise vocabulary Jaccard between sources —
+    //      integer-exact, group-bounded (never token-quadratic)
+    "q_vocab_overlap" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.vocabOverlap(T(s, dir, "documents"), "source", "text")
+        .warpSort(Seq(Order(col("group_a"), numeric = false),
+          Order(col("group_b"), numeric = false)))
+    }),
+
     // ---- per-group top-k terms: rank-filtered window, executed as
     //      WindowGroupLimit (partial top-k before the shuffle)
     "q_topk_per_group" -> ((s, dir) => {
@@ -2261,6 +2269,23 @@ object SparkEntry {
          CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
          CAST(length(p_name) AS DOUBLE) AS nlen
          FROM part ORDER BY p_partkey""",
+    "q_vocab_overlap" ->
+      """WITH v AS (
+           SELECT DISTINCT source AS g,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), sz AS (
+           SELECT g, count(*) AS n FROM v GROUP BY g
+         ), i AS (
+           SELECT a.g AS group_a, b.g AS group_b, count(*) AS inter
+           FROM v a JOIN v b ON a.tok = b.tok AND a.g < b.g
+           GROUP BY 1, 2
+         )
+         SELECT group_a, group_b, inter,
+           sa.n + sb.n - inter AS uni,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         FROM i JOIN sz sa ON sa.g = group_a JOIN sz sb ON sb.g = group_b
+         ORDER BY group_a, group_b""",
     "q_topk_per_group" ->
       """WITH toks AS (
            SELECT source,

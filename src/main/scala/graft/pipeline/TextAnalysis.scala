@@ -320,6 +320,37 @@ object TextAnalysis {
       .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"))
   }
 
+  /** Corpus diversity report: pairwise VOCABULARY Jaccard between groups
+    * (sources, languages, shards) — "how much does src3 overlap src7?".
+    * All-integer until the final division, so the result is exact and
+    * engine-portable. Scale shape: one distinct on (group, token), one
+    * aggregate to per-token group-sets (bounded by the group count, not
+    * the corpus), pair explode ≤ C(groups,2) per token absorbed by
+    * map-side combine, and a broadcast-size join against per-group
+    * vocabulary counts. Nothing is ever quadratic in tokens — only in
+    * GROUPS, which is the point of a per-group report. Pairs with zero
+    * shared vocabulary do not appear (nothing joins them). */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val vocab = df.select(col(groupCol).as("__g"),
+      explode(tokens(col(textCol))).as("__tok")).distinct()
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val gs = col("__gs")
+    val pairCol = flatten(transform(gs, (a, i) =>
+      transform(slice(gs, i + lit(2), size(gs) - i - lit(1)),
+        b => struct(a.as("ga"), b.as("gb")))))
+    val inter = vocab.groupBy(col("__tok"))
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .select(explode(pairCol).as("__p"))
+      .groupBy(col("__p.ga").as("group_a"), col("__p.gb").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.toDF("__ga", "__na"); val sb = sizes.toDF("__gb", "__nb")
+    inter.join(broadcast(sa), col("group_a") === col("__ga"))
+      .join(broadcast(sb), col("group_b") === col("__gb"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .select("group_a", "group_b", "inter", "uni", "jaccard")
+  }
+
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -1301,6 +1301,21 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("vocabOverlap: integer-exact pairwise Jaccard, no zero-overlap rows") {
+    val docs = Seq(
+      ("a", "x y z"), ("a", "x w"),      // vocab(a) = {x,y,z,w}
+      ("b", "x y"),                      // vocab(b) = {x,y}
+      ("c", "q")                         // vocab(c) = {q}, disjoint
+    ).toDF("src", "text")
+    val got = TextAnalysis.vocabOverlap(docs, "src", "text")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("a", "b", 2L, 4L, 0.5))) // c pairs vanish (0 overlap)
+    // duplicate tokens inside a doc count once (vocabulary, not frequency)
+    val dup = Seq(("a", "x x x"), ("b", "x")).toDF("src", "text")
+    assert(TextAnalysis.vocabOverlap(dup, "src", "text")
+      .as[(String, String, Long, Long, Double)].head() == (("a", "b", 1L, 1L, 1.0)))
+  }
+
   test("topKPerGroup equals per-group brute force with item tiebreak") {
     val rows = Seq("a" -> "x", "a" -> "x", "a" -> "y", "a" -> "z", "a" -> "y",
       "b" -> "p", "b" -> "q", "b" -> "q")
