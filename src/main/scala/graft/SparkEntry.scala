@@ -1781,6 +1781,25 @@ object SparkEntry {
              dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // ---- 2-D Hilbert-curve clustering + probe on the SECOND dimension:
+    //      a 1-D sort would leave l_suppkey full-width per file; the
+    //      curve layout tightens both footers. Cluster step fingerprint-
+    //      cached; the probe is the measured path.
+    "q_curve_prune" -> ((s, dir) => {
+      val root = s"/tmp/graft_whv_${dataFp(s, dir, "lineitem")}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      if (!wh.exists("li_curve")) {
+        wh.create("li_curve", T(s, dir, "lineitem")
+          .selectColumns(Seq("l_orderkey", "l_suppkey", "l_quantity"))
+          .repartition(16))
+        wh.clusterByCurve("li_curve", "l_orderkey", "l_suppkey",
+          order = 12, targetBytes = 1L << 20)
+      }
+      wh.read("li_curve")
+        .warpFilter(col("l_suppkey") < 20 && col("l_orderkey") < 30000)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
     //      the grid document, read it back (header dedup, empty -> null)
     "q_xml_roundtrip" -> ((s, dir) => {
@@ -3194,6 +3213,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_curve_prune" ->
+      """SELECT count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem WHERE l_suppkey < 20 AND l_orderkey < 30000""",
     "q_cluster_prune" ->
       """SELECT count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -159,6 +159,37 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     rewrite(table, _.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*))
   }
 
+  /** 2-D locality clustering: rewrite the table ordered along a HILBERT
+    * curve over two numeric columns, so files carry tight footer min/max
+    * on BOTH dimensions and a range predicate on either column (or both)
+    * skips most row groups. [[clusterBy]] is optimal for one key and
+    * useless for the second; the space-filling curve splits the benefit.
+    * Each column is first equi-width bucketed into 2^order cells between
+    * its own min/max (one scalar aggregate — no scan beyond it), then the
+    * curve index orders the rewrite. The curve kernel is the same
+    * `fnHilbertXYToD` the formula language exposes (reference has the
+    * scalar, Function.swift; the LAYOUT use is the scale extension). */
+  def clusterByCurve(table: String, colX: String, colY: String,
+                     order: Int = 16, targetBytes: Long = 128L << 20): Unit = {
+    require(order >= 1 && order <= 30, s"order must be in [1,30], got $order")
+    val n = targetFileCount(table, targetBytes)
+    val side = 1L << order
+    rewrite(table, { df =>
+      val (cx, cy) = (col(s"`$colX`").cast("double"), col(s"`$colY`").cast("double"))
+      val mm = df.agg(min(cx), max(cx), min(cy), max(cy)).head()
+      def bucket(c: Column, lo: Double, hi: Double) =
+        if (hi <= lo) lit(0L)
+        else least(lit(side - 1), floor((c - lit(lo)) / lit(hi - lo) * side).cast("long"))
+      val d = graft.functions.WarpFunctions.fnHilbertXYToD(lit(side),
+        bucket(cx, mm.getDouble(0), mm.getDouble(1)),
+        bucket(cy, mm.getDouble(2), mm.getDouble(3)))
+      df.withColumn("__curve", d)
+        .repartitionByRange(n, col("__curve"))
+        .sortWithinPartitions(col("__curve"))
+        .drop("__curve")
+    })
+  }
+
   /** copy-on-write rewrite with staging-dir swap. Rename results are
     * CHECKED: a failed swap must surface as an error, never silently drop
     * the mutation or lose the table. */

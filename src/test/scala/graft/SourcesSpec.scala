@@ -419,6 +419,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("warehouse clusterByCurve: BOTH dimensions tighten (footer audit)") {
+    import spark.implicits._
+    val root = tmp("whcurve")
+    val wh = new ParquetWarehouse(spark, root)
+    // 100x100 grid scattered over 8 files: every file spans ~everything
+    val rows = for (x <- 0L until 100L; y <- 0L until 100L) yield (x, y, s"p$x-$y")
+    wh.create("t", rows.toDF("x", "y", "payload").repartition(8))
+    def spans(c: String) = fileKeyRanges(new java.io.File(s"$root/t"), c)
+      .map { case (lo, hi) => hi - lo }
+    assert(spans("x").forall(_ > 90) && spans("y").forall(_ > 90))
+    val totalBytes = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    wh.clusterByCurve("t", "x", "y", order = 7, targetBytes = totalBytes / 8)
+    // curve cells are compact: the AVERAGE per-file extent shrinks in BOTH
+    // dimensions (a 1-D sort would leave the second dimension full-width)
+    val (sx, sy) = (spans("x"), spans("y"))
+    assert(sx.nonEmpty && sx.size >= 4, s"expected several files, got ${sx.size}")
+    assert(sx.map(_.toDouble).sum / sx.size < 60, s"x spans $sx")
+    assert(sy.map(_.toDouble).sum / sy.size < 60, s"y spans $sy")
+    assert(wh.read("t").count() == 10000)
+  }
+
   test("warehouse clusterBy: files carry disjoint sorted key ranges (footer audit)") {
     import spark.implicits._
     val root = tmp("whcluster")
