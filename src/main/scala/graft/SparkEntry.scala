@@ -796,6 +796,18 @@ object SparkEntry {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // ---- equi-depth binning: per-group quantile discretization on the
+    //      bracket core; the count-per-bin aggregate doubles as the
+    //      depth-property check (bins hold ~equal row counts)
+    "q_bins" -> ((s, dir) => {
+      graft.ops.Robust.equiDepthBins(
+        T(s, dir, "lineitem").selectColumns(Seq("l_returnflag", "l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice", nBins = 4)
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "bin")
+    }),
+
     // ---- bounded-memory exact multi-quantile: the bracket technique
     //      generalized to a p25/p50/p75/p95 summary per group — type-7
     //      interpolation, bit-equal to Spark's buffering `percentile`
@@ -2235,6 +2247,36 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
            obs IS NULL AS filled
          FROM j ORDER BY user_id, bucket_ts""",
+    "q_bins" ->
+      """WITH g AS (
+           SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,
+                  count(l_extendedprice) AS n
+           FROM lineitem GROUP BY l_returnflag),
+         p AS (
+           SELECT l_returnflag, a,
+             (n-1)*CAST(0.25 AS DOUBLE) AS q1,
+             (n-1)*CAST(0.5  AS DOUBLE) AS q2,
+             (n-1)*CAST(0.75 AS DOUBLE) AS q3
+           FROM g),
+         e AS (
+           SELECT l_returnflag,
+             CASE WHEN ceil(q1) = floor(q1) THEN a[CAST(q1 AS INT)+1]
+               ELSE (ceil(q1)-q1)*a[CAST(floor(q1) AS INT)+1]
+                  + (q1-floor(q1))*a[CAST(ceil(q1) AS INT)+1] END AS e1,
+             CASE WHEN ceil(q2) = floor(q2) THEN a[CAST(q2 AS INT)+1]
+               ELSE (ceil(q2)-q2)*a[CAST(floor(q2) AS INT)+1]
+                  + (q2-floor(q2))*a[CAST(ceil(q2) AS INT)+1] END AS e2,
+             CASE WHEN ceil(q3) = floor(q3) THEN a[CAST(q3 AS INT)+1]
+               ELSE (ceil(q3)-q3)*a[CAST(floor(q3) AS INT)+1]
+                  + (q3-floor(q3))*a[CAST(ceil(q3) AS INT)+1] END AS e3
+           FROM p)
+         SELECT l.l_returnflag,
+           (CASE WHEN l_extendedprice > e1 THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice > e2 THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice > e3 THEN 1 ELSE 0 END) AS bin,
+           count(*) AS n
+         FROM lineitem l JOIN e ON l.l_returnflag = e.l_returnflag
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_quantiles" ->
       """WITH g AS (
            SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,

@@ -56,4 +56,31 @@ object Robust {
       .withColumn(s"${out}_outlier", coalesce(abs(col(out)) > cutoff, lit(false)))
       .drop("__med", "__mad")
   }
+
+  /** Equi-DEPTH binning (quantile discretization): assign each row the
+    * bucket index of its value among `nBins` per-group quantile cells —
+    * the feature-engineering twin of the equi-WIDTH histogram. Edges come
+    * from [[BracketMedian.exactQuantiles]] (bounded memory, exact); the
+    * assignment is a broadcast join of the one-row-per-group edge table
+    * plus a codegen'd comparison chain. Values equal to an edge go to the
+    * LOWER bin (right-closed cells — ntile would need a per-group total
+    * order; counting edges below needs only the edge table); bin ids run
+    * 0..nBins-1. */
+  def equiDepthBins(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    nBins: Int, accuracy: Int = 10000,
+                    out: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => s"__e$i" -> i.toDouble / nBins)
+    val edges = BracketMedian.exactQuantiles(df, groupCols, valueCol, qs, accuracy)
+    val edgesR = edges.toDF(groupCols.map(c => s"__b_$c") ++ qs.map(_._1): _*)
+    val joined = df.join(broadcast(edgesR),
+        groupCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _))
+      .drop(groupCols.map(c => s"__b_$c"): _*)
+    val v = graft.values.Warp.num(col(valueCol))
+    // bin = number of edges strictly below the value
+    val bin = qs.map { case (e, _) => when(v > col(e), 1).otherwise(0) }
+      .reduce(_ + _)
+    joined.withColumn(out, when(v.isNotNull, bin))
+      .drop(qs.map(_._1): _*)
+  }
 }

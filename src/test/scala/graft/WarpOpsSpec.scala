@@ -297,6 +297,29 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("equiDepthBins: near-equal depths, edge values fall to the lower bin") {
+    import graft.ops.Robust
+    val rnd = new scala.util.Random(5)
+    val df = Seq.tabulate(4000)(i => (i % 2, rnd.nextDouble() * 100)).toDF("g", "v")
+    val binned = Robust.equiDepthBins(df, Seq("g"), "v", nBins = 5)
+    val depths = binned.groupBy("g", "bin").count()
+      .as[(Int, Int, Long)].collect()
+    assert(depths.map(_._2).toSet == Set(0, 1, 2, 3, 4))
+    // equi-depth: every bin within 2% of n/5
+    depths.foreach { case (_, _, c) => assert(math.abs(c - 400) <= 8, s"depth $c") }
+    // a value equal to an edge goes DOWN: with v={1,2,3,4}, nBins=2 the
+    // median is 2.5; exact 2.0 stays in bin 0
+    val edge = Seq((0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0)).toDF("g", "v")
+    val bins = Robust.equiDepthBins(edge, Seq("g"), "v", nBins = 2)
+      .select("v", "bin").as[(Double, Int)].collect().toMap
+    assert(bins == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1))
+    // nulls keep a null bin
+    val n = Seq((0, Option.empty[Double]), (0, Some(1.0)), (0, Some(2.0)))
+      .toDF("g", "v")
+    assert(Robust.equiDepthBins(n, Seq("g"), "v", 2).filter(col("v").isNull)
+      .select("bin").head().isNullAt(0))
+  }
+
   test("robust outliers equal brute-force median/MAD modified z-scores") {
     import graft.ops.Robust
     def bruteMed(xs: Seq[Double]): Double = {
