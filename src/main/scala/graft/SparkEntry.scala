@@ -1280,6 +1280,17 @@ object SparkEntry {
       graft.pipeline.HeavyHitters.topKExact(toks, col("item"), n = 20, k = 1 << 14)
     }),
 
+    // ---- trending items per tumbling window (batch twin of the
+    //      streaming trendingClosed operator — same buckets, same
+    //      tiebreak; WindowGroupLimit partial top-k)
+    "q_trending" -> ((s, dir) => {
+      val ev = T(s, dir, "events").calculate(Seq("w" ->
+        (floor(unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          / lit(86400000000L)) * lit(86400000000L))))
+      graft.pipeline.HeavyHitters.topKPerGroup(ev, Seq("w"), col("event_type"), n = 3)
+        .warpSort(Seq(Order(col("w")), Order(col("rk"))))
+    }),
+
     // ---- corpus diversity: pairwise vocabulary Jaccard between sources —
     //      integer-exact, group-bounded (never token-quadratic)
     "q_vocab_overlap" -> ((s, dir) => {
@@ -1812,6 +1823,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- warehouse MERGE (upsert): nations 0-9 get re-priced rows, 900+
+    //      are brand-new — one anti-join + union rewrite
+    "q_warehouse_merge" -> ((s, dir) => {
+      val root = s"/tmp/graft_whm_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      wh.create("nation_m", T(s, dir, "nation")
+        .selectColumns(Seq("n_nationkey", "n_name", "n_regionkey")))
+      val updates = T(s, dir, "nation").warpFilter(col("n_nationkey") < 10)
+        .calculate(Seq("n_name" -> concat(col("n_name"), lit("_V2"))))
+        .warpUnion(T(s, dir, "nation").warpFilter(col("n_nationkey") < 3)
+          .calculate(Seq("n_nationkey" -> (col("n_nationkey") + 900))))
+      wh.merge("nation_m", updates, Seq("n_nationkey"))
+      wh.read("nation_m").orderBy("n_nationkey")
+    }),
+
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
     //      the grid document, read it back (header dedup, empty -> null)
     "q_xml_roundtrip" -> ((s, dir) => {
@@ -2330,6 +2356,18 @@ object SparkEntry {
          CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
          CAST(length(p_name) AS DOUBLE) AS nlen
          FROM part ORDER BY p_partkey""",
+    "q_trending" ->
+      """WITH e AS (
+           SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                  * 86400000000 AS w, event_type
+           FROM events
+         ), c AS (
+           SELECT w, event_type AS item, count(*) AS cnt FROM e GROUP BY 1, 2
+         )
+         SELECT w, item, cnt,
+           CAST(row_number() OVER (PARTITION BY w
+             ORDER BY cnt DESC, item ASC) AS INT) AS rk
+         FROM c QUALIFY rk <= 3 ORDER BY w, rk""",
     "q_vocab_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source AS g,
@@ -3255,6 +3293,19 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_warehouse_merge" ->
+      """WITH upd AS (
+           SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey
+           FROM nation WHERE n_nationkey < 10
+           UNION ALL
+           SELECT n_nationkey + 900, n_name, n_regionkey
+           FROM nation WHERE n_nationkey < 3
+         )
+         SELECT n_nationkey, n_name, n_regionkey FROM nation
+         WHERE n_nationkey NOT IN (SELECT n_nationkey FROM upd)
+         UNION ALL
+         SELECT n_nationkey, n_name, n_regionkey FROM upd
+         ORDER BY n_nationkey""",
     "q_curve_prune" ->
       """SELECT count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

@@ -98,6 +98,32 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
           .otherwise(col(s"`$column`")))
     })
 
+  /** MERGE (upsert): rows of `updates` replace existing rows with the
+    * same `keyCols` values and append otherwise — one copy-on-write
+    * rewrite (anti-join on the keys + union), the table-format MERGE INTO
+    * contract expressed through the same staging swap as every mutation.
+    * Null-safe key equality, like [[update]]/[[deleteRows]]. Updates are
+    * aligned to the table schema (missing columns null, extra dropped —
+    * the [[insert]] contract). The updates side must carry one row per
+    * key; at scale the anti-join shuffles on the key (or broadcasts when
+    * the batch is small — AQE's call). */
+  def merge(table: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge needs key columns")
+    val target = read(table).schema
+    val aligned = updates.select(target.fields.map { f =>
+      if (updates.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    rewrite(table, { df =>
+      val keyed = aligned.select(keyCols.map(c => col(s"`$c`").as(s"__u_$c")): _*).distinct()
+      df.join(keyed,
+          keyCols.map(c => col(s"`$c`") <=> col(s"__u_$c")).reduce(_ && _),
+          "left_anti")
+        .unionByName(aligned)
+    })
+  }
+
   /** delete rows identified by key tuples (MutableData.swift:158-160). */
   def deleteRows(table: String, keys: Seq[Map[String, Any]]): Unit =
     rewrite(table, { df =>

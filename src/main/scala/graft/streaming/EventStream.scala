@@ -243,6 +243,46 @@ object EventStream {
 
   final case class Admission(id: Long, key: String, admit_seq: Long)
 
+  final case class WindowTopK(window_start: java.sql.Timestamp, item: String,
+                              cnt: Long, rk: Int)
+
+  /** Streaming TRENDING items: the top-k most frequent event types per
+    * tumbling window, each window emitted EXACTLY ONCE — when the
+    * watermark passes its end. Windowed counts alone can't rank (a rank
+    * needs the window complete); this keys custom state by the window
+    * bucket, accumulates a per-type count map (state bounded by the
+    * type cardinality, never the event volume), and registers an
+    * EVENT-TIME timeout at the window end so the watermark itself closes
+    * the window. The batch twin is `q_trending` (same bucket arithmetic,
+    * same tiebreak), letting the incremental operator be oracle-checked
+    * through its batch equivalence (StreamingSpec). */
+  def trendingClosed(events: Dataset[Event], windowMs: Long, k: Int,
+                     watermarkDelay: String = "10 seconds"): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    require(windowMs > 0 && k > 0, s"need windowMs>0, k>0; got $windowMs, $k")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (win: Long, batch: Iterator[Event], state: GroupState[Map[String, Long]]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (i, c) => (-c, i) }.take(k).zipWithIndex.map {
+              case ((item, c), r) =>
+                WindowTopK(new java.sql.Timestamp(win * windowMs), item, c, r + 1)
+            }.iterator
+          } else {
+            val m = batch.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (acc, e) => acc + (e.event_type -> (acc.getOrElse(e.event_type, 0L) + 1L))
+            }
+            state.update(m)
+            state.setTimeoutTimestamp(win * windowMs + windowMs)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Streaming per-key admission quota — the incremental twin of
     * [[graft.pipeline.Sampling.capPerGroup]]'s hard cap ("at most n
     * documents per source"): admit the first `n` rows per key, drop the

@@ -387,6 +387,20 @@ class SourcesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("a", "beta"))
   }
 
+  test("warehouse merge: updates replace by key, inserts append, nulls match") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whmerge"))
+    wh.create("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .unionByName(Seq((Option.empty[Long], "nullkey")).toDF("k", "v")))
+    // update k=2, insert k=9, replace the null-key row, extra column dropped
+    val upd = Seq((Some(2L), "B", 1), (Some(9L), "new", 2),
+      (Option.empty[Long], "NULLKEY", 3)).toDF("k", "v", "extra")
+    wh.merge("t", upd, Seq("k"))
+    val got = wh.read("t").as[(Option[Long], String)].collect().toSet
+    assert(got == Set(Some(1L) -> "a", Some(2L) -> "B", Some(3L) -> "c",
+      Some(9L) -> "new", (None: Option[Long]) -> "NULLKEY"))
+  }
+
   test("warehouse compact: file count shrinks to the byte budget, rows survive") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whcompact"))

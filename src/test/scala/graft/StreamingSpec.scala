@@ -320,4 +320,32 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch + (2L -> 0L), s"got $got, batch $batch")
     } finally query.stop()
   }
+
+  test("trendingClosed emits each window's top-k once, when the watermark closes it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val winMs = 10 * 60 * 1000L // 10-minute windows; ts() is minutes
+    val query = EventStream.trendingClosed(input.toDS(), winMs, k = 2,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("trend").outputMode("append").start()
+    try {
+      // window 0: a×3, b×1, c×1 -> top2 = a, b (count then item tiebreak)
+      input.addData(Event(1L, "a", ts(0), 0), Event(2L, "a", ts(1), 0),
+        Event(3L, "a", ts(2), 0), Event(4L, "b", ts(3), 0), Event(5L, "c", ts(4), 0))
+      query.processAllAvailable()
+      assert(spark.table("trend").count() == 0) // watermark hasn't passed the end
+
+      // events far in window 2 push the watermark past window 0's end
+      input.addData(Event(6L, "z", ts(25), 0), Event(7L, "z", ts(26), 0))
+      query.processAllAvailable()
+      val w0 = spark.table("trend").as[EventStream.WindowTopK].collect()
+        .map(r => (r.item, r.cnt, r.rk)).toSet
+      assert(w0 == Set(("a", 3L, 1), ("b", 1L, 2)), s"got $w0")
+
+      // nothing re-emits for a closed window
+      input.addData(Event(8L, "z", ts(27), 0))
+      query.processAllAvailable()
+      assert(spark.table("trend").count() == 2)
+    } finally query.stop()
+  }
 }
