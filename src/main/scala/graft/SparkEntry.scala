@@ -1823,6 +1823,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- keyed diff of two table versions: added / removed / changed
+    //      classification from ONE full-outer join
+    "q_table_diff" -> ((s, dir) => {
+      val root = s"/tmp/graft_whd_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      val nation = T(s, dir, "nation")
+        .selectColumns(Seq("n_nationkey", "n_name", "n_regionkey"))
+      wh.create("nat_old", nation)
+      wh.create("nat_new", nation
+        .warpFilter(!col("n_nationkey").isin(1, 2))
+        .calculate(Seq("n_name" -> when(col("n_regionkey") === 2,
+          concat(col("n_name"), lit("_X"))).otherwise(col("n_name"))))
+        .warpUnion(nation.warpFilter(col("n_nationkey") < 3)
+          .calculate(Seq("n_nationkey" -> (col("n_nationkey") + 900)))))
+      wh.diffTables("nat_old", "nat_new", Seq("n_nationkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- two-sample drift report: binned KS over pooled equi-width
+    //      bins — integer counts, exact cumulative shares
+    "q_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.ops.Robust.drift(
+        docs.warpFilter(col("doc_id") < 250),
+        docs.warpFilter(col("doc_id") >= 250),
+        "n_chars", nBins = 20)
+        .orderBy("bin")
+    }),
+
     // ---- warehouse MERGE (upsert): nations 0-9 get re-priced rows, 900+
     //      are brand-new — one anti-join + union rewrite
     "q_warehouse_merge" -> ((s, dir) => {
@@ -3293,6 +3322,65 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_table_diff" ->
+      """WITH oldt AS (
+           SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         newt AS (
+           SELECT n_nationkey,
+             CASE WHEN n_regionkey = 2 THEN n_name || '_X' ELSE n_name END AS n_name,
+             n_regionkey
+           FROM nation WHERE n_nationkey NOT IN (1, 2)
+           UNION ALL
+           SELECT n_nationkey + 900, n_name, n_regionkey FROM nation
+           WHERE n_nationkey < 3)
+         SELECT coalesce(o.n_nationkey, n.n_nationkey) AS n_nationkey,
+           CASE WHEN o.n_nationkey IS NULL THEN 'added'
+                WHEN n.n_nationkey IS NULL THEN 'removed'
+                WHEN o.n_name IS DISTINCT FROM n.n_name
+                  OR o.n_regionkey IS DISTINCT FROM n.n_regionkey THEN 'changed'
+           END AS diff_kind
+         FROM oldt o FULL OUTER JOIN newt n ON o.n_nationkey = n.n_nationkey
+         WHERE CASE WHEN o.n_nationkey IS NULL THEN 'added'
+                    WHEN n.n_nationkey IS NULL THEN 'removed'
+                    WHEN o.n_name IS DISTINCT FROM n.n_name
+                      OR o.n_regionkey IS DISTINCT FROM n.n_regionkey THEN 'changed'
+               END IS NOT NULL
+         ORDER BY n_nationkey""",
+    "q_drift" ->
+      """WITH a AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id < 250),
+         b AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id >= 250),
+         mm AS (
+           SELECT min(v) AS lo, max(v) AS hi
+           FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+         ca AS (
+           SELECT least(19, CAST(floor((v - lo) / (hi - lo) * 20) AS INT)) AS bin,
+                  count(*) AS c
+           FROM a, mm GROUP BY 1),
+         cb AS (
+           SELECT least(19, CAST(floor((v - lo) / (hi - lo) * 20) AS INT)) AS bin,
+                  count(*) AS c
+           FROM b, mm GROUP BY 1),
+         g AS (
+           SELECT CAST(unnest(range(20)) AS INT) AS bin),
+         j AS (
+           SELECT g.bin, coalesce(ca.c, 0) AS cnt_a, coalesce(cb.c, 0) AS cnt_b
+           FROM g LEFT JOIN ca ON g.bin = ca.bin LEFT JOIN cb ON g.bin = cb.bin)
+         SELECT bin, cnt_a, cnt_b,
+           CAST(sum(cnt_a) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(cnt_a) OVER () AS share_a,
+           CAST(sum(cnt_b) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / sum(cnt_b) OVER () AS share_b,
+           abs(CAST(sum(cnt_a) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(cnt_a) OVER ()
+             - CAST(sum(cnt_b) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(cnt_b) OVER ()) AS gap
+         FROM j ORDER BY bin""",
     "q_warehouse_merge" ->
       """WITH upd AS (
            SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey

@@ -83,4 +83,46 @@ object Robust {
     joined.withColumn(out, when(v.isNotNull, bin))
       .drop(qs.map(_._1): _*)
   }
+
+  /** Two-sample DRIFT report ("did this week's corpus shift against last
+    * week's?"): equi-width bins over the pooled range, per-bin counts for
+    * both sides, cumulative shares, and the per-bin share gap — the
+    * binned Kolmogorov–Smirnov statistic is the max `gap`. All-integer
+    * counts until the final share division, so the report is exact and
+    * engine-portable. Scale shape: one scalar min/max over the pooled
+    * values, one hash aggregate per side, then windows over nBins rows —
+    * the only "global" sort is over the bin table, whose size the CALLER
+    * fixes (nBins), not the data. */
+  def drift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+            nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = dfA.sparkSession
+    val va = dfA.select(graft.values.Warp.num(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+    val vb = dfB.select(graft.values.Warp.num(col(valueCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+    val mm = va.union(vb).agg(min(col("__v")), max(col("__v"))).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    def bucket(c: Column): Column =
+      if (hi <= lo) lit(0)
+      else least(lit(nBins - 1),
+        floor((c - lit(lo)) / lit(hi - lo) * nBins)).cast("int")
+    def counts(d: DataFrame, out: String) =
+      d.groupBy(bucket(col("__v")).as("bin")).agg(count(lit(1)).as(out))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    spark.range(nBins).select(col("id").cast("int").as("bin"))
+      .join(counts(va, "__ca"), Seq("bin"), "left")
+      .join(counts(vb, "__cb"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__ca"), lit(0L)).as("cnt_a"),
+        coalesce(col("__cb"), lit(0L)).as("cnt_b"))
+      .withColumn("share_a",
+        sum(col("cnt_a")).over(w).cast("double") / sum(col("cnt_a")).over(all))
+      .withColumn("share_b",
+        sum(col("cnt_b")).over(w).cast("double") / sum(col("cnt_b")).over(all))
+      .withColumn("gap", abs(col("share_a") - col("share_b")))
+  }
 }

@@ -185,6 +185,44 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     rewrite(table, _.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*))
   }
 
+  /** Keyed DIFF of two tables ("what changed between yesterday's corpus
+    * and today's?"): one row per key present in either side, classified
+    * `added` / `removed` / `changed` (any non-key column differs,
+    * null-safely) — unchanged keys are dropped. A full-outer join on the
+    * key, nothing else; at scale both sides shuffle once on the key (or
+    * the smaller broadcasts). Returns the key columns plus `diff_kind`.
+    */
+  def diffTables(oldTable: String, newTable: String,
+                 keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffTables needs key columns")
+    val o = read(oldTable); val n = read(newTable)
+    require(o.columns.map(_.toLowerCase).sorted.sameElements(
+      n.columns.map(_.toLowerCase).sorted),
+      s"schemas differ: ${o.columns.toSeq} vs ${n.columns.toSeq}")
+    val valueCols = o.columns.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+    // presence markers rather than key-null checks: a NULL key is a
+    // legitimate row and must not read as "absent"
+    val oR = o.toDF(o.columns.map(c => s"__o_$c"): _*)
+      .withColumn("__o_present", lit(true))
+    val nR = n.toDF(n.columns.map(c => s"__n_$c"): _*)
+      .withColumn("__n_present", lit(true))
+    val joined = oR.join(nR,
+      keyCols.map(c => col(s"`__o_$c`") <=> col(s"`__n_$c`")).reduce(_ && _),
+      "full_outer")
+    val inOld = col("__o_present").isNotNull
+    val inNew = col("__n_present").isNotNull
+    val changed = valueCols.map(c => !(col(s"`__o_$c`") <=> col(s"`__n_$c`")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("diff_kind",
+        when(!inOld, lit("added"))
+          .when(!inNew, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("diff_kind").isNotNull)
+      .select(keyCols.map(c =>
+        coalesce(col(s"`__o_$c`"), col(s"`__n_$c`")).as(c)) :+ col("diff_kind"): _*)
+  }
+
   /** 2-D locality clustering: rewrite the table ordered along a HILBERT
     * curve over two numeric columns, so files carry tight footer min/max
     * on BOTH dimensions and a range predicate on either column (or both)

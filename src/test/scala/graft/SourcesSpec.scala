@@ -401,6 +401,27 @@ class SourcesSpec extends SparkSpec {
       Some(9L) -> "new", (None: Option[Long]) -> "NULLKEY"))
   }
 
+  test("warehouse diffTables: added/removed/changed, null keys and cells are rows") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whdiff"))
+    val old_ = Seq((Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(3L), Option.empty[String]), (Option.empty[Long], Some("nk")))
+      .toDF("k", "v")
+    val new_ = Seq((Some(1L), Some("a")),      // unchanged -> dropped
+      (Some(2L), Some("B")),                   // changed
+      (Some(3L), Some("now")),                 // null cell -> value = changed
+      (Some(9L), Some("ins")))                 // added; null-key row removed
+      .toDF("k", "v")
+    wh.create("o", old_); wh.create("n", new_)
+    val got = wh.diffTables("o", "n", Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(got == Set(Some(2L) -> "changed", Some(3L) -> "changed",
+      Some(9L) -> "added", (None: Option[Long]) -> "removed"))
+    // schema mismatch is an error, not a silent wrong diff
+    wh.create("x", Seq((1, 2)).toDF("k", "other"))
+    intercept[IllegalArgumentException](wh.diffTables("o", "x", Seq("k")))
+  }
+
   test("warehouse compact: file count shrinks to the byte budget, rows survive") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whcompact"))

@@ -297,6 +297,26 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("drift: zero gap on identical samples, full gap on disjoint ones") {
+    import graft.ops.Robust
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Robust.drift(a, a, "v", nBins = 10)
+      .select("gap").as[Double].collect()
+    assert(same.forall(_ == 0.0))
+    // disjoint ranges: cumulative shares fully separate mid-way
+    val b = (101 to 200).map(_.toDouble).toDF("v")
+    val dj = Robust.drift(a, b, "v", nBins = 10)
+      .select("bin", "gap").as[(Int, Double)].collect().toMap
+    assert(dj(4) == 1.0 && dj(9) == 0.0) // a fully cumulated, b not started
+    // counts conserve
+    val cs = Robust.drift(a, b, "v", 10)
+      .agg(sum(col("cnt_a")), sum(col("cnt_b"))).head()
+    assert(cs.getLong(0) == 100 && cs.getLong(1) == 100)
+    // degenerate: constant value -> single populated bin, gap 0
+    val c = Seq(5.0, 5.0).toDF("v")
+    assert(Robust.drift(c, c, "v", 4).filter(col("gap") =!= 0.0).count() == 0)
+  }
+
   test("equiDepthBins: near-equal depths, edge values fall to the lower bin") {
     import graft.ops.Robust
     val rnd = new scala.util.Random(5)
