@@ -477,6 +477,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_weighted_sample").contains("TakeOrderedAndProject"))
   }
 
+  test("q_trending: windowed rank also runs as WindowGroupLimit") {
+    assert(plan("q_trending").contains("WindowGroupLimit"))
+  }
+
+  test("q_drift: bin-grid windows never touch raw rows (aggregates first)") {
+    val p = plan("q_drift")
+    // per-side counts are hash aggregates with partials; the windows run
+    // over the nBins-row grid after them
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 4, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
     val p = plan("q_quantiles")
     // the built-in exact percentile (TypedImperativeAggregate over a
