@@ -619,4 +619,65 @@ class PropertySpec extends SparkSpec {
         df.orderBy("s").collect().toSeq)
     }
   }
+
+  test("quantile laws: monotone in q, bracketed by min/max, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val genVals: Gen[List[Double]] = for {
+      n <- Gen.choose(3, 120)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1e5, 1e5),
+        Gen.choose(1.0, 5.0).map(math.floor))) // continuous + heavy ties
+    } yield vs
+    for ((vs, t) <- samples(genVals, 6).zipWithIndex) {
+      val qs = Seq("a" -> 0.1, "b" -> 0.35, "c" -> 0.5, "d" -> 0.9)
+      def run(parts: Int) = graft.ops.BracketMedian.exactQuantiles(
+        vs.map(("g", _)).toDF("g", "v").repartition(parts), Seq("g"), "v", qs)
+        .select("a", "b", "c", "d")
+        .as[(Double, Double, Double, Double)].head()
+      val r3 = run(3)
+      assert(r3._1 <= r3._2 && r3._2 <= r3._3 && r3._3 <= r3._4, s"trial $t: $r3")
+      assert(r3._1 >= vs.min && r3._4 <= vs.max, s"trial $t: $r3")
+      assert(run(7) == r3, s"trial $t: partitioning changed quantiles")
+    }
+  }
+
+  test("weightedSample laws: subset, size, determinism across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val genN = Gen.choose(5, 300)
+    for (n <- samples(genN, 5)) {
+      val df = (1L to n.toLong).map(i => (i, (i % 5 + 1).toDouble)).toDF("id", "w")
+      val k = math.min(40, n / 2 + 1)
+      def pick(parts: Int) = graft.pipeline.Sampling
+        .weightedSample(df.repartition(parts), col("id"), col("w"), k)
+        .select("id").as[Long].collect().toSet
+      val s1 = pick(2)
+      assert(s1.size == k)
+      assert(s1.subsetOf((1L to n.toLong).toSet))
+      assert(pick(5) == s1, "partitioning changed the sample")
+    }
+  }
+
+  test("heavy-hitter law: topKExact invariant under partitioning and k growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val genItems: Gen[List[Int]] = for {
+      n <- Gen.choose(50, 400)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(0, 3), 2 -> Gen.choose(0, 30)))
+    } yield vs
+    for (items <- samples(genItems, 5)) {
+      def top(parts: Int, k: Int) = graft.pipeline.HeavyHitters
+        .topKExact(items.map(_.toString).toDF("x").repartition(parts),
+          col("x"), n = 3, k = k)
+        .as[(String, Long)].collect().toSeq
+      val want = items.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (i, c) => (-c, i.toString) }
+        .take(3).map { case (i, c) => (i.toString, c) }
+      assert(top(2, 64) == want)
+      assert(top(6, 1024) == want)
+    }
+  }
 }
