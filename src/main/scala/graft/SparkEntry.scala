@@ -808,6 +808,14 @@ object SparkEntry {
         .orderBy("l_returnflag", "bin")
     }),
 
+    // ---- linear-interpolation resampling: the gap-fill twin that
+    //      interpolates between neighbors instead of carrying forward
+    "q_interp" -> ((s, dir) => {
+      graft.ops.TimeSeries.resampleInterp(T(s, dir, "events"),
+        "user_id", "ts", "value", stepUs = 86400000000L, tieBreak = "event_id")
+        .orderBy("user_id", "bucket_ts")
+    }),
+
     // ---- bounded-memory exact multi-quantile: the bracket technique
     //      generalized to a p25/p50/p75/p95 summary per group — type-7
     //      interpolation, bit-equal to Spark's buffering `percentile`
@@ -2280,6 +2288,43 @@ object SparkEntry {
              THEN CAST(0.6745 AS DOUBLE) * (dev.v - dev.med) / m2.mad END)
              > CAST(2.0 AS DOUBLE), false) AS robust_z_outlier
          FROM dev JOIN m2 USING (source) ORDER BY dev.doc_id""",
+    "q_interp" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,
+                  ts, event_id, value
+           FROM events),
+         obs AS (
+           SELECT user_id, b, value AS obs FROM (
+             SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e) WHERE rn = 1),
+         rng AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM e GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM rng),
+         j AS (
+           SELECT g.user_id, g.b, o.obs FROM grid g
+           LEFT JOIN obs o USING (user_id, b)),
+         w AS (
+           SELECT user_id, b, obs,
+             last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN obs IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+           FROM j)
+         SELECT user_id, b * 86400000000 AS bucket_ts,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+           END AS value,
+           obs IS NULL AS filled
+         FROM w ORDER BY user_id, bucket_ts""",
     "q_gapfill" ->
       """WITH e AS (
            SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,

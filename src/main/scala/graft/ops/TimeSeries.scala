@@ -33,24 +33,64 @@ object TimeSeries {
     * before the bucket, forward-filled) and `filled` (true when the bucket
     * had no observation of its own). Leading buckets before a key's first
     * observation cannot occur (the grid starts at the first event). */
-  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
-                   valueCol: String, stepUs: Long, tieBreak: String,
-                   out: String = "value"): DataFrame = {
+  /** [[resampleFill]] with LINEAR INTERPOLATION across the gaps instead of
+    * carrying the last value: each synthesized bucket gets
+    * `prev + (next − prev) · (b − bPrev)/(bNext − bPrev)` between its
+    * neighboring observations. Same grid construction and per-key window
+    * shape; two extra ignore-nulls window passes (previous and next
+    * observation and their buckets). The grid runs first-to-last observed
+    * bucket per key, so every synthesized row has both neighbors. */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, stepUs: Long, tieBreak: String,
+                     out: String = "value"): DataFrame = {
+    val (grid, obs) = gridAndObs(df, keyCol, tsCol, valueCol, stepUs, tieBreak)
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__b"))
+    val back = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(
+      0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val obsB = when(col("__obs").isNotNull, col("__b"))
+    grid.join(obs, Seq(keyCol, "__b"), "left")
+      .withColumn("__pv", last(col("__obs"), ignoreNulls = true).over(back))
+      .withColumn("__pb", last(obsB, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__obs"), ignoreNulls = true).over(fwd))
+      .withColumn("__nb", first(obsB, ignoreNulls = true).over(fwd))
+      .withColumn(out,
+        when(col("__obs").isNotNull, col("__obs"))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__b") - col("__pb")).cast("double") /
+             (col("__nb") - col("__pb")).cast("double"))))
+      .withColumn("filled", col("__obs").isNull)
+      .select(col(keyCol), (col("__b") * stepUs).as("bucket_ts"),
+        col(out), col("filled"))
+  }
+
+  private def gridAndObs(df: DataFrame, keyCol: String, tsCol: String,
+                         valueCol: String, stepUs: Long,
+                         tieBreak: String): (DataFrame, DataFrame) = {
     require(stepUs > 0, s"stepUs must be > 0, got $stepUs")
-    // NTZ -> LTZ cast before unix_micros: the engine runs sessions in UTC,
-    // so the instant is unchanged (the q_sessionize/q_rolling recipe)
     val bucket = floor(unix_micros(
       col(tsCol).cast(org.apache.spark.sql.types.TimestampType)) / lit(stepUs)).as("__b")
-
     val obs = df.select(col(keyCol), bucket, col(tsCol), col(valueCol), col(tieBreak))
       .groupBy(col(keyCol), col("__b"))
       .agg(max_by(col(valueCol), struct(col(tsCol), col(tieBreak))).as("__obs"))
-
     val grid = df.select(col(keyCol), bucket)
       .groupBy(col(keyCol))
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+    (grid, obs)
+  }
 
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, stepUs: Long, tieBreak: String,
+                   out: String = "value"): DataFrame = {
+    // NTZ -> LTZ cast before unix_micros (inside gridAndObs): the engine
+    // runs sessions in UTC, so the instant is unchanged (the
+    // q_sessionize/q_rolling recipe)
+    val (grid, obs) = gridAndObs(df, keyCol, tsCol, valueCol, stepUs, tieBreak)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -391,6 +391,16 @@ class WarpOpsSpec extends SparkSpec {
     val tie = Seq((3L, t(0L), 5.0, 1L), (3L, t(0L), 6.0, 2L)).toDF("user_id", "ts", "value", "event_id")
     assert(TimeSeries.resampleFill(tie, "user_id", "ts", "value", 10L, "event_id")
       .select("value").head().getDouble(0) == 6.0)
+    // linear interpolation: 9.0 at bucket 0, 2.0 at bucket 3 -> thirds
+    val li = TimeSeries.resampleInterp(df, "user_id", "ts", "value",
+        stepUs = 10L, tieBreak = "event_id")
+      .select("user_id", "bucket_ts", "value", "filled")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(li == Seq(
+      (1L, 0L, 9.0, false),
+      (1L, 10L, 9.0 + (2.0 - 9.0) * (1.0 / 3.0), true),
+      (1L, 20L, 9.0 + (2.0 - 9.0) * (2.0 / 3.0), true),
+      (1L, 30L, 2.0, false), (2L, 40L, 4.0, false)))
   }
 
   test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
