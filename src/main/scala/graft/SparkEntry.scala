@@ -936,6 +936,25 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- incremental near-dup intake: new batch (edited copies of
+    //      history + genuinely new docs) probed against the persisted
+    //      minhash ledger — history is never re-shingled (no SQL oracle:
+    //      hash-seeded, like the other minhash ops)
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ledger = graft.pipeline.Dedup.minhashLedger(
+        docs, "text", "doc_id", shingleSize = 5, numHashes = 64, bands = 16)
+      val batch = docs.warpFilter(col("doc_id") < 40).calculate(Seq(
+          "doc_id" -> (col("doc_id") + 500000),
+          "text" -> concat(col("text"), lit(" zz yy xx"))))
+        .warpUnion(docs.warpFilter(col("doc_id") < 10).calculate(Seq(
+          "doc_id" -> (col("doc_id") + 600000),
+          "text" -> concat(lit("totally fresh unrelated words "), col("doc_id").cast("string")))))
+      graft.pipeline.Dedup.incrementalNearDup(batch, "text", "doc_id", ledger,
+        shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+        .orderBy("new_id", "hist_id")
+    }),
+
     // ---- SimHash near-dup pairs (no SQL oracle)
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents")

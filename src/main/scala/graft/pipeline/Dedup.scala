@@ -57,6 +57,62 @@ object Dedup {
     batch.join(ledger, Seq("fp_hash", "fp_len"), "left_anti")
   }
 
+  /** NEAR-dup ledger: per admitted document its distinct shingle-hash set
+    * and LSH band keys — the persisted index an incremental intake
+    * anti-checks new batches against ([[incrementalNearDup]]), exactly as
+    * [[fingerprintLedger]] does for exact dup. One map pass of the same
+    * native kernels as [[minhashPairs]]; text never stored. Parameters
+    * (shingleSize, numHashes, bands) are part of the ledger's identity —
+    * probe with the same ones (the lshAppendIndex contract). */
+  def minhashLedger(df: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 5, numHashes: Int = 128,
+                    bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import graft.functions.{ShingleHashExpr, MinHashSigExpr, BandHashExpr}
+    df.select(col(idCol).as("id"),
+        C(ShingleHashExpr(E(col(textCol)), shingleSize)).as("shh"))
+      .select(col("id"), col("shh"),
+        C(BandHashExpr(E(C(MinHashSigExpr(E(col("shh")), numHashes))), bands)).as("bhs"))
+  }
+
+  /** Incremental NEAR-dup check: which new-batch documents are near-dups
+    * of ANY historical document — without re-shingling history. The batch
+    * runs the same one-pass kernels, band keys join against the ledger's
+    * (band, hash) table (history explodes to docs×bands rows — the
+    * banded index a warehouse stores bucketed on the band key), and the
+    * surviving candidate pairs verify exact Jaccard over the stored
+    * shingle-hash sets. Degenerate buckets capped on the history side.
+    * Returns (new_id, hist_id, jaccard) above the threshold. */
+  def incrementalNearDup(newDocs: DataFrame, textCol: String, idCol: String,
+                         ledger: DataFrame, shingleSize: Int = 5,
+                         numHashes: Int = 128, bands: Int = 16,
+                         jaccardThreshold: Double = 0.8,
+                         maxBucket: Int = 1000): DataFrame = {
+    val batch = minhashLedger(newDocs, textCol, idCol, shingleSize, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def explodeBands(d: DataFrame, out: String) =
+      d.select(col("id").as(out), posexplode(col("bhs")))
+        .select(col(out), col("pos").as("band"), col("col").as("bh"))
+    val hist = explodeBands(ledger, "hist_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy("hist_id")))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+    val cands = explodeBands(batch, "new_id")
+      .join(hist, Seq("band", "bh"))
+      .select("new_id", "hist_id").dropDuplicates("new_id", "hist_id")
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
+    cands
+      .join(batch.select(col("id").as("new_id"), col("shh").as("sh1")), "new_id")
+      .join(ledger.select(col("id").as("hist_id"), col("shh").as("sh2")), "hist_id")
+      .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("new_id", "hist_id", "jaccard")
+  }
+
   /** Word shingles of size n as an array column. The word array is
     * LAMBDA-BOUND (`transform` over a one-element wrapper): the naive
     * formulation references the split() three times and higher-order

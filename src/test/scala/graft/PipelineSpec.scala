@@ -1258,6 +1258,28 @@ class PipelineSpec extends SparkSpec {
     assert(top.headOption.contains(5L))
   }
 
+  test("incrementalNearDup: edited history flags, fresh content passes") {
+    val docs = sf("documents").limit(60).select("doc_id", "text")
+    val ledger = Dedup.minhashLedger(docs, "text", "doc_id",
+      shingleSize = 5, numHashes = 64, bands = 16)
+    val edited = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" tail edit")).as("text"))
+    val fresh = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(lit("совершенно new words nothing shared at all doc "),
+          col("doc_id").cast("string")).as("text"))
+    val got = Dedup.incrementalNearDup(edited.unionByName(fresh), "text", "doc_id",
+        ledger, shingleSize = 5, numHashes = 64, bands = 16, jaccardThreshold = 0.5)
+      .select("new_id", "hist_id").as[(Long, Long)].collect()
+    val flaggedNew = got.map(_._1).toSet
+    // recall: most edited docs match their source (minhash at 64 hashes)
+    val editedHit = (0L until 20L).count(i => got.contains((i + 1000, i)))
+    assert(editedHit >= 18, s"recall too low: $editedHit/20")
+    // precision: fresh docs never flag
+    assert(flaggedNew.forall(_ < 2000), s"fresh doc flagged: $flaggedNew")
+  }
+
   test("incrementalExact: within-batch dedup then ledger anti-join") {
     val hist = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "t")
     val ledger = Dedup.fingerprintLedger(hist, "t", "id")
