@@ -777,6 +777,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- median imputation: nulls repaired with the group's exact
+    //      median (bracket core); aggregate output proves value + flag
+    "q_impute" -> ((s, dir) => {
+      val withNulls = T(s, dir, "lineitem")
+        .selectColumns(Seq("l_returnflag", "l_linenumber", "l_quantity"))
+        .calculate(Seq("l_quantity" ->
+          when(col("l_linenumber") === 3, lit(null)).otherwise(col("l_quantity"))))
+      graft.ops.Robust.imputeMedian(withNulls, Seq("l_returnflag"), "l_quantity")
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("imputed_was_null"), 1)).as("n_imputed"),
+             dsum(col("imputed")).as("sum_q"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- robust per-group outlier screen: modified z-score over
     //      median/MAD (both via the bounded-memory bracket median) —
     //      heavy-tail-safe where mean/stdev screens are not
@@ -2278,6 +2292,23 @@ object SparkEntry {
            ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
              * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2_qp
          FROM m ORDER BY l_returnflag""",
+    "q_impute" ->
+      """WITH d AS (
+           SELECT l_returnflag,
+             CASE WHEN l_linenumber = 3 THEN NULL ELSE l_quantity END AS v
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag, list_sort(list(v)) AS a, count(v) AS n
+           FROM d WHERE v IS NOT NULL GROUP BY l_returnflag),
+         m AS (
+           SELECT l_returnflag,
+             (a[CAST((n+1)//2 AS INT)] + a[CAST(n//2+1 AS INT)]) / 2 AS med
+           FROM g)
+         SELECT d.l_returnflag,
+           count(CASE WHEN d.v IS NULL THEN 1 END) AS n_imputed,
+           CAST(SUM(CAST(coalesce(d.v, m.med) AS DECIMAL(28,6))) AS DOUBLE) AS sum_q
+         FROM d JOIN m USING (l_returnflag)
+         GROUP BY d.l_returnflag ORDER BY d.l_returnflag""",
     "q_outliers" ->
       """WITH d AS (
            SELECT doc_id, source, n_chars, CAST(n_chars AS DOUBLE) AS v

@@ -57,6 +57,25 @@ object Robust {
       .drop("__med", "__mad")
   }
 
+  /** Median IMPUTATION: replace null/invalid values with their group's
+    * exact median — the robust default for repairing numeric gaps before
+    * training (means get dragged by the same outliers [[outliers]]
+    * flags). Bracket median + one broadcast-size key join; rows in groups
+    * with NO valid value at all keep null (there is nothing to impute
+    * from); `<out>_was_null` marks the repaired rows. */
+  def imputeMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   accuracy: Int = 10000, out: String = "imputed"): DataFrame = {
+    val v = graft.values.Warp.num(col(valueCol))
+    val med = BracketMedian.exactMedian(df, groupCols, valueCol, accuracy, out = "__med")
+    val medR = med.toDF(groupCols.map(c => s"__m_$c") :+ "__med": _*)
+    df.join(medR, groupCols.map(c => col(c) <=> col(s"__m_$c")).reduceOption(_ && _)
+        .getOrElse(lit(true)), "left")
+      .drop(groupCols.map(c => s"__m_$c"): _*)
+      .withColumn(out, coalesce(v, col("__med")))
+      .withColumn(s"${out}_was_null", v.isNull)
+      .drop("__med")
+  }
+
   /** Equi-DEPTH binning (quantile discretization): assign each row the
     * bucket index of its value among `nBins` per-group quantile cells —
     * the feature-engineering twin of the equi-WIDTH histogram. Edges come

@@ -297,6 +297,21 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("imputeMedian: nulls get the group median, all-null groups stay null") {
+    import graft.ops.Robust
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Option.empty[Double]),
+      ("b", Some(5.0)), ("b", None), ("c", None), ("c", None)).toDF("g", "v")
+    val got = Robust.imputeMedian(df, Seq("g"), "v")
+      .select("g", "imputed", "imputed_was_null")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.toSet).toMap
+    assert(got("a") == Set(("a", Some(1.0), false), ("a", Some(3.0), false),
+      ("a", Some(2.0), true)))
+    assert(got("b") == Set(("b", Some(5.0), false), ("b", Some(5.0), true)))
+    assert(got("c") == Set(("c", None, true))) // nothing to impute from
+  }
+
   test("drift: zero gap on identical samples, full gap on disjoint ones") {
     import graft.ops.Robust
     val a = (1 to 100).map(_.toDouble).toDF("v")
