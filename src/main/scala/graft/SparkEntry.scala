@@ -777,6 +777,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- winsorization: clamp into per-group [p05, p95] quantile caps;
+    //      aggregate output pins both the clamped sum and the clip count
+    "q_winsorize" -> ((s, dir) => {
+      graft.ops.Robust.winsorize(
+        T(s, dir, "lineitem").selectColumns(Seq("l_returnflag", "l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice", pLo = 0.05, pHi = 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("winsorized_clipped"), 1)).as("n_clipped"),
+             dsum(col("winsorized")).as("sum_w"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- median imputation: nulls repaired with the group's exact
     //      median (bracket core); aggregate output proves value + flag
     "q_impute" -> ((s, dir) => {
@@ -2292,6 +2304,32 @@ object SparkEntry {
            ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
              * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2_qp
          FROM m ORDER BY l_returnflag""",
+    "q_winsorize" ->
+      """WITH g AS (
+           SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,
+                  count(l_extendedprice) AS n
+           FROM lineitem GROUP BY l_returnflag),
+         p AS (
+           SELECT l_returnflag, a,
+             (n-1)*CAST(0.05 AS DOUBLE) AS ql,
+             (n-1)*CAST(0.95 AS DOUBLE) AS qh
+           FROM g),
+         e AS (
+           SELECT l_returnflag,
+             CASE WHEN ceil(ql) = floor(ql) THEN a[CAST(ql AS INT)+1]
+               ELSE (ceil(ql)-ql)*a[CAST(floor(ql) AS INT)+1]
+                  + (ql-floor(ql))*a[CAST(ceil(ql) AS INT)+1] END AS lo,
+             CASE WHEN ceil(qh) = floor(qh) THEN a[CAST(qh AS INT)+1]
+               ELSE (ceil(qh)-qh)*a[CAST(floor(qh) AS INT)+1]
+                  + (qh-floor(qh))*a[CAST(ceil(qh) AS INT)+1] END AS hi
+           FROM p)
+         SELECT l.l_returnflag,
+           count(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                 THEN 1 END) AS n_clipped,
+           CAST(SUM(CAST(least(greatest(l_extendedprice, lo), hi)
+                 AS DECIMAL(28,6))) AS DOUBLE) AS sum_w
+         FROM lineitem l JOIN e ON l.l_returnflag = e.l_returnflag
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "q_impute" ->
       """WITH d AS (
            SELECT l_returnflag,

@@ -103,6 +103,27 @@ object Robust {
       .drop(qs.map(_._1): _*)
   }
 
+  /** WINSORIZE: clamp each value into its group's [pLo, pHi] quantile
+    * range — the robust alternative to dropping outliers when the row
+    * must survive (training features, revenue columns). Exact edges from
+    * [[BracketMedian.exactQuantiles]], broadcast back, one codegen'd
+    * clamp; `<out>_clipped` marks affected rows. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99, accuracy: Int = 10000,
+                out: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    val v = graft.values.Warp.num(col(valueCol))
+    val edges = BracketMedian.exactQuantiles(df, groupCols, valueCol,
+      Seq("__lo" -> pLo, "__hi" -> pHi), accuracy)
+    val edgesR = edges.toDF(groupCols.map(c => s"__w_$c") ++ Seq("__lo", "__hi"): _*)
+    df.join(broadcast(edgesR),
+        groupCols.map(c => col(c) <=> col(s"__w_$c")).reduce(_ && _), "left")
+      .drop(groupCols.map(c => s"__w_$c"): _*)
+      .withColumn(out, least(greatest(v, col("__lo")), col("__hi")))
+      .withColumn(s"${out}_clipped", v.isNotNull && (v < col("__lo") || v > col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Two-sample DRIFT report ("did this week's corpus shift against last
     * week's?"): equi-width bins over the pooled range, per-bin counts for
     * both sides, cumulative shares, and the per-bin share gap — the

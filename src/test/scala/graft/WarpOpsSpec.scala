@@ -297,6 +297,29 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("winsorize: clamps to exact quantile caps, interior rows untouched") {
+    import graft.ops.Robust
+    val vs = (1 to 100).map(_.toDouble)
+    val df = vs.map(("g", _)).toDF("g", "v")
+    val got = Robust.winsorize(df, Seq("g"), "v", pLo = 0.1, pHi = 0.9)
+      .select("v", "winsorized", "winsorized_clipped")
+      .as[(Double, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    // type-7 caps computed with the operator's own interpolation form
+    def cap(p: Double): Double = {
+      val pos = 99.0 * p
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) vs(lo)
+      else (hi - pos) * vs(lo) + (pos - math.floor(pos)) * vs(hi)
+    }
+    val (lo10, hi90) = (cap(0.1), cap(0.9))
+    got.foreach { case (v, w, c) =>
+      if (v < lo10) assert(w == lo10 && c)
+      else if (v > hi90) assert(w == hi90 && c)
+      else assert(w == v && !c)
+    }
+    assert(got.count(_._3) == 20)
+  }
+
   test("imputeMedian: nulls get the group median, all-null groups stay null") {
     import graft.ops.Robust
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Option.empty[Double]),
