@@ -489,6 +489,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("q_interp: keyed windows and aggregate-fed grid, like the fill twin") {
+    val p = plan("q_interp")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(p.contains("explode(sequence("), p.take(3000))
+  }
+
+  test("q_impute / q_winsorize: bracket edges broadcast, no percentile buffer") {
+    for (q <- Seq("q_impute", "q_winsorize")) {
+      val p = plan(q)
+      assert(!p.contains("percentile("), s"$q: ${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
     val p = plan("q_quantiles")
     // the built-in exact percentile (TypedImperativeAggregate over a
