@@ -813,6 +813,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- event-time tolerance dedup (chain semantics): repeats of the
+    //      same (user, type) within 6h of the last KEPT event drop —
+    //      greedy walk, mirrored by a recursive-CTE oracle
+    "q_dedup_tolerance" -> ((s, dir) => {
+      graft.ops.TimeSeries.dedupByTolerance(T(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts",
+          toleranceUs = 21600000000L, tieBreak = "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)).as("us"))
+        .orderBy("user_id", "event_type", "us")
+    }),
+
     // ---- regular-grid resampling with forward fill: dense daily series
     //      per user from sparse events, carrying the last observation
     //      across gaps (integer epoch buckets, engine-portable)
@@ -2376,6 +2388,19 @@ object SparkEntry {
              THEN CAST(0.6745 AS DOUBLE) * (dev.v - dev.med) / m2.mad END)
              > CAST(2.0 AS DOUBLE), false) AS robust_z_outlier
          FROM dev JOIN m2 USING (source) ORDER BY dev.doc_id""",
+    "q_dedup_tolerance" ->
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         keep AS (
+           SELECT user_id, event_type, min(us) AS us FROM e GROUP BY 1, 2
+           UNION ALL
+           SELECT e.user_id, e.event_type, min(e.us)
+           FROM keep k JOIN e ON e.user_id = k.user_id
+             AND e.event_type = k.event_type
+             AND e.us > k.us + 21600000000
+           GROUP BY 1, 2)
+         SELECT user_id, event_type, us FROM keep
+         ORDER BY user_id, event_type, us""",
     "q_interp" ->
       """WITH e AS (
            SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b,

@@ -33,6 +33,49 @@ object TimeSeries {
     * before the bucket, forward-filled) and `filled` (true when the bucket
     * had no observation of its own). Leading buckets before a key's first
     * observation cannot occur (the grid starts at the first event). */
+  /** Event-time TOLERANCE dedup: drop events that repeat the same key
+    * within `toleranceUs` of the previous KEPT occurrence — the telemetry
+    * intake rule ("double-click suppression": a retransmitted heartbeat
+    * is noise, a new one after the gap is signal). Chain semantics: each
+    * kept event restarts the window, so a burst longer than the tolerance
+    * keeps its first event only — which needs a per-key ORDERED scan, not
+    * a lag comparison (lag-to-previous-RAW-event would re-admit the third
+    * event of a tight burst). One hash exchange on the key, a per-key
+    * sort, and a bounded per-group iterator pass (flatMapGroups streams
+    * the group; only the last-kept timestamp is held). Ties on (ts,
+    * tiebreak) keep the earliest. */
+  def dedupByTolerance(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                       toleranceUs: Long, tieBreak: String): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(keyCols.nonEmpty, "dedupByTolerance needs key columns")
+    val spark = df.sparkSession
+    val us = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    val withUs = df.withColumn("__us", us)
+    val fields = withUs.schema
+    import org.apache.spark.sql.Row
+    val keyIdx = keyCols.map(fields.fieldIndex)
+    val usIdx = fields.fieldIndex("__us")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(fields)
+    val deduped = withUs
+      .repartition(keyCols.map(c => col(s"`$c`")): _*)
+      .sortWithinPartitions(
+        keyCols.map(c => col(s"`$c`")) ++ Seq(col("__us"), col(s"`$tieBreak`")): _*)
+      .mapPartitions { it =>
+        // partition is sorted by (key..., us, tie): track last kept per key run
+        var lastKey: Seq[Any] = null
+        var lastKept = Long.MinValue
+        it.filter { r =>
+          val k = keyIdx.map(r.get)
+          val t = r.getLong(usIdx)
+          val keep = lastKey == null || k != lastKey || t - lastKept > toleranceUs
+          if (keep) { lastKey = k; lastKept = t }
+          keep
+        }
+      }(enc)
+    deduped.drop("__us")
+  }
+
   /** [[resampleFill]] with LINEAR INTERPOLATION across the gaps instead of
     * carrying the last value: each synthesized bucket gets
     * `prev + (next − prev) · (b − bPrev)/(bNext − bPrev)` between its

@@ -297,6 +297,39 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("dedupByTolerance: greedy chain, not raw-gap islands") {
+    import graft.ops.TimeSeries
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    // burst 0,5,12 with tol=10: chain keeps 0 AND 12 (5 suppressed);
+    // an island formulation would wrongly keep only 0
+    val df = Seq((1L, t(0L), 100L), (1L, t(5L), 101L), (1L, t(12L), 102L),
+      (1L, t(30L), 103L), (2L, t(3L), 104L)).toDF("k", "ts", "id")
+    val got = TimeSeries.dedupByTolerance(df, Seq("k"), "ts",
+        toleranceUs = 10L, tieBreak = "id")
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (1L, 102L), (1L, 103L), (2L, 104L)))
+    // equal timestamps: the tiebreak row survives, the other suppresses
+    val tie = Seq((3L, t(7L), 201L), (3L, t(7L), 200L)).toDF("k", "ts", "id")
+    assert(TimeSeries.dedupByTolerance(tie, Seq("k"), "ts", 10L, "id")
+      .select("id").as[Long].collect().toSeq == Seq(200L))
+    // brute-force law on random bursts
+    val rnd = new scala.util.Random(13)
+    val evs = Seq.tabulate(300)(i => ((i % 4).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val rdf = evs.map { case (k, us, id) => (k, t(us), id) }.toDF("k", "ts", "id")
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var last = Long.MinValue
+      es.sortBy(e => (e._2, e._3)).flatMap { case (_, us, id) =>
+        if (last == Long.MinValue || us - last > 25L) { last = us; Some((k, id)) }
+        else None
+      }
+    }.toSet
+    val have = TimeSeries.dedupByTolerance(rdf, Seq("k"), "ts", 25L, "id")
+      .select("k", "id").as[(Long, Long)].collect().toSet
+    assert(have == want)
+  }
+
   test("winsorize: clamps to exact quantile caps, interior rows untouched") {
     import graft.ops.Robust
     val vs = (1 to 100).map(_.toDouble)
