@@ -1906,6 +1906,12 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- join-key skew report: the salt-or-broadcast diagnostic —
+    //      per-key counts summarized by bracket quantiles
+    "q_skew_report" -> ((s, dir) => {
+      graft.ops.Robust.skewReport(T(s, dir, "lineitem"), Seq("l_suppkey"))
+    }),
+
     // ---- two-sample drift report: binned KS over pooled equi-width
     //      bins — integer counts, exact cumulative shares
     "q_drift" -> ((s, dir) => {
@@ -3504,6 +3510,29 @@ object SparkEntry {
                       OR o.n_regionkey IS DISTINCT FROM n.n_regionkey THEN 'changed'
                END IS NOT NULL
          ORDER BY n_nationkey""",
+    "q_skew_report" ->
+      """WITH c AS (
+           SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+         g AS (
+           SELECT list_sort(list(CAST(cnt AS DOUBLE))) AS a, count(*) AS n,
+                  max(cnt) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n_rows
+           FROM c),
+         p AS (
+           SELECT a, n, max_cnt, n_rows,
+             (n-1)*CAST(0.5 AS DOUBLE) AS q1, (n-1)*CAST(0.99 AS DOUBLE) AS q2
+           FROM g)
+         SELECT n AS n_keys, n_rows, max_cnt,
+           CASE WHEN ceil(q1) = floor(q1) THEN a[CAST(q1 AS INT)+1]
+             ELSE (ceil(q1)-q1)*a[CAST(floor(q1) AS INT)+1]
+                + (q1-floor(q1))*a[CAST(ceil(q1) AS INT)+1] END AS p50,
+           CASE WHEN ceil(q2) = floor(q2) THEN a[CAST(q2 AS INT)+1]
+             ELSE (ceil(q2)-q2)*a[CAST(floor(q2) AS INT)+1]
+                + (q2-floor(q2))*a[CAST(ceil(q2) AS INT)+1] END AS p99,
+           CAST(max_cnt AS DOUBLE) /
+             (CASE WHEN ceil(q1) = floor(q1) THEN a[CAST(q1 AS INT)+1]
+               ELSE (ceil(q1)-q1)*a[CAST(floor(q1) AS INT)+1]
+                  + (q1-floor(q1))*a[CAST(ceil(q1) AS INT)+1] END) AS skew_ratio
+         FROM p""",
     "q_drift" ->
       """WITH a AS (
            SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id < 250),

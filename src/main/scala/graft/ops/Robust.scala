@@ -124,6 +124,30 @@ object Robust {
       .drop("__lo", "__hi")
   }
 
+  /** Join-key SKEW report — the diagnostic that decides between a plain
+    * shuffle join, a broadcast, and [[graft.ops.WarpOps]]'s saltedJoin:
+    * per-key row counts summarized as key cardinality, max/p50/p99 counts
+    * and the max/median skew ratio. One hash aggregate to the per-key
+    * count table (the only data-sized step), then the bounded-memory
+    * bracket quantiles over COUNTS — groups-bounded, never another scan.
+    * A `skew_ratio` in the hundreds says the hottest key will pin one
+    * task; double digits is the salting threshold. */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs key columns")
+    val counts = df.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__g", lit(1))
+    val qs = BracketMedian.exactQuantiles(counts, Seq("__g"), "__c",
+      Seq("p50" -> 0.5, "p99" -> 0.99))
+    counts.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_cnt"),
+        sum(col("__c")).as("n_rows"))
+      .join(qs, "__g")
+      .withColumn("skew_ratio", col("max_cnt").cast("double") / col("p50"))
+      .select("n_keys", "n_rows", "max_cnt", "p50", "p99", "skew_ratio")
+  }
+
   /** Two-sample DRIFT report ("did this week's corpus shift against last
     * week's?"): equi-width bins over the pooled range, per-bin counts for
     * both sides, cumulative shares, and the per-bin share gap — the

@@ -297,6 +297,18 @@ class WarpOpsSpec extends SparkSpec {
     assert(ext.getDouble(0) == 3.0 && ext.getDouble(1) == 9.0)
   }
 
+  test("skewReport: hot key shows in max and ratio, totals conserve") {
+    import graft.ops.Robust
+    val rows = (1 to 1000).map(i => ("hot", i)) ++
+      (1 to 99).flatMap(k => (1 to 10).map(i => (s"k$k", i)))
+    val r = Robust.skewReport(rows.toDF("k", "v"), Seq("k")).head()
+    assert(r.getAs[Long]("n_keys") == 100)
+    assert(r.getAs[Long]("n_rows") == 1990)
+    assert(r.getAs[Long]("max_cnt") == 1000)
+    assert(r.getAs[Double]("p50") == 10.0)
+    assert(r.getAs[Double]("skew_ratio") == 100.0)
+  }
+
   test("dedupByTolerance: greedy chain, not raw-gap islands") {
     import graft.ops.TimeSeries
     def t(us: Long) = new java.sql.Timestamp(us / 1000) {
