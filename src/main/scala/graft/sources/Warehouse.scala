@@ -238,20 +238,19 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     require(order >= 1 && order <= 30, s"order must be in [1,30], got $order")
     val n = targetFileCount(table, targetBytes)
     val side = 1L << order
-    rewrite(table, { df =>
-      val (cx, cy) = (col(s"`$colX`").cast("double"), col(s"`$colY`").cast("double"))
-      val mm = df.agg(min(cx), max(cx), min(cy), max(cy)).head()
-      def bucket(c: Column, lo: Double, hi: Double) =
-        if (hi <= lo) lit(0L)
-        else least(lit(side - 1), floor((c - lit(lo)) / lit(hi - lo) * side).cast("long"))
-      val d = graft.functions.WarpFunctions.fnHilbertXYToD(lit(side),
-        bucket(cx, mm.getDouble(0), mm.getDouble(1)),
-        bucket(cy, mm.getDouble(2), mm.getDouble(3)))
-      df.withColumn("__curve", d)
-        .repartitionByRange(n, col("__curve"))
-        .sortWithinPartitions(col("__curve"))
-        .drop("__curve")
-    })
+    val (cx, cy) = (col(s"`$colX`").cast("double"), col(s"`$colY`").cast("double"))
+    val mm = read(table).agg(min(cx), max(cx), min(cy), max(cy)).head()
+    if (mm.isNullAt(0) || mm.isNullAt(2)) return // empty/all-null: nothing to lay out
+    def bucket(c: Column, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(side - 1), floor((c - lit(lo)) / lit(hi - lo) * side).cast("long"))
+    val d = graft.functions.WarpFunctions.fnHilbertXYToD(lit(side),
+      bucket(cx, mm.getDouble(0), mm.getDouble(1)),
+      bucket(cy, mm.getDouble(2), mm.getDouble(3)))
+    rewrite(table, _.withColumn("__curve", d)
+      .repartitionByRange(n, col("__curve"))
+      .sortWithinPartitions(col("__curve"))
+      .drop("__curve"))
   }
 
   /** copy-on-write rewrite with staging-dir swap. Rename results are

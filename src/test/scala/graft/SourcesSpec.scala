@@ -474,6 +474,10 @@ class SourcesSpec extends SparkSpec {
     assert(sx.map(_.toDouble).sum / sx.size < 60, s"x spans $sx")
     assert(sy.map(_.toDouble).sum / sy.size < 60, s"y spans $sy")
     assert(wh.read("t").count() == 10000)
+    // empty table: a no-op, not an NPE
+    wh.create("empty", rows.toDF("x", "y", "payload").limit(0))
+    wh.clusterByCurve("empty", "x", "y")
+    assert(wh.read("empty").count() == 0)
   }
 
   test("warehouse clusterBy: files carry disjoint sorted key ranges (footer audit)") {
