@@ -246,6 +246,49 @@ object EventStream {
   final case class WindowTopK(window_start: java.sql.Timestamp, item: String,
                               cnt: Long, rk: Int)
 
+  final case class WindowBin(window_start: java.sql.Timestamp, bin: Int,
+                             cnt: Long, share: Double)
+
+  /** Streaming per-window HISTOGRAM of the value column — the online form
+    * of the batch drift report's per-side binning: each tumbling window
+    * emits its complete equi-width histogram (fixed [lo, hi) edges, out-
+    * of-range values clamped to the edge bins) exactly once, when the
+    * watermark closes it. Downstream drift monitoring is then a stateless
+    * comparison of the emitted shares against a broadcast reference.
+    * Same window-keyed state + event-time-timeout machinery as
+    * [[trendingClosed]]; state is one count array of nBins longs per open
+    * window. */
+  def histogramClosed(events: Dataset[Event], windowMs: Long,
+                      lo: Double, hi: Double, nBins: Int,
+                      watermarkDelay: String = "10 seconds"): Dataset[WindowBin] = {
+    import events.sparkSession.implicits._
+    require(windowMs > 0 && nBins >= 2 && hi > lo,
+      s"need windowMs>0, nBins>=2, hi>lo; got $windowMs, $nBins, [$lo,$hi)")
+    def bin(v: Double): Int =
+      math.min(nBins - 1, math.max(0, math.floor((v - lo) / (hi - lo) * nBins).toInt))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (win: Long, batch: Iterator[Event], state: GroupState[Array[Long]]) => {
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            val total = counts.sum.toDouble
+            counts.iterator.zipWithIndex.map { case (c, b) =>
+              WindowBin(new java.sql.Timestamp(win * windowMs), b, c,
+                if (total == 0) 0.0 else c / total)
+            }
+          } else {
+            val counts = state.getOption.getOrElse(new Array[Long](nBins))
+            batch.foreach(e => counts(bin(e.value)) += 1L)
+            state.update(counts)
+            state.setTimeoutTimestamp(win * windowMs + windowMs)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Streaming TRENDING items: the top-k most frequent event types per
     * tumbling window, each window emitted EXACTLY ONCE — when the
     * watermark passes its end. Windowed counts alone can't rank (a rank

@@ -321,6 +321,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("histogramClosed emits the full per-window histogram once, on close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val winMs = 10 * 60 * 1000L
+    val query = EventStream.histogramClosed(input.toDS(), winMs,
+        lo = 0.0, hi = 10.0, nBins = 5, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("hist").outputMode("append").start()
+    try {
+      // window 0: values 1,1,5,9.9,42 -> bins 0,0,2,4,4(clamped)
+      input.addData(Event(1L, "a", ts(0), 1.0), Event(2L, "a", ts(1), 1.0),
+        Event(3L, "a", ts(2), 5.0), Event(4L, "a", ts(3), 9.9),
+        Event(5L, "a", ts(4), 42.0))
+      query.processAllAvailable()
+      assert(spark.table("hist").count() == 0) // window still open
+      input.addData(Event(6L, "z", ts(25), 0.0))
+      query.processAllAvailable()
+      val w0 = spark.table("hist").as[EventStream.WindowBin].collect()
+        .map(r => (r.bin, r.cnt, r.share)).toSet
+      assert(w0 == Set((0, 2L, 0.4), (1, 0L, 0.0), (2, 1L, 0.2),
+        (3, 0L, 0.0), (4, 2L, 0.4)), s"got $w0")
+    } finally query.stop()
+  }
+
   test("trendingClosed emits each window's top-k once, when the watermark closes it") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
