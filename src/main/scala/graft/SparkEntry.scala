@@ -1345,6 +1345,19 @@ object SparkEntry {
       graft.pipeline.HeavyHitters.topKExact(toks, col("item"), n = 20, k = 1 << 14)
     }),
 
+    // ---- per-window histogram, batch twin of the streaming
+    //      histogramClosed (same daily buckets, same clamped bins)
+    "q_window_hist" -> ((s, dir) => {
+      val (lo, hi, nBins) = (0.0, 100.0, 10)
+      val w = (floor(unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        / lit(86400000000L)) * lit(86400000000L)).as("w")
+      val bin = least(lit(nBins - 1), greatest(lit(0),
+        floor((col("value") - lit(lo)) / lit(hi - lo) * nBins))).cast("int").as("bin")
+      T(s, dir, "events").select(w, bin)
+        .groupBy("w", "bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("w", "bin")
+    }),
+
     // ---- trending items per tumbling window (batch twin of the
     //      streaming trendingClosed operator — same buckets, same
     //      tiebreak; WindowGroupLimit partial top-k)
@@ -2549,6 +2562,14 @@ object SparkEntry {
          CASE WHEN 2 > length(p_name) THEN NULL ELSE substring(p_name, 3, 3) END AS midpart,
          CAST(length(p_name) AS DOUBLE) AS nlen
          FROM part ORDER BY p_partkey""",
+    "q_window_hist" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                * 86400000000 AS w,
+              CAST(least(9, greatest(0,
+                floor((value - CAST(0.0 AS DOUBLE))
+                      / CAST(100.0 AS DOUBLE) * 10))) AS INT) AS bin,
+              count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY w, bin""",
     "q_trending" ->
       """WITH e AS (
            SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
