@@ -1583,11 +1583,15 @@ object SparkEntry {
     }),
 
     // ---- int8 scalar quantization of the embedding corpus (exact oracle:
-    //      the affine code arithmetic is order-fixed double math)
+    //      the affine code arithmetic is order-fixed double math). The code
+    //      vector is emitted as an md5 over its comma-joined decimal form so
+    //      every output column is scalar-sortable by the comparator.
     "q_embed_quantize" -> ((s, dir) => {
       graft.pipeline.Similarity.quantizeInt8(T(s, dir, "embeddings"),
           "embedding", "vec_id")
-        .selectColumns(Seq("vec_id", "q_lo", "q_scale", "q_codes"))
+        .select(col("vec_id"), col("q_lo"), col("q_scale"),
+          md5(concat_ws(",", transform(col("q_codes"), x => x.cast("string"))))
+            .as("q_codes_md5"))
         .warpSort(Seq(Order(col("vec_id"))))
     }),
 
@@ -3421,12 +3425,16 @@ object SparkEntry {
              (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
                AS q_scale
            FROM embeddings
+         ), c AS (
+           SELECT vec_id, q_lo, q_scale,
+             CASE WHEN q_scale > 0.0 THEN list_transform(embedding, x ->
+               least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - q_lo) / q_scale) AS INT))))
+             ELSE list_transform(embedding, x -> 0) END AS q_codes
+           FROM s
          )
          SELECT vec_id, q_lo, q_scale,
-           CASE WHEN q_scale > 0.0 THEN list_transform(embedding, x ->
-             least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - q_lo) / q_scale) AS INT))))
-           ELSE list_transform(embedding, x -> 0) END AS q_codes
-         FROM s ORDER BY vec_id""",
+           md5(array_to_string(list_transform(q_codes, x -> CAST(x AS VARCHAR)), ',')) AS q_codes_md5
+         FROM c ORDER BY vec_id""",
     "q_embed_topk_q8" ->
       """WITH s AS (
            SELECT vec_id, embedding,

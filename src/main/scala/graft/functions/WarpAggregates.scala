@@ -161,6 +161,16 @@ object WarpAggregates {
     * (Scale-extension family: the reference's statistical surface stops at
     * variance/stdev, Function.swift:2204-2268.)
     */
+  /** |value| bound for the decimal-exact product moments: DECIMAL(18,6)
+    * factors keep the product exact at scale 12 inside Spark's 38-digit
+    * precision cap; a wider factor type would force the product to ROUND,
+    * defeating the whole point. Values past the bound can't be cast
+    * (overflow — an ANSI error or a silent null that would skew
+    * sxx/sxy while count keeps the row), so the closed forms return null
+    * for the WHOLE group instead. Set just under 1e12 so scale-6 rounding
+    * of an in-domain value can never carry into a 13th integer digit. */
+  val PairMomentDomain: Double = 1e12 - 1
+
   private def pairMoments(x: Column, y: Column) = {
     val xv = when(Warp.num(y).isNotNull, Warp.num(x))
     val yv = when(Warp.num(x).isNotNull, Warp.num(y))
@@ -169,36 +179,42 @@ object WarpAggregates {
     // rounding of an 8-decimal double product at 6 digits — where engines'
     // half-case conventions differ and 20k rows of ±5e-7 drift apart
     val D2 = DecimalType(18, 6)
-    def dp(a: Column, b: Column) = sum(a.cast(D2) * b.cast(D2)).cast("double")
+    val bothIn = abs(xv) <= PairMomentDomain && abs(yv) <= PairMomentDomain
+    // the cast sits INSIDE the domain gate so it can never overflow (CASE
+    // short-circuits in codegen — no ANSI error, no silent null)
+    def dp(a: Column, b: Column) =
+      sum(when(bothIn, a.cast(D2) * b.cast(D2))).cast("double")
+    val inDomain = coalesce(max(abs(xv) > PairMomentDomain ||
+      abs(yv) > PairMomentDomain), lit(false)) === lit(false)
     (count(xv).cast("double"), dsum(xv), dsum(yv),
-      dp(xv, xv), dp(yv, yv), dp(xv, yv))
+      dp(xv, xv), dp(yv, yv), dp(xv, yv), inDomain)
   }
 
   /** Sample covariance: (Σxy − ΣxΣy/n) / (n−1); n<2 => null. */
   def warpCovarSample(x: Column, y: Column): Column = {
-    val (n, sx, sy, _, _, sxy) = pairMoments(x, y)
-    when(n > 1, (sxy - sx * sy / n) / (n - lit(1.0)))
+    val (n, sx, sy, _, _, sxy, ok) = pairMoments(x, y)
+    when(ok && n > 1, (sxy - sx * sy / n) / (n - lit(1.0)))
   }
 
   /** Pearson correlation; null when either marginal variance is 0. */
   def warpCorr(x: Column, y: Column): Column = {
-    val (n, sx, sy, sxx, syy, sxy) = pairMoments(x, y)
+    val (n, sx, sy, sxx, syy, sxy, ok) = pairMoments(x, y)
     val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    when(n > 1 && den > 0, (n * sxy - sx * sy) / den)
+    when(ok && n > 1 && den > 0, (n * sxy - sx * sy) / den)
   }
 
   /** Least-squares slope of y on x; null when x is constant. */
   def warpSlope(x: Column, y: Column): Column = {
-    val (n, sx, sy, sxx, _, sxy) = pairMoments(x, y)
+    val (n, sx, sy, sxx, _, sxy, ok) = pairMoments(x, y)
     val den = n * sxx - sx * sx
-    when(n > 1 && den > 0, (n * sxy - sx * sy) / den)
+    when(ok && n > 1 && den > 0, (n * sxy - sx * sy) / den)
   }
 
   /** Least-squares intercept of y on x; null when the slope is. */
   def warpIntercept(x: Column, y: Column): Column = {
-    val (n, sx, sy, sxx, _, sxy) = pairMoments(x, y)
+    val (n, sx, sy, sxx, _, sxy, ok) = pairMoments(x, y)
     val den = n * sxx - sx * sx
-    when(n > 1 && den > 0, (sy - sx * (n * sxy - sx * sy) / den) / n)
+    when(ok && n > 1 && den > 0, (sy - sx * (n * sxy - sx * sy) / den) / n)
   }
 
   /** Coefficient of determination r² of the y-on-x fit (= corr²). */

@@ -87,7 +87,7 @@ object BracketMedian {
     // keeps it, and so do warpMedian and SQL GROUP BY) — a plain equi-join
     // would silently drop it
     val brR = br.toDF(groupCols.map(c => s"__g_$c") ++ Seq("__n", "__lo", "__hi"): _*)
-    val j = vals.join(brR,
+    val j = vals.join(broadcast(brR),
         groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
       .drop(groupCols.map(c => s"__g_$c"): _*)
     val counts = j.filter(col("__v") <= col("__hi"))
@@ -164,7 +164,7 @@ object BracketMedian {
       transform(col("__ahis"), x => when(smallGroup, col("__mx")).otherwise(x)).as("__his")): _*)
 
     val brR = br.toDF(groupCols.map(c => s"__g_$c") ++ Seq("__n", "__los", "__his"): _*)
-    val j = vals.join(brR,
+    val j = vals.join(broadcast(brR),
         groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
       .drop(groupCols.map(c => s"__g_$c"): _*)
 

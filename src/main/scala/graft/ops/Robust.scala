@@ -39,7 +39,10 @@ object Robust {
     val medR = med.toDF(groupCols.map(c => s"__m_$c") :+ "__med": _*)
     def joinKeys(suffix: String) =
       groupCols.map(c => col(c) <=> col(s"${suffix}_$c")).reduce(_ && _)
-    val withMed = df.join(medR, joinKeys("__m"))
+    // LEFT + broadcast: groups whose values are all null have no median row
+    // and must still pass through (null z, false flag); the per-group table
+    // is one row per group, so the join never deserves a shuffle.
+    val withMed = df.join(broadcast(medR), joinKeys("__m"), "left")
       .drop(groupCols.map(c => s"__m_$c"): _*)
 
     val dev = withMed.select((groupCols.map(col) :+
@@ -50,7 +53,7 @@ object Robust {
 
     val z = when(col("__mad") > 0,
       lit(0.6745) * (v - col("__med")) / col("__mad"))
-    withMed.join(madR, joinKeys("__d"))
+    withMed.join(broadcast(madR), joinKeys("__d"), "left")
       .drop(groupCols.map(c => s"__d_$c"): _*)
       .withColumn(out, z)
       .withColumn(s"${out}_outlier", coalesce(abs(col(out)) > cutoff, lit(false)))
@@ -68,7 +71,7 @@ object Robust {
     val v = graft.values.Warp.num(col(valueCol))
     val med = BracketMedian.exactMedian(df, groupCols, valueCol, accuracy, out = "__med")
     val medR = med.toDF(groupCols.map(c => s"__m_$c") :+ "__med": _*)
-    df.join(medR, groupCols.map(c => col(c) <=> col(s"__m_$c")).reduceOption(_ && _)
+    df.join(broadcast(medR), groupCols.map(c => col(c) <=> col(s"__m_$c")).reduceOption(_ && _)
         .getOrElse(lit(true)), "left")
       .drop(groupCols.map(c => s"__m_$c"): _*)
       .withColumn(out, coalesce(v, col("__med")))
@@ -119,7 +122,10 @@ object Robust {
     df.join(broadcast(edgesR),
         groupCols.map(c => col(c) <=> col(s"__w_$c")).reduce(_ && _), "left")
       .drop(groupCols.map(c => s"__w_$c"): _*)
-      .withColumn(out, least(greatest(v, col("__lo")), col("__hi")))
+      // least/greatest SKIP nulls, so an unguarded clamp would impute a null
+      // value to the lower cap — a null must stay null
+      .withColumn(out,
+        when(v.isNotNull, least(greatest(v, col("__lo")), col("__hi"))))
       .withColumn(s"${out}_clipped", v.isNotNull && (v < col("__lo") || v > col("__hi")))
       .drop("__lo", "__hi")
   }

@@ -111,6 +111,21 @@ object TimeSeries {
         col(out), col("filled"))
   }
 
+  /** Inner-sequence bound for the dense grid: the per-key range explodes
+    * in two levels — coarse 64Ki-step blocks, then a bounded sequence
+    * inside each block — so NO single materialized array exceeds 64Ki
+    * elements. The naive `sequence(lo, hi)` builds the whole per-key
+    * range as ONE in-memory array row: a multi-year key at a fine step is
+    * hundreds of millions of elements, and Spark's `sequence` hard-fails
+    * near 2³¹. Power of two, so `lo / CHUNK` is exact in double math and
+    * `floor` never misrounds a block boundary. */
+  private val GridChunk = 1L << 16
+
+  /** Hard per-key ceiling (outer blocks × inner chunk = 2³² steps). A grid
+    * past this is itself the bug — the OUTPUT is one row per step — so the
+    * plan raises with the offending key instead of grinding. */
+  private val MaxGridStepsPerKey = GridChunk * GridChunk
+
   private def gridAndObs(df: DataFrame, keyCol: String, tsCol: String,
                          valueCol: String, stepUs: Long,
                          tieBreak: String): (DataFrame, DataFrame) = {
@@ -120,10 +135,24 @@ object TimeSeries {
     val obs = df.select(col(keyCol), bucket, col(tsCol), col(valueCol), col(tieBreak))
       .groupBy(col(keyCol), col("__b"))
       .agg(max_by(col(valueCol), struct(col(tsCol), col(tieBreak))).as("__obs"))
-    val grid = df.select(col(keyCol), bucket)
+    // the guard rides the __lo expression so column pruning can't drop it
+    val loGuarded = when(col("__hi") - col("__lo") >= lit(MaxGridStepsPerKey),
+      raise_error(format_string(
+        "resample grid for key %s spans %d steps (max %d): coarsen stepUs",
+        col(keyCol).cast("string"), col("__hi") - col("__lo") + lit(1L),
+        lit(MaxGridStepsPerKey)))).otherwise(col("__lo"))
+    val ranges = df.select(col(keyCol), bucket)
       .groupBy(col(keyCol))
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
-      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("__b"))
+      .select(col(keyCol), loGuarded.as("__lo"), col("__hi"))
+    val blocks = ranges.select(col(keyCol), col("__lo"), col("__hi"),
+      explode(sequence(floor(col("__lo") / GridChunk),
+        floor(col("__hi") / GridChunk))).as("__blk"))
+    val grid = blocks.select(col(keyCol),
+      explode(sequence(
+        greatest(col("__lo"), col("__blk") * GridChunk),
+        least(col("__hi"), col("__blk") * GridChunk + lit(GridChunk - 1L))))
+        .as("__b"))
     (grid, obs)
   }
 

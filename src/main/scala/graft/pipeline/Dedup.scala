@@ -89,8 +89,11 @@ object Dedup {
                          numHashes: Int = 128, bands: Int = 16,
                          jaccardThreshold: Double = 0.8,
                          maxBucket: Int = 1000): DataFrame = {
+    // no persist: `batch` appears twice in ONE lazy plan (band explode +
+    // shingle-set join), and a session-lifetime cached block per call is a
+    // leak; re-running the one-pass kernels over the (small) batch costs
+    // less than unreclaimed storage memory on a long-lived pipeline driver
     val batch = minhashLedger(newDocs, textCol, idCol, shingleSize, numHashes, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def explodeBands(d: DataFrame, out: String) =
       d.select(col("id").as(out), posexplode(col("bhs")))
         .select(col(out), col("pos").as("band"), col("col").as("bh"))

@@ -404,7 +404,15 @@ object Similarity {
     val best = centroids.indices.map { i =>
       struct(cosine(col(vecCol), typedLit(centroids(i))).as("cos"), lit(i).as("cell"))
     }
-    delta.withColumn("__cell", greatest(best: _*).getField("cell"))
+    // project the delta to exactly the built index's data columns before
+    // deriving norm/cell — a delta with extra (or missing) columns must
+    // fail loudly here, not append rows whose parquet schema diverges
+    val dataCols = delta.sparkSession.read.parquet(path).schema.fieldNames
+      .filterNot(c => c == "__cell" || c == normColName(vecCol))
+    require(dataCols.contains(idCol) && dataCols.contains(vecCol),
+      s"index at $path does not carry ($idCol, $vecCol): ${dataCols.mkString(",")}")
+    delta.select(dataCols.map(col).toSeq: _*)
+      .withColumn("__cell", greatest(best: _*).getField("cell"))
       .withColumn(normColName(vecCol), norm(col(vecCol)))
       .write.mode("append").partitionBy("__cell").parquet(path)
   }

@@ -227,6 +227,17 @@ class FunctionsSpec extends SparkSpec {
     val single = Seq((1.0, 1.0)).toDF("x", "y")
       .agg(WA.warpCovarSample(col("x"), col("y"))).head()
     assert(single.isNullAt(0))
+    // out-of-domain magnitudes (>= 1e12 overflows the DECIMAL(18,6)
+    // factor cast to null): the whole group goes null LOUDLY instead of
+    // silently excluding those rows from sxx/sxy while count keeps them
+    val wide = Seq((1.0, 10.0), (2.0, 20.0), (5e12, 30.0)).toDF("x", "y")
+      .agg(WA.warpSlope(col("x"), col("y")), WA.warpCorr(col("x"), col("y")),
+        WA.warpCovarSample(col("x"), col("y"))).head()
+    assert(wide.isNullAt(0) && wide.isNullAt(1) && wide.isNullAt(2))
+    // just inside the domain still computes
+    val inD = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+      .agg(WA.warpSlope(col("x"), col("y"))).head()
+    assert(math.abs(inD.getDouble(0) - 10.0) < 1e-9)
   }
 
   test("aggregates: all-null groups yield null medians, not index errors") {

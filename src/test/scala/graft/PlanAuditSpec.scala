@@ -504,6 +504,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_outliers: per-group median/MAD joins broadcast, never sort-merge") {
+    // the hint is explicit now (not AQE-dependent): at a million groups the
+    // one-row-per-group tables stop being trivially broadcastable by size
+    // estimate, and the null-safe keys would fall back to SortMergeJoin
+    val p = plan("q_outliers")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllMatchIn(p).length >= 2, p.take(3000))
+  }
+
   test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
     val p = plan("q_quantiles")
     // the built-in exact percentile (TypedImperativeAggregate over a

@@ -363,6 +363,25 @@ class WarpOpsSpec extends SparkSpec {
       else assert(w == v && !c)
     }
     assert(got.count(_._3) == 20)
+    // a null value must STAY null (least/greatest skip nulls: an unguarded
+    // clamp silently imputes to the lower cap) and never count as clipped
+    val withNull = (vs.map(v => ("g", Some(v))) :+ ("g" -> Option.empty[Double]))
+      .toDF("g", "v")
+    val nr = Robust.winsorize(withNull, Seq("g"), "v", pLo = 0.1, pHi = 0.9)
+      .filter(col("v").isNull).select("winsorized", "winsorized_clipped")
+      .collect()
+    assert(nr.length == 1 && nr(0).isNullAt(0) && !nr(0).getBoolean(1))
+  }
+
+  test("outliers: all-null groups pass through with null z and false flag") {
+    import graft.ops.Robust
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(100.0)),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = Robust.outliers(df, Seq("g"), "v", cutoff = 2.0)
+    assert(got.count() == 5) // inner joins would drop group b entirely
+    val b = got.filter(col("g") === "b")
+      .select("robust_z", "robust_z_outlier").collect()
+    assert(b.length == 2 && b.forall(r => r.isNullAt(0) && !r.getBoolean(1)))
   }
 
   test("imputeMedian: nulls get the group median, all-null groups stay null") {
@@ -484,6 +503,33 @@ class WarpOpsSpec extends SparkSpec {
       (1L, 10L, 9.0 + (2.0 - 9.0) * (1.0 / 3.0), true),
       (1L, 20L, 9.0 + (2.0 - 9.0) * (2.0 / 3.0), true),
       (1L, 30L, 2.0, false), (2L, 40L, 4.0, false)))
+  }
+
+  test("resample grid: chunked explode crosses 64Ki block boundaries; huge span raises") {
+    import graft.ops.TimeSeries
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    // span of 200_001 buckets at step=1us crosses 4 coarse blocks; the
+    // dense grid must still be exactly lo..hi with the endpoints observed
+    val wide = Seq((1L, t(0L), 1.0, 1L), (1L, t(200000L), 2.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val g = TimeSeries.resampleFill(wide, "user_id", "ts", "value",
+      stepUs = 1L, tieBreak = "event_id")
+    assert(g.count() == 200001L)
+    val agg = g.agg(min("bucket_ts"), max("bucket_ts"),
+      count_distinct(col("bucket_ts"))).head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == (0L, 200000L, 200001L))
+    // a key spanning >= 2^32 steps would be a multi-billion-row output:
+    // the plan must raise the coarsen-stepUs error, not grind or OOM
+    val huge = Seq((1L, t(0L), 1.0, 1L), (1L, t((1L << 32) * 1000000L), 2.0, 2L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val ex = intercept[Exception] {
+      TimeSeries.resampleFill(huge, "user_id", "ts", "value",
+        stepUs = 1000000L, tieBreak = "event_id").count()
+    }
+    assert(ex.getMessage.contains("coarsen stepUs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("coarsen stepUs")))
   }
 
   test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
