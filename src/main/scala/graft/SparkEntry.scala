@@ -1082,12 +1082,12 @@ object SparkEntry {
     // ---- BPE tokenizer training (Sennrich 2016). Three facets:
     //      round-1 adjacent-pair statistics (a pure two-aggregate plan,
     //      full DuckDB oracle), the iterative trainer (deterministic
-    //      count-desc/lexicographic tie-break, but procedural argmax-
-    //      per-round is not SQL-expressible — rows-only; exact merges
-    //      pinned on a known corpus in BpeSpec), and segmentation with
-    //      the trained merges (rows-only; reconstruction law pinned in
-    //      BpeSpec). Scale shape: ONE corpus pass, then vocabulary-sized
-    //      iterations — see Bpe.scala's scaladoc.
+    //      count-desc/lexicographic tie-break — FULLY oracled by
+    //      unrolling the 16 greedy rounds as a DuckDB CTE chain, see
+    //      [[bpeTrainOracle]]), and segmentation with the trained merges
+    //      (rows-only; reconstruction law pinned in BpeSpec). Scale
+    //      shape: ONE corpus pass, then vocabulary-sized iterations —
+    //      see Bpe.scala's scaladoc.
     "q_bpe_pairs" -> ((s, dir) => {
       graft.pipeline.Bpe.pairCounts(
         graft.pipeline.Bpe.initialVocab(T(s, dir, "documents"), "text"))
@@ -1169,8 +1169,11 @@ object SparkEntry {
     //      map-only sigmoid — fully oracle-checked vs DuckDB recomputing
     //      all six features; training (iterative exact-decimal gradient
     //      descent, one aggregate per iteration over a checkpointed
-    //      compact feature table) is not SQL-expressible -> rows-only,
-    //      with determinism + convergence pinned in ClassifierSpec.
+    //      compact feature table) is ALSO fully oracled — the exact
+    //      decimal sums make each round determinate, so DuckDB replays
+    //      the 12 unrolled iterations ([[classifyTrainOracle]]);
+    //      determinism + convergence additionally pinned in
+    //      ClassifierSpec.
     "q_classify_score" -> ((s, dir) => {
       graft.pipeline.Classifier.scored(
           T(s, dir, "documents"), "text", classifyDemoWeights)
@@ -2047,6 +2050,119 @@ object SparkEntry {
     })
   )
 
+  /** Generated DuckDB replay of [[graft.pipeline.Bpe.trainMerges]]. The
+    * merge sequence is DETERMINATE given the fixed tie order (count DESC,
+    * left ASC, right ASC), so the oracle unrolls the greedy rounds as a
+    * CTE chain: per round, pair counts over the current vocabulary, the
+    * winner by the same ordering, and the vocabulary rewritten by that
+    * merge. The only non-trivial piece is replaying the single
+    * left-to-right fold of [[graft.pipeline.Bpe.applyMerge]] without a
+    * fold primitive: for l != r adjacent occurrences can never overlap,
+    * so EVERY occurrence merges; for l == r greedy pairing merges exactly
+    * the even offsets within each maximal run of l. Both are positional,
+    * hence expressible with list lambdas. (A repeated string-replace
+    * fixpoint is NOT equivalent: on a 6-run of `a` it converges to
+    * [aa,a,aa,a] where the fold yields [aa,aa,aa].) Every chained CTE is
+    * MATERIALIZED — DuckDB inlines plain CTEs, and each round references
+    * the previous twice, so un-materialized the expansion (and the
+    * parquet re-scans) would grow 2^rounds. */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val rounds = (0 until numMerges).map { k =>
+      val pairs =
+        s"""p$k AS MATERIALIZED (
+           SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+           FROM v$k, unnest(generate_series(1, len(syms) - 1)) AS t$k(i)
+           GROUP BY 1, 2),
+         w$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1)"""
+      val next =
+        s"""v${k + 1} AS MATERIALIZED (
+           SELECT cnt, list_filter(list_transform(generate_series(1, len(syms)), i ->
+               CASE WHEN f[i] THEN ml || mr
+                    WHEN i > 1 AND f[i-1] THEN NULL
+                    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+           FROM (
+             SELECT cnt, syms, w$k.l AS ml, w$k.r AS mr,
+               list_transform(generate_series(1, len(syms)), i ->
+                 i < len(syms) AND syms[i] = w$k.l AND syms[i+1] = w$k.r AND
+                 (w$k.l <> w$k.r OR
+                  (i - coalesce(list_max(list_filter(generate_series(1, i),
+                     j -> syms[j] <> w$k.l)), 0) - 1) % 2 = 0)
+               ) AS f
+             FROM v$k, w$k) z$k)"""
+      if (k == numMerges - 1) pairs else pairs + ",\n" + next
+    }.mkString(",\n")
+    val sel = (0 until numMerges).map(k =>
+      s"""SELECT ${k + 1} AS "rank", l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM w$k""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+       ), wc AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE len(w) > 0 GROUP BY w
+       ), v0 AS MATERIALIZED (
+         SELECT cnt, list_append(string_split(w, ''), '</w>') AS syms FROM wc
+       ),
+       $rounds
+       SELECT * FROM ($sel) ORDER BY "rank""""
+  }
+
+  /** Generated DuckDB replay of
+    * [[graft.pipeline.Classifier.trainLogistic]]: full-batch gradient
+    * descent is determinate because every per-iteration gradient is an
+    * EXACT DECIMAL(30,15) sum (order-invariant on both engines) and the
+    * driver-side update is fixed double arithmetic. Each unrolled round
+    * keeps the Spark side's exact association order (intercept first in
+    * the sigmoid's dot product; decimal->double before the /n). */
+  private def classifyTrainOracle(iters: Int): String = {
+    val dot = "w$.a7 + w$.a1*f1 + w$.a2*f2 + w$.a3*f3 + w$.a4*f4 + w$.a5*f5 + w$.a6*f6"
+    val rounds = (0 until iters).map { k =>
+      val d = dot.replace("w$", s"w$k")
+      val gs = (1 to 6).map(j =>
+        s"sum(CAST(e * f$j AS DECIMAL(30,15))) AS g$j").mkString(", ")
+      val ws = (1 to 7).map { j =>
+        s"w$k.a$j - 2.0 * (CAST(g$k.g$j AS DOUBLE) / nn.n) AS a$j"
+      }.mkString(", ")
+      s"""e$k AS MATERIALIZED (
+         SELECT f1, f2, f3, f4, f5, f6,
+           (1.0 / (1.0 + exp(-($d))) - y) AS e
+         FROM feat, w$k),
+       g$k AS MATERIALIZED (
+         SELECT $gs, sum(CAST(e AS DECIMAL(30,15))) AS g7 FROM e$k),
+       w${k + 1} AS MATERIALIZED (SELECT $ws FROM w$k, g$k, nn)"""
+    }.mkString(",\n")
+    val names = Seq("len_cap", "punct_ratio", "stopword_en", "mean_wlen_cap",
+      "digit_ratio", "upper_ratio", "intercept")
+    val out = names.zipWithIndex.map { case (n, i) =>
+      s"SELECT $i AS idx, '$n' AS name, round(CAST(a${i + 1} AS DOUBLE), 9) AS weight FROM w$iters"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+         SELECT doc_id, coalesce(text, '') AS t, CAST(lang = 'en' AS DOUBLE) AS y FROM documents
+       ), feat AS MATERIALIZED (
+         SELECT doc_id, y,
+           least(CAST(length(t) AS DOUBLE) / 1000.0, 1.0) AS f1,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f2,
+           CASE WHEN len(string_split_regex(trim(lower(t)), '\\s+')) > 0 THEN
+             CAST(len(list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+               w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(t)), '\\s+')) ELSE 0.0 END AS f3,
+           least((CASE WHEN len(string_split_regex(trim(lower(t)), '\\s+')) > 0 THEN
+             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\\s+'),
+               w -> length(w))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(t)), '\\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f5,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f6
+         FROM f
+       ), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+       w0 AS MATERIALIZED (SELECT 0.0 AS a1, 0.0 AS a2, 0.0 AS a3, 0.0 AS a4, 0.0 AS a5, 0.0 AS a6, 0.0 AS a7),
+       $rounds
+       SELECT * FROM ($out) ORDER BY idx"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2807,6 +2923,8 @@ object SparkEntry {
          )
          SELECT s[i] AS l, s[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
          FROM idx GROUP BY 1, 2 ORDER BY l, r""",
+    "q_bpe_train" -> bpeTrainOracle(16),
+    "q_classify_train" -> classifyTrainOracle(12),
     "q_text_quality" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
