@@ -371,4 +371,105 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("trend").count() == 2)
     } finally query.stop()
   }
+
+  test("trendingClosed survives a checkpoint restart: no lost or duplicate window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val winMs = 10 * 60 * 1000L
+    val chk = java.nio.file.Files.createTempDirectory("graft-trend-chk").toString
+    // the memory sink refuses checkpoint recovery, so each run drains its
+    // emissions into a driver-side buffer via foreachBatch (which recovers)
+    def start(buf: java.util.Queue[(java.sql.Timestamp, String, Long, Int)]) =
+      EventStream.trendingClosed(input.toDS(), winMs, k = 2,
+          watermarkDelay = "0 seconds")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[EventStream.WindowTopK],
+                       _: Long) =>
+          b.collect().foreach(r => buf.add((r.window_start, r.item, r.cnt, r.rk))))
+        .option("checkpointLocation", chk).outputMode("append").start()
+
+    // run 1: window 0 fills, window 2 starts accumulating (z×2), window 0
+    // closes and emits — then the query dies (stop = crash for state
+    // purposes: counts, watermark and emitted-set live only in the
+    // checkpoint, the new query object shares nothing in memory)
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, String, Long, Int)]()
+    val q1 = start(got1)
+    try {
+      input.addData(Event(1L, "a", ts(0), 0), Event(2L, "a", ts(1), 0),
+        Event(3L, "b", ts(2), 0))
+      q1.processAllAvailable()
+      input.addData(Event(4L, "z", ts(25), 0), Event(5L, "z", ts(26), 0))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got1.asScala.map(r => (r._2, r._3, r._4)).toSet ==
+        Set(("a", 2L, 1), ("b", 1L, 2)))
+    } finally q1.stop()
+
+    // run 2: restart FROM THE CHECKPOINT; window 2 keeps counting across
+    // the restart and closes with counts spanning it; window 0 must not
+    // re-emit even though its events are still in the (replayable) source
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, String, Long, Int)]()
+    val q2 = start(got2)
+    try {
+      input.addData(Event(6L, "y", ts(27), 0), Event(7L, "z", ts(28), 0))
+      q2.processAllAvailable()
+      input.addData(Event(8L, "w", ts(45), 0)) // window 4: closes window 2
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val r2 = got2.asScala.toSeq
+      val win2 = new java.sql.Timestamp(
+        Math.floorDiv(ts(25).getTime, winMs) * winMs)
+      assert(r2.forall(_._1 == win2), s"got $r2") // no window-0 duplicate
+      // z=3 proves the pre-restart state (z×2) merged with post-restart z
+      assert(r2.map(r => (r._2, r._3, r._4)).toSet ==
+        Set(("z", 3L, 1), ("y", 1L, 2)), s"got $r2")
+    } finally q2.stop()
+  }
+
+  test("histogramClosed survives a checkpoint restart: bins span the restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val winMs = 10 * 60 * 1000L
+    val chk = java.nio.file.Files.createTempDirectory("graft-hist-chk").toString
+    def start(buf: java.util.Queue[(java.sql.Timestamp, Int, Long, Double)]) =
+      EventStream.histogramClosed(input.toDS(), winMs,
+          lo = 0.0, hi = 10.0, nBins = 5, watermarkDelay = "0 seconds")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[EventStream.WindowBin],
+                       _: Long) =>
+          b.collect().foreach(r => buf.add((r.window_start, r.bin, r.cnt, r.share))))
+        .option("checkpointLocation", chk).outputMode("append").start()
+
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, Int, Long, Double)]()
+    val q1 = start(got1)
+    try {
+      // window 0: 1,1,5 -> bins 0,0,2; window 2 starts with value 1 (bin 0)
+      input.addData(Event(1L, "a", ts(0), 1.0), Event(2L, "a", ts(1), 1.0),
+        Event(3L, "a", ts(2), 5.0))
+      q1.processAllAvailable()
+      input.addData(Event(4L, "z", ts(25), 1.0))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got1.asScala.map(r => (r._2, r._3)).toSet ==
+        Set((0, 2L), (1, 0L), (2, 1L), (3, 0L), (4, 0L)))
+    } finally q1.stop()
+
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Timestamp, Int, Long, Double)]()
+    val q2 = start(got2)
+    try {
+      input.addData(Event(5L, "z", ts(27), 9.9)) // window 2: bin 4
+      q2.processAllAvailable()
+      input.addData(Event(6L, "w", ts(45), 0.0)) // closes window 2
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val r2 = got2.asScala.toSeq
+      val win2 = new java.sql.Timestamp(
+        Math.floorDiv(ts(25).getTime, winMs) * winMs)
+      assert(r2.forall(_._1 == win2), s"got $r2")
+      // bin 0 count from BEFORE the restart + bin 4 from after
+      assert(r2.map(r => (r._2, r._3, r._4)).toSet ==
+        Set((0, 1L, 0.5), (1, 0L, 0.0), (2, 0L, 0.0), (3, 0L, 0.0),
+          (4, 1L, 0.5)), s"got $r2")
+    } finally q2.stop()
+  }
 }
