@@ -331,6 +331,78 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
     copy(child = newChild)
 }
 
+/** Asymmetric-distance PQ scoring kernel: given the per-row code array
+  * and the query's precomputed m×k dot TABLE (frozen into the expression
+  * like [[PqEncodeExpr]]'s codebooks), returns
+  * `Σ_j table(j·k + codes(j))` — the whole per-row ADC fold as ONE static
+  * call inside whole-stage codegen. The declarative twin
+  * (`aggregate(zip_with(codes, sequence(..), element_at(..)))`) runs
+  * interpreted per ELEMENT (ArrayAggregate/ZipWith are CodegenFallback),
+  * which is the first thing a 100 TB probe profile surfaces. Accumulation
+  * order matches the declarative left fold exactly (j ascending from
+  * 0.0), so results are bit-identical. Null/ragged/out-of-range codes
+  * null out. */
+case class PqAdcExpr(child: Expression, table: Array[Double], m: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(m > 0 && k > 0 && table.length == m * k,
+    s"ADC table must be m*k = ${m * k} doubles, got ${table.length}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<int> codes, got ${other.simpleString}")
+    }
+
+  protected override def nullSafeEval(v: Any): Any = {
+    val r = PqAdcExpr.compute(v.asInstanceOf[ArrayData], table, m, k)
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTable", table, "double[]")
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("adc")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${c.isNull}) {
+          double $out = graft.functions.PqAdcExpr.compute(${c.value}, $tRef, $m, $k);
+          if (!Double.isNaN($out)) { ${ev.isNull} = false; ${ev.value} = $out; }
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcExpr =
+    copy(child = newChild)
+}
+
+object PqAdcExpr {
+  /** NaN signals null (ragged length, null element, code out of range) —
+    * a real ADC sum of finite table entries can never be NaN. */
+  def compute(codes: ArrayData, table: Array[Double], m: Int, k: Int): Double = {
+    if (codes.numElements() != m) return Double.NaN
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return Double.NaN
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return Double.NaN
+      acc += table(j * k + c)
+      j += 1
+    }
+    acc
+  }
+}
+
 object PqEncodeExpr {
   def compute(v: ArrayData, vFloat: Boolean, flat: Array[Double],
               m: Int, k: Int, sub: Int): ArrayData = {

@@ -563,9 +563,11 @@ object Similarity {
       cb.map(c => c.indices.map(d => c(d) * qd(j * sub + d)).sum)
     }
     val qNorm = math.sqrt(qd.map(x => x * x).sum)
-    val dotT = aggregate(zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
-      (c, j) => element_at(typedLit(table.toSeq), (j * k + c + 1).cast("int"))),
-      lit(0.0), _ + _)
+    // ONE codegen'd kernel call per row ([[graft.functions.PqAdcExpr]]):
+    // the declarative aggregate/zip_with/element_at fold is interpreted
+    // per element and dominates the probe at corpus scale
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val dotT = C(graft.functions.PqAdcExpr(E(col("pq_codes")), table, m, k))
     encoded.select(col(idCol), (dotT / (col("pq_norm") * lit(qNorm))).as("cosine_pq"))
       .orderBy(col("cosine_pq").desc, col(idCol))
       .limit(kTop)

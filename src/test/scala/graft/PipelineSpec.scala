@@ -1048,6 +1048,28 @@ class PipelineSpec extends SparkSpec {
       s"pq recall too low: exact=$exact approx=$approx")
   }
 
+  test("pq ADC kernel is bit-equal to the declarative fold; bad codes null out") {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val rnd = new scala.util.Random(17)
+    val m = 4; val k = 16
+    val table = Array.fill(m * k)(rnd.nextDouble() * 2 - 1)
+    val rows = (0L until 500L).map(i => (i, Seq.fill(m)(rnd.nextInt(k))))
+    val df = rows.toDF("id", "pq_codes")
+    val kernel = C(graft.functions.PqAdcExpr(E(col("pq_codes")), table, m, k))
+    // the declarative twin the kernel replaced, evaluated on the same rows
+    val fold = aggregate(zip_with(col("pq_codes"), sequence(lit(0), lit(m - 1)),
+      (c, j) => element_at(typedLit(table.toSeq), (j * k + c + 1).cast("int"))),
+      lit(0.0), _ + _)
+    val diff = df.select(kernel.as("a"), fold.as("b"))
+      .filter(col("a") =!= col("b") || col("a").isNull).count()
+    assert(diff == 0) // same left-fold order -> bit-equal, not just close
+    // ragged length and out-of-range codes null out instead of misindexing
+    val bad = Seq((1L, Seq(0, 1)), (2L, Seq(0, 1, 2, 99))).toDF("id", "pq_codes")
+      .select(C(graft.functions.PqAdcExpr(E(col("pq_codes")), table, m, k)))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("pq index round-trip: codebooks and probe survive persistence") {
     val rnd = new scala.util.Random(13)
     val vecs = (0L until 100L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
