@@ -1828,6 +1828,25 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- REAL inter-frame video (pure-JVM MPEG-1 I/P codec, Mpeg1.scala):
+    //      encode a clip per document — geometry, picture count and 25 fps
+    //      duration all pure functions of the id — then parse the actual
+    //      sequence header and count the actual picture startcodes back.
+    //      The P pictures motion-compensate (interior MBs) and intra-
+    //      refresh (edges), so a correct frame count proves the inter-
+    //      frame structure, not just a header echo. 150 clips: the codec
+    //      is O(pixels·frames) per row and this is a correctness gate.
+    "q_video_mpeg" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val vids = mm.fabricateMpegVideos(
+        T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
+      mm.decodeMpegVideos(vids)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- warehouse mutation battery (MutableData.swift:40-196): create →
     //      insert (schema-aligned, missing column -> null) → keyed update
     //      (null-safe match) → keyed delete, then read the surviving table.
@@ -3524,6 +3543,12 @@ object SparkEntry {
            CAST(floor(i * total / 2.0) AS BIGINT) * 250 AS ts_ms,
            w AS f_width, h AS f_height
          FROM m, range(2) t(i) ORDER BY media_id, frame_idx""",
+    "q_video_mpeg" ->
+      """SELECT doc_id AS media_id, 'video/mpeg' AS format,
+           CAST(16 * (doc_id % 3 + 1) AS INT) AS width,
+           CAST(16 * (doc_id % 2 + 1) AS INT) AS height,
+           (doc_id % 5 + 2) * 40 AS duration_ms
+         FROM documents WHERE doc_id < 150 ORDER BY media_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             d AS (SELECT vec_id,

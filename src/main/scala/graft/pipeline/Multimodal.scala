@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
   * [[audioRmsFeatures]]); VIDEO via a hand-rolled RIFF/AVI container
   * layer (public Microsoft spec, pure byte arithmetic) whose MJPEG
   * frames ride the imageio path ([[decodeVideos]], [[sampleVideoFrames]],
-  * [[videoGridFeatures]]). Only inter-frame codecs (H.264 et al.) remain
-  * a clearly-marked deterministic STUB — ffmpeg is not in this container
-  * and would be swapped in per-executor on a real cluster.
+  * [[videoGridFeatures]]), and INTER-FRAME video via the pure-JVM MPEG-1
+  * I/P codec ([[Mpeg1]] — motion compensation, dequant, IDCT;
+  * [[decodeMpegVideos]], [[mpegGridFeatures]]). There is no decode stub
+  * left: payloads outside the validated set yield null features, never a
+  * fabricated vector. Other codecs (H.264 et al.) would be swapped in
+  * per-executor on a real cluster (ffmpeg is not in this container).
   *
   * Design points for 100 TB:
   *  - binary payloads never pass through the driver; all operators are
@@ -487,8 +490,7 @@ object Multimodal {
   // layer (Microsoft's public RIFF spec) is pure byte arithmetic; the
   // frames are JPEGs that ride the in-JDK javax.imageio path above. So
   // header decode AND frame extraction are real end-to-end — no ffmpeg.
-  // Inter-frame codecs (H.264 et al.) are where an external library
-  // would be swapped in per-executor on a real cluster.
+  // Inter-frame decode lives in [[Mpeg1]] (next section).
   // ======================================================================
 
   private val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -731,34 +733,183 @@ object Multimodal {
   }
 
   // ======================================================================
-  // STUB CODEC — deterministic fake standing in for inter-frame video
-  // codecs (H.264 et al.) and any format outside the in-JDK reach.
-  // Real deployment swaps `decodeStub` for the native decoder; everything
-  // around it (batching, schema, partitioning) is production-shaped.
+  // INTER-FRAME VIDEO — MPEG-1 I/P elementary streams ([[Mpeg1]]): the
+  // pure-JVM codec that retired the former decode stub. Same operator
+  // shapes as the AVI/MJPEG path: metadata decode never reads the movi-
+  // equivalent body beyond header scanning, features are executor-local.
   // ======================================================================
 
-  /** STUB: "decode" bytes to a dim-sized float feature vector by seeding a
-    * PRNG from the content hash. Deterministic per payload. */
-  private[pipeline] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val seed = java.util.Arrays.hashCode(bytes).toLong
-    val rnd = new scala.util.Random(seed)
-    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+  /** Media table with REAL MPEG-1 payloads: `16·(id%3+1)` × `16·(id%2+1)`
+    * pixels, `id%5+2` pictures (1 I + rest P) at 25 fps — duration
+    * `(id%5+2)·40` ms, a pure function of the id an external SQL oracle
+    * recomputes. Content is a splitmix pattern translated by (+2,+2) per
+    * frame, so interior macroblocks motion-compensate while frame edges
+    * (fresh content) refresh as intra — every P-frame decode path runs. */
+  def fabricateMpegVideos(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 16 * (id % 3 + 1).toInt
+        val h = 16 * (id % 2 + 1).toInt
+        val n = (id % 5 + 2).toInt
+        def frame(f: Int): Mpeg1.Frame = {
+          val y = new Array[Int](w * h)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              y(yy * w + xx) = (graft.functions.TextHash.mix(
+                id + (yy + 2L * f) * 4096 + (xx + 2L * f)) & 0xFF).toInt
+              xx += 1
+            }
+            yy += 1
+          }
+          Mpeg1.Frame(w, h, y,
+            Array.fill(w / 2 * h / 2)(128), Array.fill(w / 2 * h / 2)(128))
+        }
+        val bytes = Mpeg1.encode((0 until n).map(frame),
+          qscale = 4, mvHints = Seq.fill(n - 1)((2, 2)))
+        Row(id, bytes, Row("video/mpeg", w, h, n * 40L))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
-  /** Feature extraction: one decoder context per PARTITION (the expensive
-    * init a real codec needs), then batch-decode rows through it. This is
-    * the `mapInPandas` shape in Scala: executor-local, no driver traffic.
-    * Runs as a Dataset `mapPartitions` (NOT an RDD detour): the plan stays
-    * a single Catalyst node, so column pruning below, AQE above, and the
-    * Tungsten binary format end-to-end are all preserved. */
-  def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
+  /** MPEG-1 metadata decode: dimensions from the sequence header the
+    * bytes actually contain, frame count by counting picture start codes,
+    * duration from the header's picture-rate code — header/startcode
+    * scanning only, no pixel decode. Null meta on malformed payloads. */
+  def decodeMpegVideos(df: DataFrame): DataFrame = {
+    val dataIdx = df.schema.fieldIndex("data")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        Row.fromSeq(r.toSeq.updated(metaIdx, mpegMeta(bytes)))
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  private def isMpeg(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 && bytes(0) == 0 && bytes(1) == 0 &&
+      bytes(2) == 1 && (bytes(3) & 0xFF) == 0xB3
+
+  private def mpegMeta(bytes: Array[Byte]): Row =
+    if (!isMpeg(bytes)) null
+    else {
+      val w = ((bytes(4) & 0xFF) << 4) | ((bytes(5) & 0xFF) >> 4)
+      val h = ((bytes(5) & 0x0F) << 8) | (bytes(6) & 0xFF)
+      val fps = Mpeg1.PictureRates.getOrElse(bytes(7) & 0x0F, 0.0)
+      var frames = 0L
+      var o = 0
+      while (o + 4 <= bytes.length) {
+        if (bytes(o) == 0 && bytes(o + 1) == 0 && bytes(o + 2) == 1 &&
+          bytes(o + 3) == 0) frames += 1
+        o += 1
+      }
+      Row("video/mpeg", w, h,
+        if (fps == 0.0) 0L else math.round(frames * 1000.0 / fps))
+    }
+
+  /** Box-average resample of an Int plane to `gw`×`gh`, in [0,1]. */
+  private def planeGrid(p: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Array[Float] = {
+    val out = new Array[Float](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+        var acc = 0L; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) { acc += p(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(gy * gw + gx) = if (n == 0) 0f else acc.toFloat / n / 255f
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** REAL clip embedding for MPEG-1 payloads: full inter-frame decode
+    * ([[Mpeg1.decode]] — P frames reconstruct through motion
+    * compensation), sample `n` evenly-spaced frames, box-average each
+    * luma plane to `gw`×`gh` and mean-pool — same output contract as
+    * [[videoGridFeatures]]. Payloads outside the decoder's validated
+    * subset yield null (the decoder never fabricates pixels). */
+  def mpegGridFeatures(df: DataFrame, n: Int = 4, gw: Int = 8, gh: Int = 8): DataFrame = {
+    require(n > 0, s"mpegGridFeatures needs n > 0 frames, got $n")
     val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { rows =>
-      // real codec would be initialized HERE, once per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
-        val feat = if (bytes == null) null else decodeStub(bytes, dim)
+        val feat =
+          if (!isMpeg(bytes)) null
+          else try {
+            val frames = Mpeg1.decode(bytes)
+            val total = frames.length
+            val acc = new Array[Float](gw * gh)
+            val m = math.min(n, total)
+            var i = 0
+            while (i < m) {
+              val f = frames(sampleIdx(i, n, total).toInt)
+              val g = planeGrid(f.y, f.w, f.h, gw, gh)
+              var j = 0
+              while (j < acc.length) { acc(j) += g(j); j += 1 }
+              i += 1
+            }
+            var j = 0
+            while (j < acc.length) { acc(j) /= m; j += 1 }
+            acc
+          } catch { case _: Mpeg1.Mpeg1Error => null }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Feature extraction over a MIXED media corpus: one decoder context
+    * per PARTITION, rows dispatched by the format their bytes actually
+    * declare — MPEG-1 clips through the inter-frame decoder, AVI/MJPEG
+    * clips through the container+JPEG path, still images through
+    * javax.imageio. `dim` must be a square (the grid is dim^0.5 per
+    * side). Unrecognized payloads yield NULL features — never a
+    * fabricated vector (the former stub is gone; a corpus row the
+    * pipeline cannot decode must be visibly undecoded). */
+  def extractFeatures(df: DataFrame, dim: Int = 64): DataFrame = {
+    val side = math.sqrt(dim).toInt
+    require(side * side == dim, s"dim must be a perfect square, got $dim")
+    val outSchema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      imageIoInMemory // per-partition codec init, once
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val feat: Array[Float] =
+          if (bytes == null) null
+          else if (isMpeg(bytes)) {
+            try {
+              val frames = Mpeg1.decode(bytes)
+              val f = frames.head
+              planeGrid(f.y, f.w, f.h, side, side)
+            } catch { case _: Mpeg1.Mpeg1Error => null }
+          } else if (bytes.length >= 12 && fcc(bytes, 0) == "RIFF" &&
+            fcc(bytes, 8) == "AVI ") {
+            val frames = aviFrameChunks(bytes)
+            if (frames.isEmpty) null
+            else {
+              val (fo, flen) = frames.head
+              val img = readImage(java.util.Arrays.copyOfRange(bytes, fo, fo + flen))
+              if (img == null) null else luminanceGrid(img, side, side)
+            }
+          } else {
+            val img = readImage(bytes)
+            if (img == null) null else luminanceGrid(img, side, side)
+          }
         Row.fromSeq(r.toSeq :+ feat)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -320,20 +320,55 @@ class PipelineSpec extends SparkSpec {
     assert(fps("a") != fps("c"))
   }
 
-  test("multimodal: fabricate schema, extract features, sample frames") {
+  test("multimodal: fabricate schema, extract features by sniffed format, sample frames") {
     val docs = sf("documents").limit(20)
     val media = Multimodal.fabricate(docs, "doc_id", "text", "image/fake")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
-    val feats = Multimodal.extractFeatures(media, dim = 16)
-    val row = feats.limit(1).collect()(0)
-    assert(row.getAs[scala.collection.Seq[Float]]("features").length == 16)
-    // determinism: same payload => same features
-    val f2 = Multimodal.extractFeatures(media, dim = 16).limit(1).collect()(0)
-    assert(row.getAs[scala.collection.Seq[Float]]("features") ==
-      f2.getAs[scala.collection.Seq[Float]]("features"))
+    // unrecognized payloads (text bytes) yield NULL features — never a
+    // fabricated vector (the former stub is gone)
+    val fake = Multimodal.extractFeatures(media, dim = 16).select("features").collect()
+    assert(fake.forall(_.isNullAt(0)))
+    // real payloads dispatch by magic: PNG -> imageio grid, MPEG-1 ->
+    // inter-frame decode; both deterministic
+    val imgs = Multimodal.fabricateImages(docs, "doc_id")
+    val ifeat = Multimodal.extractFeatures(imgs, dim = 16)
+      .select("media_id", "features").collect()
+    assert(ifeat.forall(r => !r.isNullAt(1) &&
+      r.getAs[scala.collection.Seq[Float]](1).length == 16))
+    val vids = Multimodal.fabricateMpegVideos(docs.limit(5), "doc_id")
+    val vfeat = Multimodal.extractFeatures(vids, dim = 16)
+      .select("media_id", "features").collect()
+    assert(vfeat.length == 5 && vfeat.forall(r => !r.isNullAt(1) &&
+      r.getAs[scala.collection.Seq[Float]](1).length == 16))
+    val vfeat2 = Multimodal.extractFeatures(vids, dim = 16)
+      .select("media_id", "features").collect()
+    assert(vfeat.map(_.toString).sorted.sameElements(vfeat2.map(_.toString).sorted))
     val frames = Multimodal.sampleFrames(media, 4)
     assert(frames.count() == 80) // 20 media x 4 frames
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "ts_ms", "frame_data"))
+  }
+
+  test("multimodal: MPEG-1 clips — header meta matches the id law, features pool MC frames") {
+    val docs = sf("documents").limit(12)
+    val vids = Multimodal.fabricateMpegVideos(docs, "doc_id")
+    val meta = Multimodal.decodeMpegVideos(vids)
+      .select("media_id", "meta.format", "meta.width", "meta.height", "meta.duration_ms")
+      .collect()
+    assert(meta.length == 12)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "video/mpeg")
+      assert(r.getInt(2) == 16 * (id % 3 + 1).toInt, s"width of $id")
+      assert(r.getInt(3) == 16 * (id % 2 + 1).toInt, s"height of $id")
+      assert(r.getLong(4) == (id % 5 + 2) * 40L, s"duration of $id")
+    }
+    val feats = Multimodal.mpegGridFeatures(vids, n = 3, gw = 4, gh = 4)
+      .select("media_id", "features").collect()
+    assert(feats.forall(r => !r.isNullAt(1) &&
+      r.getAs[scala.collection.Seq[Float]](1).length == 16))
+    // non-MPEG payload -> null features, not a task failure
+    val junk = Multimodal.fabricate(docs.limit(1), "doc_id", "text", "junk")
+    assert(Multimodal.mpegGridFeatures(junk).select("features").collect()(0).isNullAt(0))
   }
 
   test("multimodal: REAL PNG codec — decode, resize, grid features (javax.imageio)") {
