@@ -1079,13 +1079,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram LM score (add-k smoothed): the next step toward CCNet's
+    //      n-gram perplexity filter — scores word ORDER, not just word
+    //      rarity. Same decimal-summed portability recipe as q_text_lm.
+    "q_text_lm2" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.lmScoreBigram(
+        T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- BPE tokenizer training (Sennrich 2016). Three facets:
     //      round-1 adjacent-pair statistics (a pure two-aggregate plan,
     //      full DuckDB oracle), the iterative trainer (deterministic
     //      count-desc/lexicographic tie-break — FULLY oracled by
     //      unrolling the 16 greedy rounds as a DuckDB CTE chain, see
     //      [[bpeTrainOracle]]), and segmentation with the trained merges
-    //      (rows-only; reconstruction law pinned in BpeSpec). Scale
+    //      (ALSO fully oracled: [[bpeSegmentOracle]] recomputes the
+    //      8-merge fixture and replays the per-word fold positionally;
+    //      reconstruction law additionally pinned in BpeSpec). Scale
     //      shape: ONE corpus pass, then vocabulary-sized iterations —
     //      see Bpe.scala's scaladoc.
     "q_bpe_pairs" -> ((s, dir) => {
@@ -1106,9 +1117,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // encode-to-ids: the artifact an LM pipeline actually emits (merges +
-    // vocab frozen into ONE kernel call per document). Rows-only like the
-    // trainer (ids derive from the trained fixture); decode-inversion and
-    // unk laws pinned in BpeSpec.
+    // vocab frozen into ONE kernel call per document). Fully oracled like
+    // the trainer: DuckDB recomputes the 8-merge fixture, replays the
+    // per-word segmentation positionally, and renumbers the vocabulary by
+    // first occurrence ([[bpeEncodeOracle]]); decode-inversion and unk
+    // laws additionally pinned in BpeSpec.
     "q_bpe_encode" -> ((s, dir) => {
       val merges = bpeMergeFixture(s, dir)
       val vocab = bpeVocabFixture(s, dir)
@@ -1606,6 +1619,22 @@ object SparkEntry {
       graft.pipeline.Similarity.topKQuantized(q8, "vec_id", queryVec(s, dir), 20)
     }),
 
+    // ---- HARD-NEGATIVE band scan (exact oracle: same fold-order dot
+    //      arithmetic as q_embed_topk, plus a band filter): "close but
+    //      not a duplicate" vectors for contrastive training. The IVF
+    //      variant is the partition-pruned scale path (rows-only: index
+    //      cells are build-seeded; band-subset law pinned in
+    //      PipelineSpec).
+    "q_embed_band" -> ((s, dir) => {
+      graft.pipeline.Similarity.bandScan(T(s, dir, "embeddings"),
+        "embedding", "vec_id", queryVec(s, dir), lo = 0.1, hi = 0.5)
+    }),
+    "q_embed_band_ivf" -> ((s, dir) => {
+      val path = ensureIvfIndex(s, dir)
+      graft.pipeline.Similarity.ivfBandScan(s, path, ivfCentroids(s, path),
+        "embedding", "vec_id", queryVec(s, dir), lo = 0.1, hi = 0.5, nProbe = 8)
+    }),
+
     // ---- embedding-cosine near-dup pairs (no SQL oracle: hyperplane-
     //      seeded; recall pinned in PipelineSpec on planted duplicates)
     "q_dedup_embed" -> ((s, dir) => {
@@ -2085,43 +2114,116 @@ object SparkEntry {
     * MATERIALIZED — DuckDB inlines plain CTEs, and each round references
     * the previous twice, so un-materialized the expansion (and the
     * parquet re-scans) would grow 2^rounds. */
-  private def bpeTrainOracle(numMerges: Int): String = {
-    val rounds = (0 until numMerges).map { k =>
+  /** One positional merge application as a CTE: `src(keep, syms)` ->
+    * `dst(keep, syms)` with round-`wk`'s winning pair merged (the
+    * [[bpeTrainOracle]] fold replay, shared with the segment/encode
+    * oracles). */
+  private def bpeApplyMergeCte(src: String, dst: String, wk: String,
+                               alias: String, keep: String): String =
+    s"""$dst AS MATERIALIZED (
+       SELECT $keep, list_filter(list_transform(generate_series(1, len(syms)), i ->
+           CASE WHEN f[i] THEN ml || mr
+                WHEN i > 1 AND f[i-1] THEN NULL
+                ELSE syms[i] END), x -> x IS NOT NULL) AS syms
+       FROM (
+         SELECT $keep, syms, $wk.l AS ml, $wk.r AS mr,
+           list_transform(generate_series(1, len(syms)), i ->
+             i < len(syms) AND syms[i] = $wk.l AND syms[i+1] = $wk.r AND
+             ($wk.l <> $wk.r OR
+              (i - coalesce(list_max(list_filter(generate_series(1, i),
+                 j -> syms[j] <> $wk.l)), 0) - 1) % 2 = 0)
+           ) AS f
+         FROM $src, $wk) $alias)"""
+
+  /** Trainer CTE chain `words, wc, v0..v{n-1}, w0..w{n-1}`: greedy merge
+    * rounds over the word-vocabulary table (the [[bpeTrainOracle]] core;
+    * n=8 prefixes equal the n=16 run — greedy is prefix-stable). */
+  private def bpeTrainerCtes(n: Int): Seq[String] = {
+    val head =
+      s"""words AS (
+         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+       ), wc AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE len(w) > 0 GROUP BY w
+       ), v0 AS MATERIALIZED (
+         SELECT cnt, list_append(string_split(w, ''), '</w>') AS syms FROM wc
+       )"""
+    head +: (0 until n).flatMap { k =>
       val pairs =
         s"""p$k AS MATERIALIZED (
            SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
            FROM v$k, unnest(generate_series(1, len(syms) - 1)) AS t$k(i)
            GROUP BY 1, 2),
          w$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1)"""
-      val next =
-        s"""v${k + 1} AS MATERIALIZED (
-           SELECT cnt, list_filter(list_transform(generate_series(1, len(syms)), i ->
-               CASE WHEN f[i] THEN ml || mr
-                    WHEN i > 1 AND f[i-1] THEN NULL
-                    ELSE syms[i] END), x -> x IS NOT NULL) AS syms
-           FROM (
-             SELECT cnt, syms, w$k.l AS ml, w$k.r AS mr,
-               list_transform(generate_series(1, len(syms)), i ->
-                 i < len(syms) AND syms[i] = w$k.l AND syms[i+1] = w$k.r AND
-                 (w$k.l <> w$k.r OR
-                  (i - coalesce(list_max(list_filter(generate_series(1, i),
-                     j -> syms[j] <> w$k.l)), 0) - 1) % 2 = 0)
-               ) AS f
-             FROM v$k, w$k) z$k)"""
-      if (k == numMerges - 1) pairs else pairs + ",\n" + next
-    }.mkString(",\n")
+      if (k == n - 1) Seq(pairs)
+      else Seq(pairs, bpeApplyMergeCte(s"v$k", s"v${k + 1}", s"w$k", s"z$k", "cnt"))
+    }
+  }
+
+  /** Per-document segmentation CTE chain `dw, d0..d{n}`: every document
+    * word through the same n merges, in rank order. */
+  private def bpeSegmentCtes(n: Int): Seq[String] = {
+    val head =
+      s"""dw AS (
+         SELECT doc_id, ws[i] AS w, i
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+               FROM documents),
+              unnest(generate_series(1, len(ws))) AS tt(i)
+       ), d0 AS MATERIALIZED (
+         SELECT doc_id, i, list_append(string_split(w, ''), '</w>') AS syms FROM dw
+       )"""
+    head +: (0 until n).map(k =>
+      bpeApplyMergeCte(s"d$k", s"d${k + 1}", s"w$k", s"y$k", "doc_id, i"))
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
     val sel = (0 until numMerges).map(k =>
       s"""SELECT ${k + 1} AS "rank", l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM w$k""")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
-         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
-       ), wc AS (
-         SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE len(w) > 0 GROUP BY w
-       ), v0 AS MATERIALIZED (
-         SELECT cnt, list_append(string_split(w, ''), '</w>') AS syms FROM wc
-       ),
-       $rounds
+    s"""WITH ${bpeTrainerCtes(numMerges).mkString(",\n")}
        SELECT * FROM ($sel) ORDER BY "rank""""
+  }
+
+  /** DuckDB replay of [[graft.pipeline.Bpe.segment]] with the runtime
+    * 8-merge fixture: recompute the merges (trainer chain), apply them to
+    * every document word positionally, flatten in word order. */
+  private def bpeSegmentOracle(n: Int): String =
+    s"""WITH ${(bpeTrainerCtes(n) ++ bpeSegmentCtes(n)).mkString(",\n")}
+       , per_doc AS (
+         SELECT doc_id, flatten(list(syms ORDER BY i)) AS pieces FROM d$n GROUP BY doc_id
+       )
+       SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+         array_to_string(pieces[1:12], ' ') AS head_pieces
+       FROM per_doc ORDER BY doc_id"""
+
+  /** DuckDB replay of [[graft.pipeline.Bpe.encode]]: segmentation plus
+    * the deterministic id vocabulary (`<unk>`, sorted base symbols,
+    * merges by rank; first occurrence wins, ids consecutive). */
+  private def bpeEncodeOracle(n: Int): String = {
+    val mergedList = "[" +
+      (0 until n).map(k => s"(SELECT l || r FROM w$k)").mkString(", ") + "]"
+    s"""WITH ${(bpeTrainerCtes(n) ++ bpeSegmentCtes(n)).mkString(",\n")}
+       , base AS (
+         SELECT list(DISTINCT sym ORDER BY sym) AS bs
+         FROM (SELECT unnest(syms) AS sym FROM v0)
+       ), alltoks AS (
+         SELECT ['<unk>'] || bs || $mergedList AS ts FROM base
+       ), pos AS (
+         SELECT ts[i] AS tok, i FROM alltoks, unnest(generate_series(1, len(ts))) AS tp(i)
+       ), ids AS MATERIALIZED (
+         SELECT tok, CAST(row_number() OVER (ORDER BY min(i)) - 1 AS INT) AS id
+         FROM pos GROUP BY tok
+       ), pieces AS (
+         SELECT doc_id, i AS wi, p.j AS pj, syms[p.j] AS piece
+         FROM d$n, unnest(generate_series(1, len(syms))) AS p(j)
+       ), coded AS (
+         SELECT doc_id, wi, pj, coalesce(ids.id, 0) AS id
+         FROM pieces LEFT JOIN ids ON pieces.piece = ids.tok
+       ), per_doc AS (
+         SELECT doc_id, list(id ORDER BY wi, pj) AS idl FROM coded GROUP BY doc_id
+       )
+       SELECT doc_id, CAST(len(idl) AS INT) AS n_ids,
+         array_to_string(list_transform(idl[1:16], x -> CAST(x AS VARCHAR)), ' ') AS head_ids
+       FROM per_doc ORDER BY doc_id"""
   }
 
   /** Generated DuckDB replay of
@@ -2927,6 +3029,26 @@ object SparkEntry {
              / count(*), 6) AS nll
          FROM toks JOIN c USING (tok) CROSS JOIN t
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    "q_text_lm2" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+         ), bg AS (
+           SELECT doc_id,
+             CASE WHEN i = 1 THEN chr(1) || 's' ELSE ws[i-1] END AS prev,
+             ws[i] AS cur
+           FROM d, unnest(generate_series(1, len(ws))) AS t(i)
+         ), c2 AS (
+           SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+         ), c1 AS (
+           SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+         ), v AS (
+           SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM bg
+         )
+         SELECT bg.doc_id,
+           round(CAST(sum(CAST(-ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS nll2
+         FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+         GROUP BY bg.doc_id ORDER BY doc_id""",
     "q_bpe_pairs" ->
       """WITH words AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -2943,6 +3065,8 @@ object SparkEntry {
          SELECT s[i] AS l, s[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
          FROM idx GROUP BY 1, 2 ORDER BY l, r""",
     "q_bpe_train" -> bpeTrainOracle(16),
+    "q_bpe_segment" -> bpeSegmentOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_classify_train" -> classifyTrainOracle(12),
     "q_text_quality" ->
       """SELECT doc_id,
@@ -3561,6 +3685,20 @@ object SparkEntry {
                   FROM embeddings, q)
          SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
          FROM d ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "q_embed_band" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            d AS (SELECT vec_id,
+                    list_reduce(list_transform(list_zip(embedding, qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v) AS dot,
+                    list_reduce(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS n2,
+                    list_reduce(list_transform(qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS qn2
+                  FROM embeddings, q)
+         SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
+         FROM d WHERE dot / (sqrt(n2) * sqrt(qn2)) >= 0.1
+           AND dot / (sqrt(n2) * sqrt(qn2)) < 0.5
+         ORDER BY cosine DESC, vec_id""",
     "q_embed_quantize" ->
       """WITH s AS (
            SELECT vec_id, embedding,

@@ -49,6 +49,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** HARD-NEGATIVE band scan: all vectors whose cosine against the query
+    * falls in `[lo, hi)` — the contrastive-training mining primitive
+    * ("close, but not a duplicate": above `hi` are positives/near-dups,
+    * below `lo` are easy negatives that teach nothing). Exact and
+    * map-only: scan → project → filter, no top-k heap, no shuffle; the
+    * band predicate sits on a computed column so the only cost over a
+    * count(*) is the dot kernel. Compose per-anchor via the batch kNN
+    * machinery when mining negatives for a whole positive set; the
+    * IVF-pruned variant ([[ivfBandScan]]) is the 100 TB path. Output is
+    * ordered (cosine DESC, id) — hardest negatives first. */
+  def bandScan(df: DataFrame, vecCol: String, idCol: String,
+               query: Seq[Float], lo: Double, hi: Double): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val q = typedLit(query)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+      .orderBy(col("cosine").desc, col(idCol))
+  }
+
+  /** [[bandScan]] against a persisted IVF index, pruned to the `nProbe`
+    * cells nearest the query (partition filter — probe I/O is
+    * `nProbe/nCells` of the corpus). Approximate exactly like
+    * [[ivfTopK]]: band members living in unprobed cells are missed;
+    * widen `nProbe` for recall (negatives are plentiful — missing some
+    * is the cheap side of the trade). */
+  def ivfBandScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                  centroids: Array[Seq[Float]], vecCol: String, idCol: String,
+                  query: Seq[Float], lo: Double, hi: Double,
+                  nProbe: Int = 4): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val cells = nearestCells(centroids, query, nProbe)
+    val q = typedLit(query)
+    spark.read.parquet(path)
+      .filter(col("__cell").isin(cells: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+      .orderBy(col("cosine").desc, col(idCol))
+  }
+
   /** Deterministic random hyperplanes: `nBits` planes in `dim` dims. */
   def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

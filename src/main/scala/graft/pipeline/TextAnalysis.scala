@@ -241,6 +241,64 @@ object TextAnalysis {
       .agg(round(sum(nllTok).cast("double") / count(lit(1)), 6).as(out))
   }
 
+  /** Sentence-start marker for [[lmScoreBigram]]: a control-char prefix a
+    * whitespace tokenizer can essentially never produce. */
+  private val BigramStart = "\u0001s"
+
+  /** BIGRAM language-model score: per document, the mean negative log
+    * likelihood of its tokens under an add-k-smoothed bigram model
+    * trained on `trainOn` (default: the corpus itself) — the next step up
+    * from [[lmScore]] toward CCNet's n-gram perplexity filter: a unigram
+    * model scores "rare words", a bigram model also scores "words in
+    * impossible orders" (shuffled text, keyword stuffing, boilerplate
+    * soup score high NLL even when every token is common).
+    *
+    * Model: `P(w_i | w_{i-1}) = (c2 + k) / (c1 + k·V)` with `c2` the
+    * bigram count, `c1 = Σ_cur c2(prev, ·)` the context count, `V` the
+    * training vocabulary size; the first token conditions on a sentence
+    * marker. Pairs unseen in an external training corpus fall back to the
+    * smoothed floor `k/(k·V)` — finite, never minus-infinity.
+    *
+    * Determinism across engines: the [[lmScore]] recipe — each bigram's
+    * `-ln P` rounds into DECIMAL(28,12) before the exact per-document
+    * sum; the final mean rounds to 6 decimals, far coarser than the
+    * ~1-ulp cross-engine `ln` drift.
+    *
+    * Plan shape: bigrams derive from the token ARRAY by zipping it with
+    * its own shift — no per-document window, no second shuffle; then one
+    * bigram-count aggregate (map-side combined), a model-sized context
+    * re-aggregate, a 1-row vocabulary broadcast, a bigram-keyed join back
+    * and one per-document re-aggregate. The model IS a distributed
+    * (prev, cur, count) table — persist it at 100 TB when reused. */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
+                    trainOn: Option[DataFrame] = None, addK: Double = 0.5,
+                    out: String = "nll2"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(addK > 0, s"addK must be > 0, got $addK")
+    def bigrams(d: DataFrame) = {
+      val ws = tokens(col(textCol))
+      val prevs = concat(array(lit(BigramStart)),
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))))
+      d.select(col(idCol),
+          explode(zip_with(prevs, ws, (a, b) =>
+            struct(a.as("p"), b.as("c")))).as("__b"))
+        .select(col(idCol), col("__b.p").as("__prev"), col("__b.c").as("__cur"))
+    }
+    val train = bigrams(trainOn.getOrElse(df))
+    val c2 = train.groupBy("__prev", "__cur").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("__prev").agg(sum(col("__c2")).as("__c1"))
+    val vocab = train.agg(count_distinct(col("__cur")).as("__v"))
+    val p = (coalesce(col("__c2"), lit(0L)).cast("double") + lit(addK)) /
+      (coalesce(col("__c1"), lit(0L)).cast("double") + lit(addK) * col("__v").cast("double"))
+    val nllTok = (-log(p)).cast(DecimalType(28, 12))
+    bigrams(df)
+      .join(c2, Seq("__prev", "__cur"), "left")
+      .join(c1, Seq("__prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(round(sum(nllTok).cast("double") / count(lit(1)), 6).as(out))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — the bag-of-words
     * unigram form): per document, the mean per-token log-ratio

@@ -1028,6 +1028,50 @@ class PipelineSpec extends SparkSpec {
     assert(r(1).getSeq[Int](3) == Seq(0, 0, 0))
   }
 
+  test("bandScan: exact cosine band hardest-first; IVF prune is a subset, full probe exact") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(5)._2
+    val got = Similarity.bandScan(df, "embedding", "vec_id", query, 0.2, 0.8)
+      .as[(Long, Double)].collect().toSeq
+    // exact baseline: every cosine, then the band filter
+    val all = Similarity.bruteTopK(df, "embedding", "vec_id", query, 300)
+      .as[(Long, Double)].collect().toSeq
+    val want = all.filter(r => r._2 >= 0.2 && r._2 < 0.8)
+    assert(got == want) // same values AND same hardest-first order
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == 5L)) // the anchor (cosine 1) is above hi
+    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString + "/idx"
+    val cents = Similarity.ivfWriteIndex(df, "embedding", "vec_id", 8, dir)
+    val pruned = Similarity.ivfBandScan(spark, dir, cents, "embedding", "vec_id",
+      query, 0.2, 0.8, nProbe = 4).as[(Long, Double)].collect().toSeq
+    assert(pruned.toSet.subsetOf(want.toSet)) // pruning only MISSES, never invents
+    val full = Similarity.ivfBandScan(spark, dir, cents, "embedding", "vec_id",
+      query, 0.2, 0.8, nProbe = 8).as[(Long, Double)].collect().toSeq
+    assert(full == want) // probing every cell degenerates to the exact scan
+  }
+
+  test("lmScoreBigram: scores word order, not just rarity; smoothing floors unseen pairs") {
+    val fluent = "the cat sat on the mat"
+    val docs = (1 to 20).map(i => (i.toLong, fluent)) :+ ((99L, "mat the on sat cat the"))
+    val df = docs.toDF("doc_id", "text")
+    val bi = TextAnalysis.lmScoreBigram(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val uni = TextAnalysis.lmScore(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    // same token multiset: the unigram model is blind to the scramble...
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9)
+    // ...the bigram model is not
+    assert(bi(99L) > bi(1L) + 0.5, s"scrambled ${bi(99L)} vs fluent ${bi(1L)}")
+    // external training corpus: pairs it never saw get the finite
+    // smoothed floor k/(k·V), never minus-infinity/NaN
+    val train = Seq((1L, fluent)).toDF("doc_id", "text")
+    val ext = TextAnalysis.lmScoreBigram(Seq((7L, "zz qq")).toDF("doc_id", "text"),
+      "doc_id", "text", trainOn = Some(train)).as[(Long, Double)].collect()
+    assert(ext.length == 1 && !ext(0)._2.isNaN && !ext(0)._2.isInfinity)
+  }
+
   test("topKQuantized keeps the self-match and high overlap with exact top-k") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))

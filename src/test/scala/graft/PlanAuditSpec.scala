@@ -514,6 +514,24 @@ class PlanAuditSpec extends SparkSpec {
       .findAllMatchIn(p).length >= 2, p.take(3000))
   }
 
+  test("q_text_lm2: bigrams from the token-array shift — no per-document window") {
+    val p = plan("q_text_lm2")
+    assert(!p.contains("Window"), p.take(3000))
+    // model joins + per-doc re-aggregate only; the 1-row vocab is broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
+  test("q_embed_band: map-only scan+filter — no shuffle before the band cut") {
+    val p = plan("q_embed_band")
+    // the filter runs on the projected cosine before any exchange; the
+    // only sort is over the (small) surviving band
+    val exchangeIdx = p.indexOf("Exchange")
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx >= 0, p.take(3000))
+    assert(exchangeIdx < 0 || filterIdx > exchangeIdx, p.take(3000))
+  }
+
   test("q_quantiles: no whole-group percentile buffer anywhere in the plan") {
     val p = plan("q_quantiles")
     // the built-in exact percentile (TypedImperativeAggregate over a
