@@ -53,6 +53,24 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
       }
     }
+    // untimed TARGET-SF warmup for named heavy queries: the tiny-SF pass
+    // compiles every generated class, but the two 400M-iteration pair-loop
+    // queries (q_embed_knn*) additionally need profile-driven C2
+    // recompilation that only the big run itself triggers — ProbeBench
+    // convergence at sf1 is 254 -> 168 -> 156 -> 67 s on this host, so even
+    // min-of-3 reports a compilation artifact, not the steady state a
+    // deployment pays. Listing them here runs ONE untimed full-scale pass
+    // first. Off by default (sf0.1 queries converge within min-of-3).
+    sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).foreach { n =>
+        SparkEntry.queries.get(n) match {
+          case Some(fn) =>
+            try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] heavy warm $n failed: $e") }
+          case None => System.err.println(s"[bench] heavy warm: no query $n")
+        }
+      }
     // stable name order: Map iteration order shifts whenever a query is
     // added, silently moving the JIT-warmup cost onto different queries
     // between rounds and making per-query numbers incomparable

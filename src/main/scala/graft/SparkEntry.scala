@@ -1420,6 +1420,41 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- BM25 ranked retrieval against a keyword query (Lucene idf form):
+    //      in-domain selection / curation sweeps. No token explode: per-doc
+    //      (dl, tf) in one codegen'd projection, one broadcast stats row,
+    //      TakeOrderedAndProject top-k. Exact oracle via the lmScore
+    //      decimal-quantized-contribution recipe.
+    "q_bm25" -> ((s, dir) => {
+      graft.pipeline.Retrieval.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "merge", "vector"), k = 15)
+    }),
+
+    // ---- fixed-token-window chunking with overlap (RAG / long-doc
+    //      preprocessing; the inverse of q_pack_sequences). Map-only.
+    "q_chunk" -> ((s, dir) => {
+      graft.pipeline.Retrieval.chunkByTokens(T(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 24, overlap = 8)
+        .warpSort(Seq(Order(col("doc_id")), Order(col("chunk_id"))))
+    }),
+
+    // ---- deterministic k-means over the embedding corpus (semantic
+    //      clustering for curation): pinned init/tie-break/decimal-mean
+    //      arithmetic make the full Lloyd iteration EXACTLY replayable by
+    //      the DuckDB oracle (unrolled rounds) — clustering with a
+    //      bit-for-bit external check, not just an inertia eyeball.
+    "q_kmeans" -> ((s, dir) => {
+      graft.pipeline.Cluster.kmeansAssign(T(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2)
+        .withColumn("dist2", round(col("dist2"), 6))
+        .warpSort(Seq(Order(col("vec_id"))))
+    }),
+    "q_kmeans_summary" -> ((s, dir) => {
+      graft.pipeline.Cluster.kmeansSummary(T(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2)
+        .warpSort(Seq(Order(col("cluster"))))
+    }),
+
     // ---- END-TO-END CURATION PIPELINE: the engine's flagship composite —
     //      quality-score + language-ID (map-only, one pass), filter, exact
     //      near-dup removal on the normalized-content fingerprint (ONE
@@ -2284,7 +2319,113 @@ object SparkEntry {
        SELECT * FROM ($out) ORDER BY idx"""
   }
 
+  /** A double constant for oracle SQL, parse-exact: Scala's shortest
+    * round-trip repr, parsed via VARCHAR so DuckDB cannot route it through
+    * a decimal literal (which would double-round non-representable values
+    * like `k1+1.0 = 2.2000000000000002`). */
+  private def dlit(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** Unrolled-Lloyd DuckDB oracle for q_kmeans(+_summary): replays the
+    * exact [[graft.pipeline.Cluster.kmeansAssign]] chain — init from the
+    * k lowest ids, `n2 + c2 − 2·dot` left-fold distance, (dist, cluster)
+    * tie-break, DECIMAL(30,15) per-dimension sums with one double
+    * division (VARCHAR-routed decimal→double: DuckDB's direct cast can
+    * double-round). */
+  private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
+    val dotVC = "list_reduce(list_transform(list_zip(e.v, c.c), " +
+      "p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, w) -> acc + w)"
+    val c2 = "list_reduce(list_transform(c.c, x -> x * x), (acc, w) -> acc + w)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         SELECT vec_id, v, cl, d FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM (
+             SELECT e.vec_id, e.v, c.cl, e.n2 + $c2 - 2.0 * $dotVC AS d
+             FROM e, $cents c))
+         WHERE rn = 1)"""
+    val rounds = (0 until iters).map { r =>
+      s"""${assignCte(s"a$r", s"c$r")},
+       m$r AS MATERIALIZED (
+         SELECT cl, i,
+           CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mu
+         FROM (SELECT cl, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a$r)
+         GROUP BY cl, i),
+       c${r + 1} AS MATERIALIZED (
+         SELECT p.cl,
+           CASE WHEN count(m.mu) = 0 THEN any_value(p.c)
+                ELSE list(m.mu ORDER BY m.i) END AS c
+         FROM c$r p LEFT JOIN m$r m ON p.cl = m.cl
+         GROUP BY p.cl)"""
+    }.mkString(",\n")
+    val out =
+      if (summary)
+        """SELECT cl AS cluster, count(*) AS n,
+           round(CAST(CAST(sum(CAST(d AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             / count(*), 6) AS mean_dist2
+         FROM afin GROUP BY cl ORDER BY cluster"""
+      else "SELECT vec_id, cl AS cluster, round(d, 6) AS dist2 FROM afin ORDER BY vec_id"
+    s"""WITH e AS MATERIALIZED (
+         SELECT vec_id, embedding AS v,
+           list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w) AS n2
+         FROM embeddings),
+       c0 AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+       $rounds,
+       ${assignCte("afin", s"c$iters")}
+       $out"""
+  }
+
+  /** DuckDB oracle for q_bm25, mirroring
+    * [[graft.pipeline.Retrieval.bm25TopK]] shape-for-shape (same operator
+    * tree, same decimal quantization of each term's contribution). */
+  private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val tfs = terms.indices.map(i =>
+      s"CAST(len(list_filter($toks, w -> w = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(",\n           ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+    val contribs = terms.indices.map { i =>
+      val idf = s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))"
+      val denom = s"(tf$i + ${dlit(k1)} * (${dlit(1.0 - b)} + ${dlit(b)} * dl / (sumdl / n)))"
+      s"CAST(CASE WHEN tf$i > 0 THEN $idf * (tf$i * ${dlit(k1 + 1.0)}) / $denom ELSE 0.0 END AS DECIMAL(28,12))"
+    }.mkString("\n           + ")
+    val anyHit = terms.indices.map(i => s"tf$i").mkString(" + ") + " > 0"
+    s"""WITH f AS (
+         SELECT doc_id,
+           CAST(len($toks) AS DOUBLE) AS dl,
+           $tfs
+         FROM documents
+       ), st AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl, $dfs
+         FROM f
+       )
+       SELECT doc_id,
+         round(CAST(CAST($contribs AS VARCHAR) AS DOUBLE), 6) AS bm25
+       FROM f, st WHERE $anyHit
+       ORDER BY bm25 DESC, doc_id LIMIT $k"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
+    "q_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents
+         ), t2 AS (
+           SELECT doc_id, toks, len(toks) AS n FROM t
+           WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
+         ), c AS (
+           SELECT doc_id, toks, n, unnest(range(0, n, 16)) AS strt FROM t2
+         )
+         SELECT doc_id, CAST(strt // 16 AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, strt + 1, strt + 24), ' ') AS chunk_text,
+           CAST(least(n - strt, 24) AS INT) AS chunk_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_kmeans" -> kmeansOracle(8, 2, summary = false),
+    "q_kmeans_summary" -> kmeansOracle(8, 2, summary = true),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Deterministic distributed k-means over an embedding column — semantic
+  * clustering for corpus curation (topic balancing, per-cluster sampling
+  * caps, cluster-level dedup review). The IVF index builder
+  * ([[Similarity.ivfWriteIndex]]) uses seeded-SAMPLE Lloyd internally for
+  * speed; this operator is the exact, externally-checkable form: every
+  * choice (init, tie-break, mean arithmetic) is pinned so an independent
+  * engine replaying the same rounds produces byte-identical assignments
+  * (the DuckDB oracle for `q_kmeans` unrolls the same iterations in SQL).
+  *
+  * Determinism contract:
+  *   - init: the embeddings of the `k` smallest ids, floats widened to
+  *     double — no RNG;
+  *   - assignment: argmin over squared L2 computed as `n2 + c2 − 2·dot`
+  *     with every dot a left-fold in array order
+  *     ([[graft.functions.DotProductExpr]]) and `c2` a driver-side left
+  *     fold over the centroid; ties break to the lowest cluster id
+  *     (struct-min over `(dist, cluster)`);
+  *   - update: per-dimension means as EXACT DECIMAL(30,15) sums (the
+  *     [[Classifier.trainLogistic]] recipe — addend-quantized, so the
+  *     reduction is partial-aggregation-order independent) divided once
+  *     in double on the driver; an emptied cluster keeps its previous
+  *     centroid.
+  *
+  * Scale shape (100 TB): each round is one map pass (k dot kernels per
+  * row — `n2` shared via codegen subexpression elimination) plus ONE
+  * map-side-combined aggregate of k·dim decimal sums; the driver holds
+  * k·dim doubles, never data rows. The input projection is
+  * localCheckpointed once so the `iters+1` passes don't re-read the
+  * source. At 100 TB train centroids on a deterministic hash sample
+  * ([[Sampling]]) — k-means saturates long before the full corpus — then
+  * the final assignment pass here is the only full-data scan.
+  *
+  * Reference analogue: none (the reference has no vector surface); part
+  * of the beyond-reference LLM-pipeline tier alongside
+  * [[Similarity]]/[[Classifier]].
+  */
+object Cluster {
+
+  /** Cluster assignments after `iters` full Lloyd rounds: one row per
+    * input row with `cluster` (0-based, int) and `dist2` (squared L2 to
+    * its final centroid, double). Output ordering is the caller's
+    * concern; `q_kmeans` sorts by id. */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint(true)
+    try {
+      val init = base.orderBy(col("__id")).limit(k)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(init.length == k,
+        s"need at least $k non-null vectors for init, got ${init.length}")
+      var cents = init
+      for (_ <- 1 to iters) {
+        val sums = assign(base, cents)
+          .select(col("__c"), posexplode(col("__v")).as(Seq("__i", "__x")))
+          .groupBy("__c", "__i")
+          .agg(sum(col("__x").cast("double").cast(DecimalType(30, 15))).as("__s"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
+        }
+        cents = next
+      }
+      assign(base, cents)
+        .select(col("__id").as(idCol), col("__c").as("cluster"),
+          col("__d").as("dist2"))
+    } finally { base.unpersist(); () }
+  }
+
+  /** Per-cluster summary (size + mean squared distance, the inertia
+    * decomposition) — the curation report consumed by balancing/caps. */
+  def kmeansSummary(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(df, vecCol, idCol, k, iters)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist2").cast(DecimalType(30, 12))).cast("double") /
+          count(lit(1)), 6).as("mean_dist2"))
+
+  /** One assignment pass under literal centroids. `n2 + c2 − 2·dot`, left
+    * to right; the struct-min tie-breaks equal distances to the lowest
+    * cluster id. */
+  private def assign(base: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val n2 = Similarity.dot(col("__v"), col("__v"))
+    val cands = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (n2 + lit(c2) - lit(2.0) * Similarity.dot(col("__v"), typedLit(c.toSeq)))
+          .as("d"),
+        lit(j).as("c"))
+    }
+    base.withColumn("__b", array_min(array(cands.toIndexedSeq: _*)))
+      .select(col("__id"), col("__v"),
+        col("__b.c").as("__c"), col("__b.d").as("__d"))
+  }
+}

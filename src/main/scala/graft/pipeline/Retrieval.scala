@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical retrieval + chunking for training-data pipelines: BM25 scoring
+  * against a keyword query (in-domain selection, eval-leak triage, "find
+  * the docs about X" curation sweeps) and fixed-token-window chunking (the
+  * RAG / long-document preprocessing step that [[Packing.packSequences]]
+  * is the inverse of).
+  *
+  * Everything here is deterministic, shuffle-light, and SQL-expressible —
+  * the `q_bm25` / `q_chunk` DuckDB oracles recompute both end-to-end.
+  *
+  * Reference analogue: the reference's search step (QBESentence /
+  * filtering UI) is substring match ([[WarpOps.search]]); ranked lexical
+  * retrieval is part of the beyond-reference LLM-pipeline tier.
+  */
+object Retrieval {
+
+  /** BM25 top-k for one bag-of-terms query (Robertson k1/b, the Lucene
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf form — nonnegative even for
+    * terms in more than half the corpus).
+    *
+    * Scale shape (100 TB): NO token explode and NO per-token shuffle —
+    * each document maps to `1 + |terms|` small integers (`dl`, per-term
+    * tf) in one codegen'd projection over the token array; corpus stats
+    * (N, avgdl, per-term df) are ONE map-side-combined aggregate to a
+    * single broadcast row; scoring is a second map pass; the top-k is
+    * TakeOrderedAndProject (per-partition k-heaps, driver merges k rows
+    * per partition — no global sort). Two scans of the source, both
+    * column-pruned to (id, text).
+    *
+    * Determinism across engines: the [[TextAnalysis.lmScore]] recipe —
+    * every per-term contribution is computed in double with a pinned
+    * expression shape (`idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`,
+    * left-to-right), quantized to DECIMAL(28,12), and summed exactly; the
+    * final score rounds to 6 decimals, far coarser than cross-engine `ln`
+    * ulp drift. Ties break on ascending id. Documents matching no term
+    * are dropped (score 0 rows are not emitted).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be > 0, got $k")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one projection: dl + per-term tf (filter over the materialized
+    // array; CollapseProject keeps the multiply-referenced token array in
+    // its own Project so split() runs once per row)
+    val feat = df.select(
+      col(idCol) +:
+        size(toks).cast("double").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          // count via array_remove (codegen'd) — the HOF filter(λ) form is
+          // CodegenFallback and would interpret per row per term
+          (size(toks) - size(array_remove(toks, t))).cast("double").as(s"__tf$i")
+        }: _*)
+    val statAggs =
+      count(lit(1)).cast("double").as("__n") +:
+        sum(col("__dl")).cast("double").as("__sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i"))
+    val stats = feat.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("__sumdl") / col("__n")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      val c = idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+      when(tf > 0, c).otherwise(lit(0.0)).cast(DecimalType(28, 12))
+    }
+    feat.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(contribs.reduce(_ + _).cast("double"), 6).as("bm25"),
+        (terms.indices.map(i => col(s"__tf$i")).reduce(_ + _) > 0).as("__hit"))
+      .filter(col("__hit")).drop("__hit")
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Fixed-size overlapping token-window chunks: one output row per
+    * window of `chunkTokens` whitespace tokens, stepping by
+    * `chunkTokens − overlap`. The final chunk may be short; a document
+    * emits chunks while `start < n_tokens`, so an empty document emits
+    * none. Output: (id, chunk_id 0-based, chunk_text, n_tokens).
+    *
+    * Scale shape: map-only — the token array materializes once per row in
+    * its own projection, window starts come from a bounded `sequence`
+    * (array length / stride elements, proportional to the document — the
+    * same bound as the text itself), and `slice` on the materialized
+    * array is linear per chunk. No shuffle anywhere; chunking 100 TB is
+    * embarrassingly parallel. (Contrast with the quadratic HOF-slice trap
+    * documented on [[Dedup.shingles]]: the array here is a plain column,
+    * not re-evaluated per lambda element.) */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0 &&
+        !(size(col("__toks")) === 1 && element_at(col("__toks"), 1) === ""))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("__start"), lit(chunkTokens))
+          .as("chunk_tokens"))
+  }
+}
