@@ -1455,6 +1455,34 @@ object SparkEntry {
         .warpSort(Seq(Order(col("cluster"))))
     }),
 
+    // ---- tokenizer fertility per (source, lang): subword-per-word cost
+    //      signal for mixture/budget decisions; all-integer until the
+    //      final division, so exact cross-engine
+    "q_fertility" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fertilityReport(
+          T(s, dir, "documents"), Seq("source", "lang"), "text")
+        .warpSort(Seq(Order(col("source")), Order(col("lang"))))
+    }),
+
+    // ---- deterministic PageRank over the customer<->supplier trade graph
+    //      (the "domain quality weight" signal at corpus scale): per-edge
+    //      contributions quantize to DECIMAL(30,15) before the per-node
+    //      sum, so 3 full rounds replay bit-for-bit in the unrolled DuckDB
+    //      oracle. The undirected-ized edge set has no dangling nodes;
+    //      the dangling term is still computed each round (and oracled).
+    "q_pagerank" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .withColumn("pagerank", round(col("pagerank"), 9))
+        .warpSort(Seq(Order(col("node"))))
+    }),
+
     // ---- END-TO-END CURATION PIPELINE: the engine's flagship composite —
     //      quality-score + language-ID (map-only, one pass), filter, exact
     //      near-dup removal on the normalized-content fingerprint (ONE
@@ -2408,7 +2436,58 @@ object SparkEntry {
        ORDER BY bm25 DESC, doc_id LIMIT $k"""
   }
 
+  /** Unrolled PageRank oracle replaying
+    * [[graft.pipeline.Graph.pageRank]]'s exact round arithmetic over the
+    * q_pagerank trade graph. */
+  private def pagerankOracle(iters: Int, damping: Double): String = {
+    val d = dlit(damping)
+    val rounds = (0 until iters).map { r =>
+      s"""dang$r AS MATERIALIZED (
+         SELECT coalesce(CAST(CAST(sum(CAST(pr AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 0.0) AS dm
+         FROM p$r LEFT JOIN deg ON p$r.node = deg.src WHERE deg.src IS NULL),
+       i$r AS MATERIALIZED (
+         SELECT e.dst AS node,
+           sum(CAST(p.pr / CAST(deg.dg AS DOUBLE) AS DECIMAL(30,15))) AS s
+         FROM e JOIN p$r p ON e.src = p.node JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+       p${r + 1} AS MATERIALIZED (
+         SELECT prev.node,
+           (1.0 - $d) / nn.n
+             + $d * coalesce(CAST(CAST(i.s AS VARCHAR) AS DOUBLE), 0.0)
+             + $d * dang$r.dm / nn.n AS pr
+         FROM p$r prev LEFT JOIN i$r i ON prev.node = i.node, nn, dang$r)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       ), e AS MATERIALIZED (
+         SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+       ), nd AS MATERIALIZED (
+         SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e)
+       ), deg AS MATERIALIZED (SELECT src, count(*) AS dg FROM e GROUP BY src),
+       nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+       p0 AS MATERIALIZED (SELECT nd.n AS node, 1.0 / nn.n AS pr FROM nd, nn),
+       $rounds
+       SELECT node, round(pr, 9) AS pagerank FROM p$iters ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle(3, 0.85),
+    "q_fertility" ->
+      """SELECT source, lang, count(*) AS docs,
+         sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT))
+           AS ws_tokens,
+         sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT))
+           AS bpe_tokens,
+         CASE WHEN sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)) > 0 THEN
+           CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)) AS DOUBLE)
+             / sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT))
+           ELSE 0.0 END AS fertility
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
     "q_chunk" ->
       """WITH t AS (

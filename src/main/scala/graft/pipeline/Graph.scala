@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics over edge tables. Connected components (the
+  * dedup-cluster machinery) lives in [[Dedup.connectedComponents]]; this
+  * object holds the rank/importance side — PageRank as the
+  * "domain/entity quality weight" signal a curation pipeline mixes into
+  * sampling (the classic web-graph quality prior).
+  *
+  * Like [[Cluster]] and [[Classifier]], the iteration is DETERMINISTIC
+  * and externally replayable: per-edge contributions quantize to
+  * DECIMAL(30,15) before the per-node sum (partial-aggregation-order
+  * independent), the two scalar terms each round (uniform base, dangling
+  * redistribution) are single double operations on the driver, and the
+  * `q_pagerank` DuckDB oracle unrolls the same rounds and hash-matches.
+  *
+  * Scale shape (100 TB of edges): each round is ONE join of the edge
+  * table with the node-rank table keyed on source (the edge table is
+  * repartitioned by source once, up front, and localCheckpointed — the
+  * per-round join reuses that exchange), one map-side-combined decimal
+  * sum keyed on destination, a 1-row dangling aggregate, and a left join
+  * back to the node set. The driver holds two scalars, never a vector of
+  * ranks. Hub destinations skew the dst-sum shuffle — AQE skew handling
+  * or [[graft.operators.WarpOps.saltedJoin]]-style salting applies; the
+  * decimal sum is associative so salted partial sums stay exact.
+  */
+object Graph {
+
+  /** PageRank after `iters` rounds at the given damping. Nodes are the
+    * distinct endpoints of `edges`; multi-edges weight the source's
+    * contribution multiply (dedupe upstream for simple-graph semantics).
+    * Dangling mass (nodes with no out-edges) redistributes uniformly.
+    * Output: (node, pagerank), one row per node, sum ≈ 1. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85,
+               out: String = "pagerank"): DataFrame = {
+    // iters >= 1: the result must be a materialized checkpoint of its own
+    // before the finally-block unpersists the edge/node checkpoints it
+    // derives from (recomputing an unpersisted LOCAL checkpoint fails)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("__n"))
+      .union(e.select(col("__dst"))).distinct().localCheckpoint(true)
+    try {
+      val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      val n = nodes.count()
+      require(n > 0, "cannot rank an empty graph")
+      var pr = nodes.withColumn("__pr", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        val withDeg = pr.join(deg, pr("__n") === deg("__src"), "left")
+          .select(col("__n"), col("__pr"), col("__deg"))
+        // dangling mass: exact decimal sum -> one double, on the driver
+        val dangRow = withDeg.filter(col("__deg").isNull)
+          .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__d")).head()
+        val dangD = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDecimal(0).doubleValue()
+        val contrib = e.join(withDeg.filter(col("__deg").isNotNull),
+            col("__src") === col("__n"))
+          .select(col("__dst"),
+            (col("__pr") / col("__deg").cast("double"))
+              .cast(DecimalType(30, 15)).as("__c"))
+          .groupBy("__dst").agg(sum(col("__c")).as("__in"))
+        val base = (1.0 - damping) / n.toDouble
+        val share = damping * dangD / n.toDouble
+        val next = nodes.join(contrib, nodes("__n") === contrib("__dst"), "left")
+          .select(col("__n"),
+            (lit(base) +
+              lit(damping) * coalesce(col("__in").cast("double"), lit(0.0)) +
+              lit(share)).as("__pr"))
+          .localCheckpoint(true) // eager: safe to drop the previous round
+        pr.unpersist()
+        pr = next
+      }
+      pr.select(col("__n").as("node"), col("__pr").as(out))
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
+}

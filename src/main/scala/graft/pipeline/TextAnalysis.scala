@@ -503,6 +503,24 @@ object TextAnalysis {
     C(graft.functions.FixMojibakeExpr(E(textCol)))
   }
 
+  /** Tokenizer-fertility report per corpus slice: whitespace-token and
+    * BPE-ish-token totals with their ratio ("subword tokens per word") —
+    * the per-source/per-language cost signal that drives mixture and
+    * budget decisions (a high-fertility slice burns more of a fixed token
+    * budget per word of content). All-integer until the final division,
+    * so the report is exact and engine-portable. One map pass (both
+    * counts ride the one [[textStats]] kernel call) + one
+    * map-side-combined aggregate, grouped by the (small) slice keys. */
+  def fertilityReport(df: DataFrame, groupCols: Seq[String],
+                      textCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("ws_tokens"),
+        sum(tokenCountBpe(col(textCol)).cast("long")).as("bpe_tokens"))
+      .withColumn("fertility",
+        when(col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens")).otherwise(lit(0.0)))
+
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */
   def fingerprintMd5(textCol: Column): Column =

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Graph
+
+/** PageRank laws on hand-built graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 3) =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("two-node cycle is the uniform fixed point") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"), iters = 5)
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("rank mass is conserved (sums to 1) with dangling nodes present") {
+    // c is dangling: a->c, b->c, a->b
+    val r = ranks(Seq("a" -> "c", "b" -> "c", "a" -> "b"), iters = 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("c") > r("b") && r("b") > 0) // the sink collects the most mass
+  }
+
+  test("a hub pointed to by everyone outranks the spokes") {
+    val spokes = (1 to 6).map(i => s"n$i" -> "hub")
+    val back = (1 to 6).map(i => "hub" -> s"n$i") // keep hub non-dangling
+    val r = ranks(spokes ++ back)
+    assert((1 to 6).forall(i => r("hub") > r(s"n$i")))
+  }
+
+  test("pagerank is invariant to input partitioning (decimal-exact sums)") {
+    val edges = (1 to 40).flatMap(i => Seq(s"u${i % 7}" -> s"v${i % 11}", s"v${i % 11}" -> s"u${i % 5}"))
+    val df = edges.toDF("s", "d")
+    val a = Graph.pageRank(df.repartition(1), "s", "d", 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(df.repartition(13), "s", "d", 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  test("multi-edges weight the contribution multiply (documented contract)") {
+    // a->b twice, a->c once: b receives 2/3 of a's damped mass
+    val r = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a"), iters = 1)
+    assert(r("b") > r("c"))
+  }
+}
