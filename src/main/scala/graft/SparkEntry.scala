@@ -1461,7 +1461,8 @@ object SparkEntry {
     "q_fertility" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.fertilityReport(
           T(s, dir, "documents"), Seq("source", "lang"), "text")
-        .warpSort(Seq(Order(col("source")), Order(col("lang"))))
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
     }),
 
     // ---- deterministic PageRank over the customer<->supplier trade graph
@@ -1480,7 +1481,7 @@ object SparkEntry {
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
         .withColumn("pagerank", round(col("pagerank"), 9))
-        .warpSort(Seq(Order(col("node"))))
+        .warpSort(Seq(Order(col("node"), numeric = false)))
     }),
 
     // ---- END-TO-END CURATION PIPELINE: the engine's flagship composite —
