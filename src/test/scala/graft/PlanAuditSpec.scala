@@ -548,6 +548,42 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(3000))
   }
 
+  test("q_bm25: corpus stats broadcast; top-k via per-partition heaps") {
+    val p = plan("q_bm25")
+    // the 1-row stats table must broadcast into the scoring pass, and the
+    // final k rows come from TakeOrderedAndProject (per-partition heaps),
+    // never a global sort of the scored corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // no token explode anywhere: tf comes from array arithmetic, so the
+    // only Generate allowed is none at all
+    assert(!p.contains("Generate explode"), p.take(3000))
+  }
+
+  test("q_chunk: map-only until the output sort — one Generate, no join") {
+    val base = graft.pipeline.Retrieval.chunkByTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 24, 8)
+    val p = base.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(3000)) // embarrassingly parallel
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("kmeans assignment pass: argmin is map-only (no shuffle, no join)") {
+    // one Lloyd round's assign step must be scan -> project only; the
+    // centroids ride as literals, so a shuffle or join here would mean the
+    // operator stopped scaling as a map pass
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.pipeline.Cluster.kmeansAssign(emb, "embedding", "vec_id",
+      k = 2, iters = 1)
+    val p = out.queryExecution.executedPlan.toString
+    // the returned frame is the FINAL assign over a checkpointed base:
+    // Scan ExistingRDD + Project, nothing else
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("saltedJoin spreads a hot key across shards and preserves results") {
     val hot = (1 to 1000).map(i => (42L, i)) ++ Seq((7L, 0))
     val left = hot.toDF("k", "v")
