@@ -675,6 +675,21 @@ object SparkEntry {
       graft.sources.DbfSource.read(s, path).orderBy("suppkey")
     }),
 
+    // ---- Avro roundtrip (beyond-reference row-format ingestion): export
+    //      events once per data fingerprint as per-partition containers,
+    //      read back distributed (one task per file) with a filter —
+    //      timestamps travel as local-timestamp-micros logical type
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .selectColumns(Seq("event_id", "ts", "user_id", "event_type", "value"))
+      val path = s"/tmp/graft_avro_${dataFp(s, dir, "events")}"
+      graft.sources.AvroSource.writeOnce(ev, path)
+      graft.sources.AvroSource.read(s, path)
+        .warpFilter(col("event_type") === "click")
+        .selectColumns(Seq("event_id", "user_id", "value", "ts"))
+        .warpSort(Seq(Order(col("event_id"))))
+    }),
+
     // ---- ORC roundtrip (beyond-reference columnar interchange): export
     //      customer once per data fingerprint, read back with a filtered
     //      projection — pushdown into the ORC scan pinned in PlanAuditSpec
@@ -2475,6 +2490,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(3, 0.85),
+    "q_avro_roundtrip" ->
+      """SELECT event_id, user_id, value, ts FROM events
+         WHERE event_type = 'click' ORDER BY event_id""",
     "q_fertility" ->
       """SELECT source, lang, count(*) AS docs,
          sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -265,6 +265,50 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getDate(4).toString == "1999-12-31")
   }
 
+  test("avro: container roundtrip preserves types, nulls, timestamps, arrays") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("ts", TimestampNTZType),
+      StructField("day", DateType),
+      StructField("tags", ArrayType(StringType))))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "alpha", 1.5, true,
+        java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15, 123456000),
+        java.sql.Date.valueOf("2024-03-01"), Seq("x", "y")),
+      Row(2L, null, null, null, null, null, null),
+      Row(3L, "gamma", -0.25, false,
+        java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59),
+        java.sql.Date.valueOf("1970-01-01"), Seq.empty[String]))
+    val df = spark.createDataFrame(rows, st).repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    graft.sources.AvroSource.write(df, dir)
+    // one container per partition + the schema marker
+    val files = new java.io.File(dir).list().sorted.toSeq
+    assert(files.count(_.endsWith(".avro")) == 2, files)
+    assert(files.contains("_SCHEMA.avsc"))
+    val back = graft.sources.AvroSource.read(spark, dir)
+    assert(back.schema == st.copy(fields = st.fields.map(_.copy(nullable = true))) ||
+      back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        st.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("avro: distributed read is one task per container file") {
+    val df = sf("supplier").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro2").toString
+    graft.sources.AvroSource.write(df, dir)
+    val back = graft.sources.AvroSource.read(spark, dir)
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == df.count())
+  }
+
   test("jdbc: Derby roundtrip preserves nulls and negative doubles") {
     import graft.sources.JdbcSource
     val db = tmp("derbynull") + "/db"
