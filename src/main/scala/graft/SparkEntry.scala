@@ -1761,6 +1761,16 @@ object SparkEntry {
         .orderBy("qid", "id")
     }),
 
+    // ---- EXACT kNN graph via per-partition dgemm blocks + exact-fold
+    //      candidate re-scoring: same answer (and the same oracle) as
+    //      q_embed_knn without the 400M-iteration codegen loop and its
+    //      profile-compilation warmup cliff
+    "q_embed_knn_gemm" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnGraphGemm(emb, "embedding", "vec_id", 10)
+        .orderBy("qid", "id")
+    }),
+
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
     //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
@@ -4204,6 +4214,20 @@ object SparkEntry {
          SELECT a.user_id, a.started_ms, a.ended_ms, a.events
          FROM a JOIN l ON a.user_id = l.user_id AND a.sid < l.mx
          ORDER BY a.user_id, a.started_ms""",
+    "q_embed_knn_gemm" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         p AS (SELECT q.vec_id AS qid, d.vec_id AS id,
+             list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+               pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+               (acc, v) -> acc + v) / (d.nv * q.nv) AS cosine
+           FROM b d, b q WHERE d.vec_id <> q.vec_id),
+         r AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
+           FROM p)
+         SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
     "q_embed_knn" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

@@ -337,6 +337,147 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** BLAS-blocked EXACT kNN graph — the brute graph's hot loop moved off
+    * whole-stage codegen into dgemm. Same contract and (assuming the
+    * margin, below) IDENTICAL output to [[knnGraphBrute]]: q_embed_knn's
+    * oracle SQL gates this variant too.
+    *
+    * Why: the brute pair loop is a 400M-iteration generated function at
+    * 20k vectors and its steady state is profile-compilation-bound
+    * (PLANS.md r8: 254→67 s convergence at sf1 on this host). A
+    * per-partition `dgemm` does the same multiply-adds vectorized with no
+    * codegen warmup cliff, then candidate SELECTION keeps the top
+    * `k + margin` per (query, partition), and only candidates are
+    * re-scored with the EXACT left-fold arithmetic of
+    * [[graft.functions.DotProductExpr]] (same accumulation order, same
+    * norm expression) — so every emitted cosine is bit-identical to the
+    * kernel's and the final window top-k reproduces the brute result.
+    *
+    * Exactness caveat, stated rather than hidden: a true top-k member is
+    * lost only if dgemm's accumulation-order perturbation (~1e-15
+    * relative) demotes it by more than `margin` positions within one
+    * partition's candidate ranking — pinned differentially against
+    * [[knnGraphBrute]] in PipelineSpec and by the exact oracle in CI.
+    *
+    * Scale shape (100 TB): queries broadcast once (m·dim doubles); each
+    * corpus partition streams through block-sized dgemm calls (bounded
+    * buffers: blockRows·dim input, blockRows·qChunk output), emits
+    * O(m·(k+margin)) candidate rows, and the only shuffle is the final
+    * per-query top-k window over candidates — `partitions·(k+margin)`
+    * rows per query instead of the brute plan's full pair stream into
+    * WindowGroupLimit. */
+  def knnGraphGemm(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                   queries: Option[DataFrame] = None, margin: Int = 8,
+                   blockRows: Int = 8192, qChunk: Int = 4096): DataFrame = {
+    require(k > 0 && margin >= 0, s"need k > 0, margin >= 0; got $k, $margin")
+    val spark = df.sparkSession
+    val qdf = queries.getOrElse(df)
+    val qRows = qdf.select(col(idCol).cast("long"), col(vecCol)).collect()
+    val m = qRows.length
+    require(m > 0, "empty query set")
+    val dim = qRows(0).getSeq[Float](1).length
+    val qids = new Array[Long](m)
+    val qmat = new Array[Double](m * dim) // row-major m×dim == col-major dim×m
+    val qnorm = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val r = qRows(j); qids(j) = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      var d0 = 0; var acc = 0.0
+      while (d0 < dim) {
+        val x = v(d0).toDouble; qmat(j * dim + d0) = x; acc += x * x; d0 += 1
+      }
+      qnorm(j) = math.sqrt(acc); j += 1
+    }
+    val bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+    val cap = k + margin
+    val candRdd = df.select(col(idCol).cast("long"), col(vecCol))
+      .rdd.mapPartitions { it =>
+        val (qid, q, qn) = bq.value
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        // per-query candidate pools, flat: [j*cap + slot]
+        val cScore = Array.fill(m.toLong.toInt * cap)(Double.NegativeInfinity)
+        val cRow = new Array[Long](m * cap)
+        val cVec = new Array[Array[Float]](m * cap)
+        val cMin = new Array[Int](m) // slot of the pool minimum
+        val ids = new Array[Long](blockRows)
+        val vecs = new Array[Array[Float]](blockRows)
+        val x = new Array[Double](blockRows * dim) // col-major dim×b
+        // reciprocal norms: the selection loop multiplies instead of
+        // dividing (ranking is monotone in dot/|v|, |v| > 0) — a divide
+        // per pair is ~20 cycles against the ~3 the rest of the loop costs
+        val rnv = new Array[Double](blockRows)
+        val c = new Array[Double](blockRows * qChunk)
+        def flush(b: Int): Unit = {
+          var i = 0
+          while (i < b) {
+            val v = vecs(i); var d0 = 0; var acc = 0.0
+            while (d0 < dim) {
+              val xv = v(d0).toDouble; x(i * dim + d0) = xv; acc += xv * xv; d0 += 1
+            }
+            rnv(i) = 1.0 / math.sqrt(acc); i += 1
+          }
+          var q0 = 0
+          while (q0 < m) {
+            val qc = math.min(qChunk, m - q0)
+            // C (col-major b×qc) = Xᵀ(b×dim) · Q(dim×qc)
+            blas.dgemm("T", "N", b, qc, dim, 1.0, x, 0, dim,
+              q, q0 * dim, dim, 0.0, c, 0, b)
+            var jj = 0
+            while (jj < qc) {
+              val qj = q0 + jj
+              var ii = 0
+              while (ii < b) {
+                if (ids(ii) != qid(qj)) {
+                  val s = c(jj * b + ii) * rnv(ii) // rank by dot/|v| (|q| const per query)
+                  val base = qj * cap
+                  val mn = base + cMin(qj)
+                  // the id tie-break mirrors the final window's (cosine
+                  // DESC, id ASC) for exact-tie pools (duplicate vectors)
+                  if (s > cScore(mn) || (s == cScore(mn) && ids(ii) < cRow(mn))) {
+                    cScore(mn) = s; cRow(mn) = ids(ii); cVec(mn) = vecs(ii)
+                    // re-find the pool minimum
+                    var best = base; var t = base + 1
+                    while (t < base + cap) { if (cScore(t) < cScore(best)) best = t; t += 1 }
+                    cMin(qj) = best - base
+                  }
+                }
+                ii += 1
+              }
+              jj += 1
+            }
+            q0 += qc
+          }
+        }
+        var b = 0
+        it.foreach { r =>
+          ids(b) = r.getLong(0); vecs(b) = r.getSeq[Float](1).toArray; b += 1
+          if (b == blockRows) { flush(b); b = 0 }
+        }
+        if (b > 0) flush(b)
+        // exact re-score of survivors: the kernel's fold order, verbatim
+        (0 until m).iterator.flatMap { qj =>
+          val base = qj * cap
+          (0 until cap).iterator.filter(s => cScore(base + s) > Double.NegativeInfinity)
+            .map { s =>
+              val v = cVec(base + s)
+              var d0 = 0; var acc = 0.0; var n2 = 0.0
+              while (d0 < dim) {
+                val xv = v(d0).toDouble
+                acc += xv * q(qj * dim + d0); n2 += xv * xv; d0 += 1
+              }
+              (qid(qj), cRow(base + s), acc / (math.sqrt(n2) * qn(qj)))
+            }
+        }
+      }
+    import spark.implicits._
+    val pairs = candRdd.toDF("qid", "id", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Build an IVF index: assign every vector to its nearest of `nCells`
     * coarse centroids — a deterministic corpus sample refined by
     * `kmeansIter` Lloyd iterations (k-means under cosine: cells average

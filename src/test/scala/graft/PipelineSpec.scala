@@ -7,6 +7,24 @@ import graft.pipeline._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("knnGraphGemm reproduces the brute kNN graph exactly") {
+    val emb = sf("embeddings")
+    val brute = Similarity.knnGraphBrute(emb, "embedding", "vec_id", 10)
+      .orderBy("qid", "id").collect().toSeq
+    val gemm = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 10)
+      .orderBy("qid", "id").collect().toSeq
+    assert(gemm == brute) // ids AND bit-exact cosines
+  }
+
+  test("knnGraphGemm is block-size invariant (candidate pools per partition)") {
+    val emb = sf("embeddings").limit(120).repartition(5)
+    val a = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5)
+      .orderBy("qid", "id").collect().toSeq
+    val b = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5,
+      blockRows = 7, qChunk = 3).orderBy("qid", "id").collect().toSeq
+    assert(a == b)
+  }
+
   test("exact dedup keeps lowest id and counts dupes") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val out = Dedup.exact(df, "text", "id").orderBy("id").collect()
