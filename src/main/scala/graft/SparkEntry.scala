@@ -1729,6 +1729,17 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- SemDeDup: deterministic k-means clusters, then in-cluster
+    //      lower-id epsilon-ball pruning — the fully-replayable form of
+    //      semantic dedup (vs q_dedup_embed's seeded-sketch recall<1
+    //      pairs): the oracle unrolls the same Lloyd rounds AND the same
+    //      pairwise cosine compare, so is_dup/dup_of hash-match exactly.
+    "q_dedup_semantic" -> ((s, dir) => {
+      graft.pipeline.Dedup.semantic(T(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2, tau = 0.92)
+        .warpSort(Seq(Order(col("vec_id"))))
+    }),
+
     // ---- LSH sketch index BUILD (timed separately: amortized over every
     //      later probe; oracle = index row count equals corpus count)
     "q_embed_lsh_build" -> ((s, dir) => {
@@ -2385,7 +2396,30 @@ object SparkEntry {
     * tie-break, DECIMAL(30,15) per-dimension sums with one double
     * division (VARCHAR-routed decimal→double: DuckDB's direct cast can
     * double-round). */
-  private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
+  /** DuckDB oracle for q_dedup_semantic: replay the deterministic Lloyd
+    * rounds (shared with [[kmeansOracle]]), then the in-cluster
+    * lower-id epsilon-ball compare of [[graft.pipeline.Dedup.semantic]] —
+    * same left-fold cosine, same >= tau boundary, bit-for-bit. */
+  private def semdedupOracle(k: Int, iters: Int, tau: Double): String = {
+    val dotAB = "list_reduce(list_transform(list_zip(a.v, b.v), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, w) -> acc + w)"
+    def n2(t: String) = s"list_reduce(list_transform($t.v, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w)"
+    kmeansCtes(k, iters) +
+      s""",
+       pr AS (
+         SELECT a.vec_id AS aid, min(b.vec_id) AS dup_of
+         FROM afin a JOIN afin b ON a.cl = b.cl AND b.vec_id < a.vec_id
+         WHERE $dotAB / (sqrt(${n2("a")}) * sqrt(${n2("b")})) >= ${dlit(tau)}
+         GROUP BY a.vec_id)
+       SELECT a.vec_id, a.cl AS cluster, pr.dup_of IS NOT NULL AS is_dup, pr.dup_of
+       FROM afin a LEFT JOIN pr ON a.vec_id = pr.aid ORDER BY a.vec_id"""
+  }
+
+  /** Shared WITH-prefix for the k-means-replay oracles: `e` (vectors +
+    * norms), `c0..c$iters` (centroid rounds), `afin` (final assignment
+    * with vec_id, v, cl, d). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val dotVC = "list_reduce(list_transform(list_zip(e.v, c.c), " +
       "p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, w) -> acc + w)"
     val c2 = "list_reduce(list_transform(c.c, x -> x * x), (acc, w) -> acc + w)"
@@ -2411,13 +2445,6 @@ object SparkEntry {
          FROM c$r p LEFT JOIN m$r m ON p.cl = m.cl
          GROUP BY p.cl)"""
     }.mkString(",\n")
-    val out =
-      if (summary)
-        """SELECT cl AS cluster, count(*) AS n,
-           round(CAST(CAST(sum(CAST(d AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
-             / count(*), 6) AS mean_dist2
-         FROM afin GROUP BY cl ORDER BY cluster"""
-      else "SELECT vec_id, cl AS cluster, round(d, 6) AS dist2 FROM afin ORDER BY vec_id"
     s"""WITH e AS MATERIALIZED (
          SELECT vec_id, embedding AS v,
            list_reduce(list_transform(embedding,
@@ -2428,8 +2455,18 @@ object SparkEntry {
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
        $rounds,
-       ${assignCte("afin", s"c$iters")}
-       $out"""
+       ${assignCte("afin", s"c$iters")}"""
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
+    val out =
+      if (summary)
+        """SELECT cl AS cluster, count(*) AS n,
+           round(CAST(CAST(sum(CAST(d AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+             / count(*), 6) AS mean_dist2
+         FROM afin GROUP BY cl ORDER BY cluster"""
+      else "SELECT vec_id, cl AS cluster, round(d, 6) AS dist2 FROM afin ORDER BY vec_id"
+    kmeansCtes(k, iters) + "\n       " + out
   }
 
   /** DuckDB oracle for q_bm25, mirroring
@@ -2533,6 +2570,7 @@ object SparkEntry {
            CAST(least(n - strt, 24) AS INT) AS chunk_tokens
          FROM c ORDER BY doc_id, chunk_id""",
     "q_kmeans" -> kmeansOracle(8, 2, summary = false),
+    "q_dedup_semantic" -> semdedupOracle(8, 2, 0.92),
     "q_kmeans_summary" -> kmeansOracle(8, 2, summary = true),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -781,4 +781,54 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with the deterministic Lloyd iteration of
+    * [[Cluster.kmeansAssign]], then WITHIN each cluster flag a row as a
+    * duplicate iff some LOWER-id member sits within `tau` cosine of it —
+    * the per-cluster epsilon-ball pruning that makes semantic dedup
+    * tractable (pairs only ever form inside a cluster, never across the
+    * corpus). Unlike [[embeddingPairs]] (seeded hyperplane sketches,
+    * candidate recall < 1), every arithmetic choice here is pinned —
+    * k-means init/tie-breaks/decimal means, left-fold cosine — so the
+    * output is exactly replayable by an external engine (the `q_dedup_semantic`
+    * DuckDB oracle unrolls the same rounds and the same pairwise compare).
+    *
+    * Output: one row per input — (idCol, cluster, is_dup, dup_of) where
+    * `dup_of` is the smallest lower id within `tau` (null when none, in
+    * which case the row is kept).
+    *
+    * Scale shape (100 TB): the pairwise stage shuffles on cluster id and
+    * is quadratic ONLY within a cluster — the SemDeDup contract is that
+    * `k` grows with the corpus so cluster sizes stay bounded (the paper
+    * uses ~100k clusters for web scale; `maxCluster` caps the blow-up if
+    * a degenerate centroid attracts too much mass: clusters over the cap
+    * are pruned on their `maxCluster` smallest ids only, keeping the join
+    * bounded while still deduping the densest core). Vectors travel the
+    * shuffle once each side; everything downstream of the join is one
+    * codegen'd dot kernel plus a groupBy on the 8-byte id. */
+  def semantic(df: DataFrame, vecCol: String, idCol: String,
+               k: Int = 8, iters: Int = 2, tau: Double = 0.92,
+               maxCluster: Int = Int.MaxValue): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"tau in (-1, 1], got $tau")
+    val assign = Cluster.kmeansAssign(df, vecCol, idCol, k, iters)
+      .select(col(idCol).cast("long").as("__id"), col("cluster"))
+    val base = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .join(assign, "__id")
+    val pool =
+      if (maxCluster == Int.MaxValue) base
+      else base.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster").orderBy("__id")))
+        .filter(col("__rn") <= maxCluster).drop("__rn")
+    val dups = pool.select(col("cluster"), col("__id").as("__aid"), col("__v").as("__av"))
+      .join(pool.select(col("cluster"), col("__id").as("__bid"), col("__v").as("__bv")),
+        "cluster")
+      .filter(col("__bid") < col("__aid"))
+      .filter(Similarity.cosine(col("__av"), col("__bv")) >= tau)
+      .groupBy(col("__aid")).agg(min(col("__bid")).as("dup_of"))
+    base.join(dups, base("__id") === dups("__aid"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

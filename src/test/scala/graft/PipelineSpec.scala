@@ -1506,4 +1506,32 @@ class PipelineSpec extends SparkSpec {
     assert(HeavyHitters.topKExact(Seq.empty[String].toDF("x"), col("x"), 3).count() == 0)
     assert(HeavyHitters.topKExact(Seq(Option.empty[String]).toDF("x"), col("x"), 3).count() == 0)
   }
+
+  test("semantic dedup flags in-cluster lower-id epsilon neighbors") {
+    val emb = sf("embeddings")
+    // plant an exact copy of vector 0 at a high id: cosine 1.0 >= tau,
+    // same cluster by construction -> the copy is the dup, 0 is kept
+    val copy = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val out = Dedup.semantic(emb.unionByName(copy), "embedding", "vec_id",
+      k = 4, iters = 1, tau = 0.999)
+    val dup = out.filter(col("vec_id") === 1000000L).collect()
+    assert(dup.length == 1 && dup(0).getBoolean(2) && dup(0).getLong(3) == 0L)
+    val kept = out.filter(col("vec_id") === 0L).collect()
+    assert(kept.length == 1 && !kept(0).getBoolean(2) && kept(0).isNullAt(3))
+    assert(out.count() == emb.count() + 1) // one row per input, none dropped
+  }
+
+  test("semantic dedup maxCluster caps the pairwise pool but keeps all rows") {
+    val emb = sf("embeddings").limit(60)
+    // tau=-0.99: every (non-antipodal) row with a lower-id cluster-mate is a dup
+    val full = Dedup.semantic(emb, "embedding", "vec_id", k = 2, iters = 1, tau = -0.99)
+    val capped = Dedup.semantic(emb, "embedding", "vec_id", k = 2, iters = 1,
+      tau = -0.99, maxCluster = 5)
+    assert(capped.count() == 60 && full.count() == 60)
+    // with the cap only the 5 smallest ids per cluster can pair -> at most
+    // 4 dups per cluster; without it all but one per cluster are dups
+    assert(capped.filter(col("is_dup")).count() <= 8)
+    assert(full.filter(col("is_dup")).count() == 60 - 2)
+  }
 }
