@@ -1782,6 +1782,22 @@ object SparkEntry {
         .orderBy("qid", "id")
     }),
 
+    // ---- recall@10 of int8-quantized retrieval vs the exact kNN graph:
+    //      the index-quality gauge, with BOTH sides seedless so the whole
+    //      evaluation — quantize, dequantize, two top-k's, the recall
+    //      join — is replayed exactly by the DuckDB oracle.
+    "q_embed_recall_q8" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val exact = graft.pipeline.Similarity.knnGraphGemm(emb, "embedding", "vec_id", 10)
+      val deq = graft.pipeline.Similarity.quantizeInt8(emb, "embedding", "vec_id")
+        .select(col("vec_id"), transform(col("q_codes"),
+          c => col("q_lo") + col("q_scale") * c.cast("double")).as("embedding"))
+      val approx = graft.pipeline.Similarity.knnGraphBrute(
+        deq, "embedding", "vec_id", 10, queries = Some(emb))
+      graft.pipeline.Similarity.recallReport(exact, approx)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
     //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
@@ -4266,6 +4282,47 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+    "q_embed_recall_q8" ->
+      """WITH b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d, b q WHERE d.vec_id <> q.vec_id) WHERE rn <= 10),
+         qz AS (SELECT vec_id, embedding,
+           CAST(list_min(embedding) AS DOUBLE) AS q_lo,
+           (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0
+             AS q_scale
+         FROM embeddings),
+         cz AS (SELECT vec_id, q_lo, q_scale,
+           CASE WHEN q_scale > 0.0 THEN list_transform(embedding, x ->
+             least(255, greatest(0, CAST(floor((CAST(x AS DOUBLE) - q_lo) / q_scale) AS INT))))
+           ELSE list_transform(embedding, x -> 0) END AS q_codes
+         FROM qz),
+         dq AS (SELECT vec_id,
+           list_transform(q_codes, c -> q_lo + q_scale * CAST(c AS DOUBLE)) AS dv
+         FROM cz),
+         d2 AS (SELECT vec_id, dv,
+           sqrt(list_reduce(list_transform(dv, x -> x * x), (acc, v) -> acc + v)) AS nv
+         FROM dq),
+         ap AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.dv, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM d2 d, b q WHERE d.vec_id <> q.vec_id) WHERE rn <= 10),
+         h AS (SELECT ex.qid, count(*) AS hits FROM ex
+           JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id GROUP BY ex.qid),
+         t AS (SELECT qid, count(*) AS total FROM ex GROUP BY qid)
+       SELECT t.qid, coalesce(h.hits, 0) AS hits, t.total,
+         CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS recall
+       FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid""",
     "q_embed_knn" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

@@ -478,6 +478,31 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Per-query recall@k of an approximate top-k result against the exact
+    * one — the index-quality gauge that decides whether an ANN index
+    * (LSH/IVF/PQ/int8) is trustworthy before it serves the full corpus:
+    * run both paths on an evaluation sample, then deploy the cheap path
+    * only if the recall distribution clears the bar. Inputs are any two
+    * (qidCol, idCol) result frames (extra columns ignored); output is one
+    * row per exact-side query — (qid, hits, total, recall).
+    *
+    * Scale shape: both inputs are already top-k-sized (queries·k rows,
+    * never corpus-sized); the semi-join and the two groupBys shuffle on
+    * the 8-byte qid only. */
+  def recallReport(exact: DataFrame, approx: DataFrame,
+                   qidCol: String = "qid", idCol: String = "id"): DataFrame = {
+    val e = exact.select(col(qidCol).as("__q"), col(idCol).as("__i"))
+    val a = approx.select(col(qidCol).as("__q"), col(idCol).as("__i"))
+    val tot = e.groupBy("__q").agg(count(lit(1)).as("total"))
+    val hits = e.join(a, Seq("__q", "__i"), "left_semi")
+      .groupBy("__q").agg(count(lit(1)).as("hits"))
+    tot.join(hits, Seq("__q"), "left")
+      .select(col("__q").as(qidCol),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("total"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("total").cast("double")).as("recall"))
+  }
+
   /** Build an IVF index: assign every vector to its nearest of `nCells`
     * coarse centroids — a deterministic corpus sample refined by
     * `kmeansIter` Lloyd iterations (k-means under cosine: cells average

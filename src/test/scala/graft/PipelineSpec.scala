@@ -25,6 +25,16 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("recallReport: identical, partial, and absent approx results") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 9L))
+      .toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L)).toDF("qid", "id")
+    val out = Similarity.recallReport(exact, approx).orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // q1 full overlap, q2 half, q3 absent from approx entirely
+    assert(out.toSeq == Seq((1L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5), (3L, 0L, 1L, 0.0)))
+  }
+
   test("exact dedup keeps lowest id and counts dupes") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val out = Dedup.exact(df, "text", "id").orderBy("id").collect()
