@@ -1594,6 +1594,16 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- keep-best canonicalization: same components, but the winner is
+    //      the member with the most characters (tie -> lowest id) — the
+    //      production policy (keep the best copy, not an arbitrary one)
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Dedup.dedupByPairsBest(docs, "doc_id", chainEdges(docs), "n_chars")
+        .selectColumns(Seq("doc_id", "n_chars"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- deterministic train/val/test split: md5-bucket assignment, the
     //      same row lands in the same split on every engine and every run
     "q_split" -> ((s, dir) => {
@@ -3879,6 +3889,32 @@ object SparkEntry {
          )
          SELECT doc_id, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
+         ORDER BY doc_id""",
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE e AS (
+           SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+           WHERE d.doc_id % 10 < 9
+             AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+         ), und AS (
+           SELECT a, b FROM e UNION SELECT b, a FROM e
+         ), reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM und
+           UNION
+           SELECT u.a, r.lab FROM und u JOIN reach r ON r.id = u.b
+         ), cc AS (
+           SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         ), memb AS (
+           SELECT cc.id, cc.cluster, d.n_chars AS p
+           FROM cc JOIN documents d ON d.doc_id = cc.id
+         ), win AS (
+           SELECT id FROM (
+             SELECT id, row_number() OVER (
+               PARTITION BY cluster ORDER BY p DESC NULLS LAST, id) AS rn
+             FROM memb) WHERE rn = 1
+         )
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM cc)
+            OR doc_id IN (SELECT id FROM win)
          ORDER BY doc_id""",
     "q_split" ->
       """SELECT doc_id, lang,

@@ -511,6 +511,30 @@ object Dedup {
     df.join(nonCanonical, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST representative per duplicate cluster instead of the
+    * minimum id: resolve `pairs` into components, elect the member with
+    * the highest `priorityCol` (ties -> lowest id) per cluster, anti-join
+    * the losers out. The production form of [[dedupByPairs]] — a dedup
+    * pass should keep the best copy (longest text, highest quality score,
+    * preferred source), not an arbitrary one. Null priorities sort last
+    * (a null-quality row never beats a scored one).
+    *
+    * Scale shape: the window runs over dup-cluster MEMBERS only (pairs'
+    * id universe, not the corpus), and the final anti-join carries only
+    * loser ids — same O(duplicates) traffic as [[dedupByPairs]] plus one
+    * narrow join to fetch priorities. */
+  def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                       priorityCol: String, idCol1: String = "id1",
+                       idCol2: String = "id2"): DataFrame = {
+    val members = connectedComponents(pairs, idCol1, idCol2)
+      .join(df.select(col(idCol).as("id"), col(priorityCol).as("__p")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("__p").desc, col("id"))
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: 64-bit signature whose Hamming distance tracks cosine
     * similarity of the token multiset. A native codegen'd kernel
     * ([[graft.functions.SimHashExpr]]) — one static call per row inside

@@ -25,6 +25,17 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dedupByPairsBest keeps the highest-priority member, nulls lose") {
+    val df = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), (4L, Some(7L)),
+      (5L, None), (6L, Some(1L))).toDF("id", "quality")
+    // cluster {1,2,3}: 2 wins the 9-tie over 3 by lower id; {5,6}: the
+    // null-quality 5 loses to scored 6; 4 is untouched and passes through
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = Dedup.dedupByPairsBest(df, "id", pairs, "quality")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 4L, 6L))
+  }
+
   test("recallReport: identical, partial, and absent approx results") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 9L))
       .toDF("qid", "id")
