@@ -1073,6 +1073,20 @@ object SparkEntry {
         .orderBy("doc_id", "probe_id")
     }),
 
+    // ---- embedding-space decontamination: corpus vectors within tau
+    //      cosine of any held-out probe — catches paraphrased benchmark
+    //      leakage that shares no n-grams with the probe text; probes
+    //      broadcast (eval sets are small), corpus scans once, exact and
+    //      seedless so the oracle replays it bit-for-bit
+    "q_contamination_embed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      graft.pipeline.Similarity.semanticContamination(
+        emb.warpFilter(col("vec_id") % 50 =!= 0),
+        emb.warpFilter(col("vec_id") % 50 === 0),
+        "embedding", "vec_id", "vec_id", tau = 0.35)
+        .orderBy("id", "probe_id")
+    }),
+
     // ---- out-of-vocabulary rate vs the corpus top-16 vocabulary
     //      (CCNet-style rarity signal; ties break on the token string so
     //      the vocabulary is engine-reproducible. topK=16 because the
@@ -3267,6 +3281,23 @@ object SparkEntry {
            CAST(count(*) - count(v.tok) AS DOUBLE) / count(*) AS oov_rate
          FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q_contamination_embed" ->
+      """WITH c AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings WHERE vec_id % 50 <> 0),
+         p AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings WHERE vec_id % 50 = 0),
+         s AS (SELECT c.vec_id AS id, p.vec_id AS probe_id,
+           list_reduce(list_transform(list_zip(c.embedding, p.embedding),
+             pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+             (acc, v) -> acc + v) / (c.nv * p.nv) AS cosine
+         FROM c, p)
+       SELECT id, probe_id, cosine FROM s
+       WHERE cosine >= CAST('0.35' AS DOUBLE)
+       ORDER BY id, probe_id""",
     "q_contamination" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents

@@ -478,6 +478,28 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Embedding-space eval-set decontamination: every corpus row within
+    * `tau` cosine of ANY probe vector, with the probe and the exact
+    * cosine — the vector analogue of [[Dedup.contamination]]'s n-gram
+    * screen (paraphrased or re-embedded benchmark leakage that shares no
+    * n-grams still sits close in embedding space). Probes are an eval
+    * set: small by construction, so they BROADCAST and the corpus is one
+    * scan — no shuffle at all until the caller aggregates. Exact and
+    * seedless (left-fold dot, same as [[cosine]]), so an external engine
+    * replays it bit-for-bit; at 100 TB put [[knnGraphSketch]]'s Hamming
+    * gate in front if the probe set ever grows past broadcast size. */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+                            vecCol: String, idCol: String,
+                            probeIdCol: String, tau: Double): DataFrame = {
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__nv"))
+      .crossJoin(broadcast(probes.select(col(probeIdCol).as("probe_id"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__nq"))))
+      .select(col("id"), col("probe_id"),
+        (dot(col("__v"), col("__qv")) / (col("__nv") * col("__nq"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Per-query recall@k of an approximate top-k result against the exact
     * one — the index-quality gauge that decides whether an ANN index
     * (LSH/IVF/PQ/int8) is trustworthy before it serves the full corpus:
