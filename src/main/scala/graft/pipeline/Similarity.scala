@@ -374,7 +374,10 @@ object Similarity {
     val qdf = queries.getOrElse(df)
     val qRows = qdf.select(col(idCol).cast("long"), col(vecCol)).collect()
     val m = qRows.length
-    require(m > 0, "empty query set")
+    if (m == 0) { // empty query slice (e.g. a chunked-run hash slice)
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cosine")
+    }
     val dim = qRows(0).getSeq[Float](1).length
     val qids = new Array[Long](m)
     val qmat = new Array[Double](m * dim) // row-major m×dim == col-major dim×m
@@ -476,6 +479,29 @@ object Similarity {
       .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     pairs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** [[knnGraphGemm]] for query sets too large to collect at once: the
+    * query frame is split into `nChunks` deterministic id-hash slices,
+    * each slice runs the blocked-dgemm graph against the full corpus, and
+    * the union is EXACTLY the unchunked result (per-query top-k is
+    * independent across queries — pinned in PipelineSpec). This is the
+    * standard blocked-matmul trade made explicit: driver/broadcast memory
+    * per job drops to m/nChunks query vectors, paid for with nChunks
+    * corpus scans — at full-corpus self-graph scale pick nChunks so a
+    * slice fits the broadcast budget and let the scheduler pipeline the
+    * scans. */
+  def knnGraphGemmChunked(df: DataFrame, vecCol: String, idCol: String,
+                          k: Int, nChunks: Int,
+                          queries: Option[DataFrame] = None, margin: Int = 8,
+                          blockRows: Int = 8192, qChunk: Int = 4096): DataFrame = {
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
+    val qdf = queries.getOrElse(df)
+    (0 until nChunks).map { i =>
+      knnGraphGemm(df, vecCol, idCol, k,
+        Some(qdf.filter(pmod(xxhash64(col(idCol)), lit(nChunks)) === i)),
+        margin, blockRows, qChunk)
+    }.reduce(_.unionByName(_))
   }
 
   /** Embedding-space eval-set decontamination: every corpus row within

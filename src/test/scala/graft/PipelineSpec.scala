@@ -25,6 +25,31 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("knnGraphGemmChunked equals the unchunked graph; empty slices ok") {
+    val emb = sf("embeddings").limit(150)
+    val whole = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5)
+      .orderBy("qid", "id").collect().toSeq
+    val chunked = Similarity.knnGraphGemmChunked(emb, "embedding", "vec_id", 5,
+      nChunks = 7).orderBy("qid", "id").collect().toSeq
+    assert(chunked == whole)
+    // more chunks than queries -> some hash slices are empty; still exact
+    val tiny = sf("embeddings").limit(3)
+    val t = Similarity.knnGraphGemmChunked(emb, "embedding", "vec_id", 5,
+      nChunks = 8, queries = Some(tiny)).orderBy("qid", "id").collect().toSeq
+    val tw = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5,
+      queries = Some(tiny)).orderBy("qid", "id").collect().toSeq
+    assert(t == tw && t.nonEmpty)
+  }
+
+  test("semanticContamination finds a planted probe match") {
+    val emb = sf("embeddings")
+    val probes = emb.filter(col("vec_id") === 7).withColumn("vec_id", lit(9999L))
+    val out = Similarity.semanticContamination(emb, probes,
+      "embedding", "vec_id", "vec_id", tau = 0.999999).collect()
+    // the planted probe IS vector 7: cosine 1.0 within float fold error
+    assert(out.exists(r => r.getLong(0) == 7L && r.getLong(1) == 9999L))
+  }
+
   test("dedupByPairsBest keeps the highest-priority member, nulls lose") {
     val df = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), (4L, Some(7L)),
       (5L, None), (6L, Some(1L))).toDF("id", "quality")
