@@ -584,6 +584,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("q_contamination_embed: probes broadcast; corpus scans once, no pre-join shuffle") {
+    val p = plan("q_contamination_embed")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the only SHUFFLE exchange is the caller's output sort — the screen
+    // itself is one corpus scan against a broadcast probe table
+    val shuffles = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, p.take(3000))
+  }
+
+  test("q_dedup_semantic: pairwise stage is a keyed join, never cartesian") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q_dedup_keepbest: winner election joins on keys, never cartesian") {
+    val p = plan("q_dedup_keepbest")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("saltedJoin spreads a hot key across shards and preserves results") {
     val hot = (1 to 1000).map(i => (42L, i)) ++ Seq((7L, 0))
     val left = hot.toDF("k", "v")
