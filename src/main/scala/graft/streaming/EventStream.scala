@@ -160,6 +160,52 @@ object EventStream {
       overlapOf(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))))
   }
 
+  /** Streaming embedding-space contamination screen — the intake twin of
+    * [[graft.pipeline.Similarity.semanticContamination]]: each incoming
+    * row's embedding is scored against the broadcast eval-probe matrix
+    * and the best cosine, matching probe id, and a `contaminated` flag
+    * ride along as columns. Stateless (no watermark, no state store):
+    * probe sets are eval benchmarks, small by construction, collected
+    * once at plan time and broadcast. Ties keep the lowest probe id
+    * (probes are scanned in id order), matching the batch screen's
+    * deterministic ordering. */
+  def semanticScreenStream(docs: DataFrame, probes: DataFrame,
+                           vecCol: String, probeIdCol: String,
+                           tau: Double): DataFrame = {
+    val spark = probes.sparkSession
+    val pr: Array[(Long, Array[Float], Double)] = probes
+      .select(col(probeIdCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+        (r.getLong(0), v, math.sqrt(n2))
+      }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(pr)
+    val best = udf { emb: Seq[Float] =>
+      if (emb == null) (Double.NegativeInfinity, -1L)
+      else {
+        val v = emb.toArray
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+        val nv = math.sqrt(n2)
+        var bestCos = Double.NegativeInfinity; var bestId = -1L
+        for ((pid, pv, pn) <- bc.value if pv.length == v.length) {
+          var acc = 0.0; var d = 0
+          while (d < v.length) { acc += v(d).toDouble * pv(d).toDouble; d += 1 }
+          val cos = acc / (nv * pn)
+          if (cos > bestCos) { bestCos = cos; bestId = pid }
+        }
+        (bestCos, bestId)
+      }
+    }
+    docs.withColumn("__best", best(col(vecCol)))
+      .withColumn("probe_cosine", col("__best._1"))
+      .withColumn("probe_id", when(col("__best._2") >= 0, col("__best._2")))
+      .withColumn("contaminated", col("probe_cosine") >= tau)
+      .drop("__best")
+  }
+
   /** Watermarked stream-stream INTERVAL join (events ⋈ marks): each event
     * joins the marks of the same key whose timestamp lies within
     * [event.ts - tolerance, event.ts]. Both inputs carry watermarks and

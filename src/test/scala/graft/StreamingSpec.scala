@@ -472,4 +472,30 @@ class StreamingSpec extends SparkSpec {
           (4, 1L, 0.5)), s"got $r2")
     } finally q2.stop()
   }
+
+  test("semanticScreenStream flags incoming vectors near the eval probes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 3)
+    val rows = emb.filter(col("vec_id").isin(1L, 100L))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val screened = EventStream.semanticScreenStream(
+      in.toDF().toDF("vec_id", "embedding"), probes, "embedding", "vec_id",
+      tau = 0.99)
+    val q = screened.writeStream.format("memory").queryName("sscreen")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT vec_id, probe_id, contaminated FROM sscreen")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // vector 1 IS probe 1: cosine 1.0 -> flagged against itself
+      assert(out(1L) == ((1L, true)), s"got $out")
+      // vector 100 is not within 0.99 of any probe (corpus top-10
+      // cosines peak near 0.5); still reports its best probe
+      assert(!out(100L)._2 && (0L to 2L).contains(out(100L)._1), s"got $out")
+    } finally q.stop()
+  }
 }
