@@ -1627,6 +1627,17 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- leakage-proof split: whole duplicate CLUSTERS go to one split,
+    //      so a near-dup of a training doc can never leak into val/test;
+    //      unclustered rows fall back to plain id-hash splitting
+    "q_split_cluster" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Sampling.splitByCluster(docs, "doc_id", chainEdges(docs),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .selectColumns(Seq("doc_id", "lang", "split"))
+        .warpSort(Seq(Order(col("doc_id"))))
+    }),
+
     // ---- deterministic stratified sampling: per-stratum hash-threshold
     //      keep fractions (NOT rand() — re-runs agree row-for-row)
     "q_stratified" -> ((s, dir) => {
@@ -3953,6 +3964,28 @@ object SparkEntry {
               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
               ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    "q_split_cluster" ->
+      """WITH RECURSIVE e AS (
+           SELECT d.doc_id AS a, d.doc_id + 1 AS b FROM documents d
+           WHERE d.doc_id % 10 < 9
+             AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+         ), und AS (
+           SELECT a, b FROM e UNION SELECT b, a FROM e
+         ), reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM und
+           UNION
+           SELECT u.a, r.lab FROM und u JOIN reach r ON r.id = u.b
+         ), cc AS (
+           SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+         ), j AS (
+           SELECT d.doc_id, d.lang, coalesce(cc.cluster, d.doc_id) AS rep
+           FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+         )
+         SELECT doc_id, lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM j ORDER BY doc_id""",
     "q_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <

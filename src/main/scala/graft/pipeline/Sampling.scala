@@ -51,6 +51,30 @@ object Sampling {
                   buckets: Int = 10000, out: String = "split"): DataFrame =
     df.withColumn(out, splitLabel(col(idCol), weights, buckets))
 
+  /** Leakage-proof split: assign whole DUPLICATE CLUSTERS to splits, so a
+    * near-duplicate of a training document can never land in val/test
+    * (the classic eval-leakage failure of id-hash splitting). `pairs` is
+    * any dedup pair output ([[Dedup.minhashPairs]], [[Dedup.semantic]]
+    * pairs, ...); rows are split by the md5 bucket of their CLUSTER
+    * representative — members of one cluster always agree — and rows in
+    * no cluster fall back to their own id (identical to [[splitByHash]]).
+    *
+    * Scale shape: [[Dedup.connectedComponents]]'s O(log n) rounds over
+    * the PAIR id universe only, one left join of the (id, cluster) map
+    * back to the corpus (broadcast when dups are few), then the same
+    * map-only split-label expression as [[splitByHash]]. */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     weights: Seq[(String, Double)],
+                     idCol1: String = "id1", idCol2: String = "id2",
+                     buckets: Int = 10000, out: String = "split"): DataFrame = {
+    val comp = graft.pipeline.Dedup.connectedComponents(pairs, idCol1, idCol2)
+      .withColumnRenamed("id", idCol)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn(out,
+        splitLabel(coalesce(col("cluster"), col(idCol)), weights, buckets))
+      .drop("cluster")
+  }
+
   /** Deterministic stratified sample: keep a per-stratum fraction of rows,
     * selected by hash threshold (NOT rand()), so re-runs and engines agree
     * row-for-row. Strata absent from `fractions` fall back to

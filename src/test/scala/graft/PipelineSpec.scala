@@ -25,6 +25,22 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("splitByCluster: dup clusters never straddle splits; loners match splitByHash") {
+    val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 150L)).toDF("id1", "id2")
+    val w = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = Sampling.splitByCluster(df, "id", pairs, w)
+    val m = out.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 200)
+    assert(Set(m(1L), m(2L), m(3L)).size == 1) // one cluster, one split
+    assert(m(50L) == m(150L))
+    // rows in no cluster get exactly the id-hash split
+    val plain = Sampling.splitByHash(df, "id", w)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loners = (1L to 200L).toSet -- Set(1L, 2L, 3L, 50L, 150L)
+    assert(loners.forall(i => m(i) == plain(i)))
+  }
+
   test("knnGraphGemmChunked equals the unchunked graph; empty slices ok") {
     val emb = sf("embeddings").limit(150)
     val whole = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5)
