@@ -1513,6 +1513,28 @@ object SparkEntry {
         .warpSort(Seq(Order(col("node"), numeric = false)))
     }),
 
+    // ---- semi-supervised label propagation over the same trade graph:
+    //      a hand-labeled quality signal (rich/poor customers) spreads to
+    //      every node as clamped-seed neighbor means — the scale-a-small-
+    //      label-set move; decimal-exact rounds, oracle-unrolled
+    "q_label_prop" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer")
+        .warpFilter(abs(col("c_acctbal")) > 9000)
+        .select(concat(lit("c"), col("c_custkey")).as("id"),
+          when(col("c_acctbal") > 0, 1.0).otherwise(0.0).as("label"))
+      graft.pipeline.Graph.labelPropagation(edges, seeds, "src", "dst",
+          "id", "label", iters = 2)
+        .withColumn("score", round(col("score"), 9))
+        .warpSort(Seq(Order(col("node"), numeric = false)))
+    }),
+
     // ---- END-TO-END CURATION PIPELINE: the engine's flagship composite —
     //      quality-score + language-ID (map-only, one pass), filter, exact
     //      near-dup removal on the normalized-content fingerprint (ONE
@@ -2586,8 +2608,49 @@ object SparkEntry {
        SELECT node, round(pr, 9) AS pagerank FROM p$iters ORDER BY node"""
   }
 
+  /** Unrolled clamped-seed label-propagation oracle replaying
+    * [[graft.pipeline.Graph.labelPropagation]] over the q_pagerank trade
+    * graph with rich/poor customer seeds. */
+  private def labelPropOracle(iters: Int, prior: Double): String = {
+    val rounds = (0 until iters).map { r =>
+      s"""i$r AS MATERIALIZED (
+         SELECT e.dst AS node,
+           sum(CAST(p.s AS DECIMAL(30,15))) AS sm, count(*) AS cnt
+         FROM e JOIN p$r p ON e.src = p.node
+         GROUP BY e.dst),
+       p${r + 1} AS MATERIALIZED (
+         SELECT prev.node, prev.seed,
+           CASE WHEN prev.seed IS NOT NULL THEN prev.seed
+                WHEN i.cnt IS NOT NULL THEN
+                  CAST(CAST(i.sm AS VARCHAR) AS DOUBLE) / CAST(i.cnt AS DOUBLE)
+                ELSE prev.s END AS s
+         FROM p$r prev LEFT JOIN i$r i ON prev.node = i.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       ), e AS MATERIALIZED (
+         SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+       ), nd AS MATERIALIZED (
+         SELECT DISTINCT n AS node
+         FROM (SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e)
+       ), sd AS MATERIALIZED (
+         SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+           CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS seed
+         FROM customer WHERE abs(c_acctbal) > 9000
+       ), p0 AS MATERIALIZED (
+         SELECT nd.node, sd.seed, coalesce(sd.seed, ${dlit(prior)}) AS s
+         FROM nd LEFT JOIN sd ON nd.node = sd.node
+       ),
+       $rounds
+       SELECT node, seed IS NOT NULL AS is_seed, round(s, 9) AS score
+       FROM p$iters ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(3, 0.85),
+    "q_label_prop" -> labelPropOracle(2, 0.5),
     "q_avro_roundtrip" ->
       """SELECT event_id, user_id, value, ts FROM events
          WHERE event_type = 'click' ORDER BY event_id""",

@@ -80,4 +80,60 @@ object Graph {
       pr.select(col("__n").as("node"), col("__pr").as(out))
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
+
+  /** Semi-supervised label propagation (Zhu–Ghahramani with clamped
+    * seeds): spread a [0,1] label (e.g. "high quality") from a small
+    * seeded set across a similarity graph — the standard move for scaling
+    * a hand-labeled quality signal to a full corpus via its kNN graph.
+    * Each round a non-seed node becomes the MEAN of its in-neighbors'
+    * scores (isolated nodes keep their score); seed nodes stay clamped.
+    * Unlabeled nodes start at `prior`.
+    *
+    * Deterministic and replayable like [[pageRank]]: per-edge
+    * contributions quantize to DECIMAL(30,15) before the per-node sum, so
+    * partial-aggregation order cannot perturb the result and the
+    * `q_label_prop` DuckDB oracle unrolls the same rounds bit-for-bit.
+    *
+    * Scale shape: identical to [[pageRank]] — one edge⋈score join, one
+    * map-side-combined decimal sum keyed on destination, one left join
+    * back to the node set per round; the driver never holds scores. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       srcCol: String, dstCol: String,
+                       seedIdCol: String, seedLabelCol: String,
+                       iters: Int = 2, prior: Double = 0.5,
+                       out: String = "score"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("__n"))
+      .union(e.select(col("__dst"))).distinct().localCheckpoint(true)
+    try {
+      val sd = seeds.select(col(seedIdCol).cast("string").as("__n"),
+        col(seedLabelCol).cast("double").as("__seed"))
+      var sc = nodes.join(sd, Seq("__n"), "left")
+        .select(col("__n"), col("__seed"),
+          coalesce(col("__seed"), lit(prior)).as("__s"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val in = e.join(sc, col("__src") === col("__n"))
+          .select(col("__dst"),
+            col("__s").cast(DecimalType(30, 15)).as("__c"))
+          .groupBy("__dst")
+          .agg(sum(col("__c")).as("__sum"), count(lit(1)).as("__cnt"))
+        val next = sc.join(in, sc("__n") === in("__dst"), "left")
+          .select(col("__n"), col("__seed"),
+            when(col("__seed").isNotNull, col("__seed"))
+              .when(col("__cnt").isNotNull,
+                col("__sum").cast("double") / col("__cnt").cast("double"))
+              .otherwise(col("__s")).as("__s"))
+          .localCheckpoint(true)
+        sc.unpersist()
+        sc = next
+      }
+      sc.select(col("__n").as("node"), col("__seed").isNotNull.as("is_seed"),
+        col("__s").as(out))
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
 }

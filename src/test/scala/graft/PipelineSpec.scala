@@ -25,6 +25,22 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("labelPropagation clamps seeds and spreads neighbor means") {
+    // path graph a-b-c (undirected) + isolated edge d-e; seed a=1.0
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "e"), ("e", "d"))
+      .toDF("src", "dst")
+    val seeds = Seq(("a", 1.0)).toDF("id", "label")
+    val out = Graph.labelPropagation(edges, seeds, "src", "dst", "id", "label",
+        iters = 2, prior = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((true, 1.0))) // clamped
+    // round1: b = mean(a=1, c=.5) = .75; c = mean(b=.5) = .5
+    // round2: b = mean(1, .5) = .75;     c = mean(b=.75) = .75
+    assert(out("b") == ((false, 0.75)) && out("c") == ((false, 0.75)))
+    // the d-e pair never sees a seed: stays at the mutual prior
+    assert(out("d") == ((false, 0.5)) && out("e") == ((false, 0.5)))
+  }
+
   test("splitByCluster: dup clusters never straddle splits; loners match splitByHash") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (50L, 150L)).toDF("id1", "id2")
