@@ -1932,6 +1932,23 @@ object SparkEntry {
     }),
 
     // ---- multimodal: frame sampling (explode shape; stub frame bytes)
+    // ---- perceptual image dedup: dHash over real decoded pixels (the
+    //      SimHash machinery pointed at images), pigeonhole-blocked pair
+    //      join; planted byte-identical copies must collide at Hamming 0.
+    //      Seedless but pixel-level, so no SQL oracle — semantics pinned
+    //      in PipelineSpec (declared rows-only, like q_dedup_simhash).
+    "q_image_dhash" -> ((s, dir) => {
+      val base = graft.pipeline.Multimodal.fabricateImages(
+        T(s, dir, "documents").warpFilter(col("doc_id") < 200), "doc_id")
+      val copies = base.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val hashed = graft.pipeline.Multimodal.imageDHash(base.unionByName(copies))
+      graft.pipeline.Dedup.signaturePairs(
+        hashed.select(col("media_id").as("id"), col("dhash").as("sig")),
+        maxHamming = 0)
+        .orderBy("id1", "id2")
+    }),
+
     "q_media_frames" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.fabricate(
         T(s, dir, "documents"), "doc_id", "text", "video/fake")

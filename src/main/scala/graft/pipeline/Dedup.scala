@@ -788,10 +788,18 @@ object Dedup {
     * signatures within Hamming distance <=3 share at least one identical
     * 16-bit quarter by pigeonhole), join per block, verify Hamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
     // signature phase = pure map pass (native kernel), no shuffle until
     // the quarter-block join
-    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    signaturePairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")), maxHamming)
+
+  /** Pigeonhole-blocked near-dup PAIRS over ANY 64-bit signature column
+    * (SimHash for text, [[Multimodal.imageDHash]] for images, ...):
+    * `sigd` must have columns (id, sig). Two signatures within Hamming
+    * distance <= 3 share at least one identical 16-bit quarter, so only
+    * quarter-block collisions ever meet. */
+  def signaturePairs(sigd: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocked = sigd.select(col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),

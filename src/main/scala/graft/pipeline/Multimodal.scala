@@ -270,6 +270,45 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Perceptual difference hash (dHash): scale each image to a
+    * (gw+1)×gh luminance grid through the same resampler as
+    * [[imageGridFeatures]], then emit one bit per horizontally-adjacent
+    * cell pair (1 = brighter to the right). Near-identical images
+    * (recompressed, resized, lightly edited) land within a few Hamming
+    * bits of each other — pair them with
+    * [[graft.pipeline.Dedup.signaturePairs]], exactly the SimHash
+    * machinery pointed at pixels instead of tokens. Undecodable payloads
+    * hash to null. One codec pass per row, executor-local. */
+  def imageDHash(df: DataFrame, gw: Int = 8, gh: Int = 8): DataFrame = {
+    require(gw > 0 && gh > 0 && gw * gh <= 64,
+      s"dHash needs 0 < gw*gh <= 64 bits, got ${gw}x$gh")
+    val outSchema = df.schema.add(StructField("dhash", LongType))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val img = if (bytes == null) null else readImage(bytes)
+        val h: java.lang.Long =
+          if (img == null) null
+          else {
+            val g = luminanceGrid(img, gw + 1, gh)
+            var bits = 0L; var y = 0
+            while (y < gh) {
+              var x = 0
+              while (x < gw) {
+                if (g(y * (gw + 1) + x) < g(y * (gw + 1) + x + 1))
+                  bits |= 1L << (y * gw + x)
+                x += 1
+              }
+              y += 1
+            }
+            bits
+          }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   // ======================================================================
   // REAL AUDIO CODEC — javax.sound.sampled (in-JDK): WAV/AIFF/AU header
   // decode, PCM extraction, windowed RMS features. Same mapPartitions

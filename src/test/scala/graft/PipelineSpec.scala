@@ -25,6 +25,26 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("imageDHash: byte-identical images collide; planted pairs found at Hamming 0") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val base = Multimodal.fabricateImages(docs, "doc_id")
+    val copies = base.filter(col("media_id") === 3L)
+      .withColumn("media_id", lit(1000003L))
+    val hashed = Multimodal.imageDHash(base.unionByName(copies))
+    // identical payloads -> identical hash
+    val h3 = hashed.filter(col("media_id").isin(3L, 1000003L))
+      .select("dhash").collect().map(_.getLong(0))
+    assert(h3.length == 2 && h3(0) == h3(1))
+    val pairs = Dedup.signaturePairs(
+      hashed.select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 3L && r.getLong(1) == 1000003L))
+    // a corrupt payload hashes to null and never pairs
+    val junk = Seq((99999L, Array[Byte](1, 2, 3))).toDF("media_id", "data")
+    val nh = Multimodal.imageDHash(junk).select("dhash").head()
+    assert(nh.isNullAt(0))
+  }
+
   test("labelPropagation clamps seeds and spreads neighbor means") {
     // path graph a-b-c (undirected) + isolated edge d-e; seed a=1.0
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "e"), ("e", "d"))
