@@ -1949,6 +1949,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- perceptual audio dedup: RMS-delta fingerprint through the real
+    //      javax.sound decode path, same pigeonhole pair join; planted
+    //      byte-identical clips collide at Hamming 0 (rows-only, pinned
+    //      in PipelineSpec like q_image_dhash)
+    "q_audio_fp" -> ((s, dir) => {
+      val base = graft.pipeline.Multimodal.fabricateAudio(
+        T(s, dir, "documents").warpFilter(col("doc_id") < 200), "doc_id")
+      val copies = base.filter(col("media_id") < 10)
+        .withColumn("media_id", col("media_id") + 1000000L)
+      val hashed = graft.pipeline.Multimodal.audioFingerprint(base.unionByName(copies))
+      graft.pipeline.Dedup.signaturePairs(
+        hashed.select(col("media_id").as("id"), col("afp").as("sig")),
+        maxHamming = 0)
+        .orderBy("id1", "id2")
+    }),
+
     "q_media_frames" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.fabricate(
         T(s, dir, "documents"), "doc_id", "text", "video/fake")

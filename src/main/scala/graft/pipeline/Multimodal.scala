@@ -482,6 +482,34 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Perceptual audio fingerprint — [[imageDHash]]'s recipe on sound:
+    * decode to PCM, 65 windowed RMS energies, one bit per adjacent-window
+    * delta (1 = louder to the right). Re-encoded/resampled copies of the
+    * same recording land within a few Hamming bits; pair with
+    * [[graft.pipeline.Dedup.signaturePairs]]. Undecodable payloads hash
+    * to null. */
+  def audioFingerprint(df: DataFrame): DataFrame = {
+    val outSchema = df.schema.add(StructField("afp", LongType))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val rms = if (bytes == null) null else decodeRms(bytes, 65)
+        val h: java.lang.Long =
+          if (rms == null) null
+          else {
+            var bits = 0L; var i = 0
+            while (i < 64) {
+              if (rms(i) < rms(i + 1)) bits |= 1L << i
+              i += 1
+            }
+            bits
+          }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   private def decodeRms(bytes: Array[Byte], nWindows: Int): Array[Float] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(

@@ -45,6 +45,29 @@ class PipelineSpec extends SparkSpec {
     assert(nh.isNullAt(0))
   }
 
+  test("audioFingerprint: identical audio collides; resampled copy stays near") {
+    val docs = (0L until 20L).toDF("doc_id")
+    val base = Multimodal.fabricateAudio(docs, "doc_id")
+    val hashed = Multimodal.audioFingerprint(base)
+      .select("media_id", "afp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.size == 20)
+    // identity re-encode (same rate) keeps the fingerprint bit-for-bit
+    val same = Multimodal.resampleAudio(base.filter(col("media_id") === 5L), 8000)
+    val sh = Multimodal.audioFingerprint(same).select("afp").head().getLong(0)
+    assert(sh == hashed(5L))
+    // a genuinely downsampled copy (worst case: the fixture is full-band noise)
+    // still sits closer to its source than to an unrelated clip
+    val re = Multimodal.resampleAudio(base.filter(col("media_id") === 5L), 4000)
+    val rh = Multimodal.audioFingerprint(re).select("afp").head().getLong(0)
+    val near = java.lang.Long.bitCount(rh ^ hashed(5L))
+    val far = java.lang.Long.bitCount(rh ^ hashed(6L))
+    assert(near < far, s"near $near !< far $far")
+    // corrupt payload -> null, not a task failure
+    val junk = Seq((1L, Array[Byte](9, 9))).toDF("media_id", "data")
+    assert(Multimodal.audioFingerprint(junk).select("afp").head().isNullAt(0))
+  }
+
   test("labelPropagation clamps seeds and spreads neighbor means") {
     // path graph a-b-c (undirected) + isolated edge d-e; seed a=1.0
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "e"), ("e", "d"))
