@@ -1849,7 +1849,10 @@ object SparkEntry {
       val deq = graft.pipeline.Similarity.quantizeInt8(emb, "embedding", "vec_id")
         .select(col("vec_id"), transform(col("q_codes"),
           c => col("q_lo") + col("q_scale") * c.cast("double")).as("embedding"))
-      val approx = graft.pipeline.Similarity.knnGraphBrute(
+      // both sides ride the dgemm path: the approx (dequantized-double)
+      // corpus works because the gemm graph widens per element exactly
+      // where the dot kernel does — same oracle, no 400M-pair codegen loop
+      val approx = graft.pipeline.Similarity.knnGraphGemm(
         deq, "embedding", "vec_id", 10, queries = Some(emb))
       graft.pipeline.Similarity.recallReport(exact, approx)
         .warpSort(Seq(Order(col("qid"))))

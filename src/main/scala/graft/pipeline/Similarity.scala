@@ -366,6 +366,24 @@ object Similarity {
     * per-query top-k window over candidates — `partitions·(k+margin)`
     * rows per query instead of the brute plan's full pair stream into
     * WindowGroupLimit. */
+  /** Widen a collected vector to doubles element-by-element — the same
+    * per-element widening [[graft.functions.DotProductExpr]] applies, so
+    * arithmetic downstream is bit-identical for float AND double input
+    * columns. */
+  private def vecToDouble(s: Seq[Any]): Array[Double] = {
+    val out = new Array[Double](s.length)
+    var i = 0
+    s.foreach { e =>
+      out(i) = e match {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d
+        case x                   => x.asInstanceOf[Number].doubleValue()
+      }
+      i += 1
+    }
+    out
+  }
+
   def knnGraphGemm(df: DataFrame, vecCol: String, idCol: String, k: Int,
                    queries: Option[DataFrame] = None, margin: Int = 8,
                    blockRows: Int = 8192, qChunk: Int = 4096): DataFrame = {
@@ -378,17 +396,17 @@ object Similarity {
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cosine")
     }
-    val dim = qRows(0).getSeq[Float](1).length
+    val dim = qRows(0).getSeq[Any](1).length
     val qids = new Array[Long](m)
     val qmat = new Array[Double](m * dim) // row-major m×dim == col-major dim×m
     val qnorm = new Array[Double](m)
     var j = 0
     while (j < m) {
       val r = qRows(j); qids(j) = r.getLong(0)
-      val v = r.getSeq[Float](1)
+      val v = vecToDouble(r.getSeq[Any](1))
       var d0 = 0; var acc = 0.0
       while (d0 < dim) {
-        val x = v(d0).toDouble; qmat(j * dim + d0) = x; acc += x * x; d0 += 1
+        val x = v(d0); qmat(j * dim + d0) = x; acc += x * x; d0 += 1
       }
       qnorm(j) = math.sqrt(acc); j += 1
     }
@@ -401,10 +419,10 @@ object Similarity {
         // per-query candidate pools, flat: [j*cap + slot]
         val cScore = Array.fill(m.toLong.toInt * cap)(Double.NegativeInfinity)
         val cRow = new Array[Long](m * cap)
-        val cVec = new Array[Array[Float]](m * cap)
+        val cVec = new Array[Array[Double]](m * cap)
         val cMin = new Array[Int](m) // slot of the pool minimum
         val ids = new Array[Long](blockRows)
-        val vecs = new Array[Array[Float]](blockRows)
+        val vecs = new Array[Array[Double]](blockRows)
         val x = new Array[Double](blockRows * dim) // col-major dim×b
         // reciprocal norms: the selection loop multiplies instead of
         // dividing (ranking is monotone in dot/|v|, |v| > 0) — a divide
@@ -416,7 +434,7 @@ object Similarity {
           while (i < b) {
             val v = vecs(i); var d0 = 0; var acc = 0.0
             while (d0 < dim) {
-              val xv = v(d0).toDouble; x(i * dim + d0) = xv; acc += xv * xv; d0 += 1
+              val xv = v(d0); x(i * dim + d0) = xv; acc += xv * xv; d0 += 1
             }
             rnv(i) = 1.0 / math.sqrt(acc); i += 1
           }
@@ -454,11 +472,13 @@ object Similarity {
         }
         var b = 0
         it.foreach { r =>
-          ids(b) = r.getLong(0); vecs(b) = r.getSeq[Float](1).toArray; b += 1
+          ids(b) = r.getLong(0); vecs(b) = vecToDouble(r.getSeq[Any](1)); b += 1
           if (b == blockRows) { flush(b); b = 0 }
         }
         if (b > 0) flush(b)
         // exact re-score of survivors: the kernel's fold order, verbatim
+        // (elements were widened to double at intake, exactly where
+        // DotProductExpr.compute widens them)
         (0 until m).iterator.flatMap { qj =>
           val base = qj * cap
           (0 until cap).iterator.filter(s => cScore(base + s) > Double.NegativeInfinity)
@@ -466,7 +486,7 @@ object Similarity {
               val v = cVec(base + s)
               var d0 = 0; var acc = 0.0; var n2 = 0.0
               while (d0 < dim) {
-                val xv = v(d0).toDouble
+                val xv = v(d0)
                 acc += xv * q(qj * dim + d0); n2 += xv * xv; d0 += 1
               }
               (qid(qj), cRow(base + s), acc / (math.sqrt(n2) * qn(qj)))
