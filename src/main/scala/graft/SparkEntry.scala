@@ -1478,6 +1478,17 @@ object SparkEntry {
         .withColumn("dist2", round(col("dist2"), 6))
         .warpSort(Seq(Order(col("vec_id"))))
     }),
+    // ---- embedding drift: per-label centroid vs the corpus centroid
+    //      (decimal-exact means + fold cosine) — the dataset-shift gauge
+    //      for embedding pipelines, oracle-replayed bit-for-bit
+    "q_embed_drift" -> ((s, dir) => {
+      graft.pipeline.Cluster.embeddingDrift(T(s, dir, "embeddings"),
+          "embedding", "label")
+        .withColumn("centroid_cosine", round(col("centroid_cosine"), 9))
+        .withColumn("centroid_norm", round(col("centroid_norm"), 9))
+        .warpSort(Seq(Order(col("label"))))
+    }),
+
     "q_kmeans_summary" -> ((s, dir) => {
       graft.pipeline.Cluster.kmeansSummary(T(s, dir, "embeddings"),
           "embedding", "vec_id", k = 8, iters = 2)
@@ -2721,6 +2732,38 @@ object SparkEntry {
          FROM c ORDER BY doc_id, chunk_id""",
     "q_kmeans" -> kmeansOracle(8, 2, summary = false),
     "q_dedup_semantic" -> semdedupOracle(8, 2, 0.92),
+    "q_embed_drift" ->
+      """WITH x AS (
+           SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+         ), s AS (
+           SELECT label, i,
+             CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m,
+             count(*) AS n
+           FROM x GROUP BY label, i
+         ), c AS (
+           SELECT label, max(n) AS n, list(m ORDER BY i) AS cent
+           FROM s GROUP BY label
+         ), gs AS (
+           SELECT i,
+             CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m
+           FROM x GROUP BY i
+         ), g AS (
+           SELECT list(m ORDER BY i) AS cent FROM gs
+         )
+         SELECT c.label, c.n,
+           round(
+             list_reduce(list_transform(list_zip(c.cent, g.cent),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)
+             / (sqrt(list_reduce(list_transform(c.cent, v -> v * v), (acc, v) -> acc + v))
+                * sqrt(list_reduce(list_transform(g.cent, v -> v * v), (acc, v) -> acc + v))),
+             9) AS centroid_cosine,
+           round(sqrt(list_reduce(list_transform(c.cent, v -> v * v),
+             (acc, v) -> acc + v)), 9) AS centroid_norm
+         FROM c, g ORDER BY c.label""",
     "q_kmeans_summary" -> kmeansOracle(8, 2, summary = true),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

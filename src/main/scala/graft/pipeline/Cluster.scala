@@ -89,6 +89,47 @@ object Cluster {
         round(sum(col("dist2").cast(DecimalType(30, 12))).cast("double") /
           count(lit(1)), 6).as("mean_dist2"))
 
+  /** Per-group embedding centroids: one row per `groupCol` value with the
+    * group size and its mean vector, means computed with the
+    * [[kmeansAssign]] decimal recipe (per-dimension DECIMAL(30,15) sums,
+    * one double division) so the result is partial-aggregation-order
+    * independent and externally replayable. Null groups and null vectors
+    * are dropped. Scale shape: one posexplode + map-side-combined
+    * aggregate on (group, dim) — dims·groups cells, never rows. */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val sums = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy("__g", "__i")
+      .agg(sum(col("__x").cast("double").cast(DecimalType(30, 15))).as("__s"),
+        count(lit(1)).as("__n"))
+    sums.groupBy("__g")
+      .agg(max(col("__n")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("__i"),
+            (col("__s").cast("double") / col("__n").cast("double")).as("__m")))),
+          e => e.getField("__m")).as("centroid"))
+      .select(col("__g").as(groupCol), col("n"), col("centroid"))
+  }
+
+  /** Embedding drift report: how far each group's centroid sits from the
+    * corpus centroid — cosine similarity plus both norms. The
+    * dataset-shift gauge for embedding pipelines (a source or snapshot
+    * whose centroid drifts from the corpus signals a distribution
+    * change), complementing the numeric binned-KS drift report in
+    * [[graft.ops.Robust]]. Exact and seedless: the `q_embed_drift`
+    * oracle replays means and fold-cosines bit-for-bit. */
+  def embeddingDrift(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
+    val groups = groupCentroids(df, vecCol, groupCol)
+    val global = groupCentroids(df.withColumn("__all", lit(1)), vecCol, "__all")
+      .select(col("centroid").as("__gc"))
+    groups.crossJoin(broadcast(global))
+      .select(col(groupCol), col("n"),
+        Similarity.cosine(col("centroid"), col("__gc")).as("centroid_cosine"),
+        Similarity.norm(col("centroid")).as("centroid_norm"))
+  }
+
   /** One assignment pass under literal centroids. `n2 + c2 − 2·dot`, left
     * to right; the struct-min tie-breaks equal distances to the lowest
     * cluster id. */

@@ -68,6 +68,20 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(junk).select("afp").head().isNullAt(0))
   }
 
+  test("groupCentroids/embeddingDrift: exact means, self-group cosine 1") {
+    val df = Seq((1, Seq(1f, 0f)), (1, Seq(3f, 0f)), (2, Seq(0f, 2f)))
+      .toDF("label", "embedding")
+    val cents = Cluster.groupCentroids(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(cents(1) == ((2L, Seq(2.0, 0.0)))) // mean of (1,0),(3,0)
+    assert(cents(2) == ((1L, Seq(0.0, 2.0))))
+    // a single-group corpus: group centroid IS the global centroid
+    val one = df.filter(col("label") === 1)
+    val drift = Cluster.embeddingDrift(one, "embedding", "label").collect()
+    assert(drift.length == 1 && drift(0).getDouble(2) == 1.0 &&
+      drift(0).getDouble(3) == 2.0)
+  }
+
   test("labelPropagation clamps seeds and spreads neighbor means") {
     // path graph a-b-c (undirected) + isolated edge d-e; seed a=1.0
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("d", "e"), ("e", "d"))
