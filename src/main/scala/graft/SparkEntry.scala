@@ -1478,6 +1478,15 @@ object SparkEntry {
         .withColumn("dist2", round(col("dist2"), 6))
         .warpSort(Seq(Order(col("vec_id"))))
     }),
+    // ---- corpus geometry: systematic-pair cosine histogram split by
+    //      same/cross label — the separability gauge (deterministic
+    //      id-offset sampling, never quadratic, oracle-replayed)
+    "q_embed_geometry" -> ((s, dir) => {
+      graft.pipeline.Similarity.geometryReport(T(s, dir, "embeddings"),
+          "embedding", "vec_id", "label")
+        .warpSort(Seq(Order(col("bucket")), Order(col("same_label"), numeric = false)))
+    }),
+
     // ---- embedding drift: per-label centroid vs the corpus centroid
     //      (decimal-exact means + fold cosine) — the dataset-shift gauge
     //      for embedding pipelines, oracle-replayed bit-for-bit
@@ -2732,6 +2741,28 @@ object SparkEntry {
          FROM c ORDER BY doc_id, chunk_id""",
     "q_kmeans" -> kmeansOracle(8, 2, summary = false),
     "q_dedup_semantic" -> semdedupOracle(8, 2, 0.92),
+    "q_embed_geometry" ->
+      """WITH b AS (SELECT vec_id, embedding, label,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         pr AS (
+           SELECT a.embedding AS v1, a.nv AS n1, a.label AS l1,
+                  c.embedding AS v2, c.nv AS n2, c.label AS l2
+           FROM b a JOIN b c ON c.vec_id = a.vec_id + 7
+           UNION ALL
+           SELECT a.embedding, a.nv, a.label, c.embedding, c.nv, c.label
+           FROM b a JOIN b c ON c.vec_id = a.vec_id + 131
+         ), s AS (
+           SELECT least(19, greatest(0, CAST(floor((
+               list_reduce(list_transform(list_zip(v1, v2),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)
+               / (n1 * n2) + 1.0) / 2.0 * 20) AS INT))) AS bucket,
+             l1 = l2 AS same_label
+           FROM pr
+         )
+         SELECT bucket, same_label, count(*) AS n FROM s
+         GROUP BY bucket, same_label ORDER BY bucket, same_label""",
     "q_embed_drift" ->
       """WITH x AS (
            SELECT label, unnest(embedding) AS x,

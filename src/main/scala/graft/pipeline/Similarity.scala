@@ -524,6 +524,38 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** Corpus geometry report: a histogram of pairwise cosines over a
+    * SYSTEMATIC pair sample — each row pairs with the rows `stride` ids
+    * ahead — split by whether the two rows share a label. The
+    * separability gauge for an embedding space: healthy spaces show the
+    * same-label mass shifted right of the cross-label mass; overlap
+    * predicts poor retrieval/clustering before any index is built.
+    * Deterministic (id-offset sampling, no RNG) and exact, so the
+    * `q_embed_geometry` oracle replays it bit-for-bit. Scale shape: one
+    * equi-join per stride on the 8-byte id (|strides|·n pairs total —
+    * a FIXED multiple of the corpus, never quadratic), then a
+    * map-side-combined count on (bucket, same_label). */
+  def geometryReport(df: DataFrame, vecCol: String, idCol: String,
+                     labelCol: String, strides: Seq[Long] = Seq(7L, 131L),
+                     bins: Int = 20): DataFrame = {
+    require(bins > 0 && strides.nonEmpty, "need bins > 0 and at least one stride")
+    val base = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+      col(labelCol).as("__l"))
+    val probes = strides.map { s0 =>
+      base.select(col("__id"), (col("__id") + s0).as("__id2"), col("__v"), col("__l"))
+    }.reduce(_.unionByName(_))
+    val pairs = probes.join(
+      base.select(col("__id").as("__id2"), col("__v").as("__v2"), col("__l").as("__l2")),
+      "__id2")
+    pairs
+      .select(
+        least(lit(bins - 1), greatest(lit(0),
+          floor((cosine(col("__v"), col("__v2")) + 1.0) / 2.0 * bins).cast("int")))
+          .as("bucket"),
+        (col("__l") === col("__l2")).as("same_label"))
+      .groupBy("bucket", "same_label").agg(count(lit(1)).as("n"))
+  }
+
   /** Embedding-space eval-set decontamination: every corpus row within
     * `tau` cosine of ANY probe vector, with the probe and the exact
     * cosine — the vector analogue of [[Dedup.contamination]]'s n-gram

@@ -68,6 +68,17 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(junk).select("afp").head().isNullAt(0))
   }
 
+  test("geometryReport: bucket arithmetic and same-label split") {
+    val df = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.geometryReport(df, "embedding", "vec_id", "label",
+        strides = Seq(1L), bins = 4)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2))).toSet
+    // (1,2): cosine 1 -> top bucket clamps to 3, same label
+    // (2,3): cosine 0 -> bucket 2, cross label
+    assert(out == Set((3, true, 1L), (2, false, 1L)))
+  }
+
   test("groupCentroids/embeddingDrift: exact means, self-group cosine 1") {
     val df = Seq((1, Seq(1f, 0f)), (1, Seq(3f, 0f)), (2, Seq(0f, 2f)))
       .toDF("label", "embedding")
