@@ -1459,6 +1459,18 @@ object SparkEntry {
         "doc_id", "text", Seq("spark", "merge", "vector"), k = 15)
     }),
 
+    // ---- hybrid search: reciprocal-rank fusion of the BM25 run and the
+    //      vector top-k run — both runs and the fusion arithmetic are
+    //      deterministic, so the composed oracle replays end-to-end
+    "q_hybrid_search" -> ((s, dir) => {
+      val bm = graft.pipeline.Retrieval.bm25TopK(T(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "merge", "vector"), k = 15)
+      val vec = graft.pipeline.Similarity.bruteTopK(T(s, dir, "embeddings"),
+        "embedding", "vec_id", queryVec(s, dir), 20)
+      graft.pipeline.Retrieval.rrfFuse(
+        Seq((bm, "doc_id", "bm25"), (vec, "vec_id", "cosine")))
+    }),
+
     // ---- fixed-token-window chunking with overlap (RAG / long-doc
     //      preprocessing; the inverse of q_pack_sequences). Map-only.
     "q_chunk" -> ((s, dir) => {
@@ -2725,6 +2737,31 @@ object SparkEntry {
            ELSE 0.0 END AS fertility
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
+    "q_hybrid_search" ->
+      s"""WITH bm AS (${bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75)}),
+         vec AS (
+           WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             d AS (SELECT vec_id,
+                 list_reduce(list_transform(list_zip(embedding, qv),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v) AS dot,
+                 list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS n2,
+                 list_reduce(list_transform(qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v) AS qn2
+               FROM embeddings, q)
+           SELECT vec_id, dot / (sqrt(n2) * sqrt(qn2)) AS cosine
+           FROM d ORDER BY cosine DESC, vec_id LIMIT 20),
+         r1 AS (SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+         r2 AS (SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS r FROM vec),
+         u AS (
+           SELECT id, CAST(1.0 / (60.0 + CAST(r AS DOUBLE)) AS DECIMAL(30,15)) AS c FROM r1
+           UNION ALL
+           SELECT id, CAST(1.0 / (60.0 + CAST(r AS DOUBLE)) AS DECIMAL(30,15)) FROM r2),
+         f AS (SELECT id, CAST(CAST(sum(c) AS VARCHAR) AS DOUBLE) AS rrf,
+             count(*) AS runs_hit FROM u GROUP BY id)
+       SELECT id, rrf, runs_hit FROM f ORDER BY rrf DESC, id LIMIT 20""",
     "q_chunk" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -81,6 +81,39 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (the standard hybrid-search combiner):
+    * score(d) = Σ over runs of 1/(k0 + rank_run(d)), over any number of
+    * ranked retrieval runs — BM25, vector top-k, ... Each input is
+    * (frame, idCol, scoreCol) with higher-better scores; runs rank by
+    * (score DESC, id ASC), each reciprocal quantizes to DECIMAL(30,15)
+    * before the cross-run sum (aggregation-order independent, so the
+    * `q_hybrid_search` oracle replays the fusion bit-for-bit), and the
+    * top `topK` fused ids return with the score and how many runs
+    * surfaced them.
+    *
+    * Scale shape: RRF ranks RETRIEVAL OUTPUTS, not corpora — each run is
+    * already top-k sized, so the single-partition rank window holds
+    * runs·k rows and the fuse groupBy shuffles 8-byte ids. */
+  def rrfFuse(runs: Seq[(DataFrame, String, String)], k0: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(runs.nonEmpty, "need at least one run")
+    require(k0 >= 0 && topK > 0, s"need k0 >= 0 and topK > 0, got $k0/$topK")
+    val ranked = runs.map { case (df, idCol, scoreCol) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__s").desc, col("id"))
+      df.select(col(idCol).cast("long").as("id"),
+          col(scoreCol).cast("double").as("__s"))
+        .withColumn("__r", row_number().over(w))
+        .select(col("id"),
+          (lit(1.0) / (lit(k0.toDouble) + col("__r").cast("double")))
+            .cast(DecimalType(30, 15)).as("__c"))
+    }.reduce(_.unionByName(_))
+    ranked.groupBy("id")
+      .agg(sum(col("__c")).cast("double").as("rrf"), count(lit(1)).as("runs_hit"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Fixed-size overlapping token-window chunks: one output row per
     * window of `chunkTokens` whitespace tokens, stepping by
     * `chunkTokens − overlap`. The final chunk may be short; a document

@@ -68,6 +68,16 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(junk).select("afp").head().isNullAt(0))
   }
 
+  test("rrfFuse: reciprocal ranks sum across runs, ties break by id") {
+    val r1 = Seq((1L, 9.0), (2L, 8.0)).toDF("doc", "score")
+    val r2 = Seq((2L, 5.0), (3L, 4.0)).toDF("vid", "sim")
+    val out = Retrieval.rrfFuse(Seq((r1, "doc", "score"), (r2, "vid", "sim")),
+        k0 = 0, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // id2 ranks 2 and 1 -> 1/2 + 1/1 = 1.5 over both runs
+    assert(out.toSeq == Seq((2L, 1.5, 2L), (1L, 1.0, 1L), (3L, 0.5, 1L)))
+  }
+
   test("geometryReport: bucket arithmetic and same-label split") {
     val df = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 2))
       .toDF("vec_id", "embedding", "label")
