@@ -335,6 +335,52 @@ object EventStream {
         })
   }
 
+  final case class WindowCentroid(window_start: java.sql.Timestamp, n: Long,
+                                  centroid: Seq[Double])
+
+  /** Streaming per-window EMBEDDING CENTROID — the online twin of
+    * [[graft.pipeline.Cluster.embeddingDrift]]: each tumbling window
+    * emits its mean vector exactly once on watermark close; downstream
+    * drift monitoring is a stateless cosine against a broadcast reference
+    * centroid. State per open window is one dim-length double sum array
+    * plus a count — independent of event volume. Same window-keyed
+    * state + event-time-timeout machinery as [[histogramClosed]].
+    * Vectors shorter than `dim` contribute their prefix; longer ones are
+    * truncated (corpus garbage must not grow state). */
+  def centroidClosed(rows: Dataset[(java.sql.Timestamp, Seq[Float])],
+                     windowMs: Long, dim: Int,
+                     watermarkDelay: String = "10 seconds"): Dataset[WindowCentroid] = {
+    import rows.sparkSession.implicits._
+    require(windowMs > 0 && dim > 0, s"need windowMs>0, dim>0; got $windowMs, $dim")
+    rows.toDF("ts", "vec").as[(java.sql.Timestamp, Seq[Float])]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(r => Math.floorDiv(r._1.getTime, windowMs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (win: Long, batch: Iterator[(java.sql.Timestamp, Seq[Float])],
+         state: GroupState[(Array[Double], Long)]) => {
+          if (state.hasTimedOut) {
+            val (sums, n) = state.get
+            state.remove()
+            val c = if (n == 0) sums.toSeq else sums.map(_ / n.toDouble).toSeq
+            Iterator.single(WindowCentroid(
+              new java.sql.Timestamp(win * windowMs), n, c))
+          } else {
+            val (sums, n0) = state.getOption.getOrElse((new Array[Double](dim), 0L))
+            var n = n0
+            batch.foreach { case (_, v) =>
+              if (v != null) {
+                var i = 0
+                while (i < v.length && i < dim) { sums(i) += v(i).toDouble; i += 1 }
+                n += 1
+              }
+            }
+            state.update((sums, n))
+            state.setTimeoutTimestamp(win * windowMs + windowMs)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Streaming TRENDING items: the top-k most frequent event types per
     * tumbling window, each window emitted EXACTLY ONCE — when the
     * watermark passes its end. Windowed counts alone can't rank (a rank

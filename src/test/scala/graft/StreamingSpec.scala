@@ -473,6 +473,27 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("centroidClosed emits each window's mean vector exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Seq[Float])]
+    val q = EventStream.centroidClosed(in.toDS(), windowMs = 60000L, dim = 2)
+      .writeStream.format("memory").queryName("wcent").outputMode("append").start()
+    try {
+      in.addData((ts(0), Seq(1f, 0f)), (ts(0), Seq(3f, 2f)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wcent").count() == 0) // window still open
+      in.addData((ts(5), Seq(9f, 9f))) // watermark past window 0 end
+      q.processAllAvailable()
+      val out = spark.sql("SELECT n, centroid FROM wcent").collect()
+      assert(out.length == 1 && out(0).getLong(0) == 2L &&
+        out(0).getSeq[Double](1) == Seq(2.0, 1.0))
+      // re-feeding window 0 data can't re-open a closed window (dropped as late)
+      in.addData((ts(0), Seq(100f, 100f)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wcent").count() == 1)
+    } finally q.stop()
+  }
+
   test("semanticScreenStream flags incoming vectors near the eval probes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
