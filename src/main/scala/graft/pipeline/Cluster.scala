@@ -50,12 +50,16 @@ object Cluster {
                    k: Int = 8, iters: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // null vectors are DROPPED (they have no distance to any centroid and
+    // would NPE the init collect); float and double element vectors both
+    // work — init widens per element exactly like the dot kernel
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
       .localCheckpoint(true)
     try {
       val init = base.orderBy(col("__id")).limit(k)
         .select(col("__v")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(r => Similarity.vecToDouble(r.getSeq[Any](0)))
       require(init.length == k,
         s"need at least $k non-null vectors for init, got ${init.length}")
       var cents = init
@@ -122,7 +126,12 @@ object Cluster {
     * oracle replays means and fold-cosines bit-for-bit. */
   def embeddingDrift(df: DataFrame, vecCol: String, groupCol: String): DataFrame = {
     val groups = groupCentroids(df, vecCol, groupCol)
-    val global = groupCentroids(df.withColumn("__all", lit(1)), vecCol, "__all")
+    // the corpus centroid covers the SAME rows the groups cover (null
+    // groups excluded) — a null-label row must not shift the reference
+    // the groups are compared against
+    val global = groupCentroids(
+        df.filter(col(groupCol).isNotNull).withColumn("__all", lit(1)),
+        vecCol, "__all")
       .select(col("centroid").as("__gc"))
     groups.crossJoin(broadcast(global))
       .select(col(groupCol), col("n"),

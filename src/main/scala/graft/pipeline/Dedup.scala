@@ -800,6 +800,11 @@ object Dedup {
     * distance <= 3 share at least one identical 16-bit quarter, so only
     * quarter-block collisions ever meet. */
   def signaturePairs(sigd: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 quarters pigeonhole Hamming <= 3 ONLY: at distance 4 one flipped
+    // bit per quarter defeats the blocking and pairs silently vanish —
+    // reject rather than return an incomplete pair set
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"16-bit-quarter blocking is complete only for maxHamming <= 3, got $maxHamming")
     val blocked = sigd.select(col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.DecimalType
   * per-round join reuses that exchange), one map-side-combined decimal
   * sum keyed on destination, a 1-row dangling aggregate, and a left join
   * back to the node set. The driver holds two scalars, never a vector of
-  * ranks. Hub destinations skew the dst-sum shuffle — AQE skew handling
+  * ranks. Note on round cleanup: `Dataset.unpersist` on a
+  * localCheckpoint'ed frame is best-effort — checkpoint blocks are
+  * actually reclaimed by the ContextCleaner once the previous round's
+  * Dataset is unreferenced (which the `pr = next` rebind guarantees), so
+  * storage frees lazily with GC rather than synchronously; on a
+  * long-lived driver budget roughly one extra round of node-table blocks. Hub destinations skew the dst-sum shuffle — AQE skew handling
   * or [[graft.operators.WarpOps.saltedJoin]]-style salting applies; the
   * decimal sum is associative so salted partial sums stay exact.
   */

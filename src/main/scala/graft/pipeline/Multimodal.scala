@@ -933,7 +933,7 @@ object Multimodal {
             var j = 0
             while (j < acc.length) { acc(j) /= m; j += 1 }
             acc
-          } catch { case _: Mpeg1.Mpeg1Error => null }
+          } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ feat)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
@@ -963,7 +963,7 @@ object Multimodal {
               val frames = Mpeg1.decode(bytes)
               val f = frames.head
               planeGrid(f.y, f.w, f.h, side, side)
-            } catch { case _: Mpeg1.Mpeg1Error => null }
+            } catch { case scala.util.control.NonFatal(_) => null }
           } else if (bytes.length >= 12 && fcc(bytes, 0) == "RIFF" &&
             fcc(bytes, 8) == "AVI ") {
             val frames = aviFrameChunks(bytes)

@@ -370,7 +370,7 @@ object Similarity {
     * per-element widening [[graft.functions.DotProductExpr]] applies, so
     * arithmetic downstream is bit-identical for float AND double input
     * columns. */
-  private def vecToDouble(s: Seq[Any]): Array[Double] = {
+  private[pipeline] def vecToDouble(s: Seq[Any]): Array[Double] = {
     val out = new Array[Double](s.length)
     var i = 0
     s.foreach { e =>
@@ -453,13 +453,22 @@ object Similarity {
                   val s = c(jj * b + ii) * rnv(ii) // rank by dot/|v| (|q| const per query)
                   val base = qj * cap
                   val mn = base + cMin(qj)
-                  // the id tie-break mirrors the final window's (cosine
-                  // DESC, id ASC) for exact-tie pools (duplicate vectors)
+                  // the pool's WORST slot orders by (score ASC, id DESC),
+                  // the exact inverse of the final window's (cosine DESC,
+                  // id ASC) — so with more tied candidates than the pool
+                  // holds, the kept set is the cap SMALLEST ids of the tie
+                  // class and the union with other partitions reproduces
+                  // the brute result (a min-score-only eviction kept an
+                  // arbitrary tied member and could emit a larger id)
                   if (s > cScore(mn) || (s == cScore(mn) && ids(ii) < cRow(mn))) {
                     cScore(mn) = s; cRow(mn) = ids(ii); cVec(mn) = vecs(ii)
-                    // re-find the pool minimum
+                    // re-find the worst slot: min score, ties -> max id
                     var best = base; var t = base + 1
-                    while (t < base + cap) { if (cScore(t) < cScore(best)) best = t; t += 1 }
+                    while (t < base + cap) {
+                      if (cScore(t) < cScore(best) ||
+                          (cScore(t) == cScore(best) && cRow(t) > cRow(best))) best = t
+                      t += 1
+                    }
                     cMin(qj) = best - base
                   }
                 }

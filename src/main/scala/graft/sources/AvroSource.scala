@@ -198,15 +198,27 @@ object AvroSource {
     val structType = sparkStruct(new Schema.Parser().parse(first))
     val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
     val rdd = spark.sparkContext.parallelize(files, files.size).mapPartitions { it =>
+      // a partially consumed iterator (limit/take/abort) never reaches the
+      // drained-close below — the task-completion hook closes whatever is
+      // still open so handles can't leak on a long-lived executor
+      val open = new java.util.ArrayList[java.io.Closeable]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          open.forEach(c => scala.util.Try(c.close()))
+        })
       it.flatMap { f =>
         val pp = new Path(f)
         val in = pp.getFileSystem(confSer.value).open(pp)
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
+        open.add(reader); open.add(in)
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = reader.hasNext
-            if (!h) { reader.close(); in.close() }
+            if (!h) {
+              reader.close(); in.close()
+              open.remove(reader); open.remove(in); ()
+            }
             h
           }
           def next(): Row = recordToRow(reader.next(), structType)

@@ -135,6 +135,23 @@ class PipelineSpec extends SparkSpec {
     assert(loners.forall(i => m(i) == plain(i)))
   }
 
+  test("knnGraphGemm: heavy exact-tie corpora keep the smallest ids") {
+    // 30 byte-identical vectors: every pair ties at cosine 1.0, far more
+    // ties than the pool (margin=0) holds -> eviction order decides ids
+    val v = sf("embeddings").filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    // ONE partition, descending arrival: the pool overflows and must
+    // evict its larger-id tied members to reproduce the brute result
+    val dup = spark.createDataFrame(
+      (0L until 30L).reverse.map(i => (i, v)).toDF("vec_id", "embedding").rdd,
+      sf("embeddings").select("vec_id", "embedding").schema).coalesce(1)
+    val brute = Similarity.knnGraphBrute(dup, "embedding", "vec_id", 5)
+      .orderBy("qid", "id").collect().toSeq
+    val gemm = Similarity.knnGraphGemm(dup, "embedding", "vec_id", 5,
+      margin = 0, blockRows = 4).orderBy("qid", "id").collect().toSeq
+    assert(gemm == brute)
+  }
+
   test("knnGraphGemmChunked equals the unchunked graph; empty slices ok") {
     val emb = sf("embeddings").limit(150)
     val whole = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5)
@@ -543,6 +560,13 @@ class PipelineSpec extends SparkSpec {
     // non-MPEG payload -> null features, not a task failure
     val junk = Multimodal.fabricate(docs.limit(1), "doc_id", "text", "junk")
     assert(Multimodal.mpegGridFeatures(junk).select("features").collect()(0).isNullAt(0))
+    // TRUNCATED payload with a valid sequence-header start code: the
+    // bit reader runs off the buffer (not an Mpeg1Error) — still null
+    val trunc = Seq((1L, Array[Byte](0, 0, 1, 0xB3.toByte, 1, 2, 3, 4)))
+      .toDF("media_id", "data")
+    assert(Multimodal.mpegGridFeatures(trunc).select("features").collect()(0).isNullAt(0))
+    assert(Multimodal.extractFeatures(trunc, dim = 16)
+      .select("features").collect()(0).isNullAt(0))
   }
 
   test("multimodal: REAL PNG codec — decode, resize, grid features (javax.imageio)") {
