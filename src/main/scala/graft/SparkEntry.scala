@@ -1087,6 +1087,18 @@ object SparkEntry {
         .orderBy("id", "probe_id")
     }),
 
+    // ---- n-gram novelty vs the reference corpus: the memorization-risk
+    //      gauge (share of a doc's distinct trigrams absent from the
+    //      reference) — the inverse of the contamination screen
+    "q_novelty" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      graft.pipeline.Dedup.noveltyScore(
+        docs.warpFilter(col("doc_id") % 10 === 7),
+        docs.warpFilter(col("doc_id") % 10 =!= 7),
+        "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- out-of-vocabulary rate vs the corpus top-16 vocabulary
     //      (CCNet-style rarity signal; ties break on the token string so
     //      the vocabulary is engine-reproducible. topK=16 because the
@@ -3519,6 +3531,31 @@ object SparkEntry {
        SELECT id, probe_id, cosine FROM s
        WHERE cosine >= CAST('0.35' AS DOUBLE)
        ORDER BY id, probe_id""",
+    "q_novelty" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+               ELSE list_distinct([array_to_string(ws, ' ')]) END AS s
+           FROM w
+         ), ref AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 <> 7
+         ), d AS (
+           SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 7
+         ), t AS (
+           SELECT doc_id, count(*) AS total_ngrams FROM d GROUP BY doc_id
+         ), sn AS (
+           SELECT d.doc_id, count(*) AS seen FROM d JOIN ref USING (g) GROUP BY d.doc_id
+         )
+         SELECT t.doc_id, t.total_ngrams, coalesce(sn.seen, 0) AS seen,
+           CASE WHEN t.total_ngrams > 0 THEN
+             1.0 - CAST(coalesce(sn.seen, 0) AS DOUBLE) / CAST(t.total_ngrams AS DOUBLE)
+           END AS novelty
+         FROM t LEFT JOIN sn ON t.doc_id = sn.doc_id
+         ORDER BY t.doc_id""",
     "q_contamination" ->
       """WITH w AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents

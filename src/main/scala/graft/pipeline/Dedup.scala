@@ -314,6 +314,39 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the share
+    * of the document's distinct word n-grams absent from the reference —
+    * the memorization-risk / duplication-pressure gauge (novelty 0 =
+    * every n-gram already exists in the reference, 1 = fully novel). The
+    * inverse view of [[contamination]], on the same hashed-shingle
+    * machinery: the shuffle carries 8-byte hashes, never text, and the
+    * kernel already emits distinct shingles per document (the
+    * `q_contamination` oracle's list_distinct equivalence proves it).
+    * Documents shorter than `n` words score on their whole-document
+    * gram. Output: (idCol, total_ngrams, seen, novelty).
+    *
+    * Scale shape: reference grams collapse to a distinct hash set
+    * (O(distinct) shuffle), the doc side is one semi-join on the hash,
+    * and novelty is a groupBy on the doc id. */
+  def noveltyScore(docs: DataFrame, reference: DataFrame, textCol: String,
+                   idCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    val d = docs.select(col(idCol).as("__id"),
+      explode(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))).as("__gh"))
+    val ref = reference.select(
+      explode(C(graft.functions.ShingleHashExpr(E(col(textCol)), n))).as("__gh"))
+      .distinct()
+    val tot = d.groupBy("__id").agg(count(lit(1)).as("total_ngrams"))
+    val seen = d.join(ref, Seq("__gh"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("seen"))
+    tot.join(seen, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("total_ngrams"),
+        coalesce(col("seen"), lit(0L)).as("seen"),
+        when(col("total_ngrams") > 0,
+          lit(1.0) - coalesce(col("seen"), lit(0L)).cast("double") /
+            col("total_ngrams").cast("double")).as("novelty"))
+  }
+
   /** Embedding-cosine near-duplicate PAIRS: random-hyperplane sketches
     * (see [[Similarity.sketch]]) are split into bands; vectors sharing a
     * band bucket become candidates, verified by exact cosine. Same scale

@@ -177,6 +177,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) == 7L && r.getLong(1) == 9999L))
   }
 
+  test("noveltyScore: fully-seen docs score 0, fully-novel score 1") {
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),     // every trigram in ref
+      (11L, "zeta eta theta iota"),        // none in ref
+      (12L, "alpha beta gamma unseen")     // 1 of 2 trigrams in ref
+    ).toDF("id", "text")
+    val out = Dedup.noveltyScore(docs, ref, "text", "id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((2L, 2L, 0.0)))
+    assert(out(11L) == ((2L, 0L, 1.0)))
+    assert(out(12L) == ((2L, 1L, 0.5)))
+  }
+
   test("dedupByPairsBest keeps the highest-priority member, nulls lose") {
     val df = Seq((1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)), (4L, Some(7L)),
       (5L, None), (6L, Some(1L))).toDF("id", "quality")
