@@ -2735,19 +2735,17 @@ object SparkEntry {
       """SELECT event_id, user_id, value, ts FROM events
          WHERE event_type = 'click' ORDER BY event_id""",
     "q_fertility" ->
-      """SELECT source, lang, count(*) AS docs,
-         sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT))
-           AS ws_tokens,
-         sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT))
-           AS bpe_tokens,
-         CASE WHEN sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)) > 0 THEN
-           CAST(sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)) AS DOUBLE)
-             / sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT))
-           ELSE 0.0 END AS fertility
-         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+      """SELECT source, lang, docs, ws_tokens, bpe_tokens,
+         round(CASE WHEN ws_tokens > 0
+           THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
+         FROM (
+           SELECT source, lang, count(*) AS docs,
+             sum(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               t -> len(t) > 0)) AS BIGINT)) AS ws_tokens,
+             sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT))
+               AS bpe_tokens
+           FROM documents GROUP BY source, lang)
+         ORDER BY source, lang""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
     "q_hybrid_search" ->
       s"""WITH bm AS (${bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75)}),

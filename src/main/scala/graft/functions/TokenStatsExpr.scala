@@ -161,6 +161,12 @@ case class SegmentDupStatsExpr(child: Expression, delim: Char) extends UnaryExpr
   *    (`length(s) - length(regexp_replace(s, cls, ""))`) — counted over
   *    the RAW UTF-8 bytes, where ASCII values never appear inside
   *    multi-byte sequences
+  *  - nTokensNonEmpty (slot 8) = count of NON-EMPTY whitespace-separated
+  *    runs — the split-edge-proof token count (`size(filter(split(s,
+  *    "\\s+"), t -> length(t) > 0))`): identical to nTokensWs except it
+  *    never counts the leading/trailing empty tokens Java split / DuckDB
+  *    `string_split_regex` emit for edge whitespace, so cross-engine
+  *    comparisons can't hinge on that edge behavior
   *
   * Replacing seven string/array-building passes with one scan is what
   * keeps corpus quality scoring a pure map pass at 100 TB. */
@@ -202,6 +208,7 @@ object TextStatsExpr {
     while (from < until && lower.charAt(from) == ' ') from += 1
     while (until > from && lower.charAt(until - 1) == ' ') until -= 1
     var nTokens = 0L
+    var nNonEmpty = 0L // split-edge-proof: non-empty runs only
     var sumLens = 0L
     if (until > from) {
       if (isWs(lower.codePointAt(from))) nTokens += 1 // leading empty token
@@ -211,12 +218,13 @@ object TextStatsExpr {
         val cp = lower.codePointAt(j)
         if (isWs(cp)) inRun = false
         else {
-          if (!inRun) { nTokens += 1; inRun = true }
+          if (!inRun) { nNonEmpty += 1; inRun = true }
           sumLens += 1
         }
         j += Character.charCount(cp)
       }
       if (isWs(lower.codePointBefore(until))) nTokens += 1 // trailing empty
+      nTokens += nNonEmpty
     }
 
     // ASCII digit / uppercase counts over the RAW UTF-8 bytes: 0x30-0x39
@@ -236,7 +244,7 @@ object TextStatsExpr {
     }
 
     UnsafeArrayData.fromPrimitiveArray(Array[Long](
-      nTokens, sumLens, nBpe, punct, rawChars, digits, uppers))
+      nTokens, sumLens, nBpe, punct, rawChars, digits, uppers, nNonEmpty))
   }
 }
 

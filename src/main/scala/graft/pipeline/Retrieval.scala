@@ -93,7 +93,9 @@ object Retrieval {
     *
     * Scale shape: RRF ranks RETRIEVAL OUTPUTS, not corpora — each run is
     * already top-k sized, so the single-partition rank window holds
-    * runs·k rows and the fuse groupBy shuffles 8-byte ids. */
+    * runs·k rows and the fuse groupBy shuffles id-sized keys. Ids are
+    * fused in their original type (long, string, ...); mixing
+    * incompatible id schemes across runs fails loudly at union time. */
   def rrfFuse(runs: Seq[(DataFrame, String, String)], k0: Int = 60,
               topK: Int = 20): DataFrame = {
     require(runs.nonEmpty, "need at least one run")
@@ -101,7 +103,12 @@ object Retrieval {
     val ranked = runs.map { case (df, idCol, scoreCol) =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("__s").desc, col("id"))
-      df.select(col(idCol).cast("long").as("id"),
+      // ids keep their ORIGINAL type: string doc-ids fuse natively, and
+      // runs with genuinely incompatible id schemes fail loudly in the
+      // cross-run union instead of silently collapsing non-numeric ids
+      // into one null id with wrong rank sums (numeric widths still
+      // widen via union's usual coercion)
+      df.select(col(idCol).as("id"),
           col(scoreCol).cast("double").as("__s"))
         .withColumn("__r", row_number().over(w))
         .select(col("id"),

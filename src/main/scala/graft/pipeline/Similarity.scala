@@ -279,9 +279,14 @@ object Similarity {
         (if (withSketch) Seq(col(skColName(vecCol)).as(sk)) else Nil)
       d.select(cols: _*)
     }
+    // zero-norm vectors have no defined cosine: excluded from BOTH sides
+    // here and (identically) from knnGraphGemm's pools, so the two exact
+    // paths keep their bit-identical contract instead of one ranking
+    // NaN-cosine rows first and the other silently dropping them
     val pairs = side(spread(df), "id", "v", "nv", "sk")
       .crossJoin(broadcast(side(queryDf, "qid", "qv", "nq", "qsk")))
-      .filter(gate && col("id") =!= col("qid"))
+      .filter(gate && col("id") =!= col("qid") &&
+        col("nv") > 0.0 && col("nq") > 0.0)
       .select(col("qid"), col("id"),
         (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -340,7 +345,10 @@ object Similarity {
   /** BLAS-blocked EXACT kNN graph — the brute graph's hot loop moved off
     * whole-stage codegen into dgemm. Same contract and (assuming the
     * margin, below) IDENTICAL output to [[knnGraphBrute]]: q_embed_knn's
-    * oracle SQL gates this variant too.
+    * oracle SQL gates this variant too. Shared zero-norm contract: a
+    * vector with no nonzero element has no defined cosine and is excluded
+    * from both sides on BOTH paths (brute filters `norm > 0`; here the
+    * intake loops skip them) — pinned differentially in PipelineSpec.
     *
     * Why: the brute pair loop is a 400M-iteration generated function at
     * 20k vectors and its steady state is profile-compilation-bound
@@ -390,20 +398,24 @@ object Similarity {
     require(k > 0 && margin >= 0, s"need k > 0, margin >= 0; got $k, $margin")
     val spark = df.sparkSession
     val qdf = queries.getOrElse(df)
-    val qRows = qdf.select(col(idCol).cast("long"), col(vecCol)).collect()
-    val m = qRows.length
+    // zero-norm queries have no defined cosine — dropped here exactly as
+    // knnPairsTopK (the brute path) filters nq > 0, keeping the
+    // bit-identical contract between the two exact paths
+    val qKept = qdf.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), vecToDouble(r.getSeq[Any](1))))
+      .filter { case (_, v) => v.exists(_ != 0.0) }
+    val m = qKept.length
     if (m == 0) { // empty query slice (e.g. a chunked-run hash slice)
       import spark.implicits._
       return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "cosine")
     }
-    val dim = qRows(0).getSeq[Any](1).length
+    val dim = qKept(0)._2.length
     val qids = new Array[Long](m)
     val qmat = new Array[Double](m * dim) // row-major m×dim == col-major dim×m
     val qnorm = new Array[Double](m)
     var j = 0
     while (j < m) {
-      val r = qRows(j); qids(j) = r.getLong(0)
-      val v = vecToDouble(r.getSeq[Any](1))
+      val (qi, v) = qKept(j); qids(j) = qi
       var d0 = 0; var acc = 0.0
       while (d0 < dim) {
         val x = v(d0); qmat(j * dim + d0) = x; acc += x * x; d0 += 1
@@ -431,12 +443,10 @@ object Similarity {
         val c = new Array[Double](blockRows * qChunk)
         def flush(b: Int): Unit = {
           var i = 0
-          while (i < b) {
-            val v = vecs(i); var d0 = 0; var acc = 0.0
-            while (d0 < dim) {
-              val xv = v(d0); x(i * dim + d0) = xv; acc += xv * xv; d0 += 1
-            }
-            rnv(i) = 1.0 / math.sqrt(acc); i += 1
+          while (i < b) { // norms were taken at intake; this is a pure copy
+            val v = vecs(i); var d0 = 0
+            while (d0 < dim) { x(i * dim + d0) = v(d0); d0 += 1 }
+            i += 1
           }
           var q0 = 0
           while (q0 < m) {
@@ -481,8 +491,14 @@ object Similarity {
         }
         var b = 0
         it.foreach { r =>
-          ids(b) = r.getLong(0); vecs(b) = vecToDouble(r.getSeq[Any](1)); b += 1
-          if (b == blockRows) { flush(b); b = 0 }
+          val v = vecToDouble(r.getSeq[Any](1))
+          var d0 = 0; var acc = 0.0
+          while (d0 < dim) { val xv = v(d0); acc += xv * xv; d0 += 1 }
+          if (acc > 0.0) { // zero-norm corpus rows: same exclusion as brute
+            ids(b) = r.getLong(0); vecs(b) = v
+            rnv(b) = 1.0 / math.sqrt(acc); b += 1
+            if (b == blockRows) { flush(b); b = 0 }
+          }
         }
         if (b > 0) flush(b)
         // exact re-score of survivors: the kernel's fold order, verbatim

@@ -69,6 +69,13 @@ object TextAnalysis {
   def tokenCountWs(textCol: Column): Column =
     element_at(textStats(textCol), 1).cast("int")
 
+  /** Non-empty whitespace token count — the split-edge-proof twin of
+    * [[tokenCountWs]] (never counts the empty edge tokens Java split /
+    * `string_split_regex` emit for leading/trailing whitespace), for
+    * cross-engine-comparable reports. */
+  def tokenCountWsNonEmpty(textCol: Column): Column =
+    element_at(textStats(textCol), 8).cast("int")
+
   /** BPE-ish token count: runs of letters, runs of digits, single other
     * non-space chars — a cheap proxy for subword-tokenizer counts. */
   def tokenCountBpe(textCol: Column): Column =
@@ -508,18 +515,23 @@ object TextAnalysis {
     * the per-source/per-language cost signal that drives mixture and
     * budget decisions (a high-fertility slice burns more of a fixed token
     * budget per word of content). All-integer until the final division,
-    * so the report is exact and engine-portable. One map pass (both
-    * counts ride the one [[textStats]] kernel call) + one
-    * map-side-combined aggregate, grouped by the (small) slice keys. */
+    * so the report is exact and engine-portable: the word denominator is
+    * the NON-EMPTY token count ([[tokenCountWsNonEmpty]] — immune to any
+    * engine's empty-edge-token split behavior) and the ratio is rounded
+    * to 9 decimals so a float-formatting delta can never flip a
+    * comparison. One map pass (both counts ride the one [[textStats]]
+    * kernel call) + one map-side-combined aggregate, grouped by the
+    * (small) slice keys. */
   def fertilityReport(df: DataFrame, groupCols: Seq[String],
                       textCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("docs"),
-        sum(tokenCountWs(col(textCol)).cast("long")).as("ws_tokens"),
+        sum(tokenCountWsNonEmpty(col(textCol)).cast("long")).as("ws_tokens"),
         sum(tokenCountBpe(col(textCol)).cast("long")).as("bpe_tokens"))
       .withColumn("fertility",
-        when(col("ws_tokens") > 0,
-          col("bpe_tokens").cast("double") / col("ws_tokens")).otherwise(lit(0.0)))
+        round(when(col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens"))
+          .otherwise(lit(0.0)), 9))
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */

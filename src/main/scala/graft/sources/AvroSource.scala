@@ -174,9 +174,11 @@ object AvroSource {
 
   /** Read a directory of Avro container files (or one file) as a
     * DataFrame: one task per file, streamed through the Hadoop FS API.
-    * The schema comes from the first file (the usual single-producer
-    * contract; mixed-schema directories fail in the per-file decoder
-    * rather than mis-mapping silently). */
+    * The schema comes from the first file and is passed to every file's
+    * decoder as the READER schema, so Avro schema resolution maps each
+    * file's writer fields BY NAME (a reordered-field producer round-trips
+    * correctly) and a genuinely incompatible file fails fast in the
+    * per-file decoder rather than mis-mapping silently. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
@@ -206,11 +208,17 @@ object AvroSource {
         _.addTaskCompletionListener[Unit] { _ =>
           open.forEach(c => scala.util.Try(c.close()))
         })
+      // the first file's schema is the READER (expected) schema for every
+      // file: Avro then resolves each file's own writer schema against it
+      // BY FIELD NAME (reordered same-typed fields land correctly) and a
+      // genuinely incompatible file fails fast in the decoder instead of
+      // silently mis-mapping values by position
+      val expected = new Schema.Parser().parse(first)
       it.flatMap { f =>
         val pp = new Path(f)
         val in = pp.getFileSystem(confSer.value).open(pp)
         val reader = new DataFileStream[GenericRecord](in,
-          new GenericDatumReader[GenericRecord]())
+          new GenericDatumReader[GenericRecord](expected))
         open.add(reader); open.add(in)
         new Iterator[Row] {
           def hasNext: Boolean = {

@@ -173,33 +173,38 @@ object EventStream {
                            vecCol: String, probeIdCol: String,
                            tau: Double): DataFrame = {
     val spark = probes.sparkSession
-    val pr: Array[(Long, Array[Float], Double)] = probes
-      .select(col(probeIdCol).cast("long"), col(vecCol)).collect()
+    // probe AND row vectors are widened via a declarative array<double>
+    // cast (exact for floats), so float and double embedding columns both
+    // work — matching the batch twin's per-element widening instead of
+    // assuming Float arrays and throwing ClassCastException on doubles
+    val pr: Array[(Long, Array[Double], Double)] = probes
+      .select(col(probeIdCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
       .map { r =>
-        val v = r.getSeq[Float](1).toArray
+        val v = r.getSeq[Double](1).toArray
         var n2 = 0.0; var i = 0
-        while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
         (r.getLong(0), v, math.sqrt(n2))
       }.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(pr)
-    val best = udf { emb: Seq[Float] =>
+    val best = udf { emb: Seq[Double] =>
       if (emb == null) (Double.NegativeInfinity, -1L)
       else {
         val v = emb.toArray
         var n2 = 0.0; var i = 0
-        while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
         val nv = math.sqrt(n2)
         var bestCos = Double.NegativeInfinity; var bestId = -1L
         for ((pid, pv, pn) <- bc.value if pv.length == v.length) {
           var acc = 0.0; var d = 0
-          while (d < v.length) { acc += v(d).toDouble * pv(d).toDouble; d += 1 }
+          while (d < v.length) { acc += v(d) * pv(d); d += 1 }
           val cos = acc / (nv * pn)
           if (cos > bestCos) { bestCos = cos; bestId = pid }
         }
         (bestCos, bestId)
       }
     }
-    docs.withColumn("__best", best(col(vecCol)))
+    docs.withColumn("__best", best(col(vecCol).cast("array<double>")))
       .withColumn("probe_cosine", col("__best._1"))
       .withColumn("probe_id", when(col("__best._2") >= 0, col("__best._2")))
       .withColumn("contaminated", col("probe_cosine") >= tau)

@@ -78,6 +78,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1.5, 2L), (1L, 1.0, 1L), (3L, 0.5, 1L)))
   }
 
+  test("rrfFuse: string ids fuse natively instead of collapsing to null") {
+    val r1 = Seq(("docA", 9.0), ("docB", 8.0)).toDF("doc", "score")
+    val r2 = Seq(("docB", 5.0), ("docC", 4.0)).toDF("doc", "sim")
+    val out = Retrieval.rrfFuse(Seq((r1, "doc", "score"), (r2, "doc", "sim")),
+        k0 = 0, topK = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq ==
+      Seq(("docB", 1.5, 2L), ("docA", 1.0, 1L), ("docC", 0.5, 1L)))
+  }
+
   test("geometryReport: bucket arithmetic and same-label split") {
     val df = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 2))
       .toDF("vec_id", "embedding", "label")
@@ -150,6 +160,25 @@ class PipelineSpec extends SparkSpec {
     val gemm = Similarity.knnGraphGemm(dup, "embedding", "vec_id", 5,
       margin = 0, blockRows = 4).orderBy("qid", "id").collect().toSeq
     assert(gemm == brute)
+  }
+
+  test("knnGraphGemm and brute agree on zero-norm vectors: both exclude them") {
+    // a zero vector has no defined cosine; before the shared contract the
+    // brute window ranked its NaN cosine FIRST while gemm silently
+    // dropped it — now both paths exclude it from corpus AND query sides
+    val emb = sf("embeddings").limit(40)
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val zeroed = spark.createDataFrame(
+      Seq((9999L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding").rdd,
+      emb.select("vec_id", "embedding").schema)
+    val df = emb.select("vec_id", "embedding").unionByName(zeroed)
+    val brute = Similarity.knnGraphBrute(df, "embedding", "vec_id", 5)
+      .orderBy("qid", "id").collect().toSeq
+    val gemm = Similarity.knnGraphGemm(df, "embedding", "vec_id", 5)
+      .orderBy("qid", "id").collect().toSeq
+    assert(gemm == brute)
+    assert(!brute.exists(r => r.getLong(0) == 9999L || r.getLong(1) == 9999L))
+    assert(brute.nonEmpty && brute.forall(r => !r.getDouble(2).isNaN))
   }
 
   test("knnGraphGemmChunked equals the unchunked graph; empty slices ok") {

@@ -213,7 +213,7 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("differential: text_stats kernel equals the seven declarative passes") {
+  test("differential: text_stats kernel equals the eight declarative passes") {
     // the single-pass kernel must reproduce each formulation it replaced,
     // over whitespace-hostile and Unicode-bearing inputs: leading tabs
     // (space-only SQL trim + Java split's leading empty token), trailing
@@ -240,6 +240,10 @@ class PropertySpec extends SparkSpec {
       (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
         .cast("long"),
       (length(col("t")) - length(regexp_replace(col("t"), "[A-Z]", "")))
+        .cast("long"),
+      // slot 8: non-empty token count — must NOT inherit split's empty
+      // edge tokens (the cross-engine-proof denominator for fertility)
+      size(filter(split(lower(col("t")), "\\s+"), t => length(t) > 0))
         .cast("long"))
     val checks = decl.zipWithIndex.map { case (d, i) =>
       (!(element_at(ts, i + 1) <=> d)).as(s"bad_$i") }

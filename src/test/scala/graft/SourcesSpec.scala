@@ -300,6 +300,36 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("avro: mixed-schema directory resolves fields by NAME, not position") {
+    // two containers whose writers disagree on field ORDER (same names,
+    // same types): the reader must apply Avro schema resolution against
+    // the first file's schema so both decode correctly — a positional
+    // mapping would silently swap the two long columns of file 2
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro3").toString
+    def schemaOf(fieldOrder: Seq[String]): Schema = {
+      var b = SchemaBuilder.record("rec").fields()
+      fieldOrder.foreach { n => b = b.name(n).`type`().longType().noDefault() }
+      b.endRecord()
+    }
+    def writeFile(name: String, sch: Schema, recs: Seq[Map[String, Long]]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, new java.io.File(dir, name))
+      try recs.foreach { m =>
+        val r = new GenericData.Record(sch)
+        m.foreach { case (k, v) => r.put(k, v) }
+        w.append(r)
+      } finally w.close()
+    }
+    writeFile("part-00000.avro", schemaOf(Seq("a", "b")), Seq(Map("a" -> 1L, "b" -> 10L)))
+    writeFile("part-00001.avro", schemaOf(Seq("b", "a")), Seq(Map("a" -> 2L, "b" -> 20L)))
+    val back = graft.sources.AvroSource.read(spark, dir)
+      .orderBy("a").collect().map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b"))))
+    assert(back.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("avro: distributed read is one task per container file") {
     val df = sf("supplier").repartition(3)
     val dir = java.nio.file.Files.createTempDirectory("graft_avro2").toString
