@@ -146,6 +146,17 @@ object SparkEntry {
     * recall pinned in PipelineSpec). */
   val LshMaxHamming = 112
 
+  /** Gauge-tier LSH params for `q_embed_recall_lsh`: 64 md5-derived
+    * planes fit one packed word (the oracle XOR+bit_counts a single
+    * BIGINT), and 28/64 mirrors the production 112/256 gate ratio. */
+  val RecallLshBits = 64
+  val RecallLshMaxHamming = 28
+
+  /** Gauge-tier IVF params for `q_embed_recall_ivf`: the q_kmeans cell
+    * count, probing 2 of 8 cells (a quarter of the corpus scored). */
+  val RecallIvfCells = 8
+  val RecallIvfProbe = 2
+
   /** Param-versioned index paths: an index of a different sketch width or
     * an older on-disk LAYOUT must never be mistaken for the current index.
     * Layout history: (bare) = corpus + bare `__sk`; `n` = + bare `__norm`;
@@ -1902,6 +1913,51 @@ object SparkEntry {
         .warpSort(Seq(Order(col("qid"))))
     }),
 
+    // ---- recall@10 of sketch-gated LSH retrieval vs the exact kNN graph:
+    //      the gauge runs on the ENGINE-REPLAYABLE md5-derived hyperplane
+    //      tier (hyperplanesMd5), so sketches, Hamming gate, top-k and the
+    //      recall join all replay exactly in the DuckDB oracle — the
+    //      determinate quality gate for the LSH path (the production
+    //      256-bit seeded index stays rows-only)
+    "q_embed_recall_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val planes = graft.pipeline.Similarity.hyperplanesMd5(
+        emb.select("embedding").head().getSeq[Any](0).length, RecallLshBits)
+      val idx = emb.withColumn(
+        graft.pipeline.Similarity.skColName("embedding"),
+        graft.pipeline.Similarity.sketch(col("embedding"), planes))
+      val exact = graft.pipeline.Similarity.knnGraphGemm(
+        emb, "embedding", "vec_id", 10,
+        queries = Some(emb.filter(col("vec_id") < 64)))
+      val approx = graft.pipeline.Similarity.knnGraphSketch(
+        idx, "embedding", "vec_id", 10, maxHamming = RecallLshMaxHamming,
+        queries = Some(idx.filter(col("vec_id") < 64)))
+      graft.pipeline.Similarity.recallReport(exact, approx)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
+    // ---- recall@10 of IVF cell-probed retrieval vs the exact kNN graph:
+    //      cells come from the DETERMINISTIC k-means fit (kmeansFit — the
+    //      q_kmeans arithmetic), so cell ranking, probe join, top-k and
+    //      the recall join replay exactly in the DuckDB oracle — the
+    //      determinate quality gate for the IVF path (the seeded-sample
+    //      ivfIndex tier stays rows-only)
+    "q_embed_recall_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val (asg, cents) = graft.pipeline.Cluster.kmeansFit(
+        emb, "embedding", "vec_id", k = RecallIvfCells, iters = 2)
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .join(asg.select(col("vec_id"), col("cluster").as("__cell")), "vec_id")
+      val queries = emb.filter(col("vec_id") < 64)
+      val exact = graft.pipeline.Similarity.knnGraphGemm(
+        emb, "embedding", "vec_id", 10, queries = Some(queries))
+      val approx = graft.pipeline.Similarity.knnGraphIvfExact(
+        assigned, cents, "embedding", "vec_id", 10, nProbe = RecallIvfProbe,
+        queries = queries)
+      graft.pipeline.Similarity.recallReport(exact, approx)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
     //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
@@ -2610,6 +2666,110 @@ object SparkEntry {
        $rounds,
        ${assignCte("afin", s"c$iters")}"""
   }
+
+  /** Shared recall-gauge tail: hits/total per exact-side query (the
+    * q_embed_recall_q8 join, reused by the LSH/IVF gauges). Expects CTEs
+    * `ex(qid, id)` (exact top-k) and `ap(qid, id)` (approx top-k). */
+  private val recallTailSql: String =
+    """h AS (SELECT ex.qid, count(*) AS hits FROM ex
+           JOIN ap ON ex.qid = ap.qid AND ex.id = ap.id GROUP BY ex.qid),
+         t AS (SELECT qid, count(*) AS total FROM ex GROUP BY qid)
+       SELECT t.qid, coalesce(h.hits, 0) AS hits, t.total,
+         CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS recall
+       FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid"""
+
+  /** DuckDB oracle replaying the md5-hyperplane LSH retrieval of
+    * q_embed_recall_lsh end-to-end: regenerate the planes from md5
+    * ([[graft.pipeline.Similarity.hyperplanesMd5]]'s exact formula), sign
+    * sketches via the same left-fold dots, Hamming-gate with the packed
+    * word split into two 32-bit halves (DuckDB's BIGINT shift rejects bit
+    * 63; Hamming is split-invariant), cosine top-k among survivors, then
+    * the recall join against the exact graph. */
+  private def recallLshOracle(nBits: Int, maxHamming: Int, nQueries: Int,
+                              k: Int): String =
+    s"""WITH b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d, b q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $k),
+         pl AS (SELECT bb, list(w ORDER BY dd) AS pw FROM (
+           SELECT bb, dd,
+             CAST(('0x' || substr(md5('lshp:' || bb || ':' || dd), 1, 8)) AS BIGINT)
+               / 4294967296.0 * 2.0 - 1.0 AS w
+           FROM (SELECT unnest(range(0, $nBits)) AS bb),
+                (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+                   LIMIT 1))) AS dd))
+          GROUP BY bb),
+         sk AS (SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0.0 AND bb < 32
+               THEN 1::BIGINT << bb ELSE 0 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN dot > 0.0 AND bb >= 32
+               THEN 1::BIGINT << (bb - 32) ELSE 0 END) AS BIGINT) AS w2
+           FROM (
+             SELECT e.vec_id, p.bb,
+               list_reduce(list_transform(list_zip(e.embedding, p.pw),
+                 pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, v) -> acc + v) AS dot
+             FROM embeddings e, pl p)
+           GROUP BY vec_id),
+         ap AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d JOIN sk sd ON sd.vec_id = d.vec_id
+                JOIN b q ON d.vec_id <> q.vec_id AND q.vec_id < $nQueries
+                JOIN sk sq ON sq.vec_id = q.vec_id
+           WHERE bit_count(xor(sd.w1, sq.w1)) + bit_count(xor(sd.w2, sq.w2))
+             <= $maxHamming)
+          WHERE rn <= $k),
+         $recallTailSql"""
+
+  /** DuckDB oracle replaying the deterministic-cell IVF retrieval of
+    * q_embed_recall_ivf: the kmeansCtes final cells + centroids, each
+    * query's nProbe best cells by fold-cosine (ties to the lower cell),
+    * cosine top-k among probed-cell candidates, then the recall join
+    * against the exact graph. */
+  private def recallIvfOracle(kCells: Int, iters: Int, nProbe: Int,
+                              nQueries: Int, k: Int): String =
+    s"""${kmeansCtes(kCells, iters)},
+         bq AS (SELECT vec_id, v, sqrt(n2) AS nv FROM e WHERE vec_id < $nQueries),
+         crp AS (SELECT a.vec_id, a.v, a.cl, sqrt(e.n2) AS nv
+           FROM afin a JOIN e ON e.vec_id = a.vec_id),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.v, q.v),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (sqrt(d.n2) * sqrt(q.n2)) DESC, d.vec_id) AS rn
+           FROM e d, e q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $k),
+         qc AS (SELECT qid, cl FROM (
+           SELECT q.vec_id AS qid, c.cl,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(q.v, c.c),
+                 pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, v) -> acc + v)
+               / (q.nv * sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                   (acc, v) -> acc + v))) DESC, c.cl) AS rn
+           FROM bq q, c$iters c) WHERE rn <= $nProbe),
+         ap AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.v, q.v),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM crp d JOIN qc ON d.cl = qc.cl
+                JOIN bq q ON q.vec_id = qc.qid
+           WHERE d.vec_id <> q.vec_id)
+          WHERE rn <= $k),
+         $recallTailSql"""
 
   private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
     val out =
@@ -4627,6 +4787,10 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+    "q_embed_recall_lsh" ->
+      recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
+    "q_embed_recall_ivf" ->
+      recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_embed_recall_q8" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

@@ -47,7 +47,18 @@ object Cluster {
     * its final centroid, double). Output ordering is the caller's
     * concern; `q_kmeans` sorts by id. */
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
-                   k: Int = 8, iters: Int = 2): DataFrame = {
+                   k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansFit(df, vecCol, idCol, k, iters)._1
+
+  /** Full Lloyd fit: the [[kmeansAssign]] assignment frame PLUS the final
+    * centroids (double, the exact values the assignments argmin'd
+    * against). The centroid array is what downstream cell-probing
+    * operators need — [[Similarity.knnGraphIvf]] over these cells is a
+    * fully deterministic, externally replayable IVF retrieval (the
+    * `q_embed_recall_ivf` gauge), unlike the seeded-sample
+    * [[Similarity.ivfIndex]] tier. */
+  def kmeansFit(df: DataFrame, vecCol: String, idCol: String,
+                k: Int = 8, iters: Int = 2): (DataFrame, Array[Array[Double]]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // null vectors are DROPPED (they have no distance to any centroid and
@@ -77,9 +88,10 @@ object Cluster {
         }
         cents = next
       }
-      assign(base, cents)
+      val out = assign(base, cents)
         .select(col("__id").as(idCol), col("__c").as("cluster"),
           col("__d").as("dist2"))
+      (out, cents)
     } finally { base.unpersist(); () }
   }
 

@@ -94,6 +94,28 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** ENGINE-REPLAYABLE hyperplanes: weight (b, d) is uniform in [-1, 1)
+    * derived from the first 4 md5 bytes of `"lshp:b:d"` — the md5-bucket
+    * recipe ([[Sampling]]) applied to projection directions, so an
+    * external SQL engine can regenerate the exact planes
+    * (`('0x' || substr(md5(s), 1, 8))::BIGINT / 4294967296.0 * 2.0 - 1.0`)
+    * and replay the whole sketch → Hamming-gate → top-k retrieval
+    * bit-for-bit. This is what makes `q_embed_recall_lsh` a determinate
+    * quality gate rather than a rows-only entry. Uniform (not Gaussian)
+    * directions cost a little sketch quality per bit versus
+    * [[hyperplanes]]; for the recall GAUGE that trade is free — the gauge
+    * measures recall, it doesn't need the best possible recall. */
+  def hyperplanesMd5(dim: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"lshp:$b:$d".getBytes("UTF-8"))
+        val u = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+          ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+        u.toDouble / 4294967296.0 * 2.0 - 1.0
+      }
+    }
+
   /** Sign-bit sketch of a vector under the given hyperplanes, packed into
     * `ceil(nBits/64)` longs (`array<bigint>`). One native kernel pass over
     * the vector ([[graft.functions.SketchExpr]]) — the declarative
@@ -313,9 +335,30 @@ object Similarity {
   def knnGraphIvf(assigned: DataFrame, centroids: Array[Seq[Float]],
                   vecCol: String, idCol: String, k: Int, nProbe: Int,
                   queries: DataFrame,
-                  broadcastQueries: Boolean = true): DataFrame = {
+                  broadcastQueries: Boolean = true): DataFrame =
+    knnGraphIvfCore(assigned, centroids.map(c => typedLit(c)), vecCol, idCol,
+      k, nProbe, queries, broadcastQueries)
+
+  /** [[knnGraphIvf]] over DOUBLE centroids — the deterministic-cell tier:
+    * feed it [[Cluster.kmeansFit]]'s cells and the whole IVF retrieval
+    * (cell ranking, probe join, top-k) is seedless and externally
+    * replayable, which is what lets `q_embed_recall_ivf` oracle-check IVF
+    * retrieval quality end-to-end. Same probe plan as the float tier; the
+    * dot kernel widens per element, so float corpus vectors score against
+    * double centroids exactly. */
+  def knnGraphIvfExact(assigned: DataFrame, centroids: Array[Array[Double]],
+                       vecCol: String, idCol: String, k: Int, nProbe: Int,
+                       queries: DataFrame,
+                       broadcastQueries: Boolean = true): DataFrame =
+    knnGraphIvfCore(assigned, centroids.map(c => typedLit(c.toSeq)), vecCol,
+      idCol, k, nProbe, queries, broadcastQueries)
+
+  private def knnGraphIvfCore(assigned: DataFrame, centroids: Array[Column],
+                              vecCol: String, idCol: String, k: Int,
+                              nProbe: Int, queries: DataFrame,
+                              broadcastQueries: Boolean): DataFrame = {
     val ranked = centroids.indices.map { i =>
-      struct((lit(0.0) - cosine(col(vecCol), typedLit(centroids(i)))).as("negcos"),
+      struct((lit(0.0) - cosine(col(vecCol), centroids(i))).as("negcos"),
         lit(i).as("cell"))
     }
     val qNorm =

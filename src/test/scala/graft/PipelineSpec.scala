@@ -181,6 +181,53 @@ class PipelineSpec extends SparkSpec {
     assert(brute.nonEmpty && brute.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("hyperplanesMd5 pins the engine-portable weight formula") {
+    // the DuckDB oracle regenerates these planes from md5 — the first
+    // weight is pinned so a silent formula drift breaks HERE, not as an
+    // opaque recall-gauge hash mismatch in the driver
+    val pl = Similarity.hyperplanesMd5(4, 2)
+    assert(pl.length == 2 && pl(0).length == 4)
+    assert(pl(0)(0) == 1895767151L.toDouble / 4294967296.0 * 2.0 - 1.0)
+    assert(pl.flatten.forall(w => w >= -1.0 && w < 1.0))
+    // deterministic: no hidden state between calls
+    assert(Similarity.hyperplanesMd5(4, 2).flatten.toSeq == pl.flatten.toSeq)
+  }
+
+  test("kmeansFit centroids are the exact argmin targets of its assignments") {
+    val emb = sf("embeddings").limit(200)
+    val (asg, cents) = Cluster.kmeansFit(emb, "embedding", "vec_id", k = 4, iters = 1)
+    assert(cents.length == 4)
+    val rows = asg.join(emb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "cluster", "embedding").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val d2 = cents.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+      // assigned cluster minimizes distance (ties to the lowest id)
+      val best = d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(r.getInt(1) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("knnGraphIvfExact on deterministic cells: recall in (0,1], subset of corpus") {
+    val emb = sf("embeddings").limit(300)
+    val (asg, cents) = Cluster.kmeansFit(emb, "embedding", "vec_id", k = 4, iters = 1)
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .join(asg.select(col("vec_id"), col("cluster").as("__cell")), "vec_id")
+    val q = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.knnGraphBrute(emb, "embedding", "vec_id", 5, queries = Some(q))
+    val approx = Similarity.knnGraphIvfExact(assigned, cents, "embedding", "vec_id",
+      5, nProbe = 2, queries = q)
+    val rec = Similarity.recallReport(exact, approx).collect()
+    assert(rec.length == 16)
+    assert(rec.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // probing 2 of 4 cells must find SOMETHING overall
+    assert(rec.map(_.getLong(1)).sum > 0)
+  }
+
   test("knnGraphGemmChunked equals the unchunked graph; empty slices ok") {
     val emb = sf("embeddings").limit(150)
     val whole = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5)
