@@ -60,8 +60,11 @@ object Bench {
     // convergence at sf1 is 254 -> 168 -> 156 -> 67 s on this host, so even
     // min-of-3 reports a compilation artifact, not the steady state a
     // deployment pays. Listing them here runs ONE untimed full-scale pass
-    // first. Off by default (sf0.1 queries converge within min-of-3).
-    sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM", "").split(",")
+    // first. Default: the iterative graph heavies, whose multi-round
+    // generated-stage variety showed the same in-catalog non-convergence
+    // (q_pagerank 13.8 s in-catalog vs 5.0 isolated at r8);
+    // SPARK_GRAFT_HEAVY_WARM="" disables.
+    sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM", "q_pagerank,q_label_prop").split(",")
       .map(_.trim).filter(_.nonEmpty).foreach { n =>
         SparkEntry.queries.get(n) match {
           case Some(fn) =>

@@ -325,12 +325,36 @@ object Formula {
       case TimestampLit(s)  => s"@${if (s == s.floor) s.toLong.toString else s.toString}"
       case Sibling(n)       => s"[$n]"
       case Foreign(n)       => s"#[$n]"
-      case Bin(op, l, r)    => s"(${go(l)}$op${go(r)})"
+      case Bin(op, l, r)    =>
+        val rs = go(r)
+        // `%` is only BINARY when followed by an operand ("10%-3" reads as
+        // percent-then-subtract, per the reference grammar) — parenthesize
+        // a negative right side so binary modulo survives the round-trip
+        val rsafe = if (op == "%" && rs.startsWith("-")) s"($rs)" else rs
+        s"(${go(l)}$op$rsafe)"
       case Call(f, args)    =>
         s"${localName.getOrElse(f, f)}(${args.map(go).mkString(sep)})"
       case ListLit(items)   => s"{${items.map(go).mkString(sep)}}"
-      case Index(t, i)      => s"${go(t)}[${go(i)}]"
-      case Lookup(t, k)     => s"${go(t)}->${go(k)}"
+      case Index(t, i)      => s"${postfixTarget(t)}[${go(i)}]"
+      case Lookup(t, k)     =>
+        // the lookup key is parsed as an ATOM: a negative literal key
+        // ("x->-3") would fail to re-parse, and a postfix key (x->a[1],
+        // x->a->b) would re-associate onto the OUTER expression —
+        // parenthesize those (parens ARE an atom), leaving ordinary
+        // string/number keys untouched
+        val ks = go(k)
+        val atomSafe = k match {
+          case _: Index | _: Lookup => false
+          case _                    => !ks.startsWith("-")
+        }
+        s"${postfixTarget(t)}->${if (atomSafe) ks else s"($ks)"}"
+    }
+    // postfix (x[i], x->k) binds TIGHTER than unary minus in the parser:
+    // a negative-literal target printed bare ("-3[1]") would re-parse as
+    // -(3[1]) — parenthesize any target whose printed form leads with '-'
+    def postfixTarget(t: Expr): String = {
+      val ts = go(t)
+      if (ts.startsWith("-")) s"($ts)" else ts
     }
     go(e)
   }

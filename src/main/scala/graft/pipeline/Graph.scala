@@ -21,9 +21,9 @@ import org.apache.spark.sql.types.DecimalType
   * table with the node-rank table keyed on source (the edge table is
   * repartitioned by source once, up front, and localCheckpointed — the
   * per-round join reuses that exchange), one map-side-combined decimal
-  * sum keyed on destination, a 1-row dangling aggregate, and a left join
-  * back to the node set. The driver holds two scalars, never a vector of
-  * ranks. Note on round cleanup: `Dataset.unpersist` on a
+  * sum keyed on destination, a 1-row dangling aggregate broadcast into
+  * the same job, and a left join back to the node set. The driver holds
+  * no per-node state and issues ONE action per round. Note on round cleanup: `Dataset.unpersist` on a
   * localCheckpoint'ed frame is best-effort — checkpoint blocks are
   * actually reclaimed by the ContextCleaner once the previous round's
   * Dataset is unreferenced (which the `pr = next` rebind guarantees), so
@@ -38,15 +38,31 @@ object Graph {
     * distinct endpoints of `edges`; multi-edges weight the source's
     * contribution multiply (dedupe upstream for simple-graph semantics).
     * Dangling mass (nodes with no out-edges) redistributes uniformly.
-    * Output: (node, pagerank), one row per node, sum ≈ 1. */
+    * Output: (node, pagerank), one row per node, sum ≈ 1.
+    *
+    * Driver round-trips: ONE action per round (the eager checkpoint of
+    * the next rank table). The dangling-mass scalar rides the same job as
+    * a broadcast 1-row aggregate crossed into the rank projection — not a
+    * separate `.head()` — so deep iteration counts pay one scheduler
+    * round-trip each, not two.
+    *
+    * `dstSalt` > 1 splits the per-destination contribution sum into a
+    * salted two-phase aggregate (partial decimal sums per
+    * (dst, hash(src) % dstSalt), then the final per-dst sum) — the skew
+    * remedy when hub destinations concentrate the shuffle. The
+    * DECIMAL(30,15) contribution sum is associative, so any salt width
+    * produces BIT-IDENTICAL ranks (pinned in PipelineSpec on a power-law
+    * graph); the default 1 keeps the single-phase plan whose map-side
+    * combine already handles moderate skew. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85,
-               out: String = "pagerank"): DataFrame = {
+               out: String = "pagerank", dstSalt: Int = 1): DataFrame = {
     // iters >= 1: the result must be a materialized checkpoint of its own
     // before the finally-block unpersists the edge/node checkpoints it
     // derives from (recomputing an unpersisted LOCAL checkpoint fails)
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(dstSalt >= 1, s"dstSalt must be >= 1, got $dstSalt")
     val e = edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
       .repartition(col("__src"))
@@ -61,23 +77,31 @@ object Graph {
       for (_ <- 1 to iters) {
         val withDeg = pr.join(deg, pr("__n") === deg("__src"), "left")
           .select(col("__n"), col("__pr"), col("__deg"))
-        // dangling mass: exact decimal sum -> one double, on the driver
-        val dangRow = withDeg.filter(col("__deg").isNull)
-          .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__d")).head()
-        val dangD = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDecimal(0).doubleValue()
-        val contrib = e.join(withDeg.filter(col("__deg").isNotNull),
+        // dangling mass: exact decimal sum -> ONE broadcast row riding the
+        // same job as the rank projection (no separate driver action)
+        val dang = withDeg.filter(col("__deg").isNull)
+          .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__dang"))
+        val quant = e.join(withDeg.filter(col("__deg").isNotNull),
             col("__src") === col("__n"))
-          .select(col("__dst"),
+          .select(col("__dst"), col("__src"),
             (col("__pr") / col("__deg").cast("double"))
               .cast(DecimalType(30, 15)).as("__c"))
-          .groupBy("__dst").agg(sum(col("__c")).as("__in"))
+        val contrib =
+          if (dstSalt <= 1)
+            quant.groupBy("__dst").agg(sum(col("__c")).as("__in"))
+          else // salted two-phase: exact (decimal sum is associative)
+            quant
+              .groupBy(col("__dst"), pmod(xxhash64(col("__src")), lit(dstSalt)))
+              .agg(sum(col("__c")).as("__part"))
+              .groupBy("__dst").agg(sum(col("__part")).as("__in"))
         val base = (1.0 - damping) / n.toDouble
-        val share = damping * dangD / n.toDouble
         val next = nodes.join(contrib, nodes("__n") === contrib("__dst"), "left")
+          .crossJoin(broadcast(dang))
           .select(col("__n"),
             (lit(base) +
               lit(damping) * coalesce(col("__in").cast("double"), lit(0.0)) +
-              lit(share)).as("__pr"))
+              lit(damping) * coalesce(col("__dang").cast("double"), lit(0.0))
+                / lit(n.toDouble)).as("__pr"))
           .localCheckpoint(true) // eager: safe to drop the previous round
         pr.unpersist()
         pr = next

@@ -40,6 +40,28 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted dst-sum is bit-identical on a power-law hub graph") {
+    // one hub receives half of all edges (the 100 TB skew shape: a few
+    // domains collect most links). The doc's claim — the DECIMAL(30,15)
+    // contribution sum is associative, so salting the hub's partial sums
+    // is EXACT, not approximate — is pinned here: any salt width must
+    // reproduce the unsalted ranks bit for bit, dangling mass included.
+    val rnd = new scala.util.Random(11)
+    val hubEdges = (1 to 300).map(i => s"n$i" -> "hub")
+    val rest = (1 to 300).map { i =>
+      s"n${rnd.nextInt(300) + 1}" -> s"n${rnd.nextInt(320) + 1}"
+    } // targets n301..n320 exist only as dsts -> dangling nodes present
+    val df = (hubEdges ++ rest).toDF("s", "d").repartition(7)
+    val plain = Graph.pageRank(df, "s", "d", 3)
+      .orderBy("node").collect().toSeq
+    val salted = Graph.pageRank(df, "s", "d", 3, dstSalt = 8)
+      .orderBy("node").collect().toSeq
+    assert(salted == plain)
+    // sanity: skew is real — the hub holds a large share of total mass
+    val m = plain.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("hub") > 0.1)
+  }
+
   test("multi-edges weight the contribution multiply (documented contract)") {
     // a->b twice, a->c once: b receives 2/3 of a's damped mass
     val r = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a"), iters = 1)

@@ -45,6 +45,72 @@ class PropertySpec extends SparkSpec {
       } yield Call(f, List(a))),
       1 -> Gen.listOfN(3, genExpr(depth - 1)).map(ListLit(_)))
 
+  // ---- the FULL expression space (every AST node, every operator, both
+  // locales) for the locale round-trip law below
+
+  private val genAtomFull: Gen[Expr] = Gen.oneOf(
+    genLit,
+    Gen.oneOf(Lit(null), InvalidLit, Identity),
+    // non-whole doubles (x.5 is binary-exact and never prints an exponent
+    // at this magnitude): the strict-equality probe for decimal-separator
+    // localization
+    Gen.choose(-999999L, 999999L).map(l => Lit(l + 0.5)),
+    Gen.choose(0L, 4000000L).map(l => TimestampLit(l.toDouble)),
+    Gen.choose(0L, 999999L).map(l => TimestampLit(l + 0.5)),
+    genName.map(Sibling(_)),
+    genName.map(Foreign(_)))
+
+  private def genExprFull(depth: Int): Gen[Expr] =
+    if (depth <= 0) genAtomFull
+    else Gen.frequency(
+      4 -> genAtomFull,
+      4 -> (for {
+        op <- Gen.oneOf("+", "-", "*", "/", "%", "^", "&", "=", "<", ">",
+          "<=", ">=", "<>", "~=", "~~=", "±=", "±±=")
+        l <- genExprFull(depth - 1); r <- genExprFull(depth - 1)
+      } yield Bin(op, l, r)),
+      2 -> (for {
+        f <- Gen.oneOf("UPPER", "MIN", "MAX", "CONCAT", "IF", "ABS")
+        n <- Gen.choose(0, 3)
+        as <- Gen.listOfN(n, genExprFull(depth - 1))
+      } yield Call(f, as)),
+      1 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, genExprFull(depth - 1)).map(ListLit(_))),
+      1 -> (for { t <- genExprFull(depth - 1); i <- genExprFull(depth - 1) }
+        yield Index(t, i)),
+      1 -> (for { t <- genExprFull(depth - 1); k <- genExprFull(depth - 1) }
+        yield Lookup(t, k)))
+
+  test("formula locale round-trip: parse(toFormula(e, lang), lang) == e, en + nl, 1000 ASTs each") {
+    // the reference pins hand-picked localized round-trips
+    // (WarpCoreTests.swift:670-694); this drives the law over the whole
+    // expression space under BOTH locales — decimal separators, localized
+    // function spellings/constants, postfix-unsafe lookup keys, binary-%
+    // lookahead, the lot
+    def norm(x: Expr): Expr = x match {
+      // double literals that happen to be integral print without a
+      // fraction and reparse as Long — the documented normalization
+      case Lit(d: Double) if d == d.floor && d.abs < 1e15 => Lit(d.toLong)
+      case Bin(op, l, r) => Bin(op, norm(l), norm(r))
+      case Call(f, as)   => Call(f, as.map(norm))
+      case ListLit(as)   => ListLit(as.map(norm))
+      case Index(t, i)   => Index(norm(t), norm(i))
+      case Lookup(t, k)  => Lookup(norm(t), norm(k))
+      case other         => other
+    }
+    for (lang <- Seq(graft.values.WarpLanguage.en, graft.values.WarpLanguage.nl)) {
+      for (e <- samples(genExprFull(3), 1000)) {
+        val s = Formula.toFormula(e, lang)
+        val reparsed =
+          try Formula.parse(s, lang)
+          catch { case ex: Throwable =>
+            fail(s"[${lang.id}] unparse produced unparseable '$s' for $e: $ex") }
+        assert(norm(reparsed) == norm(e),
+          s"[${lang.id}] round-trip failed for: $s\n  ast: $e\n  got: $reparsed")
+      }
+    }
+  }
+
   test("formula round-trip: parse(toFormula(e)) == e for random ASTs") {
     for (e <- samples(genExpr(3), 300)) {
       val once = Formula.toFormula(e)
