@@ -14,11 +14,14 @@ package graft.pipeline
   *    codes — the escape form is spec-legal for EVERY run/level, so the
   *    built-in encoder emits nothing else and stays in the tested set.
   *  - P macroblocks: skipped (copy), MC-only (forward vector, full- or
-  *    half-pel, f_code 1..7), and intra refresh. Non-intra CODED
-  *    residual blocks (macroblock_pattern) are outside the testable
-  *    subset in this container (no reference streams, no ffmpeg) and
-  *    raise — a decoder that cannot be validated must fail loudly, not
-  *    fabricate pixels.
+  *    half-pel, f_code 1..7), intra refresh, and CODED non-intra
+  *    residual blocks (macroblock_pattern + CBP VLC + (2·QFS+Sign)
+  *    dequantization + clamped residual add) — both the MC+coded ('1')
+  *    and coded-only ('01') types decode; the built-in encoder emits the
+  *    coded-only form (`encode(codeResiduals = true)`), closing the
+  *    P-frame loop end-to-end. The CBP table is transcribed from the
+  *    public spec and structurally self-checked (prefix-free, Kraft sum)
+  *    since no external reference streams exist in this container.
   *
   * Scale shape: a clip decodes sequentially by necessity (P frames
   * read the previous reconstruction), but clips are independent rows —
@@ -134,6 +137,37 @@ object Mpeg1 {
     0 -> (0x1, 1), 1 -> (0x2, 3), -1 -> (0x3, 3),
     2 -> (0x2, 4), -2 -> (0x3, 4), 3 -> (0x2, 5), -3 -> (0x3, 5))
 
+  /** coded_block_pattern VLC (spec table B.3), cbp value -> (code, bits).
+    * Bit 32 = Y0 (top-left), 16 = Y1, 8 = Y2, 4 = Y3, 2 = Cb, 1 = Cr.
+    * All 63 nonzero patterns (cbp 0 has no code in MPEG-1 — the
+    * macroblock_pattern flag implies at least one coded block).
+    * Structural self-checks in Mpeg1Spec: prefix-free, unique, Kraft sum
+    * exactly 510/512 (the table's two reserved 9-bit leaves). */
+  private val CbpCodes: Map[Int, (Int, Int)] = Map(
+    60 -> (0x7, 3),
+    4 -> (0xD, 4), 8 -> (0xC, 4), 16 -> (0xB, 4), 32 -> (0xA, 4),
+    12 -> (0x13, 5), 48 -> (0x12, 5), 20 -> (0x11, 5), 40 -> (0x10, 5),
+    28 -> (0xF, 5), 44 -> (0xE, 5), 52 -> (0xD, 5), 56 -> (0xC, 5),
+    1 -> (0xB, 5), 61 -> (0xA, 5), 2 -> (0x9, 5), 62 -> (0x8, 5),
+    24 -> (0xF, 6), 36 -> (0xE, 6), 3 -> (0xD, 6), 63 -> (0xC, 6),
+    5 -> (0x17, 7), 9 -> (0x16, 7), 17 -> (0x15, 7), 33 -> (0x14, 7),
+    6 -> (0x13, 7), 10 -> (0x12, 7), 18 -> (0x11, 7), 34 -> (0x10, 7),
+    7 -> (0x1F, 8), 11 -> (0x1E, 8), 19 -> (0x1D, 8), 35 -> (0x1C, 8),
+    13 -> (0x1B, 8), 49 -> (0x1A, 8), 21 -> (0x19, 8), 41 -> (0x18, 8),
+    14 -> (0x17, 8), 50 -> (0x16, 8), 22 -> (0x15, 8), 42 -> (0x14, 8),
+    15 -> (0x13, 8), 51 -> (0x12, 8), 23 -> (0x11, 8), 43 -> (0x10, 8),
+    25 -> (0xF, 8), 37 -> (0xE, 8), 26 -> (0xD, 8), 38 -> (0xC, 8),
+    29 -> (0xB, 8), 45 -> (0xA, 8), 53 -> (0x9, 8), 57 -> (0x8, 8),
+    30 -> (0x7, 8), 46 -> (0x6, 8), 54 -> (0x5, 8), 58 -> (0x4, 8),
+    31 -> (0x7, 9), 47 -> (0x6, 9), 55 -> (0x5, 9), 59 -> (0x4, 9),
+    27 -> (0x3, 9), 39 -> (0x2, 9))
+
+  /** Structural-audit view of [[CbpCodes]] for the spec's prefix/Kraft
+    * checks (the table is transcribed from the public standard and cannot
+    * be validated against reference streams in this container — the
+    * self-checks plus the encoder/decoder closed loop are the gate). */
+  private[graft] def cbpTable: Map[Int, (Int, Int)] = CbpCodes
+
   // ------------------------------------------------------- IDCT / FDCT
 
   private val CosTable: Array[Double] = {
@@ -241,10 +275,7 @@ object Mpeg1 {
       else if (r.peek(6) == 1) {
         r.bits(6)
         val run = r.bits(6)
-        var level = r.bits(8)
-        if (level == 0x00) level = r.bits(8)          // 16-bit escape, +128..255
-        else if (level == 0x80) level = r.bits(8) - 256 // 16-bit escape, -255..-128
-        else if (level > 128) level -= 256             // 8-bit two's complement
+        val level = escapeLevel(r)
         i += run + 1
         if (i > 63) throw Mpeg1Error("AC run past block end")
         out(Zigzag(i)) = dequant(level, qscale, iq(Zigzag(i)))
@@ -265,6 +296,76 @@ object Mpeg1 {
     var f = (2 * qfs * qscale * w) / 16
     if ((f & 1) == 0) f = f - Integer.signum(f)
     math.max(-2048, math.min(2047, f))
+  }
+
+  /** NON-intra dequantization (spec §2.4.4.2): the (2·QFS + Sign) form
+    * with the same mismatch control. The default non-intra matrix is flat
+    * 16 (spec §2.4.2.3), which this codec pins (no loaded matrices). */
+  private def dequantNI(qfs: Int, qscale: Int): Int = {
+    var f = ((2 * qfs + Integer.signum(qfs)) * qscale * 16) / 16
+    if ((f & 1) == 0) f = f - Integer.signum(f)
+    math.max(-2048, math.min(2047, f))
+  }
+
+  private def cbpDecode(r: BitReader): Int = {
+    var code = 0; var len = 0
+    while (len < 9) {
+      code = (code << 1) | r.bit(); len += 1
+      CbpCodes.foreach { case (v, (c, l)) => if (l == len && c == code) return v }
+    }
+    throw Mpeg1Error("bad coded_block_pattern")
+  }
+
+  /** Decode one NON-intra (residual) block into raster-order dequantized
+    * values. No DC predictor; the FIRST coefficient uses the dct_coeff_
+    * first convention ('1s' = run 0 level ±1; EOB impossible), subsequent
+    * coefficients the shared EOB/'11s'/escape set. Like the intra path,
+    * the built-in encoder emits only escapes, but the short forms decode
+    * too. */
+  private def decodeBlockNI(r: BitReader, qscale: Int, out: Array[Int]): Unit = {
+    java.util.Arrays.fill(out, 0)
+    var i = 0 // zigzag index of the last coded coefficient
+    // first coefficient
+    if (r.peek(1) == 1) {
+      r.bits(1); val sign = r.bit()
+      out(Zigzag(0)) = dequantNI(if (sign == 1) -1 else 1, qscale)
+    } else if (r.peek(6) == 1) {
+      r.bits(6)
+      val run = r.bits(6)
+      val level = escapeLevel(r)
+      i = run
+      if (i > 63) throw Mpeg1Error("AC run past block end")
+      out(Zigzag(i)) = dequantNI(level, qscale)
+    } else throw Mpeg1Error("non-intra first coefficient outside supported subset")
+    // subsequent coefficients
+    var done = false
+    while (!done) {
+      if (r.peek(2) == 2) { r.bits(2); done = true } // EOB
+      else if (r.peek(6) == 1) {
+        r.bits(6)
+        val run = r.bits(6)
+        val level = escapeLevel(r)
+        i += run + 1
+        if (i > 63) throw Mpeg1Error("AC run past block end")
+        out(Zigzag(i)) = dequantNI(level, qscale)
+      } else if (r.peek(2) == 3) {
+        r.bits(2)
+        val sign = r.bit()
+        i += 1
+        if (i > 63) throw Mpeg1Error("AC run past block end")
+        out(Zigzag(i)) = dequantNI(if (sign == 1) -1 else 1, qscale)
+      } else throw Mpeg1Error("AC VLC outside supported subset")
+    }
+  }
+
+  /** The escape form's 8/16-bit level field (shared by intra and
+    * non-intra paths). */
+  private def escapeLevel(r: BitReader): Int = {
+    var level = r.bits(8)
+    if (level == 0x00) level = r.bits(8)            // 16-bit escape, +128..255
+    else if (level == 0x80) level = r.bits(8) - 256 // 16-bit escape, -255..-128
+    else if (level > 128) level -= 256              // 8-bit two's complement
+    level
   }
 
   private def mvDecode(r: BitReader): Int = {
@@ -424,8 +525,6 @@ object Mpeg1 {
                 else if (r.bits(2) == 3) intra = true          // 00011
                 else throw Mpeg1Error("macroblock_type outside supported subset")
               }
-              if (pattern && !intra)
-                throw Mpeg1Error("non-intra coded blocks unsupported (untestable here)")
               if (quant) qscale = r.bits(5)
 
               if (mf) {
@@ -446,6 +545,14 @@ object Mpeg1 {
                 dcY = 128; dcCb = 128; dcCr = 128
               }
 
+              // coded-but-unmoved P macroblock ('01' pattern-only type):
+              // prediction is the co-located reference, MV predictor resets
+              if (ptype == 2 && !intra && !mf) {
+                copyMb(refY, refCb, refCr, curY, curCb, curCr, mbx, mby, mbW)
+                pmvX = 0; pmvY = 0
+                dcY = 128; dcCb = 128; dcCr = 128
+              }
+
               if (intra) {
                 if (ptype == 2) { pmvX = 0; pmvY = 0 }
                 var b = 0
@@ -459,6 +566,23 @@ object Mpeg1 {
                 writeBlock(idct8x8(blk), curCb, cw, mbx * 8, mby * 8)
                 dcCr = decodeBlock(r, lum = false, qscale, iq, dcCr, blk)
                 writeBlock(idct8x8(blk), curCr, cw, mbx * 8, mby * 8)
+              } else if (pattern) {
+                // non-intra coded residual blocks over the MC/co-located
+                // prediction already written into cur
+                val cbp = cbpDecode(r)
+                var b = 0
+                while (b < 6) {
+                  if ((cbp & (32 >> b)) != 0) {
+                    decodeBlockNI(r, qscale, blk)
+                    val sp = idct8x8(blk)
+                    if (b < 4)
+                      addBlock(sp, curY, mbW * 16,
+                        mbx * 16 + (b % 2) * 8, mby * 16 + (b / 2) * 8)
+                    else if (b == 4) addBlock(sp, curCb, cw, mbx * 8, mby * 8)
+                    else addBlock(sp, curCr, cw, mbx * 8, mby * 8)
+                  }
+                  b += 1
+                }
               }
 
               // end of slice: 23 zero bits next (or stream end)
@@ -508,6 +632,22 @@ object Mpeg1 {
     }
   }
 
+  /** Residual add: prediction already sits in `plane`; the decoded
+    * residual spatial block ADDS onto it, clamped (spec §2.4.4.4). */
+  private def addBlock(sp: Array[Int], plane: Array[Int], pw: Int,
+                       ox: Int, oy: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val p = (oy + y) * pw + ox + x
+        plane(p) = math.max(0, math.min(255, plane(p) + sp(y * 8 + x)))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   private def cropFrame(yP: Array[Int], cbP: Array[Int], crP: Array[Int],
                         mbW: Int, mbH: Int, w: Int, h: Int): Frame = {
     val lw = mbW * 16; val cwFull = mbW * 8
@@ -536,8 +676,13 @@ object Mpeg1 {
     * inter-frame decode path. `mvHint` is a full-pel (dx, dy) global
     * motion per P frame (where the block content moved FROM, i.e.
     * cur(x,y) == prev(x+dx, y+dy)); pass (0,0) for static content. */
+  /** `codeResiduals = true` replaces P-frame intra refresh with CODED
+    * NON-INTRA residual macroblocks (type '01': zero-MV prediction + CBP
+    * + quantized-DCT residual blocks) — the full inter-coding path. Off
+    * by default so residual-free streams stay byte-identical. */
   def encode(frames: Seq[Frame], qscale: Int = 8,
-             mvHints: Seq[(Int, Int)] = Nil): Array[Byte] = {
+             mvHints: Seq[(Int, Int)] = Nil,
+             codeResiduals: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "encode needs at least one frame")
     val w = frames.head.w; val h = frames.head.h
     require(w % 16 == 0 && h % 16 == 0, s"encoder needs MB-aligned dims, got ${w}x$h")
@@ -561,18 +706,21 @@ object Mpeg1 {
     frames.zipWithIndex.foreach { case (fr, fi) =>
       val hint = if (fi == 0) (0, 0)
         else mvHints.lift(fi - 1).getOrElse((0, 0))
-      encodePicture(bw, fr, ref, if (fi == 0) 1 else 2, qscale, hint, mbW, mbH)
+      encodePicture(bw, fr, ref, if (fi == 0) 1 else 2, qscale, hint, mbW, mbH,
+        codeResiduals)
       // the decoder's reference is its own reconstruction; ours must match
-      ref = reconstruct(fr, ref, if (fi == 0) 1 else 2, qscale, hint, mbW, mbH)
+      ref = reconstruct(fr, ref, if (fi == 0) 1 else 2, qscale, hint, mbW, mbH,
+        codeResiduals)
     }
     bw.startCode(0xB7)
     bw.toArray
   }
 
 
-  // Encode one picture; block decisions mirrored by decodePlanchette.
+  // Encode one picture; block decisions mirrored by reconstruct().
   private def encodePicture(bw: BitWriter, cur: Frame, ref: Frame, ptype: Int,
-                            qscale: Int, hint: (Int, Int), mbW: Int, mbH: Int): Unit = {
+                            qscale: Int, hint: (Int, Int), mbW: Int, mbH: Int,
+                            codeResiduals: Boolean = false): Unit = {
     bw.startCode(0x00)
     bw.bits(0, 10); bw.bits(ptype, 3); bw.bits(0xFFFF, 16)
     // half-pel precision, f_code=2: deltas from a reset predictor to a
@@ -591,7 +739,11 @@ object Mpeg1 {
     var addr = 0
     while (addr < total) {
       val mbx = addr % mbW; val mby = addr / mbW
-      val mode = mbMode(cur, ref, ptype, hint, mbx, mby, qscale)
+      val mode0 = mbMode(cur, ref, ptype, hint, mbx, mby, qscale)
+      // residual coding replaces intra refresh in P pictures when enabled
+      val mode =
+        if (codeResiduals && mode0 == 2 && ptype == 2 && ref != null) 3
+        else mode0
       // the first and last MB of a slice may not be skipped
       val mustCode = addr == 0 || addr == total - 1
       if (mode == 0 && !mustCode) {
@@ -610,6 +762,24 @@ object Mpeg1 {
           val dy = if (mode == 0) 0 else hint._2
           writeMv(bw, dx * 2, pmvX, fCode = 2); writeMv(bw, dy * 2, pmvY, fCode = 2)
           pmvX = dx * 2; pmvY = dy * 2
+          dcY = 128; dcCb = 128; dcCr = 128
+        } else if (effMode == 3) {
+          val (cbp, levels) = quantizeResidualMb(cur, ref, mbx, mby, qscale)
+          if (cbp == 0) {
+            // the whole residual quantized away: MC-only zero-MV copy
+            bw.bits(1, 3)
+            writeMv(bw, 0, pmvX, fCode = 2); writeMv(bw, 0, pmvY, fCode = 2)
+          } else {
+            bw.bits(1, 2) // macroblock_type '01': coded, no MV
+            val (cc, cl) = CbpCodes(cbp)
+            bw.bits(cc, cl)
+            var b = 0
+            while (b < 6) {
+              if ((cbp & (32 >> b)) != 0) emitNIBlock(bw, levels(b))
+              b += 1
+            }
+          }
+          pmvX = 0; pmvY = 0
           dcY = 128; dcCb = 128; dcCr = 128
         } else {
           // intra
@@ -737,19 +907,81 @@ object Mpeg1 {
       var level = math.round(target * 16.0 / (2.0 * qscale * DefaultIntraQ(ri))).toInt
       level = math.max(-255, math.min(255, level))
       if (level == 0) run += 1
-      else {
-        bw.bits(1, 6) // escape
-        bw.bits(run, 6)
-        if (level >= -127 && level <= 127 && level != 0 && level != -128)
-          bw.bits(level & 0xFF, 8)
-        else if (level > 127) { bw.bits(0x00, 8); bw.bits(level, 8) }
-        else { bw.bits(0x80, 8); bw.bits(level + 256, 8) }
-        run = 0
-      }
+      else { emitEscape(bw, run, level); run = 0 }
       i += 1
     }
     bw.bits(2, 2) // EOB
     dc
+  }
+
+  /** The escape form (always legal for any run/level pair): '000001' +
+    * 6-bit run + 8- or 16-bit level. */
+  private def emitEscape(bw: BitWriter, run: Int, level: Int): Unit = {
+    bw.bits(1, 6)
+    bw.bits(run, 6)
+    if (level >= -127 && level <= 127 && level != 0 && level != -128)
+      bw.bits(level & 0xFF, 8)
+    else if (level > 127) { bw.bits(0x00, 8); bw.bits(level, 8) }
+    else { bw.bits(0x80, 8); bw.bits(level + 256, 8) }
+  }
+
+  /** Quantized NON-intra residual for one macroblock against the
+    * co-located reference: 6 blocks (Y0..Y3, Cb, Cr), zigzag-order
+    * levels, null where the block quantizes to all-zero.
+    * Returns (coded_block_pattern, blocks). Flat non-intra matrix (16):
+    * level = trunc(F / (2·qscale)), clamped to the escape range. */
+  private def quantizeResidualMb(cur: Frame, ref: Frame, mbx: Int, mby: Int,
+                                 qscale: Int): (Int, Array[Array[Int]]) = {
+    val out = new Array[Array[Int]](6)
+    var cbp = 0
+    var b = 0
+    while (b < 6) {
+      val (plane, rplane, pw, ox, oy) =
+        if (b < 4) (cur.y, ref.y, cur.w,
+          mbx * 16 + (b % 2) * 8, mby * 16 + (b / 2) * 8)
+        else if (b == 4) (cur.cb, ref.cb, cur.w / 2, mbx * 8, mby * 8)
+        else (cur.cr, ref.cr, cur.w / 2, mbx * 8, mby * 8)
+      val res = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          res(y * 8 + x) =
+            plane((oy + y) * pw + ox + x) - rplane((oy + y) * pw + ox + x)
+          x += 1
+        }
+        y += 1
+      }
+      val f = fdct8x8(res)
+      val lev = new Array[Int](64)
+      var any = false
+      var i = 0
+      while (i < 64) {
+        var l = (f(Zigzag(i)) / (2.0 * qscale)).toInt // trunc toward zero
+        l = math.max(-255, math.min(255, l))
+        lev(i) = l
+        if (l != 0) any = true
+        i += 1
+      }
+      if (any) { cbp |= 32 >> b; out(b) = lev }
+      b += 1
+    }
+    (cbp, out)
+  }
+
+  /** Emit one coded non-intra block: every nonzero level as an escape
+    * (legal in both first- and next-coefficient positions), then EOB.
+    * The caller guarantees at least one nonzero level (cbp bit set). */
+  private def emitNIBlock(bw: BitWriter, lev: Array[Int]): Unit = {
+    var run = 0
+    var i = 0
+    while (i < 64) {
+      val level = lev(i)
+      if (level == 0) run += 1
+      else { emitEscape(bw, run, level); run = 0 }
+      i += 1
+    }
+    bw.bits(2, 2) // EOB
   }
 
   /** The encoder's model of the decoder, used for reference tracking:
@@ -759,7 +991,8 @@ object Mpeg1 {
     * pictures predict from the decoder's frame, not the pristine input
     * (the standard closed-loop encoder requirement). */
   private def reconstruct(cur: Frame, ref: Frame, ptype: Int, qscale: Int,
-                          hint: (Int, Int), mbW: Int, mbH: Int): Frame = {
+                          hint: (Int, Int), mbW: Int, mbH: Int,
+                          codeResiduals: Boolean = false): Frame = {
     val out = Frame(cur.w, cur.h,
       new Array[Int](cur.w * cur.h),
       new Array[Int](cur.w / 2 * cur.h / 2),
@@ -768,7 +1001,9 @@ object Mpeg1 {
     var addr = 0
     while (addr < total) {
       val mbx = addr % mbW; val mby = addr / mbW
-      val mode0 = mbMode(cur, ref, ptype, hint, mbx, mby, qscale)
+      val m0 = mbMode(cur, ref, ptype, hint, mbx, mby, qscale)
+      val mode0 =
+        if (codeResiduals && m0 == 2 && ptype == 2 && ref != null) 3 else m0
       val mustCode = addr == 0 || addr == total - 1
       val mode = if (mode0 == 0 && mustCode) 1 else mode0
       if (mode == 0 || (mode == 1 && mode0 == 0)) {
@@ -776,12 +1011,41 @@ object Mpeg1 {
         copyMbFrames(ref, out, mbx, mby)
       } else if (mode == 1) {
         copyShifted(ref, out, mbx, mby, hint._1, hint._2)
+      } else if (mode == 3) {
+        reconstructResidualMb(cur, ref, out, mbx, mby, qscale)
       } else {
         reconstructIntraMb(cur, out, mbx, mby, qscale)
       }
       addr += 1
     }
     out
+  }
+
+  /** Quantize-dequantNI-IDCT one residual MB exactly as the decoder will
+    * (zero-MV prediction + clamped residual add); an all-zero-quantized
+    * residual reconstructs as the plain co-located copy, matching the
+    * encoder's cbp=0 MC-only fallback. */
+  private def reconstructResidualMb(cur: Frame, ref: Frame, dst: Frame,
+                                    mbx: Int, mby: Int, qscale: Int): Unit = {
+    val (cbp, levels) = quantizeResidualMb(cur, ref, mbx, mby, qscale)
+    copyMbFrames(ref, dst, mbx, mby)
+    var b = 0
+    while (b < 6) {
+      if ((cbp & (32 >> b)) != 0) {
+        val deq = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          if (levels(b)(i) != 0) deq(Zigzag(i)) = dequantNI(levels(b)(i), qscale)
+          i += 1
+        }
+        val sp = idct8x8(deq)
+        if (b < 4)
+          addBlock(sp, dst.y, cur.w, mbx * 16 + (b % 2) * 8, mby * 16 + (b / 2) * 8)
+        else if (b == 4) addBlock(sp, dst.cb, cur.w / 2, mbx * 8, mby * 8)
+        else addBlock(sp, dst.cr, cur.w / 2, mbx * 8, mby * 8)
+      }
+      b += 1
+    }
   }
 
   private def copyMbFrames(src: Frame, dst: Frame, mbx: Int, mby: Int): Unit =

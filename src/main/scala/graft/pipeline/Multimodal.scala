@@ -835,8 +835,11 @@ object Multimodal {
           Mpeg1.Frame(w, h, y,
             Array.fill(w / 2 * h / 2)(128), Array.fill(w / 2 * h / 2)(128))
         }
+        // residual coding ON: the edge macroblocks the (2,2) pan exposes
+        // code as non-intra residual blocks, exercising the full I/P loop
+        // (skip + MC + coded residuals) in every fabricated clip
         val bytes = Mpeg1.encode((0 until n).map(frame),
-          qscale = 4, mvHints = Seq.fill(n - 1)((2, 2)))
+          qscale = 4, mvHints = Seq.fill(n - 1)((2, 2)), codeResiduals = true)
         Row(id, bytes, Row("video/mpeg", w, h, n * 40L))
       }
     }(org.apache.spark.sql.Encoders.row(mediaSchema))

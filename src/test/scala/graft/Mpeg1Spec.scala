@@ -171,8 +171,8 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("out-of-subset streams fail loudly, garbage never decodes") {
     intercept[Mpeg1.Mpeg1Error](Mpeg1.decode(Array.fill(64)(0x42.toByte)))
-    // a P macroblock with macroblock_pattern ('01' = coded, no MC) must
-    // raise, not guess: residual decode is outside the testable subset
+    // a '01' pattern-only macroblock whose CBP bits are start-code zeros
+    // must raise (bad coded_block_pattern), not guess residuals
     val bw = new BitWriter
     bw.startCode(0xB3)
     bw.bits(16, 12); bw.bits(16, 12); bw.bits(1, 4); bw.bits(3, 4)
@@ -192,8 +192,113 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
     bw.startCode(0x01)
     bw.bits(1, 5); bw.bits(0, 1)
     bw.bits(1, 1)
-    bw.bits(1, 2) // macroblock_type '01': pattern-only
+    bw.bits(1, 2) // macroblock_type '01': pattern-only, then zeros only
     bw.startCode(0xB7)
     intercept[Mpeg1.Mpeg1Error](Mpeg1.decode(bw.toArray))
+  }
+
+  test("CBP table structure: prefix-free, unique, Kraft sum 510/512") {
+    val t = Mpeg1.cbpTable
+    assert(t.keySet == (1 to 63).toSet) // every nonzero pattern, no cbp 0
+    def bitsOf(c: Int, l: Int): String =
+      (l - 1 to 0 by -1).map(b => (c >> b) & 1).mkString
+    val codes = t.values.toSeq.map { case (c, l) => bitsOf(c, l) }
+    assert(codes.distinct.size == codes.size)
+    for (a <- codes; b <- codes if a != b)
+      assert(!b.startsWith(a), s"'$a' prefixes '$b'")
+    val kraft = t.values.map { case (_, l) => 1.0 / (1 << l) }.sum
+    assert(math.abs(kraft - 510.0 / 512.0) < 1e-12, s"kraft $kraft")
+  }
+
+  test("P-frame coded residuals: round-trip distortion bounded, cheaper than intra") {
+    // frame 2 = frame 1 plus a smooth brightness ramp: un-MC-able content
+    // change that residual coding must capture
+    val w = 48; val h = 32
+    val f0 = patternFrame(w, h, 0)
+    val f1 = Frame(w, h,
+      f0.y.zipWithIndex.map { case (v, i) =>
+        math.min(255, v + 20 + (i % w) / 8) },
+      f0.cb.map(v => math.min(255, v + 10)), f0.cr.clone())
+    for (q <- Seq(2, 4)) {
+      val bytes = Mpeg1.encode(Seq(f0, f1), qscale = q, codeResiduals = true)
+      val out = Mpeg1.decode(bytes)
+      assert(out.length == 2)
+      val errs = f1.y.zip(out(1).y).map { case (a, b) => math.abs(a - b) }
+      // non-intra quantization step is 2q per coefficient; a smooth ramp
+      // concentrates energy in a few coefficients — generous bound
+      assert(errs.max <= 8 * q + 2, s"q=$q max=${errs.max}")
+      assert(errs.sum.toDouble / errs.length <= 3.0 * q, s"q=$q mean")
+      val errsCb = f1.cb.zip(out(1).cb).map { case (a, b) => math.abs(a - b) }
+      assert(errsCb.max <= 8 * q + 2, s"q=$q chroma max=${errsCb.max}")
+      // residual coding of a small delta must beat re-coding as intra
+      val intraCoded = Mpeg1.encode(Seq(f0, f1), qscale = q)
+      assert(bytes.length < intraCoded.length,
+        s"residual P (${bytes.length}) not cheaper than intra refresh (${intraCoded.length})")
+    }
+  }
+
+  test("coded residuals compose with skip: unchanged MBs still skip") {
+    // only the top-left MB changes; the rest must still be skipped even
+    // with residual coding enabled
+    val w = 48; val h = 32
+    val f0 = patternFrame(w, h, 0)
+    val y1 = f0.y.clone()
+    for (y <- 0 until 16; x <- 0 until 16)
+      y1(y * w + x) = math.min(255, y1(y * w + x) + 40)
+    val f1 = Frame(w, h, y1, f0.cb.clone(), f0.cr.clone())
+    val bytes = Mpeg1.encode(Seq(f0, f1), qscale = 2, codeResiduals = true)
+    val out = Mpeg1.decode(bytes)
+    // untouched region decodes IDENTICAL to the reference reconstruction
+    for (y <- 16 until h; x <- 0 until w)
+      assert(out(1).y(y * w + x) == out(0).y(y * w + x), s"at ($x,$y)")
+    // changed MB tracks the new content
+    val errs = for (y <- 0 until 16; x <- 0 until 16)
+      yield math.abs(out(1).y(y * w + x) - f1.y(y * w + x))
+    assert(errs.max <= 18, s"changed-MB max err ${errs.max}")
+    // a pair with NO change costs less than the residual-coded pair
+    val still = Mpeg1.encode(Seq(f0, f0), qscale = 2, codeResiduals = true)
+    assert(still.length < bytes.length)
+  }
+
+  test("hand-assembled coded-only P macroblock: spec-layout residual decodes") {
+    // written from the field layout directly (NOT via the encoder): one
+    // 16x16 I picture (flat 128), then a P picture whose single MB is
+    // type '01' with cbp=32 (Y0 only) carrying a lone DC residual level
+    // +2 -> dequantNI(2, qscale=1) = (2*2+1)*1*16/16 = 5 -> oddified 5;
+    // IDCT of DC-only 5 is flat round(5/8)=1 per pel... exact: idct value
+    // 5/8 = 0.625 rounds to 1 -> every Y0 pel = 129, everything else 128
+    val bw = new BitWriter
+    bw.startCode(0xB3)
+    bw.bits(16, 12); bw.bits(16, 12); bw.bits(1, 4); bw.bits(3, 4)
+    bw.bits(0x3FFFF, 18); bw.bits(1, 1); bw.bits(0, 10)
+    bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    bw.startCode(0x00)
+    bw.bits(0, 10); bw.bits(1, 3); bw.bits(0xFFFF, 16); bw.bits(0, 1)
+    bw.startCode(0x01)
+    bw.bits(1, 5); bw.bits(0, 1)
+    bw.bits(1, 1); bw.bits(1, 1)
+    for (_ <- 0 until 4) { bw.bits(0x4, 3); bw.bits(2, 2) }
+    bw.bits(0, 2); bw.bits(2, 2); bw.bits(0, 2); bw.bits(2, 2)
+    // P picture, full_pel=0, f_code=1
+    bw.startCode(0x00)
+    bw.bits(1, 10); bw.bits(2, 3); bw.bits(0xFFFF, 16)
+    bw.bits(0, 1); bw.bits(1, 3); bw.bits(0, 1)
+    bw.startCode(0x01)
+    bw.bits(1, 5); bw.bits(0, 1)
+    bw.bits(1, 1) // address increment 1
+    bw.bits(1, 2) // macroblock_type '01': coded, no MV
+    bw.bits(0xA, 4) // cbp=32 (Y0 only): code '1010', 4 bits
+    // Y0 block, first coefficient as escape: run 0, level +2, then EOB
+    bw.bits(1, 6); bw.bits(0, 6); bw.bits(2, 8)
+    bw.bits(2, 2)
+    bw.startCode(0xB7)
+    val out = Mpeg1.decode(bw.toArray)
+    assert(out.length == 2)
+    val p = out(1)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (x < 8 && y < 8) 129 else 128
+      assert(p.y(y * 16 + x) == want, s"P at ($x,$y): got ${p.y(y * 16 + x)}")
+    }
+    assert(p.cb.forall(_ == 128) && p.cr.forall(_ == 128))
   }
 }
