@@ -125,13 +125,18 @@ object Graph {
     *
     * Scale shape: identical to [[pageRank]] — one edge⋈score join, one
     * map-side-combined decimal sum keyed on destination, one left join
-    * back to the node set per round; the driver never holds scores. */
+    * back to the node set per round; the driver never holds scores.
+    * `dstSalt` > 1 splits the per-destination (sum, count) aggregate into
+    * salted partials exactly as [[pageRank]]'s — both the decimal sum and
+    * the count are associative, so any salt width is BIT-IDENTICAL
+    * (pinned in PipelineSpec). */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
                        srcCol: String, dstCol: String,
                        seedIdCol: String, seedLabelCol: String,
                        iters: Int = 2, prior: Double = 0.5,
-                       out: String = "score"): DataFrame = {
+                       out: String = "score", dstSalt: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dstSalt >= 1, s"dstSalt must be >= 1, got $dstSalt")
     val e = edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
       .repartition(col("__src"))
@@ -146,11 +151,19 @@ object Graph {
           coalesce(col("__seed"), lit(prior)).as("__s"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
-        val in = e.join(sc, col("__src") === col("__n"))
-          .select(col("__dst"),
+        val quant = e.join(sc, col("__src") === col("__n"))
+          .select(col("__dst"), col("__src"),
             col("__s").cast(DecimalType(30, 15)).as("__c"))
-          .groupBy("__dst")
-          .agg(sum(col("__c")).as("__sum"), count(lit(1)).as("__cnt"))
+        val in =
+          if (dstSalt <= 1)
+            quant.groupBy("__dst")
+              .agg(sum(col("__c")).as("__sum"), count(lit(1)).as("__cnt"))
+          else // salted two-phase: exact (sum and count are associative)
+            quant
+              .groupBy(col("__dst"), pmod(xxhash64(col("__src")), lit(dstSalt)))
+              .agg(sum(col("__c")).as("__ps"), count(lit(1)).as("__pc"))
+              .groupBy("__dst")
+              .agg(sum(col("__ps")).as("__sum"), sum(col("__pc")).as("__cnt"))
         val next = sc.join(in, sc("__n") === in("__dst"), "left")
           .select(col("__n"), col("__seed"),
             when(col("__seed").isNotNull, col("__seed"))

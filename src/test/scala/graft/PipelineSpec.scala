@@ -129,6 +129,22 @@ class PipelineSpec extends SparkSpec {
     assert(out("d") == ((false, 0.5)) && out("e") == ((false, 0.5)))
   }
 
+  test("labelPropagation salted dst aggregate is bit-identical under hub skew") {
+    // star: every node points at the hub, hub points back — the hub's
+    // in-aggregate concentrates all edges; salting must be exact
+    val rnd = new scala.util.Random(13)
+    val edges = ((1 to 200).map(i => s"n$i" -> "hub") ++
+      (1 to 200).map(i => "hub" -> s"n$i") ++
+      (1 to 100).map(_ => s"n${rnd.nextInt(200) + 1}" -> s"n${rnd.nextInt(200) + 1}"))
+      .toDF("src", "dst").repartition(5)
+    val seeds = Seq(("n1", 1.0), ("n2", 0.0)).toDF("id", "label")
+    val plain = Graph.labelPropagation(edges, seeds, "src", "dst", "id", "label",
+      iters = 3).orderBy("node").collect().toSeq
+    val salted = Graph.labelPropagation(edges, seeds, "src", "dst", "id", "label",
+      iters = 3, dstSalt = 8).orderBy("node").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("splitByCluster: dup clusters never straddle splits; loners match splitByHash") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (50L, 150L)).toDF("id1", "id2")
