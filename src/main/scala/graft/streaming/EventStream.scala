@@ -124,6 +124,65 @@ object EventStream {
     dedupStream(newOnly, Seq("fp"), tsCol, lateness)
   }
 
+  /** Streaming NEAR-dup intake screen — the incremental/online form of
+    * [[graft.pipeline.Dedup.incrementalNearDup]]: each arriving document
+    * is minhash-banded with the same one-pass kernels, its band keys
+    * probe the STATIC persisted banded index
+    * ([[graft.pipeline.Dedup.minhashLedger]] — a warehouse table bucketed
+    * on (band, hash)), and surviving candidates verify EXACT Jaccard over
+    * the stored shingle-hash sets, row-locally. Emits one
+    * (stream doc, hist_id, jaccard) row per matching pair at/above the
+    * threshold.
+    *
+    * Streaming shape: the band probe is a stream-static inner join
+    * (stateless — the static side re-joins per micro-batch, no
+    * accumulated state), the Jaccard verify is a pure projection (both
+    * shingle sets ride the joined row), and the ONLY stateful stage is
+    * the final watermark-bounded pair dedup (a pair sharing k bands
+    * matches k times; `dropDuplicatesWithinWatermark` collapses them).
+    * Degenerate history buckets are capped at `maxBucket` like the batch
+    * twin, so one pathological band key cannot amplify a micro-batch. */
+  def nearDupScreenStream(docs: DataFrame, ledger: DataFrame,
+                          textCol: String, idCol: String, tsCol: String,
+                          shingleSize: Int = 5, numHashes: Int = 128,
+                          bands: Int = 16, jaccardThreshold: Double = 0.8,
+                          maxBucket: Int = 1000,
+                          lateness: String = "10 minutes"): DataFrame = {
+    val hist = ledger
+      .select(col("id").as("hist_id"), col("shh").as("__sh2"),
+        posexplode(col("bhs")).as(Seq("__band", "__bh")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__band", "__bh").orderBy("hist_id")))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    // same kernels as Dedup.minhashLedger, inlined as a pure projection so
+    // the event-time column rides along (a join back to the source would
+    // be a stream-stream self-join)
+    val banded = {
+      import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+      import graft.functions.{ShingleHashExpr, MinHashSigExpr, BandHashExpr}
+      docs.select(col(idCol), col(tsCol),
+          C(ShingleHashExpr(E(col(textCol)), shingleSize)).as("__sh1"))
+        .select(col(idCol), col(tsCol), col("__sh1"),
+          C(BandHashExpr(E(C(MinHashSigExpr(E(col("__sh1")), numHashes))),
+            bands)).as("__bhs"))
+    }
+    val probed = banded
+      .select(col(idCol), col(tsCol), col("__sh1"),
+        posexplode(col("__bhs")).as(Seq("__band", "__bh")))
+      .join(hist, Seq("__band", "__bh"))
+    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
+    val uni = (size(col("__sh1")) + size(col("__sh2"))).cast("double") - inter
+    probed
+      .withColumn("jaccard",
+        when(uni === 0.0, 1.0).otherwise(inter / uni))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col(idCol), col("hist_id"), col("jaccard"), col(tsCol))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol, "hist_id")
+  }
+
   /** Streaming CONTAMINATION flagging: annotate a document stream with
     * `overlap` = the count of distinct word n-grams it shares with a
     * STATIC probe set (an eval benchmark) — the decontamination gate

@@ -94,6 +94,23 @@ class PlanAuditSpec extends SparkSpec {
       plan("q_embed_ivf").take(2000))
   }
 
+  test("q_embed_recall_ivf: probe join broadcasts queries; corpus never reshuffles for it") {
+    val p = plan("q_embed_recall_ivf")
+    // the probed-cell join must be a broadcast hash join on __cell (the
+    // 64-query side broadcasts); a shuffled join here would reshuffle the
+    // corpus once per recall evaluation
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // both top-k windows pre-prune per partition before their shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q_embed_recall_lsh: Hamming gate inside the probe join, before any cosine") {
+    val p = plan("q_embed_recall_lsh")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("bits_hamming"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("q_embed_knn_lsh: sketch gate runs inside the join, before any cosine") {
     val p = plan("q_embed_knn_lsh")
     // the all-pairs enumeration is a DELIBERATE broadcast nested-loop join

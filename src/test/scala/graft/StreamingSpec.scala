@@ -262,6 +262,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("nearDupScreenStream matches the batch incremental near-dup twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different historical content about spark streaming state"))
+      .toDF("doc_id", "text")
+    val ledger = graft.pipeline.Dedup.minhashLedger(hist, "text", "doc_id",
+      shingleSize = 3, numHashes = 32, bands = 8)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val newRows = Seq(
+      // near-dup of hist 1 (one word changed)
+      (10L, "the quick brown fox jumps over the lazy cat again and again today"),
+      // exact copy of hist 1: matches on EVERY band -> the pair dedup must
+      // still emit it once
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "entirely novel text that matches nothing in the history at all"))
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = EventStream.nearDupScreenStream(
+      input.toDF().toDF("doc_id", "text", "ts"), ledger, "text", "doc_id", "ts",
+      shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+    val query = out.writeStream.format("memory").queryName("neardupscreen")
+      .outputMode("append").start()
+    try {
+      input.addData(newRows.map { case (i, t) => (i, t, t0) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("neardupscreen")
+        .select("doc_id", "hist_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // batch twin on the same inputs
+      val batch = graft.pipeline.Dedup.incrementalNearDup(
+          newRows.toDF("doc_id", "text"), "text", "doc_id", ledger,
+          shingleSize = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.contains((11L, 1L)) && got((11L, 1L)) == 1.0) // exact copy, once
+      assert(got.contains((10L, 1L)) && got((10L, 1L)) < 1.0)  // near-dup
+      assert(!got.keys.exists(_._1 == 12L))                    // novel: clean
+    } finally query.stop()
+  }
+
   test("dedupAgainstCorpus with bloom gate: identical output, fpp-proof") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
