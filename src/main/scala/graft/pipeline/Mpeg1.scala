@@ -307,11 +307,27 @@ object Mpeg1 {
     math.max(-2048, math.min(2047, f))
   }
 
+  // flat 9-bit-prefix decode tables: slot (code << (9-len)) holds the cbp
+  // and its code length for every padding of a valid code — O(1) per bit
+  // in the macroblock hot path instead of a 63-entry scan per bit
+  private val (cbpDecVal, cbpDecLen): (Array[Int], Array[Int]) = {
+    val v = Array.fill(512)(-1); val n = Array.fill(512)(0)
+    CbpCodes.foreach { case (cbp, (c, l)) =>
+      val base = c << (9 - l)
+      var j = 0
+      while (j < (1 << (9 - l))) { v(base + j) = cbp; n(base + j) = l; j += 1 }
+    }
+    (v, n)
+  }
+
   private def cbpDecode(r: BitReader): Int = {
     var code = 0; var len = 0
     while (len < 9) {
       code = (code << 1) | r.bit(); len += 1
-      CbpCodes.foreach { case (v, (c, l)) => if (l == len && c == code) return v }
+      val idx = code << (9 - len)
+      // prefix-freeness: a strict prefix of a longer code lands in that
+      // code's slot range with a LONGER recorded length — no false hit
+      if (cbpDecLen(idx) == len) return cbpDecVal(idx)
     }
     throw Mpeg1Error("bad coded_block_pattern")
   }
@@ -675,8 +691,9 @@ object Mpeg1 {
     * otherwise — the spec-minimal encoder that still exercises every
     * inter-frame decode path. `mvHint` is a full-pel (dx, dy) global
     * motion per P frame (where the block content moved FROM, i.e.
-    * cur(x,y) == prev(x+dx, y+dy)); pass (0,0) for static content. */
-  /** `codeResiduals = true` replaces P-frame intra refresh with CODED
+    * cur(x,y) == prev(x+dx, y+dy)); pass (0,0) for static content.
+    *
+    * `codeResiduals = true` replaces P-frame intra refresh with CODED
     * NON-INTRA residual macroblocks (type '01': zero-MV prediction + CBP
     * + quantized-DCT residual blocks) — the full inter-coding path. Off
     * by default so residual-free streams stay byte-identical. */

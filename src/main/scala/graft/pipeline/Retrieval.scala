@@ -94,20 +94,25 @@ object Retrieval {
     * Scale shape: RRF ranks RETRIEVAL OUTPUTS, not corpora — each run is
     * already top-k sized, so the single-partition rank window holds
     * runs·k rows and the fuse groupBy shuffles id-sized keys. Ids are
-    * fused in their original type (long, string, ...); mixing
-    * incompatible id schemes across runs fails loudly at union time. */
+    * fused in their original type (long, string, ...); mixing a string-id
+    * run with a numeric-id run is rejected up front (union's widening
+    * would otherwise string-promote and fuse 1L with "1" silently). */
   def rrfFuse(runs: Seq[(DataFrame, String, String)], k0: Int = 60,
               topK: Int = 20): DataFrame = {
     require(runs.nonEmpty, "need at least one run")
     require(k0 >= 0 && topK > 0, s"need k0 >= 0 and topK > 0, got $k0/$topK")
+    // ids keep their ORIGINAL type: string doc-ids fuse natively, numeric
+    // widths widen via union's usual coercion. Mixing a string-id run with
+    // a numeric-id run is checked HERE and rejected — union's set-operation
+    // widening would otherwise string-promote the numeric side and fuse
+    // 1L with "1" silently
+    val idTypes = runs.map { case (df, idCol, _) => df.schema(idCol).dataType }
+    require(idTypes.distinct.size == 1 ||
+      idTypes.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"rrfFuse: incompatible id types across runs: ${idTypes.mkString(", ")}")
     val ranked = runs.map { case (df, idCol, scoreCol) =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("__s").desc, col("id"))
-      // ids keep their ORIGINAL type: string doc-ids fuse natively, and
-      // runs with genuinely incompatible id schemes fail loudly in the
-      // cross-run union instead of silently collapsing non-numeric ids
-      // into one null id with wrong rank sums (numeric widths still
-      // widen via union's usual coercion)
       df.select(col(idCol).as("id"),
           col(scoreCol).cast("double").as("__s"))
         .withColumn("__r", row_number().over(w))

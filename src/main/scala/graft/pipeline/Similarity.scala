@@ -105,16 +105,17 @@ object Similarity {
     * directions cost a little sketch quality per bit versus
     * [[hyperplanes]]; for the recall GAUGE that trade is free — the gauge
     * measures recall, it doesn't need the best possible recall. */
-  def hyperplanesMd5(dim: Int, nBits: Int): Array[Array[Double]] =
+  def hyperplanesMd5(dim: Int, nBits: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5") // digest() resets
     Array.tabulate(nBits) { b =>
       Array.tabulate(dim) { d =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"lshp:$b:$d".getBytes("UTF-8"))
+        val h = md.digest(s"lshp:$b:$d".getBytes("UTF-8"))
         val u = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
           ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
         u.toDouble / 4294967296.0 * 2.0 - 1.0
       }
     }
+  }
 
   /** Sign-bit sketch of a vector under the given hyperplanes, packed into
     * `ceil(nBits/64)` longs (`array<bigint>`). One native kernel pass over
@@ -301,14 +302,17 @@ object Similarity {
         (if (withSketch) Seq(col(skColName(vecCol)).as(sk)) else Nil)
       d.select(cols: _*)
     }
-    // zero-norm vectors have no defined cosine: excluded from BOTH sides
-    // here and (identically) from knnGraphGemm's pools, so the two exact
-    // paths keep their bit-identical contract instead of one ranking
-    // NaN-cosine rows first and the other silently dropping them
+    // zero-norm (and NaN-norm) vectors have no defined cosine: excluded
+    // from BOTH sides here and (identically) from knnGraphGemm's pools,
+    // so the two exact paths keep their bit-identical contract instead of
+    // one ranking NaN-cosine rows first and the other silently dropping
+    // them. The isnan guard is load-bearing: Spark SQL orders NaN GREATER
+    // than every number, so `nq > 0.0` alone would keep NaN norms
     val pairs = side(spread(df), "id", "v", "nv", "sk")
       .crossJoin(broadcast(side(queryDf, "qid", "qv", "nq", "qsk")))
       .filter(gate && col("id") =!= col("qid") &&
-        col("nv") > 0.0 && col("nq") > 0.0)
+        col("nv") > 0.0 && col("nq") > 0.0 &&
+        !isnan(col("nv")) && !isnan(col("nq")))
       .select(col("qid"), col("id"),
         (dot(col("v"), col("qv")) / (col("nv") * col("nq"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -441,12 +445,17 @@ object Similarity {
     require(k > 0 && margin >= 0, s"need k > 0, margin >= 0; got $k, $margin")
     val spark = df.sparkSession
     val qdf = queries.getOrElse(df)
-    // zero-norm queries have no defined cosine — dropped here exactly as
-    // knnPairsTopK (the brute path) filters nq > 0, keeping the
-    // bit-identical contract between the two exact paths
+    // zero-norm queries have no defined cosine — dropped on the COMPUTED
+    // norm exactly as knnPairsTopK (the brute path) filters nq > 0, so
+    // NaN elements and squared-underflow vectors take the same branch on
+    // both exact paths
     val qKept = qdf.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), vecToDouble(r.getSeq[Any](1))))
-      .filter { case (_, v) => v.exists(_ != 0.0) }
+      .filter { case (_, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        acc > 0.0
+      }
     val m = qKept.length
     if (m == 0) { // empty query slice (e.g. a chunked-run hash slice)
       import spark.implicits._

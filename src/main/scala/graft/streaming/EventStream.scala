@@ -136,12 +136,16 @@ object EventStream {
     *
     * Streaming shape: the band probe is a stream-static inner join
     * (stateless — the static side re-joins per micro-batch, no
-    * accumulated state), the Jaccard verify is a pure projection (both
-    * shingle sets ride the joined row), and the ONLY stateful stage is
-    * the final watermark-bounded pair dedup (a pair sharing k bands
-    * matches k times; `dropDuplicatesWithinWatermark` collapses them).
-    * Degenerate history buckets are capped at `maxBucket` like the batch
-    * twin, so one pathological band key cannot amplify a micro-batch. */
+    * accumulated state) against a (band, hash, hist_id) index that
+    * carries NO shingle payloads (the bands-fold would otherwise
+    * duplicate every history document's largest column ×bands through
+    * the join). Candidate pairs dedup in the one stateful stage (a pair
+    * sharing k bands matches k times; `dropDuplicatesWithinWatermark`
+    * collapses them BEFORE any verify work), then a second stateless
+    * stream-static join attaches the survivors' stored shingle sets and
+    * the Jaccard verify is a pure projection. Degenerate history buckets
+    * are capped at `maxBucket` like the batch twin, so one pathological
+    * band key cannot amplify a micro-batch. */
   def nearDupScreenStream(docs: DataFrame, ledger: DataFrame,
                           textCol: String, idCol: String, tsCol: String,
                           shingleSize: Int = 5, numHashes: Int = 128,
@@ -149,7 +153,7 @@ object EventStream {
                           maxBucket: Int = 1000,
                           lateness: String = "10 minutes"): DataFrame = {
     val hist = ledger
-      .select(col("id").as("hist_id"), col("shh").as("__sh2"),
+      .select(col("id").as("hist_id"),
         posexplode(col("bhs")).as(Seq("__band", "__bh")))
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -168,19 +172,22 @@ object EventStream {
           C(BandHashExpr(E(C(MinHashSigExpr(E(col("__sh1")), numHashes))),
             bands)).as("__bhs"))
     }
-    val probed = banded
+    val pairs = banded
       .select(col(idCol), col(tsCol), col("__sh1"),
         posexplode(col("__bhs")).as(Seq("__band", "__bh")))
       .join(hist, Seq("__band", "__bh"))
+      .select(col(idCol), col(tsCol), col("__sh1"), col("hist_id"))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol, "hist_id")
     val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
     val uni = (size(col("__sh1")) + size(col("__sh2"))).cast("double") - inter
-    probed
+    pairs
+      .join(ledger.select(col("id").as("hist_id"), col("shh").as("__sh2")),
+        Seq("hist_id"))
       .withColumn("jaccard",
         when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col(idCol), col("hist_id"), col("jaccard"), col(tsCol))
-      .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark(idCol, "hist_id")
   }
 
   /** Streaming CONTAMINATION flagging: annotate a document stream with

@@ -88,6 +88,31 @@ class PipelineSpec extends SparkSpec {
       Seq(("docB", 1.5, 2L), ("docA", 1.0, 1L), ("docC", 0.5, 1L)))
   }
 
+  test("rrfFuse rejects mixed string/numeric id schemes up front") {
+    // union's widening would string-promote the numeric run and fuse 1L
+    // with "1" silently — the guard must fail loudly instead
+    val rs = Seq(("1", 9.0)).toDF("doc", "score")
+    val rn = Seq((1L, 5.0)).toDF("doc", "sim")
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq((rs, "doc", "score"), (rn, "doc", "sim")))
+    }
+  }
+
+  test("knnGraphGemm and brute agree on NaN-element query vectors: both drop them") {
+    val emb = sf("embeddings").limit(30).select("vec_id", "embedding")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val nanVec = Float.NaN +: Seq.fill(dim - 1)(1.0f)
+    val poisoned = spark.createDataFrame(
+      Seq((8888L, nanVec)).toDF("vec_id", "embedding").rdd, emb.schema)
+    val q = emb.filter(col("vec_id") < 8).unionByName(poisoned)
+    val brute = Similarity.knnGraphBrute(emb, "embedding", "vec_id", 5,
+      queries = Some(q)).orderBy("qid", "id").collect().toSeq
+    val gemm = Similarity.knnGraphGemm(emb, "embedding", "vec_id", 5,
+      queries = Some(q)).orderBy("qid", "id").collect().toSeq
+    assert(gemm == brute)
+    assert(!brute.exists(_.getLong(0) == 8888L)) // NaN norm fails nq > 0
+  }
+
   test("geometryReport: bucket arithmetic and same-label split") {
     val df = Seq((1L, Seq(1f, 0f), 1), (2L, Seq(1f, 0f), 1), (3L, Seq(0f, 1f), 2))
       .toDF("vec_id", "embedding", "label")
