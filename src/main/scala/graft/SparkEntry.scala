@@ -1724,6 +1724,18 @@ object SparkEntry {
         .warpSort(Seq(Order(col("doc_id"))))
     }),
 
+    // ---- certainty-driven sample sizing (the engine form of the
+    //      reference's adaptive interactive sampling,
+    //      QBECalculator.swift:55-167): md5-threshold pilot -> standard
+    //      sample-size formula -> md5-threshold sample; every step (driver
+    //      arithmetic included) replays in the DuckDB oracle
+    "q_adaptive_sample" -> ((s, dir) => {
+      graft.pipeline.Sampling.adaptiveSample(
+        T(s, dir, "documents")
+          .withColumn("len", length(col("text")).cast("double")),
+        "doc_id", "len", relErr = 0.05, z = 1.96, pilotN = 200L)
+    }),
+
     // ---- corpus-level boilerplate line removal (C4 recipe): drop lines
     //      occurring in >= 78% of documents. The corpus is single-line, so
     //      tokens are folded onto lines first; the 78% threshold removes
@@ -4396,6 +4408,40 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <
            CASE WHEN lang = 'de' THEN 2000 WHEN lang = 'en' THEN 5000 ELSE 0 END
          ORDER BY doc_id""",
+    "q_adaptive_sample" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         b AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS x,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+           FROM documents),
+         cp AS (SELECT CAST(floor(least(1.0, 200.0 / CAST(total AS DOUBLE))
+             * 4294967296.0) AS BIGINT) AS cut, total FROM t),
+         p AS (SELECT count(x) AS n,
+             CAST(CAST(sum(CAST(x AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(sum(CAST(x*x AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS sq
+           FROM b, cp WHERE u < cut),
+         d AS (SELECT cp.total, p.n AS pilot_n,
+             p.s / CAST(p.n AS DOUBLE) AS mean_p,
+             sqrt(greatest((p.sq - p.s * p.s / CAST(p.n AS DOUBLE))
+               / (CAST(p.n AS DOUBLE) - 1.0), 0.0)) AS sd_p
+           FROM p, cp),
+         r AS (SELECT *,
+             CASE WHEN mean_p = 0.0 THEN total ELSE
+               greatest(pilot_n, least(total,
+                 CAST(ceil(((1.96 * sd_p) / (0.05 * abs(mean_p)))
+                   * ((1.96 * sd_p) / (0.05 * abs(mean_p)))) AS BIGINT))) END
+               AS required_n
+           FROM d),
+         cs AS (SELECT r.*, CAST(floor(least(1.0,
+             CAST(required_n AS DOUBLE) / CAST(total AS DOUBLE))
+             * 4294967296.0) AS BIGINT) AS cut2 FROM r),
+         smp AS (SELECT count(x) AS sample_n,
+             CAST(CAST(sum(CAST(x AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS ss
+           FROM b, cs WHERE u < cut2)
+       SELECT cs.total, cs.pilot_n, round(cs.mean_p, 9) AS pilot_mean,
+         round(cs.sd_p, 9) AS pilot_sd, cs.required_n, smp.sample_n,
+         round(CASE WHEN smp.sample_n = 0 THEN 0.0
+           ELSE smp.ss / CAST(smp.sample_n AS DOUBLE) END, 9) AS sample_mean
+       FROM cs, smp""",
     "q_text_boilerplate" ->
       """WITH d AS (
            SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS ls FROM documents

@@ -327,4 +327,90 @@ object Sampling {
       .partitionBy(shardCol).orderBy(scoreCol.desc, tieCol)
     df.withColumn(out, percent_rank().over(w)).filter(col(out) <= frac)
   }
+
+  /** The md5-derived u32 of an id — the hash-threshold membership key
+    * shared by [[adaptiveSample]] and its oracle
+    * (`('0x' || substr(md5(id), 1, 8))::BIGINT` in DuckDB). */
+  private def hashU32(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Certainty-driven sample sizing — the engine-grade analog of the
+    * reference's adaptive interactive sampling
+    * (Warp/Sources/Controller/QBECalculator.swift:55-167, which grows a
+    * sample until the estimate's confidence interval is tight enough for
+    * the UI). The batch form sizes the sample ONCE from a deterministic
+    * pilot instead of iterating against a wall-clock deadline: a
+    * ~`pilotN`-row pilot (md5-hash-threshold membership — rand()-free,
+    * engine-replayable) estimates mean and sample deviation of `valueCol`
+    * with the decimal-exact variance recipe, the standard sample-size
+    * formula n = ceil(((z·s)/(relErr·|mean|))²) picks the row budget for
+    * the requested relative error at confidence z, and the sample is the
+    * hash-threshold slice of that fraction (clamped to [pilot, total]).
+    *
+    * Returns a ONE-ROW report: (total, pilot_n, pilot_mean, pilot_sd,
+    * required_n, sample_n, sample_mean), doubles rounded to 9 — every
+    * step replays in the `q_adaptive_sample` DuckDB oracle, driver
+    * arithmetic included. [[sampleMembers]] exposes the chosen slice
+    * itself as a map-only membership filter.
+    *
+    * Scale shape: one count + two full-scan one-row aggregates (pilot and
+    * sample, both map-side-combined hash-threshold filters) — no sort, no
+    * per-row shuffle; the sample predicate streams. A zero/degenerate
+    * pilot mean falls back to the full frame (required_n = total). */
+  def adaptiveSample(df: DataFrame, idCol: String, valueCol: String,
+                     relErr: Double = 0.05, z: Double = 1.96,
+                     pilotN: Long = 200L): DataFrame = {
+    require(relErr > 0 && z > 0 && pilotN > 0,
+      s"need relErr, z, pilotN > 0; got $relErr/$z/$pilotN")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.DecimalType
+    val total = df.count()
+    require(total > 0, "cannot adaptively sample an empty frame")
+    def cutFor(n: Long): Long =
+      math.floor(math.min(1.0, n.toDouble / total.toDouble) * 4294967296.0).toLong
+    val x = col(valueCol).cast("double")
+    def statsBelow(cut: Long) = df
+      .filter(hashU32(col(idCol)) < cut)
+      .agg(count(x).as("n"),
+        sum(x.cast(DecimalType(30, 15))).cast("double").as("s"),
+        sum((x * x).cast(DecimalType(30, 15))).cast("double").as("sq"))
+      .head()
+    val cutP = cutFor(pilotN)
+    val p = statsBelow(cutP)
+    val nP = p.getLong(0)
+    require(nP > 1, s"pilot captured $nP rows; raise pilotN")
+    val sP = p.getDouble(1); val sqP = p.getDouble(2)
+    val meanP = sP / nP.toDouble
+    val varP = (sqP - sP * sP / nP.toDouble) / (nP.toDouble - 1.0)
+    val sdP = math.sqrt(math.max(varP, 0.0))
+    val nReq =
+      if (meanP == 0.0) total
+      else {
+        val t = (z * sdP) / (relErr * math.abs(meanP))
+        math.max(nP, math.min(total, math.ceil(t * t).toLong))
+      }
+    val cutS = cutFor(nReq)
+    val smp = statsBelow(cutS)
+    val nS = smp.getLong(0)
+    val meanS = if (nS == 0) 0.0 else smp.getDouble(1) / nS.toDouble
+    import spark.implicits._
+    Seq((total, nP, meanP, sdP, nReq, nS, meanS))
+      .toDF("total", "pilot_n", "pilot_mean", "pilot_sd",
+        "required_n", "sample_n", "sample_mean")
+      .select(col("total"), col("pilot_n"),
+        round(col("pilot_mean"), 9).as("pilot_mean"),
+        round(col("pilot_sd"), 9).as("pilot_sd"),
+        col("required_n"), col("sample_n"),
+        round(col("sample_mean"), 9).as("sample_mean"))
+  }
+
+  /** The rows of [[adaptiveSample]]'s chosen slice, as a map-only
+    * membership filter over the required_n it reported. */
+  def sampleMembers(df: DataFrame, idCol: String, requiredN: Long,
+                    total: Long): DataFrame = {
+    require(total > 0 && requiredN >= 0, "need total > 0, requiredN >= 0")
+    val cut = math.floor(
+      math.min(1.0, requiredN.toDouble / total.toDouble) * 4294967296.0).toLong
+    df.filter(hashU32(col(idCol)) < cut)
+  }
 }

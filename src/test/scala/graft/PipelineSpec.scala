@@ -170,6 +170,29 @@ class PipelineSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("adaptiveSample: report is self-consistent; members slice matches") {
+    val docs = sf("documents").withColumn("len",
+      length(col("text")).cast("double"))
+    val r = Sampling.adaptiveSample(docs, "doc_id", "len").head()
+    val (total, pilotN, reqN, sampleN) =
+      (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5))
+    assert(pilotN > 1 && pilotN < total)
+    assert(reqN >= pilotN && reqN <= total)
+    // hash-threshold realization lands near the budget (binomial spread)
+    assert(math.abs(sampleN - reqN) <= math.max(5L, reqN / 4))
+    // the exposed membership slice is exactly the sample the report saw
+    val members = Sampling.sampleMembers(docs, "doc_id", reqN, total)
+    assert(members.count() == sampleN)
+    // tighter precision demands a bigger budget
+    val tight = Sampling.adaptiveSample(docs, "doc_id", "len",
+      relErr = 0.01).head()
+    assert(tight.getLong(4) >= reqN)
+    // a constant column needs nothing beyond the pilot
+    val const = Sampling.adaptiveSample(
+      docs.withColumn("c", lit(7.0)), "doc_id", "c").head()
+    assert(const.getLong(4) == const.getLong(1))
+  }
+
   test("splitByCluster: dup clusters never straddle splits; loners match splitByHash") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (50L, 150L)).toDF("id1", "id2")
