@@ -1044,6 +1044,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- md5-tier MinHash LSH pairs: the banded-LSH pipeline shape
+    //      (signatures -> band-bucket join -> exact-Jaccard verify) with
+    //      md5-derived hash functions, so the WHOLE path — band keys
+    //      included — replays in the DuckDB oracle (the seeded kernel tier
+    //      stays rows-only; this is its hash-exact gauge twin)
+    "q_dedup_minhash_md5" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 50 === 0)
+      val near = docs.calculate(Seq(
+        "doc_id" -> (col("doc_id") + 1000000),
+        "text" -> concat(col("text"), lit(" nearly identical content"))))
+      graft.pipeline.Dedup.minhashPairsMd5(docs.warpUnion(near),
+        "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4,
+        jaccardThreshold = 0.5)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- banded-Levenshtein fuzzy pairs over a 48-char key (edit
     //      distance over full documents is not a 100 TB operation; the
     //      length-band blocking is COMPLETE for the threshold, so a plain
@@ -2677,6 +2693,60 @@ object SparkEntry {
          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
        $rounds,
        ${assignCte("afin", s"c$iters")}"""
+  }
+
+  /** DuckDB oracle replaying the md5-tier MinHash LSH pairs of
+    * q_dedup_minhash_md5 end-to-end: same derived corpus as
+    * q_dedup_jaccard, hash i of shingle s = first 60 bits of
+    * md5("i:s"), per-band signature-key join, exact-Jaccard verify. */
+  private def minhashMd5Oracle(numHashes: Int, bands: Int,
+                               threshold: Double): String = {
+    val r = numHashes / bands
+    val sigs = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(s, x ->
+         CAST(('0x' || substr(md5('$i:' || x), 1, 15)) AS BIGINT))) AS sig$i"""
+    }.mkString(",\n           ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"CAST(sig${b * r + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sg"
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' nearly identical content' AS text
+           FROM documents WHERE doc_id % 50 = 0
+         ), w AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM d
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+               ELSE list_distinct([array_to_string(ws, ' ')]) END AS s
+           FROM w
+         ), f AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         sg AS (SELECT doc_id, s,
+           $sigs
+           FROM f),
+         bd AS (
+           $bandSelects
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+         ), v AS (
+           SELECT c.id1, c.id2,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+             CAST(len(x.s) + len(y.s) AS DOUBLE)
+               - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS uni
+           FROM cand c JOIN f x ON x.doc_id = c.id1 JOIN f y ON y.doc_id = c.id2
+         )
+         SELECT id1, id2,
+           round(CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END, 9) AS jaccard
+         FROM v
+         WHERE (CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END) >= $threshold
+         ORDER BY id1, id2"""
   }
 
   /** Shared recall-gauge tail: hits/total per exact-side query (the
@@ -4833,6 +4903,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+    "q_dedup_minhash_md5" -> minhashMd5Oracle(16, 4, 0.5),
     "q_embed_recall_lsh" ->
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_ivf" ->

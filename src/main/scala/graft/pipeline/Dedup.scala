@@ -116,6 +116,59 @@ object Dedup {
       .select("new_id", "hist_id", "jaccard")
   }
 
+  /** ENGINE-REPLAYABLE MinHash LSH near-dup pairs — the md5 tier of
+    * [[minhashPairs]] (the [[Similarity.hyperplanesMd5]] move applied to
+    * minhash): hash function i of a shingle s is the first 60 bits of
+    * md5("i:s"), signatures and band keys are plain built-in transforms,
+    * and candidate pairs verify exact Jaccard over the distinct shingle
+    * sets — every stage, band keys included, regenerates in external SQL,
+    * which is what makes `q_dedup_minhash_md5` a hash-exact oracle gate
+    * for the banded-LSH pipeline SHAPE (bucket join, never all-pairs;
+    * verify only candidates). The production tier remains the kernel-based
+    * [[minhashPairs]] (one pass per document — no md5 per (hash×shingle));
+    * this tier is the externally checkable gauge, sized accordingly
+    * (numHashes 16 by default). Pairs carry exact Jaccard rounded to 9. */
+  def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4,
+                      jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes > 0 && bands > 0, "need numHashes, bands > 0")
+    val r = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("__set"), s =>
+        conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+          .cast("long"))).as(s"__sig$i")
+    }
+    val withSig = df
+      .select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .select(col("id") +: col("__set") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(j => col(s"__sig${b * r + j}")): _*)
+          .as("key"))
+    }
+    val sets = withSig.select(col("id"), col("__set"))
+    val bandRows = withSig
+      .select(col("id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val pairs = bandRows.select(col("id").as("id1"), col("__band"), col("__key"))
+      .join(bandRows.select(col("id").as("id2"), col("__band"), col("__key")),
+        Seq("__band", "__key"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
+    val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
+    pairs
+      .join(sets.select(col("id").as("id1"), col("__set").as("__s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("__set").as("__s2")), "id2")
+      .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+  }
+
   /** Word shingles of size n as an array column. The word array is
     * LAMBDA-BOUND (`transform` over a one-element wrapper): the naive
     * formulation references the split() three times and higher-order

@@ -170,6 +170,28 @@ class PipelineSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("minhashPairsMd5: subset of exact Jaccard pairs, full recall on planted dups") {
+    val docs = sf("documents").filter(col("doc_id") % 25 === 0)
+      .select("doc_id", "text")
+    val near = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" tail edit")).as("text"))
+    val corpus = docs.unionByName(near)
+    val exact = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairsMd5(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH can only MISS pairs (band collision required), never invent
+    // them: the verify step re-checks exact Jaccard
+    assert(lsh.subsetOf(exact), s"invented pairs: ${lsh -- exact}")
+    // planted near-dups are high-Jaccard: 16x4 banding finds them all
+    val planted = docs.collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000)).toSet.intersect(exact)
+    assert(planted.nonEmpty && planted.subsetOf(lsh),
+      s"missed planted pairs: ${planted -- lsh}")
+  }
+
   test("adaptiveSample: report is self-consistent; members slice matches") {
     val docs = sf("documents").withColumn("len",
       length(col("text")).cast("double"))
