@@ -1044,6 +1044,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- md5-tier SimHash pairs: the pigeonhole-quarter signature-dedup
+    //      shape (signatures -> quarter-block join -> Hamming verify)
+    //      through the PRODUCTION pair machinery (signaturePairs), with
+    //      md5-derived token hashes so signatures, quarters, and Hamming
+    //      all replay in the DuckDB oracle (the seeded kernel tier stays
+    //      rows-only; this is its hash-exact gauge twin)
+    "q_dedup_simhash_md5" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val near = docs.warpFilter(col("doc_id") < 50).calculate(Seq(
+        "doc_id" -> (col("doc_id") + 100000),
+        "text" -> concat(col("text"), lit(" zz"))))
+      graft.pipeline.Dedup.signaturePairs(
+        graft.pipeline.Dedup.simhashMd5Sigs(docs.warpUnion(near),
+          "text", "doc_id"),
+        maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- md5-tier MinHash LSH pairs: the banded-LSH pipeline shape
     //      (signatures -> band-bucket join -> exact-Jaccard verify) with
     //      md5-derived hash functions, so the WHOLE path — band keys
@@ -2746,6 +2764,57 @@ object SparkEntry {
            round(CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END, 9) AS jaccard
          FROM v
          WHERE (CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END) >= $threshold
+         ORDER BY id1, id2"""
+  }
+
+  /** DuckDB oracle replaying the md5-tier SimHash pairs of
+    * q_dedup_simhash_md5 end-to-end: token-frequency ±1 bit sums over the
+    * two md5 halves, 16-bit pigeonhole quarters, Hamming verify via
+    * per-half XOR popcounts (no 64-bit shifts). */
+  private def simhashMd5Oracle(maxHamming: Int): String = {
+    def half(h: String, w: String) = (0 until 32).map { b =>
+      s"(CASE WHEN sum(cnt * ((($h >> $b) & 1) * 2 - 1)) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(s"\n             + ") + s" AS $w"
+    s"""WITH d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+           FROM documents WHERE doc_id < 50
+         ), w AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+           FROM d
+         ), tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM w GROUP BY doc_id, tok
+         ), th AS (
+           SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5('sh1:' || tok), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5('sh2:' || tok), 1, 8)) AS BIGINT) AS h2
+           FROM tf
+         ), sg AS (
+           SELECT doc_id,
+             ${half("h1", "w1")},
+             ${half("h2", "w2")}
+           FROM th GROUP BY doc_id
+         ), bd AS (
+           SELECT doc_id, w1, w2, 0 AS q, w1 & 65535 AS qh FROM sg
+           UNION ALL
+           SELECT doc_id, w1, w2, 1, (w1 >> 16) & 65535 FROM sg
+           UNION ALL
+           SELECT doc_id, w1, w2, 2, w2 & 65535 FROM sg
+           UNION ALL
+           SELECT doc_id, w1, w2, 3, (w2 >> 16) & 65535 FROM sg
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.w1 AS aw1, a.w2 AS aw2, b.w1 AS bw1, b.w2 AS bw2
+           FROM bd a JOIN bd b ON a.q = b.q AND a.qh = b.qh
+             AND a.doc_id < b.doc_id
+         )
+         SELECT id1, id2,
+           CAST(bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) AS BIGINT)
+             AS hamming
+         FROM cand
+         WHERE bit_count(xor(aw1, bw1)) + bit_count(xor(aw2, bw2)) <= $maxHamming
          ORDER BY id1, id2"""
   }
 
@@ -4904,6 +4973,7 @@ object SparkEntry {
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
     "q_dedup_minhash_md5" -> minhashMd5Oracle(16, 4, 0.5),
+    "q_dedup_simhash_md5" -> simhashMd5Oracle(3),
     "q_embed_recall_lsh" ->
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_ivf" ->

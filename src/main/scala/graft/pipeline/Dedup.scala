@@ -169,6 +169,41 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** ENGINE-REPLAYABLE SimHash signatures — the md5 tier of the seeded
+    * kernel simhash (same move as [[minhashPairsMd5]]): the two 32-bit
+    * halves of a token's hash come from md5("sh1:"/"sh2:" + token), each
+    * signature bit is the sign of the token-frequency-weighted ±1 sum
+    * for that bit, and the 64-bit signature feeds the SAME production
+    * pair machinery ([[signaturePairs]], pigeonhole quarters + Hamming
+    * verify). Every stage regenerates in external SQL (halves avoid any
+    * 64-bit shift the replaying engine might reject), which is what makes
+    * `q_dedup_simhash_md5` a hash-exact oracle gate for the signature
+    * dedup SHAPE. Output: (id, sig). */
+  def simhashMd5Sigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__tok"))
+      .groupBy("id", "__tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__h1",
+        conv(substring(md5(concat(lit("sh1:"), col("__tok"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("__h2",
+        conv(substring(md5(concat(lit("sh2:"), col("__tok"))), 1, 8), 16, 10)
+          .cast("long"))
+    def bitSum(h: String, b: Int) =
+      sum(col("__cnt") *
+        (shiftright(col(h), b).bitwiseAND(lit(1L)) * 2 - 1))
+    val aggs =
+      (0 until 32).map(b => bitSum("__h1", b).as(s"__a$b")) ++
+      (0 until 32).map(b => bitSum("__h2", b).as(s"__b$b"))
+    val sig =
+      ((0 until 32).map(b => when(col(s"__a$b") > 0, lit(1L << b)).otherwise(lit(0L))) ++
+       (0 until 32).map(b => when(col(s"__b$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))))
+        .reduce(_.bitwiseOR(_))
+    tf.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
   /** Word shingles of size n as an array column. The word array is
     * LAMBDA-BOUND (`transform` over a one-element wrapper): the naive
     * formulation references the split() three times and higher-order

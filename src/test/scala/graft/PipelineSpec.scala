@@ -192,6 +192,32 @@ class PipelineSpec extends SparkSpec {
       s"missed planted pairs: ${planted -- lsh}")
   }
 
+  test("simhashMd5Sigs through signaturePairs equals brute all-pairs Hamming") {
+    // the 16-bit-quarter blocking is COMPLETE for maxHamming <= 3: the
+    // md5-tier pairs must match an unblocked all-pairs comparison exactly
+    val docs = sf("documents").filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val near = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val sigs = Dedup.simhashMd5Sigs(docs.unionByName(near), "text", "doc_id")
+    val viaBlocks = Dedup.signaturePairs(sigs, maxHamming = 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sigs.select(col("id").as("id1"), col("sig").as("s1"))
+    val b = sigs.select(col("id").as("id2"), col("sig").as("s2"))
+    val brute = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id1", "id2", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaBlocks == brute)
+    // the ' zz' single-token edit keeps planted pairs within the gate
+    val planted = docs.collect().map(_.getLong(0)).map(i => (i, i + 100000)).toSet
+    val found = viaBlocks.map(t => (t._1, t._2))
+    assert(planted.intersect(found).size >= planted.size / 2,
+      s"planted recall too low: ${planted.intersect(found).size}/${planted.size}")
+  }
+
   test("adaptiveSample: report is self-consistent; members slice matches") {
     val docs = sf("documents").withColumn("len",
       length(col("text")).cast("double"))
