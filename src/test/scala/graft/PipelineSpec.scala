@@ -241,6 +241,32 @@ class PipelineSpec extends SparkSpec {
     assert(const.getLong(4) == const.getLong(1))
   }
 
+  test("round-9 gauges are partition-invariant (decimal sums, hash membership)") {
+    // the operators claim partial-aggregation-order independence; a
+    // repartition must not perturb a single emitted value
+    val docs = sf("documents").withColumn("len",
+      length(col("text")).cast("double"))
+    val a1 = Sampling.adaptiveSample(docs.repartition(1), "doc_id", "len")
+      .collect().toSeq
+    val a13 = Sampling.adaptiveSample(docs.repartition(13), "doc_id", "len")
+      .collect().toSeq
+    assert(a1 == a13)
+    val corpus = sf("documents").filter(col("doc_id") % 25 === 0)
+      .select("doc_id", "text")
+    val m1 = Dedup.minhashPairsMd5(corpus.repartition(1), "text", "doc_id")
+      .orderBy("id1", "id2").collect().toSeq
+    val m13 = Dedup.minhashPairsMd5(corpus.repartition(13), "text", "doc_id")
+      .orderBy("id1", "id2").collect().toSeq
+    assert(m1 == m13)
+    val s1 = Dedup.signaturePairs(
+        Dedup.simhashMd5Sigs(corpus.repartition(1), "text", "doc_id"))
+      .orderBy("id1", "id2").collect().toSeq
+    val s13 = Dedup.signaturePairs(
+        Dedup.simhashMd5Sigs(corpus.repartition(13), "text", "doc_id"))
+      .orderBy("id1", "id2").collect().toSeq
+    assert(s1 == s13)
+  }
+
   test("splitByCluster: dup clusters never straddle splits; loners match splitByHash") {
     val df = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (50L, 150L)).toDF("id1", "id2")
