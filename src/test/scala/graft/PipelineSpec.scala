@@ -241,6 +241,41 @@ class PipelineSpec extends SparkSpec {
     assert(const.getLong(4) == const.getLong(1))
   }
 
+  test("new gauges tolerate null text and null values without inventing rows") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // null/empty text never reaches the pair joins
+    val mh = Dedup.minhashPairsMd5(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSeq == Seq((1L, 4L))) // the identical pair only
+    val sh = Dedup.signaturePairs(Dedup.simhashMd5Sigs(docs, "text", "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 4L)) && sh.forall(p => p._1 != 2L && p._2 != 2L))
+    // adaptive sampling: null values drop from counts/sums consistently
+    val vals = (1L to 400L).map(i =>
+      (i, if (i % 7 == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(i.toDouble))).toDF("id", "v")
+    val rep = Sampling.adaptiveSample(vals, "id", "v", pilotN = 100).head()
+    assert(rep.getLong(0) == 400L)            // total counts ROWS
+    assert(rep.getLong(1) < rep.getLong(0))   // pilot n counts non-null VALUES
+    assert(rep.getDouble(2) > 0.0)
+  }
+
+  test("pageRank survives deep iteration with one action per round") {
+    // 20 rounds over a small cyclic graph: checkpoint churn must not leak
+    // or diverge — mass stays conserved and the rank vector converges
+    val edges = (1 to 30).flatMap(i =>
+      Seq(s"n$i" -> s"n${i % 30 + 1}", s"n$i" -> s"n${(i * 7) % 30 + 1}"))
+      .toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d", iters = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size == 30)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r.values.forall(v => v > 0.0 && v < 1.0))
+  }
+
   test("round-9 gauges are partition-invariant (decimal sums, hash membership)") {
     // the operators claim partial-aggregation-order independence; a
     // repartition must not perturb a single emitted value
