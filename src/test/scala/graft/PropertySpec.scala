@@ -130,6 +130,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("warp lenient-comparison laws under fuzz: symmetry, duality, reflexivity") {
+    // the coercion-based comparison algebra must behave like an order
+    // relation wherever it is defined — for ANY pair of messy inputs
+    // (numeric strings, padded numbers, booleans, text, empties, nulls):
+    //   eq is symmetric; lt/gt and lte/gte are mutual duals; eq(a,a)
+    //   never returns false; lt(a,a) never returns true
+    import org.apache.spark.sql.functions._
+    import graft.values.Warp
+    val atoms = Seq("3", "3.0", "03", " 2", "abc", "", "true", "TRUE",
+      "-1.5", "0", "1e2", "NaN", null)
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.fill(300)((atoms(rnd.nextInt(atoms.length)),
+      atoms(rnd.nextInt(atoms.length))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(p => org.apache.spark.sql.Row(p._1, p._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType))))
+    val bad = df.select(
+      (!(Warp.eq(col("a"), col("b")) <=> Warp.eq(col("b"), col("a")))).as("e"),
+      (!(Warp.lt(col("a"), col("b")) <=> Warp.gt(col("b"), col("a")))).as("l"),
+      (!(Warp.lte(col("a"), col("b")) <=> Warp.gte(col("b"), col("a")))).as("le"),
+      coalesce(!Warp.eq(col("a"), col("a")), lit(false)).as("r"),
+      coalesce(Warp.lt(col("a"), col("a")), lit(false)).as("ir"))
+      .filter(col("e") || col("l") || col("le") || col("r") || col("ir"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
   test("pack escape round-trip is the identity for any string") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
