@@ -157,6 +157,13 @@ object SparkEntry {
   val RecallIvfCells = 8
   val RecallIvfProbe = 2
 
+  /** Gauge-tier PQ params for `q_embed_recall_pq`: 4 subspaces × 8-entry
+    * codebooks (16 dims each on the 64-dim corpus), one deterministic
+    * Lloyd round per codebook — 3-bit-per-subspace compression whose
+    * reconstruction the oracle replays via four kmeans CTE chains. */
+  val RecallPqSubspaces = 4
+  val RecallPqCodebook = 8
+
   /** Param-versioned index paths: an index of a different sketch width or
     * an older on-disk LAYOUT must never be mistaken for the current index.
     * Layout history: (bare) = corpus + bare `__sk`; `n` = + bare `__norm`;
@@ -2004,6 +2011,42 @@ object SparkEntry {
         .warpSort(Seq(Order(col("qid"))))
     }),
 
+    // ---- recall@10 of product-quantized retrieval vs the exact kNN
+    //      graph: per-subspace codebooks come from the DETERMINISTIC
+    //      k-means fit, so codebooks, codes, reconstruction, ranking and
+    //      the recall join all replay in the DuckDB oracle (four kmeans
+    //      CTE chains + the q8 dequantized-retrieval recipe) — the
+    //      determinate quality gate for the PQ path (the seeded ivfpq /
+    //      pq index tiers stay rows-only)
+    "q_embed_recall_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val dim = emb.select("embedding").head().getSeq[Any](0).length
+      val m = RecallPqSubspaces
+      require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+      val sub = dim / m
+      val parts = (0 until m).map { si =>
+        val sv = slice(col("embedding"), si * sub + 1, sub)
+        val (asg, cents) = graft.pipeline.Cluster.kmeansFit(
+          emb.select(col("vec_id"), sv.as("sub")), "sub", "vec_id",
+          k = RecallPqCodebook, iters = 1)
+        (asg.select(col("vec_id"), col("cluster").as(s"__c$si")), cents)
+      }
+      val coded = parts.map(_._1).reduce(_.join(_, "vec_id"))
+      val deq = parts.zipWithIndex.foldLeft(coded) {
+        case (d, ((_, cents), si)) =>
+          d.withColumn(s"__d$si",
+            element_at(typedLit(cents.map(_.toSeq).toSeq), col(s"__c$si") + 1))
+      }.select(col("vec_id"),
+        concat((0 until m).map(si => col(s"__d$si")): _*).as("embedding"))
+      val queries = emb.filter(col("vec_id") < 64)
+      val exact = graft.pipeline.Similarity.knnGraphGemm(
+        emb, "embedding", "vec_id", 10, queries = Some(queries))
+      val approx = graft.pipeline.Similarity.knnGraphGemm(
+        deq, "embedding", "vec_id", 10, queries = Some(queries))
+      graft.pipeline.Similarity.recallReport(exact, approx)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
     //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
@@ -2674,8 +2717,19 @@ object SparkEntry {
   /** Shared WITH-prefix for the k-means-replay oracles: `e` (vectors +
     * norms), `c0..c$iters` (centroid rounds), `afin` (final assignment
     * with vec_id, v, cl, d). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val dotVC = "list_reduce(list_transform(list_zip(e.v, c.c), " +
+  private def kmeansCtes(k: Int, iters: Int): String =
+    "WITH " + kmeansCtesFor(k, iters, "embedding", "", "e", "c", "a", "m", "afin")
+
+  /** The kmeans CTE chain over an arbitrary vector EXPRESSION (e.g. a
+    * sub-vector slice for PQ codebooks), with prefixed CTE names so
+    * several chains compose in one WITH. Emits `<eName>`,
+    * `<cPrefix>0..<cPrefix>iters`, per-round assigns/means, and the final
+    * assignment CTE `<finName>(vec_id, v, cl, d)`. */
+  private def kmeansCtesFor(k: Int, iters: Int, vecExpr: String,
+                            suffix: String, eName: String, cPrefix: String,
+                            aPrefix: String, mPrefix: String,
+                            finName: String): String = {
+    val dotVC = s"list_reduce(list_transform(list_zip(e.v, c.c), " +
       "p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, w) -> acc + w)"
     val c2 = "list_reduce(list_transform(c.c, x -> x * x), (acc, w) -> acc + w)"
     def assignCte(name: String, cents: String) =
@@ -2683,34 +2737,35 @@ object SparkEntry {
          SELECT vec_id, v, cl, d FROM (
            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn FROM (
              SELECT e.vec_id, e.v, c.cl, e.n2 + $c2 - 2.0 * $dotVC AS d
-             FROM e, $cents c))
+             FROM $eName e, $cents c))
          WHERE rn = 1)"""
     val rounds = (0 until iters).map { r =>
-      s"""${assignCte(s"a$r", s"c$r")},
-       m$r AS MATERIALIZED (
+      s"""${assignCte(s"$aPrefix$r", s"$cPrefix$r")},
+       $mPrefix$r AS MATERIALIZED (
          SELECT cl, i,
            CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS mu
-         FROM (SELECT cl, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a$r)
+         FROM (SELECT cl, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM $aPrefix$r)
          GROUP BY cl, i),
-       c${r + 1} AS MATERIALIZED (
+       $cPrefix${r + 1} AS MATERIALIZED (
          SELECT p.cl,
            CASE WHEN count(m.mu) = 0 THEN any_value(p.c)
                 ELSE list(m.mu ORDER BY m.i) END AS c
-         FROM c$r p LEFT JOIN m$r m ON p.cl = m.cl
+         FROM $cPrefix$r p LEFT JOIN $mPrefix$r m ON p.cl = m.cl
          GROUP BY p.cl)"""
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
-         SELECT vec_id, embedding AS v,
-           list_reduce(list_transform(embedding,
+    s"""$eName AS MATERIALIZED (
+         SELECT vec_id, $vecExpr AS v,
+           list_reduce(list_transform($vecExpr,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w) AS n2
-         FROM embeddings),
-       c0 AS MATERIALIZED (
+         FROM embeddings$suffix),
+       ${cPrefix}0 AS MATERIALIZED (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+           list_transform(v0, x -> CAST(x AS DOUBLE)) AS c
+         FROM (SELECT vec_id, $vecExpr AS v0 FROM embeddings$suffix
+               ORDER BY vec_id LIMIT $k)),
        $rounds,
-       ${assignCte("afin", s"c$iters")}"""
+       ${assignCte(finName, s"$cPrefix$iters")}"""
   }
 
   /** DuckDB oracle replaying the md5-tier MinHash LSH pairs of
@@ -2921,6 +2976,58 @@ object SparkEntry {
            WHERE d.vec_id <> q.vec_id)
           WHERE rn <= $k),
          $recallTailSql"""
+
+  /** DuckDB oracle replaying the deterministic-PQ retrieval of
+    * q_embed_recall_pq: one kmeans CTE chain per subspace (the q_kmeans
+    * arithmetic over `embedding[a:b]` slices), reconstruction by
+    * centroid concat, the q8 dequantized-retrieval ranking, then the
+    * recall join against the exact graph. Subspace bounds assume the
+    * corpus dim (64) like every dim-dependent oracle here. */
+  private def recallPqOracle(m: Int, sub: Int, k: Int, iters: Int,
+                             nQueries: Int, topK: Int): String = {
+    val chains = (0 until m).map { si =>
+      kmeansCtesFor(k, iters, s"embedding[${si * sub + 1}:${(si + 1) * sub}]",
+        "", s"e$si", s"p${si}c", s"p${si}a", s"p${si}m", s"fin$si")
+    }.mkString(",\n         ")
+    val joins = (0 until m).map { si =>
+      (if (si == 0) s"FROM fin0 a0 "
+       else s"JOIN fin$si a$si ON a$si.vec_id = a0.vec_id ") +
+        s"JOIN p${si}c$iters cc$si ON cc$si.cl = a$si.cl"
+    }.mkString("\n           ")
+    val dv = (1 until m).foldLeft("cc0.c") {
+      (acc, si) => s"list_concat($acc, cc$si.c)"
+    }
+    s"""WITH $chains,
+         dq AS MATERIALIZED (
+           SELECT a0.vec_id, $dv AS dv
+           $joins),
+         d2 AS (SELECT vec_id, dv,
+             sqrt(list_reduce(list_transform(dv, x -> x * x),
+               (acc, v) -> acc + v)) AS nv
+           FROM dq),
+         b AS (SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nv
+           FROM embeddings),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d, b q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $topK),
+         ap AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.dv, q.embedding),
+                 pr -> pr[1] * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM d2 d, b q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $topK),
+         $recallTailSql"""
+  }
 
   private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
     val out =
@@ -4978,6 +5085,8 @@ object SparkEntry {
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_ivf" ->
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
+    "q_embed_recall_pq" ->
+      recallPqOracle(RecallPqSubspaces, 16, RecallPqCodebook, 1, 64, 10),
     "q_embed_recall_q8" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,
