@@ -126,6 +126,41 @@ object SparkEntry {
   private val classifyDemoWeights =
     Seq(1.0, -2.0, 4.0, 1.0, -3.0, -2.0, -1.0)
 
+  /** Shared WITH-body for the classifier-evaluation oracles: `sc(doc_id,
+    * s, y)` = the q_classify_score sigmoid (same feature SQL, same demo
+    * weights, rounded to 6 so the tie structure is engine-portable) plus
+    * the `lang = 'en'` 0/1 evaluation label. */
+  private val classifyScoredCte: String =
+    """f AS (
+         SELECT doc_id, coalesce(text, '') AS t,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents
+       ), feat AS (
+         SELECT doc_id, y,
+           least(CAST(length(t) AS DOUBLE) / 1000.0, 1.0) AS f1,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f2,
+           CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
+             CAST(len(list_filter(string_split_regex(trim(lower(t)), '\s+'),
+               w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END AS f3,
+           least((CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
+             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\s+'),
+               w -> length(w))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f5,
+           CASE WHEN length(t) > 0 THEN
+             CAST(length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS DOUBLE)
+               / length(t) ELSE 0.0 END AS f6
+         FROM f
+       ), sc AS (
+         SELECT doc_id, y,
+           round(1.0 / (1.0 + exp(-(1.0*f1 - 2.0*f2 + 4.0*f3 + 1.0*f4 - 3.0*f5 - 2.0*f6 - 1.0))), 6) AS s
+         FROM feat)"""
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     // keyed by the embeddings file's fingerprint (idxRoot), not the bare
     // dir: regenerated data at the same path must refresh the memo
@@ -1290,6 +1325,33 @@ object SparkEntry {
     "q_classify_train" -> ((s, dir) =>
       graft.pipeline.Classifier.weightTable(T(s, dir, "documents"), "text",
         (col("lang") === "en").cast("double"), iters = 12).orderBy("idx")),
+
+    // ---- classifier evaluation suite over the demo-weight scores and
+    //      the lang='en' label: exact tie-averaged Mann-Whitney AUC
+    //      (bucketed prefix-sum, no global window), fixed-bin calibration,
+    //      and a one-pass threshold sweep — the "should I trust this
+    //      filter at cut x?" reads, each replayed end-to-end in DuckDB
+    "q_classify_auc" -> ((s, dir) => {
+      val sc = graft.pipeline.Classifier.scored(
+        T(s, dir, "documents"), "text", classifyDemoWeights)
+      graft.pipeline.Classifier.aucReport(
+        sc, round(col("score"), 6), col("lang") === "en")
+    }),
+    "q_classify_calibration" -> ((s, dir) => {
+      val sc = graft.pipeline.Classifier.scored(
+        T(s, dir, "documents"), "text", classifyDemoWeights)
+      graft.pipeline.Classifier.calibrationReport(
+          sc, round(col("score"), 6), col("lang") === "en")
+        .warpSort(Seq(Order(col("bin"))))
+    }),
+    "q_classify_thresholds" -> ((s, dir) => {
+      val sc = graft.pipeline.Classifier.scored(
+        T(s, dir, "documents"), "text", classifyDemoWeights)
+      graft.pipeline.Classifier.thresholdReport(
+          sc, round(col("score"), 6), col("lang") === "en",
+          (1 to 9).map(_ / 10.0))
+        .warpSort(Seq(Order(col("threshold"))))
+    }),
 
     // ---- CURATION CHAIN v2, oracle-verified END-TO-END: sub-document
     //      span dedup -> quality score on the deduped text -> top-80%
@@ -4150,6 +4212,44 @@ object SparkEntry {
          SELECT doc_id,
            round(1.0 / (1.0 + exp(-(1.0*f1 - 2.0*f2 + 4.0*f3 + 1.0*f4 - 3.0*f5 - 2.0*f6 - 1.0))), 6) AS score
          FROM feat ORDER BY doc_id""",
+    "q_classify_auc" ->
+      s"""WITH $classifyScoredCte,
+         g AS (SELECT s, count(*) AS n, sum(y) AS p FROM sc GROUP BY s),
+         r AS (SELECT n, p,
+             coalesce(sum(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM g)
+         SELECT CAST(sum(p) AS BIGINT) AS npos,
+           CAST(sum(n - p) AS BIGINT) AS nneg,
+           CASE WHEN sum(p) > 0 AND sum(n - p) > 0 THEN
+             round((CAST(sum(p * (2 * below + n + 1)) AS DOUBLE)
+                 - CAST(sum(p) AS DOUBLE) * (sum(p) + 1))
+               / (2.0 * sum(p) * sum(n - p)), 9) END AS auc
+         FROM r""",
+    "q_classify_calibration" ->
+      s"""WITH $classifyScoredCte
+         SELECT CAST(least(greatest(floor(s * 10), 0), 9) AS INT) AS bin,
+           count(*) AS n,
+           round(CAST(sum(CAST(s AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 9) AS pos_rate
+         FROM sc GROUP BY 1 ORDER BY 1""",
+    "q_classify_thresholds" ->
+      s"""WITH $classifyScoredCte,
+         t AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS DOUBLE) AS threshold),
+         a AS (SELECT t.threshold,
+             count(*) FILTER (WHERE sc.s >= t.threshold) AS predicted,
+             coalesce(sum(sc.y) FILTER (WHERE sc.s >= t.threshold), 0) AS tp,
+             sum(sc.y) AS pos
+           FROM sc, t GROUP BY t.threshold)
+         SELECT threshold, CAST(predicted AS BIGINT) AS predicted,
+           CAST(tp AS BIGINT) AS tp,
+           CASE WHEN predicted > 0
+             THEN round(CAST(tp AS DOUBLE) / predicted, 9) END AS precision,
+           CASE WHEN pos > 0
+             THEN round(CAST(tp AS DOUBLE) / pos, 9) END AS recall,
+           CASE WHEN predicted + pos > 0
+             THEN round(2.0 * CAST(tp AS DOUBLE) / (predicted + pos), 9) END AS f1
+         FROM a ORDER BY threshold""",
     "q_curate_packed" ->
       """WITH words AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents

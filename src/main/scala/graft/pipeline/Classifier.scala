@@ -138,6 +138,124 @@ object Classifier {
     } finally data.unpersist()
   }
 
+  /** Exact tie-averaged ROC AUC of a score column against a 0/1 label —
+    * the Mann–Whitney rank-sum form: with `R` = the sum over positives of
+    * their average ranks (ascending score, ties share the mean rank),
+    * `AUC = (R − npos(npos+1)/2) / (npos·nneg)`. Returns ONE row
+    * `(npos, nneg, auc)`, `auc` rounded to 9 decimals.
+    *
+    * Scale shape — no global window. Scores are sigmoid outputs in
+    * [0, 1], so rank order decomposes into `buckets` fixed-width score
+    * ranges: exact ties collapse first (`groupBy(score)` — the shuffle is
+    * bounded by distinct scores, itself ≤ corpus size but typically far
+    * smaller after [[scored]]'s 6-feature arithmetic), per-bucket totals
+    * (≤ buckets rows) broadcast as rank offsets, and the within-bucket
+    * prefix runs over each bucket's distinct scores independently — the
+    * same decomposition as Sampling.takeTokenBudget's distributed
+    * prefix-sum. Every rank addend `p·(2·below + n + 1)` is an integer
+    * summed as DECIMAL(38,0), so the reduction is exact and
+    * partition-order-invariant at any cluster size.
+    *
+    * Callers should quantize the score (e.g. `round(_, 6)`) so the tie
+    * structure is engine-portable; ranks on raw doubles depend on
+    * last-ulp arithmetic. NULL/NaN scores and NULL labels are excluded
+    * (counted rows only). Returns auc = NULL when either class is empty. */
+  def aucReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+                buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val s0 = scoreCol.cast("double")
+    val g = df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+      .withColumn("__b",
+        least(greatest(floor(col("__s") * buckets), lit(0)),
+          lit(buckets - 1)).cast("int"))
+    val offsets = g.groupBy(col("__b").as("__ob"))
+      .agg(sum(col("__n")).as("__t"))
+      .withColumn("__off", coalesce(
+        sum(col("__t")).over(Window.orderBy(col("__ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__t")
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.join(broadcast(offsets), col("__b") === col("__ob"))
+      .withColumn("__below",
+        col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+    ranked.agg(
+        sum(col("__p")).as("__npos"),
+        sum(col("__n") - col("__p")).as("__nneg"),
+        sum((col("__p") * (lit(2) * col("__below") + col("__n") + 1))
+          .cast("decimal(38,0)")).as("__r2"))
+      .select(col("__npos").as("npos"), col("__nneg").as("nneg"),
+        when(col("__npos") > 0 && col("__nneg") > 0,
+          round((col("__r2").cast("double")
+              - col("__npos").cast("double") * (col("__npos") + 1).cast("double"))
+            / (lit(2.0) * col("__npos") * col("__nneg")), 9)).as("auc"))
+  }
+
+  /** Calibration report: rows bucketed into `bins` fixed-width score
+    * ranges over [0, 1] (bin = floor(score·bins), top edge clamped into
+    * the last bin), with per-bin row count, mean score, and positive
+    * rate — the "is a 0.9 really 90%?" diagnostic read before trusting a
+    * filter threshold. One map pass + one `bins`-ary groupBy; means are
+    * exact-decimal sums so the report is partition-order-invariant.
+    * NULL/NaN scores and NULL labels are excluded. */
+  def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+                        bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val s0 = scoreCol.cast("double")
+    df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+      .withColumn("bin",
+        least(greatest(floor(col("__s") * bins), lit(0)), lit(bins - 1))
+          .cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__s").cast("decimal(30,15)")).cast("double")
+          / count(lit(1)), 9).as("mean_score"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 9)
+          .as("pos_rate"))
+  }
+
+  /** Threshold sweep: precision / recall / F1 of `score >= t` for each
+    * threshold, computed in ONE conditional-aggregation pass (no
+    * per-threshold scan, no shuffle beyond the single global aggregate).
+    * Emits one row per threshold `(threshold, predicted, tp, precision,
+    * recall, f1)` with ratios rounded to 9 decimals; precision is NULL at
+    * thresholds that predict nothing, f1 NULL when precision+recall = 0.
+    * NULL/NaN scores and NULL labels are excluded. */
+  def thresholdReport(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val s0 = scoreCol.cast("double")
+    val base = df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+    val aggs = sum(col("__y")).as("__pos") +: thresholds.zipWithIndex.flatMap {
+      case (t, i) => Seq(
+        sum(when(col("__s") >= t, 1L).otherwise(0L)).as(s"__pred$i"),
+        sum(when(col("__s") >= t, col("__y")).otherwise(0L)).as(s"__tp$i"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      // guards are EXPLICIT (not engine divide-by-zero behavior): Spark
+      // double x/0 is Infinity while other engines yield NULL or error,
+      // so the empty-denominator cases must be decided in the plan
+      struct(lit(t).as("threshold"), col(s"__pred$i").as("predicted"),
+        col(s"__tp$i").as("tp"),
+        when(col(s"__pred$i") > 0,
+          round(col(s"__tp$i").cast("double") / col(s"__pred$i"), 9))
+          .as("precision"),
+        when(col("__pos") > 0,
+          round(col(s"__tp$i").cast("double") / col("__pos"), 9)).as("recall"),
+        when(col(s"__pred$i") + col("__pos") > 0,
+          round(lit(2.0) * col(s"__tp$i") / (col(s"__pred$i") + col("__pos")), 9))
+          .as("f1"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Trained weights as a small DataFrame (idx, name, weight) — the
     * shippable artifact (mirrors how Bpe.trainMerges returns the merge
     * table). Weight values are rounded to 9 decimals for presentation;

@@ -76,4 +76,92 @@ class ClassifierSpec extends SparkSpec {
       f.foreach(v => assert(v >= 0.0 && v <= 1.0, s"feature out of range: $f"))
     }
   }
+
+  // ---- evaluation suite -------------------------------------------------
+
+  private def auc(df: org.apache.spark.sql.DataFrame, buckets: Int = 1024) =
+    Classifier.aucReport(df, col("s"), col("y"), buckets).head()
+
+  test("aucReport: perfect separation is 1.0, inverted is 0.0, constant is 0.5") {
+    val sep = (Seq.tabulate(20)(i => (0.8 + i * 0.001, 1L)) ++
+      Seq.tabulate(30)(i => (0.1 + i * 0.001, 0L))).toDF("s", "y")
+    val r = auc(sep)
+    assert(r.getAs[Long]("npos") == 20 && r.getAs[Long]("nneg") == 30)
+    assert(r.getAs[Double]("auc") == 1.0)
+    val inv = sep.select(col("s"), (lit(1L) - col("y")).as("y"))
+    assert(auc(inv).getAs[Double]("auc") == 0.0)
+    // all scores tied: every pair is a half-win regardless of labels
+    val const = Seq((0.5, 1L), (0.5, 1L), (0.5, 0L), (0.5, 0L), (0.5, 0L))
+      .toDF("s", "y")
+    assert(auc(const).getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucReport matches the O(n^2) pair definition with ties present") {
+    val data = Seq(
+      (0.9, 1L), (0.8, 0L), (0.8, 1L), (0.7, 1L), (0.7, 0L), (0.7, 0L),
+      (0.4, 1L), (0.4, 0L), (0.2, 0L), (0.1, 1L), (0.1, 0L), (0.05, 0L))
+    val pos = data.filter(_._2 == 1L).map(_._1)
+    val neg = data.filter(_._2 == 0L).map(_._1)
+    val pairs = for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+    val want = pairs.sum / (pos.size * neg.size)
+    val got = auc(data.toDF("s", "y")).getAs[Double]("auc")
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+  }
+
+  test("aucReport is invariant to bucket count and input partitioning") {
+    val df = corpus
+    val sc = Classifier.scored(df, "text",
+      Seq(1.0, -2.0, 4.0, 1.0, -3.0, -2.0, -1.0))
+      .select(round(col("score"), 6).as("s"), col("label").cast("long").as("y"))
+    val a1 = auc(sc, buckets = 1)
+    val a2 = auc(sc, buckets = 1024)
+    val a3 = auc(sc.repartition(13), buckets = 64)
+    assert(a1.getAs[Double]("auc") == a2.getAs[Double]("auc"))
+    assert(a1.getAs[Double]("auc") == a3.getAs[Double]("auc"))
+    // separable corpus: the demo weights should rank well above chance
+    assert(a1.getAs[Double]("auc") > 0.9)
+  }
+
+  test("aucReport: NaN/null scores and null labels are excluded; empty class -> null auc") {
+    val df = Seq((Some(0.9), Some(1L)), (Some(Double.NaN), Some(0L)),
+      (None: Option[Double], Some(0L)), (Some(0.2), None: Option[Long]),
+      (Some(0.3), Some(0L))).toDF("s", "y")
+    val r = auc(df)
+    assert(r.getAs[Long]("npos") == 1 && r.getAs[Long]("nneg") == 1)
+    assert(r.getAs[Double]("auc") == 1.0)
+    val onlyPos = Seq((0.9, 1L), (0.8, 1L)).toDF("s", "y")
+    assert(auc(onlyPos).isNullAt(2))
+  }
+
+  test("calibrationReport: fixed bins with exact counts, means and pos rates") {
+    val df = Seq((0.05, 0L), (0.08, 0L), (0.55, 1L), (0.58, 0L), (0.95, 1L),
+      (1.0, 1L)).toDF("s", "y")
+    val rows = Classifier.calibrationReport(df, col("s"), col("y"))
+      .orderBy("bin").collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == Seq(0, 5, 9))
+    val b0 = rows(0)
+    assert(b0.getAs[Long]("n") == 2 && b0.getAs[Double]("pos_rate") == 0.0)
+    assert(math.abs(b0.getAs[Double]("mean_score") - 0.065) < 1e-9)
+    // score exactly 1.0 clamps into the top bin instead of bin 10
+    val b9 = rows(2)
+    assert(b9.getAs[Long]("n") == 2 && b9.getAs[Double]("pos_rate") == 1.0)
+  }
+
+  test("thresholdReport: one-pass sweep matches per-threshold filters, guards empty cuts") {
+    val df = Seq((0.9, 1L), (0.7, 0L), (0.6, 1L), (0.3, 0L), (0.1, 1L))
+      .toDF("s", "y")
+    val rows = Classifier.thresholdReport(df, col("s"), col("y"),
+      Seq(0.5, 0.95)).orderBy("threshold").collect()
+    val at05 = rows(0)
+    assert(at05.getAs[Long]("predicted") == 3 && at05.getAs[Long]("tp") == 2)
+    assert(math.abs(at05.getAs[Double]("precision") - 2.0 / 3) < 1e-9)
+    assert(math.abs(at05.getAs[Double]("recall") - 2.0 / 3) < 1e-9)
+    assert(math.abs(at05.getAs[Double]("f1") - 2.0 / 3) < 1e-9)
+    // nothing above 0.95: precision must be NULL, not Infinity/NaN
+    val at95 = rows(1)
+    assert(at95.getAs[Long]("predicted") == 0)
+    assert(at95.isNullAt(at95.fieldIndex("precision")))
+    assert(at95.getAs[Double]("recall") == 0.0)
+  }
 }
