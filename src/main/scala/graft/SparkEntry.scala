@@ -1216,6 +1216,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source unigram KL divergence from the corpus blend: the
+    //      mixture-design companion to q_temperature_mix — which sources
+    //      sit far from the mixture a temperature flatten would produce.
+    //      Decimal-summed addends (the dsum recipe), vocab-sized joins
+    "q_source_divergence" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.sourceDivergence(
+          T(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     // ---- BPE tokenizer training (Sennrich 2016). Three facets:
     //      round-1 adjacent-pair statistics (a pure two-aggregate plan,
     //      full DuckDB oracle), the iterative trainer (deterministic
@@ -4109,6 +4118,31 @@ object SparkEntry {
              / count(*), 6) AS nll
          FROM toks JOIN c USING (tok) CROSS JOIN t
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    "q_source_divergence" ->
+      """WITH gt AS (
+           SELECT g, tok, count(*) AS cg FROM (
+             SELECT source AS g,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) > 0 GROUP BY g, tok
+         ), corpus AS (
+           SELECT tok, CAST(sum(cg) AS BIGINT) AS cc FROM gt GROUP BY tok
+         ), gtot AS (
+           SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+             CAST(count(*) AS BIGINT) AS vg
+           FROM gt GROUP BY g
+         ), ct AS (
+           SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus
+         )
+         SELECT gt.g AS source, any_value(gtot.ng) AS n_tokens,
+           any_value(gtot.vg) AS vocab,
+           round(CAST(sum(CAST(
+             (CAST(gt.cg AS DOUBLE) / gtot.ng)
+               * ln((CAST(gt.cg AS DOUBLE) * ct.nc)
+                    / (CAST(corpus.cc AS DOUBLE) * gtot.ng))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+         FROM gt JOIN corpus USING (tok) JOIN gtot USING (g) CROSS JOIN ct
+         GROUP BY gt.g ORDER BY gt.g""",
     "q_text_lm2" ->
       """WITH d AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents

@@ -416,6 +416,51 @@ object TextAnalysis {
       .select("group_a", "group_b", "inter", "uni", "jaccard")
   }
 
+  /** Per-source unigram divergence from the corpus: for each group,
+    * `KL(p_group ‖ p_corpus) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))` over the
+    * group's (lowercased, whitespace-split, empty-dropped) token
+    * distribution — the mixture-design read ("how far does src7 sit from
+    * the blend?") that pairs with Sampling.temperatureMix: high-KL
+    * sources are the ones a temperature flatten will visibly reweight.
+    * Also emits `n_tokens` and `vocab` per group. KL ≥ 0, and 0 only for
+    * a group matching the corpus distribution exactly; every group token
+    * is corpus-supported by construction, so no zero-denominator terms.
+    *
+    * Determinism: each addend `p_g·ln ratio` rounds into DECIMAL(28,12)
+    * before the per-group sum (the dsum recipe — exact, order-invariant),
+    * and the reported divergence rounds to 6 decimals, far coarser than
+    * cross-engine `ln` ulp drift.
+    *
+    * Plan shape at 100 TB: one token explode (linear flatMap) feeding a
+    * map-side-combined (group, token) count; corpus counts re-aggregate
+    * from THAT table (vocab-sized, not corpus-sized); per-group totals
+    * broadcast. The only corpus-sized pass is the explode itself. */
+  def sourceDivergence(df: DataFrame, groupCol: String, textCol: String,
+                       out: String = "kl"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val gt = df.select(col(groupCol).as("__g"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__g"), col("__tok"))
+      .agg(count(lit(1)).as("__cg"))
+    val corpus = gt.groupBy(col("__tok")).agg(sum(col("__cg")).as("__cc"))
+    val gTotals = gt.groupBy(col("__g")).agg(sum(col("__cg")).as("__ng"),
+      count(lit(1)).as("__vg"))
+    val cTotal = corpus.agg(sum(col("__cc")).as("__nc"))
+    val pg = col("__cg").cast("double") / col("__ng")
+    // ratio in doubles: integer products would overflow LONG once both
+    // factors pass ~3e9 (count × corpus-total at real corpus sizes)
+    val ratio = (col("__cg").cast("double") * col("__nc").cast("double")) /
+      (col("__cc").cast("double") * col("__ng").cast("double"))
+    val addend = (pg * log(ratio)).cast(DecimalType(28, 12))
+    gt.join(corpus, Seq("__tok"))
+      .join(broadcast(gTotals), Seq("__g"))
+      .crossJoin(broadcast(cTotal))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__ng")).as("n_tokens"), first(col("__vg")).as("vocab"),
+        round(sum(addend).cast("double"), 6).as(out))
+  }
+
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long = 2, out: String = "clean_text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

@@ -1685,6 +1685,35 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(ext(1) - expExt2) < 1e-5)
   }
 
+  test("sourceDivergence: hand-computed KL, zero for corpus-shaped groups, partition-invariant") {
+    // g1: a a b (p = 2/3, 1/3); g2: a b b c (p = 1/4, 2/4, 1/4)
+    // corpus: a=3 b=3 c=1, n=7
+    val df = Seq(("g1", "A a  b"), ("g2", "a b B c")).toDF("source", "text")
+    val out = TextAnalysis.sourceDivergence(df, "source", "text")
+      .orderBy("source").collect()
+    val ln = (x: Double) => math.log(x)
+    val exp1 = 2.0 / 3 * ln((2.0 / 3) / (3.0 / 7)) + 1.0 / 3 * ln((1.0 / 3) / (3.0 / 7))
+    val exp2 = 0.25 * ln(0.25 / (3.0 / 7)) + 0.5 * ln(0.5 / (3.0 / 7)) +
+      0.25 * ln(0.25 / (1.0 / 7))
+    assert(out(0).getAs[Long]("n_tokens") == 3 && out(0).getAs[Long]("vocab") == 2)
+    assert(out(1).getAs[Long]("n_tokens") == 4 && out(1).getAs[Long]("vocab") == 3)
+    assert(math.abs(out(0).getAs[Double]("kl") - exp1) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("kl") - exp2) < 1e-5)
+    // two groups with identical token distributions: both sit AT the
+    // corpus blend, so both diverge by exactly zero
+    val same = Seq(("x", "a b"), ("y", "b a")).toDF("source", "text")
+    TextAnalysis.sourceDivergence(same, "source", "text").collect()
+      .foreach(r => assert(r.getAs[Double]("kl") == 0.0))
+    // decimal-summed addends: repartitioning cannot move the result
+    val big = (1 to 60).map(i => (s"s${i % 4}", s"tok$i the of and a b$i"))
+      .toDF("source", "text")
+    val a = TextAnalysis.sourceDivergence(big, "source", "text")
+      .orderBy("source").collect().toSeq
+    val b = TextAnalysis.sourceDivergence(big.repartition(17), "source", "text")
+      .orderBy("source").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
   test("ivfPq: persisted probe prunes partitions, never reads vectors, recalls") {
     val emb = sf("embeddings")
     val q = emb.filter(col("vec_id") === 7).select("embedding").collect()(0).getSeq[Float](0)
