@@ -1426,6 +1426,15 @@ object SparkEntry {
       graft.ops.WarpOps.mergeDistinctSketches(sk)
     }),
 
+    // ---- md5-tier HLL gauge: the DataSketches path above is binary and
+    //      rows-only, so this twin replays the FULL register/estimator
+    //      pipeline (md5 buckets, leading-zero rho, integer-scaled
+    //      register sum, linear-counting correction) hash-exactly in
+    //      DuckDB — the determinate quality gate for the distinct-sketch
+    //      shape, with the exact count and relative error alongside
+    "q_distinct_hll_md5" -> ((s, dir) =>
+      graft.ops.WarpOps.hllMd5Report(T(s, dir, "documents"), col("text"))),
+
     // ---- fixed-width histogram (profiler companion): doc length
     //      distribution, 12 bins over [0, 600)
     "q_histogram" -> ((s, dir) =>
@@ -5215,6 +5224,43 @@ object SparkEntry {
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
     "q_dedup_minhash_md5" -> minhashMd5Oracle(16, 4, 0.5),
     "q_dedup_simhash_md5" -> simhashMd5Oracle(3),
+    // full HLL replay at p=4 (m=16, alpha=0.673): md5 bucket + rho, max
+    // registers, integer-scaled register sum, linear-counting branch
+    "q_distinct_hll_md5" ->
+      """WITH v AS (
+           SELECT CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 1)) AS BIGINT) AS b,
+                  CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 2, 13)) AS BIGINT) AS w
+           FROM documents WHERE text IS NOT NULL
+         ), r AS (
+           SELECT b, max(CASE WHEN w = 0 THEN 53
+                              ELSE 53 - length(bin(w)) END) AS M
+           FROM v GROUP BY b
+         ), st AS (
+           SELECT CAST(count(*) AS BIGINT) AS used, coalesce(max(M), 0) AS mx
+           FROM r
+         ), s1 AS (
+           SELECT coalesce(CAST(sum(CAST(pow(2.0, st.mx - r.M) AS BIGINT)) AS BIGINT), 0) AS S,
+                  coalesce(any_value(st.used), 0) AS used,
+                  coalesce(any_value(st.mx), 0) AS mx
+           FROM r, st
+         ), ex AS (
+           SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+           FROM documents WHERE text IS NOT NULL
+         ), e AS (
+           SELECT s1.used, 16 - s1.used AS zeros, ex.n_exact,
+             0.673 * 16 * 16 * pow(2.0, s1.mx)
+               / (CAST(s1.S AS DOUBLE) + CAST(16 - s1.used AS DOUBLE) * pow(2.0, s1.mx)) AS eraw
+           FROM s1, ex
+         )
+         SELECT 16 AS m, used AS used_registers, zeros,
+           round(CASE WHEN eraw <= 40.0 AND zeros > 0
+                      THEN 16.0 * ln(16.0 / zeros) ELSE eraw END, 6) AS estimate,
+           n_exact,
+           CASE WHEN n_exact > 0 THEN
+             round(abs((CASE WHEN eraw <= 40.0 AND zeros > 0
+                             THEN 16.0 * ln(16.0 / zeros) ELSE eraw END) - n_exact)
+               / n_exact, 6) END AS rel_error
+         FROM e""",
     "q_embed_recall_lsh" ->
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_ivf" ->

@@ -513,4 +513,72 @@ object WarpOps {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(true)))
         .as("n_distinct_est"))
+
+  /** ENGINE-REPLAYABLE HyperLogLog — the md5 tier of
+    * [[distinctSketchByShard]]'s DataSketches path (the same move as
+    * Dedup.minhashPairsMd5): value hash = first 60 bits of md5, the top
+    * `p` bits pick one of m = 2^p registers, the remaining 52 bits supply
+    * `rho` = leading-zero run + 1, registers take the max, and the
+    * Flajolet HLL estimator (with the standard linear-counting
+    * small-range correction) reads the estimate out. Every step is
+    * portable SQL — bucket/width come from hex substrings, rho from
+    * `bin()` string length, and the register-sum `Σ 2^−M_j` is computed
+    * as the INTEGER sum `Σ 2^(Mmax−M_j)` scaled by `2^−Mmax`, so the
+    * reduction is exact and partition-order-invariant (a plain double sum
+    * of 2^−M terms rounds order-dependently once registers differ by
+    * >53). This is what makes `q_distinct_hll_md5` a hash-exact oracle
+    * gate for the HLL register/estimator SHAPE, while the production
+    * binary-sketch path stays rows-only.
+    *
+    * One row out: (m, used_registers, zeros, estimate, n_exact,
+    * rel_error). The `n_exact` companion is a real count_distinct — at
+    * gauge scale it is the point of the report; skip it at 100 TB and
+    * trust the sketch. Scale shape: one map pass, an m-bounded register
+    * aggregate, broadcast scalars — no corpus-sized shuffle beyond the
+    * bucket groupBy. */
+  def hllMd5Report(df: DataFrame, valueCol: Column, p: Int = 4): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 12,
+      s"p must be a multiple of 4 in [4, 12] (hex-substring buckets), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = md5(valueCol.cast("string"))
+    val regs = df.filter(valueCol.isNotNull)
+      .select(conv(substring(h, 1, hexChars), 16, 10).cast("int").as("__b"),
+        conv(substring(h, hexChars + 1, 13), 16, 10).cast("long").as("__w"))
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("__w")))))
+      .groupBy("__b").agg(max(col("__rho")).as("__M"))
+    val stats = regs.agg(count(lit(1)).as("__used"),
+      coalesce(max(col("__M")), lit(0)).as("__mx"))
+    // a global aggregate emits its one row even over an EMPTY register
+    // table (empty input) — the coalesces turn its nulls into the
+    // all-registers-zero state, which the estimator maps to 0
+    val one = regs.crossJoin(broadcast(stats))
+      .agg(coalesce(first(col("__used")), lit(0L)).as("__used"),
+        coalesce(first(col("__mx")), lit(0)).as("__mx"),
+        coalesce(sum(pow(lit(2.0), col("__mx") - col("__M")).cast("long")),
+          lit(0L)).as("__S"))
+    val exact = df.filter(valueCol.isNotNull)
+      .agg(count_distinct(valueCol).as("__exact"))
+    val zeros = lit(m) - col("__used")
+    val denom = col("__S").cast("double") +
+      zeros.cast("double") * pow(lit(2.0), col("__mx"))
+    val eRaw = lit(alpha * m.toDouble * m) * pow(lit(2.0), col("__mx")) / denom
+    val est = when(eRaw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
+    one.crossJoin(broadcast(exact))
+      .select(lit(m).as("m"), col("__used").as("used_registers"),
+        zeros.cast("long").as("zeros"),
+        round(est, 6).as("estimate"), col("__exact").as("n_exact"),
+        when(col("__exact") > 0,
+          round(abs(est - col("__exact")) / col("__exact"), 6))
+          .as("rel_error"))
+  }
 }

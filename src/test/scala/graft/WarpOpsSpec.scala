@@ -607,6 +607,38 @@ class WarpOpsSpec extends SparkSpec {
     assert(math.abs(merged - 911.0) / 911.0 < 0.05, s"estimate $merged")
   }
 
+  test("hllMd5Report: estimate within error bounds, raw and linear-counting branches, invariant") {
+    import spark.implicits._
+    import graft.ops.WarpOps
+    // 911 distinct at m=256 (p=8): raw-estimator branch, std error ~6.5%
+    val df = Seq.tabulate(3000)(i => s"val_${i % 911}").toDF("v")
+    val r = WarpOps.hllMd5Report(df, col("v"), p = 8).collect()(0)
+    assert(r.getAs[Int]("m") == 256)
+    assert(r.getAs[Long]("n_exact") == 911)
+    assert(r.getAs[Double]("rel_error") < 0.2,
+      s"estimate ${r.getAs[Double]("estimate")} too far from 911")
+    // 3 distinct at m=256: linear-counting branch; at most 3 registers used
+    val tiny = WarpOps.hllMd5Report(Seq("a", "b", "c", "a").toDF("v"),
+      col("v"), p = 8).collect()(0)
+    assert(tiny.getAs[Long]("used_registers") <= 3)
+    val zeros = tiny.getAs[Long]("zeros")
+    val lc = 256.0 * math.log(256.0 / zeros)
+    assert(math.abs(tiny.getAs[Double]("estimate") - lc) < 1e-5)
+    // empty / all-null input: one row, estimate 0, null rel_error
+    val empty = WarpOps.hllMd5Report(
+      Seq.empty[Option[String]].toDF("v"), col("v")).collect()(0)
+    assert(empty.getAs[Double]("estimate") == 0.0 && empty.isNullAt(5))
+    val nulls = WarpOps.hllMd5Report(
+      Seq[Option[String]](None, None).toDF("v"), col("v")).collect()(0)
+    assert(nulls.getAs[Long]("used_registers") == 0L &&
+      nulls.getAs[Double]("estimate") == 0.0)
+    // integer-scaled register sum: repartitioning cannot move the result
+    val a = WarpOps.hllMd5Report(df, col("v"), p = 8).collect()(0).toSeq
+    val b = WarpOps.hllMd5Report(df.repartition(23), col("v"), p = 8)
+      .collect()(0).toSeq
+    assert(a == b)
+  }
+
   test("histogram: edges closed-top, out-of-range and non-coercible dropped") {
     import spark.implicits._
     val df = Seq("0", "4.9", "5", "9.9", "10", "x", "-1", "10.1", null)
