@@ -2127,6 +2127,22 @@ object SparkEntry {
         .warpSort(Seq(Order(col("qid"))))
     }),
 
+    // ---- kNN label transfer: majority label of the 10 exact nearest
+    //      labeled neighbors, leave-one-out over the first 64 vectors,
+    //      with the known label alongside — semi-supervised labeling AND
+    //      its quality gauge in one determinate, fully replayable entry
+    "q_knn_label" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val pred = graft.pipeline.Similarity.knnLabelTransfer(
+        emb, "embedding", "vec_id", "label", 10,
+        queries = Some(emb.filter(col("vec_id") < 64)))
+      pred.join(emb.select(col("vec_id").cast("long").as("qid"),
+          col("label").as("actual_label")), "qid")
+        .select(col("qid").as("vec_id"), col("pred_label"), col("votes"),
+          col("actual_label"))
+        .orderBy("vec_id")
+    }),
+
     // ---- kNN graph, sketch-gated over the persisted LSH index: ~88% of
     //      the 4M candidate pairs fail the one-call native Hamming gate
     //      before any dot product, and only survivors enter the per-query
@@ -5267,6 +5283,33 @@ object SparkEntry {
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_embed_recall_pq" ->
       recallPqOracle(RecallPqSubspaces, 16, RecallPqCodebook, 1, 64, 10),
+    "q_knn_label" ->
+      """WITH b AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nv
+           FROM embeddings WHERE label IS NOT NULL
+         ), q AS (SELECT * FROM b WHERE vec_id < 64),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d, q WHERE d.vec_id <> q.vec_id)
+          WHERE rn <= 10),
+         v AS (SELECT ex.qid, l.label AS lab
+           FROM ex JOIN b l ON l.vec_id = ex.id),
+         c AS (SELECT qid, lab, count(*) AS votes FROM v GROUP BY qid, lab),
+         w AS (SELECT qid, lab, votes,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY votes DESC, lab) AS rn
+           FROM c)
+         SELECT w.qid AS vec_id, w.lab AS pred_label, w.votes,
+           e.label AS actual_label
+         FROM w JOIN embeddings e ON e.vec_id = w.qid
+         WHERE w.rn = 1 ORDER BY vec_id""",
     "q_embed_recall_q8" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

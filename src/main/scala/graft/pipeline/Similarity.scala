@@ -601,6 +601,43 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** kNN label transfer — semi-supervised labeling over the EXACT kNN
+    * graph: each query takes the majority label of its k nearest labeled
+    * neighbors (cosine), ties broken deterministically by (votes DESC,
+    * label ASC). The standard seed-labels-to-corpus move (label a few
+    * thousand docs, propagate to millions by embedding neighborhood);
+    * the embedding-space companion to Graph.labelPropagation, which
+    * propagates over an explicit edge table instead.
+    *
+    * Querying the labeled corpus with itself is leave-one-out by
+    * construction (the graph never pairs an id with itself), so the
+    * output doubles as a labeling-quality gauge against known labels.
+    *
+    * Scale shape: inherits [[knnGraphGemm]]'s contract — queries are
+    * driver-collected and broadcast (bounded by contract; chunk via
+    * [[knnGraphGemmChunked]] for beyond-broadcast query sets), the corpus
+    * streams through per-partition dgemm blocks, and only k+margin rows
+    * per query leave the map side. The vote is one (query × k)-sized
+    * groupBy plus a per-query window — bounded by the query set, never by
+    * the corpus. Output: (qid, pred_label, votes). */
+  def knnLabelTransfer(df: DataFrame, vecCol: String, idCol: String,
+                       labelCol: String, k: Int,
+                       queries: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = df.filter(col(labelCol).isNotNull)
+    val graph = knnGraphGemm(labeled, vecCol, idCol, k, queries)
+    val labels = labeled.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("__lab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("__lab"))
+    graph.join(labels, "id")
+      .groupBy(col("qid"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("qid"), col("__lab").as("pred_label"), col("votes"))
+  }
+
   /** Corpus geometry report: a histogram of pairwise cosines over a
     * SYSTEMATIC pair sample — each row pairs with the rows `stride` ids
     * ahead — split by whether the two rows share a label. The

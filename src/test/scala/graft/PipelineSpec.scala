@@ -25,6 +25,38 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("knnLabelTransfer: majority vote over clusters, deterministic ties, null labels excluded") {
+    // two tight clusters around orthogonal axes: label 1 near e1, label 2
+    // near e2; a query close to e1 must take label 1 by clear majority
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val rows =
+      (0 until 6).map(i => (i.toLong, v(1.0, 0.01 * i, 0.0), Some(1))) ++
+      (6 until 12).map(i => (i.toLong, v(0.0, 1.0, 0.01 * (i - 6)), Some(2))) ++
+      // unlabeled rows sit AT the query point: excluded from the
+      // neighbor corpus entirely, or they would crowd out labeled votes
+      Seq((20L, v(1.0, 0.02, 0.0), None: Option[Int]))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, v(1.0, 0.03, 0.0))).toDF("vec_id", "embedding")
+    val out = Similarity.knnLabelTransfer(emb, "embedding", "vec_id", "label",
+      k = 5, queries = Some(q)).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("qid") == 100L)
+    assert(out(0).getAs[Int]("pred_label") == 1)
+    assert(out(0).getAs[Long]("votes") == 5)
+    // exact 2-2 vote split: the SMALLER label wins the tie
+    val tied = (Seq((1L, v(1.0, 0.0, 0.0), Some(7)), (2L, v(1.0, 0.0, 0.0), Some(7)),
+      (3L, v(0.0, 1.0, 0.0), Some(3)), (4L, v(0.0, 1.0, 0.0), Some(3))))
+      .toDF("vec_id", "embedding", "label")
+    val qt = Seq((100L, v(1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    val t = Similarity.knnLabelTransfer(tied, "embedding", "vec_id", "label",
+      k = 4, queries = Some(qt)).collect()(0)
+    assert(t.getAs[Int]("pred_label") == 3 && t.getAs[Long]("votes") == 2)
+    // self-query is leave-one-out: a vector never votes for itself
+    val loo = Similarity.knnLabelTransfer(emb, "embedding", "vec_id", "label",
+      k = 11).filter(col("qid") === 0L).collect()(0)
+    assert(loo.getAs[Long]("votes") <= 11)
+  }
+
   test("imageDHash: byte-identical images collide; planted pairs found at Hamming 0") {
     val docs = (0L until 40L).toDF("doc_id")
     val base = Multimodal.fabricateImages(docs, "doc_id")
