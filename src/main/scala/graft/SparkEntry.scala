@@ -1216,6 +1216,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CCNet-style perplexity bucketing: self-trained unigram NLL,
+    //      exact interpolated tercile cuts, head/middle/tail tags — the
+    //      bucket-by-LM-quality slice CCNet trains from, fully replayable
+    "q_ccnet_buckets" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.perplexityBuckets(
+        T(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
     // ---- per-source unigram KL divergence from the corpus blend: the
     //      mixture-design companion to q_temperature_mix — which sources
     //      sit far from the mixture a temperature flatten would produce.
@@ -4143,6 +4150,41 @@ object SparkEntry {
              / count(*), 6) AS nll
          FROM toks JOIN c USING (tok) CROSS JOIN t
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), c AS (
+           SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         ), t AS (
+           SELECT sum(c) AS t FROM c
+         ), nll AS (
+           SELECT toks.doc_id,
+             round(CAST(sum(CAST(-ln(CAST(c.c AS DOUBLE) / t.t) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*), 6) AS nll
+           FROM toks JOIN c USING (tok) CROSS JOIN t
+           GROUP BY toks.doc_id
+         ), g AS (
+           SELECT list_sort(list(nll)) AS a, count(*) AS n FROM nll
+         ), p AS (
+           SELECT a, (n - 1) * (CAST(1 AS DOUBLE) / 3) AS q0p,
+                  (n - 1) * (CAST(2 AS DOUBLE) / 3) AS q1p
+           FROM g
+         ), th AS (
+           SELECT
+             CASE WHEN ceil(q0p) = floor(q0p) THEN a[CAST(q0p AS INT)+1]
+               ELSE (ceil(q0p)-q0p)*a[CAST(floor(q0p) AS INT)+1]
+                  + (q0p-floor(q0p))*a[CAST(ceil(q0p) AS INT)+1] END AS q0,
+             CASE WHEN ceil(q1p) = floor(q1p) THEN a[CAST(q1p AS INT)+1]
+               ELSE (ceil(q1p)-q1p)*a[CAST(floor(q1p) AS INT)+1]
+                  + (q1p-floor(q1p))*a[CAST(ceil(q1p) AS INT)+1] END AS q1
+           FROM p
+         )
+         SELECT nll.doc_id, nll.nll,
+           CASE WHEN nll.nll <= th.q0 THEN 'head'
+                WHEN nll.nll <= th.q1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM nll, th ORDER BY nll.doc_id""",
     "q_source_divergence" ->
       """WITH gt AS (
            SELECT g, tok, count(*) AS cg FROM (

@@ -248,6 +248,36 @@ object TextAnalysis {
       .agg(round(sum(nllTok).cast("double") / count(lit(1)), 6).as(out))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * self-trained unigram LM ([[lmScore]]), cut the corpus at the exact
+    * interpolated tercile thresholds of the NLL distribution, and tag
+    * each document `head` (lowest NLL — most fluent), `middle`, or
+    * `tail` — the bucket-by-LM-quality move CCNet applies before choosing
+    * which slice to train on. Cuts are VALUE thresholds (≤ tercile), so
+    * threshold ties land deterministically in the lower bucket on any
+    * engine; bucket sizes are therefore within the tie-class of n/3
+    * rather than forced-equal (a rank-exact split would need a global
+    * row_number — a single-partition sort at 100 TB; the value-threshold
+    * form needs only the two-pass bracket quantile).
+    *
+    * Scale shape: lmScore's passes + one BracketMedian.exactQuantiles
+    * (bounded-memory bracket sketch, exact within bracket) + a broadcast
+    * 1-row threshold join — nothing corpus-sized on the driver. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        out: String = "bucket"): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+    val th = graft.ops.BracketMedian.exactQuantiles(
+        scored.withColumn("__g", lit(1)), Seq("__g"), "nll",
+        Seq("__q0" -> 1.0 / 3, "__q1" -> 2.0 / 3))
+      .drop("__g")
+    scored.crossJoin(broadcast(th))
+      .withColumn(out,
+        when(col("nll") <= col("__q0"), "head")
+          .when(col("nll") <= col("__q1"), "middle")
+          .otherwise("tail"))
+      .drop("__q0", "__q1")
+  }
+
   /** Sentence-start marker for [[lmScoreBigram]]: a control-char prefix a
     * whitespace tokenizer can essentially never produce. */
   private val BigramStart = "\u0001s"

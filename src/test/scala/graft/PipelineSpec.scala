@@ -1700,6 +1700,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("perplexityBuckets: tercile cuts tag head/middle/tail; ties land low; invariant") {
+    // 9 docs with strictly increasing NLL: rare tokens raise it. Terciles
+    // must produce 3/3/3 with the most-common-token docs in 'head'.
+    val docs = (1 to 9).map { i =>
+      // doc i repeats a shared token (9-i) times and carries i unique ones
+      val shared = Seq.fill(10 - i)("common").mkString(" ")
+      val unique = (1 to i).map(j => s"rare_${i}_$j").mkString(" ")
+      (i.toLong, s"$shared $unique")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(byBucket("head") == Set(1L, 2L, 3L))
+    assert(byBucket("middle") == Set(4L, 5L, 6L))
+    assert(byBucket("tail") == Set(7L, 8L, 9L))
+    // nll must be monotone in rarity for this construction
+    val nll = out.map(_.getAs[Double]("nll"))
+    assert(nll.sliding(2).forall(p => p(0) < p(1)))
+    // partitioning cannot move a document across a cut
+    val re = TextAnalysis.perplexityBuckets(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("lmScore: hand-computed unigram NLL; external train corpus drops unseen") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2 b=2 c=1, total=5
