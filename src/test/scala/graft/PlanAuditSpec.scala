@@ -634,4 +634,38 @@ class PlanAuditSpec extends SparkSpec {
     val p = salted.queryExecution.executedPlan.toString
     assert(p.contains("__salt"), p.take(1500))
   }
+
+  test("q_classify_auc: ranks without a corpus-wide window; offsets broadcast") {
+    val p = plan("q_classify_auc")
+    // the within-bucket prefix window partitions by the bucket column —
+    // a global (unpartitioned) row window over the scores would be the
+    // single-partition sort this operator exists to avoid. The ONLY
+    // unpartitioned window allowed is the one over the ≤buckets offset
+    // rows, which is immediately broadcast.
+    assert("windowspecdefinition\\(__b#".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("q_source_divergence: per-group totals broadcast; corpus counts re-aggregate") {
+    val p = plan("q_source_divergence")
+    // both small sides (group totals, corpus total) must broadcast — a
+    // sort-merge join against the vocab-sized (group, token) table would
+    // shuffle it twice more
+    assert("BroadcastExchange".r.findAllMatchIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_ccnet_buckets: tercile thresholds join as a broadcast single row") {
+    val p = plan("q_ccnet_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    // no whole-corpus percentile buffer: the cut comes from the bracket
+    // quantile, not a collect_list/percentile over every NLL
+    assert(!p.contains("percentile(") && !p.contains("collect_list"), p.take(2000))
+  }
+
+  test("q_knn_label: vote bounded by the query set — window partitions by query") {
+    val p = plan("q_knn_label")
+    assert("windowspecdefinition\\(qid#".r.findFirstIn(p).isDefined, p.take(2000))
+  }
 }
