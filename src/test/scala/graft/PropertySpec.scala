@@ -778,4 +778,33 @@ class PropertySpec extends SparkSpec {
       assert(top(6, 1024) == want)
     }
   }
+
+  test("AUC law: bucketed rank-sum equals the O(n^2) pair probability on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // heavy tie mass on purpose: scores drawn from a 7-value grid so tie
+    // groups straddle bucket boundaries, labels independent of score
+    val genData: Gen[List[(Double, Long)]] = for {
+      n <- Gen.choose(20, 200)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 6).map(_ / 6.0)
+        y <- Gen.oneOf(0L, 1L)
+      } yield (s, y))
+    } yield rows
+    for (data <- samples(genData, 8)) {
+      val pos = data.filter(_._2 == 1L).map(_._1)
+      val neg = data.filter(_._2 == 0L).map(_._1)
+      val r = graft.pipeline.Classifier.aucReport(
+        data.toDF("s", "y").repartition(5), col("s"), col("y"),
+        buckets = 4).head()
+      if (pos.isEmpty || neg.isEmpty) assert(r.isNullAt(2))
+      else {
+        val pairs = for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+        val want = pairs.sum / (pos.size.toDouble * neg.size)
+        val got = r.getAs[Double]("auc")
+        assert(math.abs(got - want) < 1e-9, s"got $got want $want n=${data.size}")
+      }
+    }
+  }
 }
