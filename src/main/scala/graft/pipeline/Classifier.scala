@@ -164,11 +164,20 @@ object Classifier {
                 buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     import org.apache.spark.sql.expressions.Window
+    // the exclusion guard must NOT be a pre-aggregation Filter: a filter
+    // on a projected score pushes below the projection by substitution,
+    // inlining the (potentially expensive — e.g. text-feature) score
+    // expression into the Filter node and computing it twice per row.
+    // Instead invalid rows collapse into a NULL group key and the group
+    // is dropped by an aggregate-output predicate, which cannot push.
     val s0 = scoreCol.cast("double")
-    val g = df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
-      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+    val y0 = labelCol.cast("long")
+    val keep = s0.isNotNull && !isnan(s0) && y0.isNotNull
+    val g = df.select(when(keep, s0).as("__s"), y0.as("__y"))
       .groupBy("__s")
-      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+      .agg(sum(when(col("__s").isNotNull, 1L).otherwise(0L)).as("__n"),
+        sum(when(col("__s").isNotNull, col("__y")).otherwise(0L)).as("__p"))
+      .filter(col("__n") > 0)
       .withColumn("__b",
         least(greatest(floor(col("__s") * buckets), lit(0)),
           lit(buckets - 1)).cast("int"))
@@ -205,18 +214,25 @@ object Classifier {
   def calibrationReport(df: DataFrame, scoreCol: Column, labelCol: Column,
                         bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
+    // NULL-group-key guard, not a pre-aggregation Filter — see aucReport
     val s0 = scoreCol.cast("double")
-    df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
-      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
+    val y0 = labelCol.cast("long")
+    val keep = s0.isNotNull && !isnan(s0) && y0.isNotNull
+    df.select(when(keep, s0).as("__s"), y0.as("__y"))
       .withColumn("bin",
         least(greatest(floor(col("__s") * bins), lit(0)), lit(bins - 1))
           .cast("int"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("__s").cast("decimal(30,15)")).cast("double")
-          / count(lit(1)), 9).as("mean_score"),
-        round(sum(col("__y")).cast("double") / count(lit(1)), 9)
+      .agg(sum(when(col("bin").isNotNull, 1L).otherwise(0L)).as("n"),
+        round(sum(when(col("bin").isNotNull, col("__s"))
+            .cast("decimal(30,15)")).cast("double")
+          / sum(when(col("bin").isNotNull, 1L).otherwise(0L)), 9)
+          .as("mean_score"),
+        round(sum(when(col("bin").isNotNull, col("__y")).otherwise(0L))
+            .cast("double")
+          / sum(when(col("bin").isNotNull, 1L).otherwise(0L)), 9)
           .as("pos_rate"))
+      .filter(col("n") > 0)
   }
 
   /** Threshold sweep: precision / recall / F1 of `score >= t` for each
@@ -229,10 +245,15 @@ object Classifier {
   def thresholdReport(df: DataFrame, scoreCol: Column, labelCol: Column,
                       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    // invalid rows are nulled in the projection and excluded per-addend —
+    // a pre-aggregation Filter would push below the score projection and
+    // evaluate the score expression twice per row (see aucReport)
     val s0 = scoreCol.cast("double")
-    val base = df.select(s0.as("__s"), labelCol.cast("long").as("__y"))
-      .filter(col("__s").isNotNull && !isnan(col("__s")) && col("__y").isNotNull)
-    val aggs = sum(col("__y")).as("__pos") +: thresholds.zipWithIndex.flatMap {
+    val y0 = labelCol.cast("long")
+    val keep = s0.isNotNull && !isnan(s0) && y0.isNotNull
+    val base = df.select(when(keep, s0).as("__s"), y0.as("__y"))
+    val aggs = sum(when(col("__s").isNotNull, col("__y")).otherwise(0L))
+      .as("__pos") +: thresholds.zipWithIndex.flatMap {
       case (t, i) => Seq(
         sum(when(col("__s") >= t, 1L).otherwise(0L)).as(s"__pred$i"),
         sum(when(col("__s") >= t, col("__y")).otherwise(0L)).as(s"__tp$i"))
