@@ -1650,6 +1650,15 @@ object SparkEntry {
         .warpSort(Seq(Order(col("bucket")), Order(col("same_label"), numeric = false)))
     }),
 
+    // ---- dimension covariance + correlation over the embedding space:
+    //      the PCA/whitening-readiness report (redundant correlated dims,
+    //      dead near-zero-variance dims). Decimal-exact sums; the dim^2
+    //      fan-out is the report size, never row-quadratic
+    "q_embed_covariance" -> ((s, dir) =>
+      graft.pipeline.Cluster.covarianceReport(
+          T(s, dir, "embeddings"), "embedding")
+        .orderBy("i", "j")),
+
     // ---- embedding drift: per-label centroid vs the corpus centroid
     //      (decimal-exact means + fold cosine) — the dataset-shift gauge
     //      for embedding pipelines, oracle-replayed bit-for-bit
@@ -3309,6 +3318,32 @@ object SparkEntry {
          FROM c ORDER BY doc_id, chunk_id""",
     "q_kmeans" -> kmeansOracle(8, 2, summary = false),
     "q_dedup_semantic" -> semdedupOracle(8, 2, 0.92),
+    "q_embed_covariance" ->
+      """WITH x AS (
+           SELECT vec_id, i, CAST(xi AS DOUBLE) AS xi FROM (
+             SELECT vec_id, unnest(embedding) AS xi,
+               generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE embedding IS NOT NULL)
+         ), p AS (
+           SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(a.xi * b.xi AS DECIMAL(30,15))) AS DOUBLE) AS sxy
+           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY a.i, b.i
+         ), m AS (
+           SELECT i, CAST(sum(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+             count(*) AS n
+           FROM x GROUP BY i
+         ), mv AS (
+           SELECT i, sx, n, (sxx - sx * sx / n) / n AS var FROM m
+         )
+         SELECT p.i, p.j,
+           round((p.sxy - mi.sx * mj.sx / mi.n) / mi.n, 9) AS cov,
+           CASE WHEN mi.var > 0 AND mj.var > 0 THEN
+             round(((p.sxy - mi.sx * mj.sx / mi.n) / mi.n)
+               / sqrt(mi.var * mj.var), 9) END AS corr
+         FROM p JOIN mv mi ON mi.i = p.i JOIN mv mj ON mj.i = p.j
+         ORDER BY p.i, p.j""",
     "q_embed_geometry" ->
       """WITH b AS (SELECT vec_id, embedding, label,
            sqrt(list_reduce(list_transform(embedding,

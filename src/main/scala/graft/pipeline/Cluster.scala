@@ -151,6 +151,67 @@ object Cluster {
         Similarity.norm(col("centroid")).as("centroid_norm"))
   }
 
+  /** Dimension covariance (and correlation) report over an embedding
+    * column: one row per dimension pair i ≤ j (1-based) with the
+    * population covariance and the Pearson correlation — the
+    * PCA/whitening-readiness read (a strongly correlated dimension pair
+    * is redundant signal; a near-zero-variance dimension is dead weight
+    * before any projection or quantization).
+    *
+    * Exact and seedless: per-pair product sums and per-dimension sums
+    * accumulate as DECIMAL(30,15) (the dsum recipe — partition-order
+    * invariant), covariance = (Sxy − Sx·Sy/n)/n in doubles rounded to 9,
+    * correlation guarded NULL when either variance is 0.
+    *
+    * Scale shape: two linear passes — a per-row upper-triangle pair
+    * expansion (dim·(dim+1)/2 terms per row, absorbed by map-side combine
+    * into dim² groups) and a per-dimension sum — then joins against
+    * dim-sized broadcast sides. Nothing is quadratic in ROWS; the dim²
+    * fan-out is the report's size, not the corpus's. */
+  def covarianceReport(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    // 0-based transform indices -> 1-based (i, j) output, matching SQL
+    // generate_subscripts so the oracle replays without index shifts
+    val pairCol = flatten(transform(v, (xi, i0) =>
+      transform(slice(v, i0 + lit(1), size(v) - i0), (xj, jr) =>
+        struct((i0 + 1).as("i"), (i0 + jr + 1).as("j"),
+          (xi.cast("double") * xj.cast("double")).as("p")))))
+    val rows = df.filter(v.isNotNull)
+    val pairs = rows
+      .select(explode(pairCol).as("__pr"))
+      .groupBy(col("__pr.i").as("__i"), col("__pr.j").as("__j"))
+      .agg(sum(col("__pr.p").cast(DecimalType(30, 15))).cast("double")
+        .as("__sxy"))
+    // variances derive from the SAME per-dimension aggregate (Sx, Sxx, n)
+    // rather than the covariance diagonal — a diagonal self-join would
+    // re-run the corpus-sized pair pass a second time
+    val dims = rows
+      .select(posexplode(v).as(Seq("__d0", "__x")))
+      .groupBy((col("__d0") + 1).as("__d"))
+      .agg(sum(col("__x").cast("double").cast(DecimalType(30, 15)))
+          .cast("double").as("__sx"),
+        sum((col("__x").cast("double") * col("__x").cast("double"))
+          .cast(DecimalType(30, 15))).cast("double").as("__sxx"),
+        count(lit(1)).as("__n"))
+      .withColumn("__var",
+        (col("__sxx") - col("__sx") * col("__sx") / col("__n")) / col("__n"))
+    val mi = dims.select(col("__d").as("__di"), col("__sx").as("__sxi"),
+      col("__n").as("__ni"), col("__var").as("__vi"))
+    val mj = dims.select(col("__d").as("__dj"), col("__sx").as("__sxj"),
+      col("__var").as("__vj"))
+    pairs
+      .join(broadcast(mi), col("__i") === col("__di"))
+      .join(broadcast(mj), col("__j") === col("__dj"))
+      .withColumn("__cov",
+        (col("__sxy") - col("__sxi") * col("__sxj") / col("__ni"))
+          / col("__ni"))
+      .select(col("__i").as("i"), col("__j").as("j"),
+        round(col("__cov"), 9).as("cov"),
+        when(col("__vi") > 0 && col("__vj") > 0,
+          round(col("__cov") / sqrt(col("__vi") * col("__vj")), 9))
+          .as("corr"))
+  }
+
   /** One assignment pass under literal centroids. `n2 + c2 − 2·dot`, left
     * to right; the struct-min tie-breaks equal distances to the lowest
     * cluster id. */

@@ -1742,6 +1742,31 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(ext(1) - expExt2) < 1e-5)
   }
 
+  test("covarianceReport: hand-computed entries, unit diagonal corr, zero-var guard, invariant") {
+    // dims: x = (1,2,3,4), y = (2,4,6,8) (y = 2x, corr 1), z = (5,5,5,5)
+    val df = Seq(
+      Seq(1f, 2f, 5f), Seq(2f, 4f, 5f), Seq(3f, 6f, 5f), Seq(4f, 8f, 5f))
+      .map(Tuple1(_)).toDF("v")
+    val out = Cluster.covarianceReport(df, "v").orderBy("i", "j").collect()
+    assert(out.length == 6) // upper triangle of 3 dims
+    val m = out.map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r).toMap
+    // var(x) = ((1-2.5)^2+...)/4 = 1.25; cov(x,y) = 2*var(x) = 2.5
+    assert(m((1, 1)).getAs[Double]("cov") == 1.25)
+    assert(m((1, 2)).getAs[Double]("cov") == 2.5)
+    assert(m((2, 2)).getAs[Double]("cov") == 5.0)
+    // perfectly linear pair: corr exactly 1; diagonal corr 1
+    assert(m((1, 2)).getAs[Double]("corr") == 1.0)
+    assert(m((1, 1)).getAs[Double]("corr") == 1.0)
+    // constant dim: cov 0 with everything, corr NULL (zero variance)
+    assert(m((1, 3)).getAs[Double]("cov") == 0.0)
+    assert(m((1, 3)).isNullAt(m((1, 3)).fieldIndex("corr")))
+    assert(m((3, 3)).getAs[Double]("cov") == 0.0)
+    // decimal sums: partitioning cannot move any entry
+    val re = Cluster.covarianceReport(df.repartition(3), "v")
+      .orderBy("i", "j").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("sourceDivergence: hand-computed KL, zero for corpus-shaped groups, partition-invariant") {
     // g1: a a b (p = 2/3, 1/3); g2: a b b c (p = 1/4, 2/4, 1/4)
     // corpus: a=3 b=3 c=1, n=7
