@@ -3326,7 +3326,8 @@ object SparkEntry {
              FROM embeddings WHERE embedding IS NOT NULL)
          ), p AS (
            SELECT a.i AS i, b.i AS j,
-             CAST(sum(CAST(a.xi * b.xi AS DECIMAL(30,15))) AS DOUBLE) AS sxy
+             CAST(sum(CAST(floor(a.xi * b.xi * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1073741824.0 AS sxy
            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
            GROUP BY a.i, b.i
          ), m AS (
