@@ -161,6 +161,26 @@ object SparkEntry {
            round(1.0 / (1.0 + exp(-(1.0*f1 - 2.0*f2 + 4.0*f3 + 1.0*f4 - 3.0*f5 - 2.0*f6 - 1.0))), 6) AS s
          FROM feat)"""
 
+  /** HALF_UP decimal rounding matching Spark/DuckDB round() — the same
+    * convention weightTable publishes trained weights with. */
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Memoized first two principal components per embeddings fingerprint:
+    * all q_pca_* entries share ONE covariance job + both power
+    * iterations. */
+  private val pcaCache = new scala.collection.concurrent.TrieMap[
+    String, ((Seq[Double], Double), (Seq[Double], Double))]
+  private def pcaFixture2(s: SparkSession, dir: String)
+      : ((Seq[Double], Double), (Seq[Double], Double)) =
+    pcaCache.getOrElseUpdate(idxRoot(s, dir), {
+      val ((v1, l1), (v2, l2)) = graft.pipeline.Cluster.pcaPowerDeflated(
+        T(s, dir, "embeddings"), "embedding", PcaIters)
+      ((v1.toSeq, l1), (v2.toSeq, l2))
+    })
+  private def pcaFixture(s: SparkSession, dir: String): (Seq[Double], Double) =
+    pcaFixture2(s, dir)._1
+
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     // keyed by the embeddings file's fingerprint (idxRoot), not the bare
     // dir: regenerated data at the same path must refresh the memo
@@ -191,6 +211,11 @@ object SparkEntry {
     * count, probing 2 of 8 cells (a quarter of the corpus scored). */
   val RecallIvfCells = 8
   val RecallIvfProbe = 2
+
+  /** Power-iteration rounds for the q_pca_* entries — enough for the
+    * dominant eigenvector to settle at gauge scale; both sides run the
+    * SAME fixed count, so the entries hash-match regardless. */
+  val PcaIters = 30
 
   /** Gauge-tier PQ params for `q_embed_recall_pq`: 4 subspaces × 8-entry
     * codebooks (16 dims each on the 64-dim corpus), one deterministic
@@ -1659,6 +1684,51 @@ object SparkEntry {
           T(s, dir, "embeddings"), "embedding")
         .orderBy("i", "j")),
 
+    // ---- PCA-lite: first principal component by deterministic power
+    //      iteration over the oracled covariance matrix (decimal-summed
+    //      rounds, pinned sign), plus the corpus projected onto the
+    //      published rounded component — BOTH fully replayed in DuckDB
+    //      (the covariance CTEs + 30 unrolled matrix-vector rounds)
+    "q_pca_component" -> ((s, dir) => {
+      val (v, lam) = pcaFixture(s, dir)
+      import s.implicits._
+      val l6 = BigDecimal(lam).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      v.zipWithIndex.map { case (x, i) => (i + 1, round9(x), l6) }
+        .toDF("i", "loading", "eigenvalue").orderBy("i")
+    }),
+    "q_pca_scores" -> ((s, dir) => {
+      val (v, _) = pcaFixture(s, dir)
+      T(s, dir, "embeddings").select(col("vec_id"),
+          round(graft.pipeline.Similarity.dot(col("embedding"),
+            typedLit(v.map(round9))), 6).as("pc1"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- second principal component by Hotelling deflation: the same
+    //      pinned power iteration over cov − λ₁·v₁v₁ᵀ built from the
+    //      PUBLISHED 9-rounded first component, so the deflation is
+    //      bit-identical on both engines; orthogonality to pc1 is the
+    //      spec-pinned invariant
+    "q_pca_component2" -> ((s, dir) => {
+      val (_, (v2, lam2)) = pcaFixture2(s, dir)
+      import s.implicits._
+      val l6 = BigDecimal(lam2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      v2.zipWithIndex.map { case (x, i) => (i + 1, round9(x), l6) }
+        .toDF("i", "loading", "eigenvalue").orderBy("i")
+    }),
+
+    // ---- per-dimension z-score standardization: the whitening-lite
+    //      transform covarianceReport diagnoses readiness for — one
+    //      decimal-exact dim-stats aggregate + a broadcast-joined map
+    //      pass; zero-variance dims yield NULL, never ±Inf
+    "q_embed_whiten" -> ((s, dir) =>
+      graft.pipeline.Cluster.standardize(
+          T(s, dir, "embeddings"), "embedding", "vec_id")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "i")),
+
     // ---- embedding drift: per-label centroid vs the corpus centroid
     //      (decimal-exact means + fold cosine) — the dataset-shift gauge
     //      for embedding pipelines, oracle-replayed bit-for-bit
@@ -3089,6 +3159,101 @@ object SparkEntry {
           WHERE rn <= $k),
          $recallTailSql"""
 
+  /** Shared WITH-body for the covariance-based oracles: `cv(i, j, cov,
+    * vi, vj)` = unrounded population covariance over the fixed-point
+    * (2^-30-quantized) pair sums plus both variances, i ≤ j, 1-based. */
+  private val covarianceCteBody: String =
+    """x AS MATERIALIZED (
+         SELECT vec_id, i, CAST(xi AS DOUBLE) AS xi FROM (
+           SELECT vec_id, unnest(embedding) AS xi,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE embedding IS NOT NULL)
+       ), p AS MATERIALIZED (
+         SELECT a.i AS i, b.i AS j,
+           CAST(sum(CAST(floor(a.xi * b.xi * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1073741824.0 AS sxy
+         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY a.i, b.i
+       ), m AS MATERIALIZED (
+         SELECT i, CAST(sum(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+           count(*) AS n
+         FROM x GROUP BY i
+       ), mv AS MATERIALIZED (
+         SELECT i, sx, n, (sxx - sx * sx / n) / n AS var FROM m
+       ), cv AS MATERIALIZED (
+         SELECT p.i, p.j, (p.sxy - mi.sx * mj.sx / mi.n) / mi.n AS cov,
+           mi.var AS vi, mj.var AS vj
+         FROM p JOIN mv mi ON mi.i = p.i JOIN mv mj ON mj.i = p.j
+       )"""
+
+  /** DuckDB oracle replaying the q_pca_* power iteration: the covariance
+    * CTEs, the symmetric rounded-9 matrix, `iters` unrolled
+    * matrix-vector rounds with DECIMAL(28,12)-summed addends (exact —
+    * fold-order-free, mirroring Cluster.pcaPower's driver arithmetic),
+    * the max-|loading| sign pin, and the published rounded component as
+    * an ordered list for the projection entry. */
+  /** One pinned power-iteration CTE chain over matrix CTE `mat(i,j,cval)`
+    * using name prefix `p`: `iters` unrolled rounds (`${p}w/n/v`), the
+    * max-|loading| sign pin, and final CTEs `${p}vfin(i,x)` /
+    * `${p}lam(nn)` / `${p}lv(lv)` (9-rounded ordered loading list). */
+  private def pcaChain(p: String, mat: String, iters: Int): String = {
+    val rounds = (0 until iters).map { r =>
+      s"""${p}w$r AS MATERIALIZED (
+           SELECT cf.i, CAST(sum(CAST(cf.cval * v.x AS DECIMAL(28,12))) AS DOUBLE) AS wx
+           FROM $mat cf JOIN ${p}v$r v ON v.i = cf.j GROUP BY cf.i),
+         ${p}n$r AS MATERIALIZED (
+           SELECT sqrt(CAST(sum(CAST(wx * wx AS DECIMAL(28,12))) AS DOUBLE)) AS nn
+           FROM ${p}w$r),
+         ${p}v${r + 1} AS MATERIALIZED (SELECT w.i, w.wx / n.nn AS x FROM ${p}w$r w, ${p}n$r n)"""
+    }.mkString(",\n         ")
+    s"""${p}v0 AS MATERIALIZED (
+           SELECT i, CAST(CASE WHEN i = 1 THEN 1 ELSE 0 END AS DOUBLE) AS x
+           FROM (SELECT DISTINCT i FROM $mat)
+         ),
+         $rounds,
+         ${p}sgn AS (
+           SELECT CASE WHEN x < 0 THEN CAST(-1 AS DOUBLE)
+                       ELSE CAST(1 AS DOUBLE) END AS sg
+           FROM ${p}v$iters ORDER BY abs(x) DESC, i LIMIT 1
+         ),
+         ${p}vfin AS (SELECT v.i, v.x * sgn.sg AS x FROM ${p}v$iters v, ${p}sgn sgn),
+         ${p}lam AS (SELECT nn FROM ${p}n${iters - 1}),
+         ${p}lv AS (SELECT list(round(x, 9) ORDER BY i) AS lv FROM ${p}vfin)"""
+  }
+
+  private def pcaOracle(iters: Int, finalSelect: String): String =
+    s"""WITH $covarianceCteBody,
+         cfull AS MATERIALIZED (
+           SELECT i, j, round(cov, 9) AS cval FROM cv
+           UNION ALL
+           SELECT j, i, round(cov, 9) FROM cv WHERE i <> j
+         ),
+         ${pcaChain("", "cfull", iters)}
+         $finalSelect"""
+
+  /** The q_pca_component2 oracle: the full first chain, Hotelling
+    * deflation with the PUBLISHED 9-rounded loadings/eigenvalue (exactly
+    * the doubles Cluster.pcaPowerDeflated subtracts), then a second
+    * pinned chain over the deflated matrix. */
+  private def pcaOracle2(iters: Int, finalSelect: String): String =
+    s"""WITH $covarianceCteBody,
+         cfull AS MATERIALIZED (
+           SELECT i, j, round(cov, 9) AS cval FROM cv
+           UNION ALL
+           SELECT j, i, round(cov, 9) FROM cv WHERE i <> j
+         ),
+         ${pcaChain("", "cfull", iters)},
+         lpub AS (SELECT round(nn, 9) AS l FROM lam),
+         vpub AS (SELECT i, round(x, 9) AS x FROM vfin),
+         cdefl AS MATERIALIZED (
+           SELECT cf.i, cf.j, cf.cval - lpub.l * vi.x * vj.x AS cval
+           FROM cfull cf JOIN vpub vi ON vi.i = cf.i
+             JOIN vpub vj ON vj.i = cf.j, lpub
+         ),
+         ${pcaChain("d", "cdefl", iters)}
+         $finalSelect"""
+
   /** DuckDB oracle replaying the deterministic-PQ retrieval of
     * q_embed_recall_pq: one kmeans CTE chain per subspace (the q_kmeans
     * arithmetic over `embedding[a:b]` slices), reconstruction by
@@ -3319,32 +3484,44 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracle(8, 2, summary = false),
     "q_dedup_semantic" -> semdedupOracle(8, 2, 0.92),
     "q_embed_covariance" ->
+      s"""WITH $covarianceCteBody
+         SELECT i, j, round(cov, 9) AS cov,
+           CASE WHEN vi > 0 AND vj > 0 THEN
+             round(cov / sqrt(vi * vj), 9) END AS corr
+         FROM cv ORDER BY i, j""",
+    "q_pca_component" -> pcaOracle(PcaIters,
+      """SELECT vf.i, round(vf.x, 9) AS loading,
+           round(lam.nn, 6) AS eigenvalue
+         FROM vfin vf, lam ORDER BY vf.i"""),
+    "q_pca_scores" -> pcaOracle(PcaIters,
+      """SELECT e.vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, lv.lv),
+             pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w), 6)
+             AS pc1
+         FROM embeddings e, lv ORDER BY e.vec_id"""),
+    "q_pca_component2" -> pcaOracle2(PcaIters,
+      """SELECT vf.i, round(vf.x, 9) AS loading,
+           round(dlam.nn, 6) AS eigenvalue
+         FROM dvfin vf, dlam ORDER BY vf.i"""),
+    "q_embed_whiten" ->
       """WITH x AS (
            SELECT vec_id, i, CAST(xi AS DOUBLE) AS xi FROM (
              SELECT vec_id, unnest(embedding) AS xi,
                generate_subscripts(embedding, 1) AS i
              FROM embeddings WHERE embedding IS NOT NULL)
-         ), p AS (
-           SELECT a.i AS i, b.i AS j,
-             CAST(sum(CAST(floor(a.xi * b.xi * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
-               / 1073741824.0 AS sxy
-           FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-           GROUP BY a.i, b.i
          ), m AS (
            SELECT i, CAST(sum(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) AS sx,
              CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
              count(*) AS n
            FROM x GROUP BY i
          ), mv AS (
-           SELECT i, sx, n, (sxx - sx * sx / n) / n AS var FROM m
+           SELECT i, sx / n AS mu, (sxx - sx * sx / n) / n AS var FROM m
          )
-         SELECT p.i, p.j,
-           round((p.sxy - mi.sx * mj.sx / mi.n) / mi.n, 9) AS cov,
-           CASE WHEN mi.var > 0 AND mj.var > 0 THEN
-             round(((p.sxy - mi.sx * mj.sx / mi.n) / mi.n)
-               / sqrt(mi.var * mj.var), 9) END AS corr
-         FROM p JOIN mv mi ON mi.i = p.i JOIN mv mj ON mj.i = p.j
-         ORDER BY p.i, p.j""",
+         SELECT x.vec_id, x.i,
+           CASE WHEN mv.var > 0 THEN
+             round((x.xi - mv.mu) / sqrt(mv.var), 6) END AS z
+         FROM x JOIN mv ON mv.i = x.i
+         ORDER BY x.vec_id, x.i""",
     "q_embed_geometry" ->
       """WITH b AS (SELECT vec_id, embedding, label,
            sqrt(list_reduce(list_transform(embedding,

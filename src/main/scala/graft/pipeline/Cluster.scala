@@ -256,6 +256,135 @@ object Cluster {
           .as("corr"))
   }
 
+  /** First principal component of the embedding space by DETERMINISTIC
+    * power iteration over the [[covarianceReport]] matrix — PCA-lite with
+    * a full external replay path: the covariance entries are the rounded
+    * values the oracle already reproduces, every matrix-vector addend
+    * rounds into DECIMAL(28,12) before an exact sum (so the iteration is
+    * identical on any engine or fold order), the start vector is e_1, and
+    * the sign convention (the max-|loading| entry positive, ties to the
+    * smallest index) pins the remaining degree of freedom. Returns
+    * (loadings, eigenvalue); an all-zero matrix returns (e_1, 0).
+    *
+    * Scale shape: the corpus work IS covarianceReport (one accumulator
+    * pass); the iteration itself runs on a dim×dim driver matrix —
+    * dim² doubles, microseconds at embedding widths. Project with
+    * [[Similarity.dot]] against the literal loadings (map-only). */
+  def pcaPower(df: DataFrame, vecCol: String,
+               iters: Int = 30): (Array[Double], Double) = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    powerIterate(covMatrix(df, vecCol), iters)
+  }
+
+  /** Second principal component by HOTELLING DEFLATION over the same
+    * replayable arithmetic: run [[pcaPower]], deflate the covariance
+    * matrix with the PUBLISHED values (loadings and eigenvalue rounded to
+    * 9 decimals — the exact numbers the oracle's `vfin`/`lam` CTEs emit,
+    * so both engines subtract bit-identical rank-1 terms), and power-
+    * iterate the deflated matrix with the same start/sum/sign pins.
+    * Returns ((v1, λ1), (v2, λ2)); v2 is orthogonal to v1 up to the
+    * 1e-9 rounding of the deflation inputs. */
+  def pcaPowerDeflated(df: DataFrame, vecCol: String,
+                       iters: Int = 30): ((Array[Double], Double), (Array[Double], Double)) = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val c = covMatrix(df, vecCol)
+    val (v1, l1) = powerIterate(c, iters)
+    def r9(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val v9 = v1.map(r9); val l9 = r9(l1)
+    val dim = c.length
+    val c2 = Array.tabulate(dim, dim)((i, j) => c(i)(j) - l9 * v9(i) * v9(j))
+    ((v1, l1), powerIterate(c2, iters))
+  }
+
+  /** Dense symmetric covariance matrix from [[covarianceReport]]'s rounded
+    * entries — the dim×dim driver-side input both power iterations and
+    * their SQL replays share. */
+  private def covMatrix(df: DataFrame, vecCol: String): Array[Array[Double]] = {
+    val entries = covarianceReport(df, vecCol).collect()
+    require(entries.nonEmpty, "pcaPower: empty input")
+    val dim = entries.iterator.map(_.getAs[Int]("j")).max
+    val c = Array.ofDim[Double](dim, dim)
+    entries.foreach { r =>
+      val i = r.getAs[Int]("i") - 1; val j = r.getAs[Int]("j") - 1
+      val x = r.getAs[Double]("cov"); c(i)(j) = x; c(j)(i) = x
+    }
+    c
+  }
+
+  /** The pinned power iteration: e_1 start, per-addend DECIMAL(28,12)
+    * rounding before exact sums (the EXACT arithmetic the SQL replay
+    * mirrors — Spark's double→decimal cast semantics), max-|loading|
+    * sign convention. An annihilated iterate stops at (e_1, 0). */
+  private def powerIterate(c: Array[Array[Double]],
+                           iters: Int): (Array[Double], Double) = {
+    val dim = c.length
+    def dsum12(xs: Iterator[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      xs.foreach { p =>
+        acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(p))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+      acc.doubleValue
+    }
+    var v = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    var it = 0
+    var live = true
+    while (it < iters && live) {
+      val w = Array.tabulate(dim)(i =>
+        dsum12((0 until dim).iterator.map(j => c(i)(j) * v(j))))
+      lambda = math.sqrt(dsum12(w.iterator.map(x => x * x)))
+      if (lambda == 0.0) { // matrix annihilated the iterate: stop at e_1
+        v = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+        live = false
+      } else v = w.map(_ / lambda)
+      it += 1
+    }
+    val top = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(top) < 0) v = v.map(x => -x)
+    (v, lambda)
+  }
+
+  /** Per-dimension z-score standardization of the embedding space — the
+    * whitening-lite transform the [[covarianceReport]] diagnoses readiness
+    * for. One decimal-exact aggregate computes each dimension's population
+    * mean and variance (the covarianceReport `dims` recipe, so the stats
+    * are partition-order-free), then a map pass emits
+    * `(id, i, z = (x − μ)/σ)` per element against the broadcast dim-stats
+    * row set. A zero-variance dimension yields NULL z (documented: there
+    * is no direction to scale), never ±Inf.
+    *
+    * Scale shape (100 TB): one aggregate pass (dim-sized state) + one
+    * map pass with a broadcast dim-table join — no shuffle of the corpus
+    * beyond the posexplode projection, no driver data. Output is
+    * rows×dim; at training-pipeline scale callers fold the z back into an
+    * array column instead of materializing the long form. */
+  def standardize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol)
+    val rows = df.filter(v.isNotNull)
+    val long = rows.select(col(idCol).as("__id"),
+      posexplode(v).as(Seq("__d0", "__x0")))
+      .select(col("__id"), (col("__d0") + 1).as("__d"),
+        col("__x0").cast("double").as("__x"))
+    val stats = long
+      .groupBy(col("__d").as("__ds"))
+      .agg(sum(col("__x").cast(DecimalType(30, 15)))
+          .cast("double").as("__sx"),
+        sum((col("__x") * col("__x")).cast(DecimalType(30, 15)))
+          .cast("double").as("__sxx"),
+        count(lit(1)).as("__n"))
+      .select(col("__ds"), (col("__sx") / col("__n")).as("__mu"),
+        ((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+          / col("__n")).as("__var"))
+    long.join(broadcast(stats), col("__d") === col("__ds"))
+      .select(col("__id").as("id"), col("__d").as("i"),
+        when(col("__var") > 0,
+          round((col("__x") - col("__mu")) / sqrt(col("__var")), 6))
+          .as("z"))
+  }
+
   /** One assignment pass under literal centroids. `n2 + c2 − 2·dot`, left
     * to right; the struct-min tie-breaks equal distances to the lowest
     * cluster id. */

@@ -1767,6 +1767,88 @@ class PipelineSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
+  test("pcaPower: finds the dominant direction, unit norm, pinned sign, invariant") {
+    // points spread along (1, 1, 0) with small noise off-axis: the first
+    // principal component must align with the diagonal
+    val pts = (0 until 40).map { i =>
+      val t = (i - 20).toDouble
+      Seq((t + 0.01 * (i % 3)).toFloat, (t - 0.01 * (i % 5)).toFloat,
+        (0.02 * (i % 7)).toFloat)
+    }
+    val df = pts.map(Tuple1(_)).toDF("v")
+    val (v, lam) = Cluster.pcaPower(df, "v")
+    assert(v.length == 3)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6, s"not unit: $nrm")
+    // aligned with the diagonal: |v1| ~ |v2| >> |v3|
+    assert(math.abs(math.abs(v(0)) - math.abs(v(1))) < 0.01)
+    assert(math.abs(v(2)) < 0.05)
+    // sign convention: max-|loading| entry is positive
+    assert(v(v.indices.maxBy(i => (math.abs(v(i)), -i))) > 0)
+    // eigenvalue ~ variance along the diagonal (t ranges +-20: var ~ 2*var(t))
+    assert(lam > 100.0, s"eigenvalue too small: $lam")
+    // deterministic across partitionings (decimal-summed rounds)
+    val (v2, lam2) = Cluster.pcaPower(df.repartition(7), "v")
+    assert(v.toSeq == v2.toSeq && lam == lam2)
+    // projection variance onto the component reproduces the eigenvalue
+    val scores = df.select(Similarity.dot(col("v"),
+      typedLit(v.toSeq)).as("s")).as[Double].collect()
+    val mu = scores.sum / scores.length
+    val varS = scores.map(x => (x - mu) * (x - mu)).sum / scores.length
+    assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
+  }
+
+  test("pcaPowerDeflated: pc2 orthogonal to pc1, smaller eigenvalue, pinned, invariant") {
+    // variance concentrated on axis 1 (t), then axis 2 (0.3 u), noise on 3
+    val pts = (0 until 48).map { i =>
+      val t = (i - 24).toDouble
+      val u = ((i * 7) % 13 - 6).toDouble
+      Seq(t.toFloat, (0.3 * u).toFloat, (0.01 * (i % 5)).toFloat)
+    }
+    val df = pts.map(Tuple1(_)).toDF("v")
+    val ((v1, l1), (v2, l2)) = Cluster.pcaPowerDeflated(df, "v")
+    assert(l1 > l2 && l2 > 0, s"eigenvalues not ordered: $l1, $l2")
+    // both unit norm
+    assert(math.abs(math.sqrt(v1.map(x => x * x).sum) - 1.0) < 1e-6)
+    assert(math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-6)
+    // orthogonal up to the 1e-9 deflation rounding
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-4, s"pc1·pc2 = $dot12")
+    // pc2 dominated by axis 2
+    assert(math.abs(v2(1)) > 0.99, s"pc2 off-axis: ${v2.toSeq}")
+    // pc1 of the pair matches the plain pcaPower result exactly
+    val (p1, pl1) = Cluster.pcaPower(df, "v")
+    assert(v1.toSeq == p1.toSeq && l1 == pl1)
+    // deterministic across partitionings
+    val ((w1, m1), (w2, m2)) = Cluster.pcaPowerDeflated(df.repartition(7), "v")
+    assert(v1.toSeq == w1.toSeq && v2.toSeq == w2.toSeq && l1 == m1 && l2 == m2)
+  }
+
+  test("standardize: hand-computed z-scores, zero-variance dim NULL, partition-invariant") {
+    // dim 1: values 1,2,3 (mu=2, pop var=2/3); dim 2: constant 5 (var=0)
+    val df = Seq((1, Seq(1.0f, 5.0f)), (2, Seq(2.0f, 5.0f)),
+      (3, Seq(3.0f, 5.0f))).toDF("id", "v")
+    val out = Cluster.standardize(df, "v", "id")
+      .orderBy("id", "i").collect()
+    assert(out.length == 6)
+    val sd = math.sqrt(2.0 / 3.0)
+    val exp = Seq(-1.0 / sd, 1.0 / sd).map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getDouble(2) == exp(0))     // id 1 dim 1: (1-2)/sd
+    assert(out(2).getDouble(2) == 0.0)        // id 2 dim 1: at the mean
+    assert(out(4).getDouble(2) == exp(1))     // id 3 dim 1: (3-2)/sd
+    assert(Seq(1, 3, 5).forall(out(_).isNullAt(2)), "zero-variance dim must be NULL")
+    // decimal-exact stats: invariant under repartitioning
+    val re = Cluster.standardize(df.repartition(5), "v", "id")
+      .orderBy("id", "i").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    // standardized column has mean 0 and unit population variance (z is
+    // published rounded to 6 decimals, so the invariants hold to ~1e-6)
+    val zs = Seq(out(0), out(2), out(4)).map(_.getDouble(2))
+    assert(math.abs(zs.sum) < 1e-5)
+    assert(math.abs(zs.map(z => z * z).sum / 3 - 1.0) < 1e-5)
+  }
+
   test("sourceDivergence: hand-computed KL, zero for corpus-shaped groups, partition-invariant") {
     // g1: a a b (p = 2/3, 1/3); g2: a b b c (p = 1/4, 2/4, 1/4)
     // corpus: a=3 b=3 c=1, n=7
