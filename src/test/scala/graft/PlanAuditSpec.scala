@@ -668,4 +668,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_knn_label")
     assert("windowspecdefinition\\(qid#".r.findFirstIn(p).isDefined, p.take(2000))
   }
+
+  test("q_embed_whiten: dim stats broadcast; partial-aggregated; no corpus re-shuffle") {
+    val p = plan("q_embed_whiten")
+    // the dim-stats side (≤dim rows) must broadcast back onto the long
+    // form — a sort-merge join would shuffle rows×dim twice
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the stats aggregate map-side-combines before its (dim-keyed) shuffle
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(2000))
+  }
+
+  test("q_embed_covariance: one fused pair-accumulator scan, dims broadcast") {
+    val p = plan("q_embed_covariance")
+    // both per-dimension stat sides of the covariance join are ≤dim rows
+    // and must broadcast; the corpus-sized work is the single fused
+    // mapPartitions accumulator, never a pair self-join of the long form
+    assert("BroadcastExchange".r.findAllMatchIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
