@@ -217,6 +217,10 @@ object SparkEntry {
     * SAME fixed count, so the entries hash-match regardless. */
   val PcaIters = 30
 
+  /** Centers selected by the q_coreset k-center greedy gauge (and rounds
+    * unrolled by its oracle). */
+  val CoresetK = 8
+
   /** Gauge-tier PQ params for `q_embed_recall_pq`: 4 subspaces × 8-entry
     * codebooks (16 dims each on the 64-dim corpus), one deterministic
     * Lloyd round per codebook — 3-bit-per-subspace compression whose
@@ -1745,6 +1749,22 @@ object SparkEntry {
           "embedding", "vec_id", k = 8, iters = 2)
         .warpSort(Seq(Order(col("cluster"))))
     }),
+
+    // ---- per-cluster medoid-lite: the member closest to its final
+    //      centroid (deterministic ties to lowest id) — the canonical
+    //      representative document per topic
+    "q_cluster_medoids" -> ((s, dir) =>
+      graft.pipeline.Cluster.medoids(T(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2)
+        .orderBy("cluster")),
+
+    // ---- diversity coreset: k-center greedy (farthest-point) selection —
+    //      maximally-spread seed/eval subset; every pick and distance
+    //      replayed by unrolled SQL rounds
+    "q_coreset" -> ((s, dir) =>
+      graft.pipeline.Sampling.kCenterGreedy(T(s, dir, "embeddings"),
+          "embedding", "vec_id", k = CoresetK)
+        .orderBy("step")),
 
     // ---- tokenizer fertility per (source, lang): subword-per-word cost
     //      signal for mixture/budget decisions; all-integer until the
@@ -3306,6 +3326,46 @@ object SparkEntry {
          $recallTailSql"""
   }
 
+  /** DuckDB oracle replaying [[graft.pipeline.Sampling.kCenterGreedy]]:
+    * `k − 1` unrolled farthest-point rounds — each picks the max-min-dist
+    * row (ties to smallest id), then `least`-folds the new center's
+    * `n2 + c2 − 2·dot` distance into the running minimum, the exact
+    * arithmetic the Spark side runs. */
+  private def coresetOracle(k: Int): String = {
+    val dotMS = "list_reduce(list_transform(list_zip(m.v, s.v), " +
+      "p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, w) -> acc + w)"
+    val c2S = "list_reduce(list_transform(s.v, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w)"
+    val rounds = (2 to k).map { r =>
+      val pick =
+        s"""s$r AS (SELECT vec_id, v, mind FROM m${r - 1}
+           ORDER BY mind DESC, vec_id LIMIT 1)"""
+      if (r < k) pick +
+        s""",
+       m$r AS MATERIALIZED (
+         SELECT m.vec_id, m.v, m.n2,
+           least(m.mind, m.n2 + $c2S - 2.0 * $dotMS) AS mind
+         FROM m${r - 1} m, s$r s)"""
+      else pick
+    }.mkString(",\n       ")
+    val unions = (2 to k).map(r =>
+      s"SELECT $r AS step, vec_id, round(mind, 6) AS min_dist FROM s$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+         SELECT vec_id, embedding AS v,
+           list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w) AS n2
+         FROM embeddings WHERE embedding IS NOT NULL),
+       c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       m1 AS MATERIALIZED (
+         SELECT m.vec_id, m.v, m.n2, m.n2 + $c2S - 2.0 * $dotMS AS mind
+         FROM e m, c1 s),
+       $rounds
+       SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM c1
+       UNION ALL $unions
+       ORDER BY step"""
+  }
+
   private def kmeansOracle(k: Int, iters: Int, summary: Boolean): String = {
     val out =
       if (summary)
@@ -3577,6 +3637,13 @@ object SparkEntry {
              (acc, v) -> acc + v)), 9) AS centroid_norm
          FROM c, g ORDER BY c.label""",
     "q_kmeans_summary" -> kmeansOracle(8, 2, summary = true),
+    "q_cluster_medoids" -> (kmeansCtes(8, 2) +
+      """
+       SELECT cl AS cluster, vec_id, round(d, 6) AS dist2 FROM (
+         SELECT *, row_number() OVER (PARTITION BY cl ORDER BY d, vec_id) AS rn
+         FROM afin)
+       WHERE rn = 1 ORDER BY cluster"""),
+    "q_coreset" -> coresetOracle(CoresetK),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -105,6 +105,20 @@ object Cluster {
         round(sum(col("dist2").cast(DecimalType(30, 12))).cast("double") /
           count(lit(1)), 6).as("mean_dist2"))
 
+  /** Per-cluster medoid-lite: the member CLOSEST to its final centroid —
+    * the canonical representative document curation reviews and few-shot
+    * prompts pull per topic. Ties (equal squared distance) break to the
+    * lowest id, so the pick is deterministic and externally replayable.
+    * Scale shape: the [[kmeansAssign]] passes plus ONE map-side-combined
+    * min-struct aggregate (k rows out). */
+  def medoids(df: DataFrame, vecCol: String, idCol: String,
+              k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(df, vecCol, idCol, k, iters)
+      .groupBy("cluster")
+      .agg(min(struct(col("dist2"), col(idCol))).as("__m"))
+      .select(col("cluster"), col("__m")(idCol).as(idCol),
+        round(col("__m")("dist2"), 6).as("dist2"))
+
   /** Per-group embedding centroids: one row per `groupCol` value with the
     * group size and its mean vector, means computed with the
     * [[kmeansAssign]] decimal recipe (per-dimension DECIMAL(30,15) sums,

@@ -406,6 +406,81 @@ object Sampling {
 
   /** The rows of [[adaptiveSample]]'s chosen slice, as a map-only
     * membership filter over the required_n it reported. */
+  /** Diversity coreset by k-center GREEDY (farthest-point) selection over
+    * an embedding column — the classic 2-approximation to the k-center
+    * cover, used to pick a maximally-spread document subset (seed sets,
+    * eval panels, annotation batches). Fully deterministic: the first
+    * center is the smallest id; each later step picks the point with the
+    * LARGEST squared distance to its nearest chosen center, ties to the
+    * smallest id. Output is one row per step: `(step, <id>, min_dist)`
+    * where min_dist is the point's distance to the previously chosen
+    * centers at selection time (the covering radius before that step;
+    * NULL for step 1).
+    *
+    * Arithmetic is the [[Cluster.kmeansAssign]] recipe — `n2 + c2 − 2·dot`
+    * with left-fold dots — so a SQL engine unrolling the same rounds
+    * reproduces every pick and distance bit-for-bit.
+    *
+    * Scale shape (100 TB): each step is ONE map pass (a single dot kernel
+    * against the new center, `least` with the running minimum) plus a
+    * TakeOrdered(1); the running minimum is localCheckpointed per step so
+    * step cost stays O(1) kernels/row regardless of k. The driver holds k
+    * centers. At corpus scale run the selection on a deterministic hash
+    * sample ([[splitByHash]]) — greedy k-center saturates far below full
+    * data — then the chosen ids index back into the corpus. */
+  def kCenterGreedy(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    def c2of(c: Array[Double]): Double = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    def distTo(c: Array[Double]): Column =
+      col("__n2") + lit(c2of(c)) -
+        lit(2.0) * Similarity.dot(col("__v"), typedLit(c.toSeq))
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__n2", Similarity.dot(col("__v"), col("__v")))
+      .localCheckpoint(true)
+    try {
+      val first = base.orderBy(col("__id")).limit(1).collect()
+      require(first.nonEmpty, "kCenterGreedy: empty input")
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Any, Any)](
+        (1, first(0).get(0), null))
+      var cur = base
+        .withColumn("__mind", distTo(Similarity.vecToDouble(first(0).getSeq[Any](1))))
+        .localCheckpoint(true)
+      try {
+        var step = 2
+        while (step <= k) {
+          val top = cur.orderBy(col("__mind").desc, col("__id")).limit(1)
+            .collect()(0)
+          val d = top.getDouble(3)
+          picks += ((step, top.get(0),
+            BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          if (step < k) {
+            val next = cur.withColumn("__mind",
+              least(col("__mind"),
+                distTo(Similarity.vecToDouble(top.getSeq[Any](1)))))
+              .localCheckpoint(true)
+            cur.unpersist(); cur = next
+          }
+          step += 1
+        }
+      } finally { cur.unpersist(); () }
+      val idType = base.schema("__id").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("min_dist",
+          org.apache.spark.sql.types.DoubleType)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)).asJava,
+        schema)
+    } finally { base.unpersist(); () }
+  }
+
   def sampleMembers(df: DataFrame, idCol: String, requiredN: Long,
                     total: Long): DataFrame = {
     require(total > 0 && requiredN >= 0, "need total > 0, requiredN >= 0")

@@ -1798,6 +1798,50 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("medoids: closest member per cluster, lowest-id ties, partition-invariant") {
+    // two obvious clusters around (0,0) and (10,10); ids chosen so the
+    // closest member is NOT the lowest id in its cluster
+    val pts = Seq(
+      (1L, Seq(0.4f, 0.0f)), (2L, Seq(0.1f, 0.1f)), (3L, Seq(-0.3f, 0.2f)),
+      (4L, Seq(10.5f, 10.0f)), (5L, Seq(10.1f, 10.1f)), (6L, Seq(9.6f, 9.9f)))
+    val df = pts.toDF("vec_id", "v")
+    val out = Cluster.medoids(df, "v", "vec_id", k = 2, iters = 3)
+      .orderBy("cluster").collect()
+    assert(out.length == 2)
+    val byAssign = Cluster.kmeansAssign(df, "v", "vec_id", k = 2, iters = 3)
+      .collect().groupBy(_.getInt(1))
+    out.foreach { m =>
+      val members = byAssign(m.getInt(0))
+      val best = members.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(m.getLong(1) == best.getLong(0),
+        s"cluster ${m.getInt(0)}: medoid ${m.getLong(1)} != argmin ${best.getLong(0)}")
+    }
+    val re = Cluster.medoids(df.repartition(5), "v", "vec_id", k = 2, iters = 3)
+      .orderBy("cluster").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("kCenterGreedy: farthest-point picks, non-increasing radius, invariant") {
+    // points on a line: greedy from id 1 (x=0) must pick the far end
+    // first, then the middle
+    val pts = (1L to 9L).map(i => (i, Seq(((i - 1) * 1.0).toFloat, 0.0f)))
+    val df = (pts :+ (10L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "v")
+    val out = Sampling.kCenterGreedy(df, "v", "vec_id", k = 4)
+      .orderBy("step").collect()
+    assert(out.length == 4)
+    assert(out(0).getLong(1) == 1L && out(0).isNullAt(2)) // smallest id seeds
+    assert(out(1).getLong(1) == 9L)                       // farthest: x=8, d=64
+    assert(out(1).getDouble(2) == 64.0)
+    assert(out(2).getLong(1) == 5L)                       // middle: min-dist 16
+    assert(out(2).getDouble(2) == 16.0)
+    // covering radius never grows as centers are added
+    val ds = out.drop(1).map(_.getDouble(2))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+    val re = Sampling.kCenterGreedy(df.repartition(7), "v", "vec_id", k = 4)
+      .orderBy("step").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("pcaPowerDeflated: pc2 orthogonal to pc1, smaller eigenvalue, pinned, invariant") {
     // variance concentrated on axis 1 (t), then axis 2 (0.3 u), noise on 3
     val pts = (0 until 48).map { i =>
