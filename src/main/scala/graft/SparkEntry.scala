@@ -1758,6 +1758,13 @@ object SparkEntry {
           "embedding", "vec_id", k = 8, iters = 2)
         .orderBy("cluster")),
 
+    // ---- cluster↔label purity: per-cluster majority label + share —
+    //      the external-validity gauge for the kmeans topic clusters
+    "q_cluster_purity" -> ((s, dir) =>
+      graft.pipeline.Cluster.clusterPurity(T(s, dir, "embeddings"),
+          "embedding", "vec_id", "label", k = 8, iters = 2)
+        .orderBy("cluster")),
+
     // ---- diversity coreset: k-center greedy (farthest-point) selection —
     //      maximally-spread seed/eval subset; every pick and distance
     //      replayed by unrolled SQL rounds
@@ -3644,6 +3651,21 @@ object SparkEntry {
          FROM afin)
        WHERE rn = 1 ORDER BY cluster"""),
     "q_coreset" -> coresetOracle(CoresetK),
+    "q_cluster_purity" -> (kmeansCtes(8, 2) +
+      """,
+       lab AS (
+         SELECT a.cl, e.label, count(*) AS c
+         FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id
+         GROUP BY a.cl, e.label),
+       tot AS (SELECT cl, CAST(sum(c) AS BIGINT) AS n FROM lab GROUP BY cl),
+       top AS (
+         SELECT cl, label, c,
+           row_number() OVER (PARTITION BY cl ORDER BY c DESC, label) AS rn
+         FROM lab)
+       SELECT t.cl AS cluster, tot.n AS n, t.label AS top_label,
+         round(CAST(t.c AS DOUBLE) / CAST(tot.n AS DOUBLE), 9) AS purity
+       FROM top t JOIN tot ON t.cl = tot.cl
+       WHERE t.rn = 1 ORDER BY cluster"""),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -119,6 +119,29 @@ object Cluster {
       .select(col("cluster"), col("__m")(idCol).as(idCol),
         round(col("__m")("dist2"), 6).as("dist2"))
 
+  /** Cluster↔label agreement: per-cluster size, majority label and purity
+    * (majority share) — the external-validity check for k-means topic
+    * clusters when a labeled column exists. Ties on the majority count
+    * break to the smallest label, so the report is deterministic. Scale
+    * shape: the [[kmeansAssign]] passes, one join to the label projection
+    * on the id (same key, co-partitioned), then aggregates bounded by
+    * clusters×labels. */
+  def clusterPurity(df: DataFrame, vecCol: String, idCol: String,
+                    labelCol: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val counts = kmeansAssign(df, vecCol, idCol, k, iters)
+      .join(df.select(col(idCol), col(labelCol).as("__lab")), Seq(idCol))
+      .groupBy(col("cluster"), col("__lab"))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .groupBy("cluster")
+      .agg(sum(col("__c")).as("n"),
+        min(struct((lit(0L) - col("__c")).as("__neg"), col("__lab"))).as("__t"))
+      .select(col("cluster"), col("n"),
+        col("__t")("__lab").as("top_label"),
+        round((lit(0L) - col("__t")("__neg")).cast("double")
+          / col("n").cast("double"), 9).as("purity"))
+  }
+
   /** Per-group embedding centroids: one row per `groupCol` value with the
     * group size and its mean vector, means computed with the
     * [[kmeansAssign]] decimal recipe (per-dimension DECIMAL(30,15) sums,

@@ -1821,6 +1821,29 @@ class PipelineSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
+  test("clusterPurity: majority share per cluster, smallest-label ties, invariant") {
+    // cluster around origin: labels a,a,b -> purity 2/3 top 'a';
+    // cluster around (10,10): labels b,c (tie) -> smallest label 'b' wins
+    val pts = Seq(
+      (1L, Seq(0.1f, 0.0f), "a"), (2L, Seq(0.0f, 0.2f), "a"),
+      (3L, Seq(-0.1f, 0.1f), "b"),
+      (4L, Seq(10.0f, 10.1f), "c"), (5L, Seq(10.2f, 9.9f), "b"))
+    val df = pts.toDF("vec_id", "v", "label")
+    val out = Cluster.clusterPurity(df, "v", "vec_id", "label", k = 2, iters = 3)
+      .orderBy("cluster").collect()
+    assert(out.length == 2)
+    val byN = out.map(r => r.getLong(1) -> r).toMap
+    val big = byN(3L); val small = byN(2L)
+    assert(big.getString(2) == "a")
+    assert(big.getDouble(3) ==
+      BigDecimal(2.0 / 3.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(small.getString(2) == "b", "count tie must break to the smallest label")
+    assert(small.getDouble(3) == 0.5)
+    val re = Cluster.clusterPurity(df.repartition(5), "v", "vec_id", "label",
+      k = 2, iters = 3).orderBy("cluster").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("kCenterGreedy: farthest-point picks, non-increasing radius, invariant") {
     // points on a line: greedy from id 1 (x=0) must pick the far end
     // first, then the middle
