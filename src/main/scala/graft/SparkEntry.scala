@@ -3352,7 +3352,7 @@ object SparkEntry {
        m$r AS MATERIALIZED (
          SELECT m.vec_id, m.v, m.n2,
            least(m.mind, m.n2 + $c2S - 2.0 * $dotMS) AS mind
-         FROM m${r - 1} m, s$r s)"""
+         FROM m${r - 1} m, s$r s WHERE m.vec_id <> s.vec_id)"""
       else pick
     }.mkString(",\n       ")
     val unions = (2 to k).map(r =>
@@ -3366,7 +3366,7 @@ object SparkEntry {
        c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
        m1 AS MATERIALIZED (
          SELECT m.vec_id, m.v, m.n2, m.n2 + $c2S - 2.0 * $dotMS AS mind
-         FROM e m, c1 s),
+         FROM e m, c1 s WHERE m.vec_id <> s.vec_id),
        $rounds
        SELECT 1 AS step, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM c1
        UNION ALL $unions
@@ -3656,6 +3656,7 @@ object SparkEntry {
        lab AS (
          SELECT a.cl, e.label, count(*) AS c
          FROM afin a JOIN embeddings e ON a.vec_id = e.vec_id
+         WHERE e.label IS NOT NULL
          GROUP BY a.cl, e.label),
        tot AS (SELECT cl, CAST(sum(c) AS BIGINT) AS n FROM lab GROUP BY cl),
        top AS (

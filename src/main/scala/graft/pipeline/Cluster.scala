@@ -122,14 +122,18 @@ object Cluster {
   /** Cluster↔label agreement: per-cluster size, majority label and purity
     * (majority share) — the external-validity check for k-means topic
     * clusters when a labeled column exists. Ties on the majority count
-    * break to the smallest label, so the report is deterministic. Scale
-    * shape: the [[kmeansAssign]] passes, one join to the label projection
-    * on the id (same key, co-partitioned), then aggregates bounded by
-    * clusters×labels. */
+    * break to the smallest label, so the report is deterministic.
+    * Unlabeled (null-label) rows are excluded — null orderings differ
+    * across engines, so counting them as a pseudo-label would make tie
+    * results engine-dependent; `n` therefore counts LABELED members.
+    * Scale shape: the [[kmeansAssign]] passes, one join to the label
+    * projection on the id (same key, co-partitioned), then aggregates
+    * bounded by clusters×labels. */
   def clusterPurity(df: DataFrame, vecCol: String, idCol: String,
                     labelCol: String, k: Int = 8, iters: Int = 2): DataFrame = {
     val counts = kmeansAssign(df, vecCol, idCol, k, iters)
-      .join(df.select(col(idCol), col(labelCol).as("__lab")), Seq(idCol))
+      .join(df.select(col(idCol), col(labelCol).as("__lab"))
+        .filter(col("__lab").isNotNull), Seq(idCol))
       .groupBy(col("cluster"), col("__lab"))
       .agg(count(lit(1)).as("__c"))
     counts

@@ -412,7 +412,9 @@ object Sampling {
     * eval panels, annotation batches). Fully deterministic: the first
     * center is the smallest id; each later step picks the point with the
     * LARGEST squared distance to its nearest chosen center, ties to the
-    * smallest id. Output is one row per step: `(step, <id>, min_dist)`
+    * smallest id; chosen points leave the pool (duplicate vectors are
+    * never re-picked). Output is one row per step, fewer than k if the
+    * corpus runs out of rows first: `(step, <id>, min_dist)`
     * where min_dist is the point's distance to the previously chosen
     * centers at selection time (the covering radius before that step;
     * NULL for step 1).
@@ -445,24 +447,35 @@ object Sampling {
       require(first.nonEmpty, "kCenterGreedy: empty input")
       val picks = scala.collection.mutable.ArrayBuffer[(Int, Any, Any)](
         (1, first(0).get(0), null))
+      // chosen points leave the candidate pool (a duplicate vector would
+      // otherwise be re-pickable at distance 0); fewer than k distinct
+      // rows ends the selection early with the rows that exist
       var cur = base
+        .filter(col("__id") =!= lit(first(0).get(0)))
         .withColumn("__mind", distTo(Similarity.vecToDouble(first(0).getSeq[Any](1))))
         .localCheckpoint(true)
       try {
         var step = 2
-        while (step <= k) {
-          val top = cur.orderBy(col("__mind").desc, col("__id")).limit(1)
-            .collect()(0)
-          val d = top.getDouble(3)
-          picks += ((step, top.get(0),
-            BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble))
-          if (step < k) {
-            val next = cur.withColumn("__mind",
-              least(col("__mind"),
-                distTo(Similarity.vecToDouble(top.getSeq[Any](1)))))
-              .localCheckpoint(true)
-            cur.unpersist(); cur = next
+        var exhausted = false
+        while (step <= k && !exhausted) {
+          val tops = cur.orderBy(col("__mind").desc, col("__id")).limit(1)
+            .collect()
+          if (tops.isEmpty) exhausted = true
+          else {
+            val top = tops(0)
+            val d = top.getDouble(3)
+            picks += ((step, top.get(0),
+              BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+            if (step < k) {
+              val next = cur
+                .filter(col("__id") =!= lit(top.get(0)))
+                .withColumn("__mind",
+                  least(col("__mind"),
+                    distTo(Similarity.vecToDouble(top.getSeq[Any](1)))))
+                .localCheckpoint(true)
+              cur.unpersist(); cur = next
+            }
           }
           step += 1
         }

@@ -1865,6 +1865,39 @@ class PipelineSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
+  test("kCenterGreedy: duplicates never re-picked; small corpus ends early") {
+    // ids 1 and 2 share a vector; k=3 over 3 distinct positions must pick
+    // three DISTINCT ids even though the duplicate sits at distance 0
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(4.0f, 0.0f)), (4L, Seq(0.0f, 3.0f))).toDF("vec_id", "v")
+    val out = Sampling.kCenterGreedy(df, "v", "vec_id", k = 4)
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(1)).distinct.length == 4, out.toSeq.toString)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 4L, 2L))
+    assert(out(3).getDouble(2) == 0.0) // the duplicate joins last, at d=0
+    // k larger than the corpus: returns every row once, then stops
+    val small = Sampling.kCenterGreedy(df, "v", "vec_id", k = 10)
+      .orderBy("step").collect()
+    assert(small.length == 4)
+    assert(small.map(_.getLong(1)).distinct.length == 4)
+  }
+
+  test("clusterPurity: null labels are excluded from counts and ties") {
+    val pts = Seq(
+      (1L, Seq(0.1f, 0.0f), "a"), (2L, Seq(0.0f, 0.2f), null),
+      (3L, Seq(-0.1f, 0.1f), "b"),
+      (4L, Seq(10.0f, 10.1f), null), (5L, Seq(10.2f, 9.9f), null))
+    val df = pts.toDF("vec_id", "v", "label")
+    val out = Cluster.clusterPurity(df, "v", "vec_id", "label", k = 2, iters = 2)
+      .collect()
+    // all-null cluster drops out; the mixed cluster counts 2 labeled rows
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getString(2) == "a") // a/b tie at 1 -> smallest label
+    assert(out(0).getDouble(3) == 0.5)
+  }
+
   test("pcaPowerDeflated: pc2 orthogonal to pc1, smaller eigenvalue, pinned, invariant") {
     // variance concentrated on axis 1 (t), then axis 2 (0.3 u), noise on 3
     val pts = (0 until 48).map { i =>
