@@ -2204,6 +2204,26 @@ object SparkEntry {
         .warpSort(Seq(Order(col("qid"))))
     }),
 
+    // ---- rank-sensitive retrieval quality: per-query MRR + binary
+    //      nDCG@10 of the deterministic IVF retrieval vs the exact graph —
+    //      the recall gauge's rank-aware companion; discounts come from a
+    //      shared 12-rounded table so no libm log2 reaches the hash
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val (asg, cents) = graft.pipeline.Cluster.kmeansFit(
+        emb, "embedding", "vec_id", k = RecallIvfCells, iters = 2)
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .join(asg.select(col("vec_id"), col("cluster").as("__cell")), "vec_id")
+      val queries = emb.filter(col("vec_id") < 64)
+      val exact = graft.pipeline.Similarity.knnGraphGemm(
+        emb, "embedding", "vec_id", 10, queries = Some(queries))
+      val approx = graft.pipeline.Similarity.knnGraphIvfExact(
+        assigned, cents, "embedding", "vec_id", 10, nProbe = RecallIvfProbe,
+        queries = queries)
+      graft.pipeline.Retrieval.rankedEval(exact, approx, 10)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
     // ---- recall@10 of product-quantized retrieval vs the exact kNN
     //      graph: per-subspace codebooks come from the DETERMINISTIC
     //      k-means fit, so codebooks, codes, reconstruction, ranking and
@@ -3185,6 +3205,59 @@ object SparkEntry {
            WHERE d.vec_id <> q.vec_id)
           WHERE rn <= $k),
          $recallTailSql"""
+
+  /** DuckDB oracle replaying q_retrieval_ndcg: the recallIvfOracle
+    * retrieval CTEs with the approx side keeping its rank, then MRR +
+    * binary nDCG@k with the SAME 12-rounded discount table
+    * [[graft.pipeline.Retrieval.dcgDiscounts]] injects on the Spark
+    * side — decimal-summed DCG, so no float fold order or libm log2
+    * reaches the compare. */
+  private def ivfNdcgOracle(kCells: Int, iters: Int, nProbe: Int,
+                            nQueries: Int, k: Int): String = {
+    val disc = graft.pipeline.Retrieval.dcgDiscounts(k).map(dlit).mkString(", ")
+    val ideal = graft.pipeline.Retrieval.dcgIdeal(k).map(dlit).mkString(", ")
+    s"""${kmeansCtes(kCells, iters)},
+         bq AS (SELECT vec_id, v, sqrt(n2) AS nv FROM e WHERE vec_id < $nQueries),
+         crp AS (SELECT a.vec_id, a.v, a.cl, sqrt(e.n2) AS nv
+           FROM afin a JOIN e ON e.vec_id = a.vec_id),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.v, q.v),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (sqrt(d.n2) * sqrt(q.n2)) DESC, d.vec_id) AS rn
+           FROM e d, e q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $k),
+         qc AS (SELECT qid, cl FROM (
+           SELECT q.vec_id AS qid, c.cl,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(q.v, c.c),
+                 pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, v) -> acc + v)
+               / (q.nv * sqrt(list_reduce(list_transform(c.c, x -> x * x),
+                   (acc, v) -> acc + v))) DESC, c.cl) AS rn
+           FROM bq q, c$iters c) WHERE rn <= $nProbe),
+         ap AS (SELECT qid, id, rn FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.v, q.v),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM crp d JOIN qc ON d.cl = qc.cl
+                JOIN bq q ON q.vec_id = qc.qid
+           WHERE d.vec_id <> q.vec_id)
+          WHERE rn <= $k),
+         dt AS (SELECT [$disc] AS dl, [$ideal] AS il),
+         hit AS (SELECT a.qid, a.rn FROM ap a
+           JOIN ex e ON a.qid = e.qid AND a.id = e.id),
+         mm AS (SELECT h.qid, min(h.rn) AS minrn,
+             CAST(sum(CAST(dt.dl[h.rn] AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+           FROM hit h, dt GROUP BY h.qid),
+         tt AS (SELECT qid, count(*) AS total FROM ex GROUP BY qid)
+         SELECT tt.qid, tt.total,
+           round(coalesce(1.0 / mm.minrn, 0.0), 9) AS mrr,
+           round(coalesce(mm.dcg, 0.0) / dt.il[least(tt.total, $k)], 9) AS ndcg
+         FROM tt LEFT JOIN mm ON tt.qid = mm.qid, dt ORDER BY tt.qid"""
+  }
 
   /** Shared WITH-body for the covariance-based oracles: `cv(i, j, cov,
     * vi, vj)` = unrounded population covariance over the fixed-point
@@ -5626,6 +5699,8 @@ object SparkEntry {
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_ivf" ->
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
+    "q_retrieval_ndcg" ->
+      ivfNdcgOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_embed_recall_pq" ->
       recallPqOracle(RecallPqSubspaces, 16, RecallPqCodebook, 1, 64, 10),
     "q_knn_label" ->

@@ -126,6 +126,66 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Rank-discount table shared between [[rankedEval]] and its SQL
+    * replay: `1/log2(i+1)` for ranks 1..k, HALF_UP-rounded to 12 decimals
+    * so BOTH engines consume identical double constants and no libm
+    * log2 difference can reach the result. */
+  def dcgDiscounts(k: Int): Seq[Double] = (1 to k).map { i =>
+    new java.math.BigDecimal(java.lang.Double.toString(
+        1.0 / (math.log(i + 1.0) / math.log(2.0))))
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
+  /** Ideal-DCG prefix sums of [[dcgDiscounts]] — exact decimal sums of
+    * the rounded discounts, one table both engines index by
+    * `least(relevant, k)`. */
+  def dcgIdeal(k: Int): Seq[Double] =
+    dcgDiscounts(k)
+      .scanLeft(java.math.BigDecimal.ZERO)((acc, x) =>
+        acc.add(new java.math.BigDecimal(java.lang.Double.toString(x))))
+      .tail.map(_.doubleValue)
+
+  /** Ranked retrieval quality vs an exact reference: per-query MRR and
+    * binary-relevance nDCG@k of `approx` against the `exact` top-k id set
+    * (the [[graft.pipeline.Similarity.recallReport]] companion for
+    * rank-sensitive evaluation). The approx side is re-ranked
+    * deterministically by (score DESC, id); relevance is membership in
+    * the exact set; DCG addends come from the shared [[dcgDiscounts]]
+    * table and sum as exact decimals, so the report replays bit-for-bit
+    * in SQL. A query with no relevant retrieved row scores 0 on both
+    * metrics.
+    *
+    * Scale shape: inputs are retrieval OUTPUTS (queries×k rows), so the
+    * rank window partitions by query and every aggregate is
+    * query-bounded — nothing corpus-sized moves. */
+  def rankedEval(exact: DataFrame, approx: DataFrame, k: Int,
+                 qidCol: String = "qid", idCol: String = "id",
+                 scoreCol: String = "cosine"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val disc = dcgDiscounts(k)
+    val ideal = dcgIdeal(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__q").orderBy(col("__s").desc, col("__i"))
+    val ranked = approx.select(col(qidCol).as("__q"), col(idCol).as("__i"),
+        col(scoreCol).cast("double").as("__s"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val ex = exact.select(col(qidCol).as("__q"), col(idCol).as("__i"))
+    val hits = ranked.join(ex, Seq("__q", "__i"), "left_semi")
+      .groupBy("__q")
+      .agg(min(col("__rn")).as("__minrn"),
+        sum(element_at(typedLit(disc), col("__rn"))
+          .cast(DecimalType(28, 12))).cast("double").as("__dcg"))
+    val tot = ex.groupBy("__q").agg(count(lit(1)).as("total"))
+    tot.join(hits, Seq("__q"), "left")
+      .select(col("__q").as(qidCol), col("total"),
+        round(coalesce(lit(1.0) / col("__minrn").cast("double"), lit(0.0)), 9)
+          .as("mrr"),
+        round(coalesce(col("__dcg"), lit(0.0)) /
+          element_at(typedLit(ideal),
+            least(col("total"), lit(k.toLong)).cast("int")), 9).as("ndcg"))
+  }
+
   /** Fixed-size overlapping token-window chunks: one output row per
     * window of `chunkTokens` whitespace tokens, stepping by
     * `chunkTokens − overlap`. The final chunk may be short; a document

@@ -1798,6 +1798,35 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("rankedEval: hand-computed MRR and nDCG, zero-hit query, short exact set") {
+    // q1: exact {10,11,12}; approx ranks: 11 (hit@1), 99 (miss), 12 (hit@3)
+    // q2: exact {20,21,22}; approx all misses -> 0/0
+    // q3: exact {30,31} (total 2 < k): approx 31 (hit@1), 30 (hit@2), 98
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L)).toDF("qid", "id")
+    val approx = Seq((1L, 11L, 0.9), (1L, 99L, 0.8), (1L, 12L, 0.7),
+      (2L, 90L, 0.9), (2L, 91L, 0.8),
+      (3L, 31L, 0.9), (3L, 30L, 0.8), (3L, 98L, 0.7))
+      .toDF("qid", "id", "cosine")
+    val out = Retrieval.rankedEval(exact, approx, 3)
+      .orderBy("qid").collect()
+    val d = Retrieval.dcgDiscounts(3)
+    val ideal = Retrieval.dcgIdeal(3)
+    assert(d(0) == 1.0 && d(2) == 0.5)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == 1.0)                       // q1 mrr: hit@1
+    assert(out(0).getDouble(3) == r9((d(0) + d(2)) / ideal(2))) // q1 ndcg
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 0.0) // q2
+    assert(out(2).getLong(1) == 2L)                          // q3 total = 2
+    assert(out(2).getDouble(3) == r9((d(0) + d(1)) / ideal(1))) // idcg @ total=2
+    // partition invariance (decimal-summed DCG)
+    val re = Retrieval.rankedEval(exact.repartition(5), approx.repartition(7), 3)
+      .orderBy("qid").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("medoids: closest member per cluster, lowest-id ties, partition-invariant") {
     // two obvious clusters around (0,0) and (10,10); ids chosen so the
     // closest member is NOT the lowest id in its cluster
