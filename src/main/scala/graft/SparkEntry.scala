@@ -1523,6 +1523,13 @@ object SparkEntry {
 
     // ---- per-source corpus report card: counts, token totals, mean
     //      quality (decimal-exact), corpus-wide duplicate incidence
+    // ---- Zipf rank-frequency fit over the top-100 tokens: slope ~ -1 is
+    //      healthy natural text; exact-decimal bivariate moments, so the
+    //      one-row report hash-replays
+    "q_zipf" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.zipfFit(
+        T(s, dir, "documents"), "text", topN = 100)),
+
     "q_corpus_stats" -> ((s, dir) => {
       val ta = graft.pipeline.TextAnalysis
       val docs = T(s, dir, "documents")
@@ -4985,6 +4992,34 @@ object SparkEntry {
            CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
              AS BIGINT) AS id_checksum
          FROM c GROUP BY 1 ORDER BY shard_id""",
+    "q_zipf" ->
+      """WITH tk AS (
+           SELECT t, count(*) AS c FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             FROM documents)
+           WHERE len(t) > 0 GROUP BY t),
+         tp AS (
+           SELECT CAST(c AS DOUBLE) AS c,
+             row_number() OVER (ORDER BY c DESC, t) AS r
+           FROM tk ORDER BY c DESC, t LIMIT 100),
+         pt AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(c) AS y FROM tp),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6))
+                    * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(19,6))
+                    * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6))
+                    * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM pt)
+         SELECT CAST(n AS BIGINT) AS n_ranks,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - sx * (n*sxy - sx*sy) / (n*sxx - sx*sx)) / n AS intercept,
+           ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+             * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2
+         FROM m""",
     "q_corpus_stats" ->
       """WITH base AS (
            SELECT doc_id, text, source FROM documents

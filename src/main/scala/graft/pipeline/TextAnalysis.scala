@@ -425,6 +425,39 @@ object TextAnalysis {
     * vocabulary counts. Nothing is ever quadratic in tokens — only in
     * GROUPS, which is the point of a per-group report. Pairs with zero
     * shared vocabulary do not appear (nothing joins them). */
+  /** Zipf rank-frequency fit: least-squares slope/intercept/r² of
+    * `ln(freq) ~ ln(rank)` over the corpus's `topN` most frequent tokens —
+    * the classic corpus-health gauge (natural text sits near slope −1;
+    * boilerplate-heavy or templated corpora flatten, spam steepens).
+    * Frequency ties rank deterministically by token, and the moments ride
+    * the exact-decimal [[graft.functions.WarpAggregates]] bivariate
+    * recipe, so the single-row report replays exactly in SQL.
+    *
+    * Scale shape: one token explode + map-side-combined count (vocab-
+    * bounded), a TakeOrdered(topN) cut, then a rank window and the moment
+    * aggregate over topN rows — the only single-partition stage is
+    * topN-sized by construction. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN > 1, s"need topN > 1 ranks to fit, got $topN")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val top = counts.orderBy(col("__c").desc, col("__t")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__t"))
+    val pts = top.withColumn("__r", row_number().over(w))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    pts.agg(count(lit(1)).as("n_ranks"),
+      graft.functions.WarpAggregates.warpSlope(col("__x"), col("__y"))
+        .as("slope"),
+      graft.functions.WarpAggregates.warpIntercept(col("__x"), col("__y"))
+        .as("intercept"),
+      graft.functions.WarpAggregates.warpR2(col("__x"), col("__y"))
+        .as("r2"))
+  }
+
   def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val vocab = df.select(col(groupCol).as("__g"),
       explode(tokens(col(textCol))).as("__tok")).distinct()

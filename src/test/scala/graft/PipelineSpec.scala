@@ -1798,6 +1798,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("zipfFit: exact power law fits slope -1, deterministic ties, invariant") {
+    // frequencies 24/r at ranks 1..4 — a pure Zipf(1) corpus
+    val doc = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++ Seq.fill(8)("c")
+      ++ Seq.fill(6)("d")).mkString(" ")
+    val df = Seq(Tuple1(doc)).toDF("text")
+    val out = TextAnalysis.zipfFit(df, "text", topN = 10).collect()(0)
+    assert(out.getLong(0) == 4L)
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 1e-4, s"slope ${out.getDouble(1)}")
+    assert(out.getDouble(3) > 0.9999, s"r2 ${out.getDouble(3)}")
+    assert(math.abs(out.getDouble(2) - math.log(24.0)) < 1e-3)
+    // deterministic across partitionings (decimal moments, pinned ties)
+    val many = (1 to 50).map(_ => Tuple1(doc)).toDF("text").repartition(7)
+    val a = TextAnalysis.zipfFit(many, "text").collect()(0)
+    val b = TextAnalysis.zipfFit(many.repartition(3), "text").collect()(0)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("rankedEval: hand-computed MRR and nDCG, zero-hit query, short exact set") {
     // q1: exact {10,11,12}; approx ranks: 11 (hit@1), 99 (miss), 12 (hit@3)
     // q2: exact {20,21,22}; approx all misses -> 0/0
