@@ -680,6 +680,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(2000))
   }
 
+  test("q_zipf: top-N via per-partition heaps; token counts map-side-combine") {
+    val p = plan("q_zipf")
+    // the vocabulary cut must be a TakeOrdered, never a global sort of
+    // the full token-count table
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2, p.take(2000))
+  }
+
+  test("q_retrieval_ndcg: rank window partitions by query; no cartesian") {
+    val p = plan("q_retrieval_ndcg")
+    assert("windowspecdefinition\\(__q#".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_cluster_medoids: k-row min-struct election, no join after assignment") {
+    val p = plan("q_cluster_medoids")
+    // the winner election is an aggregate (partial-combined), not a
+    // dist2-ranked window or a self-join of the assignment frame
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_embed_covariance: one fused pair-accumulator scan, dims broadcast") {
     val p = plan("q_embed_covariance")
     // both per-dimension stat sides of the covariance join are ≤dim rows

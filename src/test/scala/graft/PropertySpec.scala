@@ -807,4 +807,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rankedEval law: MRR/nDCG equal the per-query brute definition on random runs") {
+    import spark.implicits._
+    // random relevant sets and retrieval runs with colliding scores so
+    // rank TIES exercise the (score DESC, id) pin
+    val k = 5
+    val genCase: Gen[(List[(Long, Long)], List[(Long, Long, Double)])] = for {
+      nq <- Gen.choose(1, 6)
+      ex <- Gen.sequence[List[(Long, Long)], (Long, Long)](
+        (1 to nq).flatMap { q =>
+          (1 to 3).map(i => Gen.choose(0L, 15L).map(id => (q.toLong, id)))
+        }.toList)
+      ap <- Gen.sequence[List[(Long, Long, Double)], (Long, Long, Double)](
+        (1 to nq).flatMap { q =>
+          (1 to 8).map(_ => for {
+            id <- Gen.choose(0L, 15L)
+            sc <- Gen.choose(0, 4).map(_ / 4.0) // 5-value grid: heavy ties
+          } yield (q.toLong, id, sc))
+        }.toList)
+    } yield (ex.distinct, ap.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+    val disc = graft.pipeline.Retrieval.dcgDiscounts(k)
+    val ideal = graft.pipeline.Retrieval.dcgIdeal(k)
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((ex, ap) <- samples(genCase, 8)) {
+      val got = graft.pipeline.Retrieval.rankedEval(
+          ex.toDF("qid", "id").repartition(3),
+          ap.toDF("qid", "id", "cosine").repartition(5), k)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val exByQ = ex.groupBy(_._1)
+      assert(got.keySet == exByQ.keySet)
+      exByQ.foreach { case (q, rel0) =>
+        val rel = rel0.map(_._2).toSet
+        val ranked = ap.filter(_._1 == q)
+          .sortBy(r => (-r._3, r._2)).take(k).map(_._2)
+        val hitRanks = ranked.zipWithIndex.collect {
+          case (id, i) if rel(id) => i + 1
+        }
+        val wantMrr = if (hitRanks.isEmpty) 0.0 else r9(1.0 / hitRanks.min)
+        val dcg = hitRanks.map(r => BigDecimal(disc(r - 1))).sum.toDouble
+        val wantNdcg = r9(dcg / ideal(math.min(rel.size, k) - 1))
+        val (total, mrr, ndcg) = got(q)
+        assert(total == rel.size.toLong, s"q=$q total")
+        assert(mrr == wantMrr, s"q=$q mrr $mrr != $wantMrr")
+        assert(math.abs(ndcg - wantNdcg) < 1e-9, s"q=$q ndcg $ndcg != $wantNdcg")
+      }
+    }
+  }
 }
