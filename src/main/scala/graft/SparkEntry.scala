@@ -1730,6 +1730,19 @@ object SparkEntry {
         .toDF("i", "loading", "eigenvalue").orderBy("i")
     }),
 
+    // ---- 2-D PCA projection: every vector's (pc1, pc2) coordinates
+    //      against the published rounded components — the embedding-map
+    //      export every visualization/debug tool consumes; map-only
+    "q_pca_project" -> ((s, dir) => {
+      val ((v1, _), (v2, _)) = pcaFixture2(s, dir)
+      T(s, dir, "embeddings").select(col("vec_id"),
+          round(graft.pipeline.Similarity.dot(col("embedding"),
+            typedLit(v1.map(round9))), 6).as("pc1"),
+          round(graft.pipeline.Similarity.dot(col("embedding"),
+            typedLit(v2.map(round9))), 6).as("pc2"))
+        .orderBy("vec_id")
+    }),
+
     // ---- per-dimension z-score standardization: the whitening-lite
     //      transform covarianceReport diagnoses readiness for — one
     //      decimal-exact dim-stats aggregate + a broadcast-joined map
@@ -3650,6 +3663,15 @@ object SparkEntry {
       """SELECT vf.i, round(vf.x, 9) AS loading,
            round(dlam.nn, 6) AS eigenvalue
          FROM dvfin vf, dlam ORDER BY vf.i"""),
+    "q_pca_project" -> pcaOracle2(PcaIters,
+      """SELECT e.vec_id,
+           round(list_reduce(list_transform(list_zip(e.embedding, lv.lv),
+             pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w), 6)
+             AS pc1,
+           round(list_reduce(list_transform(list_zip(e.embedding, dlv.lv),
+             pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w), 6)
+             AS pc2
+         FROM embeddings e, lv, dlv ORDER BY e.vec_id"""),
     "q_embed_whiten" ->
       """WITH x AS (
            SELECT vec_id, i, CAST(xi AS DOUBLE) AS xi FROM (
