@@ -1530,6 +1530,20 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.zipfFit(
         T(s, dir, "documents"), "text", topN = 100)),
 
+    // ---- cross-source duplication matrix: distinct fingerprints shared
+    //      per source pair + fingerprint-set Jaccard (mirror/scrape
+    //      detection before mixture weighting); docs 0-24 re-tagged under
+    //      a 'mirror' source so the pair machinery is exercised
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val planted = docs.warpFilter(col("doc_id") < 25)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 400000),
+          "source" -> lit("mirror")))
+      graft.pipeline.Dedup.sourceOverlap(
+          docs.warpUnion(planted), "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       val ta = graft.pipeline.TextAnalysis
       val docs = T(s, dir, "documents")
@@ -5014,6 +5028,26 @@ object SparkEntry {
            CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
              AS BIGINT) AS id_checksum
          FROM c GROUP BY 1 ORDER BY shard_id""",
+    "q_source_overlap" ->
+      """WITH ad AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror' AS source, text FROM documents WHERE doc_id < 25),
+         f AS (
+           SELECT DISTINCT source AS g,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           FROM ad WHERE source IS NOT NULL AND text IS NOT NULL),
+         n AS (SELECT g, count(*) AS n FROM f GROUP BY g),
+         pr AS (
+           SELECT a.g AS sa, b.g AS sb, count(*) AS shared
+           FROM f a JOIN f b ON a.fp = b.fp AND a.g < b.g
+           GROUP BY a.g, b.g)
+         SELECT pr.sa AS src_a, pr.sb AS src_b, pr.shared,
+           na.n AS n_a, nb.n AS n_b,
+           round(CAST(pr.shared AS DOUBLE)
+             / CAST(na.n + nb.n - pr.shared AS DOUBLE), 9) AS jaccard
+         FROM pr JOIN n na ON na.g = pr.sa JOIN n nb ON nb.g = pr.sb
+         ORDER BY src_a, src_b""",
     "q_zipf" ->
       """WITH tk AS (
            SELECT t, count(*) AS c FROM (

@@ -416,6 +416,44 @@ object Dedup {
     * Scale shape: reference grams collapse to a distinct hash set
     * (O(distinct) shuffle), the doc side is one semi-join on the hash,
     * and novelty is a groupBy on the doc id. */
+  /** Cross-source duplication matrix: for every source pair, how many
+    * DISTINCT document fingerprints they share and the fingerprint-set
+    * Jaccard — the provenance report that decides which feeds are
+    * mirrors/scrapes of each other before mixture weighting. Pairs with
+    * zero shared fingerprints do not appear. Pair keys order by source
+    * name (src_a < src_b), so the matrix is deterministic.
+    *
+    * Scale shape (the [[TextAnalysis.vocabOverlap]] recipe on whole-doc
+    * fingerprints): one distinct on (source, fp) — a 16-byte-key
+    * shuffle — then per-fp source sets bounded by the SOURCE count, pair
+    * explode ≤ C(sources, 2) per fp absorbed by map-side combine, and
+    * broadcast joins against per-source totals. Never quadratic in
+    * documents. */
+  def sourceOverlap(df: DataFrame, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val f = df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).as("__g"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("__fp")).distinct()
+    val sizes = f.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val gs = col("__gs")
+    val pairCol = flatten(transform(gs, (a, i) =>
+      transform(slice(gs, i + lit(2), size(gs) - i - lit(1)),
+        b => struct(a.as("ga"), b.as("gb")))))
+    val inter = f.groupBy(col("__fp"))
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .select(explode(pairCol).as("__p"))
+      .groupBy(col("__p.ga").as("src_a"), col("__p.gb").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sa = sizes.toDF("__ga", "__na"); val sb = sizes.toDF("__gb", "__nb")
+    inter.join(broadcast(sa), col("src_a") === col("__ga"))
+      .join(broadcast(sb), col("src_b") === col("__gb"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")).cast("double"), 9)
+          .as("jaccard"))
+  }
+
   def noveltyScore(docs: DataFrame, reference: DataFrame, textCol: String,
                    idCol: String, n: Int = 13): DataFrame = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}

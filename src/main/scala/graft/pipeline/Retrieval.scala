@@ -153,7 +153,10 @@ object Retrieval {
     * the exact set; DCG addends come from the shared [[dcgDiscounts]]
     * table and sum as exact decimals, so the report replays bit-for-bit
     * in SQL. A query with no relevant retrieved row scores 0 on both
-    * metrics.
+    * metrics. Null-score rows are dropped before ranking (engines
+    * disagree on null placement in a DESC sort — Spark last, DuckDB
+    * first — so a null may not influence ranks); inputs are expected to
+    * be top-k runs, distinct per (query, id).
     *
     * Scale shape: inputs are retrieval OUTPUTS (queries×k rows), so the
     * rank window partitions by query and every aggregate is
@@ -168,6 +171,7 @@ object Retrieval {
       .partitionBy("__q").orderBy(col("__s").desc, col("__i"))
     val ranked = approx.select(col(qidCol).as("__q"), col(idCol).as("__i"),
         col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
     val ex = exact.select(col(qidCol).as("__q"), col(idCol).as("__i"))

@@ -1798,6 +1798,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("sourceOverlap: shared fingerprints per pair, ws-normalized, invariant") {
+    // A: {t1,t2,t3}; B: {t1 (re-spaced), t4}; C: {t5} -> only (A,B) overlap
+    val df = Seq(
+      ("A", "hello world"), ("A", "doc two"), ("A", "doc three"),
+      ("B", "  hello   WORLD "), ("B", "doc four"),
+      ("C", "doc five"), ("C", null.asInstanceOf[String]))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, "text", "source").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.25) // 1 / (3 + 2 - 1)
+    val re = Dedup.sourceOverlap(df.repartition(5), "text", "source").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("zipfFit: exact power law fits slope -1, deterministic ties, invariant") {
     // frequencies 24/r at ranks 1..4 — a pure Zipf(1) corpus
     val doc = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++ Seq.fill(8)("c")
