@@ -1744,6 +1744,13 @@ object SparkEntry {
         .toDF("i", "loading", "eigenvalue").orderBy("i")
     }),
 
+    // ---- embedding outliers: distance-to-centroid z-scores, top-20 —
+    //      the embedding-side data-cleaning gauge (wrong-model rows and
+    //      dead vectors surface here first)
+    "q_embed_outliers" -> ((s, dir) =>
+      graft.pipeline.Cluster.embeddingOutliers(
+        T(s, dir, "embeddings"), "embedding", "vec_id", topK = 20)),
+
     // ---- 2-D PCA projection: every vector's (pc1, pc2) coordinates
     //      against the published rounded components — the embedding-map
     //      export every visualization/debug tool consumes; map-only
@@ -3677,6 +3684,41 @@ object SparkEntry {
       """SELECT vf.i, round(vf.x, 9) AS loading,
            round(dlam.nn, 6) AS eigenvalue
          FROM dvfin vf, dlam ORDER BY vf.i"""),
+    "q_embed_outliers" ->
+      """WITH e AS (
+           SELECT vec_id, embedding AS v,
+             list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, w) -> acc + w) AS n2
+           FROM embeddings WHERE embedding IS NOT NULL),
+         cm AS (
+           SELECT i,
+             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mu
+           FROM (SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+                 FROM embeddings WHERE embedding IS NOT NULL)
+           GROUP BY i),
+         cl AS (
+           SELECT list(mu ORDER BY i) AS c,
+             list_reduce(list_transform(list(mu ORDER BY i), x -> x * x),
+               (acc, w) -> acc + w) AS c2
+           FROM cm),
+         d AS (
+           SELECT e.vec_id,
+             e.n2 + cl.c2 - 2.0 * list_reduce(list_transform(list_zip(e.v, cl.c),
+               pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w) AS d2
+           FROM e, cl),
+         st AS (
+           SELECT CAST(sum(CAST(d2 AS DECIMAL(30,15))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m,
+             CAST(sum(CAST(d2 * d2 AS DECIMAL(30,15))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS m2
+           FROM d)
+         SELECT vec_id, round(d2, 6) AS dist2,
+           CASE WHEN st.m2 - st.m * st.m > 0 THEN
+             round((d2 - st.m) / sqrt(st.m2 - st.m * st.m), 6) END AS z
+         FROM d, st
+         ORDER BY z DESC NULLS LAST, vec_id LIMIT 20""",
     "q_pca_project" -> pcaOracle2(PcaIters,
       """SELECT e.vec_id,
            round(list_reduce(list_transform(list_zip(e.embedding, lv.lv),

@@ -119,6 +119,50 @@ object Cluster {
       .select(col("cluster"), col("__m")(idCol).as(idCol),
         round(col("__m")("dist2"), 6).as("dist2"))
 
+  /** Embedding-space outliers: squared distance to the corpus centroid,
+    * z-scored against the corpus distance distribution, top `topK` by
+    * z (ties to the lowest id) — the embedding-side data-cleaning gauge
+    * (mojibake embeddings, wrong-model rows, dead vectors all surface
+    * here first). Centroid and distance stats use the decimal-exact
+    * recipes, so the report replays in SQL; a zero-variance distance
+    * distribution (all rows equidistant) yields NULL z.
+    *
+    * Scale shape: one dim-keyed decimal mean (centroid, driver holds dim
+    * doubles), one map pass for distances (centroid as literal), one
+    * decimal stats aggregate, one TakeOrdered(topK). */
+  def embeddingOutliers(df: DataFrame, vecCol: String, idCol: String,
+                        topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val v = col(vecCol)
+    val rows = df.filter(v.isNotNull)
+    val cent = rows
+      .select(posexplode(v).as(Seq("__d0", "__x")))
+      .groupBy((col("__d0") + 1).as("__d"))
+      .agg((sum(col("__x").cast("double").cast(DecimalType(30, 15)))
+        .cast("double") / count(lit(1)).cast("double")).as("__mu"))
+      .orderBy("__d").collect().map(_.getDouble(1))
+    require(cent.nonEmpty, "embeddingOutliers: empty input")
+    val c2 = cent.foldLeft(0.0)((acc, x) => acc + x * x)
+    val d2 = Similarity.dot(v, v) + lit(c2) -
+      lit(2.0) * Similarity.dot(v, typedLit(cent.toSeq))
+    val dists = rows.select(col(idCol).as("__id"), d2.as("__d2"))
+    val st = dists.agg(
+        (sum(col("__d2").cast(DecimalType(30, 15))).cast("double")
+          / count(lit(1)).cast("double")).as("__m"),
+        (sum((col("__d2") * col("__d2")).cast(DecimalType(30, 15)))
+          .cast("double") / count(lit(1)).cast("double")).as("__m2"))
+      .head()
+    val mu = st.getDouble(0)
+    val variance = st.getDouble(1) - mu * mu
+    val zCol =
+      if (variance > 0)
+        round((col("__d2") - lit(mu)) / lit(math.sqrt(variance)), 6)
+      else lit(null).cast("double")
+    dists.select(col("__id").as(idCol), round(col("__d2"), 6).as("dist2"),
+        zCol.as("z"))
+      .orderBy(col("z").desc, col(idCol)).limit(topK)
+  }
+
   /** Cluster↔label agreement: per-cluster size, majority label and purity
     * (majority share) — the external-validity check for k-means topic
     * clusters when a labeled column exists. Ties on the majority count

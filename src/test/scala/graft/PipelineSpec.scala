@@ -1798,6 +1798,28 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("embeddingOutliers: the planted far vector tops the list, invariant") {
+    // 20 vectors near the origin, one planted far away: it must rank
+    // first with a clearly positive z
+    val pts = (1L to 20L).map(i =>
+      (i, Seq((0.01 * (i % 5)).toFloat, (0.01 * (i % 3)).toFloat))) :+
+      (99L, Seq(50.0f, 50.0f))
+    val df = pts.toDF("vec_id", "v")
+    val out = Cluster.embeddingOutliers(df, "v", "vec_id", topK = 3).collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 99L, out.toSeq.toString)
+    assert(out(0).getDouble(2) > 3.0, s"z ${out(0).getDouble(2)}")
+    assert(out(1).getDouble(2) <= out(0).getDouble(2))
+    val re = Cluster.embeddingOutliers(df.repartition(7), "v", "vec_id", topK = 3)
+      .collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    // constant corpus: zero distance variance -> NULL z, id-ordered
+    val const = (1L to 5L).map(i => (i, Seq(1.0f, 2.0f))).toDF("vec_id", "v")
+    val cz = Cluster.embeddingOutliers(const, "v", "vec_id", topK = 2).collect()
+    assert(cz.forall(_.isNullAt(2)))
+    assert(cz.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("sourceOverlap: shared fingerprints per pair, ws-normalized, invariant") {
     // A: {t1,t2,t3}; B: {t1 (re-spaced), t4}; C: {t5} -> only (A,B) overlap
     val df = Seq(
