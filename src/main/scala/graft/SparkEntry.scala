@@ -1530,6 +1530,20 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.zipfFit(
         T(s, dir, "documents"), "text", topN = 100)),
 
+    // ---- duplicate-cluster size histogram: unique mass vs the dedup
+    //      tail — the sizing report before any dedup run; docs 0-24
+    //      planted twice and doc 0 three times so sizes 2 and 3 appear
+    "q_dup_histogram" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val planted = docs.warpFilter(col("doc_id") < 25)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 500000)))
+      val tripled = docs.warpFilter(col("doc_id") === 0)
+        .calculate(Seq("doc_id" -> (col("doc_id") + 600000)))
+      graft.pipeline.Dedup.dupHistogram(
+          docs.warpUnion(planted).warpUnion(tripled), "text")
+        .orderBy("cluster_size")
+    }),
+
     // ---- cross-source duplication matrix: distinct fingerprints shared
     //      per source pair + fingerprint-set Jaccard (mirror/scrape
     //      detection before mixture weighting); docs 0-24 re-tagged under
@@ -5070,6 +5084,20 @@ object SparkEntry {
            CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
              AS BIGINT) AS id_checksum
          FROM c GROUP BY 1 ORDER BY shard_id""",
+    "q_dup_histogram" ->
+      """WITH ad AS (
+           SELECT text FROM documents
+           UNION ALL
+           SELECT text FROM documents WHERE doc_id < 25
+           UNION ALL
+           SELECT text FROM documents WHERE doc_id = 0),
+         f AS (
+           SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             count(*) AS sz
+           FROM ad WHERE text IS NOT NULL GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM f GROUP BY sz ORDER BY cluster_size""",
     "q_source_overlap" ->
       """WITH ad AS (
            SELECT source, text FROM documents

@@ -416,6 +416,23 @@ object Dedup {
     * Scale shape: reference grams collapse to a distinct hash set
     * (O(distinct) shuffle), the doc side is one semi-join on the hash,
     * and novelty is a groupBy on the doc id. */
+  /** Duplicate-cluster size histogram: how many exact-duplicate clusters
+    * exist at each multiplicity, and how many documents they hold —
+    * size 1 is the unique mass, the size ≥ 2 tail is what exact dedup
+    * will remove ((size−1)·n_clusters docs). The before/after sizing
+    * report every dedup run starts from.
+    *
+    * Scale shape: one fingerprint groupBy (16-byte keys, map-side
+    * combined) then a size-keyed aggregate bounded by the largest
+    * cluster — two shuffles, nothing quadratic. */
+  def dupHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__sz")).as("n_docs"))
+
   /** Cross-source duplication matrix: for every source pair, how many
     * DISTINCT document fingerprints they share and the fingerprint-set
     * Jaccard — the provenance report that decides which feeds are

@@ -1798,6 +1798,19 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("dupHistogram: sizes count clusters and docs, ws-normalized, invariant") {
+    // "a b" x3 (one re-spaced), "c" x2, "d", "e", plus a null
+    val df = Seq("a b", "a  b ", "a b", "c", "c", "d", "e",
+        null.asInstanceOf[String]).map(Tuple1(_)).toDF("text")
+    val out = Dedup.dupHistogram(df, "text")
+      .orderBy("cluster_size").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    val re = Dedup.dupHistogram(df.repartition(5), "text")
+      .orderBy("cluster_size").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("embeddingOutliers: the planted far vector tops the list, invariant") {
     // 20 vectors near the origin, one planted far away: it must rank
     // first with a clearly positive z
