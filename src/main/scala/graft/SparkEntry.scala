@@ -162,9 +162,10 @@ object SparkEntry {
          FROM feat)"""
 
   /** HALF_UP decimal rounding matching Spark/DuckDB round() — the same
-    * convention weightTable publishes trained weights with. */
-  private def round9(x: Double): Double =
-    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    * convention weightTable publishes trained weights with; one shared
+    * implementation ([[graft.pipeline.Cluster.round9]]) so the deflation
+    * inputs and the published values can never drift apart. */
+  private def round9(x: Double): Double = graft.pipeline.Cluster.round9(x)
 
   /** Memoized first two principal components per embeddings fingerprint:
     * all q_pca_* entries share ONE covariance job + both power
@@ -3325,13 +3326,14 @@ object SparkEntry {
            FROM embeddings WHERE embedding IS NOT NULL)
        ), p AS MATERIALIZED (
          SELECT a.i AS i, b.i AS j,
-           CAST(sum(CAST(floor(a.xi * b.xi * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(CAST(sum(CAST(floor(a.xi * b.xi * 1073741824.0) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
              / 1073741824.0 AS sxy
          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
          GROUP BY a.i, b.i
        ), m AS MATERIALIZED (
-         SELECT i, CAST(sum(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) AS sx,
-           CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         SELECT i,
+           CAST(CAST(sum(CAST(xi AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS sxx,
            count(*) AS n
          FROM x GROUP BY i
        ), mv AS MATERIALIZED (
@@ -3342,25 +3344,30 @@ object SparkEntry {
          FROM p JOIN mv mi ON mi.i = p.i JOIN mv mj ON mj.i = p.j
        )"""
 
-  /** DuckDB oracle replaying the q_pca_* power iteration: the covariance
-    * CTEs, the symmetric rounded-9 matrix, `iters` unrolled
-    * matrix-vector rounds with DECIMAL(28,12)-summed addends (exact —
-    * fold-order-free, mirroring Cluster.pcaPower's driver arithmetic),
-    * the max-|loading| sign pin, and the published rounded component as
-    * an ordered list for the projection entry. */
   /** One pinned power-iteration CTE chain over matrix CTE `mat(i,j,cval)`
     * using name prefix `p`: `iters` unrolled rounds (`${p}w/n/v`), the
     * max-|loading| sign pin, and final CTEs `${p}vfin(i,x)` /
-    * `${p}lam(nn)` / `${p}lv(lv)` (9-rounded ordered loading list). */
+    * `${p}lam(nn)` / `${p}lv(lv)` (9-rounded ordered loading list).
+    * Decimal sums route through VARCHAR before the double cast (the
+    * kmeansOracle double-rounding guard). A zero norm resets the iterate
+    * to e_1, replaying Cluster.powerIterate's annihilation contract —
+    * for a SYMMETRIC matrix `C·x = 0` with `x = C·y/‖C·y‖` implies
+    * `C·y = 0`, so annihilation can only happen at round 0 and the
+    * per-round reset is equivalent to the Scala early-stop. */
   private def pcaChain(p: String, mat: String, iters: Int): String = {
     val rounds = (0 until iters).map { r =>
       s"""${p}w$r AS MATERIALIZED (
-           SELECT cf.i, CAST(sum(CAST(cf.cval * v.x AS DECIMAL(28,12))) AS DOUBLE) AS wx
+           SELECT cf.i,
+             CAST(CAST(sum(CAST(cf.cval * v.x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS wx
            FROM $mat cf JOIN ${p}v$r v ON v.i = cf.j GROUP BY cf.i),
          ${p}n$r AS MATERIALIZED (
-           SELECT sqrt(CAST(sum(CAST(wx * wx AS DECIMAL(28,12))) AS DOUBLE)) AS nn
+           SELECT sqrt(CAST(CAST(sum(CAST(wx * wx AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) AS nn
            FROM ${p}w$r),
-         ${p}v${r + 1} AS MATERIALIZED (SELECT w.i, w.wx / n.nn AS x FROM ${p}w$r w, ${p}n$r n)"""
+         ${p}v${r + 1} AS MATERIALIZED (
+           SELECT w.i, CASE WHEN n.nn = 0
+             THEN CAST(CASE WHEN w.i = 1 THEN 1 ELSE 0 END AS DOUBLE)
+             ELSE w.wx / n.nn END AS x
+           FROM ${p}w$r w, ${p}n$r n)"""
     }.mkString(",\n         ")
     s"""${p}v0 AS MATERIALIZED (
            SELECT i, CAST(CASE WHEN i = 1 THEN 1 ELSE 0 END AS DOUBLE) AS x
@@ -3377,28 +3384,32 @@ object SparkEntry {
          ${p}lv AS (SELECT list(round(x, 9) ORDER BY i) AS lv FROM ${p}vfin)"""
   }
 
-  private def pcaOracle(iters: Int, finalSelect: String): String =
+  /** Shared WITH prefix of both PCA oracles: the covariance CTEs, the
+    * symmetric rounded-9 matrix, and the first pinned chain. */
+  private def pcaPrefix(iters: Int): String =
     s"""WITH $covarianceCteBody,
          cfull AS MATERIALIZED (
            SELECT i, j, round(cov, 9) AS cval FROM cv
            UNION ALL
            SELECT j, i, round(cov, 9) FROM cv WHERE i <> j
          ),
-         ${pcaChain("", "cfull", iters)}
+         ${pcaChain("", "cfull", iters)}"""
+
+  /** DuckDB oracle replaying the q_pca_* power iteration: the covariance
+    * CTEs, `iters` unrolled matrix-vector rounds with DECIMAL(28,12)-
+    * summed addends (exact — fold-order-free, mirroring Cluster.pcaPower's
+    * driver arithmetic), the max-|loading| sign pin, and the published
+    * rounded component as an ordered list for the projection entry. */
+  private def pcaOracle(iters: Int, finalSelect: String): String =
+    s"""${pcaPrefix(iters)}
          $finalSelect"""
 
-  /** The q_pca_component2 oracle: the full first chain, Hotelling
-    * deflation with the PUBLISHED 9-rounded loadings/eigenvalue (exactly
-    * the doubles Cluster.pcaPowerDeflated subtracts), then a second
-    * pinned chain over the deflated matrix. */
+  /** The two-component oracle: the shared prefix, Hotelling deflation
+    * with the PUBLISHED 9-rounded loadings/eigenvalue (exactly the
+    * doubles Cluster.pcaPowerDeflated subtracts), then a second pinned
+    * chain over the deflated matrix. */
   private def pcaOracle2(iters: Int, finalSelect: String): String =
-    s"""WITH $covarianceCteBody,
-         cfull AS MATERIALIZED (
-           SELECT i, j, round(cov, 9) AS cval FROM cv
-           UNION ALL
-           SELECT j, i, round(cov, 9) FROM cv WHERE i <> j
-         ),
-         ${pcaChain("", "cfull", iters)},
+    s"""${pcaPrefix(iters)},
          lpub AS (SELECT round(nn, 9) AS l FROM lam),
          vpub AS (SELECT i, round(x, 9) AS x FROM vfin),
          cdefl AS MATERIALIZED (
@@ -3706,7 +3717,7 @@ object SparkEntry {
            FROM embeddings WHERE embedding IS NOT NULL),
          cm AS (
            SELECT i,
-             CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+             CAST(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS mu
            FROM (SELECT unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS i
@@ -3723,9 +3734,9 @@ object SparkEntry {
                pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w) AS d2
            FROM e, cl),
          st AS (
-           SELECT CAST(sum(CAST(d2 AS DECIMAL(30,15))) AS DOUBLE)
+           SELECT CAST(CAST(sum(CAST(d2 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS m,
-             CAST(sum(CAST(d2 * d2 AS DECIMAL(30,15))) AS DOUBLE)
+             CAST(CAST(sum(CAST(d2 * d2 AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS m2
            FROM d)
          SELECT vec_id, round(d2, 6) AS dist2,
@@ -3749,8 +3760,9 @@ object SparkEntry {
                generate_subscripts(embedding, 1) AS i
              FROM embeddings WHERE embedding IS NOT NULL)
          ), m AS (
-           SELECT i, CAST(sum(CAST(xi AS DECIMAL(30,15))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+           SELECT i,
+             CAST(CAST(sum(CAST(xi AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(xi * xi AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE) AS sxx,
              count(*) AS n
            FROM x GROUP BY i
          ), mv AS (
@@ -5141,10 +5153,14 @@ object SparkEntry {
                     * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
            FROM pt)
          SELECT CAST(n AS BIGINT) AS n_ranks,
-           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-           (sy - sx * (n*sxy - sx*sy) / (n*sxx - sx*sx)) / n AS intercept,
-           ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
-             * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2
+           CASE WHEN n > 1 AND n*sxx - sx*sx > 0 THEN
+             (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+           CASE WHEN n > 1 AND n*sxx - sx*sx > 0 THEN
+             (sy - sx * (n*sxy - sx*sy) / (n*sxx - sx*sx)) / n END AS intercept,
+           CASE WHEN n > 1 AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+             ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+               * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+             END AS r2
          FROM m""",
     "q_corpus_stats" ->
       """WITH base AS (

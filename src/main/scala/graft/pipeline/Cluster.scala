@@ -42,6 +42,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Cluster {
 
+  /** THE publish-rounding convention (HALF_UP over the double's shortest
+    * decimal form — Spark/DuckDB round() semantics): one shared helper so
+    * the deflation inputs, the published components, and the oracles can
+    * never drift onto different conventions. */
+  private[graft] def round9(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
   /** Cluster assignments after `iters` full Lloyd rounds: one row per
     * input row with `cluster` (0-based, int) and `dist2` (squared L2 to
     * its final centroid, double). Output ordering is the caller's
@@ -145,7 +153,11 @@ object Cluster {
     val c2 = cent.foldLeft(0.0)((acc, x) => acc + x * x)
     val d2 = Similarity.dot(v, v) + lit(c2) -
       lit(2.0) * Similarity.dot(v, typedLit(cent.toSeq))
+    // the stats aggregate and the final TakeOrdered both consume the
+    // distances — localCheckpoint keeps the corpus-sized d2 kernel to ONE
+    // map pass (the documented scale shape), not one per action
     val dists = rows.select(col(idCol).as("__id"), d2.as("__d2"))
+      .localCheckpoint(true)
     val st = dists.agg(
         (sum(col("__d2").cast(DecimalType(30, 15))).cast("double")
           / count(lit(1)).cast("double")).as("__m"),
@@ -374,10 +386,7 @@ object Cluster {
     require(iters > 0, s"iters must be positive, got $iters")
     val c = covMatrix(df, vecCol)
     val (v1, l1) = powerIterate(c, iters)
-    def r9(x: Double): Double =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
-    val v9 = v1.map(r9); val l9 = r9(l1)
+    val v9 = v1.map(round9); val l9 = round9(l1)
     val dim = c.length
     val c2 = Array.tabulate(dim, dim)((i, j) => c(i)(j) - l9 * v9(i) * v9(j))
     ((v1, l1), powerIterate(c2, iters))

@@ -1996,6 +1996,17 @@ class PipelineSpec extends SparkSpec {
     assert(out(0).getDouble(3) == 0.5)
   }
 
+  test("pcaPower: constant corpus annihilates to (e_1, 0) — the contract the oracle replays") {
+    val df = (1 to 10).map(_ => Tuple1(Seq(3.0f, -1.0f, 2.0f))).toDF("v")
+    val (v, lam) = Cluster.pcaPower(df, "v")
+    assert(lam == 0.0)
+    assert(v.toSeq == Seq(1.0, 0.0, 0.0))
+    // deflation over the zero matrix stays pinned too
+    val ((v1, l1), (v2, l2)) = Cluster.pcaPowerDeflated(df, "v")
+    assert(l1 == 0.0 && l2 == 0.0)
+    assert(v1.toSeq == Seq(1.0, 0.0, 0.0) && v2.toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
   test("pcaPowerDeflated: pc2 orthogonal to pc1, smaller eigenvalue, pinned, invariant") {
     // variance concentrated on axis 1 (t), then axis 2 (0.3 u), noise on 3
     val pts = (0 until 48).map { i =>
