@@ -703,6 +703,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q_source_overlap: pair explode group-bounded; totals broadcast") {
+    val p = plan("q_source_overlap")
+    assert("BroadcastExchange".r.findAllMatchIn(p).length >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("q_dup_histogram: two map-side-combined aggregates, nothing else") {
+    val p = plan("q_dup_histogram")
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 4, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_embed_outliers: top-k via per-partition heaps over checkpointed distances") {
+    val p = plan("q_embed_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), "global sort crept in")
+  }
+
   test("q_embed_covariance: one fused pair-accumulator scan, dims broadcast") {
     val p = plan("q_embed_covariance")
     // both per-dimension stat sides of the covariance join are ≤dim rows

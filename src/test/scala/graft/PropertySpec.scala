@@ -856,4 +856,85 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("standardize law: per-dim mean 0 / unit variance on random data, invariant") {
+    import spark.implicits._
+    val genData: Gen[List[Seq[Float]]] = for {
+      n <- Gen.choose(5, 40)
+      dim <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.choose(-100.0, 100.0).map(_.toFloat)).map(_.toSeq))
+    } yield rows
+    for (rows <- samples(genData, 6)) {
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val out = graft.pipeline.Cluster.standardize(df.repartition(3), "v", "id")
+        .collect()
+      val byDim = out.groupBy(_.getInt(1))
+      byDim.foreach { case (d, zs) =>
+        if (zs.forall(!_.isNullAt(2))) {
+          val v = zs.map(_.getDouble(2))
+          assert(math.abs(v.sum / v.length) < 1e-5, s"dim $d mean")
+          if (v.length > 1) {
+            val m2 = v.map(x => x * x).sum / v.length
+            assert(math.abs(m2 - 1.0) < 1e-4, s"dim $d var $m2")
+          }
+        }
+      }
+    }
+  }
+
+  test("medoid law: the elected medoid is at least as close as every member") {
+    import spark.implicits._
+    val genData: Gen[List[Seq[Float]]] = for {
+      n <- Gen.choose(6, 30)
+      rows <- Gen.listOfN(n, Gen.listOfN(2,
+        Gen.choose(-10.0, 10.0).map(_.toFloat)).map(_.toSeq))
+    } yield rows
+    for (rows <- samples(genData, 6)) {
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "v")
+      val k = 3
+      val med = graft.pipeline.Cluster.medoids(df, "v", "vec_id", k, 2)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val asg = graft.pipeline.Cluster.kmeansAssign(df, "v", "vec_id", k, 2)
+        .collect()
+      asg.groupBy(_.getInt(1)).foreach { case (cl, members) =>
+        val (mid, mdist) = med(cl)
+        val best = members.map(_.getDouble(2)).min
+        // the published dist2 is rounded to 6: compare at that precision
+        assert(mdist <= best + 5e-7, s"cluster $cl: medoid $mid at $mdist > $best")
+      }
+    }
+  }
+
+  test("coreset law: picks distinct, radii non-increasing, first pick maximal") {
+    import spark.implicits._
+    val genData: Gen[List[Seq[Float]]] = for {
+      n <- Gen.choose(5, 25)
+      rows <- Gen.listOfN(n, Gen.listOfN(2,
+        Gen.choose(-10.0, 10.0).map(_.toFloat)).map(_.toSeq))
+    } yield rows
+    for (rows <- samples(genData, 6)) {
+      val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "v")
+      val out = graft.pipeline.Sampling.kCenterGreedy(df, "v", "vec_id", 4)
+        .orderBy("step").collect()
+      assert(out.map(_.getLong(1)).distinct.length == out.length)
+      val ds = out.drop(1).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+      // step 2 picks a point whose distance to the seed (id 0) is maximal
+      // (distance-compare, not id-compare: the brute (a-b)^2 form rounds
+      // differently from the operator's n2 + c2 - 2*dot form)
+      if (out.length > 1) {
+        val seed = rows.head.map(_.toDouble)
+        def d2(v: Seq[Float]) = v.map(_.toDouble).zip(seed)
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        val maxD = rows.drop(1).map(d2).max
+        val picked = d2(rows(out(1).getLong(1).toInt))
+        assert(picked >= maxD - 1e-6 * math.max(1.0, maxD),
+          s"step2 picked $picked, max $maxD")
+      }
+    }
+  }
 }
