@@ -222,6 +222,9 @@ object SparkEntry {
     * unrolled by its oracle). */
   val CoresetK = 8
 
+  /** Output dimensions of the q_embed_rp Johnson–Lindenstrauss gauge. */
+  val RpDims = 8
+
   /** Gauge-tier PQ params for `q_embed_recall_pq`: 4 subspaces × 8-entry
     * codebooks (16 dims each on the 64-dim corpus), one deterministic
     * Lloyd round per codebook — 3-bit-per-subspace compression whose
@@ -1758,6 +1761,16 @@ object SparkEntry {
       v2.zipWithIndex.map { case (x, i) => (i + 1, round9(x), l6) }
         .toDF("i", "loading", "eigenvalue").orderBy("i")
     }),
+
+    // ---- Johnson–Lindenstrauss random projection to 8 dims: the
+    //      md5-plane continuous companion of the sign sketch — the
+    //      standard pre-reduction before clustering/ANN at high dims;
+    //      map-only, planes are literals
+    "q_embed_rp" -> ((s, dir) =>
+      graft.pipeline.Similarity.randomProject(
+          T(s, dir, "embeddings"), "embedding", "vec_id", k = RpDims)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "j")),
 
     // ---- embedding outliers: distance-to-centroid z-scores, top-20 —
     //      the embedding-side data-cleaning gauge (wrong-model rows and
@@ -3709,6 +3722,25 @@ object SparkEntry {
       """SELECT vf.i, round(vf.x, 9) AS loading,
            round(dlam.nn, 6) AS eigenvalue
          FROM dvfin vf, dlam ORDER BY vf.i"""),
+    "q_embed_rp" -> {
+      val scale = dlit(math.sqrt(3.0 / RpDims))
+      s"""WITH pl AS (
+           SELECT bb, list(w ORDER BY dd) AS pw FROM (
+             SELECT bb, dd,
+               CAST(('0x' || substr(md5('lshp:' || bb || ':' || dd), 1, 8)) AS BIGINT)
+                 / 4294967296.0 * 2.0 - 1.0 AS w
+             FROM (SELECT unnest(range(0, $RpDims)) AS bb),
+                  (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+                     LIMIT 1))) AS dd))
+           GROUP BY bb)
+         SELECT e.vec_id, CAST(pl.bb + 1 AS INT) AS j,
+           round(list_reduce(list_transform(list_zip(e.embedding, pl.pw),
+             pr -> CAST(pr[1] AS DOUBLE) * pr[2]), (acc, w) -> acc + w)
+             * $scale, 6) AS y
+         FROM embeddings e, pl
+         WHERE e.embedding IS NOT NULL
+         ORDER BY e.vec_id, j"""
+    },
     "q_embed_outliers" ->
       """WITH e AS (
            SELECT vec_id, embedding AS v,

@@ -127,6 +127,34 @@ object Similarity {
     C(graft.functions.SketchExpr(E(vecCol), planes))
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions — the
+    * continuous companion of the sign-bit [[sketch]]: `y_j = ⟨v, p_j⟩ ·
+    * √(3/k)` with the SAME md5-derived uniform[−1,1) planes
+    * ([[hyperplanesMd5]]), whose per-entry variance 1/3 makes the scale
+    * factor norm-preserving in expectation. Fully deterministic and
+    * engine-portable (the planes regenerate from md5 anywhere), so the
+    * projection — the standard pre-reduction before clustering or ANN at
+    * high dims — is oracle-checkable, unlike seeded Gaussian RP. Output
+    * is long-form `(id, j, y)` (j 1-based); null vectors are dropped.
+    *
+    * Scale shape: one map pass, k dot kernels per row, planes are
+    * literals — no shuffle at all. */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rows = df.filter(col(vecCol).isNotNull)
+    val dim = rows.select(col(vecCol)).head().getSeq[Any](0).length
+    val planes = hyperplanesMd5(dim, k)
+    val scale = math.sqrt(3.0 / k)
+    val comps = (0 until k).map { j =>
+      struct(lit(j + 1).as("j"),
+        round(dot(col(vecCol), typedLit(planes(j).toSeq)) * lit(scale), 6)
+          .as("y"))
+    }
+    rows.select(col(idCol).as("id"), explode(array(comps: _*)).as("__c"))
+      .select(col("id"), col("__c.j").as("j"), col("__c.y").as("y"))
+  }
+
   /** Hamming distance between two packed sketches: one native kernel call
     * ([[graft.functions.HammingDistExpr]]) XOR+POPCNTs every word. The
     * previous per-word `bit_count(element_at ^ element_at)` chain spent

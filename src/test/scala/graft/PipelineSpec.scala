@@ -1798,6 +1798,29 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(varS - lam) / lam < 0.01, s"var $varS vs lambda $lam")
   }
 
+  test("randomProject: norm preserved in expectation, deterministic, nulls dropped") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 60L).map(i =>
+      (i, Seq.fill(32)((rnd.nextDouble() * 2 - 1).toFloat))) :+
+      (99L, null.asInstanceOf[Seq[Float]])
+    val df = pts.toDF("vec_id", "v")
+    val out = Similarity.randomProject(df, "v", "vec_id", k = 8)
+      .orderBy("id", "j").collect()
+    assert(out.length == 60 * 8)                     // null row dropped
+    assert(out.map(_.getInt(1)).distinct.sorted.toSeq == (1 to 8))
+    // E[|y|^2] = |v|^2 under the sqrt(3/k) scale: the mean ratio over 60
+    // vectors concentrates near 1 (k=8 is noisy per-vector)
+    val n2 = pts.dropRight(1).map { case (i, v) =>
+      i -> v.map(x => x.toDouble * x.toDouble).sum }.toMap
+    val ratios = out.groupBy(_.getLong(0)).map { case (id, rs) =>
+      rs.map(r => r.getDouble(2) * r.getDouble(2)).sum / n2(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean ratio $mean")
+    val re = Similarity.randomProject(df.repartition(7), "v", "vec_id", k = 8)
+      .orderBy("id", "j").collect()
+    assert(re.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("dupHistogram: sizes count clusters and docs, ws-normalized, invariant") {
     // "a b" x3 (one re-spaced), "c" x2, "d", "e", plus a null
     val df = Seq("a b", "a  b ", "a b", "c", "c", "d", "e",
