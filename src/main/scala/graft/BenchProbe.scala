@@ -1,0 +1,117 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Fixed-cohort isolated-JVM probe bench: the standing artifact that makes
+  * round-over-round bench numbers ATTRIBUTABLE.
+  *
+  * The full in-catalog `Bench` run shares one JVM across 200+ queries, so
+  * C2-compile/GC storms land on different queries every round and the
+  * driver tail swings ±1.2× with zero plan changes (root-caused r6-r9).
+  * This main runs a FIXED cohort — the heaviest determinate queries as of
+  * round 9, frozen so the set never shifts under the comparison — each in
+  * its own freshly forked JVM (same classpath/flags as this one), min-of-3
+  * after a tiny-SF codegen warmup and one untimed full-scale pass. The
+  * per-query floors it reports are the steady-state cost a warmed-up
+  * deployment pays, free of in-catalog attribution noise; PLANS.md
+  * regression triage cites `BENCH_PROBE.json` instead of ad-hoc probes.
+  *
+  * Parent mode (no args): fork one child JVM per cohort query, collect
+  * each child's marker line, write `BENCH_PROBE.json`.
+  * Child mode (`<queryName>` arg): time that one query, print the marker.
+  */
+object BenchProbe {
+  /** Frozen at round 10 from the round-9 heaviest determinate (oracle
+    * hash-matched) queries at sf0.1, plus the two declared kNN baselines
+    * whose JIT convergence polluted the sf1 artifact and `q1_agg` as the
+    * scan-agg canary. Do NOT re-derive per round — a moving cohort is the
+    * attribution problem this artifact exists to kill. */
+  val Cohort: Seq[String] = Seq(
+    "q1_agg", "q_bpe_train", "q_curate_packed", "q_dedup_canon",
+    "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_keepbest",
+    "q_dedup_semantic", "q_dedup_simhash_md5", "q_dedup_spans",
+    "q_embed_knn", "q_embed_knn_gemm", "q_embed_recall_ivf",
+    "q_embed_recall_pq", "q_hybrid_search", "q_importance", "q_impute",
+    "q_join_inner", "q_label_prop", "q_pagerank", "q_regression",
+    "q_retrieval_ndcg", "q_split_cluster")
+
+  private val Marker = "BENCH_PROBE_RESULT "
+
+  def main(args: Array[String]): Unit =
+    if (args.isEmpty) parent() else child(args(0))
+
+  private def fmt(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def parent(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    // reconstruct the forked-run JVM flags (build.sbt javaOptions): the
+    // child must see the same module opens + SIMD module + heap
+    val jvmFlags: Seq[String] =
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString).toSeq
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-modules") ||
+          a.startsWith("-Xmx") || a.startsWith("-D"))
+    val results = Cohort.map { name =>
+      val cmd = (Seq(javaBin) ++ jvmFlags ++ Seq("-cp", cp, "graft.BenchProbe", name))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      p.getErrorStream.readAllBytes() // drain
+      val rc = p.waitFor()
+      val sec = out.linesIterator.find(_.startsWith(Marker))
+        .map(_.stripPrefix(Marker).trim.toDouble)
+        .getOrElse(-1.0)
+      System.err.println(f"[probe] $name%-22s rc=$rc ${fmt(sec)}")
+      name -> (if (rc == 0) sec else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"probe_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"jvm-per-query","samples":"min-of-3"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_PROBE.json"), json + "\n")
+  }
+
+  private def child(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    def run(dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+    // untimed: codegen warmup at tiny SF, then ONE full-scale pass so
+    // profile-driven C2 recompilation (the q_embed_knn 254->67 s class)
+    // happens outside the window
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    try SparkEntry.prepareIndexes(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[probe] index prepare failed: $e") }
+    if (warmDir.nonEmpty && warmDir != sfDir && Files.exists(Paths.get(warmDir))) {
+      try { SparkEntry.prepareIndexes(spark, warmDir); run(warmDir) }
+      catch { case e: Throwable => System.err.println(s"[probe] warmup failed: $e") }
+    }
+    try run(sfDir) catch { case e: Throwable =>
+      System.err.println(s"[probe] full-scale warm failed: $e") }
+    val sec = (1 to 3).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      run(sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(Marker + fmt(sec))
+    spark.stop()
+  }
+}

@@ -463,11 +463,15 @@ object SparkEntry {
 
     // ---- rank / running aggregation (Data.swift:306-311)
     "q_rank" -> ((s, dir) => {
+      // distributed global running agg: bucketed prefix-sum, value-identical
+      // to the single-window rank (decimal partials combine exactly)
       T(s, dir, "orders")
-        .rank(Seq(
-          ("rn", w => row_number().over(w)),
-          ("running", w => sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast("double"))),
+        .rankDistributed(Seq(
+          graft.ops.WarpOps.RunningAgg.RCount("rn"),
+          graft.ops.WarpOps.RunningAgg.RSum("running",
+            col("o_totalprice").cast(DecimalType(28, 6)))),
           Seq(Order(col("o_orderkey"))))
+        .withColumn("running", col("running").cast("double"))
         .selectColumns(Seq("o_orderkey", "o_totalprice", "rn", "running"))
         .warpSort(Seq(Order(col("o_orderkey"))))
     }),
@@ -1848,6 +1852,17 @@ object SparkEntry {
     "q_fertility" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.fertilityReport(
           T(s, dir, "documents"), Seq("source", "lang"), "text")
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+
+    // ---- integers-only diagnostic twin of q_fertility (no DOUBLE at
+    //      all): if the ratio query ever diverges cross-engine, this row
+    //      pinpoints WHICH count column (ws_tokens vs bpe_tokens) moved
+    "q_fertility_counts" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fertilityReport(
+          T(s, dir, "documents"), Seq("source", "lang"), "text")
+        .drop("fertility")
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
@@ -3648,17 +3663,33 @@ object SparkEntry {
     "q_avro_roundtrip" ->
       """SELECT event_id, user_id, value, ts FROM events
          WHERE event_type = 'click' ORDER BY event_id""",
+    // Whitespace spelled out as the explicit Java-\s class [ \t\n\x0b\f\r]
+    // in BOTH regexes: RE2's \s historically excludes \x0B and its
+    // membership can shift across DuckDB/RE2 builds, so the oracle must
+    // not depend on any engine's \s definition.
     "q_fertility" ->
       """SELECT source, lang, docs, ws_tokens, bpe_tokens,
          round(CASE WHEN ws_tokens > 0
            THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
          FROM (
            SELECT source, lang, count(*) AS docs,
-             sum(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             sum(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS BIGINT)) AS ws_tokens,
-             sum(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT))
+             sum(CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT))
                AS bpe_tokens
            FROM documents GROUP BY source, lang)
+         ORDER BY source, lang""",
+    // Integers-only diagnostic twin of q_fertility: no DOUBLE column at
+    // all, so a red here localizes any residual cross-engine divergence
+    // to a specific BIGINT count column in CORRECTNESS artifacts.
+    "q_fertility_counts" ->
+      """SELECT source, lang, count(*) AS docs,
+           sum(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+             t -> len(t) > 0)) AS BIGINT)) AS ws_tokens,
+           sum(CAST(len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT)) AS bpe_tokens
+         FROM documents GROUP BY source, lang
          ORDER BY source, lang""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
     "q_hybrid_search" ->

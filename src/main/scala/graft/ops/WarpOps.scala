@@ -20,6 +20,26 @@ object WarpOps {
     * sorts below everything (Data.swift:81-111, SQL.swift:689-718). */
   final case class Order(expr: Column, ascending: Boolean = true, numeric: Boolean = true)
 
+  /** Decomposable running-aggregate spec for [[WarpDataFrame.rankDistributed]]:
+    * each case names an aggregate whose global running value can be
+    * reconstituted from a per-range-bucket running value plus a combine
+    * over the (tiny) bucket-prefix totals — the property that lets the
+    * global running scan run parallel per bucket instead of in one
+    * ordered partition. */
+  sealed trait RunningAgg { def name: String }
+  object RunningAgg {
+    /** Running SQL sum of `value` (nulls ignored). */
+    final case class RSum(name: String, value: Column) extends RunningAgg
+    /** Global 1-based row number (= running count-all). */
+    final case class RCount(name: String) extends RunningAgg
+    /** Running minimum of `value` (nulls ignored). */
+    final case class RMin(name: String, value: Column) extends RunningAgg
+    /** Running maximum of `value` (nulls ignored). */
+    final case class RMax(name: String, value: Column) extends RunningAgg
+    /** Running mean of non-null `value` (SQL avg semantics). */
+    final case class RAvg(name: String, value: Column) extends RunningAgg
+  }
+
   implicit class WarpDataFrame(val df: DataFrame) extends AnyVal {
 
     /** filter: keep rows where expr evaluates to exactly true
@@ -148,6 +168,183 @@ object WarpOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.select(df.columns.map(c => col(s"`$c`")) ++
         aggs.map { case (name, f) => f(w).as(name) }: _*)
+    }
+
+    /** Distributed global running aggregation — [[rank]] semantics without
+      * the single ordered partition, for the decomposable aggregate class
+      * (sum / count(row_number) / min / max / avg). The bucketed prefix-sum
+      * recipe (`Sampling.withRunningTokens` / the `Classifier` rank-sum
+      * shape) lifted onto an ORDERED bucketing:
+      *
+      *  1. bounded action A: one representative key tuple per range bucket
+      *     (a NARROW key-only `repartitionByRange` job, `buckets` rows
+      *     collected) — these become LITERAL split points, so bucket
+      *     assignment is a pure deterministic function of the row's key
+      *     (no dependence on exchange reuse or range-sampler seeds);
+      *  2. bounded action B: per-bucket aggregate totals (scan +
+      *     map-side combine, `buckets` rows collected), prefix-combined
+      *     on the driver into per-bucket OFFSETS;
+      *  3. the one shuffled pass: hash-exchange on the bucket id,
+      *     per-bucket ordered window (parallel across executors),
+      *     then per-row combine `running = offset ⊕ within-bucket running`
+      *     via a broadcast join on the tiny offsets frame.
+      *
+      * Ties never straddle a split point (bucket id = count of boundaries
+      * at-or-before the key, so equal keys share a bucket), and decimal /
+      * integer partials combine exactly (associative), so results are
+      * value-identical to the global-window [[rank]]. Float sums should be
+      * routed through a decimal cast by the caller (the repo-wide `dsum`
+      * discipline) — double addition is order-sensitive under ANY
+      * parallel decomposition. At 100 TB: two narrow extra scans + one
+      * hash shuffle with `buckets`-way parallel windows replace the
+      * single-executor ordered pass; size `buckets` to the cluster. */
+    def rankDistributed(aggs: Seq[RunningAgg], orders: Seq[Order],
+                        buckets: Int = 32): DataFrame = {
+      import RunningAgg._
+      require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+      val spark = df.sparkSession
+      val keys = sortKeys(orders)
+      // normalized plain key exprs: same casts as sortKeys, no direction
+      val plain = orders.map(o =>
+        if (o.numeric) o.expr.cast("double") else o.expr.cast("string"))
+
+      // ---- bounded action A: representative key tuple per range bucket.
+      // Any in-bucket value works as a split point (correctness holds for
+      // arbitrary monotone boundaries; range buckets make them near-
+      // quantiles, so no final bucket exceeds ~2/buckets of the rows).
+      val repCols = plain.zipWithIndex.map { case (c, i) => c.as(s"__rk_k$i") }
+      val reps = df.select(repCols: _*)
+        .repartitionByRange(buckets, keys: _*)
+        .withColumn("__rk_pid", spark_partition_id())
+        .groupBy("__rk_pid")
+        .agg(first(col("__rk_k0")).as("__rk_k0"),
+          plain.indices.tail.map(i => first(col(s"__rk_k$i")).as(s"__rk_k$i")): _*)
+        .orderBy("__rk_pid")
+        .collect()
+      val bounds: Seq[Seq[Any]] =
+        reps.toSeq.map(r => plain.indices.map(i => r.get(r.fieldIndex(s"__rk_k$i"))))
+
+      // "row key strictly-before boundary" under the Order collation
+      // (asc = nulls first, desc = nulls last), boundary values embedded
+      // as typed literals
+      def blit(v: Any, o: Order): Column = {
+        val t = if (o.numeric) "double" else "string"
+        if (v == null) lit(null).cast(t) else lit(v).cast(t)
+      }
+      def rowBefore(bound: Seq[Any]): Column =
+        orders.indices.reverse.foldLeft(lit(false)) { case (rest, i) =>
+          val k = plain(i); val bv = blit(bound(i), orders(i))
+          val ltI =
+            if (orders(i).ascending) (k.isNull && bv.isNotNull) || (k < bv)
+            else (bv.isNull && k.isNotNull) || (k > bv)
+          ltI || (k <=> bv && rest)
+        }
+      // bucket id = number of split points at-or-before this row's key:
+      // pure function of the key + literal bounds, identical in every
+      // pass that evaluates it
+      val bucketCol =
+        if (bounds.isEmpty) lit(0)
+        else bounds.map(bd => when(rowBefore(bd), 0).otherwise(1)).reduce(_ + _)
+      val nBuckets = bounds.size + 1
+
+      // ---- bounded action B: per-bucket totals (map-side combined to at
+      // most nBuckets rows), prefix-combined on the driver
+      val totalAggs = aggs.zipWithIndex.flatMap { case (a, i) =>
+        a match {
+          case RSum(_, v)  => Seq(sum(v).as(s"__rk_t$i"))
+          case RCount(_)   => Seq(count(lit(1)).as(s"__rk_t$i"))
+          case RMin(_, v)  => Seq(min(v).as(s"__rk_t$i"))
+          case RMax(_, v)  => Seq(max(v).as(s"__rk_t$i"))
+          case RAvg(_, v)  => Seq(sum(v).as(s"__rk_t$i"), count(v).as(s"__rk_tc$i"))
+        }
+      }
+      val totDf = df.withColumn("__rk_b", bucketCol)
+        .groupBy("__rk_b").agg(totalAggs.head, totalAggs.tail: _*)
+      val totSchema = totDf.schema
+      val totByBucket: Map[Int, org.apache.spark.sql.Row] =
+        totDf.collect().map(r => r.getInt(0) -> r).toMap
+
+      // driver-side exact combiners over the collected JVM values
+      def plusAny(a: Any, c: Any): Any = (a, c) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.valueOf(x + y)
+        case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.valueOf(x + y)
+        case (x, y) => throw new IllegalArgumentException(
+          s"rankDistributed: unsupported sum type ${x.getClass}/${y.getClass}")
+      }
+      def cmpAny(a: Any, c: Any, takeMin: Boolean): Any = (a, c) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x: Comparable[_], y) =>
+          val d = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if ((d <= 0) == takeMin) x else y
+      }
+
+      // offsets row per bucket: strictly-preceding prefix of each total
+      val offFields = totSchema.fields.toSeq // (__rk_b, __rk_t0, ...)
+      val prefixRows = new Array[org.apache.spark.sql.Row](nBuckets)
+      val acc = new Array[Any](offFields.size - 1) // running prefix per total col
+      for (bi <- 0 until nBuckets) {
+        prefixRows(bi) = org.apache.spark.sql.Row.fromSeq(bi +: acc.toSeq)
+        totByBucket.get(bi).foreach { r =>
+          var ci = 1
+          aggs.zipWithIndex.foreach { case (a, i) =>
+            a match {
+              case RSum(_, _) | RAvg(_, _) =>
+                acc(ci - 1) = plusAny(acc(ci - 1), r.get(ci)); ci += 1
+                if (a.isInstanceOf[RAvg]) {
+                  acc(ci - 1) = plusAny(acc(ci - 1), r.get(ci)); ci += 1
+                }
+              case RCount(_) =>
+                acc(ci - 1) = plusAny(acc(ci - 1), r.get(ci)); ci += 1
+              case RMin(_, _) =>
+                acc(ci - 1) = cmpAny(acc(ci - 1), r.get(ci), takeMin = true); ci += 1
+              case RMax(_, _) =>
+                acc(ci - 1) = cmpAny(acc(ci - 1), r.get(ci), takeMin = false); ci += 1
+            }
+          }
+        }
+      }
+      val offSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__rk_ob",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          offFields.tail.map(f => f.copy(name = "__rk_p" + f.name.stripPrefix("__rk_t"))))
+      val offsets = spark.createDataFrame(
+        java.util.Arrays.asList(prefixRows: _*), offSchema)
+
+      // ---- the one shuffled pass: per-bucket window + broadcast combine
+      val wIn = Window.partitionBy(col("__rk_b")).orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = df.withColumn("__rk_b", bucketCol)
+      val withIn = aggs.zipWithIndex.foldLeft(base) { case (d, (a, i)) =>
+        a match {
+          case RSum(_, v)  => d.withColumn(s"__rk_in$i", sum(v).over(wIn))
+          case RCount(_)   => d.withColumn(s"__rk_in$i", count(lit(1)).over(wIn))
+          case RMin(_, v)  => d.withColumn(s"__rk_in$i", min(v).over(wIn))
+          case RMax(_, v)  => d.withColumn(s"__rk_in$i", max(v).over(wIn))
+          case RAvg(_, v)  => d.withColumn(s"__rk_in$i", sum(v).over(wIn))
+                               .withColumn(s"__rk_inc$i", count(v).over(wIn))
+        }
+      }
+      // null-safe ⊕: SQL aggregates ignore nulls, so a null side means
+      // "no values yet on that side" and the other side passes through
+      def nadd(l: Column, r: Column): Column =
+        when(l.isNull, r).when(r.isNull, l).otherwise(l + r)
+      val joined = withIn.join(broadcast(offsets), col("__rk_b") === col("__rk_ob"))
+      val outCols = aggs.zipWithIndex.map { case (a, i) =>
+        val in = col(s"__rk_in$i"); val p = col(s"__rk_p$i")
+        (a match {
+          case RSum(_, _)  => nadd(p, in)
+          case RCount(_)   => coalesce(p, lit(0L)) + in
+          case RMin(_, _)  => when(p.isNull, in).when(in.isNull, p).otherwise(least(p, in))
+          case RMax(_, _)  => when(p.isNull, in).when(in.isNull, p).otherwise(greatest(p, in))
+          case RAvg(_, _)  =>
+            nadd(p, in) / (coalesce(col(s"__rk_pc$i"), lit(0L)) + col(s"__rk_inc$i"))
+        }).as(a.name)
+      }
+      joined.select(df.columns.map(c => col(s"`$c`")) ++ outCols: _*)
     }
 
     /** Partitioned running aggregation — the scale-path variant of [[rank]]:

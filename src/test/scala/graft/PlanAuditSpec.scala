@@ -419,6 +419,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(o_custkey"), p.take(2000))
   }
 
+  test("q_rank: distributed prefix-sum — no single-partition data window") {
+    // the global running agg must run as per-bucket windows over a hash
+    // exchange on the bucket id, never one ordered partition over the data
+    val p = preAqePlan("q_rank")
+    assert(p.toString.contains("hashpartitioning(__rk_b"), p.toString.take(3000))
+    val winUnderSingle = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.child.outputPartitioning.toString.contains("SinglePartition") => w
+    }
+    assert(winUnderSingle.isEmpty, "q_rank window runs on a single partition")
+  }
+
   test("q_rolling: range-frame window partitions by user, never global") {
     val p = preAqePlan("q_rolling")
     assert(p.toString.contains("hashpartitioning(user_id"), p.toString.take(2000))

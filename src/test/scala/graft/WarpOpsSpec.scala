@@ -123,6 +123,56 @@ class WarpOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("run")).toSeq == Seq(10.0, 30.0, 60.0))
   }
 
+  test("rankDistributed matches global-window rank on ties/nulls/desc keys") {
+    import graft.ops.WarpOps.RunningAgg._
+    // adversarial frame: duplicate keys (ties), nulls in both the sort key
+    // and the aggregated value, a string collation key, enough rows that
+    // every range bucket is populated
+    val rows = (1 to 500).map { i =>
+      val k: java.lang.Integer = if (i % 97 == 0) null else i % 37
+      val s = s"g${i % 11}"
+      val v: java.lang.Double = if (i % 13 == 0) null else (i % 29).toDouble
+      (i, k, s, v)
+    }
+    val df = rows.toDF("id", "k", "s", "v")
+    val orders = Seq(Order(col("k")), Order(col("s"), ascending = false, numeric = false),
+      Order(col("id")))
+    val slow = df.rank(Seq(
+      ("rn", w => count(lit(1)).over(w)),
+      ("run", w => sum(col("v").cast("decimal(20,6)")).over(w)),
+      ("mn", w => min(col("v")).over(w)),
+      ("mx", w => max(col("v")).over(w))), orders)
+    val fast = df.rankDistributed(Seq(
+      RCount("rn"), RSum("run", col("v").cast("decimal(20,6)")),
+      RMin("mn", col("v")), RMax("mx", col("v"))), orders, buckets = 8)
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Int]("id")
+    val a = slow.collect().map(r => key(r) -> r.toSeq.drop(4)).toMap
+    val b = fast.collect().map(r => key(r) -> r.toSeq.drop(4)).toMap
+    assert(a.size == 500 && b.size == 500)
+    for (id <- a.keys) assert(a(id) == b(id), s"row $id: ${a(id)} vs ${b(id)}")
+  }
+
+  test("rankDistributed RAvg matches global running average") {
+    import graft.ops.WarpOps.RunningAgg._
+    val df = (1 to 100).map(i =>
+      (i, if (i % 7 == 0) null else java.lang.Double.valueOf(i.toDouble)))
+      .toDF("id", "v")
+    val slow = df.rank(Seq(("m", w => avg(col("v").cast("decimal(20,6)")).over(w))),
+      Seq(Order(col("id"))))
+    val fast = df.rankDistributed(Seq(RAvg("m", col("v").cast("decimal(20,6)"))),
+      Seq(Order(col("id"))), buckets = 4)
+    def num(x: Any): Option[Double] =
+      Option(x).map(_.asInstanceOf[Number].doubleValue())
+    val a = slow.collect().map(r => r.getInt(0) -> num(r.get(1))).toMap
+    val b = fast.collect().map(r => r.getInt(0) -> num(r.get(1))).toMap
+    for (id <- a.keys)
+      assert((a(id), b(id)) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case _ => false
+      }, s"row $id: ${a(id)} vs ${b(id)}")
+  }
+
   test("flatten melts every cell with row id (Data.swift:270-276)") {
     val df = Seq((1, "a", "b")).toDF("id", "c1", "c2")
     val out = df.flatten("v", Some("src"), Some(("rid", col("id"))))
