@@ -2470,6 +2470,47 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- md5-tier gauge for the perceptual IMAGE dedup path: 9×8 PNGs
+    //      drawn so the correct dHash is an md5-derived pattern (+10
+    //      twins planted at Hamming 0..3), run through the REAL codec →
+    //      dHash → pigeonhole pair join; the DuckDB oracle recomputes
+    //      every pattern from md5 and brute-forces ALL pairs — gating
+    //      codec, hash, flip planting AND blocking completeness at once
+    "q_image_dhash_md5" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").warpFilter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("doc_id").cast("long").as("key_id"), lit(0).as("flip"))
+      val copies = ids.filter(col("media_id") < 10)
+        .select((col("media_id") + 1000000L).as("media_id"), col("key_id"),
+          (col("key_id") % 4).cast("int").as("flip"))
+      val media = graft.pipeline.Multimodal.fabricatePatternImages(
+        ids.unionByName(copies))
+      val hashed = graft.pipeline.Multimodal.imageDHash(media)
+      graft.pipeline.Dedup.signaturePairs(
+        hashed.select(col("media_id").as("id"), col("dhash").as("sig")),
+        maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- md5-tier gauge for the perceptual AUDIO dedup path: WAVs whose
+    //      window-amplitude walk encodes the md5 pattern, through the
+    //      REAL javax.sound decode → RMS fingerprint → pair join
+    "q_audio_fp_md5" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").warpFilter(col("doc_id") < 64)
+        .select(col("doc_id").cast("long").as("media_id"),
+          col("doc_id").cast("long").as("key_id"), lit(0).as("flip"))
+      val copies = ids.filter(col("media_id") < 10)
+        .select((col("media_id") + 1000000L).as("media_id"), col("key_id"),
+          (col("key_id") % 4).cast("int").as("flip"))
+      val media = graft.pipeline.Multimodal.fabricatePatternAudio(
+        ids.unionByName(copies))
+      val hashed = graft.pipeline.Multimodal.audioFingerprint(media)
+      graft.pipeline.Dedup.signaturePairs(
+        hashed.select(col("media_id").as("id"), col("afp").as("sig")),
+        maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     "q_media_frames" -> ((s, dir) => {
       val media = graft.pipeline.Multimodal.fabricate(
         T(s, dir, "documents"), "doc_id", "text", "video/fake")
@@ -3139,6 +3180,32 @@ object SparkEntry {
     * q_dedup_simhash_md5 end-to-end: token-frequency ±1 bit sums over the
     * two md5 halves, 16-bit pigeonhole quarters, Hamming verify via
     * per-half XOR popcounts (no 64-bit shifts). */
+  /** Planted-pattern codec-gauge oracle (q_image_dhash_md5 /
+    * q_audio_fp_md5): recompute every fixture's 64-bit signature from md5
+    * words (low `flip` bits of word 1 inverted for the planted twins) and
+    * brute-force ALL pairwise Hammings — the Spark side must reproduce
+    * exactly this set through the real encode→decode→feature→blocked-join
+    * pipeline. */
+  private def plantedSigOracle(prefix: String): String =
+    s"""WITH ids AS (
+         SELECT CAST(doc_id AS BIGINT) AS id FROM documents WHERE doc_id < 64
+       ), mem AS (
+         SELECT id AS mid, id AS kid, 0 AS flip FROM ids
+         UNION ALL
+         SELECT id + 1000000, id, CAST(id % 4 AS INT) FROM ids WHERE id < 10
+       ), w AS (
+         SELECT mid,
+           xor(CAST(('0x' || substr(md5('$prefix' || CAST(kid AS VARCHAR)), 1, 8)) AS BIGINT),
+               CAST(CASE flip WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS BIGINT)) AS w1,
+           CAST(('0x' || substr(md5('$prefix' || CAST(kid AS VARCHAR)), 9, 8)) AS BIGINT) AS w2
+         FROM mem
+       )
+       SELECT a.mid AS id1, b.mid AS id2,
+         CAST(bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) AS BIGINT) AS hamming
+       FROM w a JOIN w b ON a.mid < b.mid
+       WHERE bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) <= 3
+       ORDER BY id1, id2"""
+
   private def simhashMd5Oracle(maxHamming: Int): String = {
     def half(h: String, w: String) = (0 until 32).map { b =>
       s"(CASE WHEN sum(cnt * ((($h >> $b) & 1) * 2 - 1)) > 0 THEN (1::BIGINT << $b) ELSE 0 END)"
@@ -5898,6 +5965,8 @@ object SparkEntry {
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
     "q_dedup_minhash_md5" -> minhashMd5Oracle(16, 4, 0.5),
     "q_dedup_simhash_md5" -> simhashMd5Oracle(3),
+    "q_image_dhash_md5" -> plantedSigOracle("img:"),
+    "q_audio_fp_md5" -> plantedSigOracle("aud:"),
     // full HLL replay at p=4 (m=16, alpha=0.673): md5 bucket + rho, max
     // registers, integer-scaled register sum, linear-counting branch
     "q_distinct_hll_md5" ->

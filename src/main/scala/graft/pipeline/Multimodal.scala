@@ -310,6 +310,119 @@ object Multimodal {
   }
 
   // ======================================================================
+  // PLANTED-PATTERN GAUGE FIXTURES — media whose CORRECT perceptual
+  // signature is analytically known (an md5-derived 64-bit pattern), so
+  // the full real-codec pipeline (encode → decode → feature → pair join)
+  // is gated by a DuckDB-replayable oracle: the md5-tier recipe
+  // (q_dedup_simhash_md5 / recall gauges) extended to the codec paths.
+  // ======================================================================
+
+  /** First and second 32-bit words of md5(key) — hex chars 1-8 / 9-16 of
+    * the standard digest, matching the DuckDB casts
+    * `('0x' || substr(md5(key), 1, 8))::BIGINT` / `substr(.., 9, 8)`. */
+  def md5Words(key: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+      java.lang.Long.parseLong(hex.substring(8, 16), 16))
+  }
+
+  /** md5 pattern for a gauge row: 64-bit signature `(w2 << 32) | w1` of
+    * `keyPrefix + keyId`, with the low `flip` bits of w1 inverted —
+    * planting a pair at exactly Hamming distance `flip` from the
+    * unflipped twin. `flip` must stay <= 3 (the [[graft.pipeline.Dedup
+    * .signaturePairs]] completeness bound). */
+  def plantedPattern(keyPrefix: String, keyId: Long, flip: Int): Long = {
+    require(flip >= 0 && flip <= 3, s"flip must be in [0,3], got $flip")
+    val (w1, w2) = md5Words(keyPrefix + keyId)
+    ((w1 ^ ((1L << flip) - 1)) & 0xFFFFFFFFL) | (w2 << 32)
+  }
+
+  /** 9×8 grayscale PNG whose [[imageDHash]] (8×8 default grid) equals
+    * `pattern` EXACTLY: per grid row a brightness walk starting at 128
+    * steps +8 when the row's next dHash bit is set and -8 otherwise, so
+    * the adjacent-pixel comparison reproduces each bit (range stays in
+    * [64,192] — every comparison strict, immune to luminance rounding).
+    * The 9×8 source maps 1:1 onto the 9×8 comparison grid, so the
+    * resize inside the hash is an identity copy. */
+  def encodeDhashPng(pattern: Long): Array[Byte] = {
+    imageIoInMemory
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var x = 0
+      while (x < 9) {
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        if (x < 8)
+          v = if (((pattern >>> (y * 8 + x)) & 1L) == 1L) v + 8 else v - 8
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit WAV whose [[audioFingerprint]] equals `pattern` EXACTLY:
+    * 65 windows of 200 constant-amplitude samples at 8 kHz, amplitudes
+    * walking +250 when the next fingerprint bit is set and -250 otherwise
+    * (start 16384, range [384, 32384] — RMS of a constant window is the
+    * amplitude itself, every adjacent comparison strict). */
+  def encodeFpWav(pattern: Long): Array[Byte] = {
+    val win = 200
+    val pcm = new Array[Byte](65 * win * 2)
+    var a = 16384
+    var w = 0
+    while (w < 65) {
+      var i = 0
+      while (i < win) {
+        val off = (w * win + i) * 2
+        pcm(off) = (a & 0xFF).toByte
+        pcm(off + 1) = ((a >> 8) & 0xFF).toByte
+        i += 1
+      }
+      if (w < 64) a = if (((pattern >>> w) & 1L) == 1L) a + 250 else a - 250
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (65 * win).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Planted-pattern media fixtures: input must carry
+    * (media_id: long, key_id: long, flip: int); each row's payload is
+    * built by `encode` from [[plantedPattern]](keyPrefix, key_id, flip).
+    * One codec call per row on executors, media-schema output. */
+  private def fabricatePattern(df: DataFrame, keyPrefix: String,
+                               mime: String,
+                               encode: Long => Array[Byte]): DataFrame = {
+    val in = df.select(col("media_id").cast(LongType),
+      col("key_id").cast(LongType), col("flip").cast("int"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val pattern = plantedPattern(keyPrefix, r.getLong(1), r.getInt(2))
+        Row(r.getLong(0), encode(pattern), Row(mime, null, null, null))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
+  /** [[fabricatePattern]] with the 9×8 dHash PNG payload ("img:" keys). */
+  def fabricatePatternImages(df: DataFrame): DataFrame =
+    fabricatePattern(df, "img:", "image/png", encodeDhashPng)
+
+  /** [[fabricatePattern]] with the 65-window WAV payload ("aud:" keys). */
+  def fabricatePatternAudio(df: DataFrame): DataFrame =
+    fabricatePattern(df, "aud:", "audio/wave", encodeFpWav)
+
+  // ======================================================================
   // REAL AUDIO CODEC — javax.sound.sampled (in-JDK): WAV/AIFF/AU header
   // decode, PCM extraction, windowed RMS features. Same mapPartitions
   // batch shape as the image codec; payloads never pass the driver.

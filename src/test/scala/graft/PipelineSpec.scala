@@ -57,6 +57,26 @@ class PipelineSpec extends SparkSpec {
     assert(loo.getAs[Long]("votes") <= 11)
   }
 
+  test("planted-pattern fixtures invert exactly: dHash/afp == md5 pattern") {
+    // the property the md5-tier codec gauges stand on: for any pattern,
+    // the real PNG/WAV round-trip reproduces the planted 64 bits
+    val patterns = Seq(0L, -1L, 0x5A5A5A5A5A5A5A5AL) ++
+      (0 until 16).map(i => Multimodal.plantedPattern("t:", i.toLong, i % 4))
+    for (p <- patterns) {
+      val img = Multimodal.encodeDhashPng(p)
+      val wav = Multimodal.encodeFpWav(p)
+      val df = Seq((1L, img, wav)).toDF("media_id", "img", "wav")
+      val dh = Multimodal.imageDHash(
+        df.select(col("media_id"), col("img").as("data"))).select("dhash")
+        .head().getLong(0)
+      val af = Multimodal.audioFingerprint(
+        df.select(col("media_id"), col("wav").as("data"))).select("afp")
+        .head().getLong(0)
+      assert(dh == p, f"dHash ${dh}%016x != planted ${p}%016x")
+      assert(af == p, f"afp ${af}%016x != planted ${p}%016x")
+    }
+  }
+
   test("imageDHash: byte-identical images collide; planted pairs found at Hamming 0") {
     val docs = (0L until 40L).toDF("doc_id")
     val base = Multimodal.fabricateImages(docs, "doc_id")
