@@ -64,7 +64,11 @@ object Bench {
     // generated-stage variety showed the same in-catalog non-convergence
     // (q_pagerank 13.8 s in-catalog vs 5.0 isolated at r8);
     // SPARK_GRAFT_HEAVY_WARM="" disables.
-    sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM", "q_pagerank,q_label_prop").split(",")
+    // q_embed_knn joined r10: its 400M-iteration pair loop needs the
+    // profile-driven C2 recompile only a full-scale pass triggers (sf1
+    // swings 43->75 s purely on JIT attribution otherwise)
+    sys.env.getOrElse("SPARK_GRAFT_HEAVY_WARM",
+      "q_pagerank,q_label_prop,q_embed_knn").split(",")
       .map(_.trim).filter(_.nonEmpty).foreach { n =>
         SparkEntry.queries.get(n) match {
           case Some(fn) =>

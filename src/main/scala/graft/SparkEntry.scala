@@ -2832,6 +2832,46 @@ object SparkEntry {
         .orderBy("key", "admit_seq")
     }),
 
+    // ---- REAL Structured Streaming execution, driver-gated: the md5-tier
+    //      near-dup intake screen runs as an actual streaming query
+    //      (file source -> stream-static band join -> watermarked pair
+    //      dedup -> Jaccard verify -> memory sink, Trigger.AvailableNow)
+    //      over a bounded fixture with planted near-dups; the oracle
+    //      replays every md5 min-hash, band key and Jaccard in DuckDB
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val hist = docs.warpFilter(col("doc_id") < 250)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val ledger = graft.pipeline.Dedup.minhashLedgerMd5(hist, "text", "doc_id")
+      val fresh = docs
+        .warpFilter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = docs.warpFilter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" nearly identical content")).as("text"))
+      // LTZ event time (watermarks reject NTZ); internal only — the ts
+      // column never reaches the dumped output, so the repo-wide NTZ
+      // parquet discipline is unaffected
+      val streamIn = fresh.unionByName(planted)
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(600L))))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_nd").toString
+      streamIn.write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(streamIn.schema).parquet(tmp)
+      val out = graft.streaming.EventStream.nearDupScreenStreamMd5(
+        src, ledger, "text", "doc_id", "ts")
+      val qname = "graft_stream_nd_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("doc_id").as("new_id"), col("hist_id"), col("jaccard"))
+        .orderBy("new_id", "hist_id")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       // explicit LTZ cast: the session maps the NAME "timestamp" to NTZ
@@ -3180,6 +3220,68 @@ object SparkEntry {
     * q_dedup_simhash_md5 end-to-end: token-frequency ±1 bit sums over the
     * two md5 halves, 16-bit pigeonhole quarters, Hamming verify via
     * per-half XOR popcounts (no 64-bit shifts). */
+  /** DuckDB replay of the md5-tier STREAMING intake screen
+    * (q_stream_neardup): the bipartite form of [[minhashMd5Oracle]] —
+    * new-side docs (fresh + planted near-dup twins) band-match against
+    * the historical ledger side, candidates verify exact Jaccard. The
+    * Spark side must reproduce this through an actual Structured
+    * Streaming execution. */
+  private def streamNearDupOracle(numHashes: Int, bands: Int,
+                                  threshold: Double): String = {
+    val r = numHashes / bands
+    val sigs = (0 until numHashes).map { i =>
+      s"""list_min(list_transform(s, x ->
+         CAST(('0x' || substr(md5('$i:' || x), 1, 15)) AS BIGINT))) AS sig$i"""
+    }.mkString(",\n           ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"CAST(sig${b * r + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT side, doc_id, $b AS band, $key AS key FROM sg"
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH d AS (
+           SELECT 'h' AS side, CAST(doc_id AS BIGINT) AS doc_id, text
+           FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT), text
+           FROM documents WHERE doc_id >= 250 AND doc_id < 500
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT) + 1000000,
+             text || ' nearly identical content'
+           FROM documents WHERE doc_id < 50
+         ), w AS (
+           SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM d
+         ), sh AS (
+           SELECT side, doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+               ELSE list_distinct([array_to_string(ws, ' ')]) END AS s
+           FROM w
+         ), f AS (SELECT side, doc_id, s FROM sh WHERE len(s) > 0),
+         sg AS (SELECT side, doc_id, s,
+           $sigs
+           FROM f),
+         bd AS (
+           $bandSelects
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+           FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+           WHERE a.side = 'n' AND b.side = 'h'
+         ), v AS (
+           SELECT c.new_id, c.hist_id,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS inter,
+             CAST(len(x.s) + len(y.s) AS DOUBLE)
+               - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) AS uni
+           FROM cand c JOIN f x ON x.side = 'n' AND x.doc_id = c.new_id
+             JOIN f y ON y.side = 'h' AND y.doc_id = c.hist_id
+         )
+         SELECT new_id, hist_id,
+           round(CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END, 9) AS jaccard
+         FROM v
+         WHERE (CASE WHEN uni = 0.0 THEN 1.0 ELSE inter / uni END) >= $threshold
+         ORDER BY new_id, hist_id"""
+  }
+
   /** Planted-pattern codec-gauge oracle (q_image_dhash_md5 /
     * q_audio_fp_md5): recompute every fixture's 64-bit signature from md5
     * words (low `flip` bits of word 1 inverted for the planted twins) and
@@ -5967,6 +6069,7 @@ object SparkEntry {
     "q_dedup_simhash_md5" -> simhashMd5Oracle(3),
     "q_image_dhash_md5" -> plantedSigOracle("img:"),
     "q_audio_fp_md5" -> plantedSigOracle("aud:"),
+    "q_stream_neardup" -> streamNearDupOracle(16, 4, 0.5),
     // full HLL replay at p=4 (m=16, alpha=0.673): md5 bucket + rho, max
     // registers, integer-scaled register sum, linear-counting branch
     "q_distinct_hll_md5" ->

@@ -169,6 +169,34 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
   }
 
+  /** ENGINE-REPLAYABLE near-dup LEDGER — the md5 tier of
+    * [[minhashLedger]], built from the [[minhashPairsMd5]] arithmetic:
+    * per document its distinct shingle set (`shh`, the raw shingle
+    * strings — what the Jaccard verify intersects) and its `bands` LSH
+    * band keys (`bhs`, position = band index; key = comma-joined md5
+    * min-hashes). Every value regenerates in external SQL, so an intake
+    * screen probing this ledger ([[graft.streaming.EventStream
+    * .nearDupScreenStreamMd5]]) is oracle-checkable end-to-end. */
+  def minhashLedgerMd5(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("shh"), s =>
+        conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+          .cast("long"))).as(s"__sig$i")
+    }
+    df.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleSize)).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .select(col("id") +: col("shh") +: sigCols: _*)
+      .select(col("id"), col("shh"),
+        array((0 until bands).map { b =>
+          concat_ws(",", (0 until r).map(j => col(s"__sig${b * r + j}")): _*)
+        }: _*).as("bhs"))
+  }
+
   /** ENGINE-REPLAYABLE SimHash signatures — the md5 tier of the seeded
     * kernel simhash (same move as [[minhashPairsMd5]]): the two 32-bit
     * halves of a token's hash come from md5("sh1:"/"sh2:" + token), each

@@ -190,6 +190,66 @@ object EventStream {
       .select(col(idCol), col("hist_id"), col("jaccard"), col(tsCol))
   }
 
+  /** ENGINE-REPLAYABLE streaming intake screen — the md5 tier of
+    * [[nearDupScreenStream]] probing a [[graft.pipeline.Dedup
+    * .minhashLedgerMd5]] ledger: band keys and shingle sets are plain
+    * built-in transforms (md5 min-hashes over raw shingle strings), so
+    * the stream's admitted-pair output is exactly replayable by an
+    * external SQL engine — the streaming surface's driver-level
+    * correctness gate (`q_stream_neardup`). Same shape as the kernel
+    * tier: static-side bucket cap, stream-static band join, watermarked
+    * in-stream pair dedup, exact Jaccard verify, threshold filter.
+    * Output: (idCol, hist_id, jaccard rounded to 9). */
+  def nearDupScreenStreamMd5(docs: DataFrame, ledger: DataFrame,
+                             textCol: String, idCol: String, tsCol: String,
+                             shingleSize: Int = 3, numHashes: Int = 16,
+                             bands: Int = 4, jaccardThreshold: Double = 0.5,
+                             maxBucket: Int = 1000,
+                             lateness: String = "10 minutes"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val hist = ledger
+      .select(col("id").as("hist_id"),
+        posexplode(col("bhs")).as(Seq("__band", "__bh")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__band", "__bh").orderBy("hist_id")))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("__sh1"), s =>
+        conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+          .cast("long"))).as(s"__sig$i")
+    }
+    val banded = docs
+      .select(col(idCol), col(tsCol),
+        array_distinct(graft.pipeline.Dedup.shingles(col(textCol), shingleSize))
+          .as("__sh1"))
+      .filter(size(col("__sh1")) > 0)
+      .select(col(idCol) +: col(tsCol) +: col("__sh1") +: sigCols: _*)
+      .select(col(idCol), col(tsCol), col("__sh1"),
+        array((0 until bands).map { b =>
+          concat_ws(",", (0 until r).map(j => col(s"__sig${b * r + j}")): _*)
+        }: _*).as("__bhs"))
+    val pairs = banded
+      .select(col(idCol), col(tsCol), col("__sh1"),
+        posexplode(col("__bhs")).as(Seq("__band", "__bh")))
+      .join(hist, Seq("__band", "__bh"))
+      .select(col(idCol), col(tsCol), col("__sh1"), col("hist_id"))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCol, "hist_id")
+    val inter = size(array_intersect(col("__sh1"), col("__sh2"))).cast("double")
+    val uni = (size(col("__sh1")) + size(col("__sh2"))).cast("double") - inter
+    pairs
+      .join(ledger.select(col("id").as("hist_id"), col("shh").as("__sh2")),
+        Seq("hist_id"))
+      .withColumn("jaccard",
+        when(uni === 0.0, 1.0).otherwise(inter / uni))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col(idCol), col("hist_id"),
+        round(col("jaccard"), 9).as("jaccard"), col(tsCol))
+  }
+
   /** Streaming CONTAMINATION flagging: annotate a document stream with
     * `overlap` = the count of distinct word n-grams it shares with a
     * STATIC probe set (an eval benchmark) — the decontamination gate

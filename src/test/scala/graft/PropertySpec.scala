@@ -172,6 +172,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("nested pack/unpack round-trip survives $0/$1 escape collisions (1000 cases)") {
+    // the adversarial alphabet concentrates on the escape metacharacters
+    // themselves ($, 0, 1, comma and pre-escaped fragments), so double
+    // packing (list-of-lists -> list of pack strings -> one pack string)
+    // exercises $ -> $0 -> $00 chains and ,-vs-$1 collisions the uniform
+    // ascii generator of the scalar round-trip almost never hits
+    import org.apache.spark.sql.functions._
+    import graft.functions.WarpFunctions.{fnPackList, fnUnpackList}
+    import spark.implicits._
+    val atom = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("$", "0", "1", ",", "a", "$0", "$1", ",,", "$$"))).map(_.mkString)
+    val innerGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, atom))
+    val nestedGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, innerGen))
+    val cases: Seq[Seq[Seq[String]]] = samples(nestedGen, 1000)
+    val df = cases.zipWithIndex.map { case (ll, i) => (i, ll) }.toDF("id", "ll")
+    // pack inner lists, pack the resulting list, then unpack twice
+    val packed = df.select(col("id"),
+      fnPackList(transform(col("ll"), inner => fnPackList(inner))).as("p"))
+    val back = packed.select(col("id"),
+      transform(fnUnpackList(col("p")), s => fnUnpackList(s)).as("r"))
+    val got = back.as[(Int, Seq[Seq[String]])].collect().toMap
+    for ((ll, i) <- cases.zipWithIndex)
+      assert(got(i) == ll, s"case $i: $ll -> ${got(i)}")
+  }
+
   test("numeric parse kernel agrees with the strict-grammar law") {
     import org.apache.spark.unsafe.types.UTF8String
     val numRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
