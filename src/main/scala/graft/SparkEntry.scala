@@ -2628,6 +2628,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- B-picture tier of q_video_mpeg: every clip carries at least one
+    //      B picture (dual references, interpolated MC, B-type VLC); full
+    //      decode of the actual bytes gates the executor-side codec
+    //      plumbing, the metadata oracle replays the planted id functions
+    "q_video_mpeg_b" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val vids = mm.fabricateMpegVideosB(
+        T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
+      mm.decodeMpegVideos(vids)
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // ---- warehouse mutation battery (MutableData.swift:40-196): create →
     //      insert (schema-aligned, missing column -> null) → keyed update
     //      (null-safe match) → keyed delete, then read the surviving table.
@@ -5758,6 +5773,12 @@ object SparkEntry {
            CAST(16 * (doc_id % 3 + 1) AS INT) AS width,
            CAST(16 * (doc_id % 2 + 1) AS INT) AS height,
            (doc_id % 5 + 2) * 40 AS duration_ms
+         FROM documents WHERE doc_id < 150 ORDER BY media_id""",
+    "q_video_mpeg_b" ->
+      """SELECT doc_id AS media_id, 'video/mpeg' AS format,
+           CAST(16 * (doc_id % 3 + 1) AS INT) AS width,
+           CAST(16 * (doc_id % 2 + 1) AS INT) AS height,
+           (3 + doc_id % 3) * 40 AS duration_ms
          FROM documents WHERE doc_id < 150 ORDER BY media_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

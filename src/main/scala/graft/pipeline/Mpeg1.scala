@@ -453,6 +453,12 @@ object Mpeg1 {
     val frames = scala.collection.mutable.ArrayBuffer[Frame]()
     var refY: Array[Int] = null; var refCb: Array[Int] = null; var refCr: Array[Int] = null
 
+    // B pictures predict from TWO references: `past*` (the older I/P) and
+    // `ref*` (the most recent I/P — decode order precedes the B, display
+    // order follows it). I/P completion shifts ref -> past; B never
+    // becomes a reference (spec §2.4.4.3).
+    var pastY: Array[Int] = null; var pastCb: Array[Int] = null; var pastCr: Array[Int] = null
+
     var code = r.nextStartCode()
     while (code >= 0) {
       code match {
@@ -475,18 +481,68 @@ object Mpeg1 {
           r.bits(10) // temporal reference
           val ptype = r.bits(3)
           r.bits(16) // vbv_delay
-          if (ptype != 1 && ptype != 2) throw Mpeg1Error(s"picture type $ptype unsupported (I/P only)")
+          if (ptype != 1 && ptype != 2 && ptype != 3)
+            throw Mpeg1Error(s"picture type $ptype unsupported (I/P/B only)")
           var fullPel = false; var fCode = 1
-          if (ptype == 2) { fullPel = r.bit() == 1; fCode = r.bits(3)
+          var fullPelB = false; var fCodeB = 1
+          if (ptype >= 2) { fullPel = r.bit() == 1; fCode = r.bits(3)
             if (fCode < 1 || fCode > 7) throw Mpeg1Error("bad forward_f_code") }
+          if (ptype == 3) { fullPelB = r.bit() == 1; fCodeB = r.bits(3)
+            if (fCodeB < 1 || fCodeB > 7) throw Mpeg1Error("bad backward_f_code") }
           while (r.bit() == 1) r.bits(8) // extra_information_picture
           if (ptype == 2 && refY == null) throw Mpeg1Error("P picture without reference")
+          if (ptype == 3 && (refY == null || pastY == null))
+            throw Mpeg1Error("B picture without two references")
 
           val cw = mbW * 8; val ch = mbH * 8
           val curY = new Array[Int](mbW * 16 * mbH * 16)
           val curCb = new Array[Int](cw * ch)
           val curCr = new Array[Int](cw * ch)
           val f = 1 << (fCode - 1)
+          val fB = 1 << (fCodeB - 1)
+
+          // scratch planes for interpolated B prediction (lazily sized
+          // once per picture, reused across macroblocks)
+          lazy val scrY = new Array[Int](curY.length)
+          lazy val scrC = new Array[Int](curCb.length)
+
+          // B prediction into cur at one macroblock: forward from past,
+          // backward from ref (the future picture), interpolated = per-pel
+          // rounded average (spec //2: half away from zero; pels are
+          // non-negative, so (a+b+1)>>1)
+          def predictBMb(mbx: Int, mby: Int, useF: Boolean, useB: Boolean,
+                         fx: Int, fy: Int, bx: Int, by: Int): Unit = {
+            val hfx = if (fullPel) fx * 2 else fx
+            val hfy = if (fullPel) fy * 2 else fy
+            val hbx = if (fullPelB) bx * 2 else bx
+            val hby = if (fullPelB) by * 2 else by
+            def one(dstP: Array[Int], scrP: Array[Int],
+                    pastP: Array[Int], refP: Array[Int],
+                    pw: Int, ph: Int, ox: Int, oy: Int, sz: Int,
+                    fhx: Int, fhy: Int, bhx: Int, bhy: Int): Unit = {
+              if (useF && useB) {
+                predict(pastP, pw, ph, ox, oy, sz, fhx, fhy, dstP, pw)
+                predict(refP, pw, ph, ox, oy, sz, bhx, bhy, scrP, pw)
+                var yy = 0
+                while (yy < sz) {
+                  var xx = 0
+                  while (xx < sz) {
+                    val p = (oy + yy) * pw + ox + xx
+                    dstP(p) = (dstP(p) + scrP(p) + 1) >> 1
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              } else if (useF) predict(pastP, pw, ph, ox, oy, sz, fhx, fhy, dstP, pw)
+              else predict(refP, pw, ph, ox, oy, sz, bhx, bhy, dstP, pw)
+            }
+            one(curY, scrY, pastY, refY, mbW * 16, mbH * 16,
+              mbx * 16, mby * 16, 16, hfx, hfy, hbx, hby)
+            one(curCb, scrC, pastCb, refCb, cw, ch, mbx * 8, mby * 8, 8,
+              hfx / 2, hfy / 2, hbx / 2, hby / 2)
+            one(curCr, scrC, pastCr, refCr, cw, ch, mbx * 8, mby * 8, 8,
+              hfx / 2, hfy / 2, hbx / 2, hby / 2)
+          }
 
           // slices
           code = r.nextStartCode()
@@ -496,6 +552,12 @@ object Mpeg1 {
             var mbAddr = (code - 1) * mbW - 1
             var dcY = 128; var dcCb = 128; var dcCr = 128
             var pmvX = 0; var pmvY = 0
+            // B-picture state: separate fwd/bwd MV predictors, plus the
+            // previous MB's prediction directions (a skipped B MB repeats
+            // them with the CURRENT pmvs — spec §2.4.4.3; prevIntraB
+            // guards the illegal skip-after-intra / skip-first cases)
+            var pmvFx = 0; var pmvFy = 0; var pmvBx = 0; var pmvBy = 0
+            var prevMf = false; var prevMbk = false; var prevIntraB = true
             val blk = new Array[Int](64)
             var sliceDone = false
             while (!sliceDone) {
@@ -514,36 +576,97 @@ object Mpeg1 {
                 if (!matched) throw Mpeg1Error("bad macroblock_address_increment")
               }
               val newAddr = mbAddr + inc
-              // skipped macroblocks (P only): copy reference, MV resets
+              // skipped macroblocks: P copies the co-located reference and
+              // resets the MV predictor; B repeats the PREVIOUS MB's
+              // prediction directions with the current (unreset) pmvs
               if (inc > 1) {
                 if (ptype == 1) throw Mpeg1Error("skipped macroblock in I picture")
-                var a = mbAddr + 1
-                while (a < newAddr) {
-                  copyMb(refY, refCb, refCr, curY, curCb, curCr, a % mbW, a / mbW, mbW)
-                  a += 1
+                if (ptype == 3) {
+                  if (prevIntraB)
+                    throw Mpeg1Error("skipped B macroblock after intra or at slice start")
+                  var a = mbAddr + 1
+                  while (a < newAddr) {
+                    predictBMb(a % mbW, a / mbW, prevMf, prevMbk,
+                      pmvFx, pmvFy, pmvBx, pmvBy)
+                    a += 1
+                  }
+                  dcY = 128; dcCb = 128; dcCr = 128
+                } else {
+                  var a = mbAddr + 1
+                  while (a < newAddr) {
+                    copyMb(refY, refCb, refCr, curY, curCb, curCr, a % mbW, a / mbW, mbW)
+                    a += 1
+                  }
+                  pmvX = 0; pmvY = 0
+                  dcY = 128; dcCb = 128; dcCr = 128
                 }
-                pmvX = 0; pmvY = 0
-                dcY = 128; dcCb = 128; dcCr = 128
               }
               mbAddr = newAddr
               val mbx = mbAddr % mbW; val mby = mbAddr / mbW
 
               // macroblock_type
               var intra = false; var mf = false; var quant = false; var pattern = false
+              var mbk = false // B-only: backward motion
               if (ptype == 1) {
                 if (r.bit() == 1) intra = true
                 else if (r.bit() == 1) { intra = true; quant = true }
                 else throw Mpeg1Error("bad I macroblock_type")
-              } else {
+              } else if (ptype == 2) {
                 if (r.bit() == 1) { mf = true; pattern = true }
                 else if (r.bit() == 1) pattern = true
                 else if (r.bit() == 1) mf = true
                 else if (r.bits(2) == 3) intra = true          // 00011
                 else throw Mpeg1Error("macroblock_type outside supported subset")
+              } else {
+                // B-picture macroblock_type (ISO 11172-2 table B.2d),
+                // decoded by leading-zero count: 1p=interp, 01p=bwd,
+                // 001p=fwd (p = coded_block_pattern flag), 00011=intra,
+                // 00010=quant+interp+cbp, 000011=quant+fwd+cbp,
+                // 000010=quant+bwd+cbp, 000001=quant+intra
+                var z = 0
+                while (z <= 5 && r.bit() == 0) z += 1
+                z match {
+                  case 0 => mf = true; mbk = true; pattern = r.bit() == 1
+                  case 1 => mbk = true; pattern = r.bit() == 1
+                  case 2 => mf = true; pattern = r.bit() == 1
+                  case 3 =>
+                    if (r.bit() == 1) intra = true
+                    else { quant = true; mf = true; mbk = true; pattern = true }
+                  case 4 =>
+                    if (r.bit() == 1) { quant = true; mf = true; pattern = true }
+                    else { quant = true; mbk = true; pattern = true }
+                  case 5 => quant = true; intra = true
+                  case _ => throw Mpeg1Error("bad B macroblock_type")
+                }
               }
               if (quant) qscale = r.bits(5)
 
-              if (mf) {
+              if (ptype == 3 && !intra) {
+                // B motion + prediction: each coded direction updates its
+                // own predictor; prediction uses the resulting pmvs (an
+                // uncoded direction keeps — and never resets — its pmv)
+                if (mf) {
+                  val cx = mvDecode(r)
+                  val rx = if (fCode > 1 && cx != 0) r.bits(fCode - 1) else 0
+                  val cy = mvDecode(r)
+                  val ry = if (fCode > 1 && cy != 0) r.bits(fCode - 1) else 0
+                  pmvFx = reconMv(cx, rx, f, pmvFx)
+                  pmvFy = reconMv(cy, ry, f, pmvFy)
+                }
+                if (mbk) {
+                  val cx = mvDecode(r)
+                  val rx = if (fCodeB > 1 && cx != 0) r.bits(fCodeB - 1) else 0
+                  val cy = mvDecode(r)
+                  val ry = if (fCodeB > 1 && cy != 0) r.bits(fCodeB - 1) else 0
+                  pmvBx = reconMv(cx, rx, fB, pmvBx)
+                  pmvBy = reconMv(cy, ry, fB, pmvBy)
+                }
+                predictBMb(mbx, mby, mf, mbk, pmvFx, pmvFy, pmvBx, pmvBy)
+                dcY = 128; dcCb = 128; dcCr = 128
+                prevMf = mf; prevMbk = mbk; prevIntraB = false
+              }
+
+              if (mf && ptype == 2) {
                 val cx = mvDecode(r)
                 val rx = if (fCode > 1 && cx != 0) r.bits(fCode - 1) else 0
                 val cy = mvDecode(r)
@@ -571,6 +694,10 @@ object Mpeg1 {
 
               if (intra) {
                 if (ptype == 2) { pmvX = 0; pmvY = 0 }
+                if (ptype == 3) { // intra resets every B predictor (spec)
+                  pmvFx = 0; pmvFy = 0; pmvBx = 0; pmvBy = 0
+                  prevIntraB = true
+                }
                 var b = 0
                 while (b < 4) { // luminance blocks
                   dcY = decodeBlock(r, lum = true, qscale, iq, dcY, blk)
@@ -608,7 +735,11 @@ object Mpeg1 {
             code = r.nextStartCode()
           }
           frames += cropFrame(curY, curCb, curCr, mbW, mbH, w, h)
-          refY = curY; refCb = curCb; refCr = curCr
+          // I/P become references (most-recent shifts to past); B never do
+          if (ptype != 3) {
+            pastY = refY; pastCb = refCb; pastCr = refCr
+            refY = curY; refCb = curCb; refCr = curCr
+          }
         case 0xB7 => code = -1 // sequence end
         case _ => code = r.nextStartCode() // user data / extensions: skip
       }
@@ -733,6 +864,208 @@ object Mpeg1 {
     bw.toArray
   }
 
+
+  /** Encode DISPLAY-order frames as an MPEG-1 elementary stream with B
+    * pictures: transmit order I, then per pair (P of display k+2, B of
+    * display k+1), trailing odd frame as plain P — the minimal closed
+    * IBP group structure (spec §2.4.1). B macroblocks choose, per MB:
+    * SKIP (same prediction as the previous MB), FORWARD copy from the
+    * past reference, BACKWARD copy from the future reference,
+    * INTERPOLATED (per-pel rounded average — the spec //2), or INTRA
+    * refresh — all with zero motion vectors (f_code 1), the
+    * spec-minimal subset that still drives every B decode path:
+    * dual-reference management, the B-type VLC, both-direction MV
+    * predictors and B skip repetition. decode() emits frames in DECODE
+    * order: (d0, d2, d1, d4, d3, ...). */
+  def encodeIbp(display: Seq[Frame], qscale: Int = 8): Array[Byte] = {
+    require(display.nonEmpty, "encodeIbp needs at least one frame")
+    val w = display.head.w; val h = display.head.h
+    require(w % 16 == 0 && h % 16 == 0, s"encoder needs MB-aligned dims, got ${w}x$h")
+    require(display.forall(f => f.w == w && f.h == h), "all frames must share dimensions")
+    require(qscale >= 1 && qscale <= 31, s"qscale must be 1..31, got $qscale")
+    val mbW = w / 16; val mbH = h / 16
+    val bw = new BitWriter
+    bw.startCode(0xB3)
+    bw.bits(w, 12); bw.bits(h, 12)
+    bw.bits(1, 4); bw.bits(3, 4)
+    bw.bits(0x3FFFF, 18); bw.bits(1, 1)
+    bw.bits(0, 10); bw.bits(0, 1)
+    bw.bits(0, 1); bw.bits(0, 1)
+    bw.startCode(0xB8)
+    bw.bits(0, 25); bw.bits(1, 1); bw.bits(0, 1)
+
+    var past: Frame = null
+    var futr: Frame = null
+    encodePicture(bw, display.head, null, 1, qscale, (0, 0), mbW, mbH)
+    futr = reconstruct(display.head, null, 1, qscale, (0, 0), mbW, mbH)
+    var i = 1
+    while (i < display.size) {
+      if (i + 1 < display.size) {
+        encodePicture(bw, display(i + 1), futr, 2, qscale, (0, 0), mbW, mbH)
+        val rec = reconstruct(display(i + 1), futr, 2, qscale, (0, 0), mbW, mbH)
+        past = futr; futr = rec
+        encodePictureB(bw, display(i), past, futr, qscale, mbW, mbH)
+        i += 2
+      } else {
+        encodePicture(bw, display(i), futr, 2, qscale, (0, 0), mbW, mbH)
+        futr = reconstruct(display(i), futr, 2, qscale, (0, 0), mbW, mbH)
+        i += 1
+      }
+    }
+    bw.startCode(0xB7)
+    bw.toArray
+  }
+
+  /** Per-MB B mode against the RECONSTRUCTED references (what the decoder
+    * holds): 1 = forward copy matches, 2 = backward copy matches,
+    * 3 = interpolated average matches, 4 = intra. Matching tolerates the
+    * same `8·qscale` quantization-noise band as the P-mode decision
+    * ([[mbMode]]); B pictures are never references, so tolerated noise
+    * cannot compound. */
+  private def bMbMode(cur: Frame, past: Frame, futr: Frame,
+                      mbx: Int, mby: Int, qscale: Int): Int = {
+    val tol = 8 * qscale
+    if (mbMatches(cur, past, mbx, mby, 0, 0, tol)) 1
+    else if (mbMatches(cur, futr, mbx, mby, 0, 0, tol)) 2
+    else if (mbMatchesAvg(cur, past, futr, mbx, mby, tol)) 3
+    else 4
+  }
+
+  private def mbMatchesAvg(cur: Frame, past: Frame, futr: Frame,
+                           mbx: Int, mby: Int, tol: Int): Boolean = {
+    val w = cur.w
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val p = (mby * 16 + y) * w + mbx * 16 + x
+        if (math.abs(cur.y(p) - ((past.y(p) + futr.y(p) + 1) >> 1)) > tol) return false
+        x += 1
+      }
+      y += 1
+    }
+    val cw = w / 2
+    var c = 0
+    while (c < 8) {
+      var x = 0
+      while (x < 8) {
+        val p = (mby * 8 + c) * cw + mbx * 8 + x
+        if (math.abs(cur.cb(p) - ((past.cb(p) + futr.cb(p) + 1) >> 1)) > tol) return false
+        if (math.abs(cur.cr(p) - ((past.cr(p) + futr.cr(p) + 1) >> 1)) > tol) return false
+        x += 1
+      }
+      c += 1
+    }
+    true
+  }
+
+  // Encode one B picture (zero-MV subset; decisions mirrored by
+  // reconstructB()).
+  private def encodePictureB(bw: BitWriter, cur: Frame, past: Frame,
+                             futr: Frame, qscale: Int,
+                             mbW: Int, mbH: Int): Unit = {
+    bw.startCode(0x00)
+    bw.bits(0, 10); bw.bits(3, 3); bw.bits(0xFFFF, 16)
+    bw.bits(0, 1); bw.bits(1, 3) // forward: half-pel, f_code 1
+    bw.bits(0, 1); bw.bits(1, 3) // backward: half-pel, f_code 1
+    bw.bits(0, 1)
+    bw.startCode(0x01)
+    bw.bits(qscale, 5); bw.bits(0, 1)
+    var dcY = 128; var dcCb = 128; var dcCr = 128
+    var pending = 0
+    var prevMode = -1
+    val total = mbW * mbH
+    var addr = 0
+    while (addr < total) {
+      val mbx = addr % mbW; val mby = addr / mbW
+      val mode = bMbMode(cur, past, futr, mbx, mby, qscale)
+      val mustCode = addr == 0 || addr == total - 1
+      if (!mustCode && mode == prevMode && mode != 4) {
+        // legal B skip: same prediction directions as the previous MB and
+        // (zero-MV subset) identical vectors
+        pending += 1
+      } else {
+        var inc = pending + 1
+        while (inc > 33) { bw.bits(MbaEscape._1, MbaEscape._2); inc -= 33 }
+        bw.bits(MbaCodes(inc)._1, MbaCodes(inc)._2)
+        pending = 0
+        mode match {
+          case 1 => // forward only: '0010'
+            bw.bits(2, 4)
+            writeMv(bw, 0, 0, 1); writeMv(bw, 0, 0, 1)
+          case 2 => // backward only: '010'
+            bw.bits(2, 3)
+            writeMv(bw, 0, 0, 1); writeMv(bw, 0, 0, 1)
+          case 3 => // interpolated: '10'
+            bw.bits(2, 2)
+            writeMv(bw, 0, 0, 1); writeMv(bw, 0, 0, 1) // forward
+            writeMv(bw, 0, 0, 1); writeMv(bw, 0, 0, 1) // backward
+          case _ => // intra: '00011'
+            bw.bits(3, 5)
+            var b = 0
+            while (b < 4) {
+              dcY = encodeBlock(bw,
+                takeBlock(cur.y, cur.w, mbx * 16 + (b % 2) * 8, mby * 16 + (b / 2) * 8),
+                lum = true, qscale, dcY)
+              b += 1
+            }
+            val cw = cur.w / 2
+            dcCb = encodeBlock(bw, takeBlock(cur.cb, cw, mbx * 8, mby * 8), lum = false, qscale, dcCb)
+            dcCr = encodeBlock(bw, takeBlock(cur.cr, cw, mbx * 8, mby * 8), lum = false, qscale, dcCr)
+        }
+        if (mode != 4) { dcY = 128; dcCb = 128; dcCr = 128 }
+        prevMode = mode
+      }
+      addr += 1
+    }
+  }
+
+  /** The decoder-identical reconstruction of a zero-MV B picture —
+    * [[reconstruct]]'s sibling for [[encodePictureB]], exposed for the
+    * spec suite to assert bit-exact decode. */
+  private[graft] def reconstructB(cur: Frame, past: Frame, futr: Frame,
+                                  qscale: Int, mbW: Int, mbH: Int): Frame = {
+    val out = Frame(cur.w, cur.h,
+      new Array[Int](cur.w * cur.h),
+      new Array[Int](cur.w / 2 * cur.h / 2),
+      new Array[Int](cur.w / 2 * cur.h / 2))
+    val total = mbW * mbH
+    var addr = 0
+    while (addr < total) {
+      val mbx = addr % mbW; val mby = addr / mbW
+      bMbMode(cur, past, futr, mbx, mby, qscale) match {
+        case 1 => copyMbFrames(past, out, mbx, mby)
+        case 2 => copyMbFrames(futr, out, mbx, mby)
+        case 3 =>
+          val w = cur.w
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val p = (mby * 16 + y) * w + mbx * 16 + x
+              out.y(p) = (past.y(p) + futr.y(p) + 1) >> 1
+              x += 1
+            }
+            y += 1
+          }
+          val cw = w / 2
+          var c = 0
+          while (c < 8) {
+            var x = 0
+            while (x < 8) {
+              val p = (mby * 8 + c) * cw + mbx * 8 + x
+              out.cb(p) = (past.cb(p) + futr.cb(p) + 1) >> 1
+              out.cr(p) = (past.cr(p) + futr.cr(p) + 1) >> 1
+              x += 1
+            }
+            c += 1
+          }
+        case _ => reconstructIntraMb(cur, out, mbx, mby, qscale)
+      }
+      addr += 1
+    }
+    out
+  }
 
   // Encode one picture; block decisions mirrored by reconstruct().
   private def encodePicture(bw: BitWriter, cur: Frame, ref: Frame, ptype: Int,

@@ -958,6 +958,40 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  /** [[fabricateMpegVideos]] with B pictures: display-order frames encode
+    * through [[Mpeg1.encodeIbp]] (I, then P/B pairs — forward, backward,
+    * interpolated and intra macroblocks all exercised by real content),
+    * `3 + id % 3` frames so every clip contains at least one B picture.
+    * Metadata stays a pure id function for the SQL oracle. */
+  def fabricateMpegVideosB(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 16 * (id % 3 + 1).toInt
+        val h = 16 * (id % 2 + 1).toInt
+        val n = (3 + id % 3).toInt
+        def frame(f: Int): Mpeg1.Frame = {
+          val y = new Array[Int](w * h)
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) {
+              y(yy * w + xx) = (graft.functions.TextHash.mix(
+                id + (yy + 2L * f) * 4096 + (xx + 2L * f)) & 0xFF).toInt
+              xx += 1
+            }
+            yy += 1
+          }
+          Mpeg1.Frame(w, h, y,
+            Array.fill(w / 2 * h / 2)(128), Array.fill(w / 2 * h / 2)(128))
+        }
+        val bytes = Mpeg1.encodeIbp((0 until n).map(frame), qscale = 4)
+        Row(id, bytes, Row("video/mpeg", w, h, n * 40L))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   /** MPEG-1 metadata decode: dimensions from the sequence header the
     * bytes actually contain, frame count by counting picture start codes,
     * duration from the header's picture-rate code — header/startcode

@@ -169,6 +169,107 @@ class Mpeg1Spec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("B-frames: fwd/bwd/interp/intra/skip macroblocks all decode exactly") {
+    val w = 64; val h = 32 // 4x2 macroblocks
+    val q = 2
+    val f0 = patternFrame(w, h, 0)
+    val f2 = patternFrame(w, h, 8)
+    // the decoder's references are RECONSTRUCTIONS — build the planted B
+    // from the decoded I/P pair so fwd/bwd/interp matches are exact
+    val ip = Mpeg1.decode(Mpeg1.encode(Seq(f0, f2), qscale = q))
+    val r0 = ip(0); val r2 = ip(1)
+    def avg(a: Int, b: Int) = (a + b + 1) >> 1
+    val f1 = Frame(w, h,
+      new Array[Int](w * h),
+      new Array[Int](w / 2 * h / 2),
+      new Array[Int](w / 2 * h / 2))
+    // per-MB plan: 0=fwd 1=bwd 2=interp 3=intra 4=fwd 5=fwd(skips) 6=interp 7=bwd
+    val plan = Array(1, 2, 3, 4, 1, 1, 3, 2)
+    for (addr <- 0 until 8) {
+      val mbx = addr % 4; val mby = addr / 4
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val p = (mby * 16 + yy) * w + mbx * 16 + xx
+        f1.y(p) = plan(addr) match {
+          case 1 => r0.y(p)
+          case 2 => r2.y(p)
+          case 3 => avg(r0.y(p), r2.y(p))
+          case _ => 200
+        }
+      }
+      val cw = w / 2
+      for (cc <- 0 until 8; xx <- 0 until 8) {
+        val p = (mby * 8 + cc) * cw + mbx * 8 + xx
+        f1.cb(p) = plan(addr) match {
+          case 1 => r0.cb(p); case 2 => r2.cb(p)
+          case 3 => avg(r0.cb(p), r2.cb(p)); case _ => 128
+        }
+        f1.cr(p) = plan(addr) match {
+          case 1 => r0.cr(p); case 2 => r2.cr(p)
+          case 3 => avg(r0.cr(p), r2.cr(p)); case _ => 128
+        }
+      }
+    }
+    val bytes = Mpeg1.encodeIbp(Seq(f0, f1, f2), qscale = q)
+    val out = Mpeg1.decode(bytes)
+    // decode order: I(d0), P(d2), B(d1)
+    assert(out.length == 3)
+    assert(out(0).y.sameElements(r0.y) && out(1).y.sameElements(r2.y))
+    val b = out(2)
+    for (addr <- 0 until 8 if plan(addr) != 4) {
+      val mbx = addr % 4; val mby = addr / 4
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val p = (mby * 16 + yy) * w + mbx * 16 + xx
+        assert(b.y(p) == f1.y(p),
+          s"MB $addr (mode ${plan(addr)}) luma mismatch at ($xx,$yy): ${b.y(p)} != ${f1.y(p)}")
+      }
+    }
+    // the intra MB round-trips within the quantization bound (flat block)
+    for (yy <- 0 until 16; xx <- 0 until 16) {
+      val p = (0 * 16 + yy) * w + 3 * 16 + xx
+      assert(math.abs(b.y(p) - 200) <= 6 * q + 2)
+    }
+    // B picture is overwhelmingly copies: far cheaper than an I picture
+    val iOnly = Mpeg1.encode(Seq(f1), qscale = q)
+    val ipOnly = Mpeg1.encode(Seq(f0, f2), qscale = q)
+    assert(bytes.length - ipOnly.length < iOnly.length / 2,
+      s"B picture too large: ${bytes.length - ipOnly.length} vs I ${iOnly.length}")
+  }
+
+  test("B-frames: longer IBPBP group keeps reference order straight") {
+    val w = 48; val h = 32
+    val q = 2
+    // display d0..d4; B frames (d1, d3) are exact copies of their FUTURE
+    // reference, so every B MB takes the backward path against the
+    // correct (most recent I/P) reference — a slot-management probe
+    val d0 = patternFrame(w, h, 0)
+    val d2 = patternFrame(w, h, 4)
+    val d4 = patternFrame(w, h, 9)
+    val ipr = Mpeg1.decode(Mpeg1.encode(Seq(d0, d2, d4), qscale = q))
+    val bytes = Mpeg1.encodeIbp(Seq(d0, ipr(1), d2, ipr(2), d4), qscale = q)
+    val out = Mpeg1.decode(bytes)
+    assert(out.length == 5)
+    // decode order: I(d0) P(d2) B(=rec d2) P(d4) B(=rec d4)
+    assert(out(1).y.sameElements(ipr(1).y))
+    assert(out(2).y.sameElements(ipr(1).y), "first B must equal its future ref")
+    assert(out(3).y.sameElements(ipr(2).y))
+    assert(out(4).y.sameElements(ipr(2).y), "second B must equal its future ref")
+  }
+
+  test("B picture without two references fails loudly") {
+    val bw = new BitWriter
+    bw.startCode(0xB3)
+    bw.bits(16, 12); bw.bits(16, 12)
+    bw.bits(1, 4); bw.bits(3, 4)
+    bw.bits(0x3FFFF, 18); bw.bits(1, 1)
+    bw.bits(0, 10); bw.bits(0, 1)
+    bw.bits(0, 1); bw.bits(0, 1)
+    bw.startCode(0x00)
+    bw.bits(0, 10); bw.bits(3, 3); bw.bits(0xFFFF, 16)
+    bw.bits(0, 1); bw.bits(1, 3); bw.bits(0, 1); bw.bits(1, 3); bw.bits(0, 1)
+    val e = intercept[Mpeg1.Mpeg1Error](Mpeg1.decode(bw.toArray))
+    assert(e.getMessage.contains("two references"))
+  }
+
   test("out-of-subset streams fail loudly, garbage never decodes") {
     intercept[Mpeg1.Mpeg1Error](Mpeg1.decode(Array.fill(64)(0x42.toByte)))
     // a '01' pattern-only macroblock whose CBP bits are start-code zeros
