@@ -1856,6 +1856,16 @@ object SparkEntry {
           Order(col("lang"), numeric = false)))
     }),
 
+    // ---- script/character-class mix per corpus slice: the mixed-script
+    //      spam / mislabeled-language curation gauge; explicit code-point
+    //      ranges, integer totals, one rounded ratio
+    "q_text_scripts" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.scriptReport(
+          T(s, dir, "documents"), Seq("source", "lang"), "text")
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+
     // ---- integers-only diagnostic twin of q_fertility (no DOUBLE at
     //      all): if the ratio query ever diverges cross-engine, this row
     //      pinpoints WHICH count column (ws_tokens vs bpe_tokens) moved
@@ -3864,6 +3874,32 @@ object SparkEntry {
                AS bpe_tokens
            FROM documents GROUP BY source, lang)
          ORDER BY source, lang""",
+    // Script report: per-class counts via the length-minus-replaced
+    // identity over EXPLICIT code-point ranges (RE2 \x{...} spelling;
+    // never \p classes, whose membership differs across engines).
+    "q_text_scripts" ->
+      """SELECT source, lang, count(*) AS docs,
+           sum(CAST(length(text) AS BIGINT)) AS chars,
+           sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)) AS latin,
+           sum(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)) AS digit,
+           sum(CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT)) AS cyrillic,
+           sum(CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03ff}]', '', 'g')) AS BIGINT)) AS greek,
+           sum(CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT)) AS cjk,
+           sum(CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT)) AS whitespace,
+           sum(CAST(length(text) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03ff}]', '', 'g')) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT))
+             - sum(CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT))
+             AS other,
+           round(CASE WHEN sum(CAST(length(text) AS BIGINT)) > 0
+             THEN CAST(sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)) AS DOUBLE)
+               / sum(CAST(length(text) AS BIGINT)) ELSE 0.0 END, 9) AS latin_ratio
+         FROM documents GROUP BY source, lang
+         ORDER BY source, lang""",
+
     // Integers-only diagnostic twin of q_fertility: no DOUBLE column at
     // all, so a red here localizes any residual cross-engine divergence
     // to a specific BIGINT count column in CORRECTNESS artifacts.

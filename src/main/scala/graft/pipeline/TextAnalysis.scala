@@ -641,6 +641,40 @@ object TextAnalysis {
           col("bpe_tokens").cast("double") / col("ws_tokens"))
           .otherwise(lit(0.0)), 9))
 
+  /** Per-slice SCRIPT/character-class report — the script-mix curation
+    * stage (mixed-script spam and mislabeled-language slices show up as
+    * off-profile class ratios). Character classes are counted with the
+    * engine-portable `length(s) - length(regexp_replace(s, cls, ''))`
+    * identity over EXPLICIT code-point ranges (never a property class
+    * like \p{L}, whose membership differs across regex engines):
+    * ASCII letters, ASCII digits, Cyrillic U+0400-04FF, Greek
+    * U+0370-03FF, CJK unified U+4E00-9FFF; `other` is the remainder
+    * after also removing the explicit Java-\s whitespace class. All
+    * integer totals until the final rounded ratio. One map pass +
+    * map-side-combined aggregate — scales as a pure scan. */
+  def scriptReport(df: DataFrame, groupCols: Seq[String],
+                   textCol: String): DataFrame = {
+    def cnt(cls: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast("long")
+    val ws = "[ \\t\\n\\x0b\\f\\r]"
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col(textCol)).cast("long")).as("chars"),
+        sum(cnt("[A-Za-z]")).as("latin"),
+        sum(cnt("[0-9]")).as("digit"),
+        sum(cnt("[\\u0400-\\u04ff]")).as("cyrillic"),
+        sum(cnt("[\\u0370-\\u03ff]")).as("greek"),
+        sum(cnt("[\\u4e00-\\u9fff]")).as("cjk"),
+        sum(cnt(ws)).as("whitespace"))
+      .withColumn("other",
+        col("chars") - col("latin") - col("digit") - col("cyrillic") -
+          col("greek") - col("cjk") - col("whitespace"))
+      .withColumn("latin_ratio",
+        round(when(col("chars") > 0,
+          col("latin").cast("double") / col("chars")).otherwise(lit(0.0)), 9))
+  }
+
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —
     * engine-portable (identical in any SQL engine with md5()). */
   def fingerprintMd5(textCol: Column): Column =
