@@ -57,6 +57,32 @@ class PipelineSpec extends SparkSpec {
     assert(loo.getAs[Long]("votes") <= 11)
   }
 
+  test("scriptReport counts non-ASCII classes on planted mixed-script text") {
+    // the corpus fixtures are ASCII, so the Cyrillic/Greek/CJK counters
+    // only ever see zero there — plant real mixed-script rows
+    val df = Seq(
+      ("ru", "пример text пример"),   // 12 Cyrillic chars + 4 latin
+      ("el", "δοκιμή abc"),           // 6 Greek + 3 latin
+      ("zh", "测试中文 test1"),        // 4 CJK + 4 latin + 1 digit
+      ("en", "plain ascii 42")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.scriptReport(df, Seq("lang"), "text")
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out("ru").getAs[Long]("cyrillic") == 12)
+    assert(out("ru").getAs[Long]("latin") == 4)
+    assert(out("el").getAs[Long]("greek") == 6)
+    assert(out("zh").getAs[Long]("cjk") == 4)
+    assert(out("zh").getAs[Long]("digit") == 1)
+    assert(out("en").getAs[Long]("cyrillic") == 0)
+    // chars decomposes exactly: every code point lands in one class
+    for ((_, r) <- out)
+      assert(r.getAs[Long]("chars") ==
+        r.getAs[Long]("latin") + r.getAs[Long]("digit") +
+        r.getAs[Long]("cyrillic") + r.getAs[Long]("greek") +
+        r.getAs[Long]("cjk") + r.getAs[Long]("whitespace") +
+        r.getAs[Long]("other"))
+  }
+
   test("planted-pattern fixtures invert exactly: dHash/afp == md5 pattern") {
     // the property the md5-tier codec gauges stand on: for any pattern,
     // the real PNG/WAV round-trip reproduces the planted 64 bits

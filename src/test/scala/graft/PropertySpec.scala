@@ -172,6 +172,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankDistributed law: equals global-window rank on random frames") {
+    // generator-driven shapes the hand-written spec can't enumerate:
+    // tiny frames, all-equal keys (one bucket swallows everything),
+    // heavy null densities, bucket counts above and below the row count
+    import org.apache.spark.sql.functions._
+    import graft.ops.WarpOps._
+    import graft.ops.WarpOps.RunningAgg._
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(1, 60)
+      allEq <- Gen.oneOf(true, false)
+      rows <- Gen.listOfN(n, for {
+        k <- if (allEq) Gen.const(Some(7)) else Gen.option(Gen.choose(0, 5))
+        v <- Gen.option(Gen.choose(-50, 50))
+      } yield (k, v))
+    } yield rows
+    for ((rows, ci) <- samples(genRows, 12).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((k, v), i) =>
+        (i, k.map(Integer.valueOf).orNull,
+          v.map(x => java.lang.Double.valueOf(x.toDouble)).orNull)
+      }.toDF("id", "k", "v")
+      val orders = Seq(Order(col("k")), Order(col("id")))
+      val aggs = Seq("rn" -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
+        count(lit(1)).over(w)),
+        "run" -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
+          sum(col("v").cast("decimal(20,6)")).over(w)))
+      val slow = df.rank(aggs, orders).collect()
+        .map(r => r.getInt(0) -> (r.get(3), r.get(4))).toMap
+      val fast = df.rankDistributed(
+        Seq(RCount("rn"), RSum("run", col("v").cast("decimal(20,6)"))),
+        orders, buckets = ci % 5 + 1).collect()
+        .map(r => r.getInt(0) -> (r.get(3), r.get(4))).toMap
+      assert(slow.keySet == fast.keySet, s"case $ci ids")
+      for (id <- slow.keys)
+        assert(slow(id) == fast(id), s"case $ci row $id: ${slow(id)} vs ${fast(id)}")
+    }
+  }
+
   test("nested pack/unpack round-trip survives $0/$1 escape collisions (1000 cases)") {
     // the adversarial alphabet concentrates on the escape metacharacters
     // themselves ($, 0, 1, comma and pre-escaped fragments), so double
