@@ -1856,6 +1856,36 @@ object SparkEntry {
           Order(col("lang"), numeric = false)))
     }),
 
+    // ---- matryoshka-truncation retrieval gauge: recall@10 of exact kNN
+    //      over the FIRST HALF of each embedding vs the full-dimension
+    //      exact graph — the "how much retrieval do cheaper truncated
+    //      embeddings buy" curve, fully deterministic (no seeds; cosine
+    //      ranking is renorm-invariant, so the slice alone suffices)
+    "q_embed_recall_trunc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val m = emb.select("embedding").head().getSeq[Any](0).length / 2
+      val tr = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      val exact = graft.pipeline.Similarity.knnGraphGemm(
+        emb, "embedding", "vec_id", 10,
+        queries = Some(emb.filter(col("vec_id") < 64)))
+      val approx = graft.pipeline.Similarity.knnGraphGemm(
+        tr, "embedding", "vec_id", 10,
+        queries = Some(tr.filter(col("vec_id") < 64)))
+      graft.pipeline.Similarity.recallReport(exact, approx)
+        .warpSort(Seq(Order(col("qid"))))
+    }),
+
+    // ---- exact-k uniform per-source sample (eval-set carving): md5
+    //      priority per id, per-group top-k, deterministic and
+    //      engine-replayable
+    "q_sample_k_group" -> ((s, dir) => {
+      graft.pipeline.Sampling.sampleKPerGroup(
+          T(s, dir, "documents"), col("doc_id"), col("source"), k = 20)
+        .selectColumns(Seq("doc_id", "source", "lang"))
+        .warpSort(Seq(Order(col("source"), numeric = false), Order(col("doc_id"))))
+    }),
+
     // ---- script/character-class mix per corpus slice: the mixed-script
     //      spam / mislabeled-language curation gauge; explicit code-point
     //      ranges, integer totals, one rounded ratio
@@ -3391,6 +3421,39 @@ object SparkEntry {
          CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS recall
        FROM t LEFT JOIN h ON t.qid = h.qid ORDER BY t.qid"""
 
+  /** DuckDB oracle for the matryoshka-truncation gauge
+    * (q_embed_recall_trunc): exact cosine top-k over the first half of
+    * every embedding vs the full-dimension exact graph, then the recall
+    * join. No seeds anywhere — both graphs are deterministic. */
+  private def recallTruncOracle(nQueries: Int, k: Int): String =
+    s"""WITH dims AS (SELECT len(embedding) // 2 AS m FROM embeddings LIMIT 1),
+         b AS (SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM embeddings),
+         tb AS (SELECT vec_id, emb2,
+           sqrt(list_reduce(list_transform(emb2,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v)) AS nv
+         FROM (SELECT e.vec_id, e.embedding[1:dims.m] AS emb2
+               FROM embeddings e, dims)),
+         ex AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.embedding, q.embedding),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM b d, b q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $k),
+         ap AS (SELECT qid, id FROM (
+           SELECT q.vec_id AS qid, d.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_reduce(list_transform(list_zip(d.emb2, q.emb2),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (d.nv * q.nv) DESC, d.vec_id) AS rn
+           FROM tb d, tb q WHERE d.vec_id <> q.vec_id AND q.vec_id < $nQueries)
+          WHERE rn <= $k),
+         $recallTailSql"""
+
   /** DuckDB oracle replaying the md5-hyperplane LSH retrieval of
     * q_embed_recall_lsh end-to-end: regenerate the planes from md5
     * ([[graft.pipeline.Similarity.hyperplanesMd5]]'s exact formula), sign
@@ -3874,6 +3937,15 @@ object SparkEntry {
                AS bpe_tokens
            FROM documents GROUP BY source, lang)
          ORDER BY source, lang""",
+    "q_sample_k_group" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents WHERE doc_id IS NOT NULL)
+         WHERE rn <= 20
+         ORDER BY source, doc_id""",
+
     // Script report: per-class counts via the length-minus-replaced
     // identity over EXPLICIT code-point ranges (RE2 \x{...} spelling;
     // never \p classes, whose membership differs across engines).
@@ -6166,6 +6238,7 @@ object SparkEntry {
          FROM e""",
     "q_embed_recall_lsh" ->
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
+    "q_embed_recall_trunc" -> recallTruncOracle(64, 10),
     "q_embed_recall_ivf" ->
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_retrieval_ndcg" ->

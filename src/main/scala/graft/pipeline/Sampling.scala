@@ -319,6 +319,26 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Exact-k uniform sample PER GROUP (per-source eval-set carving):
+    * rank rows inside each group by the md5 priority of their id (the
+    * repo-wide rand()-free discipline — deterministic, engine-portable)
+    * and keep the k smallest. Groups with fewer than k rows keep all.
+    * One hash exchange on the group key + a per-group top-k window
+    * (WindowGroupLimit keeps per-partition heaps, never a full sort) —
+    * scales like any per-group top-k. Null ids are dropped (the
+    * [[splitByHash]] null discipline). */
+  def sampleKPerGroup(df: DataFrame, idCol: Column, groupCol: Column,
+                      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    df.filter(idCol.isNotNull)
+      .withColumn("__skg_rn", row_number().over(w))
+      .filter(col("__skg_rn") <= k)
+      .drop("__skg_rn")
+  }
+
   def keepTopFraction(df: DataFrame, scoreCol: Column, shardCol: Column,
                       tieCol: Column, frac: Double,
                       out: String = "keep_frac"): DataFrame = {
