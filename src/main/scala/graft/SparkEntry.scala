@@ -1856,6 +1856,17 @@ object SparkEntry {
           Order(col("lang"), numeric = false)))
     }),
 
+    // ---- padding-waste report: arrival-order vs length-sorted batching
+    //      (batch ids from DISTRIBUTED row numbers — rankDistributed,
+    //      no single-partition window anywhere)
+    "q_pad_waste" -> ((s, dir) => {
+      graft.pipeline.Packing.padWasteReport(
+          T(s, dir, "documents"), col("doc_id"),
+          graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text")),
+          batchSize = 8)
+        .warpSort(Seq(Order(col("strategy"), numeric = false)))
+    }),
+
     // ---- matryoshka-truncation retrieval gauge: recall@10 of exact kNN
     //      over the FIRST HALF of each embedding vs the full-dimension
     //      exact graph — the "how much retrieval do cheaper truncated
@@ -2927,6 +2938,34 @@ object SparkEntry {
         .orderBy("new_id", "hist_id")
     }),
 
+    // ---- second REAL streaming driver row: the stateless ingest-time
+    //      contamination flagger (broadcast probe grams, pure projection,
+    //      no state store) runs as an actual streaming query; the oracle
+    //      counts distinct-gram hits per document in plain SQL
+    "q_stream_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val probes = docs.warpFilter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"))
+      val streamSide = docs.warpFilter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ct").toString
+      streamSide.write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(streamSide.schema).parquet(tmp)
+      val out = graft.streaming.EventStream.contaminationFlagStream(
+        src, probes, "text", n = 3)
+      val qname = "graft_stream_ct_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("doc_id"), col("overlap"))
+        .filter(col("overlap") >= 1)
+        .orderBy("doc_id")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       // explicit LTZ cast: the session maps the NAME "timestamp" to NTZ
@@ -3937,6 +3976,29 @@ object SparkEntry {
                AS bpe_tokens
            FROM documents GROUP BY source, lang)
          ORDER BY source, lang""",
+    "q_pad_waste" ->
+      """WITH toks AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+               t -> len(t) > 0)) AS BIGINT) AS toks
+           FROM documents WHERE doc_id IS NOT NULL
+         ), arr AS (
+           SELECT 'arrival' AS strategy,
+             (row_number() OVER (ORDER BY id) - 1) // 8 AS batch, toks FROM toks
+           UNION ALL
+           SELECT 'sorted',
+             (row_number() OVER (ORDER BY toks, id) - 1) // 8, toks FROM toks
+         ), per AS (
+           SELECT strategy, batch, count(*) AS n, max(toks) AS mx, sum(toks) AS tk
+           FROM arr GROUP BY strategy, batch
+         )
+         SELECT strategy, sum(n) AS n_docs, count(*) AS n_batches,
+           sum(tk) AS token_sum, sum(n * mx) AS padded_cells,
+           round(CASE WHEN sum(n * mx) > 0
+             THEN CAST(sum(n * mx) - sum(tk) AS DOUBLE) / sum(n * mx)
+             ELSE 0.0 END, 9) AS waste_ratio
+         FROM per GROUP BY strategy ORDER BY strategy""",
+
     "q_sample_k_group" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,
@@ -4936,6 +4998,25 @@ object SparkEntry {
          FROM corpus c JOIN probe p USING (g)
          GROUP BY 1, 2 HAVING count(*) >= 2
          ORDER BY doc_id, probe_id""",
+    "q_stream_contamination" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')))
+               ELSE list_distinct([array_to_string(ws, ' ')]) END AS s
+           FROM w
+         ), probe AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 7
+         ), corpus AS (
+           SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 7
+         )
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS overlap
+         FROM corpus c JOIN probe p USING (g)
+         GROUP BY 1 HAVING count(*) >= 1
+         ORDER BY doc_id""",
     "q_dedup_jaccard" ->
       """WITH d AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0

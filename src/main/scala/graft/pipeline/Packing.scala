@@ -36,6 +36,41 @@ object Packing {
     *                  unique per shard for a deterministic stream
     * @param budget    tokens per training sequence, e.g. 2048
     */
+  /** Padding-waste report: how many padded cells a fixed-size batching of
+    * the corpus burns under (a) arrival-order batching vs (b)
+    * length-sorted bucketing — the "sort by length before batching"
+    * training-efficiency decision, quantified. Each strategy assigns a
+    * global batch id from a DISTRIBUTED row number
+    * ([[graft.ops.WarpOps.WarpDataFrame.rankDistributed]] — no
+    * single-partition window), then per batch the padded cell count is
+    * `rows_in_batch × batch_max_tokens`; one summary row per strategy.
+    * All integer until the final rounded ratio. */
+  def padWasteReport(df: DataFrame, idCol: Column, tokensCol: Column,
+                     batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
+    import graft.ops.WarpOps._
+    val base = df
+      .select(idCol.cast("long").as("id"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("toks"))
+      .filter(col("id").isNotNull)
+    def strat(name: String, orders: Seq[Order]): DataFrame =
+      base.rankDistributed(Seq(RunningAgg.RCount("rn")), orders)
+        .withColumn("batch", floor((col("rn") - 1) / batchSize))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"),
+          sum(col("toks")).as("tk"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("n")).as("n_docs"),
+          sum(col("tk")).as("token_sum"),
+          sum(col("n") * col("mx")).as("padded_cells"))
+        .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
+          col("token_sum"), col("padded_cells"),
+          round(when(col("padded_cells") > 0,
+            (col("padded_cells") - col("token_sum")).cast("double") /
+              col("padded_cells")).otherwise(lit(0.0)), 9).as("waste_ratio"))
+    strat("arrival", Seq(Order(col("id"))))
+      .unionByName(strat("sorted", Seq(Order(col("toks")), Order(col("id")))))
+  }
+
   def packSequences(df: DataFrame, tokensCol: Column, shardCol: Column,
                     orderCol: Column, budget: Int): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
