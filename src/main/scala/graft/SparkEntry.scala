@@ -1479,6 +1479,15 @@ object SparkEntry {
     "q_distinct_hll_md5" -> ((s, dir) =>
       graft.ops.WarpOps.hllMd5Report(T(s, dir, "documents"), col("text"))),
 
+    // ---- per-group md5-tier HLL: distinct texts per source — the
+    //      realistic sketch shape (distinct per domain/tenant), same
+    //      exact-integer register estimator, one row per source
+    "q_distinct_hll_groups" -> ((s, dir) =>
+      graft.ops.WarpOps.hllMd5ReportByGroup(
+          T(s, dir, "documents"), col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")),
+
     // ---- fixed-width histogram (profiler companion): doc length
     //      distribution, 12 bins over [0, 600)
     "q_histogram" -> ((s, dir) =>
@@ -6320,6 +6329,45 @@ object SparkEntry {
     "q_embed_recall_lsh" ->
       recallLshOracle(RecallLshBits, RecallLshMaxHamming, 64, 10),
     "q_embed_recall_trunc" -> recallTruncOracle(64, 10),
+    // per-group HLL replay at p=4: the q_distinct_hll_md5 estimator with
+    // every stage threaded through GROUP BY source
+    "q_distinct_hll_groups" ->
+      """WITH v AS (
+           SELECT source,
+                  CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 1)) AS BIGINT) AS b,
+                  CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 2, 13)) AS BIGINT) AS w
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+         ), r AS (
+           SELECT source, b, max(CASE WHEN w = 0 THEN 53
+                                      ELSE 53 - length(bin(w)) END) AS M
+           FROM v GROUP BY source, b
+         ), st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS used, max(M) AS mx
+           FROM r GROUP BY source
+         ), s1 AS (
+           SELECT r.source,
+                  CAST(sum(CAST(pow(2.0, st.mx - r.M) AS BIGINT)) AS BIGINT) AS S,
+                  any_value(st.used) AS used, any_value(st.mx) AS mx
+           FROM r JOIN st USING (source) GROUP BY r.source
+         ), ex AS (
+           SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+           GROUP BY source
+         ), e AS (
+           SELECT s1.source, s1.used, 16 - s1.used AS zeros, ex.n_exact,
+             0.673 * 16 * 16 * pow(2.0, s1.mx)
+               / (CAST(s1.S AS DOUBLE) + CAST(16 - s1.used AS DOUBLE) * pow(2.0, s1.mx)) AS eraw
+           FROM s1 JOIN ex USING (source)
+         )
+         SELECT source, 16 AS m, used AS used_registers, zeros,
+           round(CASE WHEN eraw <= 40.0 AND zeros > 0
+                      THEN 16.0 * ln(16.0 / zeros) ELSE eraw END, 6) AS estimate,
+           n_exact,
+           CASE WHEN n_exact > 0 THEN
+             round(abs((CASE WHEN eraw <= 40.0 AND zeros > 0
+                             THEN 16.0 * ln(16.0 / zeros) ELSE eraw END) - n_exact)
+               / n_exact, 6) END AS rel_error
+         FROM e ORDER BY source""",
     "q_embed_recall_ivf" ->
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_retrieval_ndcg" ->

@@ -733,6 +733,58 @@ object WarpOps {
     * trust the sketch. Scale shape: one map pass, an m-bounded register
     * aggregate, broadcast scalars — no corpus-sized shuffle beyond the
     * bucket groupBy. */
+  /** Per-GROUP [[hllMd5Report]] — the realistic sketch shape (distinct
+    * values per source/domain/tenant): registers key on (group, bucket),
+    * the m-bounded register table aggregates per group, and the same
+    * exact-integer register-sum estimator reads one row per group. The
+    * per-group exact count rides along at gauge scale. Scale shape: one
+    * map pass, a groups×m-bounded register aggregate, group-keyed joins
+    * — never a corpus-sized shuffle beyond the register groupBy. */
+  def hllMd5ReportByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+                          p: Int = 4): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 12,
+      s"p must be a multiple of 4 in [4, 12] (hex-substring buckets), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = md5(valueCol.cast("string"))
+    val regs = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("grp"),
+        conv(substring(h, 1, hexChars), 16, 10).cast("int").as("__b"),
+        conv(substring(h, hexChars + 1, 13), 16, 10).cast("long").as("__w"))
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("__w")))))
+      .groupBy("grp", "__b").agg(max(col("__rho")).as("__M"))
+    val stats = regs.groupBy("grp")
+      .agg(count(lit(1)).as("__used"), max(col("__M")).as("__mx"))
+    val one = regs.join(stats, "grp")
+      .groupBy("grp")
+      .agg(first(col("__used")).as("__used"), first(col("__mx")).as("__mx"),
+        sum(pow(lit(2.0), col("__mx") - col("__M")).cast("long")).as("__S"))
+    val exact = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .groupBy(groupCol.as("grp"))
+      .agg(count_distinct(valueCol).as("__exact"))
+    val zeros = lit(m) - col("__used")
+    val denom = col("__S").cast("double") +
+      zeros.cast("double") * pow(lit(2.0), col("__mx"))
+    val eRaw = lit(alpha * m.toDouble * m) * pow(lit(2.0), col("__mx")) / denom
+    val est = when(eRaw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
+    one.join(exact, "grp")
+      .select(col("grp"), lit(m).as("m"), col("__used").as("used_registers"),
+        zeros.cast("long").as("zeros"),
+        round(est, 6).as("estimate"), col("__exact").as("n_exact"),
+        when(col("__exact") > 0,
+          round(abs(est - col("__exact")) / col("__exact"), 6))
+          .as("rel_error"))
+  }
+
   def hllMd5Report(df: DataFrame, valueCol: Column, p: Int = 4): DataFrame = {
     require(p % 4 == 0 && p >= 4 && p <= 12,
       s"p must be a multiple of 4 in [4, 12] (hex-substring buckets), got $p")

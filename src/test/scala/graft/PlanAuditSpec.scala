@@ -431,6 +431,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(winUnderSingle.isEmpty, "q_rank window runs on a single partition")
   }
 
+  test("q_sample_k_group: per-group top-k runs as WindowGroupLimit heaps") {
+    // rank <= k must push into WindowGroupLimit (per-partition heaps),
+    // never materialize a full per-group sort of the corpus
+    val p = plan("q_sample_k_group")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("q_text_scripts: scan reads only the referenced columns") {
+    val p = plan("q_text_scripts")
+    assert(!p.contains("doc_id"), "unpruned read schema:\n" + p.take(2000))
+    assert("HashAggregate".r.findAllMatchIn(p).length >= 2,
+      "no map-side partial aggregation:\n" + p.take(2000))
+  }
+
+  test("q_pad_waste: batch ids come from bucketed windows, never one partition") {
+    val p = preAqePlan("q_pad_waste")
+    assert(p.toString.contains("hashpartitioning(__rk_b"), p.toString.take(3000))
+    val winUnderSingle = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.child.outputPartitioning.toString.contains("SinglePartition") => w
+    }
+    assert(winUnderSingle.isEmpty, "pad-waste row numbers run on a single partition")
+  }
+
   test("q_rolling: range-frame window partitions by user, never global") {
     val p = preAqePlan("q_rolling")
     assert(p.toString.contains("hashpartitioning(user_id"), p.toString.take(2000))
