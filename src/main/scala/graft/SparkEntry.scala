@@ -1865,6 +1865,21 @@ object SparkEntry {
           Order(col("lang"), numeric = false)))
     }),
 
+    // ---- DoReMi-style mixture reweighting: per-source sampling weights
+    //      move multiplicatively by exp(-eta * fertility excess) from the
+    //      doc-share baseline — expensive (high tokens-per-word) slices
+    //      downweighted in one deterministic step; integer-published
+    //      arithmetic end-to-end
+    "q_mixture_reweight" -> ((s, dir) => {
+      val fert = graft.pipeline.TextAnalysis.fertilityReport(
+        T(s, dir, "documents"), Seq("source"), "text")
+      graft.pipeline.Sampling.mixtureReweight(
+          fert.select(col("source"), col("docs"), col("fertility")),
+          col("docs"), col("fertility"), eta = -1.0)
+        .selectColumns(Seq("source", "docs", "excess", "factor", "weight"))
+        .warpSort(Seq(Order(col("source"), numeric = false)))
+    }),
+
     // ---- padding-waste report: arrival-order vs length-sorted batching
     //      (batch ids from DISTRIBUTED row numbers — rankDistributed,
     //      no single-partition window anywhere)
@@ -3985,6 +4000,38 @@ object SparkEntry {
                AS bpe_tokens
            FROM documents GROUP BY source, lang)
          ORDER BY source, lang""",
+    "q_mixture_reweight" ->
+      """WITH f AS (
+           SELECT source, count(*) AS docs,
+             round(CASE WHEN sum(ws) > 0
+               THEN CAST(sum(bpe) AS DOUBLE) / sum(ws) ELSE 0.0 END, 9) AS fertility
+           FROM (SELECT source,
+               CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                 t -> len(t) > 0)) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS bpe
+             FROM documents) GROUP BY source
+         ), b AS (
+           SELECT source, docs,
+             CAST(round(fertility * 1e9) AS BIGINT) AS c9
+           FROM f
+         ), t AS (
+           SELECT CAST(sum(docs) AS BIGINT) AS t_docs,
+                  CAST(sum(docs * c9) AS BIGINT) AS snum FROM b
+         ), wf AS (
+           SELECT b.source, b.docs,
+             CAST(b.c9 * 1000 -
+               ((t.snum * 1000 + t.t_docs // 2) // t.t_docs) AS DOUBLE) / 1e12 AS excess,
+             (CAST(b.docs AS DOUBLE) / t.t_docs) *
+               exp(-1.0 * (CAST(b.c9 * 1000 -
+                 ((t.snum * 1000 + t.t_docs // 2) // t.t_docs) AS DOUBLE) / 1e12)) AS factor
+           FROM b, t
+         ), z AS (SELECT sum(CAST(factor AS DECIMAL(28,15))) AS z FROM wf)
+         SELECT wf.source, wf.docs, excess,
+           round(factor, 12) AS factor,
+           CAST(round(CAST(factor AS DECIMAL(28,15)) / z.z, 9) AS DOUBLE) AS weight
+         FROM wf, z ORDER BY source""",
+
     "q_pad_waste" ->
       """WITH toks AS (
            SELECT CAST(doc_id AS BIGINT) AS id,

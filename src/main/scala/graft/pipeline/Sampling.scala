@@ -319,6 +319,51 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** DoReMi-style one-round mixture reweighting over a per-group COST
+    * signal: each group's sampling weight moves multiplicatively by
+    * `exp(eta * (cost - mean))` from its document-share baseline, then
+    * renormalizes — upweights cheap (or downweights expensive) slices in
+    * one deterministic step (pass a negative `eta` to invert). The
+    * cross-engine discipline: `cost` must arrive ALREADY
+    * published-rounded (both engines exponentiate identical inputs), the
+    * doc-weighted mean is computed in exact decimal and published at 12
+    * decimals, and the normalizing sum runs over decimal-cast factors
+    * (double summation order never touches the result). Input: one row
+    * per group with (docs: long, cost: double). Output adds
+    * excess, factor and weight (rounded 9). Group-bounded frame
+    * throughout — scales trivially. */
+  def mixtureReweight(perGroup: DataFrame, docsCol: Column, costCol: Column,
+                      eta: Double): DataFrame = {
+    // integer discipline end-to-end: cost re-published as a 9dp-scaled
+    // long, the doc-weighted mean as a 12dp-scaled long via floor
+    // division of positives (identical in every engine), excess as their
+    // exact integer difference — so exp() sees bit-identical doubles on
+    // both sides. The scaled numerator bounds the gauge at ~1e15 doc·cost
+    // mass (comment-enforced; pre-aggregate coarser slices beyond that).
+    val base = perGroup
+      .withColumn("__docs", docsCol.cast("long"))
+      .withColumn("__c9", round(costCol * lit(1e9)).cast("long"))
+    val tot = base.agg(
+      sum(col("__docs")).as("__t_docs"),
+      sum(col("__docs") * col("__c9")).as("__snum"))
+    val withF = base.crossJoin(broadcast(tot))
+      .withColumn("__mean12",
+        expr("(__snum * 1000L + __t_docs div 2L) div __t_docs"))
+      .withColumn("__ex12", col("__c9") * 1000L - col("__mean12"))
+      .withColumn("excess", col("__ex12").cast("double") / lit(1e12))
+      .withColumn("factor",
+        (col("__docs").cast("double") / col("__t_docs").cast("double")) *
+          exp(lit(eta) * col("excess")))
+    val norm = withF.agg(
+      sum(col("factor").cast("decimal(28,15)")).as("__z"))
+    withF.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        round(col("factor").cast("decimal(28,15)") / col("__z"), 9)
+          .cast("double"))
+      .drop("__docs", "__c9", "__t_docs", "__snum", "__mean12", "__ex12", "__z")
+      .withColumn("factor", round(col("factor"), 12))
+  }
+
   /** Exact-k uniform sample PER GROUP (per-source eval-set carving):
     * rank rows inside each group by the md5 priority of their id (the
     * repo-wide rand()-free discipline — deterministic, engine-portable)
