@@ -25,7 +25,11 @@ object BenchProbe {
     * hash-matched) queries at sf0.1, plus the two declared kNN baselines
     * whose JIT convergence polluted the sf1 artifact and `q1_agg` as the
     * scan-agg canary. Do NOT re-derive per round — a moving cohort is the
-    * attribution problem this artifact exists to kill. */
+    * attribution problem this artifact exists to kill.
+    * Round-11 EXTENSION (VERDICT r10 item 3, append-only — the frozen
+    * r10 prefix is untouched): the four r10 tail movers join so
+    * round-over-round regressions on them are adjudicated from this
+    * artifact, not the shared-JVM catalog tail. */
   val Cohort: Seq[String] = Seq(
     "q1_agg", "q_bpe_train", "q_curate_packed", "q_dedup_canon",
     "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_keepbest",
@@ -33,7 +37,9 @@ object BenchProbe {
     "q_embed_knn", "q_embed_knn_gemm", "q_embed_recall_ivf",
     "q_embed_recall_pq", "q_hybrid_search", "q_importance", "q_impute",
     "q_join_inner", "q_label_prop", "q_pagerank", "q_regression",
-    "q_retrieval_ndcg", "q_split_cluster")
+    "q_retrieval_ndcg", "q_split_cluster",
+    // r11 additions (keep appending; never reorder or remove)
+    "q_rank", "q_pca_scores", "q_topk_per_group", "q_range_join")
 
   private val Marker = "BENCH_PROBE_RESULT "
 
@@ -58,10 +64,13 @@ object BenchProbe {
       val cmd = (Seq(javaBin) ++ jvmFlags ++ Seq("-cp", cp, "graft.BenchProbe", name))
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.redirectErrorStream(false)
+      // merge stderr into stdout BEFORE reading: with separate pipes a
+      // child that fills the ~64KB stderr buffer (Spark startup WARNs)
+      // blocks on stderr while the parent blocks reading stdout —
+      // deadlock. The marker-line scan is immune to interleaving.
+      pb.redirectErrorStream(true)
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-      p.getErrorStream.readAllBytes() // drain
       val rc = p.waitFor()
       val sec = out.linesIterator.find(_.startsWith(Marker))
         .map(_.stripPrefix(Marker).trim.toDouble)

@@ -1942,6 +1942,54 @@ object SparkEntry {
           Order(col("lang"), numeric = false)))
     }),
 
+    // ---- r11 bisect probes for the r8-r10 driver-red corpus-statistics
+    //      family (VERDICT r10 item 1; see the oracle-side comment for
+    //      the decision tree). The three agree sentinels are EMPTY
+    //      frames on the Spark side: their oracles emit a row only if
+    //      the driver's DuckDB regex construct disagrees with the
+    //      per-char-class truth, so a red directly names the construct.
+    "q_diag_agree_ws" -> ((s, dir) => {
+      val _ = dir
+      s.range(0).select(lit("ws_split_regex").as("construct"),
+        lit(0L).as("regex_total"), lit(0L).as("charclass_total"))
+    }),
+    "q_diag_agree_bpe" -> ((s, dir) => {
+      val _ = dir
+      s.range(0).select(lit("bpe_extract_all").as("construct"),
+        lit(0L).as("regex_total"), lit(0L).as("charclass_total"))
+    }),
+    "q_diag_agree_latin" -> ((s, dir) => {
+      val _ = dir
+      s.range(0).select(lit("latin_regexp_replace").as("construct"),
+        lit(0L).as("regex_total"), lit(0L).as("charclass_total"))
+    }),
+    // per-doc ws-token histogram: a divergence on ANY doc flips the
+    // visible rows/oracle_rows artifact fields, not just the hash
+    "q_diag_ws_hist" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text"))
+          .cast("long").as("ws_tokens"))
+        .groupBy("ws_tokens").agg(count(lit(1)).as("n_docs"))
+        .warpSort(Seq(Order(col("ws_tokens"))))
+    }),
+    // stock-Spark-SQL ws_tokens (split/filter/size — no TextStatsExpr
+    // kernel): kernel-vs-engine isolation
+    "q_diag_ws_sql" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(sum(size(filter(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
+          t => length(t) > 0)).cast("long")).as("ws_tokens"))
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+    // source-only grouping twin of the red q_fertility (same kernel,
+    // the GREEN q_mixture_reweight's grouping): grouping isolation
+    "q_diag_fert_source" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fertilityReport(
+          T(s, dir, "documents"), Seq("source"), "text")
+        .warpSort(Seq(Order(col("source"), numeric = false)))
+    }),
+
     // ---- deterministic PageRank over the customer<->supplier trade graph
     //      (the "domain quality weight" signal at corpus scale): per-edge
     //      contributions quantize to DECIMAL(30,15) before the per-node
@@ -3871,6 +3919,46 @@ object SparkEntry {
     kmeansCtes(k, iters) + "\n       " + out
   }
 
+  /** DuckDB per-CHARACTER-CLASS token counting, entirely regex-FREE —
+    * the r11 replacement for the `string_split_regex` /
+    * `regexp_extract_all` oracle constructs implicated in the
+    * three-round driver-red corpus-statistics family (VERDICT r10 item
+    * 1: every red row shared those constructs while greens avoided
+    * them; local DuckDB 1.0.0 agrees with both, so the regex path is
+    * quarantined rather than trusted). Each character maps to a class
+    * symbol via `unicode()` code-point ranges ('a' letter, 'd' digit,
+    * 's' whitespace [ \t\n\x0b\f\r], 'o' other); token counts are
+    * maximal-run starts counted with an index lambda. Verified equal to
+    * the regex constructs on every sf0.01 document locally; the
+    * q_diag_agree_* sentinel entries re-verify that equality inside the
+    * DRIVER's DuckDB each round. */
+  private val charClassCte: String =
+    """cls AS (
+         SELECT source, lang, doc_id,
+           list_transform(string_split(lower(text), ''),
+             c -> CASE WHEN unicode(c) BETWEEN 97 AND 122 THEN 'a'
+                       WHEN unicode(c) BETWEEN 48 AND 57 THEN 'd'
+                       WHEN unicode(c) IN (9,10,11,12,13,32) THEN 's'
+                       ELSE 'o' END) AS cl
+         FROM documents),
+       cnt AS (
+         SELECT source, lang, doc_id,
+           CAST(len(list_filter(cl, (x,i) -> x <> 's' AND (i = 1 OR cl[i-1] = 's'))) AS BIGINT) AS ws,
+           CAST(len(list_filter(cl, (x,i) -> x = 'a' AND (i = 1 OR cl[i-1] <> 'a')))
+              + len(list_filter(cl, (x,i) -> x = 'd' AND (i = 1 OR cl[i-1] <> 'd')))
+              + len(list_filter(cl, x -> x = 'o')) AS BIGINT) AS bpe
+         FROM cls)"""
+
+  /** The regex-based ws/bpe token expressions the red family USED to
+    * oracle with — kept only for the q_diag_agree_* oracle-internal
+    * cross-checks (VERDICT r10 item 1c), never for a pass/fail gate. */
+  private val wsTokensRegexSql: String =
+    """CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        t -> len(t) > 0)) AS BIGINT)"""
+  private val bpeTokensRegexSql: String =
+    """CAST(len(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT)"""
+
   /** DuckDB oracle for q_bm25, mirroring
     * [[graft.pipeline.Retrieval.bm25TopK]] shape-for-shape (same operator
     * tree, same decimal quantization of each term's contribution). */
@@ -3983,34 +4071,30 @@ object SparkEntry {
     "q_avro_roundtrip" ->
       """SELECT event_id, user_id, value, ts FROM events
          WHERE event_type = 'click' ORDER BY event_id""",
-    // Whitespace spelled out as the explicit Java-\s class [ \t\n\x0b\f\r]
-    // in BOTH regexes: RE2's \s historically excludes \x0B and its
-    // membership can shift across DuckDB/RE2 builds, so the oracle must
-    // not depend on any engine's \s definition.
+    // r11: the whole corpus-statistics oracle family moved OFF regex
+    // constructs (string_split_regex / regexp_extract_all /
+    // per-class regexp_replace) onto the per-character-class
+    // charClassCte — the four r8-r10 driver-red rows shared exactly
+    // those constructs while every green tokenizing entry avoided
+    // them; the constructs themselves are cross-checked in the
+    // driver's DuckDB by the q_diag_agree_* sentinels.
     "q_fertility" ->
-      """SELECT source, lang, docs, ws_tokens, bpe_tokens,
-         round(CASE WHEN ws_tokens > 0
-           THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
+      s"""WITH $charClassCte
+         SELECT source, lang, docs, ws_tokens, bpe_tokens,
+           round(CASE WHEN ws_tokens > 0
+             THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
          FROM (
            SELECT source, lang, count(*) AS docs,
-             sum(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
-               t -> len(t) > 0)) AS BIGINT)) AS ws_tokens,
-             sum(CAST(len(regexp_extract_all(lower(text),
-               '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT))
-               AS bpe_tokens
-           FROM documents GROUP BY source, lang)
+             sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+           FROM cnt GROUP BY source, lang)
          ORDER BY source, lang""",
     "q_mixture_reweight" ->
-      """WITH f AS (
+      s"""WITH $charClassCte,
+         f AS (
            SELECT source, count(*) AS docs,
              round(CASE WHEN sum(ws) > 0
                THEN CAST(sum(bpe) AS DOUBLE) / sum(ws) ELSE 0.0 END, 9) AS fertility
-           FROM (SELECT source,
-               CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
-                 t -> len(t) > 0)) AS BIGINT) AS ws,
-               CAST(len(regexp_extract_all(lower(text),
-                 '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS bpe
-             FROM documents) GROUP BY source
+           FROM cnt GROUP BY source
          ), b AS (
            SELECT source, docs,
              CAST(round(fertility * 1e9) AS BIGINT) AS c9
@@ -4033,11 +4117,11 @@ object SparkEntry {
          FROM wf, z ORDER BY source""",
 
     "q_pad_waste" ->
-      """WITH toks AS (
+      s"""WITH $charClassCte,
+         toks AS (
            SELECT CAST(doc_id AS BIGINT) AS id,
-             CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
-               t -> len(t) > 0)) AS BIGINT) AS toks
-           FROM documents WHERE doc_id IS NOT NULL
+             coalesce(ws, 0) AS toks
+           FROM cnt WHERE doc_id IS NOT NULL
          ), arr AS (
            SELECT 'arrival' AS strategy,
              (row_number() OVER (ORDER BY id) - 1) // 8 AS batch, toks FROM toks
@@ -4064,43 +4148,117 @@ object SparkEntry {
          WHERE rn <= 20
          ORDER BY source, doc_id""",
 
-    // Script report: per-class counts via the length-minus-replaced
-    // identity over EXPLICIT code-point ranges (RE2 \x{...} spelling;
-    // never \p classes, whose membership differs across engines).
+    // Script report: per-class counts via per-character unicode()
+    // code-point classification — regex-FREE (r11; the
+    // length-minus-regexp_replace identity was one of the quarantined
+    // red-family constructs). Same explicit ranges as the Spark side:
+    // ASCII letters 65-90/97-122, digits 48-57, Cyrillic 1024-1279,
+    // Greek 880-1023, CJK 19968-40959, whitespace {9,10,11,12,13,32}.
     "q_text_scripts" ->
-      """SELECT source, lang, count(*) AS docs,
-           sum(CAST(length(text) AS BIGINT)) AS chars,
-           sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)) AS latin,
-           sum(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)) AS digit,
-           sum(CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT)) AS cyrillic,
-           sum(CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03ff}]', '', 'g')) AS BIGINT)) AS greek,
-           sum(CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT)) AS cjk,
-           sum(CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT)) AS whitespace,
-           sum(CAST(length(text) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{0370}-\x{03ff}]', '', 'g')) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT))
-             - sum(CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT))
-             AS other,
-           round(CASE WHEN sum(CAST(length(text) AS BIGINT)) > 0
-             THEN CAST(sum(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)) AS DOUBLE)
-               / sum(CAST(length(text) AS BIGINT)) ELSE 0.0 END, 9) AS latin_ratio
-         FROM documents GROUP BY source, lang
+      """WITH cp AS (
+           SELECT source, lang,
+             CAST(length(text) AS BIGINT) AS n,
+             list_transform(string_split(text, ''), c -> unicode(c)) AS u
+           FROM documents
+         ), per AS (
+           SELECT source, lang, n,
+             CAST(len(list_filter(u, x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122))) AS BIGINT) AS latin,
+             CAST(len(list_filter(u, x -> x BETWEEN 48 AND 57)) AS BIGINT) AS digit,
+             CAST(len(list_filter(u, x -> x BETWEEN 1024 AND 1279)) AS BIGINT) AS cyrillic,
+             CAST(len(list_filter(u, x -> x BETWEEN 880 AND 1023)) AS BIGINT) AS greek,
+             CAST(len(list_filter(u, x -> x BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk,
+             CAST(len(list_filter(u, x -> x IN (9,10,11,12,13,32))) AS BIGINT) AS whitespace
+           FROM cp)
+         SELECT source, lang, count(*) AS docs, sum(n) AS chars,
+           sum(latin) AS latin, sum(digit) AS digit,
+           sum(cyrillic) AS cyrillic, sum(greek) AS greek,
+           sum(cjk) AS cjk, sum(whitespace) AS whitespace,
+           sum(n) - sum(latin) - sum(digit) - sum(cyrillic)
+             - sum(greek) - sum(cjk) - sum(whitespace) AS other,
+           round(CASE WHEN sum(n) > 0
+             THEN CAST(sum(latin) AS DOUBLE) / sum(n) ELSE 0.0 END, 9) AS latin_ratio
+         FROM per GROUP BY source, lang
          ORDER BY source, lang""",
 
     // Integers-only diagnostic twin of q_fertility: no DOUBLE column at
     // all, so a red here localizes any residual cross-engine divergence
     // to a specific BIGINT count column in CORRECTNESS artifacts.
     "q_fertility_counts" ->
-      """SELECT source, lang, count(*) AS docs,
-           sum(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
-             t -> len(t) > 0)) AS BIGINT)) AS ws_tokens,
-           sum(CAST(len(regexp_extract_all(lower(text),
-             '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS BIGINT)) AS bpe_tokens
-         FROM documents GROUP BY source, lang
+      s"""WITH $charClassCte
+         SELECT source, lang, count(*) AS docs,
+           sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+         FROM cnt GROUP BY source, lang
          ORDER BY source, lang""",
+
+    // ---- r11 single-variable bisect probes for the r8-r10 driver-red
+    // corpus-statistics family (VERDICT r10 item 1). Decision tree:
+    //   rewritten reds green + agree sentinels green -> regex constructs
+    //     were innocent locally but something env-specific cleared;
+    //   rewritten reds green + an agree sentinel RED -> the driver's
+    //     DuckDB regex construct named by that sentinel self-disagrees
+    //     with the per-char-class truth (oracle construct at fault);
+    //   rewritten reds still red -> Spark-vs-DuckDB divergence survives
+    //     the oracle rewrite; q_diag_ws_hist flips it into visible
+    //     rows/oracle_rows fields, q_diag_ws_sql isolates the
+    //     TextStatsExpr kernel vs stock Spark SQL, q_diag_fert_source
+    //     isolates the (source,lang) grouping vs the green
+    //     q_mixture_reweight's source-only grouping.
+    // Each sentinel emits rows ONLY where the two DuckDB constructs
+    // disagree; the Spark side is the matching EMPTY frame, so a red
+    // shows up as oracle_rows > 0 with the disagreement count visible
+    // in the artifact.
+    "q_diag_agree_ws" ->
+      s"""WITH $charClassCte,
+         a AS (SELECT sum($wsTokensRegexSql) AS v FROM documents),
+         b AS (SELECT sum(ws) AS v FROM cnt)
+         SELECT 'ws_split_regex' AS construct,
+           CAST(a.v AS BIGINT) AS regex_total, CAST(b.v AS BIGINT) AS charclass_total
+         FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
+    "q_diag_agree_bpe" ->
+      s"""WITH $charClassCte,
+         a AS (SELECT sum($bpeTokensRegexSql) AS v FROM documents),
+         b AS (SELECT sum(bpe) AS v FROM cnt)
+         SELECT 'bpe_extract_all' AS construct,
+           CAST(a.v AS BIGINT) AS regex_total, CAST(b.v AS BIGINT) AS charclass_total
+         FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
+    "q_diag_agree_latin" ->
+      """WITH a AS (
+           SELECT sum(CAST(length(text) -
+             length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)) AS v
+           FROM documents),
+         b AS (
+           SELECT sum(CAST(len(list_filter(
+             list_transform(string_split(text, ''), c -> unicode(c)),
+             x -> (x BETWEEN 65 AND 90) OR (x BETWEEN 97 AND 122))) AS BIGINT)) AS v
+           FROM documents)
+         SELECT 'latin_regexp_replace' AS construct,
+           CAST(a.v AS BIGINT) AS regex_total, CAST(b.v AS BIGINT) AS charclass_total
+         FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
+    // Per-doc ws-token HISTOGRAM: any per-doc divergence changes the
+    // distinct count-value set, flipping rows_match / oracle_rows —
+    // fields that ARE visible in CORRECTNESS artifacts (hash_match is
+    // only a boolean).
+    "q_diag_ws_hist" ->
+      s"""WITH $charClassCte
+         SELECT ws AS ws_tokens, count(*) AS n_docs
+         FROM cnt GROUP BY ws ORDER BY ws""",
+    // Stock-Spark-SQL twin of the ws_tokens sum (no TextStatsExpr
+    // kernel anywhere): a green/red split against q_fertility_counts
+    // isolates the custom kernel from the engine.
+    "q_diag_ws_sql" ->
+      s"""WITH $charClassCte
+         SELECT source, lang, sum(ws) AS ws_tokens
+         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
+    // Source-only grouping twin (kernel + ratio, same machinery as the
+    // red q_fertility but grouped like the GREEN q_mixture_reweight's
+    // fertility CTE): isolates the grouping dimension.
+    "q_diag_fert_source" ->
+      s"""WITH $charClassCte
+         SELECT source, count(*) AS docs,
+           sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+           round(CASE WHEN sum(ws) > 0
+             THEN CAST(sum(bpe) AS DOUBLE) / sum(ws) ELSE 0.0 END, 9) AS fertility
+         FROM cnt GROUP BY source ORDER BY source""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
     "q_hybrid_search" ->
       s"""WITH bm AS (${bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75)}),

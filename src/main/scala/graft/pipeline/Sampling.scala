@@ -338,14 +338,24 @@ object Sampling {
     // long, the doc-weighted mean as a 12dp-scaled long via floor
     // division of positives (identical in every engine), excess as their
     // exact integer difference — so exp() sees bit-identical doubles on
-    // both sides. The scaled numerator bounds the gauge at ~1e15 doc·cost
-    // mass (comment-enforced; pre-aggregate coarser slices beyond that).
+    // both sides. The scaled numerator bounds the gauge at ~9.2e15
+    // doc·cost mass; past that `__snum * 1000` would wrap silently in
+    // non-ANSI long arithmetic while the DuckDB oracle's BIGINT cast
+    // errors loudly, so the bound is RUNTIME-enforced here with
+    // assert_true (evaluated in-plan on the 1-row aggregate — the
+    // filter on the null-returning check column forces it) to make
+    // overflow equally loud on the Spark side.
     val base = perGroup
       .withColumn("__docs", docsCol.cast("long"))
       .withColumn("__c9", round(costCol * lit(1e9)).cast("long"))
     val tot = base.agg(
-      sum(col("__docs")).as("__t_docs"),
-      sum(col("__docs") * col("__c9")).as("__snum"))
+        sum(col("__docs")).as("__t_docs"),
+        sum(col("__docs") * col("__c9")).as("__snum"))
+      .withColumn("__chk", expr(
+        "assert_true(abs(__snum) < 9223372036854775L, " +
+          "'mixtureReweight: |sum(docs*cost9)| exceeds the exact-long " +
+          "budget (~9.2e15); pre-aggregate coarser slices')"))
+      .filter(col("__chk").isNull).drop("__chk")
     val withF = base.crossJoin(broadcast(tot))
       .withColumn("__mean12",
         expr("(__snum * 1000L + __t_docs div 2L) div __t_docs"))
