@@ -51,6 +51,13 @@ object BenchProbe {
 
   private def parent(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_PROBE_ONLY=q_a,q_b probes just those queries (e.g. the
+    // sf1 rehearsal's separate q_embed_knn measurement) and does NOT
+    // overwrite the standing BENCH_PROBE.json artifact
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cohort = only.fold(Cohort)(o => Cohort.filter(o) ++
+      o.filterNot(Cohort.contains).toSeq.sorted)
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = sys.props("java.class.path")
     // reconstruct the forked-run JVM flags (build.sbt javaOptions): the
@@ -60,7 +67,7 @@ object BenchProbe {
         .getInputArguments.toArray.map(_.toString).toSeq
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-modules") ||
           a.startsWith("-Xmx") || a.startsWith("-D"))
-    val results = Cohort.map { name =>
+    val results = cohort.map { name =>
       val cmd = (Seq(javaBin) ++ jvmFlags ++ Seq("-cp", cp, "graft.BenchProbe", name))
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
@@ -83,7 +90,8 @@ object BenchProbe {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"probe_total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","isolation":"jvm-per-query","samples":"min-of-3"}"""
     println(json)
-    Files.writeString(Paths.get("BENCH_PROBE.json"), json + "\n")
+    if (only.isEmpty)
+      Files.writeString(Paths.get("BENCH_PROBE.json"), json + "\n")
   }
 
   private def child(name: String): Unit = {

@@ -2752,9 +2752,10 @@ object SparkEntry {
     }),
 
     // ---- B-picture tier of q_video_mpeg: every clip carries at least one
-    //      B picture (dual references, interpolated MC, B-type VLC); full
-    //      decode of the actual bytes gates the executor-side codec
-    //      plumbing, the metadata oracle replays the planted id functions
+    //      B picture (dual references, interpolated MC, B-type VLC). This
+    //      row gates the HEADER/STARTCODE plumbing only (decodeMpegVideos
+    //      scans, it does not decode pixels); the full B-path pixel
+    //      decode is driver-gated by q_video_mpeg_b_decode below.
     "q_video_mpeg_b" -> ((s, dir) => {
       val mm = graft.pipeline.Multimodal
       val vids = mm.fabricateMpegVideosB(
@@ -2763,6 +2764,21 @@ object SparkEntry {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // ---- FULL B-stream pixel decode (r11, ADVICE r10): Mpeg1.decode
+    //      runs over every clip's actual bytes on the executors — a
+    //      VLC desync, wrong reference slot or broken interpolated MC
+    //      throws or miscounts, so the planted frame-count/geometry
+    //      oracle certifies the decode itself, not the header echo
+    "q_video_mpeg_b_decode" -> ((s, dir) => {
+      val mm = graft.pipeline.Multimodal
+      val vids = mm.fabricateMpegVideosB(
+        T(s, dir, "documents").filter(col("doc_id") < 150), "doc_id")
+      mm.decodeMpegFrameStats(vids)
+        .select(col("media_id"), col("frames_decoded"), col("frame_w"),
+          col("frame_h"), col("dims_consistent"))
         .orderBy("media_id")
     }),
 
@@ -3036,6 +3052,46 @@ object SparkEntry {
         .select(col("doc_id"), col("overlap"))
         .filter(col("overlap") >= 1)
         .orderBy("doc_id")
+    }),
+
+    // ---- third REAL streaming driver row (r11): the watermarked
+    //      STREAM-STREAM interval join — the one streaming path that was
+    //      still spec-pinned only. Events and hourly marks both arrive as
+    //      file-source streams; each event joins the same-type marks
+    //      whose timestamp lies within [ts - 1 hour, ts]. Watermarks on
+    //      BOTH sides plus the time-range join condition are what let
+    //      Spark expire join state — the requirement for running this
+    //      unbounded. Oracle: the identical range predicate in plain SQL.
+    "q_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      // LTZ event time (watermarks reject NTZ); session tz is UTC so the
+      // instant is unchanged, and the dumped mts is cast back to NTZ
+      val ev = T(s, dir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("ts").cast(TimestampType).as("ts"))
+      val marks = T(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast(TimestampType).as("mts"))
+        .agg(dsum(col("value")).as("mark_total"))
+      val tmpE = java.nio.file.Files.createTempDirectory("graft_stream_ije").toString
+      val tmpM = java.nio.file.Files.createTempDirectory("graft_stream_ijm").toString
+      ev.write.mode("overwrite").parquet(tmpE)
+      marks.write.mode("overwrite").parquet(tmpM)
+      val srcE = s.readStream.schema(ev.schema).parquet(tmpE)
+      val srcM = s.readStream.schema(marks.schema).parquet(tmpM)
+      val out = graft.streaming.EventStream.intervalJoinMarks(
+        srcE, srcM, "event_type", tolerance = "1 hour")
+      val qname = "graft_stream_ij_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("event_id"), col("mts").cast("timestamp_ntz").as("mts"),
+          col("mark_total"))
+        .orderBy("event_id", "mts")
     }),
 
     "q_sessionize" -> ((s, dir) => {
@@ -3393,7 +3449,8 @@ object SparkEntry {
     * Spark side must reproduce this through an actual Structured
     * Streaming execution. */
   private def streamNearDupOracle(numHashes: Int, bands: Int,
-                                  threshold: Double): String = {
+                                  threshold: Double,
+                                  maxBucket: Int = 1000): String = {
     val r = numHashes / bands
     val sigs = (0 until numHashes).map { i =>
       s"""list_min(list_transform(s, x ->
@@ -3427,8 +3484,19 @@ object SparkEntry {
          sg AS (SELECT side, doc_id, s,
            $sigs
            FROM f),
-         bd AS (
+         bd0 AS (
            $bandSelects
+         ), bd AS (
+           -- mirror nearDupScreenStreamMd5's STATIC-side bucket cap
+           -- (maxBucket=$maxBucket, smallest hist ids win): without this
+           -- the Spark stream and the oracle diverge silently on any
+           -- band bucket larger than the cap
+           SELECT side, doc_id, band, key FROM (
+             SELECT side, doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key, side
+                 ORDER BY doc_id) AS rn
+             FROM bd0)
+           WHERE side = 'n' OR rn <= $maxBucket
          ), cand AS (
            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
            FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
@@ -3936,7 +4004,10 @@ object SparkEntry {
     """cls AS (
          SELECT source, lang, doc_id,
            list_transform(string_split(lower(text), ''),
-             c -> CASE WHEN unicode(c) BETWEEN 97 AND 122 THEN 'a'
+             -- unicode('') = -1: string_split('','') yields [''], which
+             -- must classify as a non-token (class 's'), not 'other'
+             c -> CASE WHEN unicode(c) < 0 THEN 's'
+                       WHEN unicode(c) BETWEEN 97 AND 122 THEN 'a'
                        WHEN unicode(c) BETWEEN 48 AND 57 THEN 'd'
                        WHEN unicode(c) IN (9,10,11,12,13,32) THEN 's'
                        ELSE 'o' END) AS cl
@@ -5231,6 +5302,20 @@ object SparkEntry {
          FROM corpus c JOIN probe p USING (g)
          GROUP BY 1 HAVING count(*) >= 1
          ORDER BY doc_id""",
+    // Stream-stream interval join: the same [ts - 1h, ts] range
+    // predicate as the streaming query, in plain SQL over the same
+    // hourly mark aggregate (the q_asof_join mark recipe).
+    "q_stream_interval_join" ->
+      """WITH marks AS (
+           SELECT event_type, date_trunc('hour', ts) AS mts,
+                  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS mark_total
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+         SELECT e.event_id, m.mts, m.mark_total
+         FROM events e JOIN marks m
+           ON e.event_type = m.event_type
+          AND m.mts >= e.ts - INTERVAL 1 HOUR
+          AND m.mts <= e.ts
+         ORDER BY event_id, mts""",
     "q_dedup_jaccard" ->
       """WITH d AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
@@ -6182,6 +6267,16 @@ object SparkEntry {
            CAST(16 * (doc_id % 3 + 1) AS INT) AS width,
            CAST(16 * (doc_id % 2 + 1) AS INT) AS height,
            (3 + doc_id % 3) * 40 AS duration_ms
+         FROM documents WHERE doc_id < 150 ORDER BY media_id""",
+    // Full pixel decode of the B streams: frame count and geometry come
+    // from the DECODED frames (display order = planted order), so the
+    // planted id functions certify every picture survived its decode.
+    "q_video_mpeg_b_decode" ->
+      """SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 3 AS INT) AS frames_decoded,
+           CAST(16 * (doc_id % 3 + 1) AS INT) AS frame_w,
+           CAST(16 * (doc_id % 2 + 1) AS INT) AS frame_h,
+           true AS dims_consistent
          FROM documents WHERE doc_id < 150 ORDER BY media_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -208,25 +208,80 @@ object WarpOps {
       val plain = orders.map(o =>
         if (o.numeric) o.expr.cast("double") else o.expr.cast("string"))
 
-      // ---- bounded action A: representative key tuple per range bucket.
-      // Any in-bucket value works as a split point (correctness holds for
-      // arbitrary monotone boundaries; range buckets make them near-
-      // quantiles, so no final bucket exceeds ~2/buckets of the rows).
-      val repCols = plain.zipWithIndex.map { case (c, i) => c.as(s"__rk_k$i") }
-      val reps = df.select(repCols: _*)
-        .repartitionByRange(buckets, keys: _*)
-        .withColumn("__rk_pid", spark_partition_id())
-        .groupBy("__rk_pid")
-        .agg(first(col("__rk_k0")).as("__rk_k0"),
-          plain.indices.tail.map(i => first(col(s"__rk_k$i")).as(s"__rk_k$i")): _*)
-        .orderBy("__rk_pid")
-        .collect()
+      // ---- bounded action A (r11): split points from a DETERMINISTIC
+      // hash-sample of the key projection — narrow key-only scans, no
+      // `repartitionByRange` shuffle of the full key set (that shuffle
+      // was ~half of q_rank's toy-scale cost in the r10 probe).
+      // Correctness holds for ARBITRARY monotone boundaries (bucket id =
+      // count of boundaries at-or-before the key), so sample coarseness
+      // only affects bucket EVENNESS, never values. Sampling keys on
+      // xxhash64 of the key tuple is deterministic in the data —
+      // independent of partitioning, RNG seeds, and exchange reuse.
+      //
+      // Scan 1 piggybacks a 1-per-2^20 coarse sample onto the row count
+      // (bounded: ~n/2^20 keys reach the driver — ~100k at 10^11 rows).
+      // If the coarse sample is too thin for `buckets` quantiles (any
+      // sub-10^8-row input), scan 2 re-samples at rate ~64*buckets/n,
+      // collecting ≤ ~64 keys per bucket. Both scans prune to the key
+      // columns only.
+      val keyStruct = struct(plain.zipWithIndex.map { case (c, i) =>
+        c.as(s"k$i") }: _*)
+      def hashSample(mod: Long) =
+        when(pmod(xxhash64(plain: _*), lit(mod)) === 0L, keyStruct)
+      val probe = df.agg(count(lit(1)).as("__rk_n"),
+        collect_list(hashSample(1L << 20)).as("__rk_s")).head()
+      val n = probe.getLong(0)
+      val coarse = probe.getSeq[org.apache.spark.sql.Row](1)
+      val targetSamples = 64L * buckets
+      val sampled: Seq[org.apache.spark.sql.Row] =
+        if (n == 0L) Seq.empty
+        else if (coarse.size >= 4 * buckets) coarse
+        else {
+          val r = math.max(1L, n / targetSamples)
+          df.select(hashSample(r).as("__rk_s"))
+            .where(col("__rk_s").isNotNull)
+            .collect().map(_.getStruct(0)).toSeq
+        }
+      // driver-side sort under the Order collation (asc = nulls first /
+      // NaN last, desc = the exact reverse — matching Spark's window
+      // ordering), then buckets-1 evenly spaced split points
+      val rowOrd: Ordering[org.apache.spark.sql.Row] =
+        (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) => {
+          var i = 0; var c = 0
+          while (c == 0 && i < orders.size) {
+            val (x, y) = (a.get(i), b.get(i))
+            val base =
+              if (x == null && y == null) 0
+              else if (x == null) -1
+              else if (y == null) 1
+              else (x, y) match {
+                case (dx: java.lang.Double, dy: java.lang.Double) =>
+                  java.lang.Double.compare(dx, dy) // NaN greatest, like Spark
+                case (sx: String, sy: String) => sx.compareTo(sy)
+                case _ => 0
+              }
+            c = if (orders(i).ascending) base else -base
+            i += 1
+          }
+          c
+        }
+      val sorted = sampled.sorted(rowOrd)
       val bounds: Seq[Seq[Any]] =
-        reps.toSeq.map(r => plain.indices.map(i => r.get(r.fieldIndex(s"__rk_k$i"))))
+        if (sorted.isEmpty) Seq.empty
+        else (1 until buckets).map { b =>
+          val idx = math.min(((b.toLong * sorted.size) / buckets).toInt,
+            sorted.size - 1)
+          plain.indices.map(i => sorted(idx).get(i))
+        }.distinct
 
       // "row key strictly-before boundary" under the Order collation
       // (asc = nulls first, desc = nulls last), boundary values embedded
-      // as typed literals
+      // as typed literals. NaN keys/boundaries are safe: Spark SQL's
+      // <, > and <=> on doubles use the SQL collation (NaN greater than
+      // every number, NaN <=> NaN true — NOT Java float semantics), so
+      // bucket ids stay monotone with the window ordering even when the
+      // sample picks a NaN split point (pinned by the PropertySpec
+      // nan-mix law).
       def blit(v: Any, o: Order): Column = {
         val t = if (o.numeric) "double" else "string"
         if (v == null) lit(null).cast(t) else lit(v).cast(t)

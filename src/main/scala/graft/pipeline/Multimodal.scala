@@ -1028,6 +1028,34 @@ object Multimodal {
         if (fps == 0.0) 0L else math.round(frames * 1000.0 / fps))
     }
 
+  /** FULL-decode gate for MPEG-1 payloads: run [[Mpeg1.decode]] over the
+    * actual bytes — every picture (I, P and B) must survive its VLC /
+    * motion-compensation / reference-ordering path to be counted — and
+    * report the decoded frame count and frame geometry. Unlike
+    * [[decodeMpegVideos]] (a header + startcode scan) this decodes
+    * pixels, and a malformed bitstream FAILS the row rather than echoing
+    * the header, so it gates the executor-side codec itself (ADVICE r10:
+    * the B-picture decode paths previously had no oracle-checked row). */
+  def decodeMpegFrameStats(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields.toSeq ++ Seq(
+      StructField("frames_decoded", IntegerType),
+      StructField("frame_w", IntegerType),
+      StructField("frame_h", IntegerType),
+      StructField("dims_consistent", BooleanType)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val frames = Mpeg1.decode(bytes) // no catch: corrupt must fail loudly
+        val dims = frames.map(f => (f.w, f.h)).distinct
+        Row.fromSeq(r.toSeq ++ Seq(frames.length,
+          if (dims.isEmpty) 0 else dims.head._1,
+          if (dims.isEmpty) 0 else dims.head._2,
+          dims.size <= 1))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Box-average resample of an Int plane to `gw`×`gh`, in [0,1]. */
   private def planeGrid(p: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Array[Float] = {
     val out = new Array[Float](gw * gh)

@@ -210,6 +210,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankDistributed law 2: bucket-boundary edges — counts {1,2,31,257} × dup-heavy/all-null/NaN double keys") {
+    // the r11 fuzz demanded by VERDICT r10 item 7, widened with NaN sort
+    // keys (ADVICE r10: a NaN boundary must keep bucket ids monotone
+    // with the asc-nulls-first/NaN-last window collation). Key domain is
+    // DOUBLE with mass on exact duplicates, nulls and NaN; bucket counts
+    // straddle the row count on both sides.
+    import org.apache.spark.sql.functions._
+    import graft.ops.WarpOps._
+    import graft.ops.WarpOps.RunningAgg._
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.choose(1, 120)
+      mode <- Gen.oneOf("dup-heavy", "all-null", "nan-mix", "plain")
+      rows <- Gen.listOfN(n, for {
+        k <- mode match {
+          case "dup-heavy" => Gen.oneOf(Some(1.0), Some(1.0), Some(2.0), Some(2.0), Some(3.0))
+          case "all-null"  => Gen.const(None)
+          case "nan-mix"   => Gen.oneOf(Some(Double.NaN), Some(Double.NaN),
+            Some(1.5), Some(-2.0), None)
+          case _           => Gen.option(Gen.choose(-5, 5).map(_.toDouble))
+        }
+        v <- Gen.option(Gen.choose(-50, 50))
+      } yield (k, v))
+    } yield (mode, rows)
+    val bucketCounts = Seq(1, 2, 31, 257)
+    for (((mode, rows), ci) <- samples(genCase, 12).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((k, v), i) =>
+        (i, k.map(java.lang.Double.valueOf).orNull,
+          v.map(x => java.lang.Double.valueOf(x.toDouble)).orNull)
+      }.toDF("id", "k", "v")
+      val orders = Seq(Order(col("k")), Order(col("id")))
+      val slow = df.rank(Seq(
+        "rn" -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
+          count(lit(1)).over(w)),
+        "run" -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
+          sum(col("v").cast("decimal(20,6)")).over(w)),
+        "mx" -> ((w: org.apache.spark.sql.expressions.WindowSpec) =>
+          max(col("v")).over(w))), orders).collect()
+        .map(r => r.getInt(0) -> (r.get(3), r.get(4), r.get(5))).toMap
+      val buckets = bucketCounts(ci % bucketCounts.size)
+      val fast = df.rankDistributed(
+        Seq(RCount("rn"), RSum("run", col("v").cast("decimal(20,6)")),
+          RMax("mx", col("v"))), orders, buckets).collect()
+        .map(r => r.getInt(0) -> (r.get(3), r.get(4), r.get(5))).toMap
+      assert(slow.keySet == fast.keySet, s"case $ci ($mode, b=$buckets) ids")
+      for (id <- slow.keys)
+        assert(slow(id) == fast(id),
+          s"case $ci ($mode, b=$buckets) row $id: ${slow(id)} vs ${fast(id)}")
+    }
+  }
+
   test("nested pack/unpack round-trip survives $0/$1 escape collisions (1000 cases)") {
     // the adversarial alphabet concentrates on the escape metacharacters
     // themselves ($, 0, 1, comma and pre-escaped fragments), so double
