@@ -176,11 +176,16 @@ object WarpOps {
       * recipe (`Sampling.withRunningTokens` / the `Classifier` rank-sum
       * shape) lifted onto an ORDERED bucketing:
       *
-      *  1. bounded action A: one representative key tuple per range bucket
-      *     (a NARROW key-only `repartitionByRange` job, `buckets` rows
-      *     collected) — these become LITERAL split points, so bucket
-      *     assignment is a pure deterministic function of the row's key
-      *     (no dependence on exchange reuse or range-sampler seeds);
+      *  1. bounded action A: split points from a deterministic xxhash64
+      *     sample of the key projection (r11 — one narrow count+sample
+      *     scan, plus one refine scan when the input is under ~10^8 rows;
+      *     no shuffle). The sampled keys are quantile-split on the driver
+      *     and embedded as LITERAL split points, so bucket assignment is
+      *     a pure deterministic function of the row's key (no dependence
+      *     on exchange reuse or range-sampler seeds). Sample coarseness
+      *     affects bucket EVENNESS only — correctness holds for arbitrary
+      *     monotone boundaries. Callers with expensive upstream plans
+      *     should cache `df`: the recipe scans it up to four times;
       *  2. bounded action B: per-bucket aggregate totals (scan +
       *     map-side combine, `buckets` rows collected), prefix-combined
       *     on the driver into per-bucket OFFSETS;
