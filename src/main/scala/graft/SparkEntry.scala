@@ -3067,15 +3067,17 @@ object SparkEntry {
       // LTZ event time (watermarks reject NTZ); session tz is UTC so the
       // instant is unchanged, and the dumped mts is cast back to NTZ.
       // Bounded fixture (the q_stream_neardup discipline): event_id <
-      // 100000 keeps every row at the sf0.01/sf0.1 gate scales and caps
-      // the sf1 REHEARSAL at the original copy — this row gates
-      // stream-stream join semantics, not state-store throughput (the
-      // first sf1 pass paid 307 s writing 1M rows through the
-      // HDFS-backed store + memory sink; a cluster runs RocksDB).
+      // 20000 keeps EVERY row at the sf0.01 gate scale (ids 0-9999) and
+      // caps the sf0.1/sf1 REHEARSALS at 20k events — this row gates
+      // stream-stream join semantics (inclusive bounds, tolerance
+      // window, multi-mark events, watermarking), not state-store
+      // throughput (an unbounded first cut paid 307 s at sf1 writing 1M
+      // rows through the single-box HDFS-backed store + memory sink; a
+      // cluster runs RocksDB).
       val ev = T(s, dir, "events")
         .select(col("event_id").cast("long").as("event_id"),
           col("event_type"), col("ts").cast(TimestampType).as("ts"))
-        .filter(col("event_id") < 100000L)
+        .filter(col("event_id") < 20000L)
       val marks = T(s, dir, "events")
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).cast(TimestampType).as("mts"))
@@ -5322,7 +5324,7 @@ object SparkEntry {
            ON e.event_type = m.event_type
           AND m.mts >= e.ts - INTERVAL 1 HOUR
           AND m.mts <= e.ts
-         WHERE e.event_id < 100000
+         WHERE e.event_id < 20000
          ORDER BY event_id, mts""",
     "q_dedup_jaccard" ->
       """WITH d AS (
