@@ -69,8 +69,11 @@ object Graph {
       .localCheckpoint(true)
     val nodes = e.select(col("__src").as("__n"))
       .union(e.select(col("__dst"))).distinct().localCheckpoint(true)
+    // out-degree is loop-invariant: materialize it once instead of
+    // re-aggregating the edge table inside every round's checkpoint job
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
     try {
-      val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
       val n = nodes.count()
       require(n > 0, "cannot rank an empty graph")
       var pr = nodes.withColumn("__pr", lit(1.0 / n))
@@ -107,7 +110,7 @@ object Graph {
         pr = next
       }
       pr.select(col("__n").as("node"), col("__pr").as(out))
-    } finally { e.unpersist(); nodes.unpersist(); () }
+    } finally { e.unpersist(); nodes.unpersist(); deg.unpersist(); () }
   }
 
   /** Semi-supervised label propagation (Zhu–Ghahramani with clamped
