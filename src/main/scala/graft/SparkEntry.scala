@@ -3141,6 +3141,57 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("started")).as("started_ms"),
           unix_millis(col("ended")).as("ended_ms"), col("events"))
         .orderBy("user_id", "started_ms")
+    }),
+
+    // ---- k-anonymity / l-diversity privacy audit: per-QI-group sizes,
+    //      sensitive-value diversity, compliance flags — one hash
+    //      aggregate on the quasi-identifier keys. QI = (nation, last
+    //      name digit); sensitive = market segment.
+    "q_anonymity" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+        .withColumn("qi_digit", substring(col("c_name"), -1, 1))
+      graft.pipeline.Privacy.anonymityReport(
+          c, Seq("c_nationkey", "qi_digit"), "c_mktsegment", k = 5, l = 3)
+        .orderBy("c_nationkey", "qi_digit")
+    }),
+
+    // ---- the enforcement pass: suppress rows in non-compliant QI
+    //      groups (left-semi join against the bounded compliant-key
+    //      aggregate), report per-nation survivor counts
+    "q_anonymity_suppress" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+        .withColumn("qi_digit", substring(col("c_name"), -1, 1))
+      graft.pipeline.Privacy.suppress(
+          c, Seq("c_nationkey", "qi_digit"), "c_mktsegment", k = 5, l = 3)
+        .groupBy("c_nationkey").agg(count(lit(1)).as("kept"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- deterministic multi-epoch training-order shuffle, SHARD-local
+    //      positions (no global window — the 100 TB layout): md5-keyed,
+    //      rand()-free, fully replayable by the oracle
+    "q_epoch_shuffle" -> ((s, dir) => {
+      graft.pipeline.Sampling.epochShuffle(
+          T(s, dir, "documents"), "doc_id", epochs = 3, shards = 8)
+        .orderBy("epoch", "shard", "pos")
+    }),
+
+    // ---- Count-Min sketch point estimates vs exact counts: md5-salted
+    //      row hashes, depth×width bounded counter table, min-over-rows
+    //      estimate (always >= exact); the overestimate column IS the
+    //      CMS error surface, hash-replayable end to end
+    "q_sketch_cms" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val counters = graft.pipeline.HeavyHitters.cmsCounters(
+        ev, col("event_type"), depth = 4, width = 32)
+      val est = graft.pipeline.HeavyHitters.cmsEstimate(
+        counters, ev, col("event_type"), depth = 4, width = 32)
+      val exact = ev.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type").cast("string").as("item"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("item"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy("item")
     })
   )
 
@@ -6802,6 +6853,74 @@ object SparkEntry {
          r AS (SELECT qid, id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)
-         SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id"""
+         SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+
+    "q_anonymity" ->
+      """SELECT c_nationkey, substr(c_name, -1, 1) AS qi_digit,
+           count(*) AS n,
+           count(DISTINCT c_mktsegment) AS n_sensitive,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT c_mktsegment) >= 3 AS l_diverse
+         FROM customer
+         GROUP BY c_nationkey, qi_digit
+         ORDER BY c_nationkey, qi_digit""",
+
+    "q_anonymity_suppress" ->
+      """WITH ok AS (
+           SELECT c_nationkey, substr(c_name, -1, 1) AS qi_digit
+           FROM customer
+           GROUP BY 1, 2
+           HAVING count(*) >= 5 AND count(DISTINCT c_mktsegment) >= 3
+         )
+         SELECT c.c_nationkey, count(*) AS kept
+         FROM customer c
+         JOIN ok ON ok.c_nationkey = c.c_nationkey
+                AND ok.qi_digit = substr(c.c_name, -1, 1)
+         GROUP BY c.c_nationkey
+         ORDER BY c.c_nationkey""",
+
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+         x AS (
+           SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+           FROM e CROSS JOIN documents d
+         ),
+         s AS (
+           SELECT epoch, doc_id, h,
+             CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+           FROM x
+         )
+         SELECT epoch, shard,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+             ORDER BY h, doc_id) AS INT) AS pos,
+           doc_id
+         FROM s ORDER BY epoch, shard, pos""",
+
+    "q_sketch_cms" ->
+      """WITH it AS (
+           SELECT CAST(event_type AS VARCHAR) AS item FROM events
+           WHERE event_type IS NOT NULL
+         ),
+         r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         cnt AS (
+           SELECT r.r,
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || it.item), 1, 8))
+               AS BIGINT) % 32 AS b,
+             count(*) AS cnt
+           FROM it CROSS JOIN r GROUP BY 1, 2
+         ),
+         q AS (SELECT DISTINCT item FROM it),
+         est AS (
+           SELECT q.item, min(coalesce(c.cnt, 0)) AS est
+           FROM q CROSS JOIN r
+           LEFT JOIN cnt c ON c.r = r.r AND c.b =
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || q.item), 1, 8))
+               AS BIGINT) % 32
+           GROUP BY q.item
+         ),
+         ex AS (SELECT item, count(*) AS exact FROM it GROUP BY item)
+         SELECT est.item, est.est, ex.exact, est.est - ex.exact AS overcount
+         FROM est JOIN ex USING (item) ORDER BY item"""
   )
 }

@@ -110,4 +110,50 @@ object HeavyHitters {
       .orderBy(col("cnt").desc, col("item").asc)
       .limit(n)
   }
+
+  /** Count-Min sketch counters (Cormode & Muthukrishnan 2005): `depth`
+    * hash rows × `width` buckets. Each occurrence increments one bucket
+    * per row; a point estimate is the MIN over its `depth` buckets — an
+    * upper bound on the true count (never under), with overestimate
+    * bounded by n/width per row w.h.p.
+    *
+    * Scale shape: one scan, items expanded ×depth (a small constant),
+    * then a hash aggregate whose OUTPUT is at most depth×width rows
+    * regardless of item cardinality — map-side partials absorb the
+    * per-partition mass, so the shuffle carries ≤ depth×width rows per
+    * task. That bounded-output property is the whole point: frequency
+    * state for an unbounded key space in a fixed, mergeable, broadcastable
+    * table. Hashes are md5-derived (row-salted), so any SQL engine
+    * reproduces the identical counter table.
+    */
+  def cmsCounters(df: DataFrame, valueCol: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(width >= 1 && width <= (1 << 20), s"width must be in [1, 2^20], got $width")
+    val r = explode(array((0 until depth).map(lit): _*)).as("r")
+    df.select(valueCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(col("item"), r)
+      .withColumn("b",
+        conv(substring(md5(concat_ws(":", col("r"), col("item"))), 1, 8), 16, 10)
+          .cast("long") % width)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a CMS counter table for a set of query items:
+    * min over the item's `depth` buckets (missing bucket = 0). The
+    * counter side is ≤ depth×width rows — broadcast — so estimating any
+    * number of query items is a map-side join, no shuffle of the queries.
+    */
+  def cmsEstimate(counters: DataFrame, queries: DataFrame, itemCol: Column,
+                  depth: Int, width: Int): DataFrame = {
+    val r = explode(array((0 until depth).map(lit): _*)).as("r")
+    queries.select(itemCol.cast("string").as("item")).distinct()
+      .select(col("item"), r)
+      .withColumn("b",
+        conv(substring(md5(concat_ws(":", col("r"), col("item"))), 1, 8), 16, 10)
+          .cast("long") % width)
+      .join(broadcast(counters), Seq("r", "b"), "left_outer")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -576,4 +576,35 @@ object Sampling {
       math.min(1.0, requiredN.toDouble / total.toDouble) * 4294967296.0).toLong
     df.filter(hashU32(col(idCol)) < cut)
   }
+
+  /** Deterministic multi-epoch training-order shuffle, shard-local.
+    *
+    * Training loaders want a different, reproducible document order per
+    * epoch. The naive shape — `ORDER BY md5(epoch || id)` with a global
+    * row_number — is a single-partition window and cannot run at corpus
+    * scale. The scale-correct shape (and how sharded training data is
+    * actually laid out) is per-SHARD order: each (epoch, id) hashes to a
+    * shard by one md5 bucket, then gets its position WITHIN the shard by
+    * row_number over the hash — a window partitioned by (epoch, shard),
+    * every partition bounded at ~rows/shards. The loader reads shards in
+    * shard order; concatenated per-shard orders form the epoch's schedule.
+    * Both hops are engine-portable md5 arithmetic — no `rand()` — so a SQL
+    * oracle reproduces the exact schedule.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   shards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 64, s"epochs must be in [1, 64], got $epochs")
+    require(shards >= 1 && shards <= (1 << 20), s"shards must be in [1, 2^20], got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val e = explode(array((0 until epochs).map(lit): _*)).as("epoch")
+    val h = md5(concat_ws(":", col("epoch"), col(idCol).cast("string")))
+    df.select(col(idCol)).select(col(idCol), e)
+      .withColumn("h", h)
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col(idCol))))
+      .select(col("epoch"), col("shard"), col("pos"), col(idCol))
+  }
 }

@@ -2449,4 +2449,59 @@ class PipelineSpec extends SparkSpec {
     assert(capped.filter(col("is_dup")).count() <= 8)
     assert(full.filter(col("is_dup")).count() == 60 - 2)
   }
+
+  test("anonymityReport: flags match brute-force group recount; suppress keeps exactly compliant rows") {
+    val c = sf("customer").withColumn("qi", substring(col("c_name"), -1, 1))
+    val rep = Privacy.anonymityReport(c, Seq("c_nationkey", "qi"), "c_mktsegment", 5, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    val brute = c.select("c_nationkey", "qi", "c_mktsegment").collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .map { case (k, rs) => k -> (rs.length.toLong, rs.map(_.getString(2)).distinct.length.toLong) }
+    assert(rep.keySet == brute.keySet)
+    brute.foreach { case (k, (n, d)) =>
+      assert(rep(k) == ((n, d, n >= 5, d >= 3)), s"group $k") }
+    val kept = Privacy.suppress(c, Seq("c_nationkey", "qi"), "c_mktsegment", 5, 3)
+    val expect = brute.collect { case (_, (n, d)) if n >= 5 && d >= 3 => n }.sum
+    assert(kept.count() == expect)
+    // every surviving row's group is compliant
+    val keptGroups = kept.select("c_nationkey", "qi").distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(keptGroups.forall(k => brute(k)._1 >= 5 && brute(k)._2 >= 3))
+  }
+
+  test("epochShuffle: per-(epoch,shard) positions are contiguous 1..n; each epoch is a permutation; epochs differ") {
+    val docs = sf("documents").limit(300)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 4).collect()
+    assert(out.length == ids.size * 2)
+    val byShard = out.groupBy(r => (r.getInt(0), r.getLong(1)))
+    byShard.foreach { case (k, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length), s"shard $k") }
+    (0 to 1).foreach { e =>
+      assert(out.filter(_.getInt(0) == e).map(_.getLong(3)).toSet == ids) }
+    // different epochs order docs differently (astronomically unlikely to tie)
+    def order(e: Int) = out.filter(_.getInt(0) == e)
+      .sortBy(r => (r.getLong(1), r.getInt(2))).map(_.getLong(3)).toSeq
+    assert(order(0) != order(1))
+  }
+
+  test("cms estimate is always >= exact, and == exact when width kills collisions") {
+    val ev = sf("events")
+    val exact = ev.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type").cast("string").as("item"))
+      .agg(count(lit(1)).as("exact"))
+    def run(width: Int) = {
+      val cs = HeavyHitters.cmsCounters(ev, col("event_type"), 4, width)
+      HeavyHitters.cmsEstimate(cs, ev, col("event_type"), 4, width)
+        .join(exact, Seq("item")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    val tight = run(8) // 8 buckets, ~8 items: collisions near-certain
+    assert(tight.nonEmpty && tight.forall { case (_, est, ex) => est >= ex })
+    val wide = run(1 << 16) // 65536 buckets: 4 independent rows each dodge collisions
+    assert(wide.forall { case (_, est, ex) => est == ex })
+    // counter table is bounded by depth*width regardless of input size
+    assert(HeavyHitters.cmsCounters(ev, col("event_type"), 4, 8).count() <= 32)
+  }
 }
