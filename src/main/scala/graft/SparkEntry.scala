@@ -3143,6 +3143,52 @@ object SparkEntry {
         .orderBy("user_id", "started_ms")
     }),
 
+    // ---- fourth REAL Structured Streaming driver row: per-user
+    //      sessionization through flatMapGroupsWithState (file source →
+    //      closed-session state op → memory sink, Trigger.AvailableNow).
+    //      A far-future end-of-stream SENTINEL event per user closes each
+    //      user's final real session (append mode emits sessions only when
+    //      a later-than-gap event arrives); the sentinel's own session
+    //      never closes, so the emitted set is EXACTLY the full session
+    //      list — which is what the oracle computes. Bounded fixture
+    //      (the q_stream_neardup discipline): event_id < 20000 keeps
+    //      every row at the sf0.01 gate scale.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      streamShuffle(s) {
+      import s.implicits._
+      val gapMs = 2L * 3600 * 1000
+      val sentinelMs = 4102444800000L // 2100-01-01, past any fixture event
+      val base = T(s, dir, "events")
+        .filter(col("event_id") < 20000L)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("ts").cast(TimestampType).as("ts"),
+          col("value").cast("double").as("value"))
+      val sentinels = base.select("user_id").distinct()
+        .withColumn("event_type", lit("__eos"))
+        .withColumn("ts", timestamp_millis(lit(sentinelMs)))
+        .withColumn("value", lit(0.0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess").toString
+      base.unionByName(sentinels).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(base.schema).parquet(tmp)
+        .as[graft.streaming.EventStream.Event]
+      val out = graft.streaming.EventStream
+        .sessionizeClosed(src, gapMs).toDF()
+        .filter(unix_millis(col("started")) < sentinelMs) // belt-and-braces
+      val qname = "graft_stream_sess_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("user_id"), unix_millis(col("started")).as("started_ms"),
+          unix_millis(col("ended")).as("ended_ms"), col("events"))
+        .orderBy("user_id", "started_ms")
+      }
+    }),
+
     // ---- k-anonymity / l-diversity privacy audit: per-QI-group sizes,
     //      sensitive-value diversity, compliance flags — one hash
     //      aggregate on the quasi-identifier keys. QI = (nation, last
@@ -6654,6 +6700,26 @@ object SparkEntry {
          SELECT a.user_id, a.started_ms, a.ended_ms, a.events
          FROM a JOIN l ON a.user_id = l.user_id AND a.sid < l.mx
          ORDER BY a.user_id, a.started_ms""",
+
+    // The streaming row's oracle is the SAME session construction over the
+    // bounded fixture, WITHOUT the last-session exclusion: the per-user
+    // sentinel closes every real session, so the stream emits all of them.
+    "q_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events
+                  WHERE event_id < 20000),
+         m AS (SELECT user_id, tms,
+                 CASE WHEN lag(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+                      OR tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) > 7200000
+                 THEN 1 ELSE 0 END AS ns
+               FROM e),
+         s AS (SELECT user_id, tms,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY tms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM m)
+         SELECT user_id, MIN(tms) AS started_ms, MAX(tms) AS ended_ms,
+           COUNT(*) AS events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, started_ms""",
     "q_embed_knn_gemm" ->
       """WITH b AS (SELECT vec_id, embedding,
            sqrt(list_reduce(list_transform(embedding,

@@ -126,6 +126,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeClosed + per-user EOS sentinel emits the COMPLETE session set") {
+    // the q_stream_sessionize driver-row contract: a far-future sentinel
+    // event per user closes each final real session; the sentinel's own
+    // session never closes, so output = every real session, exactly once
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sentinel = ts(1000000)
+    val query = EventStream.sessionizeClosed(input.toDS(), gapMs = 10 * 60 * 1000)
+      .filter(col("started") < lit(sentinel))
+      .writeStream.format("memory").queryName("closed_eos").outputMode("append").start()
+    try {
+      // user 1: two sessions; user 2: one session; out-of-order within batch
+      input.addData(
+        Event(1L, "a", ts(40), 1.0), Event(1L, "a", ts(0), 1.0),
+        Event(1L, "a", ts(5), 1.0), Event(2L, "b", ts(3), 2.0),
+        Event(1L, "eos", sentinel, 0.0), Event(2L, "eos", sentinel, 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("closed_eos").as[EventStream.Session].collect()
+        .sortBy(r => (r.user_id, r.started.getTime))
+      assert(rows.length == 3)
+      assert(rows(0).user_id == 1L && rows(0).events == 2L && rows(0).ended == ts(5))
+      assert(rows(1).user_id == 1L && rows(1).events == 1L && rows(1).started == ts(40))
+      assert(rows(2).user_id == 2L && rows(2).events == 1L)
+    } finally query.stop()
+  }
+
   test("dedupStream drops repeated keys within the watermark horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
