@@ -3189,6 +3189,35 @@ object SparkEntry {
       }
     }),
 
+    // ---- warehouse TIME TRAVEL: every mutation retires the pre-state
+    //      into the version history (rewrites by rename — zero extra
+    //      bytes; appends by hard link — metadata only). The row gates
+    //      readVersion at each point of a 3-version timeline plus the
+    //      cross-version diff — dataset reproducibility, the thing a
+    //      100 TB training pipeline needs from its corpus store.
+    "q_time_travel" -> ((s, dir) => {
+      val root = s"/tmp/graft_whv_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      wh.create("nation_v",
+        T(s, dir, "nation").calculate(Seq("flag" -> lit("old"))))
+      wh.update("nation_v", Map("n_regionkey" -> 2), "flag", "old", "new")
+      wh.deleteRows("nation_v",
+        Seq(Map("n_nationkey" -> 1), Map("n_nationkey" -> 2)))
+      val sigs = (1 to 3).map { v =>
+        wh.readVersion("nation_v", v)
+          .agg(count(lit(1)).as("n"),
+            count(when(col("flag") === "new", 1)).as("n_new"))
+          .withColumn("tag", lit(s"v$v"))
+      }.reduce(_ unionByName _)
+      val diff = wh.diffVersions("nation_v", 1, 3, Seq("n_nationkey"))
+        .groupBy(concat(lit("diff_"), col("diff_kind")).as("tag"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_new", lit(0L))
+      sigs.select("tag", "n", "n_new")
+        .unionByName(diff.select("tag", "n", "n_new"))
+        .orderBy("tag")
+    }),
+
     // ---- k-anonymity / l-diversity privacy audit: per-QI-group sizes,
     //      sensitive-value diversity, compliance flags — one hash
     //      aggregate on the quasi-identifier keys. QI = (nation, last
@@ -6920,6 +6949,36 @@ object SparkEntry {
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id) AS rn
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
+
+    "q_time_travel" ->
+      """WITH v1 AS (
+           SELECT n_nationkey, n_name, n_regionkey, 'old' AS flag FROM nation),
+         v2 AS (
+           SELECT n_nationkey, n_name, n_regionkey,
+             CASE WHEN n_regionkey = 2 THEN 'new' ELSE 'old' END AS flag
+           FROM v1),
+         v3 AS (SELECT * FROM v2 WHERE n_nationkey NOT IN (1, 2)),
+         sigs AS (
+           SELECT 'v1' AS tag, count(*) AS n,
+             count(CASE WHEN flag = 'new' THEN 1 END) AS n_new FROM v1
+           UNION ALL
+           SELECT 'v2', count(*),
+             count(CASE WHEN flag = 'new' THEN 1 END) FROM v2
+           UNION ALL
+           SELECT 'v3', count(*),
+             count(CASE WHEN flag = 'new' THEN 1 END) FROM v3),
+         d AS (
+           SELECT 'diff_changed' AS tag, count(*) AS n,
+             CAST(0 AS BIGINT) AS n_new
+           FROM v1 JOIN v3 ON v1.n_nationkey = v3.n_nationkey
+           WHERE v1.flag <> v3.flag OR v1.n_name <> v3.n_name
+              OR v1.n_regionkey <> v3.n_regionkey
+           UNION ALL
+           SELECT 'diff_removed', count(*), CAST(0 AS BIGINT)
+           FROM v1 WHERE n_nationkey NOT IN (SELECT n_nationkey FROM v3))
+         SELECT tag, n, n_new FROM sigs
+         UNION ALL SELECT tag, n, n_new FROM d
+         ORDER BY tag""",
 
     "q_anonymity" ->
       """SELECT c_nationkey, substr(c_name, -1, 1) AS qi_digit,

@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.StructType
 final class ParquetWarehouse(spark: SparkSession, root: String) {
 
   private def dir(table: String) = s"$root/$table"
+  private def historyDir(table: String) = s"$root/_history/$table"
 
   def exists(table: String): Boolean =
     new java.io.File(dir(table)).exists()
@@ -32,10 +33,79 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = spark.read.parquet(dir(table))
 
   /** alter(Schema) with a non-existing table = create (MutableData.swift:145). */
-  def create(table: String, df: DataFrame): Unit =
+  def create(table: String, df: DataFrame): Unit = {
+    delete(new java.io.File(historyDir(table))) // new table identity: no history
     df.write.mode("overwrite").parquet(dir(table))
+  }
 
-  def drop(table: String): Unit = delete(new java.io.File(dir(table)))
+  def drop(table: String): Unit = {
+    delete(new java.io.File(dir(table)))
+    delete(new java.io.File(historyDir(table)))
+  }
+
+  // ---- snapshot versioning (time travel) -------------------------------
+  //
+  // Every mutation retires the pre-mutation state into
+  // `_history/<table>/v<N>` instead of destroying it:
+  //  - rewrite-style mutations RENAME the old directory aside — the full
+  //    new copy was being written anyway, so retention is one directory
+  //    rename, zero extra bytes;
+  //  - append-style mutations HARD-LINK the current part files into the
+  //    snapshot — metadata-only, the bytes are shared between versions
+  //    (parquet part files are immutable once written, so sharing is safe).
+  // This is the flat-parquet equivalent of a table format's manifest
+  // versioning: old versions share unchanged files with new ones, and
+  // [[vacuum]] is the retention sweep that reclaims unreferenced bytes.
+  // The LIVE directory always holds exactly the current files, so direct
+  // directory readers (footer audits, pruned probes) see only version HEAD.
+
+  /** Retired version numbers available for [[readVersion]], ascending.
+    * The live table is version max+1 (or 1 if never mutated). */
+  def versions(table: String): Seq[Int] = {
+    val fs = new java.io.File(historyDir(table)).listFiles()
+    if (fs == null) Seq.empty
+    else fs.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toInt).sorted.toSeq
+  }
+
+  /** Version number of the live table state. */
+  def currentVersion(table: String): Int =
+    versions(table).lastOption.getOrElse(0) + 1
+
+  /** Read the table as of version `v` (1 = as created). The live version
+    * reads the live directory; retired versions read their snapshot. */
+  def readVersion(table: String, v: Int): DataFrame = {
+    val cur = currentVersion(table)
+    require(v >= 1 && v <= cur, s"version $v out of range [1, $cur] for $table")
+    if (v == cur) read(table)
+    else spark.read.parquet(s"${historyDir(table)}/v$v")
+  }
+
+  /** Drop all but the newest `keepLast` retired versions — the retention
+    * sweep. Bytes shared with the live table (hard links) survive; only
+    * exclusively-held bytes are reclaimed. */
+  def vacuum(table: String, keepLast: Int): Unit = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    versions(table).dropRight(keepLast).foreach { v =>
+      delete(new java.io.File(s"${historyDir(table)}/v$v"))
+    }
+  }
+
+  /** Snapshot the current live state as the next retired version by
+    * hard-linking its part files (fallback: copy, if the filesystem
+    * refuses links). Used by append-style mutations; rewrite-style
+    * mutations retire the whole directory by rename instead. */
+  private def snapshotByLink(table: String): Unit = {
+    val v = currentVersion(table)
+    val dst = new java.io.File(s"${historyDir(table)}/v$v")
+    dst.mkdirs()
+    dataFiles(table).foreach { f =>
+      val target = new java.io.File(dst, f.getName).toPath
+      try java.nio.file.Files.createLink(target, f.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f.toPath, target); () }
+    }
+  }
 
   def truncate(table: String): Unit = {
     val empty = spark.createDataFrame(
@@ -52,6 +122,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         col(s"`${f.name}`").cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+    snapshotByLink(table)
     aligned.write.mode("append").parquet(dir(table))
   }
 
@@ -65,6 +136,7 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
         case None      => lit(null).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
+    snapshotByLink(table)
     projected.write.mode("append").parquet(dir(table))
   }
 
@@ -193,9 +265,19 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * the smaller broadcasts). Returns the key columns plus `diff_kind`.
     */
   def diffTables(oldTable: String, newTable: String,
-                 keyCols: Seq[String]): DataFrame = {
+                 keyCols: Seq[String]): DataFrame =
+    diffFrames(read(oldTable), read(newTable), keyCols)
+
+  /** [[diffTables]] across the version history: what changed between two
+    * points in a table's mutation timeline ("which corpus rows moved
+    * between yesterday's training snapshot and today's?"). */
+  def diffVersions(table: String, oldV: Int, newV: Int,
+                   keyCols: Seq[String]): DataFrame =
+    diffFrames(readVersion(table, oldV), readVersion(table, newV), keyCols)
+
+  private def diffFrames(o: DataFrame, n: DataFrame,
+                         keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "diffTables needs key columns")
-    val o = read(oldTable); val n = read(newTable)
     require(o.columns.map(_.toLowerCase).sorted.sameElements(
       n.columns.map(_.toLowerCase).sorted),
       s"schemas differ: ${o.columns.toSeq} vs ${n.columns.toSeq}")
@@ -255,7 +337,9 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 
   /** copy-on-write rewrite with staging-dir swap. Rename results are
     * CHECKED: a failed swap must surface as an error, never silently drop
-    * the mutation or lose the table. */
+    * the mutation or lose the table. The displaced pre-mutation directory
+    * is RETIRED into the version history (one rename — the snapshot costs
+    * nothing beyond the rewrite that was happening anyway). */
   private def rewrite(table: String, f: DataFrame => DataFrame): Unit = {
     val staging = dir(table) + ".staging"
     f(read(table)).write.mode("overwrite").parquet(staging)
@@ -268,7 +352,9 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
       old.renameTo(live) // roll back so the table survives
       throw new java.io.IOException(s"warehouse: staging swap failed for $table")
     }
-    delete(old)
+    val snap = new java.io.File(s"${historyDir(table)}/v${currentVersion(table)}")
+    snap.getParentFile.mkdirs()
+    if (!old.renameTo(snap)) delete(old) // retention is best-effort, the swap is not
   }
 
   private def delete(f: java.io.File): Unit = {

@@ -496,6 +496,36 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.diffTables("o", "x", Seq("k")))
   }
 
+  test("warehouse time travel: mutations retire versions; readVersion/diffVersions/vacuum") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whtt"))
+    wh.create("t", (1L to 10L).map(i => (i, "a")).toDF("id", "v"))
+    assert(wh.versions("t").isEmpty && wh.currentVersion("t") == 1)
+    wh.update("t", Map("id" -> 3L), "v", "a", "b") // retires v1 (dir rename)
+    wh.insert("t", Seq((11L, "c")).toDF("id", "v")) // retires v2 (hard links)
+    wh.deleteRows("t", Seq(Map("id" -> 1L))) // retires v3
+    assert(wh.versions("t") == Seq(1, 2, 3) && wh.currentVersion("t") == 4)
+    assert(wh.readVersion("t", 1).as[(Long, String)].collect().toSet ==
+      (1L to 10L).map((_, "a")).toSet)
+    val v2 = wh.readVersion("t", 2)
+    assert(v2.count() == 10 && v2.filter(col("v") === "b").count() == 1)
+    assert(wh.readVersion("t", 3).count() == 11)
+    assert(wh.readVersion("t", 4).count() == 10) // live state
+    val d = wh.diffVersions("t", 1, 4, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((3L, "changed"), (11L, "added"), (1L, "removed")))
+    // vacuum keeps the newest retired versions; live state unaffected
+    wh.vacuum("t", keepLast = 1)
+    assert(wh.versions("t") == Seq(3))
+    assert(wh.readVersion("t", 3).count() == 11 && wh.read("t").count() == 10)
+    // create() is a new table identity: history resets
+    wh.create("t", Seq((1L, "z")).toDF("id", "v"))
+    assert(wh.versions("t").isEmpty && wh.read("t").count() == 1)
+    // drop removes history too
+    wh.drop("t")
+    assert(!wh.exists("t") && wh.versions("t").isEmpty)
+  }
+
   test("warehouse compact: file count shrinks to the byte budget, rows survive") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whcompact"))
