@@ -1142,6 +1142,21 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- prefix-filtered EXACT Jaccard self-join (SSJoin/PPJoin family):
+    //      exact like q_dedup_jaccard (provably no false negatives — the
+    //      oracle is the independent all-pairs ground truth) but WITHOUT
+    //      the cross product: candidates come only from rare-first prefix
+    //      token collisions, the 100 TB-safe exact-similarity-join shape
+    "q_dedup_ppjoin" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 7 === 0)
+      val near = docs.calculate(Seq(
+        "doc_id" -> (col("doc_id") + 1000000),
+        "text" -> concat(col("text"), lit(" extra trailing words appended"))))
+      graft.pipeline.Dedup.prefixJaccardJoin(docs.warpUnion(near),
+        "text", "doc_id", threshold = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
     // ---- md5-tier SimHash pairs: the pigeonhole-quarter signature-dedup
     //      shape (signatures -> quarter-block join -> Hamming verify)
     //      through the PRODUCTION pair machinery (signaturePairs), with
@@ -2929,6 +2944,34 @@ object SparkEntry {
           .calculate(Seq("n_nationkey" -> (col("n_nationkey") + 900))))
       wh.merge("nation_m", updates, Seq("n_nationkey"))
       wh.read("nation_m").orderBy("n_nationkey")
+    }),
+
+    // ---- SCD Type 2 dimension maintenance: init at t=100, two change
+    //      batches at t=200/300 covering every case — attribute change
+    //      (close + new version), brand-new key, genuine no-op (identical
+    //      attrs -> NO version), and a second change to a key first seen
+    //      in batch 1. The oracle reconstructs the full version history
+    //      independently from the base table
+    "q_warehouse_scd2" -> ((s, dir) => {
+      val root = s"/tmp/graft_whscd_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      val base = T(s, dir, "nation")
+        .selectColumns(Seq("n_nationkey", "n_name", "n_regionkey"))
+      wh.scd2Init("dim", base, 100L)
+      val batch1 = base.warpFilter(col("n_nationkey") < 10)
+          .calculate(Seq("n_name" -> concat(col("n_name"), lit("_V2"))))
+        .warpUnion(base.warpFilter(col("n_nationkey") < 3)
+          .calculate(Seq("n_nationkey" -> (col("n_nationkey") + 900))))
+        .warpUnion(base.warpFilter(
+          col("n_nationkey") >= 10 && col("n_nationkey") < 15)) // no-ops
+      wh.scd2Apply("dim", batch1, Seq("n_nationkey"), 200L)
+      val batch2 = base.warpFilter(col("n_nationkey") < 5)
+          .calculate(Seq("n_name" -> concat(col("n_name"), lit("_V3"))))
+        .warpUnion(base.warpFilter(col("n_nationkey") < 1)
+          .calculate(Seq("n_nationkey" -> (col("n_nationkey") + 900),
+                         "n_regionkey" -> (col("n_regionkey") + 1))))
+      wh.scd2Apply("dim", batch2, Seq("n_nationkey"), 300L)
+      wh.read("dim").orderBy("n_nationkey", "valid_from")
     }),
 
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
@@ -5498,6 +5541,33 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+    // ground truth for the prefix-filtered join is the INDEPENDENT
+    // all-pairs jaccard — the oracle shares no candidate machinery with
+    // the Spark side, so it checks exactness (no false negatives), not
+    // just agreement
+    "q_dedup_ppjoin" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  text || ' extra trailing words appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+         ), w AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM d
+         ), nz AS (
+           SELECT doc_id, s FROM w WHERE len(s) > 0
+         )
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.6
+         ORDER BY 1, 2""",
     "q_dedup_fuzzy" ->
       """WITH k AS (
            SELECT doc_id, substr(text, 1, 48) AS k FROM documents
@@ -6655,6 +6725,48 @@ object SparkEntry {
          UNION ALL
          SELECT n_nationkey, n_name, n_regionkey FROM upd
          ORDER BY n_nationkey""",
+    // full SCD2 version history reconstructed independently: v1 = init,
+    // v2/v3 = the change batches, n1/n2 = the batch-introduced keys;
+    // no-op batch rows (keys 10-14 resent unchanged) must produce NO rows
+    "q_warehouse_scd2" ->
+      """WITH base AS (
+           SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ), v1 AS (
+           SELECT n_nationkey, n_name, n_regionkey,
+             CAST(100 AS BIGINT) AS valid_from,
+             CAST(CASE WHEN n_nationkey < 10 THEN 200 END AS BIGINT) AS valid_to,
+             n_nationkey >= 10 AS is_current
+           FROM base
+         ), v2 AS (
+           SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey,
+             CAST(200 AS BIGINT) AS valid_from,
+             CAST(CASE WHEN n_nationkey < 5 THEN 300 END AS BIGINT) AS valid_to,
+             n_nationkey >= 5 AS is_current
+           FROM base WHERE n_nationkey < 10
+         ), v3 AS (
+           SELECT n_nationkey, n_name || '_V3' AS n_name, n_regionkey,
+             CAST(300 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+           FROM base WHERE n_nationkey < 5
+         ), n1 AS (
+           SELECT n_nationkey + 900 AS n_nationkey, n_name, n_regionkey,
+             CAST(200 AS BIGINT) AS valid_from,
+             CAST(CASE WHEN n_nationkey = 0 THEN 300 END AS BIGINT) AS valid_to,
+             n_nationkey <> 0 AS is_current
+           FROM base WHERE n_nationkey < 3
+         ), n2 AS (
+           SELECT n_nationkey + 900 AS n_nationkey, n_name,
+             n_regionkey + 1 AS n_regionkey,
+             CAST(300 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+           FROM base WHERE n_nationkey < 1
+         )
+         SELECT * FROM v1
+         UNION ALL SELECT * FROM v2
+         UNION ALL SELECT * FROM v3
+         UNION ALL SELECT * FROM n1
+         UNION ALL SELECT * FROM n2
+         ORDER BY n_nationkey, valid_from""",
     "q_curve_prune" ->
       """SELECT count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

@@ -400,6 +400,77 @@ object Dedup {
       .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
+  /** Prefix-filtered EXACT Jaccard-threshold self-join over word-token
+    * sets — the SSJoin/PPJoin family (Chaudhuri et al., ICDE'06; Xiao et
+    * al., WWW'08). Unlike [[minhashPairs]] (probabilistic candidates, can
+    * miss pairs) and [[ngramJaccardPairs]] (exact but all-pairs), this is
+    * BOTH exact — provably no false negatives — AND never materializes the
+    * cross product.
+    *
+    * Canonical order: every document's distinct tokens are sorted by
+    * (global document frequency asc, token asc) — rarest first. Prefix of
+    * a size-n set: its first p = n − ⌈t·n⌉ + 1 tokens in that order.
+    * Candidates are generated ONLY for pairs whose prefixes share a token.
+    *
+    * Completeness: J(s1,s2) ≥ t ⟹ i = |s1∩s2| ≥ t·|s1∪s2| ≥ t·n_k for
+    * each k. If the prefixes were disjoint, the smallest common token w
+    * (in the canonical order) misses at least one prefix — say s1's — so
+    * ALL i common tokens sit in s1's suffix of ⌈t·n1⌉ − 1 elements,
+    * giving i < t·n1: contradiction. The ⌈·⌉ is computed with a −1e-9
+    * slack so float rounding can only LENGTHEN a prefix (more candidates,
+    * never a lost pair).
+    *
+    * 100 TB shape: one groupBy for token document frequencies, one
+    * re-sort-and-slice pass, then a join keyed on PREFIX tokens only.
+    * Rare-first ordering is the skew control — a token appears in
+    * prefixes roughly when it is rare, so bucket sizes stay small even
+    * when the corpus vocabulary is Zipfian; the length filter
+    * t·n1 ≤ n2 ≤ n1/t prunes candidates before the verify join. Verify
+    * re-joins the (id → token set) table twice and keeps the exact-Jaccard
+    * survivors — intersections run once per candidate, not per token
+    * collision, because candidates are deduped first. */
+  def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val toks = df.select(col(idCol).as("id"),
+        array_distinct(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
+    val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // canonical rare-first order per document: array_sort over
+    // (df, token) structs sorts field-by-field, so ties on frequency
+    // break deterministically on the token itself
+    val ordered = exploded.join(freq, "__tok")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
+        s => s.getField("__tok")).as("__ord"))
+    val sized = ordered
+      .withColumn("__n", size(col("__ord")))
+      .withColumn("__p",
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int") + 1)
+    val pref = sized.select(col("id"), col("__n"),
+      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok"))
+    val lenOk =
+      col("__n2").cast("double") >= lit(threshold) * col("__n1") - lit(1e-9) &&
+      col("__n1").cast("double") >= lit(threshold) * col("__n2") - lit(1e-9)
+    val cand = pref.select(col("id").as("id1"), col("__n").as("__n1"), col("__tok"))
+      .join(pref.select(col("id").as("id2"), col("__n").as("__n2"), col("__tok")),
+        Seq("__tok"))
+      .filter(col("id1") < col("id2") && lenOk)
+      .select("id1", "id2")
+      .dropDuplicates("id1", "id2")
+    val sets = sized.select(col("id"), col("__ord"))
+    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
+    val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
+    cand
+      .join(sets.select(col("id").as("id1"), col("__ord").as("__s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("__ord").as("__s2")), "id2")
+      .withColumn("jaccard", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair
     * sharing at least `minOverlap` distinct word `n`-grams, with the
     * shared-gram count — the decontamination primitive (flag or drop

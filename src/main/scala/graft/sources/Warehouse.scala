@@ -340,6 +340,84 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * the mutation or lose the table. The displaced pre-mutation directory
     * is RETIRED into the version history (one rename — the snapshot costs
     * nothing beyond the rewrite that was happening anyway). */
+  /** Initialize a slowly-changing-dimension (SCD Type 2) table: every
+    * source row becomes an OPEN version — `valid_from = ts`,
+    * `valid_to = null`, `is_current = true`. The bookkeeping columns ride
+    * as plain data; history then accrues through [[scd2Apply]]. */
+  def scd2Init(table: String, df: DataFrame, ts: Long): Unit =
+    create(table, df
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true)))
+
+  /** Apply a change batch to an SCD Type 2 dimension — the warehouse-
+    * native "update with history" (the table-format counterpart of the
+    * reference's in-place update, MutableData.swift:142-156, when the
+    * consumer needs every prior version queryable by validity interval).
+    *
+    * Semantics per change row (change batches must be key-unique):
+    *  - key exists, any attribute differs: the open version closes
+    *    (`valid_to = ts`, `is_current = false`) and a new open version
+    *    is inserted with `valid_from = ts`;
+    *  - key exists, all attributes `<=>`-equal: NO new version (change
+    *    detection, not blind versioning);
+    *  - new key: one new open version.
+    *
+    * Scale shape: one key-equality join of the CURRENT slice against the
+    * batch decides closes/inserts; historical (already-closed) versions
+    * pass through untouched. No windows, no driver loops — at table-format
+    * scale the same plan lands as a partition-pruned copy-on-write merge
+    * touching only files holding changed keys. */
+  def scd2Apply(table: String, changes: DataFrame, keyCols: Seq[String],
+                ts: Long): Unit = {
+    require(keyCols.nonEmpty, "scd2Apply needs key columns")
+    val book = Seq("valid_from", "valid_to", "is_current")
+    rewrite(table, { dim =>
+      val attrCols = dim.columns.filterNot(c =>
+        keyCols.contains(c) || book.contains(c)).toSeq
+      val ch = changes.select((keyCols ++ attrCols)
+        .map(c => col(s"`$c`").cast(dim.schema(c).dataType).as(s"__c_$c"))
+        :+ lit(true).as("__c_hit"): _*)
+      val keyEq = keyCols.map(c => col(s"`$c`") <=> col(s"__c_$c")).reduce(_ && _)
+      val attrSame = attrCols.map(c => col(s"`$c`") <=> col(s"__c_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val cur = dim.filter(col("is_current"))
+      val hist = dim.filter(!col("is_current"))
+      // current rows annotated with their matching change (if any); the
+      // __c_hit marker — not a key's null-ness — decides "matched", so
+      // null business keys (joinable under <=>) stay correct
+      val matched = cur.join(ch, keyEq, "left")
+      val kept = matched
+        .filter(col("__c_hit").isNull || attrSame)
+        .select(dim.columns.map(c => col(s"`$c`")): _*)
+      val closed = matched
+        .filter(col("__c_hit").isNotNull && !attrSame)
+        .select(dim.columns.map(c => col(s"`$c`")): _*)
+        .withColumn("valid_to", lit(ts))
+        .withColumn("is_current", lit(false))
+      // inserts: changed keys (differing attrs) + brand-new keys
+      val changedKeys = matched.filter(col("__c_hit").isNotNull && !attrSame)
+        .select((keyCols ++ attrCols).map(c => col(s"__c_$c")): _*)
+      val newKeys = ch.join(cur,
+          keyCols.map(c => col(s"__c_$c") <=> col(s"`$c`")).reduce(_ && _),
+          "left_anti")
+        .select((keyCols ++ attrCols).map(c => col(s"__c_$c")): _*)
+      val inserts = changedKeys.unionByName(newKeys)
+        .select((keyCols ++ attrCols).map(c => col(s"__c_$c").as(c)): _*)
+        .withColumn("valid_from", lit(ts))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+        .select(dim.columns.map(c => col(s"`$c`")): _*)
+      hist.unionByName(kept).unionByName(closed).unionByName(inserts)
+    })
+  }
+
+  /** The dimension as of time `t`: versions whose validity interval
+    * covers `t` — the SCD2 point-in-time read. */
+  def scd2AsOf(table: String, t: Long): DataFrame =
+    read(table).filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+
   private def rewrite(table: String, f: DataFrame => DataFrame): Unit = {
     val staging = dir(table) + ".staging"
     f(read(table)).write.mode("overwrite").parquet(staging)

@@ -270,6 +270,60 @@ class PipelineSpec extends SparkSpec {
       s"missed planted pairs: ${planted -- lsh}")
   }
 
+  test("prefixJaccardJoin equals brute all-pairs word Jaccard (exactness, both directions)") {
+    // corpus tier: real docs + planted near-dups, threshold at the
+    // catalog value
+    val docs = sf("documents").filter(col("doc_id") % 11 === 0)
+      .select("doc_id", "text")
+    val near = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" extra trailing words appended")).as("text"))
+    val corpus = docs.unionByName(near)
+    def brute(df: org.apache.spark.sql.DataFrame, t: Double) = {
+      val w = df.select(col("doc_id"),
+          array_distinct(filter(split(trim(lower(col("text"))), "\\s+"),
+            x => length(x) > 0)).as("s"))
+        .filter(size(col("s")) > 0)
+      val a = w.select(col("doc_id").as("id1"), col("s").as("s1"))
+      val b = w.select(col("doc_id").as("id2"), col("s").as("s2"))
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      val uni = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("jaccard", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
+        .filter(col("jaccard") >= t)
+        .select("id1", "id2", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val got = Dedup.prefixJaccardJoin(corpus, "text", "doc_id", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute(corpus, 0.6))
+
+    // adversarial tier: boundary-exact jaccards (i/u == t exactly),
+    // identical sets, singletons, subset chains — prefix length edges
+    val edge = Seq(
+      1L -> "a b c d e",      // vs 2: inter 3 / union 7 < 0.5
+      2L -> "c d e f g",
+      3L -> "a b c d e",      // identical to 1 -> jaccard 1.0
+      4L -> "a",              // singleton
+      5L -> "a b",            // {a} vs {a b}: 1/2 = 0.5 boundary EXACT
+      6L -> "a b c d",        // vs 1: 4/5 = 0.8
+      7L -> "x",              // isolated singleton
+      8L -> "a b c d e f g h i j"  // superset: vs 1 -> 5/10 = 0.5 boundary
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.4, 0.5, 0.6, 1.0)) {
+      val g = Dedup.prefixJaccardJoin(edge, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(g == brute(edge, t), s"threshold $t")
+    }
+  }
+
+  test("prefixJaccardJoin plan has no cartesian product") {
+    val docs = sf("documents").filter(col("doc_id") % 11 === 0)
+    val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("simhashMd5Sigs through signaturePairs equals brute all-pairs Hamming") {
     // the 16-bit-quarter blocking is COMPLETE for maxHamming <= 3: the
     // md5-tier pairs must match an unblocked all-pairs comparison exactly

@@ -526,6 +526,40 @@ class SourcesSpec extends SparkSpec {
     assert(!wh.exists("t") && wh.versions("t").isEmpty)
   }
 
+  test("warehouse SCD2: change detection, closes, inserts, as-of reads") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whscd2"))
+    wh.scd2Init("d", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "attr"), 100L)
+    // batch: k=1 changes one attr, k=2 resent identical (no-op),
+    // k=9 brand-new
+    wh.scd2Apply("d", Seq((1L, "a", 11L), (2L, "b", 20L), (9L, "z", 90L))
+      .toDF("k", "name", "attr"), Seq("k"), 200L)
+    val rows = wh.read("d")
+      .as[(Long, String, Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", 10L, 100L, Some(200L), false),
+      (1L, "a", 11L, 200L, None, true),
+      (2L, "b", 20L, 100L, None, true), // no-op: exactly one version
+      (3L, "c", 30L, 100L, None, true),
+      (9L, "z", 90L, 200L, None, true)))
+    // second change to the same key stacks a third version
+    wh.scd2Apply("d", Seq((1L, "a2", 11L)).toDF("k", "name", "attr"),
+      Seq("k"), 300L)
+    assert(wh.read("d").filter(col("k") === 1L).count() == 3)
+    // as-of reads pick the version covering t (valid_from <= t < valid_to)
+    assert(wh.scd2AsOf("d", 150L).filter(col("k") === 1L)
+      .select("attr").as[Long].collect().toSeq == Seq(10L))
+    assert(wh.scd2AsOf("d", 250L).filter(col("k") === 1L)
+      .select("name").as[String].collect().toSeq == Seq("a"))
+    assert(wh.scd2AsOf("d", 300L).filter(col("k") === 1L)
+      .select("name").as[String].collect().toSeq == Seq("a2"))
+    assert(wh.scd2AsOf("d", 150L).filter(col("k") === 9L).count() == 0)
+    // boundary: a version is live AT its valid_from, dead AT its valid_to
+    assert(wh.scd2AsOf("d", 200L).filter(col("k") === 1L)
+      .select("attr").as[Long].collect().toSeq == Seq(11L))
+  }
+
   test("warehouse compact: file count shrinks to the byte budget, rows survive") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whcompact"))
