@@ -2974,6 +2974,37 @@ object SparkEntry {
       wh.read("dim").orderBy("n_nationkey", "valid_from")
     }),
 
+    // ---- Cohen's kappa inter-rater agreement per source: two
+    //      deterministic "annotators" label each document's quality
+    //      bucket from different evidence (char count vs whitespace word
+    //      count); kappa = chance-corrected agreement, the label-QC
+    //      gauge for annotated training data. One exact-BIGINT division
+    //      per group — bit-reproducible cross-engine
+    "q_rater_kappa" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val wc = size(filter(split(trim(lower(col("text"))), "\\s+"),
+        t => length(t) > 0))
+      val r1 = when(col("n_chars") < 216, lit("lo"))
+        .when(col("n_chars") < 374, lit("mid")).otherwise(lit("hi"))
+      val r2 = when(wc < 39, lit("lo"))
+        .when(wc < 69, lit("mid")).otherwise(lit("hi"))
+      graft.pipeline.Classifier.cohenKappa(docs, r1, r2,
+        Seq("source" -> col("source")))
+        .orderBy("source")
+    }),
+
+    // ---- RLHF/DPO preference-pair construction: per (source, lang)
+    //      prompt group, top-3 by score pair as "chosen" against
+    //      bottom-3 as "rejected" with a minimum margin — k²-capped per
+    //      group (never quadratic in group size), deterministic
+    //      tie-breaks, WindowGroupLimit top-k heaps underneath
+    "q_pref_pairs" -> ((s, dir) => {
+      graft.pipeline.Preference.preferencePairs(T(s, dir, "documents"),
+        Seq("source" -> col("source"), "lang" -> col("lang")),
+        col("doc_id"), col("n_chars"), k = 3, margin = 50L)
+        .orderBy("source", "lang", "chosen_id", "rejected_id")
+    }),
+
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
     //      the grid document, read it back (header dedup, empty -> null)
     "q_xml_roundtrip" -> ((s, dir) => {
@@ -6767,6 +6798,60 @@ object SparkEntry {
          UNION ALL SELECT * FROM n1
          UNION ALL SELECT * FROM n2
          ORDER BY n_nationkey, valid_from""",
+    "q_rater_kappa" ->
+      """WITH lab AS (
+           SELECT source,
+             CASE WHEN n_chars < 216 THEN 'lo'
+                  WHEN n_chars < 374 THEN 'mid' ELSE 'hi' END AS r1,
+             CASE WHEN wc < 39 THEN 'lo'
+                  WHEN wc < 69 THEN 'mid' ELSE 'hi' END AS r2
+           FROM (SELECT source, n_chars,
+                   len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> len(t) > 0)) AS wc
+                 FROM documents)
+         ), cells AS (
+           SELECT source, r1, r2, count(*) AS c FROM lab GROUP BY 1, 2, 3
+         ), tot AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS BIGINT) AS agree
+           FROM cells GROUP BY 1
+         ), m1 AS (
+           SELECT source, r1 AS lab, CAST(sum(c) AS BIGINT) AS m1
+           FROM cells GROUP BY 1, 2
+         ), m2 AS (
+           SELECT source, r2 AS lab, CAST(sum(c) AS BIGINT) AS m2
+           FROM cells GROUP BY 1, 2
+         ), pe AS (
+           SELECT source, CAST(sum(m1 * m2) AS BIGINT) AS pe_num
+           FROM m1 JOIN m2 USING (source, lab) GROUP BY 1
+         )
+         SELECT t.source, n, agree, pe_num,
+           CASE WHEN n * n = pe_num THEN NULL
+                ELSE CAST(agree * n - pe_num AS DOUBLE)
+                     / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+         FROM tot t JOIN pe USING (source)
+         ORDER BY source""",
+    "q_pref_pairs" ->
+      """WITH top AS (
+           SELECT source, lang, doc_id AS chosen_id, n_chars AS chosen_score,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents
+         ), bot AS (
+           SELECT source, lang, doc_id AS rejected_id,
+             n_chars AS rejected_score,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars ASC, doc_id ASC) AS rn
+           FROM documents
+         )
+         SELECT t.source, t.lang, chosen_id, chosen_score,
+           rejected_id, rejected_score,
+           chosen_score - rejected_score AS margin
+         FROM top t JOIN bot b ON t.source = b.source AND t.lang = b.lang
+         WHERE t.rn <= 3 AND b.rn <= 3
+           AND chosen_score - rejected_score >= 50
+         ORDER BY 1, 2, 3, 5""",
     "q_curve_prune" ->
       """SELECT count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

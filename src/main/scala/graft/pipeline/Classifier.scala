@@ -293,4 +293,48 @@ object Classifier {
       .map { case (v, i) => (i, names(i), BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("idx", "name", "weight")
   }
+
+  /** Cohen's kappa inter-rater agreement per group — the label-QC
+    * primitive for human- or model-annotated training data (two
+    * annotation passes over the same documents: how much do they agree
+    * beyond chance?).
+    *
+    * Emitted per group: `n` items, `agree` (identical labels),
+    * `pe_num` = Σ_c rowMarginal_c · colMarginal_c (the expected-agreement
+    * numerator over n²), and kappa. The float work is ONE division of
+    * exact BIGINT terms — kappa = (agree·n − pe_num) / (n² − pe_num),
+    * algebraically (p_o − p_e)/(1 − p_e) — so the value is reproducible
+    * bit-for-bit by any engine with exact integer aggregates. Degenerate
+    * groups (n² == pe_num: a rater uses one label only and the other
+    * agrees completely in expectation) emit null, the standard
+    * "kappa undefined" convention.
+    *
+    * Scale shape: three aggregations over (group, label) keys — cell
+    * counts, two marginals — all map-side combinable; the joins are on
+    * group×label cardinality, never on rows. */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column,
+                 groupCols: Seq[(String, Column)]): DataFrame = {
+    val gNames = groupCols.map(_._1)
+    val gSel = groupCols.map { case (n, c) => c.as(n) }
+    val cells = df.select(gSel :+ rater1.as("__r1") :+ rater2.as("__r2"): _*)
+      .groupBy(gNames.map(col) :+ col("__r1") :+ col("__r2"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = cells.groupBy(gNames.map(col): _*)
+      .agg(sum("__c").as("n"),
+        sum(when(col("__r1") <=> col("__r2"), col("__c")).otherwise(0L)).as("agree"))
+    val m1 = cells.groupBy(gNames.map(col) :+ col("__r1").as("__lab"): _*)
+      .agg(sum("__c").as("__m1"))
+    val m2 = cells.groupBy(gNames.map(col) :+ col("__r2").as("__lab"): _*)
+      .agg(sum("__c").as("__m2"))
+    val pe = m1.join(m2, gNames :+ "__lab")
+      .groupBy(gNames.map(col): _*)
+      .agg(sum(col("__m1") * col("__m2")).as("pe_num"))
+    totals.join(pe, gNames)
+      .withColumn("kappa",
+        when(col("n") * col("n") === col("pe_num"), lit(null).cast("double"))
+          .otherwise((col("agree") * col("n") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double")))
+      .select(gNames.map(col) ++ Seq(col("n"), col("agree"), col("pe_num"),
+        col("kappa")): _*)
+  }
 }

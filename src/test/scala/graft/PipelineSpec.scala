@@ -316,6 +316,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("cohenKappa matches the textbook worked example; degenerate group is null") {
+    // classic 2x2 example: 50 items, a=20 yes/yes, d=15 no/no, b=5, c=10
+    // p_o = 35/50, marginals: r1 yes 25/no 25, r2 yes 30/no 20
+    // pe_num = 25*30 + 25*20 = 1250; kappa = (35*50-1250)/(2500-1250) = 0.4
+    val items =
+      Seq.fill(20)(("g1", "yes", "yes")) ++ Seq.fill(5)(("g1", "yes", "no")) ++
+      Seq.fill(10)(("g1", "no", "yes")) ++ Seq.fill(15)(("g1", "no", "no")) ++
+      // degenerate: both raters constant -> n*n == pe_num -> null kappa
+      Seq.fill(7)(("g2", "x", "x"))
+    val df = items.toDF("g", "r1", "r2")
+    val out = Classifier.cohenKappa(df, col("r1"), col("r2"),
+        Seq("g" -> col("g")))
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    val g1 = out(0)
+    assert(g1.getLong(1) == 50 && g1.getLong(2) == 35 && g1.getLong(3) == 1250)
+    assert(g1.getDouble(4) == 0.4)
+    assert(out(1).isNullAt(4) && out(1).getLong(2) == 7)
+  }
+
+  test("preferencePairs: k-squared cap, margin filter, deterministic ties") {
+    val docs = Seq(
+      // group A: scores 100,90,80,70,10,5 -> top3 {1,2,3}, bottom3 {6,5,4}
+      ("A", 1L, 100L), ("A", 2L, 90L), ("A", 3L, 80L),
+      ("A", 4L, 70L), ("A", 5L, 10L), ("A", 6L, 5L),
+      // group B: all tied scores -> ids break ties; no pair clears margin
+      ("B", 7L, 50L), ("B", 8L, 50L), ("B", 9L, 50L),
+      // group C: two items, margin exactly at threshold (inclusive)
+      ("C", 10L, 90L), ("C", 11L, 50L)
+    ).toDF("g", "id", "score")
+    val out = Preference.preferencePairs(docs, Seq("g" -> col("g")),
+        col("id"), col("score"), k = 3, margin = 40L)
+      .select("g", "chosen_id", "rejected_id", "margin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // A: chosen {1,2,3} x rejected {4,5,6} with margin >= 40:
+    //   1-4 is 30 (out), 2-4 20 (out), 3-4 10 (out); vs 5/6 all >= 40
+    val expectA = for (c <- Seq(1L -> 100L, 2L -> 90L, 3L -> 80L);
+                       r <- Seq(5L -> 10L, 6L -> 5L))
+      yield ("A", c._1, r._1, c._2 - r._2)
+    assert(out == expectA.toSet + (("C", 10L, 11L, 40L)))
+    // determinism under reshuffled input
+    val out2 = Preference.preferencePairs(docs.repartition(7), Seq("g" -> col("g")),
+        col("id"), col("score"), k = 3, margin = 40L)
+      .select("g", "chosen_id", "rejected_id", "margin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out2 == out)
+    // plan: top-k heaps, not full per-group sorts
+    val plan = Preference.preferencePairs(docs, Seq("g" -> col("g")),
+      col("id"), col("score"), k = 3, margin = 40L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("prefixJaccardJoin plan has no cartesian product") {
     val docs = sf("documents").filter(col("doc_id") % 11 === 0)
     val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6)
