@@ -3263,6 +3263,53 @@ object SparkEntry {
       }
     }),
 
+    // ---- fifth REAL Structured Streaming driver row: windowed trending
+    //      top-k through flatMapGroupsWithState with EVENT-TIME timeouts
+    //      (file source → per-window count state → watermark-fired close →
+    //      memory sink, Trigger.AvailableNow). One far-future sentinel
+    //      event pushes the watermark past every real window end and the
+    //      AvailableNow no-data final batch fires the timeouts, so every
+    //      REAL window emits exactly once; the sentinel's own window never
+    //      emits. The fixture is written as ONE parquet file — data split
+    //      across source files could put the sentinel in an earlier
+    //      micro-batch than real events, silently dropping them as late.
+    //      Bounded fixture: event_id < 20000 (the q_stream_neardup
+    //      discipline). Oracle: the q_trending SQL on the same slice.
+    "q_stream_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      streamShuffle(s) {
+      import s.implicits._
+      val winMs = 86400000L
+      val sentinelMs = 4102444800000L // 2100-01-01, past any fixture event
+      val base = T(s, dir, "events")
+        .filter(col("event_id") < 20000L)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("ts").cast(TimestampType).as("ts"),
+          col("value").cast("double").as("value"))
+      val sentinel = Seq((0L, "__eos", 0.0)).toDF("user_id", "event_type", "value")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(lit(sentinelMs)).as("ts"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tr").toString
+      base.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(base.schema).parquet(tmp)
+        .as[graft.streaming.EventStream.Event]
+      val out = graft.streaming.EventStream.trendingClosed(src, winMs, k = 3)
+        .toDF()
+        .filter(unix_millis(col("window_start")) < sentinelMs)
+      val qname = "graft_stream_tr_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(unix_millis(col("window_start")).as("w_ms"), col("item"),
+          col("cnt"), col("rk"))
+        .orderBy("w_ms", "rk")
+      }
+    }),
+
     // ---- warehouse TIME TRAVEL: every mutation retires the pre-state
     //      into the version history (rewrites by rename — zero extra
     //      bytes; appends by hard link — metadata only). The row gates
@@ -5323,6 +5370,18 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY w
              ORDER BY cnt DESC, item ASC) AS INT) AS rk
          FROM c QUALIFY rk <= 3 ORDER BY w, rk""",
+    "q_stream_trending" ->
+      """WITH e AS (
+           SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                  * 86400000 AS w_ms, event_type
+           FROM events WHERE event_id < 20000
+         ), c AS (
+           SELECT w_ms, event_type AS item, count(*) AS cnt FROM e GROUP BY 1, 2
+         )
+         SELECT w_ms, item, cnt,
+           CAST(row_number() OVER (PARTITION BY w_ms
+             ORDER BY cnt DESC, item ASC) AS INT) AS rk
+         FROM c QUALIFY rk <= 3 ORDER BY w_ms, rk""",
     "q_vocab_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source AS g,

@@ -493,6 +493,46 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("trendingClosed via file source + AvailableNow + sentinel emits every real window") {
+    // the q_stream_trending driver-row contract: a single far-future
+    // sentinel event pushes the watermark past every real window end, and
+    // the AvailableNow no-data final batch fires the event-time timeouts —
+    // every REAL window emits exactly once; the sentinel's own window
+    // stays in state and never emits
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val winMs = 10 * 60 * 1000L
+    // NOT epoch-based: an event AT the initial watermark (epoch 0) is
+    // filtered as late by every stateful op (ts <= watermark drops);
+    // real fixtures must sit strictly above it
+    val base = 1704067200L // 2024-01-01, window-aligned (divisible by 600)
+    def ts(sec: Long) = new java.sql.Timestamp((base + sec) * 1000)
+    val sentinel = ts(1000000)
+    val events = Seq(
+      Event(1L, "a", ts(0), 0), Event(2L, "a", ts(1), 0),
+      Event(3L, "b", ts(2), 0),                       // window 0: a=2, b=1
+      Event(4L, "z", ts(650), 0), Event(5L, "z", ts(660), 0),
+      Event(6L, "y", ts(655), 0),                     // window 1: z=2, y=1
+      Event(0L, "__eos", sentinel, 0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trend-file").toString
+    // ONE part file: the file source must not split data and sentinel
+    // across micro-batches — a sentinel processed before a real event
+    // advances the watermark and silently drops the real event as late
+    events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+    val src = spark.readStream.schema(events.toDF().schema).parquet(tmp)
+      .as[Event]
+    val out = EventStream.trendingClosed(src, winMs, k = 2).toDF()
+      .filter(col("window_start") < lit(sentinel))
+    val q = out.writeStream.format("memory").queryName("trend_file_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("trend_file_test")
+      .collect().map(r => (r.getTimestamp(0).getTime / winMs - base * 1000 / winMs,
+        r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set((0L, "a", 2L, 1), (0L, "b", 1L, 2),
+      (1L, "z", 2L, 1), (1L, "y", 1L, 2)), s"got $got")
+  }
+
   test("histogramClosed survives a checkpoint restart: bins span the restart") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
