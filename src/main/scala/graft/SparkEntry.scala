@@ -3005,6 +3005,34 @@ object SparkEntry {
         .orderBy("source", "lang", "chosen_id", "rejected_id")
     }),
 
+    // ---- triangle enumeration with degree-ordered orientation over the
+    //      part co-occurrence graph (parts on adjacent lines of one
+    //      order). The oracle closes wedges by brute 3-way self-join; the
+    //      Spark side generates wedges only from ORIENTED out-edges —
+    //      the skew-safe shape. Part keys ride zero-padded so the
+    //      operator's string node order equals numeric order.
+    "q_graph_triangles" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").warpFilter(col("l_orderkey") < 6000)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          lpad(col("l_partkey").cast("string"), 7, "0").as("pk"))
+      val edges = li.select(col("ok"), col("ln"), col("pk").as("u"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"), col("pk").as("v")),
+          Seq("ok", "ln"))
+        .select("u", "v")
+      graft.pipeline.Graph.triangles(edges, "u", "v")
+        .orderBy("n1", "n2", "n3")
+    }),
+
+    // ---- warehouse ANALYZE: per-column row/null/NDV/min/max stats — the
+    //      stats surface pruning and join planning feed from
+    "q_warehouse_stats" -> ((s, dir) => {
+      val root = s"/tmp/graft_whst_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      wh.create("cust_s", T(s, dir, "customer").selectColumns(
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")))
+      wh.analyze("cust_s").orderBy("col_name")
+    }),
+
     // ---- XML sink + source round-trip (QBEXMLStep.swift:41-110): write
     //      the grid document, read it back (header dedup, empty -> null)
     "q_xml_roundtrip" -> ((s, dir) => {
@@ -3307,6 +3335,48 @@ object SparkEntry {
         .select(unix_millis(col("window_start")).as("w_ms"), col("item"),
           col("cnt"), col("rk"))
         .orderBy("w_ms", "rk")
+      }
+    }),
+
+    // ---- sixth REAL Structured Streaming driver row: per-window value
+    //      HISTOGRAM (complete equi-width bins, zeros included, shares)
+    //      through the same window-keyed state + event-time-timeout
+    //      machinery, closed by the far-future-sentinel + AvailableNow
+    //      no-data batch. Oracle: bins 0..9 generated per window, counts
+    //      left-joined, share = one double division of exact counts.
+    "q_stream_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      streamShuffle(s) {
+      import s.implicits._
+      val winMs = 86400000L
+      val sentinelMs = 4102444800000L
+      val base = T(s, dir, "events")
+        .filter(col("event_id") < 20000L)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("ts").cast(TimestampType).as("ts"),
+          col("value").cast("double").as("value"))
+      val sentinel = Seq((0L, "__eos", 0.0)).toDF("user_id", "event_type", "value")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(lit(sentinelMs)).as("ts"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hg").toString
+      base.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(base.schema).parquet(tmp)
+        .as[graft.streaming.EventStream.Event]
+      val out = graft.streaming.EventStream
+        .histogramClosed(src, winMs, lo = 0.0, hi = 100.0, nBins = 10)
+        .toDF()
+        .filter(unix_millis(col("window_start")) < sentinelMs)
+      val qname = "graft_stream_hg_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(unix_millis(col("window_start")).as("w_ms"), col("bin"),
+          col("cnt"), col("share"))
+        .orderBy("w_ms", "bin")
       }
     }),
 
@@ -5382,6 +5452,28 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY w_ms
              ORDER BY cnt DESC, item ASC) AS INT) AS rk
          FROM c QUALIFY rk <= 3 ORDER BY w_ms, rk""",
+    "q_stream_histogram" ->
+      """WITH e AS (
+           SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                  * 86400000 AS w_ms,
+             CAST(least(9, greatest(0,
+               floor((value - CAST(0.0 AS DOUBLE))
+                     / CAST(100.0 AS DOUBLE) * 10))) AS INT) AS bin
+           FROM events WHERE event_id < 20000
+         ), tot AS (
+           SELECT w_ms, count(*) AS total FROM e GROUP BY 1
+         ), c AS (
+           SELECT w_ms, bin, count(*) AS cnt FROM e GROUP BY 1, 2
+         ), g AS (
+           SELECT tot.w_ms AS w_ms, unnest(generate_series(0, 9)) AS bin
+           FROM tot
+         )
+         SELECT g.w_ms AS w_ms, CAST(g.bin AS INT) AS bin,
+           COALESCE(cnt, 0) AS cnt,
+           CAST(COALESCE(cnt, 0) AS DOUBLE) / CAST(total AS DOUBLE) AS share
+         FROM g LEFT JOIN c ON g.w_ms = c.w_ms AND g.bin = c.bin
+              JOIN tot ON g.w_ms = tot.w_ms
+         ORDER BY 1, 2""",
     "q_vocab_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source AS g,
@@ -6911,6 +7003,45 @@ object SparkEntry {
          WHERE t.rn <= 3 AND b.rn <= 3
            AND chosen_score - rejected_score >= 50
          ORDER BY 1, 2, 3, 5""",
+    // independent brute-force wedge close — no orientation machinery
+    "q_graph_triangles" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber,
+             lpad(CAST(l_partkey AS VARCHAR), 7, '0') AS pk
+           FROM lineitem WHERE l_orderkey < 6000
+         ), e AS (
+           SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_linenumber + 1 = b.l_linenumber
+           WHERE a.pk <> b.pk
+         )
+         SELECT x.u AS n1, x.v AS n2, y.v AS n3
+         FROM e x JOIN e y ON x.v = y.u
+                  JOIN e z ON z.u = x.u AND z.v = y.v
+         ORDER BY 1, 2, 3""",
+    "q_warehouse_stats" ->
+      """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS ndv,
+           CAST(min(c_custkey) AS VARCHAR) AS min_val,
+           CAST(max(c_custkey) AS VARCHAR) AS max_val FROM customer
+         UNION ALL
+         SELECT 'c_name', count(*), count(*) - count(c_name),
+           count(DISTINCT c_name),
+           CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment),
+           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+         FROM customer
+         ORDER BY col_name""",
     "q_curve_prune" ->
       """SELECT count(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty

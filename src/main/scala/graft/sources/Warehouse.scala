@@ -340,6 +340,16 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
     * the mutation or lose the table. The displaced pre-mutation directory
     * is RETIRED into the version history (one rename — the snapshot costs
     * nothing beyond the rewrite that was happening anyway). */
+  /** ANALYZE: per-column statistics of a warehouse table — row count,
+    * null count, exact distinct count, min/max (rendered as strings, the
+    * SUMMARIZE convention). This is the stats surface a table format
+    * feeds its pruning and join-planning from. One aggregation pass; the
+    * only driver action is the single stats row. Exact NDV via
+    * count-distinct costs an Expand at true scale — swap in approx HLL
+    * there; the exact form is the oracle-checkable gauge. */
+  def analyze(table: String, cols: Seq[String] = Nil): DataFrame =
+    ParquetWarehouse.stats(read(table), cols)
+
   /** Initialize a slowly-changing-dimension (SCD Type 2) table: every
     * source row becomes an OPEN version — `valid_from = ts`,
     * `valid_to = null`, `is_current = true`. The bookkeeping columns ride
@@ -438,5 +448,34 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
   private def delete(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(delete)
     if (f.exists()) f.delete()
+  }
+}
+
+object ParquetWarehouse {
+
+  /** Column statistics of an arbitrary DataFrame (see
+    * [[ParquetWarehouse.analyze]]): one wide aggregation, one 1-row
+    * driver action, one stats row per requested column. Min/max are
+    * rendered through `CAST(... AS STRING)` — exact for integral and
+    * string columns; floating columns inherit Spark's double formatting
+    * and should be gauged numerically instead. */
+  def stats(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.isEmpty) df.columns.toSeq else cols
+    require(names.nonEmpty, "stats needs at least one column")
+    val aggs = names.flatMap { c => Seq(
+      count(col(s"`$c`")).as(s"__nn_$c"),
+      countDistinct(col(s"`$c`")).as(s"__nd_$c"),
+      min(col(s"`$c`")).cast("string").as(s"__mn_$c"),
+      max(col(s"`$c`")).cast("string").as(s"__mx_$c")) }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val n = row.getLong(row.fieldIndex("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    names.map { c =>
+      val nn = row.getLong(row.fieldIndex(s"__nn_$c"))
+      (c, n, n - nn, row.getLong(row.fieldIndex(s"__nd_$c")),
+        Option(row.getString(row.fieldIndex(s"__mn_$c"))).orNull,
+        Option(row.getString(row.fieldIndex(s"__mx_$c"))).orNull)
+    }.toDF("col_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
   }
 }

@@ -67,4 +67,47 @@ class GraphSpec extends SparkSpec {
     val r = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a"), iters = 1)
     assert(r("b") > r("c"))
   }
+
+  private def tris(edges: Seq[(String, String)]): Set[(String, String, String)] = {
+    import spark.implicits._
+    Graph.triangles(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("triangles: K4 has 4; a path has none; each triangle found once") {
+    val k4 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d");
+                  if a < b) yield (a, b)
+    assert(tris(k4) == Set(("a", "b", "c"), ("a", "b", "d"),
+      ("a", "c", "d"), ("b", "c", "d")))
+    assert(tris(Seq("a" -> "b", "b" -> "c", "c" -> "d")).isEmpty)
+  }
+
+  test("triangles: self-loops, duplicate and reverse edges canonicalize away") {
+    val messy = Seq("a" -> "b", "b" -> "a", "a" -> "b", "a" -> "a",
+      "b" -> "c", "c" -> "a", "a" -> "c", "c" -> "c")
+    assert(tris(messy) == Set(("a", "b", "c")))
+  }
+
+  test("triangles: hub star is triangle-free; one cross edge closes exactly its wedge") {
+    val star = (1 to 50).map(i => "hub" -> s"n$i")
+    assert(tris(star).isEmpty)
+    val got = tris(star :+ ("n3" -> "n17"))
+    assert(got == Set(("hub", "n17", "n3"))) // string-sorted triple
+  }
+
+  test("triangles matches brute-force enumeration on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((s"v${rnd.nextInt(30)}", s"v${rnd.nextInt(30)}"))
+    // brute force over the canonical undirected set
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max)).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      k <- (j + 1) until nodes.length
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield (a, b, c)).toSet
+    assert(tris(edges) == brute)
+  }
 }

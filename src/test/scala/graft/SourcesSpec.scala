@@ -526,6 +526,20 @@ class SourcesSpec extends SparkSpec {
     assert(!wh.exists("t") && wh.versions("t").isEmpty)
   }
 
+  test("warehouse analyze: rows, nulls, exact ndv, min/max per column") {
+    import spark.implicits._
+    val wh = new ParquetWarehouse(spark, tmp("whstats"))
+    wh.create("t", Seq(
+      (1L, Some("x")), (2L, Some("y")), (3L, None), (3L, Some("x"))
+    ).toDF("id", "v"))
+    val got = wh.analyze("t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got == Set(
+      ("id", 4L, 0L, 3L, "1", "3"),
+      ("v", 4L, 1L, 2L, "x", "y")))
+  }
+
   test("warehouse SCD2: change detection, closes, inserts, as-of reads") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whscd2"))
