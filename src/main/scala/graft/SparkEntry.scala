@@ -3023,6 +3023,69 @@ object SparkEntry {
         .orderBy("n1", "n2", "n3")
     }),
 
+    // ---- incremental aggregate-view maintenance: counts + exact decimal
+    //      sums updated from an insert/delete delta batch (deletes ride as
+    //      weight -1) — O(|delta| + |groups|), never a base-table rescan.
+    //      Oracle: the view recomputed directly over the post-delta data.
+    "q_incr_agg" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val state0 = graft.pipeline.Incremental.aggState(
+        li.warpFilter(col("l_orderkey") < 30000),
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice"))
+      val deletes = li.warpFilter(col("l_orderkey") < 2000)
+        .calculate(Seq("w" -> lit(-1L)))
+      val inserts = li.warpFilter(
+          col("l_orderkey") >= 30000 && col("l_orderkey") < 32000)
+        .calculate(Seq("w" -> lit(1L)))
+      graft.pipeline.Incremental.applyDelta(state0,
+          deletes.warpUnion(inserts), Seq("l_returnflag"),
+          Seq("l_quantity", "l_extendedprice"), "w")
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_l_quantity").cast("double").as("sum_qty"),
+          col("sum_l_extendedprice").cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- seventh REAL Structured Streaming driver row: stream-static
+    //      enrichment against an SCD2 dimension — each event joins the
+    //      dimension VERSION valid at its event time (the "join the dim
+    //      as it was" semantics a replayable pipeline needs). Stateless
+    //      stream-static join: no watermark, no sentinel required.
+    "q_stream_scd2_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      streamShuffle(s) {
+      val root = s"/tmp/graft_whse_${dirTag(dir)}"
+      val wh = new graft.sources.ParquetWarehouse(s, root)
+      val base = T(s, dir, "nation").selectColumns(Seq("n_nationkey", "n_name"))
+      val cutMs = 1704326400000L // 2024-01-04: splits the event fixture
+      wh.scd2Init("dim_e", base, 0L)
+      wh.scd2Apply("dim_e", base.warpFilter(col("n_nationkey") < 12)
+          .calculate(Seq("n_name" -> concat(col("n_name"), lit("_V2")))),
+        Seq("n_nationkey"), cutMs)
+      val dim = wh.read("dim_e")
+      val ev = T(s, dir, "events").filter(col("event_id") < 20000L)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(25L)).cast("long").as("nk"),
+          col("ts").cast(TimestampType).as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_se").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(ev.schema).parquet(tmp)
+      val ems = unix_millis(col("ts"))
+      val out = src.join(dim,
+        col("nk") === col("n_nationkey") && col("valid_from") <= ems &&
+          (col("valid_to").isNull || col("valid_to") > ems))
+        .select(col("event_id"), col("n_name"))
+      val qname = "graft_stream_se_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy("event_id")
+      }
+    }),
+
     // ---- warehouse ANALYZE: per-column row/null/NDV/min/max stats — the
     //      stats surface pruning and join planning feed from
     "q_warehouse_stats" -> ((s, dir) => {
@@ -7020,6 +7083,33 @@ object SparkEntry {
          FROM e x JOIN e y ON x.v = y.u
                   JOIN e z ON z.u = x.u AND z.v = y.v
          ORDER BY 1, 2, 3""",
+    "q_incr_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+         FROM lineitem
+         WHERE l_orderkey >= 2000 AND l_orderkey < 32000
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+    "q_stream_scd2_enrich" ->
+      """WITH dim AS (
+           SELECT n_nationkey, n_name, CAST(0 AS BIGINT) AS vf,
+             CAST(CASE WHEN n_nationkey < 12 THEN 1704326400000 END
+               AS BIGINT) AS vt
+           FROM nation
+           UNION ALL
+           SELECT n_nationkey, n_name || '_V2', 1704326400000, NULL
+           FROM nation WHERE n_nationkey < 12
+         ), e AS (
+           SELECT event_id, user_id % 25 AS nk,
+             CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ems
+           FROM events WHERE event_id < 20000
+         )
+         SELECT e.event_id, d.n_name
+         FROM e JOIN dim d ON e.nk = d.n_nationkey
+           AND d.vf <= e.ems AND (d.vt IS NULL OR d.vt > e.ems)
+         ORDER BY event_id""",
     "q_warehouse_stats" ->
       """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
            count(*) - count(c_custkey) AS n_nulls,

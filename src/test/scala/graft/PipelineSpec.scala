@@ -316,6 +316,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental agg view: applyDelta equals recompute; zeroed groups drop; chains") {
+    val rnd = new scala.util.Random(11)
+    val baseRows = Seq.tabulate(400)(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(100).toDouble, i.toLong))
+    val base = baseRows.toDF("k", "v", "id")
+    val state0 = Incremental.aggState(base, Seq("k"), Seq("v"))
+    // delta 1: delete ids < 100, insert 50 new rows (some in a NEW key k9)
+    val newRows = Seq.tabulate(50)(i =>
+      (if (i % 5 == 0) "k9" else s"k${i % 6}", (i * 3).toDouble, (1000 + i).toLong))
+    val d1 = base.filter(col("id") < 100).withColumn("w", lit(-1L))
+      .unionByName(newRows.toDF("k", "v", "id").withColumn("w", lit(1L)))
+    val s1 = Incremental.applyDelta(state0, d1, Seq("k"), Seq("v"), "w")
+    val after1 = baseRows.filter(_._3 >= 100) ++ newRows
+    def recompute(rows: Seq[(String, Double, Long)]) =
+      Incremental.aggState(rows.toDF("k", "v", "id"), Seq("k"), Seq("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2))).toSet
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(snap(s1) == recompute(after1))
+    // delta 2 chains on delta 1's output and ZEROES OUT key k9 entirely
+    val d2 = newRows.filter(_._1 == "k9").toDF("k", "v", "id")
+      .withColumn("w", lit(-1L))
+    val s2 = Incremental.applyDelta(s1, d2, Seq("k"), Seq("v"), "w")
+    val after2 = after1.filterNot(_._1 == "k9")
+    assert(snap(s2) == recompute(after2))
+    assert(!s2.collect().exists(_.getString(0) == "k9")) // dropped, not 0-row
+  }
+
   test("cohenKappa matches the textbook worked example; degenerate group is null") {
     // classic 2x2 example: 50 items, a=20 yes/yes, d=15 no/no, b=5, c=10
     // p_o = 35/50, marginals: r1 yes 25/no 25, r2 yes 30/no 20
