@@ -430,7 +430,8 @@ object Dedup {
     * survivors — intersections run once per candidate, not per token
     * collision, because candidates are deduped first. */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
-                        threshold: Double = 0.6): DataFrame = {
+                        threshold: Double = 0.6,
+                        materialize: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val toks = df.select(col(idCol).as("id"),
         array_distinct(filter(split(trim(lower(col(textCol))), "\\s+"),
@@ -445,10 +446,17 @@ object Dedup {
       .groupBy("id")
       .agg(transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
         s => s.getField("__tok")).as("__ord"))
-    val sized = ordered
+    val sizedPlan = ordered
       .withColumn("__n", size(col("__ord")))
       .withColumn("__p",
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int") + 1)
+    // the ordered-token-set frame feeds FOUR plan branches (both prefix
+    // sides, both verify sides): cache it once instead of re-tokenizing
+    // the corpus 4x; the small pair result is then checkpointed eagerly
+    // so the corpus-sized cache can be released before returning (the
+    // [[minhashPairs]] materialize discipline). materialize=false keeps
+    // the lazy plan for audits / callers managing their own cache.
+    val sized = if (materialize) sizedPlan.persist() else sizedPlan
     val pref = sized.select(col("id"), col("__n"),
       explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok"))
     val lenOk =
@@ -463,12 +471,18 @@ object Dedup {
     val sets = sized.select(col("id"), col("__ord"))
     val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
     val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
-    cand
+    val result = cand
       .join(sets.select(col("id").as("id1"), col("__ord").as("__s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("__ord").as("__s2")), "id2")
       .withColumn("jaccard", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      sized.unpersist()
+      out
+    }
   }
 
   /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair

@@ -200,7 +200,8 @@ object Graph {
     *
     * Returns one row per triangle as the canonically sorted node triple
     * (n1 < n2 < n3 as strings) — countable or joinable downstream. */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+                materialize: Boolean = true): DataFrame = {
     val raw = edges.select(col(srcCol).cast("string").as("__a"),
         col(dstCol).cast("string").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
@@ -216,12 +217,18 @@ object Graph {
     val withDeg = und
       .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
       .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
-    val oriented = withDeg.select(
+    val orientedPlan = withDeg.select(
       when(col("__du") < col("__dv") ||
            (col("__du") === col("__dv") && col("__u") < col("__v")),
         struct(col("__u").as("s"), col("__v").as("t")))
         .otherwise(struct(col("__v").as("s"), col("__u").as("t"))).as("__e"))
       .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
+    // the oriented edge list feeds THREE plan branches (both wedge legs
+    // and the closing probe): cache it once instead of recomputing the
+    // canonicalize+degree+orient pipeline 3x; the triangle result is
+    // checkpointed eagerly so the edge-sized cache releases before
+    // returning. materialize=false keeps the lazy plan for audits.
+    val oriented = if (materialize) orientedPlan.persist() else orientedPlan
     // wedges from a shared oriented source, closed by an oriented edge
     val w1 = oriented.select(col("__s").as("__apex"), col("__t").as("__b"))
     val w2 = oriented.select(col("__s").as("__apex"), col("__t").as("__c"))
@@ -229,9 +236,15 @@ object Graph {
     val closing = oriented.select(
       least(col("__s"), col("__t")).as("__b"),
       greatest(col("__s"), col("__t")).as("__c"))
-    wedges.join(closing, Seq("__b", "__c"))
+    val result = wedges.join(closing, Seq("__b", "__c"))
       .select(array_sort(array(col("__apex"), col("__b"), col("__c"))).as("__tri"))
       .select(col("__tri")(0).as("n1"), col("__tri")(1).as("n2"),
         col("__tri")(2).as("n3"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      oriented.unpersist()
+      out
+    }
   }
 }

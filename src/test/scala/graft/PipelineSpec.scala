@@ -402,7 +402,8 @@ class PipelineSpec extends SparkSpec {
 
   test("prefixJaccardJoin plan has no cartesian product") {
     val docs = sf("documents").filter(col("doc_id") % 11 === 0)
-    val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6)
+    val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6,
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
