@@ -3023,6 +3023,44 @@ object SparkEntry {
         .orderBy("n1", "n2", "n3")
     }),
 
+    // ---- time-weighted average per (user, day): each value holds until
+    //      the next observation; exact decimal mass, one final division.
+    //      Group-bounded lead() window, never global
+    "q_twap" -> ((s, dir) => {
+      graft.ops.TimeSeries.twa(T(s, dir, "events"),
+          col("user_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          col("value"), 86400000000L, col("event_id"))
+        .orderBy("key", "w")
+    }),
+
+    // ---- DAU / trailing-7-day-WAU stickiness: one distinct pass to
+    //      (day, user), then a calendar-bounded 7-fan range self-join —
+    //      no count-distinct window (Spark has none over ranges)
+    "q_stickiness" -> ((s, dir) => {
+      graft.ops.TimeSeries.stickiness(T(s, dir, "events"),
+          col("user_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .orderBy("d")
+    }),
+
+    // ---- dictionary (label) encoding: dense contiguous ids for the
+    //      corpus vocabulary via the DISTRIBUTED rank machinery (bucketed
+    //      prefix-sum — no single-partition window), then the encode join
+    //      gated through integer per-doc signatures
+    "q_dict_encode" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+      val dict = toks.select("tok").distinct()
+        .rankDistributed(Seq(graft.ops.WarpOps.RunningAgg.RCount("id")),
+          Seq(Order(col("tok"), numeric = false)))
+      toks.join(dict, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- incremental aggregate-view maintenance: counts + exact decimal
     //      sums updated from an insert/delete delta batch (deletes ride as
     //      weight -1) — O(|delta| + |groups|), never a base-table rescan.
@@ -7083,6 +7121,60 @@ object SparkEntry {
          FROM e x JOIN e y ON x.v = y.u
                   JOIN e z ON z.u = x.u AND z.v = y.v
          ORDER BY 1, 2, 3""",
+    "q_twap" ->
+      """WITH b AS (
+           SELECT user_id AS key,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+               * 86400000000 AS w,
+             epoch_us(ts) AS us, value, event_id
+           FROM events
+         ), seg AS (
+           SELECT key, w, us, value,
+             lead(us) OVER (PARTITION BY key, w ORDER BY us, event_id) AS nxt
+           FROM b
+         )
+         SELECT key, w, count(*) AS n_events,
+           max(us) - min(us) AS span_us,
+           CASE WHEN max(us) - min(us) > 0 THEN
+             CAST(sum(CAST(CAST(value AS DECIMAL(10,6)) * 1000000
+                           AS DECIMAL(19,0))
+                      * CAST(COALESCE(nxt - us, 0) AS DECIMAL(19,0)))
+                  AS DOUBLE)
+               / CAST((max(us) - min(us)) * 1000000 AS DOUBLE) END AS twap
+         FROM seg GROUP BY key, w
+         ORDER BY key, w""",
+    "q_stickiness" ->
+      """WITH du AS (
+           SELECT DISTINCT
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             user_id AS u
+           FROM events
+         ), dau AS (
+           SELECT d, count(*) AS dau FROM du GROUP BY 1
+         ), wau AS (
+           SELECT a.d, count(DISTINCT b.u) AS wau
+           FROM dau a JOIN du b ON b.d >= a.d - 6 AND b.d <= a.d
+           GROUP BY 1
+         )
+         SELECT a.d, a.dau, w.wau,
+           CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+         FROM dau a JOIN wau w USING (d)
+         ORDER BY d""",
+    "q_dict_encode" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents
+         ), dict AS (
+           SELECT tok, dense_rank() OVER (ORDER BY tok) AS id
+           FROM (SELECT DISTINCT tok FROM toks)
+         )
+         SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(d.id) AS BIGINT) AS sum_id,
+           CAST(min(d.id) AS BIGINT) AS min_id,
+           CAST(max(d.id) AS BIGINT) AS max_id
+         FROM toks t JOIN dict d USING (tok)
+         GROUP BY 1 ORDER BY 1""",
     "q_incr_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -156,6 +156,83 @@ object TimeSeries {
     (grid, obs)
   }
 
+  /** Time-weighted average per (key, bucket) — the TWAP/telemetry-gauge
+    * aggregate: each observation's value holds until the NEXT observation
+    * in the same bucket, and the average weights values by their holding
+    * time (an arithmetic mean over bursty samples overweights the bursts).
+    *
+    * Emits `n_events`, `span_us` (last − first observation), and `twap` =
+    * Σ vᵢ·(tᵢ₊₁ − tᵢ) / span — null when the span is zero (single
+    * observation). Weighted mass accumulates in EXACT decimals
+    * (value at 6 dp × integer microseconds, widths chosen so no Spark
+    * 38-precision cap engages); the only float op is the final division
+    * of two exact terms, so the value reproduces bit-for-bit externally.
+    *
+    * Scale shape: the lead() window is partitioned by (key, bucket) —
+    * group-bounded, never global — then one hash aggregate. */
+  def twa(df: DataFrame, keyCol: Column, tsCol: Column, valCol: Column,
+          bucketUs: Long, tieCol: Column): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    val us = unix_micros(tsCol)
+    val base = df.select(keyCol.as("key"),
+      (floor(us / bucketUs) * bucketUs).cast("long").as("w"),
+      us.as("__us"), valCol.as("__v"), tieCol.as("__tie"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("key", "w").orderBy(col("__us"), col("__tie"))
+    val seg = base.withColumn("__nxt", lead(col("__us"), 1).over(win))
+    // INTEGER mass: value at 6 dp lifted to an exact integer of
+    // micro-units, × integer microseconds -> a (31,0) decimal. The final
+    // division is then (exact int -> double) / (exact int -> double) —
+    // both single correctly-rounded conversions in any engine. A
+    // fractional-scaled decimal here would NOT replay externally:
+    // engines convert wide scaled decimals to double as
+    // (int128 -> double) * 10^-scale, two roundings, which drifts a ulp
+    // from the BigDecimal single-rounding path once the unscaled value
+    // passes 2^53 (observed live vs DuckDB 1.0.0).
+    val D = org.apache.spark.sql.types.DecimalType
+    val valMicro = (col("__v").cast(D(10, 6)) * lit(1000000)).cast(D(18, 0))
+    val mass = valMicro *
+      coalesce(col("__nxt") - col("__us"), lit(0L)).cast(D(12, 0))
+    seg.groupBy("key", "w")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        sum(mass).as("__num"))
+      .withColumn("twap",
+        when(col("span_us") > 0,
+          col("__num").cast("double")
+            / (col("span_us") * lit(1000000L)).cast("double")))
+      .select(col("key"), col("w"), col("n_events"), col("span_us"),
+        col("twap"))
+  }
+
+  /** DAU / trailing-WAU stickiness per day — the engagement-ratio report.
+    * `dau` = distinct actives that day; `wau` = distinct actives over the
+    * trailing 7-day window ending that day; `stickiness` = dau/wau (one
+    * double division of exact counts). Day domain = days with activity.
+    *
+    * Scale shape: ONE distinct pass to (day, user) — the only
+    * event-volume shuffle — then a 7-fan day-range self-join on the
+    * day-deduped frame (each (day, user) row lands in ≤ 7 windows; the
+    * join key space is days, bounded by the calendar, and the fan factor
+    * is the window length, not the data). No count-distinct window
+    * function needed — which Spark does not support over ranges anyway. */
+  def stickiness(df: DataFrame, userCol: Column, tsCol: Column,
+                 windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayUs = 86400000000L
+    val du = df.select(floor(unix_micros(tsCol) / dayUs).cast("long").as("d"),
+      userCol.as("u")).distinct()
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = dau.select(col("d"))
+      .join(du.select(col("d").as("d2"), col("u")),
+        col("d2") >= col("d") - (windowDays - 1) && col("d2") <= col("d"))
+      .groupBy("d").agg(countDistinct(col("u")).as("wau"))
+    dau.join(wau, "d")
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+      .select(col("d"), col("dau"), col("wau"), col("stickiness"))
+  }
+
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, stepUs: Long, tieBreak: String,
                    out: String = "value"): DataFrame = {
