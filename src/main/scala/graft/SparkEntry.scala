@@ -3023,6 +3023,26 @@ object SparkEntry {
         .orderBy("n1", "n2", "n3")
     }),
 
+    // ---- frequent co-occurring part pairs (A-Priori first step):
+    //      anti-monotone singleton prune BEFORE any pair forms, canonical
+    //      pairs, support = basket count
+    "q_freq_pairs" -> ((s, dir) => {
+      graft.pipeline.HeavyHitters.frequentPairs(T(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey"), minSupport = 2L)
+        .orderBy("item1", "item2")
+    }),
+
+    // ---- Markov event-transition matrix per user stream: strict
+    //      (ts, event_id) ordering, exact counts, one double division
+    //      for the row-normalized probability
+    "q_transitions" -> ((s, dir) => {
+      graft.pipeline.HeavyHitters.transitionMatrix(T(s, dir, "events"),
+          col("user_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampType),
+          col("event_type"), col("event_id"))
+        .orderBy("prev_event", "next_event")
+    }),
+
     // ---- time-weighted average per (user, day): each value holds until
     //      the next observation; exact decimal mass, one final division.
     //      Group-bounded lead() window, never global
@@ -7121,6 +7141,35 @@ object SparkEntry {
          FROM e x JOIN e y ON x.v = y.u
                   JOIN e z ON z.u = x.u AND z.v = y.v
          ORDER BY 1, 2, 3""",
+    "q_freq_pairs" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+         ), freq AS (
+           SELECT i FROM bi GROUP BY i HAVING count(*) >= 2
+         ), pruned AS (
+           SELECT b, i FROM bi WHERE i IN (SELECT i FROM freq)
+         )
+         SELECT a.i AS item1, c.i AS item2, count(*) AS support
+         FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY 1, 2""",
+    "q_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type AS prev_event,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_event
+           FROM events
+         ), c AS (
+           SELECT prev_event, next_event, count(*) AS cnt
+           FROM s WHERE next_event IS NOT NULL GROUP BY 1, 2
+         ), t AS (
+           SELECT prev_event, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM c GROUP BY 1
+         )
+         SELECT c.prev_event, c.next_event, c.cnt,
+           CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+         FROM c JOIN t USING (prev_event)
+         ORDER BY 1, 2""",
     "q_twap" ->
       """WITH b AS (
            SELECT user_id AS key,

@@ -144,6 +144,53 @@ object HeavyHitters {
     * counter side is ≤ depth×width rows — broadcast — so estimating any
     * number of query items is a map-side join, no shuffle of the queries.
     */
+  /** Frequent co-occurring item PAIRS with minimum support — the
+    * A-Priori first join step (market baskets, co-cited documents,
+    * co-occurring n-grams). The classic anti-monotone prune runs FIRST:
+    * a pair can only reach `minSupport` baskets if BOTH items do, so
+    * items below support are dropped before any pair is formed — on a
+    * Zipfian item universe this removes the long tail before the
+    * quadratic-per-basket step, and the surviving per-basket item lists
+    * are what bound the pair explosion (a basket of b survivors yields
+    * b·(b−1)/2 pairs; cap extreme baskets upstream if b is unbounded).
+    * Items are deduped per basket (support = basket count, not
+    * occurrence count); pairs are canonical (item1 < item2). */
+  def frequentPairs(df: DataFrame, basketCol: Column, itemCol: Column,
+                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val bi = df.select(basketCol.as("__b"), itemCol.as("__i")).distinct()
+    val freq = bi.groupBy("__i").agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= minSupport)
+    val pruned = bi.join(freq.select("__i"), "__i")
+    pruned.select(col("__b"), col("__i").as("item1"))
+      .join(pruned.select(col("__b"), col("__i").as("item2")), Seq("__b"))
+      .filter(col("item1") < col("item2"))
+      .groupBy("item1", "item2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Markov TRANSITION MATRIX over per-key event sequences: counts of
+    * (event, next event) under strict (ts, tiebreak) ordering, with the
+    * row-normalized transition probability — the product-analytics
+    * "what happens after X" report and the bigram-LM counting shape.
+    * The lag window is partitioned per key (group-bounded, never
+    * global); the probability is ONE double division of exact counts. */
+  def transitionMatrix(df: DataFrame, keyCol: Column, tsCol: Column,
+                       eventCol: Column, tieCol: Column): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    val steps = df.select(keyCol.as("__k"), tsCol.as("__ts"),
+        eventCol.as("prev_event"), tieCol.as("__tie"))
+      .withColumn("next_event", lead(col("prev_event"), 1).over(win))
+      .filter(col("next_event").isNotNull)
+    val cnt = steps.groupBy("prev_event", "next_event")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnt.groupBy("prev_event").agg(sum("cnt").as("__tot"))
+    cnt.join(totals, "prev_event")
+      .withColumn("p", col("cnt").cast("double") / col("__tot").cast("double"))
+      .select(col("prev_event"), col("next_event"), col("cnt"), col("p"))
+  }
+
   def cmsEstimate(counters: DataFrame, queries: DataFrame, itemCol: Column,
                   depth: Int, width: Int): DataFrame = {
     val r = explode(array((0 until depth).map(lit): _*)).as("r")

@@ -316,6 +316,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs: per-basket dedup, singleton prune, canonical pairs") {
+    // baskets: {a,b,c}, {a,b}, {a,b,a(dup)}, {c,x} — support(a,b)=3,
+    // support(a,c)=support(b,c)=1, x is infrequent (1 basket)
+    val rows = Seq((1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (3, "a"), (4, "c"), (4, "x"))
+    val df = rows.toDF("basket", "item")
+    val got = HeavyHitters.frequentPairs(df, col("basket"), col("item"), 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 3L)))
+    // at support 1, the full canonical pair set (x included)
+    val all = HeavyHitters.frequentPairs(df, col("basket"), col("item"), 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L),
+      ("c", "x", 1L)))
+  }
+
+  test("transitionMatrix: strict per-key ordering, exact row-normalized probabilities") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: a->b->a->c ; user 2: a->b — transitions from a: b,c,b
+    val rows = Seq(
+      (1L, t(1000), "a", 1L), (1L, t(2000), "b", 2L),
+      (1L, t(3000), "a", 3L), (1L, t(4000), "c", 4L),
+      (2L, t(1000), "a", 5L), (2L, t(2000), "b", 6L))
+    val df = rows.toDF("u", "ts", "e", "id")
+    val got = HeavyHitters.transitionMatrix(df, col("u"), col("ts"),
+        col("e"), col("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("a", "b", 2L, 2.0 / 3.0), ("a", "c", 1L, 1.0 / 3.0),
+      ("b", "a", 1L, 1.0)))
+    // equal timestamps: the tiebreak column decides the order
+    val tied = Seq((9L, t(1000), "x", 1L), (9L, t(1000), "y", 2L),
+      (9L, t(1000), "z", 3L)).toDF("u", "ts", "e", "id")
+    val g2 = HeavyHitters.transitionMatrix(tied, col("u"), col("ts"),
+        col("e"), col("id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(g2 == Set(("x", "y"), ("y", "z")))
+  }
+
   test("incremental agg view: applyDelta equals recompute; zeroed groups drop; chains") {
     val rnd = new scala.util.Random(11)
     val baseRows = Seq.tabulate(400)(i =>
