@@ -431,6 +431,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(winUnderSingle.isEmpty, "q_rank window runs on a single partition")
   }
 
+  test("q_dict_encode: vocabulary ids assigned without a single-partition window") {
+    // dense ids come from rankDistributed over the distinct vocab — the
+    // bucketed prefix-sum, never one ordered partition of the vocabulary
+    val p = preAqePlan("q_dict_encode")
+    assert(p.toString.contains("hashpartitioning(__rk_b"), p.toString.take(3000))
+    val winUnderSingle = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.child.outputPartitioning.toString.contains("SinglePartition") => w
+    }
+    assert(winUnderSingle.isEmpty, "q_dict_encode vocab window runs on a single partition")
+  }
+
   test("q_sample_k_group: per-group top-k runs as WindowGroupLimit heaps") {
     // rank <= k must push into WindowGroupLimit (per-partition heaps),
     // never materialize a full per-group sort of the corpus

@@ -1051,4 +1051,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("prefixJaccardJoin law: equals brute all-pairs at random thresholds/corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // small vocab forces heavy token sharing (worst case for prefix
+    // pruning); singletons and dup-heavy docs exercise the p = 1 edge
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+    } yield toks.mkString(" ")
+    val genCase: Gen[(List[String], Double)] = for {
+      m <- Gen.choose(2, 40)
+      docs <- Gen.listOfN(m, genDoc)
+      t <- Gen.oneOf(0.3, 0.5, 2.0 / 3.0, 0.75, 1.0)
+    } yield (docs, t)
+    for (((docs, t), trial) <- samples(genCase, 5).zipWithIndex) {
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text").repartition(3)
+      val got = graft.pipeline.Dedup
+        .prefixJaccardJoin(df, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val w = df.select(col("doc_id"),
+          array_distinct(split(trim(lower(col("text"))), "\\s+")).as("s"))
+        .filter(size(col("s")) > 0)
+      val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+      val uni = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+      val brute = w.select(col("doc_id").as("id1"), col("s").as("s1"))
+        .crossJoin(w.select(col("doc_id").as("id2"), col("s").as("s2")))
+        .filter(col("id1") < col("id2"))
+        .withColumn("j", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
+        .filter(col("j") >= t)
+        .select("id1", "id2", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, s"trial $trial t=$t")
+    }
+  }
 }
