@@ -2043,6 +2043,26 @@ object SparkEntry {
         .warpSort(Seq(Order(col("node"), numeric = false)))
     }),
 
+    // ---- personalized PageRank over the trade graph: random walk with
+    //      restart at the low-key customer seed set — seed-relative
+    //      importance, same decimal-exact round machinery as q_pagerank,
+    //      oracle-unrolled 3 rounds
+    "q_ppr" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "orders").warpFilter(col("o_custkey") < 20)
+        .select(concat(lit("c"), col("o_custkey")).as("id")).distinct()
+      graft.pipeline.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "id", iters = 3)
+        .withColumn("ppr", round(col("ppr"), 9))
+        .warpSort(Seq(Order(col("node"), numeric = false)))
+    }),
+
     // ---- semi-supervised label propagation over the same trade graph:
     //      a hand-labeled quality signal (rich/poor customers) spreads to
     //      every node as clamped-seed neighbor means — the scale-a-small-
@@ -4566,6 +4586,53 @@ object SparkEntry {
        SELECT node, round(pr, 9) AS pagerank FROM p$iters ORDER BY node"""
   }
 
+  /** Unrolled personalized-PageRank oracle replaying
+    * [[graft.pipeline.Graph.personalizedPageRank]] over the q_pagerank
+    * trade graph with the low-key customer seed set: uniform teleport
+    * replaced by the seed-restricted vector, dangling mass restarting at
+    * the seeds, float expression order mirrored term for term. */
+  private def pprOracle(iters: Int, damping: Double): String = {
+    val d = dlit(damping)
+    val rounds = (0 until iters).map { r =>
+      s"""dang$r AS MATERIALIZED (
+         SELECT coalesce(CAST(CAST(sum(CAST(pr AS DECIMAL(30,15))) AS VARCHAR) AS DOUBLE), 0.0) AS dm
+         FROM p$r LEFT JOIN deg ON p$r.node = deg.src WHERE deg.src IS NULL),
+       i$r AS MATERIALIZED (
+         SELECT e.dst AS node,
+           sum(CAST(p.pr / CAST(deg.dg AS DOUBLE) AS DECIMAL(30,15))) AS s
+         FROM e JOIN p$r p ON e.src = p.node JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+       p${r + 1} AS MATERIALIZED (
+         SELECT prev.node,
+           (1.0 - $d) * tele.t
+             + $d * coalesce(CAST(CAST(i.s AS VARCHAR) AS DOUBLE), 0.0)
+             + $d * dang$r.dm * tele.t AS pr
+         FROM p$r prev LEFT JOIN i$r i ON prev.node = i.node
+              JOIN tele ON tele.node = prev.node, dang$r)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                's' || CAST(l_suppkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       ), e AS MATERIALIZED (
+         SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+       ), nd AS MATERIALIZED (
+         SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e)
+       ), deg AS MATERIALIZED (SELECT src, count(*) AS dg FROM e GROUP BY src),
+       seeds AS MATERIALIZED (
+         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s
+         FROM orders WHERE o_custkey < 20
+       ), kk AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+       tele AS MATERIALIZED (
+         SELECT nd.n AS node,
+           CASE WHEN seeds.s IS NOT NULL THEN 1.0 / kk.k ELSE 0.0 END AS t
+         FROM nd LEFT JOIN seeds ON nd.n = seeds.s, kk
+       ),
+       p0 AS MATERIALIZED (SELECT node, t AS pr FROM tele),
+       $rounds
+       SELECT node, round(pr, 9) AS ppr FROM p$iters ORDER BY node"""
+  }
+
   /** Unrolled clamped-seed label-propagation oracle replaying
     * [[graft.pipeline.Graph.labelPropagation]] over the q_pagerank trade
     * graph with rich/poor customer seeds. */
@@ -4608,6 +4675,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle(3, 0.85),
+    "q_ppr" -> pprOracle(3, 0.85),
     "q_label_prop" -> labelPropOracle(2, 0.5),
     "q_avro_roundtrip" ->
       """SELECT event_id, user_id, value, ts FROM events

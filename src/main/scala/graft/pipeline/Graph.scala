@@ -113,6 +113,84 @@ object Graph {
     } finally { e.unpersist(); nodes.unpersist(); deg.unpersist(); () }
   }
 
+  /** PERSONALIZED PageRank: random-walk-with-restart importance relative
+    * to a seed set — the "what matters near THESE nodes" ranking
+    * (seed-relative content importance, related-entity retrieval,
+    * trust propagation). Identical plan shape to [[pageRank]] — one
+    * edge⋈rank join, one decimal contribution sum keyed on destination,
+    * one node-set left join and ONE driver action per round — with the
+    * uniform teleport replaced by the seed-restricted teleport vector:
+    *
+    *   p₀ = tele;  pᵣ₊₁(v) = (1−d)·tele(v) + d·Σ_in + d·dangᵣ·tele(v)
+    *
+    * where tele(v) = 1/|seeds| on seeds, 0 elsewhere; dangling mass
+    * restarts at the seeds like every other walk. Seeds not appearing in
+    * the edge set still join the node universe (they hold their teleport
+    * mass). Contributions quantize to DECIMAL(30,15) exactly as
+    * [[pageRank]]'s, so salting stays bit-identical and the unrolled
+    * DuckDB oracle replays the rounds. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3, damping: Double = 0.85,
+                           out: String = "ppr", dstSalt: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    require(dstSalt >= 1, s"dstSalt must be >= 1, got $dstSalt")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+      .repartition(col("__src"))
+      .localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("string").as("__s")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("__src").as("__n"))
+      .union(e.select(col("__dst")))
+      .union(sd.select(col("__s")))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    try {
+      val k = sd.count()
+      require(k > 0, "personalized pagerank needs at least one seed")
+      val tele = nodes.join(sd, nodes("__n") === sd("__s"), "left")
+        .select(col("__n"),
+          when(col("__s").isNotNull, lit(1.0 / k)).otherwise(lit(0.0)).as("__t"))
+        .localCheckpoint(true)
+      try {
+        var pr = tele.select(col("__n"), col("__t").as("__pr"))
+        for (_ <- 1 to iters) {
+          val withDeg = pr.join(deg, pr("__n") === deg("__src"), "left")
+            .select(col("__n"), col("__pr"), col("__deg"))
+          val dang = withDeg.filter(col("__deg").isNull)
+            .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__dang"))
+          val quant = e.join(withDeg.filter(col("__deg").isNotNull),
+              col("__src") === col("__n"))
+            .select(col("__dst"), col("__src"),
+              (col("__pr") / col("__deg").cast("double"))
+                .cast(DecimalType(30, 15)).as("__c"))
+          val contrib =
+            if (dstSalt <= 1)
+              quant.groupBy("__dst").agg(sum(col("__c")).as("__in"))
+            else
+              quant
+                .groupBy(col("__dst"), pmod(xxhash64(col("__src")), lit(dstSalt)))
+                .agg(sum(col("__c")).as("__part"))
+                .groupBy("__dst").agg(sum(col("__part")).as("__in"))
+          val next = tele.join(contrib, tele("__n") === contrib("__dst"), "left")
+            .crossJoin(broadcast(dang))
+            .select(col("__n"),
+              (lit(1.0 - damping) * col("__t") +
+                lit(damping) * coalesce(col("__in").cast("double"), lit(0.0)) +
+                lit(damping) * coalesce(col("__dang").cast("double"), lit(0.0))
+                  * col("__t")).as("__pr"))
+            .localCheckpoint(true)
+          pr.unpersist()
+          pr = next
+        }
+        pr.select(col("__n").as("node"), col("__pr").as(out))
+      } finally { tele.unpersist(); () }
+    } finally { e.unpersist(); sd.unpersist(); nodes.unpersist(); deg.unpersist(); () }
+  }
+
   /** Semi-supervised label propagation (Zhu–Ghahramani with clamped
     * seeds): spread a [0,1] label (e.g. "high quality") from a small
     * seeded set across a similarity graph — the standard move for scaling

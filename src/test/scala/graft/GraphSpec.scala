@@ -68,6 +68,39 @@ class GraphSpec extends SparkSpec {
     assert(r("b") > r("c"))
   }
 
+  test("personalized pagerank: mass conserved, concentrates at seeds, salt-invariant") {
+    import spark.implicits._
+    // hub graph: everyone links to the hub and back; seed = one spoke
+    val edges = ((1 to 40).flatMap(i => Seq(s"n$i" -> "hub", "hub" -> s"n$i"))
+      :+ ("iso1" -> "iso2") :+ ("iso2" -> "iso1")).toDF("src", "dst")
+    val seeds = Seq("n1").toDF("id")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iters = 4).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // walk restarts only at n1: the isolated 2-cycle is unreachable
+    assert(pr("iso1") == 0.0 && pr("iso2") == 0.0)
+    // the seed outranks every other spoke; the hub carries real mass
+    assert((2 to 40).forall(i => pr("n1") > pr(s"n$i")), pr("n1"))
+    assert(pr("hub") > 0.1)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // mass conserved
+    // salted dst-sum is value-identical
+    val salted = Graph.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iters = 4, dstSalt = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == pr)
+  }
+
+  test("personalized pagerank: dangling mass restarts at the seeds") {
+    import spark.implicits._
+    // a -> sink (no out-edges): sink's mass must return to the seed a,
+    // not spread uniformly
+    val edges = Seq("a" -> "sink").toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst",
+        Seq("a").toDF("id"), "id", iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr("a") > pr("sink")) // restart keeps the seed on top
+  }
+
   private def tris(edges: Seq[(String, String)]): Set[(String, String, String)] = {
     import spark.implicits._
     Graph.triangles(edges.toDF("s", "d"), "s", "d")
