@@ -1522,6 +1522,18 @@ object SparkEntry {
         .withColumnRenamed("grp", "source")
         .orderBy("source")),
 
+    // ---- HLL set algebra between sources: per-bucket register max IS
+    //      the union sketch (no rescan); inclusion-exclusion over the
+    //      published estimates probes cross-source duplication at sketch
+    //      cost. Exact union/intersection companions at gauge scale.
+    //      Bounded to 5 sources (10 pairs) to keep the report readable
+    "q_hll_algebra" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .warpFilter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      graft.ops.WarpOps.hllMd5SetAlgebra(docs, col("source"), col("text"))
+        .orderBy("grp_a", "grp_b")
+    }),
+
     // ---- fixed-width histogram (profiler companion): doc length
     //      distribution, 12 bins over [0, 600)
     "q_histogram" -> ((s, dir) =>
@@ -7533,6 +7545,87 @@ object SparkEntry {
                              THEN 16.0 * ln(16.0 / zeros) ELSE eraw END) - n_exact)
                / n_exact, 6) END AS rel_error
          FROM e ORDER BY source""",
+    "q_hll_algebra" ->
+      """WITH d AS (
+           SELECT source, text FROM documents
+           WHERE text IS NOT NULL
+             AND source IN ('src0','src1','src2','src3','src4')
+         ), v AS (
+           SELECT source,
+             CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 1)) AS BIGINT) AS b,
+             CAST(('0x' || substr(md5(CAST(text AS VARCHAR)), 2, 13)) AS BIGINT) AS w
+           FROM d
+         ), r AS (
+           SELECT source, b, max(CASE WHEN w = 0 THEN 53
+                                      ELSE 53 - length(bin(w)) END) AS M
+           FROM v GROUP BY source, b
+         ), st AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS used, max(M) AS mx
+           FROM r GROUP BY source
+         ), s1 AS (
+           SELECT r.source,
+             CAST(sum(CAST(pow(2.0, st.mx - r.M) AS BIGINT)) AS BIGINT) AS S,
+             any_value(st.used) AS used, any_value(st.mx) AS mx
+           FROM r JOIN st USING (source) GROUP BY r.source
+         ), ex AS (
+           SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+           FROM d GROUP BY source
+         ), pe AS (
+           SELECT s1.source, ex.n_exact,
+             round(CASE WHEN (0.673 * 16 * 16 * pow(2.0, s1.mx)
+                     / (CAST(s1.S AS DOUBLE)
+                        + CAST(16 - s1.used AS DOUBLE) * pow(2.0, s1.mx)))
+                       <= 40.0 AND 16 - s1.used > 0
+                   THEN 16.0 * ln(16.0 / (16 - s1.used))
+                   ELSE 0.673 * 16 * 16 * pow(2.0, s1.mx)
+                     / (CAST(s1.S AS DOUBLE)
+                        + CAST(16 - s1.used AS DOUBLE) * pow(2.0, s1.mx)) END,
+               6) AS est
+           FROM s1 JOIN ex USING (source)
+         ), pairs AS (
+           SELECT a.source AS ga, b.source AS gb
+           FROM pe a JOIN pe b ON a.source < b.source
+         ), ur AS (
+           SELECT p.ga, p.gb, r.b, max(r.M) AS M
+           FROM pairs p JOIN r ON r.source = p.ga OR r.source = p.gb
+           GROUP BY 1, 2, 3
+         ), ust AS (
+           SELECT ga, gb, CAST(count(*) AS BIGINT) AS used, max(M) AS mx
+           FROM ur GROUP BY 1, 2
+         ), us1 AS (
+           SELECT ur.ga, ur.gb,
+             CAST(sum(CAST(pow(2.0, ust.mx - ur.M) AS BIGINT)) AS BIGINT) AS S,
+             any_value(ust.used) AS used, any_value(ust.mx) AS mx
+           FROM ur JOIN ust ON ur.ga = ust.ga AND ur.gb = ust.gb
+           GROUP BY ur.ga, ur.gb
+         ), uest AS (
+           SELECT ga, gb,
+             round(CASE WHEN (0.673 * 16 * 16 * pow(2.0, mx)
+                     / (CAST(S AS DOUBLE)
+                        + CAST(16 - used AS DOUBLE) * pow(2.0, mx)))
+                       <= 40.0 AND 16 - used > 0
+                   THEN 16.0 * ln(16.0 / (16 - used))
+                   ELSE 0.673 * 16 * 16 * pow(2.0, mx)
+                     / (CAST(S AS DOUBLE)
+                        + CAST(16 - used AS DOUBLE) * pow(2.0, mx)) END,
+               6) AS est_union
+           FROM us1
+         ), uex AS (
+           SELECT p.ga, p.gb, CAST(count(DISTINCT d.text) AS BIGINT) AS n_union
+           FROM pairs p JOIN d ON d.source = p.ga OR d.source = p.gb
+           GROUP BY 1, 2
+         )
+         SELECT p.ga AS grp_a, p.gb AS grp_b,
+           pa.est AS est_a, pb.est AS est_b, u.est_union,
+           round(pa.est + pb.est - u.est_union, 6) AS est_inter,
+           x.n_union,
+           pa.n_exact + pb.n_exact - x.n_union AS n_inter
+         FROM pairs p
+           JOIN pe pa ON pa.source = p.ga
+           JOIN pe pb ON pb.source = p.gb
+           JOIN uest u ON u.ga = p.ga AND u.gb = p.gb
+           JOIN uex x ON x.ga = p.ga AND x.gb = p.gb
+         ORDER BY 1, 2""",
     "q_embed_recall_ivf" ->
       recallIvfOracle(RecallIvfCells, 2, RecallIvfProbe, 64, 10),
     "q_retrieval_ndcg" ->

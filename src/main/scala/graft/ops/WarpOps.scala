@@ -890,4 +890,85 @@ object WarpOps {
           round(abs(est - col("__exact")) / col("__exact"), 6))
           .as("rel_error"))
   }
+
+  /** HLL SET ALGEBRA between groups — the sketch property that makes the
+    * register representation worth keeping: per-bucket `max` of two
+    * groups' registers IS the sketch of their union (no rescan), and
+    * inclusion–exclusion `est(a) + est(b) − est(a∪b)` estimates the
+    * intersection — the cross-source duplication probe at sketch cost.
+    * Same md5-derived registers and exact-integer register-sum estimator
+    * as [[hllMd5ReportByGroup]], so every pair's merged estimate replays
+    * in external SQL; exact union/intersection companions ride along at
+    * gauge scale (skip them at 100 TB and trust the sketch).
+    *
+    * Scale shape: registers aggregate once per (group, bucket) — the only
+    * data-sized pass; pair merges are equi-joins on an exploded
+    * (pair, member) table over the groups×m-bounded register frame, never
+    * a rescan of the corpus. The intersection estimate can go negative on
+    * near-disjoint sets (standard inclusion–exclusion behavior; clamp
+    * downstream if a lower bound of 0 is wanted). */
+  def hllMd5SetAlgebra(df: DataFrame, groupCol: Column, valueCol: Column,
+                       p: Int = 4): DataFrame = {
+    require(p % 4 == 0 && p >= 4 && p <= 12,
+      s"p must be a multiple of 4 in [4, 12] (hex-substring buckets), got $p")
+    val m = 1 << p
+    val hexChars = p / 4
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = md5(valueCol.cast("string"))
+    val base = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("grp"), valueCol.cast("string").as("__v"),
+        conv(substring(h, 1, hexChars), 16, 10).cast("int").as("__b"),
+        conv(substring(h, hexChars + 1, 13), 16, 10).cast("long").as("__w"))
+    val regs = base
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("__w")))))
+      .groupBy("grp", "__b").agg(max(col("__rho")).as("__M"))
+    // per-group estimates through the identical published read-out
+    val per = hllMd5ReportByGroup(df, groupCol, valueCol, p)
+      .select(col("grp"), col("estimate"), col("n_exact"))
+    val pairs = per.select(col("grp").as("grp_a"))
+      .crossJoin(per.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val members = pairs.select(col("grp_a"), col("grp_b"),
+      explode(array(col("grp_a"), col("grp_b"))).as("grp"))
+    // union sketch: per-bucket max over both members' registers
+    val uRegs = members.join(regs, "grp")
+      .groupBy("grp_a", "grp_b", "__b").agg(max(col("__M")).as("__M"))
+    val uStats = uRegs.groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("__used"), max(col("__M")).as("__mx"))
+    val uOne = uRegs.join(uStats, Seq("grp_a", "grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(first(col("__used")).as("__used"), first(col("__mx")).as("__mx"),
+        sum(pow(lit(2.0), col("__mx") - col("__M")).cast("long")).as("__S"))
+    val zeros = lit(m) - col("__used")
+    val denom = col("__S").cast("double") +
+      zeros.cast("double") * pow(lit(2.0), col("__mx"))
+    val eRaw = lit(alpha * m.toDouble * m) * pow(lit(2.0), col("__mx")) / denom
+    val estU = when(eRaw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
+    // exact companions over the distinct (group, value) frame
+    val dv = base.select(col("grp"), col("__v")).distinct()
+    val uExact = members.join(dv, "grp")
+      .groupBy("grp_a", "grp_b").agg(count_distinct(col("__v")).as("n_union"))
+    pairs
+      .join(per.select(col("grp").as("grp_a"), col("estimate").as("est_a"),
+        col("n_exact").as("__na")), "grp_a")
+      .join(per.select(col("grp").as("grp_b"), col("estimate").as("est_b"),
+        col("n_exact").as("__nb")), "grp_b")
+      .join(uOne, Seq("grp_a", "grp_b"))
+      .join(uExact, Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        round(estU, 6).as("est_union"),
+        // inclusion–exclusion over the PUBLISHED 6-rounded estimates, so
+        // the arithmetic replays on the external side bit-for-bit
+        round(col("est_a") + col("est_b") - round(estU, 6), 6).as("est_inter"),
+        col("n_union"),
+        (col("__na") + col("__nb") - col("n_union")).as("n_inter"))
+  }
 }

@@ -689,6 +689,33 @@ class WarpOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hllMd5SetAlgebra: union sketch equals the rescan sketch; exact algebra holds") {
+    import spark.implicits._
+    import graft.ops.WarpOps
+    // groups with known overlap: A = 0..599, B = 400..999 -> |A|=600,
+    // |B|=600, |A∪B|=1000, |A∩B|=200
+    val rows = (0 until 600).map(i => ("A", s"v$i")) ++
+      (400 until 1000).map(i => ("B", s"v$i")) ++
+      (0 until 50).map(i => ("C", s"w$i")) // disjoint from both
+    val df = rows.toDF("g", "v").repartition(7)
+    val out = WarpOps.hllMd5SetAlgebra(df, col("g"), col("v"), p = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n_union") == 1000 && ab.getAs[Long]("n_inter") == 200)
+    // the merged-register union estimate must EQUAL the union's own
+    // sketch (register max is lossless merge — not approximately, exactly)
+    val rescan = WarpOps.hllMd5Report(
+      df.filter(col("g") =!= "C").select("v"), col("v"), p = 8)
+      .collect()(0).getAs[Double]("estimate")
+    assert(ab.getAs[Double]("est_union") == rescan)
+    // disjoint pair: exact intersection 0; estimate within sketch noise
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Long]("n_inter") == 0)
+    assert(math.abs(ac.getAs[Double]("est_inter")) < 0.5 * 600)
+    // estimates land within HLL error of truth at m=256
+    assert(math.abs(ab.getAs[Double]("est_union") - 1000) / 1000 < 0.25)
+  }
+
   test("histogram: edges closed-top, out-of-range and non-coercible dropped") {
     import spark.implicits._
     val df = Seq("0", "4.9", "5", "9.9", "10", "x", "-1", "10.1", null)
