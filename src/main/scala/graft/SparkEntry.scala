@@ -3176,6 +3176,22 @@ object SparkEntry {
       }
     }),
 
+    // ---- k-core peeling on the part co-occurrence graph: three rounds
+    //      of remove-degree-below-k, each round one degree aggregate and
+    //      two semi-joins — surviving (node, degree) rows, every round
+    //      replayed by the unrolled oracle
+    "q_kcore" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          lpad(col("l_partkey").cast("string"), 7, "0").as("pk"))
+      val edges = li.select(col("ok"), col("ln"), col("pk").as("u"))
+        .join(li.select(col("ok"), (col("ln") - 1).as("ln"), col("pk").as("v")),
+          Seq("ok", "ln"))
+        .select("u", "v")
+      graft.pipeline.Graph.kCorePeel(edges, "u", "v", k = 20, rounds = 3)
+        .orderBy("node")
+    }),
+
     // ---- warehouse ANALYZE: per-column row/null/NDV/min/max stats — the
     //      stats surface pruning and join planning feed from
     "q_warehouse_stats" -> ((s, dir) => {
@@ -4596,6 +4612,37 @@ object SparkEntry {
        p0 AS MATERIALIZED (SELECT nd.n AS node, 1.0 / nn.n AS pr FROM nd, nn),
        $rounds
        SELECT node, round(pr, 9) AS pagerank FROM p$iters ORDER BY node"""
+  }
+
+  /** Unrolled k-core-peel oracle replaying
+    * [[graft.pipeline.Graph.kCorePeel]] over the part co-occurrence
+    * graph: each round keeps nodes of degree >= k and drops edges
+    * touching a removed node. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val rnds = (0 until rounds).map { r =>
+      s"""k$r AS MATERIALIZED (
+         SELECT s FROM e$r GROUP BY s HAVING count(*) >= $k),
+       e${r + 1} AS MATERIALIZED (
+         SELECT e$r.s, e$r.t FROM e$r
+         WHERE e$r.s IN (SELECT s FROM k$r)
+           AND e$r.t IN (SELECT s FROM k$r))"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+         SELECT l_orderkey, l_linenumber,
+           lpad(CAST(l_partkey AS VARCHAR), 7, '0') AS pk
+         FROM lineitem
+       ), und AS MATERIALIZED (
+         SELECT DISTINCT least(a.pk, b.pk) AS u, greatest(a.pk, b.pk) AS v
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_linenumber + 1 = b.l_linenumber
+         WHERE a.pk <> b.pk
+       ), e0 AS MATERIALIZED (
+         SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und
+       ),
+       $rnds
+       SELECT s AS node, count(*) AS degree FROM e$rounds
+       GROUP BY s ORDER BY node"""
   }
 
   /** Unrolled personalized-PageRank oracle replaying
@@ -7204,6 +7251,7 @@ object SparkEntry {
          WHERE t.rn <= 3 AND b.rn <= 3
            AND chosen_score - rejected_score >= 50
          ORDER BY 1, 2, 3, 5""",
+    "q_kcore" -> kcoreOracle(20, 3),
     // independent brute-force wedge close — no orientation machinery
     "q_graph_triangles" ->
       """WITH li AS (

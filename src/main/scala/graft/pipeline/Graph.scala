@@ -260,6 +260,58 @@ object Graph {
     } finally { e.unpersist(); nodes.unpersist(); () }
   }
 
+  /** k-CORE PEELING: iteratively remove nodes whose degree (in the
+    * surviving subgraph) falls below `k` — the graph-density filter that
+    * isolates the "everything here is well-connected" core (community
+    * seeds, dense-duplication neighborhoods, spam rings). `rounds` fixes
+    * the peel count so every round replays in an unrolled external
+    * oracle; peeling converges when a round removes nothing (the fixed
+    * point IS the k-core — run with enough rounds and the output is it).
+    *
+    * Input is taken as UNDIRECTED; self-loops and duplicate edges
+    * canonicalize away. Output: surviving (node, degree) rows, derived
+    * from the surviving EDGE table — a node whose last edge died this
+    * round is out even if its own degree test passed (it would peel next
+    * round anyway; at the fixed point the two notions coincide).
+    *
+    * Scale shape per round: one map-side-combined degree aggregate and
+    * two semi-joins (src-alive, dst-alive) — no windows, no driver data;
+    * one eager checkpoint per round bounds the plan depth exactly like
+    * [[pageRank]]'s rank table. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val raw = edges.select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+    val und = raw.select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    var e = und.select(col("__u").as("__s"), col("__v").as("__t"))
+      .union(und.select(col("__v"), col("__u")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("__s").as("__n"))
+        .agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select("__n")
+      val next = e
+        .join(keep.select(col("__n").as("__s")), "__s")
+        .join(keep.select(col("__n").as("__t")), "__t")
+        .select("__s", "__t")
+        .localCheckpoint(true)
+      e.unpersist()
+      e = next
+    }
+    val out = e.groupBy(col("__s").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Triangle counting with DEGREE-ORDERED edge orientation — the
     * shuffle-safe shape for skewed graphs (the "compact-forward" /
     * node-iterator++ algorithm; the same orientation powers triangle

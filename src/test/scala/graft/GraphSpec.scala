@@ -101,6 +101,31 @@ class GraphSpec extends SparkSpec {
     assert(pr("a") > pr("sink")) // restart keeps the seed on top
   }
 
+  test("kCorePeel: cascading path peel, K5 core survives, duplicates canonicalize") {
+    import spark.implicits._
+    def run(edges: Seq[(String, String)], k: Int, rounds: Int) =
+      Graph.kCorePeel(edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path a-b-c-d-e at k=2: endpoints fall each round (the cascade the
+    // fixed-round form must expose), empty at round 3
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    assert(run(path, 2, 1) == Map("b" -> 1L, "c" -> 2L, "d" -> 1L))
+    // round 2 keeps only c, but both its neighbors died with their edges:
+    // a node with no surviving edge is OUT (edge-derived output — exactly
+    // what the unrolled oracle computes)
+    assert(run(path, 2, 2).isEmpty)
+    assert(run(path, 2, 3).isEmpty)
+    // K5 with a pendant tail: tail peels, the 4-core K5 survives intact
+    val k5 = for (a <- Seq("1", "2", "3", "4", "5");
+                  b <- Seq("1", "2", "3", "4", "5"); if a < b) yield (a, b)
+    val g = k5 ++ Seq("5" -> "t1", "t1" -> "t2")
+    val got = run(g, 4, 3)
+    assert(got == Map("1" -> 4L, "2" -> 4L, "3" -> 4L, "4" -> 4L, "5" -> 4L))
+    // duplicate/reverse/self edges don't inflate degrees
+    val messy = Seq("a" -> "b", "b" -> "a", "a" -> "b", "a" -> "a")
+    assert(run(messy, 1, 1) == Map("a" -> 1L, "b" -> 1L))
+  }
+
   private def tris(edges: Seq[(String, String)]): Set[(String, String, String)] = {
     import spark.implicits._
     Graph.triangles(edges.toDF("s", "d"), "s", "d")
