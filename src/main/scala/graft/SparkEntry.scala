@@ -901,6 +901,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // ---- per-type linear TREND over daily activity: slope/intercept/
+    //      corr of (day index, daily count) through the decimal-exact
+    //      bivariate moments — the volume-drift monitor (is this source
+    //      growing, shrinking, how consistently?)
+    "q_trend" -> ((s, dir) => {
+      val daily = T(s, dir, "events")
+        .select(col("event_type"),
+          floor(unix_micros(col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+            / lit(86400000000L)).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          WA.warpSlope(col("d"), col("cnt")).as("slope"),
+          WA.warpIntercept(col("d"), col("cnt")).as("intercept"),
+          WA.warpCorr(col("d"), col("cnt")).as("corr"))
+        .orderBy("event_type")
+    }),
+
     // ---- winsorization: clamp into per-group [p05, p95] quantile caps;
     //      aggregate output pins both the clamped sum and the clip count
     "q_winsorize" -> ((s, dir) => {
@@ -5441,6 +5460,31 @@ object SparkEntry {
            ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
              * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))) AS r2_qp
          FROM m ORDER BY l_returnflag""",
+    "q_trend" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+             count(*) AS cnt
+           FROM events GROUP BY 1, 2
+         ), m AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(cnt AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(19,6))
+                    * CAST(d AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(cnt AS DECIMAL(19,6))
+                    * CAST(cnt AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(19,6))
+                    * CAST(cnt AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+           FROM daily GROUP BY event_type
+         )
+         SELECT event_type, n_days,
+           (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+           (sy - sx * (n*sxy - sx*sy) / (n*sxx - sx*sx)) / n AS intercept,
+           (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr
+         FROM m ORDER BY event_type""",
     "q_winsorize" ->
       """WITH g AS (
            SELECT l_returnflag, list_sort(list(l_extendedprice)) AS a,
