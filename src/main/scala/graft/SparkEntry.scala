@@ -1161,6 +1161,20 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // ---- contrastive triplet mining: best exact near-dup as the
+    //      positive, md5-bucket non-dups as negatives (anti-joined
+    //      against the FULL exact pair set so no secret near-dup
+    //      poisons the loss) — the embedding-training data constructor
+    "q_contrastive" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 7 === 0)
+      val near = docs.calculate(Seq(
+        "doc_id" -> (col("doc_id") + 1000000),
+        "text" -> concat(col("text"), lit(" extra trailing words appended"))))
+      graft.pipeline.Preference.contrastiveTriplets(docs.warpUnion(near),
+        "text", "doc_id", threshold = 0.6, kNeg = 3)
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
     // ---- prefix-filtered EXACT Jaccard self-join (SSJoin/PPJoin family):
     //      exact like q_dedup_jaccard (provably no false negatives — the
     //      oracle is the independent all-pairs ground truth) but WITHOUT
@@ -6015,6 +6029,59 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
          ORDER BY 1, 2""",
+    "q_contrastive" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+                  text || ' extra trailing words appended' AS text
+           FROM documents WHERE doc_id % 7 = 0
+         ), w AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM d
+         ), nz AS (
+           SELECT doc_id, s FROM w WHERE len(s) > 0
+         ), pr AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) AS j
+           FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) >= 0.6
+         ), sym AS (
+           SELECT id1 AS anchor_id, id2 AS other, j FROM pr
+           UNION ALL SELECT id2, id1, j FROM pr
+         ), best AS (
+           SELECT anchor_id, other AS pos_id, j AS jaccard FROM (
+             SELECT *, row_number() OVER (PARTITION BY anchor_id
+               ORDER BY j DESC, other ASC) AS rn FROM sym)
+           WHERE rn = 1
+         ), cand AS (
+           SELECT doc_id AS neg_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+           FROM d
+         ), pro AS (
+           SELECT b.anchor_id, b.pos_id, b.jaccard, c.neg_id
+           FROM best b JOIN cand c
+             ON substr(md5(CAST(b.anchor_id AS VARCHAR)), 1, 1) = c.bk
+           WHERE c.neg_id <> b.anchor_id AND c.neg_id <> b.pos_id
+             AND NOT EXISTS (SELECT 1 FROM sym s
+               WHERE s.anchor_id = b.anchor_id AND s.other = c.neg_id)
+         ), rk AS (
+           SELECT anchor_id, pos_id, jaccard, neg_id,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+                 || CAST(neg_id AS VARCHAR)), neg_id) AS INT) AS neg_rank
+           FROM pro
+         )
+         SELECT anchor_id, pos_id, jaccard, neg_id, neg_rank
+         FROM rk WHERE neg_rank <= 3
+         ORDER BY anchor_id, neg_rank""",
     // ground truth for the prefix-filtered join is the INDEPENDENT
     // all-pairs jaccard — the oracle shares no candidate machinery with
     // the Spark side, so it checks exactness (no false negatives), not

@@ -52,4 +52,55 @@ object Preference {
       .filter(col("chosen_score") - col("rejected_score") >= margin)
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
   }
+
+  /** CONTRASTIVE TRIPLET MINING for embedding/retrieval training:
+    * (anchor, positive, negative) rows where the positive is the
+    * anchor's best exact near-duplicate and negatives are
+    * deterministically drawn non-duplicates.
+    *
+    *  - Positives: [[Dedup.prefixJaccardJoin]] (exact, no false
+    *    negatives) symmetrized so every member of a pair anchors; per
+    *    anchor the BEST positive wins (jaccard desc, id asc — a
+    *    WindowGroupLimit top-1, never a per-anchor sort).
+    *  - Negatives: the corpus is hashed into 16 md5 buckets; each anchor
+    *    probes ITS OWN bucket (bounded fan — corpus/16 candidates per
+    *    anchor, not the corpus), drops itself and every true positive
+    *    (anti-join on the full exact pair set — a sampled negative that
+    *    is secretly a near-dup would poison the loss), and keeps the
+    *    `kNeg` lowest md5(anchor:candidate) ranks. Everything md5 —
+    *    rand()-free, replayable in external SQL.
+    *
+    * Output: (anchor_id, pos_id, jaccard, neg_id, neg_rank). */
+  def contrastiveTriplets(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double = 0.6, kNeg: Int = 3): DataFrame = {
+    require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
+    val pairs = Dedup.prefixJaccardJoin(df, textCol, idCol, threshold)
+    val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("other"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("id2").as("anchor_id"),
+        col("id1").as("other"), col("jaccard")))
+    val bestW = Window.partitionBy("anchor_id")
+      .orderBy(col("jaccard").desc, col("other").asc)
+    val best = sym.withColumn("__rn", row_number().over(bestW))
+      .filter(col("__rn") === 1)
+      .select(col("anchor_id"), col("other").as("pos_id"), col("jaccard"))
+    val bucket = (c: Column) => substring(md5(c.cast("string")), 1, 1)
+    val cands = df.select(col(idCol).as("neg_id"))
+      .withColumn("__bk", bucket(col("neg_id")))
+    val probes = best.withColumn("__bk", bucket(col("anchor_id")))
+      .join(cands, "__bk")
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id"))
+      // a bucket-mate that is a true near-dup of the anchor is NOT a
+      // negative: anti-join the full exact pair set
+      .join(sym.select(col("anchor_id"), col("other").as("neg_id")),
+        Seq("anchor_id", "neg_id"), "left_anti")
+    val negW = Window.partitionBy("anchor_id")
+      .orderBy(md5(concat(col("anchor_id").cast("string"), lit(":"),
+        col("neg_id").cast("string"))), col("neg_id"))
+    probes.withColumn("neg_rank", row_number().over(negW))
+      .filter(col("neg_rank") <= kNeg)
+      .select(col("anchor_id"), col("pos_id"), col("jaccard"),
+        col("neg_id"), col("neg_rank"))
+  }
 }

@@ -316,6 +316,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: negatives are never near-dups, ranks contiguous, deterministic") {
+    val docs = sf("documents").filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text")
+    val near = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" extra trailing words appended")).as("text"))
+    val corpus = docs.unionByName(near)
+    val out = Preference.contrastiveTriplets(corpus, "text", "doc_id", 0.6, 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the exact positive set (ground truth both directions)
+    val pos = Dedup.prefixJaccardJoin(corpus, "text", "doc_id", 0.6)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    rows.foreach { r =>
+      val (a, p, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(pos((a, p)), s"pos $a->$p not a true pair")
+      assert(!pos((a, n)), s"negative $a->$n is secretly a near-dup")
+      assert(n != a && n != p)
+    }
+    // per-anchor ranks are 1..k contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (a, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length), s"anchor $a")
+    }
+    // repartition-invariant
+    val out2 = Preference.contrastiveTriplets(corpus.repartition(11),
+      "text", "doc_id", 0.6, 3).collect()
+    assert(out2.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("frequentPairs: per-basket dedup, singleton prune, canonical pairs") {
     // baskets: {a,b,c}, {a,b}, {a,b,a(dup)}, {c,x} — support(a,b)=3,
     // support(a,c)=support(b,c)=1, x is infrequent (1 basket)
