@@ -3225,6 +3225,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- declarative data-quality audit ("expectations"): NOT NULL,
+    //      uniqueness, and range rules -> one violations row per rule;
+    //      scan rules share one aggregation pass
+    "q_constraints" -> ((s, dir) => {
+      graft.sources.ParquetWarehouse.audit(T(s, dir, "orders"),
+        notNull = Seq("o_orderkey", "o_orderstatus"),
+        unique = Seq(Seq("o_orderkey"), Seq("o_custkey")),
+        ranges = Seq(("o_totalprice", 0.0, 300000.0)))
+        .orderBy("rule")
+    }),
+
     // ---- warehouse ANALYZE: per-column row/null/NDV/min/max stats — the
     //      stats surface pruning and join planning feed from
     "q_warehouse_stats" -> ((s, dir) => {
@@ -3307,6 +3318,37 @@ object SparkEntry {
         .as[(Long, String, java.sql.Timestamp)]
       graft.streaming.EventStream.capPerKeyStream(ev, n = 1000L).toDF()
         .orderBy("key", "admit_seq")
+    }),
+
+    // ---- eighth REAL Structured Streaming driver row: the per-key
+    //      admission quota (flatMapGroupsWithState, one counter per key)
+    //      as an actual file-source -> memory-sink query. Stateless-ish
+    //      append output: admissions emit during the data batch, so no
+    //      sentinel is needed; the single-file fixture keeps arrival
+    //      order deterministic (one batch), matching the oracle's
+    //      (ts, event_id) chronological rank
+    "q_stream_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.types.TimestampType
+      streamShuffle(s) {
+      import s.implicits._
+      val ev = T(s, dir, "events").filter(col("event_id") < 20000L)
+        .select(col("event_id").cast("long").as("_1"),
+          col("event_type").as("_2"),
+          col("ts").cast(TimestampType).as("_3"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cap").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(ev.schema).parquet(tmp)
+        .as[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.EventStream.capPerKeyStream(src, n = 500L).toDF()
+      val qname = "graft_stream_cap_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy("key", "admit_seq")
+      }
     }),
 
     // ---- REAL Structured Streaming execution, driver-gated: the md5-tier
@@ -7363,6 +7405,43 @@ object SparkEntry {
            AND chosen_score - rejected_score >= 50
          ORDER BY 1, 2, 3, 5""",
     "q_kcore" -> kcoreOracle(20, 3),
+    // SELECT DISTINCT subqueries (not count(DISTINCT col)) so null keys
+    // count as key values — matching the Spark struct-distinct semantics
+    "q_constraints" ->
+      """SELECT 'not_null:o_orderkey' AS rule,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS violations,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+         FROM orders
+         UNION ALL
+         SELECT 'not_null:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'range:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+             AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+             THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NOT NULL
+             AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)
+             THEN 1 ELSE 0 END) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'unique:o_orderkey',
+           CAST((SELECT count(*) FROM orders)
+             - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+             AS BIGINT),
+           (SELECT count(*) FROM orders)
+             = (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders))
+         UNION ALL
+         SELECT 'unique:o_custkey',
+           CAST((SELECT count(*) FROM orders)
+             - (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders))
+             AS BIGINT),
+           (SELECT count(*) FROM orders)
+             = (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders))
+         ORDER BY rule""",
     // independent brute-force wedge close — no orientation machinery
     "q_graph_triangles" ->
       """WITH li AS (
@@ -7559,6 +7638,15 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_stream_cap" ->
+      """WITH r AS (
+           SELECT event_id AS id, event_type AS key,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS admit_seq
+           FROM events WHERE event_id < 20000
+         )
+         SELECT id, key, admit_seq FROM r
+         WHERE admit_seq <= 500 ORDER BY key, admit_seq""",
     "q_stream_quota" ->
       """WITH r AS (
            SELECT event_id AS id, event_type AS key,

@@ -453,6 +453,50 @@ final class ParquetWarehouse(spark: SparkSession, root: String) {
 
 object ParquetWarehouse {
 
+  /** Declarative DATA-QUALITY AUDIT — the warehouse "expectations" /
+    * constraint-check surface (NOT NULL, uniqueness, value range): one
+    * violations-count row per rule. Rules never fail the job; the report
+    * is the artifact a pipeline gates on.
+    *
+    * Scale shape: all NOT-NULL and range rules evaluate in ONE
+    * aggregation pass over the table; each uniqueness rule is one
+    * map-side-combined distinct-count aggregate on its key set
+    * (violations = rows − distinct keys, counting every row beyond the
+    * first of a duplicate key). Null keys count as a key value, matching
+    * SQL DISTINCT semantics. */
+  def audit(df: DataFrame,
+            notNull: Seq[String] = Nil,
+            unique: Seq[Seq[String]] = Nil,
+            ranges: Seq[(String, Double, Double)] = Nil): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty,
+      "audit needs at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scanAggs =
+      notNull.map(c =>
+        sum(when(col(s"`$c`").isNull, 1L).otherwise(0L))
+          .as(s"not_null:$c")) ++
+      ranges.map { case (c, lo, hi) =>
+        sum(when(col(s"`$c`").isNotNull &&
+            (col(s"`$c`") < lo || col(s"`$c`") > hi), 1L).otherwise(0L))
+          .as(s"range:$c")
+      }
+    val scanRules: Seq[(String, Long)] =
+      if (scanAggs.isEmpty) Nil
+      else {
+        val row = df.agg(scanAggs.head, scanAggs.tail: _*).collect()(0)
+        row.schema.fieldNames.map(n => n -> row.getAs[Long](n)).toSeq
+      }
+    val uniqueRules: Seq[(String, Long)] = unique.map { keys =>
+      val r = df.agg(count(lit(1)).as("n"),
+        count_distinct(struct(keys.map(c => col(s"`$c`")): _*)).as("d"))
+        .collect()(0)
+      s"unique:${keys.mkString(",")}" -> (r.getLong(0) - r.getLong(1))
+    }
+    (scanRules ++ uniqueRules).map { case (rule, v) => (rule, v, v == 0L) }
+      .toDF("rule", "violations", "passed")
+  }
+
   /** Column statistics of an arbitrary DataFrame (see
     * [[ParquetWarehouse.analyze]]): one wide aggregation, one 1-row
     * driver action, one stats row per requested column. Min/max are

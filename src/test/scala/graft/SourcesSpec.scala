@@ -540,6 +540,29 @@ class SourcesSpec extends SparkSpec {
       ("v", 4L, 1L, 2L, "x", "y")))
   }
 
+  test("warehouse audit: not-null, unique (null keys count), range rules") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), 5.0), (Some(2L), Some("a"), -1.0),
+      (None, Some("b"), 11.0), (Some(2L), None, 3.0), (Some(3L), None, 4.0)
+    ).toDF("k", "g", "v")
+    val got = ParquetWarehouse.audit(df,
+        notNull = Seq("k"), unique = Seq(Seq("k"), Seq("g")),
+        ranges = Seq(("v", 0.0, 10.0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got("not_null:k") == (1L, false))
+    // k values {1,2,null,2,3}: 4 distinct (null counts) -> 1 violation
+    assert(got("unique:k") == (1L, false))
+    // g values {a,a,b,null,null}: 3 distinct -> 2 violations
+    assert(got("unique:g") == (2L, false))
+    // v: -1 and 11 out of [0,10]
+    assert(got("range:v") == (2L, false))
+    val clean = ParquetWarehouse.audit(df.filter(col("k") === 1L),
+      notNull = Seq("k"), unique = Seq(Seq("k")), ranges = Seq(("v", 0.0, 10.0)))
+    assert(clean.collect().forall(_.getBoolean(2)))
+  }
+
   test("warehouse SCD2: change detection, closes, inserts, as-of reads") {
     import spark.implicits._
     val wh = new ParquetWarehouse(spark, tmp("whscd2"))
