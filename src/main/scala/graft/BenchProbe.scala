@@ -39,7 +39,10 @@ object BenchProbe {
     "q_join_inner", "q_label_prop", "q_pagerank", "q_regression",
     "q_retrieval_ndcg", "q_split_cluster",
     // r11 additions (keep appending; never reorder or remove)
-    "q_rank", "q_pca_scores", "q_topk_per_group", "q_range_join")
+    "q_rank", "q_pca_scores", "q_topk_per_group", "q_range_join",
+    // r11-extension addition: the heaviest new operator (exact
+    // prefix-filtered similarity join; output-bound at sf0.1)
+    "q_dedup_ppjoin")
 
   private val Marker = "BENCH_PROBE_RESULT "
 
