@@ -6105,12 +6105,14 @@ object SparkEntry {
            WHERE rn = 1
          ), cand AS (
            SELECT doc_id AS neg_id,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 16 AS bk
            FROM d
          ), pro AS (
            SELECT b.anchor_id, b.pos_id, b.jaccard, c.neg_id
            FROM best b JOIN cand c
-             ON substr(md5(CAST(b.anchor_id AS VARCHAR)), 1, 1) = c.bk
+             ON CAST(('0x' || substr(md5(CAST(b.anchor_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 16 = c.bk
            WHERE c.neg_id <> b.anchor_id AND c.neg_id <> b.pos_id
              AND NOT EXISTS (SELECT 1 FROM sym s
                WHERE s.anchor_id = b.anchor_id AND s.other = c.neg_id)

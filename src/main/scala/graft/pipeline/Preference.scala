@@ -72,8 +72,11 @@ object Preference {
     *
     * Output: (anchor_id, pos_id, jaccard, neg_id, neg_rank). */
   def contrastiveTriplets(df: DataFrame, textCol: String, idCol: String,
-                          threshold: Double = 0.6, kNeg: Int = 3): DataFrame = {
+                          threshold: Double = 0.6, kNeg: Int = 3,
+                          buckets: Int = 16): DataFrame = {
     require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
+    require(buckets >= 1 && buckets <= 4096,
+      s"buckets must be in [1, 4096], got $buckets")
     val pairs = Dedup.prefixJaccardJoin(df, textCol, idCol, threshold)
     val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("other"),
         col("jaccard"))
@@ -84,7 +87,13 @@ object Preference {
     val best = sym.withColumn("__rn", row_number().over(bestW))
       .filter(col("__rn") === 1)
       .select(col("anchor_id"), col("other").as("pos_id"), col("jaccard"))
-    val bucket = (c: Column) => substring(md5(c.cast("string")), 1, 1)
+    // candidate volume is |anchors| x corpus/buckets: SIZE `buckets` TO
+    // THE CORPUS (≈ n / desired-candidates-per-anchor). The 16 of the
+    // hex-prefix default is a gauge-scale setting; at 100 TB the md5
+    // modulus below is what keeps the negative probe linear.
+    val bucket = (c: Column) =>
+      pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong))
     val cands = df.select(col(idCol).as("neg_id"))
       .withColumn("__bk", bucket(col("neg_id")))
     val probes = best.withColumn("__bk", bucket(col("anchor_id")))
