@@ -1175,6 +1175,23 @@ object SparkEntry {
         .orderBy("anchor_id", "neg_rank")
     }),
 
+    // ---- EXACT near-dup intake screen (probe vs corpus through the
+    //      prefix-filter machinery): provably-complete cross-side pairs —
+    //      what the banded-minhash ledger tier trades away. Oracle =
+    //      independent all-pairs cross-side ground truth
+    "q_dedup_ppjoin_screen" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val corpus = docs.warpFilter(col("doc_id") % 3 === 0)
+      val probes = docs.warpFilter(col("doc_id") % 3 === 1)
+        .warpUnion(docs.warpFilter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0)
+          .calculate(Seq(
+            "doc_id" -> (col("doc_id") + 2000000),
+            "text" -> concat(col("text"), lit(" probe trailing suffix")))))
+      graft.pipeline.Dedup.prefixJaccardScreen(corpus, probes,
+        "text", "doc_id", threshold = 0.6)
+        .orderBy("probe_id", "corpus_id")
+    }),
+
     // ---- prefix-filtered EXACT Jaccard self-join (SSJoin/PPJoin family):
     //      exact like q_dedup_jaccard (provably no false negatives — the
     //      oracle is the independent all-pairs ground truth) but WITHOUT
@@ -6126,6 +6143,38 @@ object SparkEntry {
          SELECT anchor_id, pos_id, jaccard, neg_id, neg_rank
          FROM rk WHERE neg_rank <= 3
          ORDER BY anchor_id, neg_rank""",
+    "q_dedup_ppjoin_screen" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         ), p AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id,
+                  text || ' probe trailing suffix' AS text
+           FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+         ), wc AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM c
+         ), wp AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM p
+         ), nc AS (SELECT doc_id, s FROM wc WHERE len(s) > 0),
+         np AS (SELECT doc_id, s FROM wp WHERE len(s) > 0)
+         SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+               AS DOUBLE) AS jaccard
+         FROM np a JOIN nc b ON true
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+               AS DOUBLE) >= 0.6
+         ORDER BY 1, 2""",
     // ground truth for the prefix-filtered join is the INDEPENDENT
     // all-pairs jaccard — the oracle shares no candidate machinery with
     // the Spark side, so it checks exactness (no false negatives), not

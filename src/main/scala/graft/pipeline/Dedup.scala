@@ -485,6 +485,37 @@ object Dedup {
     }
   }
 
+  /** Probe-vs-corpus form of [[prefixJaccardJoin]] — the EXACT near-dup
+    * INTAKE SCREEN: every (probe, corpus) pair at or above the Jaccard
+    * threshold, with provably no false negatives (the property the
+    * banded-minhash ledger tier trades away). Runs the identical
+    * rare-first prefix machinery over the tagged union — document
+    * frequencies, and therefore the canonical order and prefixes, come
+    * from the COMBINED corpus+probe universe, which preserves the
+    * completeness lemma verbatim — and keeps only cross-side pairs.
+    * Ids must be unique ACROSS the two inputs (tag upstream if not);
+    * corpus-internal and probe-internal pairs are filtered out, not
+    * computed away — the candidate stage already bounds them.
+    * Output: (probe_id, corpus_id, jaccard). */
+  def prefixJaccardScreen(corpus: DataFrame, probes: DataFrame,
+                          textCol: String, idCol: String,
+                          threshold: Double = 0.6,
+                          materialize: Boolean = true): DataFrame = {
+    val tagged = corpus.select(col(idCol), col(textCol), lit(0).as("__side"))
+      .unionByName(probes.select(col(idCol), col(textCol), lit(1).as("__side")))
+    val sides = tagged.select(col(idCol).as("__sid"), col("__side"))
+    val pairs = prefixJaccardJoin(tagged, textCol, idCol, threshold,
+      materialize)
+    pairs
+      .join(sides.select(col("__sid").as("id1"), col("__side").as("__s1")), "id1")
+      .join(sides.select(col("__sid").as("id2"), col("__side").as("__s2")), "id2")
+      .filter(col("__s1") =!= col("__s2"))
+      .select(
+        when(col("__s1") === 1, col("id1")).otherwise(col("id2")).as("probe_id"),
+        when(col("__s1") === 1, col("id2")).otherwise(col("id1")).as("corpus_id"),
+        col("jaccard"))
+  }
+
   /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair
     * sharing at least `minOverlap` distinct word `n`-grams, with the
     * shared-gram count — the decontamination primitive (flag or drop

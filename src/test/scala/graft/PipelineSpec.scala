@@ -469,6 +469,34 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("prefixJaccardScreen equals brute cross-side pairs; no same-side leakage") {
+    val docs = sf("documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val probes = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(corpus.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" probe trailing suffix")).as("text")))
+    val got = Dedup.prefixJaccardScreen(corpus, probes, "text", "doc_id", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sets(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        array_distinct(filter(split(trim(lower(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("s"))
+      .filter(size(col("s")) > 0)
+    val inter = size(array_intersect(col("s1"), col("s2"))).cast("double")
+    val uni = (size(col("s1")) + size(col("s2"))).cast("double") - inter
+    val brute = sets(probes).select(col("doc_id").as("probe_id"), col("s").as("s1"))
+      .crossJoin(sets(corpus).select(col("doc_id").as("corpus_id"), col("s").as("s2")))
+      .withColumn("j", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
+      .filter(col("j") >= 0.6)
+      .select("probe_id", "corpus_id", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty) // planted probes guarantee hits
+    // no same-side pair can appear: probe ids are disjoint from corpus ids
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (p, c, _) => !corpusIds(p) && corpusIds(c) })
+  }
+
   test("prefixJaccardJoin plan has no cartesian product") {
     val docs = sf("documents").filter(col("doc_id") % 11 === 0)
     val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6,
