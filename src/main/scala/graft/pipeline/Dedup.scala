@@ -431,11 +431,23 @@ object Dedup {
     * collision, because candidates are deduped first. */
   def prefixJaccardJoin(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.6,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true): DataFrame =
+    prefixJaccardCore(df, textCol, idCol, threshold, materialize, None)
+      .select(col("id1"), col("id2"), col("jaccard"))
+
+  /** Shared engine of [[prefixJaccardJoin]] / [[prefixJaccardScreen]].
+    * When `sideCol` is set, CANDIDATES are restricted to cross-side pairs
+    * before dedup and verify — the screen must not pay set-intersections
+    * for same-side pairs it will discard — and the output carries
+    * `__sd1`/`__sd2` so the caller can orient pairs without re-joining. */
+  private def prefixJaccardCore(df: DataFrame, textCol: String, idCol: String,
+                                threshold: Double, materialize: Boolean,
+                                sideCol: Option[String]): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val toks = df.select(col(idCol).as("id"),
+    val sideSel = sideCol.map(c => col(s"`$c`").as("__sd")).toSeq
+    val toks = df.select(col(idCol).as("id") +:
         array_distinct(filter(split(trim(lower(col(textCol))), "\\s+"),
-          t => length(t) > 0)).as("__t"))
+          t => length(t) > 0)).as("__t") +: sideSel: _*)
       .filter(size(col("__t")) > 0)
     val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
     val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
@@ -456,31 +468,48 @@ object Dedup {
     // so the corpus-sized cache can be released before returning (the
     // [[minhashPairs]] materialize discipline). materialize=false keeps
     // the lazy plan for audits / callers managing their own cache.
-    val sized = if (materialize) sizedPlan.persist() else sizedPlan
-    val pref = sized.select(col("id"), col("__n"),
-      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok"))
+    val sized0 = if (materialize) sizedPlan.persist() else sizedPlan
+    // re-attach the side tag (the freq/ordered pipeline drops it)
+    val sized = sideCol match {
+      case None => sized0
+      case Some(_) =>
+        sized0.join(toks.select(col("id"), col("__sd")), "id")
+    }
+    val prefCols = Seq(col("id"), col("__n"),
+      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok")) ++
+      sideCol.map(_ => col("__sd"))
+    val pref = sized.select(prefCols: _*)
     val lenOk =
       col("__n2").cast("double") >= lit(threshold) * col("__n1") - lit(1e-9) &&
       col("__n1").cast("double") >= lit(threshold) * col("__n2") - lit(1e-9)
-    val cand = pref.select(col("id").as("id1"), col("__n").as("__n1"), col("__tok"))
-      .join(pref.select(col("id").as("id2"), col("__n").as("__n2"), col("__tok")),
-        Seq("__tok"))
-      .filter(col("id1") < col("id2") && lenOk)
-      .select("id1", "id2")
+    val aCols = Seq(col("id").as("id1"), col("__n").as("__n1"), col("__tok")) ++
+      sideCol.map(_ => col("__sd").as("__sd1"))
+    val bCols = Seq(col("id").as("id2"), col("__n").as("__n2"), col("__tok")) ++
+      sideCol.map(_ => col("__sd").as("__sd2"))
+    val crossOnly = sideCol.map(_ => col("__sd1") =!= col("__sd2"))
+      .getOrElse(lit(true))
+    val candCols = Seq("id1", "id2") ++ sideCol.map(_ => "__sd1").toSeq ++
+      sideCol.map(_ => "__sd2").toSeq
+    val cand = pref.select(aCols: _*)
+      .join(pref.select(bCols: _*), Seq("__tok"))
+      .filter(col("id1") < col("id2") && lenOk && crossOnly)
+      .select(candCols.head, candCols.tail: _*)
       .dropDuplicates("id1", "id2")
-    val sets = sized.select(col("id"), col("__ord"))
+    val sets = sized0.select(col("id"), col("__ord"))
     val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
     val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
+    val outCols = Seq(col("id1"), col("id2"), col("jaccard")) ++
+      sideCol.map(_ => col("__sd1")).toSeq ++ sideCol.map(_ => col("__sd2")).toSeq
     val result = cand
       .join(sets.select(col("id").as("id1"), col("__ord").as("__s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("__ord").as("__s2")), "id2")
       .withColumn("jaccard", when(uni === 0.0, lit(1.0)).otherwise(inter / uni))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(outCols: _*)
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sized.unpersist()
+      sized0.unpersist()
       out
     }
   }
@@ -494,8 +523,9 @@ object Dedup {
     * from the COMBINED corpus+probe universe, which preserves the
     * completeness lemma verbatim — and keeps only cross-side pairs.
     * Ids must be unique ACROSS the two inputs (tag upstream if not);
-    * corpus-internal and probe-internal pairs are filtered out, not
-    * computed away — the candidate stage already bounds them.
+    * same-side candidate pairs are pruned at the CANDIDATE stage, before
+    * pair dedup and verification — the screen never pays a
+    * set-intersection for a corpus-internal or probe-internal pair.
     * Output: (probe_id, corpus_id, jaccard). */
   def prefixJaccardScreen(corpus: DataFrame, probes: DataFrame,
                           textCol: String, idCol: String,
@@ -503,16 +533,11 @@ object Dedup {
                           materialize: Boolean = true): DataFrame = {
     val tagged = corpus.select(col(idCol), col(textCol), lit(0).as("__side"))
       .unionByName(probes.select(col(idCol), col(textCol), lit(1).as("__side")))
-    val sides = tagged.select(col(idCol).as("__sid"), col("__side"))
-    val pairs = prefixJaccardJoin(tagged, textCol, idCol, threshold,
-      materialize)
-    pairs
-      .join(sides.select(col("__sid").as("id1"), col("__side").as("__s1")), "id1")
-      .join(sides.select(col("__sid").as("id2"), col("__side").as("__s2")), "id2")
-      .filter(col("__s1") =!= col("__s2"))
+    prefixJaccardCore(tagged, textCol, idCol, threshold, materialize,
+      Some("__side"))
       .select(
-        when(col("__s1") === 1, col("id1")).otherwise(col("id2")).as("probe_id"),
-        when(col("__s1") === 1, col("id2")).otherwise(col("id1")).as("corpus_id"),
+        when(col("__sd1") === 1, col("id1")).otherwise(col("id2")).as("probe_id"),
+        when(col("__sd1") === 1, col("id2")).otherwise(col("id1")).as("corpus_id"),
         col("jaccard"))
   }
 
