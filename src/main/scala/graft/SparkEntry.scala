@@ -1175,6 +1175,23 @@ object SparkEntry {
         .orderBy("anchor_id", "neg_rank")
     }),
 
+    // ---- EXACT containment join (|A∩B|/|A| ≥ t): the asymmetric
+    //      sub-document dedup measure — truncations and quote-heavy
+    //      derivations that symmetric Jaccard misses. Planted fixture:
+    //      word-level half-truncations of sampled docs (token sets are
+    //      strict subsets -> containment exactly 1.0)
+    "q_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("text"))
+      val toksArr = split(trim(lower(col("text"))), "\\s+")
+      val trunc = docs.select((col("doc_id") + 3000000).as("doc_id"),
+        array_join(slice(toksArr, lit(1), (size(toksArr) / 2).cast("int")), " ")
+          .as("text"))
+      graft.pipeline.Dedup.containmentJoin(docs.unionByName(trunc),
+        "text", "doc_id", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- EXACT near-dup intake screen (probe vs corpus through the
     //      prefix-filter machinery): provably-complete cross-side pairs —
     //      what the banded-minhash ledger tier trades away. Oracle =
@@ -6143,6 +6160,35 @@ object SparkEntry {
          SELECT anchor_id, pos_id, jaccard, neg_id, neg_rank
          FROM rk WHERE neg_rank <= 3
          ORDER BY anchor_id, neg_rank""",
+    "q_containment" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+         ), tr AS (
+           SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(
+               (regexp_split_to_array(trim(lower(text)), '\s+'))
+                 [1:len(regexp_split_to_array(trim(lower(text)), '\s+')) // 2],
+               ' ') AS text
+           FROM base
+         ), d AS (
+           SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id, text FROM tr
+         ), w AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM d
+         ), nz AS (
+           SELECT doc_id, s FROM w WHERE len(s) > 0
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) AS DOUBLE) AS containment
+         FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) AS DOUBLE) >= 0.8
+         ORDER BY 1, 2""",
     "q_dedup_ppjoin_screen" ->
       """WITH c AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0

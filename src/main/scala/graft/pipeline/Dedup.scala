@@ -541,6 +541,63 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** EXACT CONTAINMENT join — the asymmetric near-dup measure
+    * C(A→B) = |A∩B| / |A|: "how much of document A lives inside B"
+    * (truncations, quote-heavy derivations, sub-document copies — pairs
+    * symmetric Jaccard scores low on precisely because |B| is large).
+    * Emits every ordered pair with containment ≥ `threshold`, exactly.
+    *
+    * One-sided prefix filter: C ≥ t ⟹ |A∩B| ≥ t·|A|, so if A's first
+    * |A| − ⌈t·|A|⌉ + 1 canonical-order tokens all miss B, the overlap
+    * fits in A's ⌈t·|A|⌉ − 1 suffix — contradiction. Only the CONTAINED
+    * side prunes to a prefix; the containing side must expose all its
+    * tokens (no bound exists on |B|), so candidates are A-prefix ×
+    * B-full token collisions — still rare-first keyed, never a cross
+    * product. No length filter applies (B may be arbitrarily large).
+    * Self-pairs are excluded; both orientations of a pair can emit. */
+  def containmentJoin(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8,
+                      materialize: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val toks = df.select(col(idCol).as("id"),
+        array_distinct(filter(split(trim(lower(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
+    val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val ordered = exploded.join(freq, "__tok")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
+        s => s.getField("__tok")).as("__ord"))
+    val sizedPlan = ordered
+      .withColumn("__n", size(col("__ord")))
+      .withColumn("__p",
+        col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int") + 1)
+    val sized = if (materialize) sizedPlan.persist() else sizedPlan
+    val prefA = sized.select(col("id").as("id_a"),
+      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok"))
+    val fullB = sized.select(col("id").as("id_b"),
+      explode(col("__ord")).as("__tok"))
+    val cand = prefA.join(fullB, Seq("__tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val sets = sized.select(col("id"), col("__ord"))
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+    val result = cand
+      .join(sets.select(col("id").as("id_a"), col("__ord").as("__sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__ord").as("__sb")), "id_b")
+      .withColumn("containment", inter / size(col("__sa")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      sized.unpersist()
+      out
+    }
+  }
+
   /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair
     * sharing at least `minOverlap` distinct word `n`-grams, with the
     * shared-gram count — the decontamination primitive (flag or drop

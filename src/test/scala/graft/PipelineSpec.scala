@@ -497,6 +497,60 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall { case (p, c, _) => !corpusIds(p) && corpusIds(c) })
   }
 
+  test("containmentJoin equals brute all-ordered-pairs; subsets score exactly 1.0") {
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e",          // strict subset of 1 -> C(2->1) = 1.0
+      3L -> "a b c d e x",        // 5/6 of 3 in 1 (0.833), 5/6 in 2's... 5/6 ≥ .8
+      4L -> "p q r s",            // disjoint
+      5L -> "a b c d e f g h i j" // identical to 1: both directions 1.0
+    ).toDF("doc_id", "text")
+    def brute(t: Double) = {
+      val w = docs.select(col("doc_id"),
+          array_distinct(filter(split(trim(lower(col("text"))), "\\s+"),
+            x => length(x) > 0)).as("s"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+      w.select(col("doc_id").as("id_a"), col("s").as("sa"))
+        .crossJoin(w.select(col("doc_id").as("id_b"), col("s").as("sb")))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("c", inter / size(col("sa")).cast("double"))
+        .filter(col("c") >= t)
+        .select("id_a", "id_b", "c")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentJoin(docs, "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute(t), s"t=$t")
+    }
+    val g08 = Dedup.containmentJoin(docs, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g08((2L, 1L)) == 1.0)       // subset containment exact
+    assert(!g08.contains((1L, 2L)))    // asymmetric: 5/10 < 0.8
+    assert(g08((5L, 1L)) == 1.0 && g08((1L, 5L)) == 1.0)
+    // corpus differential at the catalog threshold
+    val corpus = sf("documents").filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text")
+    val ta = split(trim(lower(col("text"))), "\\s+")
+    val full = corpus.unionByName(corpus.select(
+      (col("doc_id") + 3000000).as("doc_id"),
+      array_join(slice(ta, lit(1), (size(ta) / 2).cast("int")), " ").as("text")))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val w = full.select(col("doc_id"),
+        array_distinct(filter(split(trim(lower(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("s"))
+      .filter(size(col("s")) > 0)
+    val bruteC = w.select(col("doc_id").as("id_a"), col("s").as("sa"))
+      .crossJoin(w.select(col("doc_id").as("id_b"), col("s").as("sb")))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("c", inter / size(col("sa")).cast("double"))
+      .filter(col("c") >= 0.8).select("id_a", "id_b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotC = Dedup.containmentJoin(full, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotC == bruteC)
+  }
+
   test("prefixJaccardJoin plan has no cartesian product") {
     val docs = sf("documents").filter(col("doc_id") % 11 === 0)
     val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6,
