@@ -1192,6 +1192,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- truncation cleanup over the containment join: every doc >= 90%
+    //      contained in a strictly larger doc drops (ties keep the
+    //      smallest id) — emits the KEPT ids with their char counts
+    "q_drop_contained" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").warpFilter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("text"))
+      val toksArr = split(trim(lower(col("text"))), "\\s+")
+      val trunc = docs.select((col("doc_id") + 3000000).as("doc_id"),
+        array_join(slice(toksArr, lit(1), (size(toksArr) / 2).cast("int")), " ")
+          .as("text"))
+      graft.pipeline.Dedup.dropContained(docs.unionByName(trunc),
+          "text", "doc_id", threshold = 0.9)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---- EXACT near-dup intake screen (probe vs corpus through the
     //      prefix-filter machinery): provably-complete cross-side pairs —
     //      what the banded-minhash ledger tier trades away. Oracle =
@@ -6160,6 +6176,38 @@ object SparkEntry {
          SELECT anchor_id, pos_id, jaccard, neg_id, neg_rank
          FROM rk WHERE neg_rank <= 3
          ORDER BY anchor_id, neg_rank""",
+    "q_drop_contained" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0
+         ), tr AS (
+           SELECT doc_id + 3000000 AS doc_id,
+             array_to_string(
+               (regexp_split_to_array(trim(lower(text)), '\s+'))
+                 [1:len(regexp_split_to_array(trim(lower(text)), '\s+')) // 2],
+               ' ') AS text
+           FROM base
+         ), d AS (
+           SELECT doc_id, text FROM base
+           UNION ALL SELECT doc_id, text FROM tr
+         ), w AS (
+           SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               t -> len(t) > 0)) AS s
+           FROM d
+         ), nz AS (
+           SELECT doc_id, s FROM w WHERE len(s) > 0
+         ), drops AS (
+           SELECT DISTINCT a.doc_id AS id
+           FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) AS DOUBLE) >= 0.9
+             AND (len(b.s) > len(a.s)
+                  OR (len(b.s) = len(a.s) AND b.doc_id < a.doc_id))
+         )
+         SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM d
+         WHERE doc_id NOT IN (SELECT id FROM drops)
+         ORDER BY doc_id""",
     "q_containment" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0

@@ -598,6 +598,30 @@ object Dedup {
     }
   }
 
+  /** Truncation-duplicate CLEANUP over [[containmentJoin]]: drop every
+    * document whose token set is ≥ `threshold` contained in a STRICTLY
+    * LARGER document's set (ties — mutual 1.0 containment between
+    * equal-sized sets — keep the smallest id). The standard "remove
+    * truncations and quote-shells" curation rule. A document contained
+    * in an itself-dropped document still drops (the greedy rule is
+    * independent per pair — deterministic, externally replayable;
+    * chains collapse to their longest member in one pass). Returns the
+    * KEPT rows of `df`. */
+  def dropContained(df: DataFrame, textCol: String, idCol: String,
+                    threshold: Double = 0.95): DataFrame = {
+    val pairs = containmentJoin(df, textCol, idCol, threshold)
+    val sizes = df.select(col(idCol).as("__zid"),
+      size(array_distinct(filter(split(trim(lower(col(textCol))), "\\s+"),
+        t => length(t) > 0))).as("__zn"))
+    val drops = pairs
+      .join(sizes.select(col("__zid").as("id_a"), col("__zn").as("__na")), "id_a")
+      .join(sizes.select(col("__zid").as("id_b"), col("__zn").as("__nb")), "id_b")
+      .filter(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("__drop")).distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Train/test CONTAMINATION report: every (corpus doc, probe doc) pair
     * sharing at least `minOverlap` distinct word `n`-grams, with the
     * shared-gram count — the decontamination primitive (flag or drop

@@ -551,6 +551,19 @@ class PipelineSpec extends SparkSpec {
     assert(gotC == bruteC)
   }
 
+  test("dropContained: truncations drop, identical sets keep the smallest id") {
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e",          // subset of 1 -> drops
+      3L -> "a b c d e x",        // 5/6 = 0.833 < 0.9 -> kept
+      4L -> "p q r s",            // disjoint -> kept
+      5L -> "a b c d e f g h i j" // identical to 1 -> larger id drops
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "text", "doc_id", 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("prefixJaccardJoin plan has no cartesian product") {
     val docs = sf("documents").filter(col("doc_id") % 11 === 0)
     val plan = Dedup.prefixJaccardJoin(docs, "text", "doc_id", 0.6,
