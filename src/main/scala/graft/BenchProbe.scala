@@ -42,7 +42,11 @@ object BenchProbe {
     "q_rank", "q_pca_scores", "q_topk_per_group", "q_range_join",
     // r11-extension addition: the heaviest new operator (exact
     // prefix-filtered similarity join; output-bound at sf0.1)
-    "q_dedup_ppjoin")
+    "q_dedup_ppjoin",
+    // r12 additions (VERDICT r11 item 4): the r11 heavy new entries whose
+    // in-catalog times carried shared-JVM attribution noise (ppjoin_screen
+    // read 28.1 s in-catalog vs 13.3 s isolated) — adjudicate them here
+    "q_dedup_ppjoin_screen", "q_contrastive", "q_ppr", "q_kcore")
 
   private val Marker = "BENCH_PROBE_RESULT "
 

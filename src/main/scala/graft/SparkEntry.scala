@@ -1136,6 +1136,25 @@ object SparkEntry {
         .orderBy("new_id", "hist_id")
     }),
 
+    // ---- md5-tier hash-exact twin of the incremental intake (VERDICT
+    //      r11 item 8): the same batch-vs-ledger probe over engine-
+    //      replayable md5 signatures, so the incremental path gets a
+    //      REAL oracle gate like q_dedup_minhash_md5 gives the batch path
+    "q_dedup_incr_md5" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val ledger = graft.pipeline.Dedup.minhashLedgerMd5(
+        docs, "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4)
+      val batch = docs.warpFilter(col("doc_id") < 40).calculate(Seq(
+          "doc_id" -> (col("doc_id") + 500000),
+          "text" -> concat(col("text"), lit(" zz yy xx"))))
+        .warpUnion(docs.warpFilter(col("doc_id") < 10).calculate(Seq(
+          "doc_id" -> (col("doc_id") + 600000),
+          "text" -> concat(lit("totally fresh unrelated words "), col("doc_id").cast("string")))))
+      graft.pipeline.Dedup.incrementalNearDupMd5(batch, "text", "doc_id", ledger,
+        shingleSize = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.5)
+        .orderBy("new_id", "hist_id")
+    }),
+
     // ---- SimHash near-dup pairs (no SQL oracle)
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
@@ -1170,8 +1189,11 @@ object SparkEntry {
       val near = docs.calculate(Seq(
         "doc_id" -> (col("doc_id") + 1000000),
         "text" -> concat(col("text"), lit(" extra trailing words appended"))))
+      // buckets pinned to 16: the oracle's md5 modulus is a literal, and
+      // the gauge corpus is small enough that auto-sizing would floor to
+      // 16 anyway — pinning keeps the construct (and hashes) explicit
       graft.pipeline.Preference.contrastiveTriplets(docs.warpUnion(near),
-        "text", "doc_id", threshold = 0.6, kNeg = 3)
+        "text", "doc_id", threshold = 0.6, kNeg = 3, buckets = 16)
         .orderBy("anchor_id", "neg_rank")
     }),
 
@@ -2000,8 +2022,11 @@ object SparkEntry {
     //      downweighted in one deterministic step; integer-published
     //      arithmetic end-to-end
     "q_mixture_reweight" -> ((s, dir) => {
+      // legacyDouble: this entry's integer-published oracle is pinned to
+      // the pre-r12 (lowered-kernel + double-ratio) construct and has been
+      // driver-green since r9 — not migrated with the red family.
       val fert = graft.pipeline.TextAnalysis.fertilityReport(
-        T(s, dir, "documents"), Seq("source"), "text")
+        T(s, dir, "documents"), Seq("source"), "text", legacyDouble = true)
       graft.pipeline.Sampling.mixtureReweight(
           fert.select(col("source"), col("docs"), col("fertility")),
           col("docs"), col("fertility"), eta = -1.0)
@@ -2015,7 +2040,7 @@ object SparkEntry {
     "q_pad_waste" -> ((s, dir) => {
       graft.pipeline.Packing.padWasteReport(
           T(s, dir, "documents"), col("doc_id"),
-          graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text")),
+          graft.pipeline.TextAnalysis.tokenCountWsCaseless(col("text")),
           batchSize = 8)
         .warpSort(Seq(Order(col("strategy"), numeric = false)))
     }),
@@ -2101,22 +2126,121 @@ object SparkEntry {
         .groupBy("ws_tokens").agg(count(lit(1)).as("n_docs"))
         .warpSort(Seq(Order(col("ws_tokens"))))
     }),
-    // stock-Spark-SQL ws_tokens (split/filter/size — no TextStatsExpr
-    // kernel): kernel-vs-engine isolation
-    "q_diag_ws_sql" -> ((s, dir) => {
+    // ---- r12 bisect probes (VERDICT r11 item 1; decision tree in the
+    //      oracle-side comment). Retired r11 probes whose information is
+    //      extracted: q_diag_ws_sql (stock split+lower vs char-class —
+    //      red proved a stock-regex/lower divergence; production reports
+    //      no longer touch either construct) and q_diag_fert_source
+    //      (superseded by the single-column grouped probes below).
+    // token-free group probe: (source, lang, count) with ZERO text
+    // machinery — red here convicts group keys / compare machinery alone
+    "q_diag_groups" -> ((s, dir) => {
       T(s, dir, "documents")
         .groupBy("source", "lang")
-        .agg(sum(size(filter(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+"),
-          t => length(t) > 0)).cast("long")).as("ws_tokens"))
+        .agg(count(lit(1)).as("n_docs"))
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
-    // source-only grouping twin of the red q_fertility (same kernel,
-    // the GREEN q_mixture_reweight's grouping): grouping isolation
-    "q_diag_fert_source" -> ((s, dir) => {
+    // per-doc LOWERED-kernel BPE histogram — the one count of the red
+    // family never probed per-doc in-driver (VERDICT r11 item 1a)
+    "q_diag_bpe_hist" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"))
+          .cast("long").as("bpe_tokens"))
+        .groupBy("bpe_tokens").agg(count(lit(1)).as("n_docs"))
+        .warpSort(Seq(Order(col("bpe_tokens"))))
+    }),
+    // per-doc CASELESS-kernel BPE histogram vs the no-lower char-class
+    // CTE — validates the r12 production construct at per-doc granularity
+    "q_diag_bpe_hist_nolower" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(graft.pipeline.TextAnalysis.tokenCountBpeCaseless(col("text"))
+          .as("bpe_tokens"))
+        .groupBy("bpe_tokens").agg(count(lit(1)).as("n_docs"))
+        .warpSort(Seq(Order(col("bpe_tokens"))))
+    }),
+    // grouped kernel-ws ONLY (no bpe, no docs, no ratio): splits the red
+    // q_fertility_counts — green here + red bpe_grouped convicts bpe;
+    // red here (with the green per-doc histogram) convicts grouping
+    "q_diag_ws_grouped" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text"))
+          .cast("long")).as("ws_tokens"))
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+    // grouped LOWERED-kernel bpe ONLY — the other half of the split
+    "q_diag_bpe_grouped" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(sum(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"))
+          .cast("long")).as("bpe_tokens"))
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+    // the EXACT pre-r12 q_fertility construct (lowered kernel counts +
+    // round(double,9) ratio), kept as the conviction probe: if the
+    // DECIMAL q_fertility goes green while this stays red, the
+    // double-round repr is convicted by difference (VERDICT r11 item 1c)
+    "q_diag_fert_double" -> ((s, dir) => {
       graft.pipeline.TextAnalysis.fertilityReport(
-          T(s, dir, "documents"), Seq("source"), "text")
-        .warpSort(Seq(Order(col("source"), numeric = false)))
+          T(s, dir, "documents"), Seq("source", "lang"), "text",
+          legacyDouble = true)
+        .warpSort(Seq(Order(col("source"), numeric = false),
+          Order(col("lang"), numeric = false)))
+    }),
+    // data-INDEPENDENT double-construct probes: each row is one SQL
+    // expression evaluated from the IDENTICAL source text on both engines
+    // (the shared dblProbeSql builder), so a red names a construct family
+    // with zero data dependence — arith/libm, round-half, literal repr
+    "q_diag_dbl_arith" -> ((s, dir) => { val _ = dir; s.sql(dblProbeSql(dblArithRows)) }),
+    "q_diag_dbl_round" -> ((s, dir) => { val _ = dir; s.sql(dblProbeSql(dblRoundRows)) }),
+    "q_diag_dbl_repr" -> ((s, dir) => { val _ = dir; s.sql(dblProbeSql(dblReprRows)) }),
+    // BIGINT edge values through the same shared-source machinery
+    "q_diag_bigint_edge" -> ((s, dir) => { val _ = dir; s.sql(bigintProbeSql) }),
+    // corpus data-profile probe: one row per text/metadata FEATURE present
+    // (docs containing uppercase, digits, tabs, non-ASCII, combining
+    // marks, null lang, ...). Both engines compute presence from explicit
+    // code-point ranges, so this should stay green on any data — and the
+    // VISIBLE spark_rows/oracle_rows fields then reveal the driver-data
+    // profile (which divergence dimensions are even exercisable) in the
+    // round's CORRECTNESS artifact.
+    "q_diag_profile" -> ((s, dir) => {
+      import graft.pipeline.TextAnalysis.classCounts
+      val cc = classCounts(col("text"))
+      def anyc(slot: Int) =
+        sum(when(element_at(cc, slot) > lit(0L), 1L).otherwise(0L))
+      val agg = T(s, dir, "documents").agg(
+        anyc(3).as("upper"), anyc(4).as("digit"), anyc(17).as("tab"),
+        anyc(18).as("cr"), anyc(19).as("lf"), anyc(20).as("vtff"),
+        anyc(6).as("ascii_punct"), anyc(7).as("ascii_ctrl"),
+        anyc(8).as("nonascii"), anyc(9).as("supplementary"),
+        anyc(10).as("combining"), anyc(11).as("unicode_ws"),
+        anyc(12).as("cyrillic"), anyc(13).as("greek"), anyc(14).as("cjk"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        sum(when(col("text") === lit(""), 1L).otherwise(0L)).as("empty_text"),
+        sum(when(element_at(cc, 1) > lit(0L) && element_at(cc, 15) === lit(0L),
+          1L).otherwise(0L)).as("ws_only_text"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"))
+      val names = Seq("upper", "digit", "tab", "cr", "lf", "vtff",
+        "ascii_punct", "ascii_ctrl", "nonascii", "supplementary",
+        "combining", "unicode_ws", "cyrillic", "greek", "cjk",
+        "null_text", "empty_text", "ws_only_text", "null_lang", "null_source")
+      val stackArgs = names.map(n => s"'$n', $n").mkString(", ")
+      agg.selectExpr(s"stack(${names.size}, $stackArgs) AS (feature, n_docs)")
+        .filter(col("n_docs") > 0)
+        .warpSort(Seq(Order(col("feature"), numeric = false)))
+    }),
+    // oracle-internal sentinel (empty Spark frame): fires iff the driver
+    // DuckDB's string_split(text,'') stops being one-element-per-CODE-
+    // POINT (e.g. a grapheme-cluster change) — the one construct every
+    // char-class oracle in this family stands on
+    "q_diag_agree_cpsplit" -> ((s, dir) => {
+      val _ = dir
+      s.range(0).select(lit("string_split_cp").as("construct"),
+        lit(0L).as("split_total"), lit(0L).as("length_total"))
     }),
 
     // ---- deterministic PageRank over the customer<->supplier trade graph
@@ -4093,7 +4217,45 @@ object SparkEntry {
     * Streaming execution. */
   private def streamNearDupOracle(numHashes: Int, bands: Int,
                                   threshold: Double,
-                                  maxBucket: Int = 1000): String = {
+                                  maxBucket: Int = 1000): String =
+    bipartiteMd5Oracle(
+      """SELECT 'h' AS side, CAST(doc_id AS BIGINT) AS doc_id, text
+           FROM documents WHERE doc_id < 250
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT), text
+           FROM documents WHERE doc_id >= 250 AND doc_id < 500
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT) + 1000000,
+             text || ' nearly identical content'
+           FROM documents WHERE doc_id < 50""",
+      numHashes, bands, threshold, maxBucket)
+
+  /** DuckDB replay of the md5-tier INCREMENTAL intake (q_dedup_incr_md5):
+    * same fixture as q_dedup_incr_near (history = the whole corpus, batch
+    * = edited copies of docs < 40 plus genuinely fresh docs) through the
+    * bipartite band-match + exact-Jaccard verify. The Spark side probes a
+    * [[graft.pipeline.Dedup.minhashLedgerMd5]] without re-shingling
+    * history; this oracle regenerates both sides from scratch. */
+  private def incrNearDupMd5Oracle(numHashes: Int, bands: Int,
+                                   threshold: Double,
+                                   maxBucket: Int = 1000): String =
+    bipartiteMd5Oracle(
+      """SELECT 'h' AS side, CAST(doc_id AS BIGINT) AS doc_id, text
+           FROM documents
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT) + 500000, text || ' zz yy xx'
+           FROM documents WHERE doc_id < 40
+           UNION ALL
+           SELECT 'n', CAST(doc_id AS BIGINT) + 600000,
+             'totally fresh unrelated words ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id < 10""",
+      numHashes, bands, threshold, maxBucket)
+
+  /** Shared bipartite md5-tier LSH replay: `dCte` yields
+    * (side 'h'|'n', doc_id, text); new-side docs band-match against the
+    * capped history side, candidates verify exact Jaccard. */
+  private def bipartiteMd5Oracle(dCte: String, numHashes: Int, bands: Int,
+                                 threshold: Double, maxBucket: Int): String = {
     val r = numHashes / bands
     val sigs = (0 until numHashes).map { i =>
       s"""list_min(list_transform(s, x ->
@@ -4105,15 +4267,7 @@ object SparkEntry {
       s"SELECT side, doc_id, $b AS band, $key AS key FROM sg"
     }.mkString("\n           UNION ALL\n           ")
     s"""WITH d AS (
-           SELECT 'h' AS side, CAST(doc_id AS BIGINT) AS doc_id, text
-           FROM documents WHERE doc_id < 250
-           UNION ALL
-           SELECT 'n', CAST(doc_id AS BIGINT), text
-           FROM documents WHERE doc_id >= 250 AND doc_id < 500
-           UNION ALL
-           SELECT 'n', CAST(doc_id AS BIGINT) + 1000000,
-             text || ' nearly identical content'
-           FROM documents WHERE doc_id < 50
+           $dCte
          ), w AS (
            SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM d
          ), sh AS (
@@ -4663,6 +4817,92 @@ object SparkEntry {
               + len(list_filter(cl, x -> x = 'o')) AS BIGINT) AS bpe
          FROM cls)"""
 
+  /** r12 twin of [[charClassCte]] with NO `lower()` anywhere: letters are
+    * the explicit ranges 65-90 and 97-122 on the ORIGINAL text, so neither
+    * engine's case-mapping tables (DuckDB utf8proc `lower`, Spark
+    * `UTF8String.toLowerCase` + JVM locale) are on the production path.
+    * Pairs with the caseless [[graft.functions.ClassCountsExpr]] kernel
+    * (same classification, same run lambdas). */
+  private val charClassCteNoLower: String =
+    """cls AS (
+         SELECT source, lang, doc_id,
+           list_transform(string_split(text, ''),
+             -- unicode('') = -1: string_split('','') yields [''], which
+             -- must classify as a non-token (class 's'), not 'other'
+             c -> CASE WHEN unicode(c) < 0 THEN 's'
+                       WHEN (unicode(c) BETWEEN 97 AND 122)
+                         OR (unicode(c) BETWEEN 65 AND 90) THEN 'a'
+                       WHEN unicode(c) BETWEEN 48 AND 57 THEN 'd'
+                       WHEN unicode(c) IN (9,10,11,12,13,32) THEN 's'
+                       ELSE 'o' END) AS cl
+         FROM documents),
+       cnt AS (
+         SELECT source, lang, doc_id,
+           CAST(len(list_filter(cl, (x,i) -> x <> 's' AND (i = 1 OR cl[i-1] = 's'))) AS BIGINT) AS ws,
+           CAST(len(list_filter(cl, (x,i) -> x = 'a' AND (i = 1 OR cl[i-1] <> 'a')))
+              + len(list_filter(cl, (x,i) -> x = 'd' AND (i = 1 OR cl[i-1] <> 'd')))
+              + len(list_filter(cl, x -> x = 'o')) AS BIGINT) AS bpe
+         FROM cls)"""
+
+  /** Exact cross-engine DECIMAL(20,9) ratio — the oracle-side twin of
+    * [[graft.pipeline.TextAnalysis.ratioDecimal9]]: round-half-up of
+    * `num/den * 1e9` in INTEGER (HUGEINT) arithmetic, then an exact
+    * decimal multiply. No double division, no `round(double, n)`. */
+  private def dec9Sql(num: String, den: String): String =
+    s"""CAST(CAST(CASE WHEN $den > 0
+          THEN (CAST($num AS HUGEINT) * 2000000000 + $den) // (CAST($den AS HUGEINT) * 2)
+          ELSE 0 END AS DECIMAL(20,0))
+        * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(20,9))"""
+
+  /** Shared (label, expression) rows for the data-independent double /
+    * bigint probes: the SAME strings are parsed by Spark SQL (query side)
+    * and DuckDB (oracle side), so the construct under test is identical by
+    * construction and a red names an ENGINE divergence (or a compare-
+    * machinery repr issue), with zero data dependence. Only the common SQL
+    * subset is used (CAST/arith/exp/ln/sqrt/power/round). */
+  private val dblArithRows: Seq[(String, String)] = Seq(
+    "add_01_02" -> "CAST('0.1' AS DOUBLE) + CAST('0.2' AS DOUBLE)",
+    "third" -> "CAST(1 AS DOUBLE) / 3",
+    // exp() is NOT in the shared subset: Spark exp(1) and DuckDB exp(1)
+    // differ in the last ulp already on the LOCAL pairing
+    // (2.7182818284590455 vs 2.718281828459045) — a born-red row carries
+    // no driver-specific information, so the libm family is represented
+    // by ln/sqrt/power, which agree locally
+    "ln2" -> "ln(CAST(2 AS DOUBLE))",
+    "sqrt2" -> "sqrt(CAST(2 AS DOUBLE))",
+    "pow_neg30" -> "power(CAST(2 AS DOUBLE), -30)")
+  private val dblRoundRows: Seq[(String, String)] = Seq(
+    // 0.0009765625 = 2^-10, exactly representable: a TRUE half at the
+    // 10th decimal — the case where half-up vs half-even vs reconstruction
+    // rounding genuinely differ across engines
+    "half_e10" -> "round(CAST('0.0009765625' AS DOUBLE), 9)",
+    "half_e10_neg" -> "round(CAST('-0.0009765625' AS DOUBLE), 9)",
+    "half_int" -> "round(CAST('2.5' AS DOUBLE), 0)",
+    "half_int_neg" -> "round(CAST('-2.5' AS DOUBLE), 0)",
+    "near_half" -> "round(CAST('1.0000000005' AS DOUBLE), 9)",
+    "plain_9" -> "round(CAST('0.123456789' AS DOUBLE), 9)")
+  private val dblReprRows: Seq[(String, String)] = Seq(
+    "neg_zero" -> "CAST('-1' AS DOUBLE) * CAST('0' AS DOUBLE)",
+    "point1" -> "CAST('0.1' AS DOUBLE)",
+    "sig17" -> "CAST('0.1234567890123456789' AS DOUBLE)",
+    "denorm" -> "CAST('5e-324' AS DOUBLE)",
+    "dbl_max" -> "CAST('1.7976931348623157e308' AS DOUBLE)",
+    "pow53p1" -> "CAST('9007199254740993' AS DOUBLE)",
+    "pos_inf" -> "CAST('Infinity' AS DOUBLE)",
+    "nan" -> "CAST('NaN' AS DOUBLE)")
+  private def dblProbeSql(rows: Seq[(String, String)]): String =
+    rows.map { case (l, e) => s"SELECT '$l' AS label, CAST($e AS DOUBLE) AS val" }
+      .mkString("", " UNION ALL ", " ORDER BY label")
+  private val bigintRows: Seq[(String, String)] = Seq(
+    "max" -> "9223372036854775807",
+    "min1" -> "-9223372036854775807",
+    "zero" -> "0",
+    "neg1" -> "-1",
+    "pow53p1" -> "9007199254740993")
+  private val bigintProbeSql: String =
+    bigintRows.map { case (l, e) => s"SELECT '$l' AS label, CAST($e AS BIGINT) AS val" }
+      .mkString("", " UNION ALL ", " ORDER BY label")
+
   /** The regex-based ws/bpe token expressions the red family USED to
     * oracle with — kept only for the q_diag_agree_* oracle-internal
     * cross-checks (VERDICT r10 item 1c), never for a pass/fail gate. */
@@ -4871,11 +5111,14 @@ object SparkEntry {
     // those constructs while every green tokenizing entry avoided
     // them; the constructs themselves are cross-checked in the
     // driver's DuckDB by the q_diag_agree_* sentinels.
+    // r12: the production family moved onto the CASELESS char-class CTE
+    // (no lower() on either engine's path) and integer-derived
+    // DECIMAL(20,9) ratios (no round(double, 9) anywhere) — the two
+    // engine-owned surfaces the r11 bisect left as suspects.
     "q_fertility" ->
-      s"""WITH $charClassCte
+      s"""WITH $charClassCteNoLower
          SELECT source, lang, docs, ws_tokens, bpe_tokens,
-           round(CASE WHEN ws_tokens > 0
-             THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
+           ${dec9Sql("bpe_tokens", "ws_tokens")} AS fertility
          FROM (
            SELECT source, lang, count(*) AS docs,
              sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
@@ -4910,7 +5153,7 @@ object SparkEntry {
          FROM wf, z ORDER BY source""",
 
     "q_pad_waste" ->
-      s"""WITH $charClassCte,
+      s"""WITH $charClassCteNoLower,
          toks AS (
            SELECT CAST(doc_id AS BIGINT) AS id,
              coalesce(ws, 0) AS toks
@@ -4924,13 +5167,14 @@ object SparkEntry {
          ), per AS (
            SELECT strategy, batch, count(*) AS n, max(toks) AS mx, sum(toks) AS tk
            FROM arr GROUP BY strategy, batch
+         ), fin AS (
+           SELECT strategy, sum(n) AS n_docs, count(*) AS n_batches,
+             sum(tk) AS token_sum, sum(n * mx) AS padded_cells
+           FROM per GROUP BY strategy
          )
-         SELECT strategy, sum(n) AS n_docs, count(*) AS n_batches,
-           sum(tk) AS token_sum, sum(n * mx) AS padded_cells,
-           round(CASE WHEN sum(n * mx) > 0
-             THEN CAST(sum(n * mx) - sum(tk) AS DOUBLE) / sum(n * mx)
-             ELSE 0.0 END, 9) AS waste_ratio
-         FROM per GROUP BY strategy ORDER BY strategy""",
+         SELECT strategy, n_docs, n_batches, token_sum, padded_cells,
+           ${dec9Sql("padded_cells - token_sum", "padded_cells")} AS waste_ratio
+         FROM fin ORDER BY strategy""",
 
     "q_sample_k_group" ->
       """SELECT doc_id, source, lang FROM (
@@ -4948,7 +5192,7 @@ object SparkEntry {
     // ASCII letters 65-90/97-122, digits 48-57, Cyrillic 1024-1279,
     // Greek 880-1023, CJK 19968-40959, whitespace {9,10,11,12,13,32}.
     "q_text_scripts" ->
-      """WITH cp AS (
+      s"""WITH cp AS (
            SELECT source, lang,
              CAST(length(text) AS BIGINT) AS n,
              list_transform(string_split(text, ''), c -> unicode(c)) AS u
@@ -4962,41 +5206,65 @@ object SparkEntry {
              CAST(len(list_filter(u, x -> x BETWEEN 19968 AND 40959)) AS BIGINT) AS cjk,
              CAST(len(list_filter(u, x -> x IN (9,10,11,12,13,32))) AS BIGINT) AS whitespace
            FROM cp)
-         SELECT source, lang, count(*) AS docs, sum(n) AS chars,
-           sum(latin) AS latin, sum(digit) AS digit,
-           sum(cyrillic) AS cyrillic, sum(greek) AS greek,
-           sum(cjk) AS cjk, sum(whitespace) AS whitespace,
-           sum(n) - sum(latin) - sum(digit) - sum(cyrillic)
-             - sum(greek) - sum(cjk) - sum(whitespace) AS other,
-           round(CASE WHEN sum(n) > 0
-             THEN CAST(sum(latin) AS DOUBLE) / sum(n) ELSE 0.0 END, 9) AS latin_ratio
-         FROM per GROUP BY source, lang
+         SELECT source, lang, docs, chars, latin, digit, cyrillic, greek,
+           cjk, whitespace,
+           chars - latin - digit - cyrillic - greek - cjk - whitespace AS other,
+           ${dec9Sql("latin", "chars")} AS latin_ratio
+         FROM (
+           SELECT source, lang, count(*) AS docs, sum(n) AS chars,
+             sum(latin) AS latin, sum(digit) AS digit,
+             sum(cyrillic) AS cyrillic, sum(greek) AS greek,
+             sum(cjk) AS cjk, sum(whitespace) AS whitespace
+           FROM per GROUP BY source, lang)
          ORDER BY source, lang""",
 
     // Integers-only diagnostic twin of q_fertility: no DOUBLE column at
     // all, so a red here localizes any residual cross-engine divergence
     // to a specific BIGINT count column in CORRECTNESS artifacts.
     "q_fertility_counts" ->
-      s"""WITH $charClassCte
+      s"""WITH $charClassCteNoLower
          SELECT source, lang, count(*) AS docs,
            sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
          FROM cnt GROUP BY source, lang
          ORDER BY source, lang""",
 
-    // ---- r11 single-variable bisect probes for the r8-r10 driver-red
-    // corpus-statistics family (VERDICT r10 item 1). Decision tree:
-    //   rewritten reds green + agree sentinels green -> regex constructs
-    //     were innocent locally but something env-specific cleared;
-    //   rewritten reds green + an agree sentinel RED -> the driver's
-    //     DuckDB regex construct named by that sentinel self-disagrees
-    //     with the per-char-class truth (oracle construct at fault);
-    //   rewritten reds still red -> Spark-vs-DuckDB divergence survives
-    //     the oracle rewrite; q_diag_ws_hist flips it into visible
-    //     rows/oracle_rows fields, q_diag_ws_sql isolates the
-    //     TextStatsExpr kernel vs stock Spark SQL, q_diag_fert_source
-    //     isolates the (source,lang) grouping vs the green
-    //     q_mixture_reweight's source-only grouping.
-    // Each sentinel emits rows ONLY where the two DuckDB constructs
+    // ---- r12 single-variable bisect probes for the r8-r11 driver-red
+    // corpus-statistics family (VERDICT r11 item 1). Context from the r11
+    // run: oracle regex constructs self-agree in-driver (agree sentinels
+    // green), the kernel's per-doc WS multiset matches in-driver
+    // (q_diag_ws_hist green), yet grouped reports stayed red — and ALL
+    // reds replay green locally, so the divergence is driver-environment
+    // (DuckDB version / JVM locale / compare machinery) or driver-data
+    // specific. Local sf0.01 text is degenerate (lowercase a-z + space
+    // ONLY), so every case-mapping/regex/double construct is untestable
+    // locally; the production family therefore moved onto constructs with
+    // NO engine-owned surface at all (caseless explicit-range kernel +
+    // integer-derived DECIMAL ratios), and the probes below close the
+    // remaining decision tree IN-DRIVER:
+    //   q_diag_groups red            -> group keys / compare machinery
+    //     (no text machinery at all); everything else is moot.
+    //   q_diag_bpe_hist red          -> LOWERED-kernel bpe vs lower()-CTE
+    //     per-doc divergence (case-mapping tables differ) — old construct,
+    //     now off the production path.
+    //   q_diag_bpe_hist_nolower red  -> the r12 production construct
+    //     itself diverges per-doc; cross-check q_diag_agree_cpsplit (a
+    //     fire there = driver string_split('') is not per-code-point).
+    //   q_diag_ws_grouped/bpe_grouped split q_fertility_counts: histogram
+    //     green + grouped red convicts the grouping dimension; ws green +
+    //     bpe red convicts the bpe count.
+    //   q_diag_fert_double red while the DECIMAL q_fertility is green ->
+    //     round(double,9)/double-repr convicted by difference.
+    //   q_diag_dbl_arith/round/repr + q_diag_bigint_edge are fully
+    //     data-INDEPENDENT: both engines evaluate the identical SQL text,
+    //     so any red names an engine/compare divergence on that construct
+    //     family alone.
+    //   q_diag_profile leaks the driver-data profile through the VISIBLE
+    //     row-count fields (one row per feature present).
+    // Retired (r11 probes whose information is extracted): q_diag_ws_sql
+    // (stock split+lower red -> stock-regex/lower implicated; production
+    // no longer uses either), q_diag_fert_source (superseded by the
+    // grouped single-column probes).
+    // Each agree sentinel emits rows ONLY where two DuckDB constructs
     // disagree; the Spark side is the matching EMPTY frame, so a red
     // shows up as oracle_rows > 0 with the disagreement count visible
     // in the artifact.
@@ -5035,23 +5303,108 @@ object SparkEntry {
       s"""WITH $charClassCte
          SELECT ws AS ws_tokens, count(*) AS n_docs
          FROM cnt GROUP BY ws ORDER BY ws""",
-    // Stock-Spark-SQL twin of the ws_tokens sum (no TextStatsExpr
-    // kernel anywhere): a green/red split against q_fertility_counts
-    // isolates the custom kernel from the engine.
-    "q_diag_ws_sql" ->
+    // token-free group probe (zero text machinery)
+    "q_diag_groups" ->
+      """SELECT source, lang, count(*) AS n_docs
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    // per-doc LOWERED-kernel bpe histogram vs the lower()-CTE
+    "q_diag_bpe_hist" ->
+      s"""WITH $charClassCte
+         SELECT bpe AS bpe_tokens, count(*) AS n_docs
+         FROM cnt GROUP BY bpe ORDER BY bpe""",
+    // per-doc CASELESS-kernel bpe histogram vs the no-lower CTE (the r12
+    // production construct at per-doc granularity)
+    "q_diag_bpe_hist_nolower" ->
+      s"""WITH $charClassCteNoLower
+         SELECT bpe AS bpe_tokens, count(*) AS n_docs
+         FROM cnt GROUP BY bpe ORDER BY bpe""",
+    // grouped single-column splits of q_fertility_counts
+    "q_diag_ws_grouped" ->
       s"""WITH $charClassCte
          SELECT source, lang, sum(ws) AS ws_tokens
          FROM cnt GROUP BY source, lang ORDER BY source, lang""",
-    // Source-only grouping twin (kernel + ratio, same machinery as the
-    // red q_fertility but grouped like the GREEN q_mixture_reweight's
-    // fertility CTE): isolates the grouping dimension.
-    "q_diag_fert_source" ->
+    "q_diag_bpe_grouped" ->
       s"""WITH $charClassCte
-         SELECT source, count(*) AS docs,
-           sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
-           round(CASE WHEN sum(ws) > 0
-             THEN CAST(sum(bpe) AS DOUBLE) / sum(ws) ELSE 0.0 END, 9) AS fertility
-         FROM cnt GROUP BY source ORDER BY source""",
+         SELECT source, lang, sum(bpe) AS bpe_tokens
+         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
+    // the EXACT pre-r12 q_fertility pairing (lower CTE + round(double,9)),
+    // kept as the double-repr conviction probe
+    "q_diag_fert_double" ->
+      s"""WITH $charClassCte
+         SELECT source, lang, docs, ws_tokens, bpe_tokens,
+           round(CASE WHEN ws_tokens > 0
+             THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
+         FROM (
+           SELECT source, lang, count(*) AS docs,
+             sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+           FROM cnt GROUP BY source, lang)
+         ORDER BY source, lang""",
+    // data-independent construct probes: IDENTICAL SQL text on both sides
+    "q_diag_dbl_arith" -> dblProbeSql(dblArithRows),
+    "q_diag_dbl_round" -> dblProbeSql(dblRoundRows),
+    "q_diag_dbl_repr" -> dblProbeSql(dblReprRows),
+    "q_diag_bigint_edge" -> bigintProbeSql,
+    // corpus data-profile probe: one row per feature PRESENT, so the
+    // visible row counts reveal the driver-data profile
+    "q_diag_profile" -> {
+      val feats: Seq[(String, String)] = Seq(
+        "upper" -> "x BETWEEN 65 AND 90",
+        "digit" -> "x BETWEEN 48 AND 57",
+        "tab" -> "x = 9",
+        "cr" -> "x = 13",
+        "lf" -> "x = 10",
+        "vtff" -> "x IN (11, 12)",
+        "ascii_punct" -> ("(x BETWEEN 33 AND 47) OR (x BETWEEN 58 AND 64)" +
+          " OR (x BETWEEN 91 AND 96) OR (x BETWEEN 123 AND 126)"),
+        "ascii_ctrl" -> "(x BETWEEN 0 AND 8) OR (x BETWEEN 14 AND 31) OR x = 127",
+        "nonascii" -> "x > 127",
+        "supplementary" -> "x > 65535",
+        "combining" -> "x BETWEEN 768 AND 879",
+        "unicode_ws" -> ("x IN (133, 160, 5760, 8232, 8233, 8239, 8287, 12288)" +
+          " OR (x BETWEEN 8192 AND 8202)"),
+        "cyrillic" -> "x BETWEEN 1024 AND 1279",
+        "greek" -> "x BETWEEN 880 AND 1023",
+        "cjk" -> "x BETWEEN 19968 AND 40959")
+      val cpAggs = feats.zipWithIndex.map { case ((_, pred), i) =>
+        s"sum(CASE WHEN len(list_filter(u, x -> $pred)) > 0 THEN 1 ELSE 0 END) AS c$i"
+      }
+      val metaAggs = Seq(
+        "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS m_null_text",
+        "sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS m_empty_text",
+        ("sum(CASE WHEN length(text) > 0 AND len(list_filter(u," +
+          " x -> x >= 0 AND NOT (x IN (9,10,11,12,13,32)))) = 0" +
+          " THEN 1 ELSE 0 END) AS m_ws_only_text"),
+        "sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS m_null_lang",
+        "sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS m_null_source")
+      val unions = (feats.zipWithIndex.map { case ((n, _), i) =>
+        s"SELECT '$n' AS feature, CAST(c$i AS BIGINT) AS n_docs FROM p"
+      } ++ Seq("null_text", "empty_text", "ws_only_text", "null_lang",
+        "null_source").map(n =>
+        s"SELECT '$n' AS feature, CAST(m_$n AS BIGINT) AS n_docs FROM p"))
+        .mkString(" UNION ALL ")
+      s"""WITH cp AS (
+           SELECT text, lang, source,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE list_transform(string_split(text, ''), c -> unicode(c))
+             END AS u
+           FROM documents),
+         p AS (SELECT ${(cpAggs ++ metaAggs).mkString(", ")} FROM cp)
+         SELECT feature, n_docs FROM ($unions)
+         WHERE n_docs > 0 ORDER BY feature"""
+    },
+    // oracle-internal sentinel: fires iff string_split(text,'') stops
+    // being per-code-point in the driver's DuckDB (empty text excluded:
+    // string_split('','') = [''] has len 1 vs length('') = 0 by design)
+    "q_diag_agree_cpsplit" ->
+      """WITH a AS (
+           SELECT sum(CAST(len(string_split(text, '')) AS BIGINT)) AS v
+           FROM documents WHERE text IS NOT NULL AND text <> ''),
+         b AS (
+           SELECT sum(CAST(length(text) AS BIGINT)) AS v
+           FROM documents WHERE text IS NOT NULL AND text <> '')
+         SELECT 'string_split_cp' AS construct,
+           CAST(a.v AS BIGINT) AS split_total, CAST(b.v AS BIGINT) AS length_total
+         FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
     "q_bm25" -> bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75),
     "q_hybrid_search" ->
       s"""WITH bm AS (${bm25Oracle(Seq("spark", "merge", "vector"), 15, 1.2, 0.75)}),
@@ -7547,6 +7900,7 @@ object SparkEntry {
            chosen_score - rejected_score AS margin
          FROM top t JOIN bot b ON t.source = b.source AND t.lang = b.lang
          WHERE t.rn <= 3 AND b.rn <= 3
+           AND chosen_id <> rejected_id
            AND chosen_score - rejected_score >= 50
          ORDER BY 1, 2, 3, 5""",
     "q_kcore" -> kcoreOracle(20, 3),
@@ -7648,9 +8002,9 @@ object SparkEntry {
          SELECT key, w, count(*) AS n_events,
            max(us) - min(us) AS span_us,
            CASE WHEN max(us) - min(us) > 0 THEN
-             CAST(sum(CAST(CAST(value AS DECIMAL(10,6)) * 1000000
-                           AS DECIMAL(19,0))
-                      * CAST(COALESCE(nxt - us, 0) AS DECIMAL(19,0)))
+             CAST(sum(CAST(CAST(value AS DECIMAL(24,6)) * 1000000
+                           AS DECIMAL(25,0))
+                      * CAST(COALESCE(nxt - us, 0) AS DECIMAL(12,0)))
                   AS DOUBLE)
                / CAST((max(us) - min(us)) * 1000000 AS DOUBLE) END AS twap
          FROM seg GROUP BY key, w
@@ -7854,6 +8208,7 @@ object SparkEntry {
            FROM p)
          SELECT qid, id, cosine FROM r WHERE rn <= 10 ORDER BY qid, id""",
     "q_dedup_minhash_md5" -> minhashMd5Oracle(16, 4, 0.5),
+    "q_dedup_incr_md5" -> incrNearDupMd5Oracle(16, 4, 0.5),
     "q_dedup_simhash_md5" -> simhashMd5Oracle(3),
     "q_image_dhash_md5" -> plantedSigOracle("img:"),
     "q_audio_fp_md5" -> plantedSigOracle("aud:"),

@@ -173,6 +173,10 @@ object TimeSeries {
   def twa(df: DataFrame, keyCol: Column, tsCol: Column, valCol: Column,
           bucketUs: Long, tieCol: Column): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    // the segment-length factor rides DECIMAL(12,0): spans are bounded by
+    // the bucket width, so the bucket may not exceed 1e12 µs (~11.5 days)
+    require(bucketUs <= 999999999999L,
+      s"bucketUs must fit DECIMAL(12,0) (<= 999999999999), got $bucketUs")
     val us = unix_micros(tsCol)
     val base = df.select(keyCol.as("key"),
       (floor(us / bucketUs) * bucketUs).cast("long").as("w"),
@@ -189,8 +193,12 @@ object TimeSeries {
     // (int128 -> double) * 10^-scale, two roundings, which drifts a ulp
     // from the BigDecimal single-rounding path once the unscaled value
     // passes 2^53 (observed live vs DuckDB 1.0.0).
+    // widths: value DECIMAL(24,6) (18 integer digits — a 1e4 bound here
+    // would silently null-out larger observations in non-ANSI mode),
+    // micro-units DECIMAL(25,0), × span DECIMAL(12,0) -> 25+12+1 = 38:
+    // exactly at Spark's precision cap without engaging it
     val D = org.apache.spark.sql.types.DecimalType
-    val valMicro = (col("__v").cast(D(10, 6)) * lit(1000000)).cast(D(18, 0))
+    val valMicro = (col("__v").cast(D(24, 6)) * lit(1000000)).cast(D(25, 0))
     val mass = valMicro *
       coalesce(col("__nxt") - col("__us"), lit(0L)).cast(D(12, 0))
     seg.groupBy("key", "w")

@@ -898,17 +898,24 @@ object WarpOps {
     * intersection — the cross-source duplication probe at sketch cost.
     * Same md5-derived registers and exact-integer register-sum estimator
     * as [[hllMd5ReportByGroup]], so every pair's merged estimate replays
-    * in external SQL; exact union/intersection companions ride along at
-    * gauge scale (skip them at 100 TB and trust the sketch).
+    * in external SQL; exact union/intersection companions ride along when
+    * `exact = true` (the gauge default). At 100 TB pass `exact = false`:
+    * the companions cost a full distinct over (group, value) plus a
+    * pair-fanned recount, and the sketch is the whole point — sketch-only
+    * mode emits null `n_union`/`n_inter` and never runs the distinct
+    * frame or the per-pair recount.
     *
     * Scale shape: registers aggregate once per (group, bucket) — the only
     * data-sized pass; pair merges are equi-joins on an exploded
     * (pair, member) table over the groups×m-bounded register frame, never
-    * a rescan of the corpus. The intersection estimate can go negative on
-    * near-disjoint sets (standard inclusion–exclusion behavior; clamp
-    * downstream if a lower bound of 0 is wanted). */
+    * a rescan of the corpus. Pair count grows |groups|² — this operator
+    * is for group cardinalities you'd eyeball as a matrix (sources,
+    * languages, shards), not for high-cardinality keys. The intersection
+    * estimate can go negative on near-disjoint sets (standard
+    * inclusion–exclusion behavior; clamp downstream if a lower bound of 0
+    * is wanted). */
   def hllMd5SetAlgebra(df: DataFrame, groupCol: Column, valueCol: Column,
-                       p: Int = 4): DataFrame = {
+                       p: Int = 4, exact: Boolean = true): DataFrame = {
     require(p % 4 == 0 && p >= 4 && p <= 12,
       s"p must be a multiple of 4 in [4, 12] (hex-substring buckets), got $p")
     val m = 1 << p
@@ -952,10 +959,16 @@ object WarpOps {
     val eRaw = lit(alpha * m.toDouble * m) * pow(lit(2.0), col("__mx")) / denom
     val estU = when(eRaw <= lit(2.5 * m) && zeros > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(eRaw)
-    // exact companions over the distinct (group, value) frame
-    val dv = base.select(col("grp"), col("__v")).distinct()
-    val uExact = members.join(dv, "grp")
-      .groupBy("grp_a", "grp_b").agg(count_distinct(col("__v")).as("n_union"))
+    // exact companions over the distinct (group, value) frame — gauge
+    // mode only; sketch-only mode (exact = false) never rescans values
+    val uExact =
+      if (exact) {
+        val dv = base.select(col("grp"), col("__v")).distinct()
+        members.join(dv, "grp")
+          .groupBy("grp_a", "grp_b")
+          .agg(count_distinct(col("__v")).as("n_union"))
+      } else pairs.select(col("grp_a"), col("grp_b"),
+        lit(null).cast("long").as("n_union"))
     pairs
       .join(per.select(col("grp").as("grp_a"), col("estimate").as("est_a"),
         col("n_exact").as("__na")), "grp_a")

@@ -322,9 +322,14 @@ object Classifier {
     val totals = cells.groupBy(gNames.map(col): _*)
       .agg(sum("__c").as("n"),
         sum(when(col("__r1") <=> col("__r2"), col("__c")).otherwise(0L)).as("agree"))
-    val m1 = cells.groupBy(gNames.map(col) :+ col("__r1").as("__lab"): _*)
+    // marginal join key: null labels must meet null labels (n/agree treat
+    // them as a value via <=>), but the equi-join on __lab would drop
+    // null-label cells from pe_num and skew kappa — so labels ride the
+    // join coalesced to a NUL-prefixed sentinel no real label starts with
+    def labKey(c: Column) = coalesce(c.cast("string"), lit("\u0000null"))
+    val m1 = cells.groupBy(gNames.map(col) :+ labKey(col("__r1")).as("__lab"): _*)
       .agg(sum("__c").as("__m1"))
-    val m2 = cells.groupBy(gNames.map(col) :+ col("__r2").as("__lab"): _*)
+    val m2 = cells.groupBy(gNames.map(col) :+ labKey(col("__r2")).as("__lab"): _*)
       .agg(sum("__c").as("__m2"))
     val pe = m1.join(m2, gNames :+ "__lab")
       .groupBy(gNames.map(col): _*)

@@ -94,6 +94,32 @@ object Dedup {
     // leak; re-running the one-pass kernels over the (small) batch costs
     // less than unreclaimed storage memory on a long-lived pipeline driver
     val batch = minhashLedger(newDocs, textCol, idCol, shingleSize, numHashes, bands)
+    ledgerProbe(batch, ledger, jaccardThreshold, maxBucket)
+  }
+
+  /** [[incrementalNearDup]]'s md5 tier: the same ledger-probe intake over
+    * [[minhashLedgerMd5]] signatures — every stage (band keys, shingle
+    * sets, exact Jaccard verify) regenerates in external SQL, giving the
+    * incremental path its hash-exact oracle gate (`q_dedup_incr_md5`) the
+    * way `q_dedup_minhash_md5` gates the batch path. The `ledger` must be
+    * a [[minhashLedgerMd5]] frame built with the SAME shingle/hash/band
+    * parameters. Jaccard rounded to 9 like the other md5-tier gauges. */
+  def incrementalNearDupMd5(newDocs: DataFrame, textCol: String, idCol: String,
+                            ledger: DataFrame, shingleSize: Int = 3,
+                            numHashes: Int = 16, bands: Int = 4,
+                            jaccardThreshold: Double = 0.5,
+                            maxBucket: Int = 1000): DataFrame = {
+    val batch = minhashLedgerMd5(newDocs, textCol, idCol, shingleSize, numHashes, bands)
+    ledgerProbe(batch, ledger, jaccardThreshold, maxBucket)
+      .withColumn("jaccard", round(col("jaccard"), 9))
+  }
+
+  /** Shared band-bucket probe of a batch ledger against a history ledger
+    * (both `(id, shh, bhs)`): band-key equi-join (history buckets capped),
+    * then exact Jaccard over the stored shingle sets — candidates only,
+    * never all-pairs, history never re-shingled. */
+  private def ledgerProbe(batch: DataFrame, ledger: DataFrame,
+                          jaccardThreshold: Double, maxBucket: Int): DataFrame = {
     def explodeBands(d: DataFrame, out: String) =
       d.select(col("id").as(out), posexplode(col("bhs")))
         .select(col(out), col("pos").as("band"), col("col").as("bh"))

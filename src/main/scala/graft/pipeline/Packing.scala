@@ -64,9 +64,9 @@ object Packing {
           sum(col("n") * col("mx")).as("padded_cells"))
         .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
           col("token_sum"), col("padded_cells"),
-          round(when(col("padded_cells") > 0,
-            (col("padded_cells") - col("token_sum")).cast("double") /
-              col("padded_cells")).otherwise(lit(0.0)), 9).as("waste_ratio"))
+          graft.pipeline.TextAnalysis.ratioDecimal9(
+            col("padded_cells") - col("token_sum"), col("padded_cells"))
+            .as("waste_ratio"))
     strat("arrival", Seq(Order(col("id"))))
       .unionByName(strat("sorted", Seq(Order(col("toks")), Order(col("id")))))
   }

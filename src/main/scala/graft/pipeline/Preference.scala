@@ -49,6 +49,9 @@ object Preference {
       .select(gCols :+ col("__id").as("rejected_id")
         :+ col("__score").as("rejected_score"): _*)
     chosen.join(rejected, gNames)
+      // a document can sit in both the top-k and bottom-k of a small
+      // group; with margin <= 0 that would emit a degenerate self-pair
+      .filter(col("chosen_id") =!= col("rejected_id"))
       .filter(col("chosen_score") - col("rejected_score") >= margin)
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
   }
@@ -70,13 +73,24 @@ object Preference {
     *    `kNeg` lowest md5(anchor:candidate) ranks. Everything md5 —
     *    rand()-free, replayable in external SQL.
     *
+    * `buckets = 0` (the default) SIZES THE MODULUS TO THE CORPUS from one
+    * cheap count: `max(16, n / targetCandsPerAnchor)` capped at 4096 —
+    * the candidate fan per anchor then stays ≈ `targetCandsPerAnchor`
+    * regardless of corpus size (the r11 sf1 rehearsal's n²/16 growth was
+    * exactly this knob left at its gauge value). Pass an explicit bucket
+    * count to pin the construct (the q_contrastive gauge pins 16 so its
+    * oracle modulus is a literal).
+    *
     * Output: (anchor_id, pos_id, jaccard, neg_id, neg_rank). */
   def contrastiveTriplets(df: DataFrame, textCol: String, idCol: String,
                           threshold: Double = 0.6, kNeg: Int = 3,
-                          buckets: Int = 16): DataFrame = {
+                          buckets: Int = 0,
+                          targetCandsPerAnchor: Long = 4096L): DataFrame = {
     require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
-    require(buckets >= 1 && buckets <= 4096,
-      s"buckets must be in [1, 4096], got $buckets")
+    require(buckets >= 0 && buckets <= 4096,
+      s"buckets must be in [0, 4096] (0 = auto-size), got $buckets")
+    require(targetCandsPerAnchor >= 1,
+      s"targetCandsPerAnchor must be >= 1, got $targetCandsPerAnchor")
     val pairs = Dedup.prefixJaccardJoin(df, textCol, idCol, threshold)
     val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("other"),
         col("jaccard"))
@@ -87,13 +101,15 @@ object Preference {
     val best = sym.withColumn("__rn", row_number().over(bestW))
       .filter(col("__rn") === 1)
       .select(col("anchor_id"), col("other").as("pos_id"), col("jaccard"))
-    // candidate volume is |anchors| x corpus/buckets: SIZE `buckets` TO
-    // THE CORPUS (≈ n / desired-candidates-per-anchor). The 16 of the
-    // hex-prefix default is a gauge-scale setting; at 100 TB the md5
-    // modulus below is what keeps the negative probe linear.
+    // candidate volume is |anchors| x corpus/buckets: the md5 modulus is
+    // what keeps the negative probe linear at 100 TB, and auto-sizing
+    // derives it from one corpus count so nobody has to hand-tune it
+    val nBuckets: Long =
+      if (buckets > 0) buckets.toLong
+      else math.min(4096L, math.max(16L, df.count() / targetCandsPerAnchor))
     val bucket = (c: Column) =>
       pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-        lit(buckets.toLong))
+        lit(nBuckets))
     val cands = df.select(col(idCol).as("neg_id"))
       .withColumn("__bk", bucket(col("neg_id")))
     val probes = best.withColumn("__bk", bucket(col("anchor_id")))

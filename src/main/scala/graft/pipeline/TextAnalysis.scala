@@ -77,9 +77,57 @@ object TextAnalysis {
     element_at(textStats(textCol), 8).cast("int")
 
   /** BPE-ish token count: runs of letters, runs of digits, single other
-    * non-space chars — a cheap proxy for subword-tokenizer counts. */
+    * non-space chars — a cheap proxy for subword-tokenizer counts.
+    * Counted over `toLowerCase`d text (engine-owned case mapping); the
+    * cross-engine report family uses [[tokenCountBpeCaseless]] instead. */
   def tokenCountBpe(textCol: Column): Column =
     element_at(textStats(textCol), 3).cast("int")
+
+  /** Per-code-point class counts + CASELESS token counts in one native
+    * codegen pass over the ORIGINAL text
+    * ([[graft.functions.ClassCountsExpr]] — no case mapping anywhere, so
+    * no JVM-locale / ICU / utf8proc sensitivity). Slot layout documented
+    * on the expression. */
+  def classCounts(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    C(graft.functions.ClassCountsExpr(E(textCol)))
+  }
+
+  /** Non-empty whitespace token count, caseless kernel. Value-identical to
+    * [[tokenCountWsNonEmpty]] (whitespace membership is case-invariant). */
+  def tokenCountWsCaseless(textCol: Column): Column =
+    element_at(classCounts(textCol), 15)
+
+  /** BPE-ish token count with NO case mapping: runs of `[A-Za-z]` (one
+    * class — "FooBar" is one token), runs of digits, every other non-ws
+    * code point its own token. The engine-portable twin of
+    * [[tokenCountBpe]]: identical on caseless text, and on mixed-case text
+    * it never consults a case-mapping table either engine could disagree
+    * on. */
+  def tokenCountBpeCaseless(textCol: Column): Column =
+    element_at(classCounts(textCol), 16)
+
+  /** Exact cross-engine ratio with 9 decimals: round-half-up of
+    * `num/den * 1e9` computed in INTEGER arithmetic
+    * (`(2*num*1e9 + den) div (2*den)`), then presented as DECIMAL(20,9) by
+    * an exact decimal multiply — no double division, no `round(double, n)`
+    * (whose half-way behavior and result repr are engine-owned) anywhere.
+    * Inputs are widened to DECIMAL(38,0) first so the `2e9 *` numerator
+    * survives group-level counts far beyond long range (1e13 tokens/group
+    * at the 100 TB end → 2e22, well inside 38 digits). */
+  def ratioDecimal9(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.types.DecimalType
+    val n38 = num.cast(DecimalType(38, 0))
+    val d38 = den.cast(DecimalType(38, 0))
+    val e9 = when(den > 0,
+      C(IntegralDivide(E(n38 * lit(2000000000L) + d38), E(d38 * lit(2L)))))
+      .otherwise(lit(0L))
+    (e9.cast(DecimalType(20, 0)) *
+      lit(new java.math.BigDecimal("0.000000001")).cast(DecimalType(10, 9)))
+      .cast(DecimalType(20, 9))
+  }
 
   /** Quality score components + weighted aggregate, following the usual
     * heuristic-filter recipe (length, punctuation density, stopword
@@ -622,57 +670,68 @@ object TextAnalysis {
     * BPE-ish-token totals with their ratio ("subword tokens per word") —
     * the per-source/per-language cost signal that drives mixture and
     * budget decisions (a high-fertility slice burns more of a fixed token
-    * budget per word of content). All-integer until the final division,
-    * so the report is exact and engine-portable: the word denominator is
-    * the NON-EMPTY token count ([[tokenCountWsNonEmpty]] — immune to any
-    * engine's empty-edge-token split behavior) and the ratio is rounded
-    * to 9 decimals so a float-formatting delta can never flip a
-    * comparison. One map pass (both counts ride the one [[textStats]]
+    * budget per word of content). Exact and engine-portable end-to-end:
+    * counts come from the CASELESS kernel ([[classCounts]] — no
+    * case-mapping table on either engine's path), the word denominator is
+    * the NON-EMPTY token count (immune to any engine's empty-edge-token
+    * split behavior), and the ratio is integer-derived DECIMAL(20,9)
+    * ([[ratioDecimal9]] — no `round(double, n)` whose half-way behavior
+    * and repr are engine-owned). One map pass (both counts ride the one
     * kernel call) + one map-side-combined aggregate, grouped by the
-    * (small) slice keys. */
-  def fertilityReport(df: DataFrame, groupCols: Seq[String],
-                      textCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("docs"),
-        sum(tokenCountWsNonEmpty(col(textCol)).cast("long")).as("ws_tokens"),
-        sum(tokenCountBpe(col(textCol)).cast("long")).as("bpe_tokens"))
-      .withColumn("fertility",
-        round(when(col("ws_tokens") > 0,
-          col("bpe_tokens").cast("double") / col("ws_tokens"))
-          .otherwise(lit(0.0)), 9))
+    * (small) slice keys.
+    *
+    * `legacyDouble = true` keeps the pre-r12 construct — lowered-text
+    * counts ([[textStats]]) and a `round(double, 9)` ratio — for the
+    * mixture-reweight path whose integer-published oracle is pinned to it,
+    * and for the r12 bisect probe of the old construct. */
+  def fertilityReport(df: DataFrame, groupCols: Seq[String], textCol: String,
+                      legacyDouble: Boolean = false): DataFrame =
+    if (legacyDouble)
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("docs"),
+          sum(tokenCountWsNonEmpty(col(textCol)).cast("long")).as("ws_tokens"),
+          sum(tokenCountBpe(col(textCol)).cast("long")).as("bpe_tokens"))
+        .withColumn("fertility",
+          round(when(col("ws_tokens") > 0,
+            col("bpe_tokens").cast("double") / col("ws_tokens"))
+            .otherwise(lit(0.0)), 9))
+    else
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("docs"),
+          sum(tokenCountWsCaseless(col(textCol))).as("ws_tokens"),
+          sum(tokenCountBpeCaseless(col(textCol))).as("bpe_tokens"))
+        .withColumn("fertility",
+          ratioDecimal9(col("bpe_tokens"), col("ws_tokens")))
 
   /** Per-slice SCRIPT/character-class report — the script-mix curation
     * stage (mixed-script spam and mislabeled-language slices show up as
-    * off-profile class ratios). Character classes are counted with the
-    * engine-portable `length(s) - length(regexp_replace(s, cls, ''))`
-    * identity over EXPLICIT code-point ranges (never a property class
-    * like \p{L}, whose membership differs across regex engines):
-    * ASCII letters, ASCII digits, Cyrillic U+0400-04FF, Greek
-    * U+0370-03FF, CJK unified U+4E00-9FFF; `other` is the remainder
-    * after also removing the explicit Java-\s whitespace class. All
-    * integer totals until the final rounded ratio. One map pass +
-    * map-side-combined aggregate — scales as a pure scan. */
+    * off-profile class ratios). Character classes are EXPLICIT code-point
+    * ranges (never a property class like \p{L}, whose membership differs
+    * across regex engines — and since r12 never a regex at all: counts
+    * come from the [[classCounts]] kernel's per-code-point range tests,
+    * the exact construct the DuckDB oracle replays with `unicode(c)
+    * BETWEEN lo AND hi`): ASCII letters, ASCII digits, Cyrillic
+    * U+0400-04FF, Greek U+0370-03FF, CJK unified U+4E00-9FFF; `other` is
+    * the remainder after also removing the explicit Java-\s whitespace
+    * class. All integer totals; the ratio is integer-derived
+    * DECIMAL(20,9) ([[ratioDecimal9]]). One map pass + map-side-combined
+    * aggregate — scales as a pure scan. */
   def scriptReport(df: DataFrame, groupCols: Seq[String],
                    textCol: String): DataFrame = {
-    def cnt(cls: String): Column =
-      (length(col(textCol)) -
-        length(regexp_replace(col(textCol), cls, ""))).cast("long")
-    val ws = "[ \\t\\n\\x0b\\f\\r]"
+    val cc = classCounts(col(textCol))
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("docs"),
-        sum(length(col(textCol)).cast("long")).as("chars"),
-        sum(cnt("[A-Za-z]")).as("latin"),
-        sum(cnt("[0-9]")).as("digit"),
-        sum(cnt("[\\u0400-\\u04ff]")).as("cyrillic"),
-        sum(cnt("[\\u0370-\\u03ff]")).as("greek"),
-        sum(cnt("[\\u4e00-\\u9fff]")).as("cjk"),
-        sum(cnt(ws)).as("whitespace"))
+        sum(element_at(cc, 1)).as("chars"),
+        sum(element_at(cc, 2)).as("latin"),
+        sum(element_at(cc, 4)).as("digit"),
+        sum(element_at(cc, 12)).as("cyrillic"),
+        sum(element_at(cc, 13)).as("greek"),
+        sum(element_at(cc, 14)).as("cjk"),
+        sum(element_at(cc, 5)).as("whitespace"))
       .withColumn("other",
         col("chars") - col("latin") - col("digit") - col("cyrillic") -
           col("greek") - col("cjk") - col("whitespace"))
-      .withColumn("latin_ratio",
-        round(when(col("chars") > 0,
-          col("latin").cast("double") / col("chars")).otherwise(lit(0.0)), 9))
+      .withColumn("latin_ratio", ratioDecimal9(col("latin"), col("chars")))
   }
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —

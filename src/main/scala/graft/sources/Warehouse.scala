@@ -485,7 +485,11 @@ object ParquetWarehouse {
       if (scanAggs.isEmpty) Nil
       else {
         val row = df.agg(scanAggs.head, scanAggs.tail: _*).collect()(0)
-        row.schema.fieldNames.map(n => n -> row.getAs[Long](n)).toSeq
+        // positional read: a column listed twice (in notNull or ranges)
+        // produces duplicate aliases, and getAs-by-name would resolve
+        // both to the FIRST aggregate, silently mis-reporting the second
+        row.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> row.getLong(i) }.toSeq
       }
     val uniqueRules: Seq[(String, Long)] = unique.map { keys =>
       val r = df.agg(count(lit(1)).as("n"),

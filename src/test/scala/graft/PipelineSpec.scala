@@ -83,6 +83,52 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("other"))
   }
 
+  test("ratioDecimal9 is exact integer-derived DECIMAL(20,9), half-up") {
+    val df = Seq((1L, 1024L), (1L, 3L), (2L, 3L), (5L, 4L), (0L, 7L), (3L, 0L))
+      .toDF("n", "d")
+    val got = df.select(col("n"), col("d"),
+      TextAnalysis.ratioDecimal9(col("n"), col("d")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[java.math.BigDecimal]("r").toPlainString).toMap
+    // 1/1024 = 0.0009765625 exactly: a TRUE half at digit 10 — the case
+    // round(double, 9) resolves differently across engines; here it is
+    // integer round-half-up by construction
+    assert(got((1L, 1024L)) == "0.000976563")
+    assert(got((1L, 3L)) == "0.333333333")
+    assert(got((2L, 3L)) == "0.666666667")
+    assert(got((5L, 4L)) == "1.250000000")
+    assert(got((0L, 7L)) == "0.000000000")
+    assert(got((3L, 0L)) == "0.000000000") // zero denominator -> 0
+    val tpe = df.select(TextAnalysis.ratioDecimal9(col("n"), col("d")))
+      .schema.fields.head.dataType
+    assert(tpe == org.apache.spark.sql.types.DecimalType(20, 9))
+  }
+
+  test("fertilityReport caseless kernel equals legacy on caseless text; caseless on mixed") {
+    val df = Seq(
+      ("a", "foo bar baz qux"), ("a", "one2three"),
+      ("b", "x.y,z"), ("b", "plain words here"))
+      .toDF("source", "text")
+    val neu = TextAnalysis.fertilityReport(df, Seq("source"), "text")
+      .orderBy("source").collect()
+    val leg = TextAnalysis.fertilityReport(df, Seq("source"), "text",
+      legacyDouble = true).orderBy("source").collect()
+    // on lowercase-only text the caseless and lowered constructs agree
+    for ((n, l) <- neu.zip(leg)) {
+      assert(n.getAs[Long]("ws_tokens") == l.getAs[Long]("ws_tokens"))
+      assert(n.getAs[Long]("bpe_tokens") == l.getAs[Long]("bpe_tokens"))
+    }
+    // mixed case: ONE letter run either way ("FooBar" is one token), so
+    // the published counts are case-stable by construction
+    val mixed = Seq(("m", "FooBar BAZ9 x"), ("m", "foobar baz9 x"))
+      .toDF("source", "text")
+    val rep = TextAnalysis.fertilityReport(mixed, Seq("source"), "text").collect()(0)
+    assert(rep.getAs[Long]("ws_tokens") == 6)
+    assert(rep.getAs[Long]("bpe_tokens") == 8) // FooBar|foobar, BAZ|baz, 9, x
+    assert(rep.getAs[java.math.BigDecimal]("fertility").toPlainString
+      == "1.333333333")
+  }
+
   test("planted-pattern fixtures invert exactly: dHash/afp == md5 pattern") {
     // the property the md5-tier codec gauges stand on: for any pattern,
     // the real PNG/WAV round-trip reproduces the planted 64 bits
@@ -343,6 +389,11 @@ class PipelineSpec extends SparkSpec {
     val out2 = Preference.contrastiveTriplets(corpus.repartition(11),
       "text", "doc_id", 0.6, 3).collect()
     assert(out2.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    // bucket auto-sizing floors at 16 on a small corpus: the default
+    // (auto) run above must equal an explicitly pinned buckets = 16 run
+    val pinned = Preference.contrastiveTriplets(corpus, "text", "doc_id",
+      0.6, 3, buckets = 16).collect()
+    assert(pinned.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
   test("frequentPairs: per-basket dedup, singleton prune, canonical pairs") {
@@ -467,6 +518,31 @@ class PipelineSpec extends SparkSpec {
       col("id"), col("score"), k = 3, margin = 40L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // margin <= 0 on a small group: a doc sits in both top-k and
+    // bottom-k, but a degenerate self-pair must never be emitted
+    val tiny = Seq(("D", 1L, 10L), ("D", 2L, 10L)).toDF("g", "id", "score")
+    val loose = Preference.preferencePairs(tiny, Seq("g" -> col("g")),
+        col("id"), col("score"), k = 3, margin = 0L)
+      .select("chosen_id", "rejected_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("cohenKappa: null rater labels enter the marginals (pe_num) too") {
+    // r1 in {yes, null}, r2 in {yes, null}: cells yy=4, y0=1, 0y=1, 00=2
+    // n=8, agree=6 (null<=>null counts), marginals r1: yes 5 / null 3,
+    // r2: yes 5 / null 3 -> pe_num = 5*5 + 3*3 = 34 (a plain equi-join
+    // on the label would drop the 3*3 null cell)
+    val items =
+      Seq.fill(4)(("yes", "yes")) ++ Seq(("yes", null), (null, "yes")) ++
+        Seq.fill(2)((null: String, null: String))
+    val df = items.toDF("r1", "r2")
+    val out = Classifier.cohenKappa(df, col("r1"), col("r2"),
+      Seq("g" -> lit("g"))).collect()(0)
+    assert(out.getLong(1) == 8 && out.getLong(2) == 6)
+    assert(out.getLong(3) == 34)
+    // kappa = (6*8 - 34) / (64 - 34) = 14/30
+    assert(math.abs(out.getDouble(4) - 14.0 / 30.0) < 1e-15)
   }
 
   test("prefixJaccardScreen equals brute cross-side pairs; no same-side leakage") {

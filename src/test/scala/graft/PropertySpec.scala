@@ -460,6 +460,58 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("differential: class_counts slots equal their declarative Spark equivalents") {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // mixed case, digits, ASCII punct/ctrl, unicode ws, combining marks,
+    // scripts, supplementary plane — every class the kernel counts
+    val alphabet = "aA zZ.,!?09\t\n\r\fÉǘ中Ж δ𝄞   "
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "\t", "FooBar Baz9", "İstanbul Iı", "áb", "𝄞𝄞 𝄞",
+      "MixedCASE123!x", "  　")
+    val df = rows.toDF("t")
+    val cc = C(graft.functions.ClassCountsExpr(E(col("t"))))
+    def reCnt(cls: String) =
+      (length(col("t")) - length(regexp_replace(col("t"), cls, ""))).cast("long")
+    val ws = "[ \\t\\n\\x0B\\f\\r]"
+    val decl: Seq[(Int, org.apache.spark.sql.Column)] = Seq(
+      1 -> length(col("t")).cast("long"),
+      2 -> reCnt("[A-Za-z]"),
+      3 -> reCnt("[A-Z]"),
+      4 -> reCnt("[0-9]"),
+      5 -> reCnt(ws),
+      11 -> reCnt("[\\x85\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"),
+      12 -> reCnt("[\\u0400-\\u04ff]"),
+      13 -> reCnt("[\\u0370-\\u03ff]"),
+      14 -> reCnt("[\\u4e00-\\u9fff]"),
+      // caseless ws tokens == non-empty split runs == textStats slot 8
+      15 -> size(filter(split(col("t"), "\\s+"), t => length(t) > 0)).cast("long"),
+      // caseless bpe: [A-Za-z] runs + digit runs + single other non-ws
+      16 -> size(regexp_extract_all(col("t"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long"))
+    val checks = decl.map { case (slot, d) =>
+      (!(element_at(cc, slot) <=> d)).as(s"bad_$slot") }
+    val bad = df.select(checks: _*)
+      .filter(decl.map { case (s, _) => col(s"bad_$s") }.reduce(_ || _)).count()
+    assert(bad == 0)
+    // the whitespace-token slot must be value-identical to the proven
+    // lowered kernel's slot 8 (case mapping never touches ws membership)
+    val ts = C(graft.functions.TextStatsExpr(E(col("t"))))
+    assert(df.filter(!(element_at(cc, 15) <=> element_at(ts, 8))).count() == 0)
+    // supplementary chars count code POINTS (the 𝄞 fixtures): spot checks
+    val one = graft.functions.ClassCountsExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("𝄞a𝄞 𝄞")).toLongArray()
+    assert(one(0) == 5 && one(7) == 3 && one(8) == 3 && one(14) == 2 &&
+      one(15) == 4)
+    // combining mark is its own bpe token, splits a letter run
+    val comb = graft.functions.ClassCountsExpr.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("áb")).toLongArray()
+    assert(comb(0) == 3 && comb(9) == 1 && comb(15) == 3 && comb(14) == 1)
+  }
+
   test("differential: token_stats id-pair bigram counting equals joined-string counting") {
     // the open-addressed (id1,id2) map must count exactly what the
     // straightforward "tok1 + ' ' + tok2" string multiset counts —

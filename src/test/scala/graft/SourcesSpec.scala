@@ -561,6 +561,14 @@ class SourcesSpec extends SparkSpec {
     val clean = ParquetWarehouse.audit(df.filter(col("k") === 1L),
       notNull = Seq("k"), unique = Seq(Seq("k")), ranges = Seq(("v", 0.0, 10.0)))
     assert(clean.collect().forall(_.getBoolean(2)))
+    // duplicate rule names (same column, different range bounds) produce
+    // duplicate aliases: each row must still carry ITS OWN aggregate, not
+    // the first one resolved by name
+    val dup = ParquetWarehouse.audit(df,
+        ranges = Seq(("v", 0.0, 10.0), ("v", -5.0, 100.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dup.toSeq.sortBy(_._2) ==
+      Seq(("range:v", 0L), ("range:v", 2L)))
   }
 
   test("warehouse SCD2: change detection, closes, inserts, as-of reads") {

@@ -582,6 +582,26 @@ class WarpOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("coarsen stepUs")))
   }
 
+  test("twa: large observations survive the decimal mass (no 1e4 cap); bucket bound raises") {
+    import graft.ops.TimeSeries
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    // |value| >= 1e4 used to overflow the DECIMAL(10,6) value cast to
+    // null in non-ANSI mode, silently dropping the observation's mass
+    val df = Seq((1L, t(0L), 100000.0, 1L), (1L, t(10L), 0.0, 2L))
+      .toDF("k", "ts", "v", "e")
+    val out = TimeSeries.twa(df, col("k"), col("ts"), col("v"),
+      bucketUs = 1000000L, tieCol = col("e")).collect()(0)
+    // mass = 100000 * 10us over a 10us span -> twap = 100000
+    assert(out.getAs[Double]("twap") == 100000.0)
+    // spans ride DECIMAL(12,0): buckets wider than 1e12 us must raise
+    intercept[IllegalArgumentException] {
+      TimeSeries.twa(df, col("k"), col("ts"), col("v"),
+        bucketUs = 1000000000000L, tieCol = col("e"))
+    }
+  }
+
   test("rollingByTime equals the brute-force trailing-window filter, sub-second exact") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000) {
@@ -714,6 +734,16 @@ class WarpOpsSpec extends SparkSpec {
     assert(math.abs(ac.getAs[Double]("est_inter")) < 0.5 * 600)
     // estimates land within HLL error of truth at m=256
     assert(math.abs(ab.getAs[Double]("est_union") - 1000) / 1000 < 0.25)
+    // sketch-only mode (the 100 TB path): identical estimates, null
+    // exact companions, and the distinct/recount stages absent from the
+    // plan (no count(distinct ...) anywhere)
+    val sk = WarpOps.hllMd5SetAlgebra(df, col("g"), col("v"), p = 8,
+      exact = false)
+    val skAb = sk.collect().map(r => (r.getString(0), r.getString(1)) -> r)
+      .toMap.apply(("A", "B"))
+    assert(skAb.getAs[Double]("est_union") == ab.getAs[Double]("est_union"))
+    assert(skAb.isNullAt(skAb.fieldIndex("n_union")) &&
+      skAb.isNullAt(skAb.fieldIndex("n_inter")))
   }
 
   test("histogram: edges closed-top, out-of-range and non-coercible dropped") {
