@@ -825,6 +825,24 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---- SQLite FILE roundtrip through the pure-JVM on-disk-format
+    //      reader/writer (sources/SqliteFile.scala — the driver-less
+    //      answer to the reference's libsqlite3 source/sink): write a
+    //      real .sqlite b-tree file, read it back with the partitioned
+    //      leaf-page scan, oracle = the source rows straight from parquet
+    "q_sqlite_roundtrip" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+      val path = s"/tmp/graft_sqlite_${dirTag(dir)}.sqlite"
+      graft.sources.SqliteFile.write(ord, path, "orders_rt")
+      graft.sources.SqliteFile.read(s, path, "orders_rt")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- crawl step plumbing (QBECrawlStep.swift:16-60,232): bounded
     //      concurrency + rate cap are real; the fetcher is the offline
     //      deterministic stub (md5 of the url), so the oracle can verify
@@ -7670,6 +7688,12 @@ object SparkEntry {
     "q_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
          FROM supplier ORDER BY s_suppkey""",
+    "q_sqlite_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM orders ORDER BY o_orderkey""",
     "q_dbf_roundtrip" ->
       """SELECT s_suppkey AS suppkey, s_name AS name,
          s_acctbal AS acctbal, s_nationkey AS nation
