@@ -1159,9 +1159,14 @@ object SparkEntry {
     //      replayable md5 signatures, so the incremental path gets a
     //      REAL oracle gate like q_dedup_minhash_md5 gives the batch path
     "q_dedup_incr_md5" -> ((s, dir) => {
+      // md5-tier GAUGE sizing discipline (same as q_dedup_minhash_md5):
+      // the md5 tier pays one md5 per (hash x shingle), so the gauge
+      // history is a 1-in-5 slice — the production twin q_dedup_incr_near
+      // runs the one-pass kernel over the full corpus
       val docs = T(s, dir, "documents")
+      val hist = docs.warpFilter(col("doc_id") % 5 === 0)
       val ledger = graft.pipeline.Dedup.minhashLedgerMd5(
-        docs, "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4)
+        hist, "text", "doc_id", shingleSize = 3, numHashes = 16, bands = 4)
       val batch = docs.warpFilter(col("doc_id") < 40).calculate(Seq(
           "doc_id" -> (col("doc_id") + 500000),
           "text" -> concat(col("text"), lit(" zz yy xx"))))
@@ -4259,7 +4264,7 @@ object SparkEntry {
                                    maxBucket: Int = 1000): String =
     bipartiteMd5Oracle(
       """SELECT 'h' AS side, CAST(doc_id AS BIGINT) AS doc_id, text
-           FROM documents
+           FROM documents WHERE doc_id % 5 = 0
            UNION ALL
            SELECT 'n', CAST(doc_id AS BIGINT) + 500000, text || ' zz yy xx'
            FROM documents WHERE doc_id < 40
