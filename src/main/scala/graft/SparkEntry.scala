@@ -2222,6 +2222,9 @@ object SparkEntry {
     "q_diag_dbl_repr" -> ((s, dir) => { val _ = dir; s.sql(dblProbeSql(dblReprRows)) }),
     // BIGINT edge values through the same shared-source machinery
     "q_diag_bigint_edge" -> ((s, dir) => { val _ = dir; s.sql(bigintProbeSql) }),
+    // STRING edge values (empty vs NULL, unicode planes, embedded
+    // whitespace) — the compare-machinery probe for string normalization
+    "q_diag_str_edge" -> ((s, dir) => { val _ = dir; s.sql(strProbeSql) }),
     // corpus data-profile probe: one row per text/metadata FEATURE present
     // (docs containing uppercase, digits, tabs, non-ASCII, combining
     // marks, null lang, ...). Both engines compute presence from explicit
@@ -4925,6 +4928,25 @@ object SparkEntry {
   private val bigintProbeSql: String =
     bigintRows.map { case (l, e) => s"SELECT '$l' AS label, CAST($e AS BIGINT) AS val" }
       .mkString("", " UNION ALL ", " ORDER BY label")
+  /** String edge values as DIRECT UTF-8 literals in the shared SQL text
+    * (both parsers read the identical bytes — chr() is NOT shared
+    * vocabulary: Spark's chr is byte-level n % 256, DuckDB's is a code
+    * point): empty vs NULL, 2-byte/3-byte/supplementary code points, an
+    * NFD combining mark, embedded tab/newline (Verify's JSON escaping
+    * carries control chars), and a long repeated string. */
+  private val strRows: Seq[(String, String)] = Seq(
+    "empty" -> "''",
+    "null_str" -> "CAST(NULL AS STRING)",
+    "ascii" -> "'plain'",
+    "two_byte" -> "'\u00e9'", // e-acute (2-byte UTF-8)
+    "three_byte" -> "'\u4e2d'", // CJK (3-byte UTF-8)
+    "supplementary" -> "'\ud834\udd1e'", // U+1D11E (4-byte UTF-8, non-BMP)
+    "combining" -> "'a\u0301'", // NFD a + combining acute
+    "embedded_ws" -> "'a\tb\nc'",
+    "long_repeat" -> "repeat('ab', 500)")
+  private val strProbeSql: String =
+    strRows.map { case (l, e) => s"SELECT '$l' AS label, CAST($e AS STRING) AS val" }
+      .mkString("", " UNION ALL ", " ORDER BY label")
 
   /** The regex-based ws/bpe token expressions the red family USED to
     * oracle with — kept only for the q_diag_agree_* oracle-internal
@@ -5367,6 +5389,7 @@ object SparkEntry {
     "q_diag_dbl_round" -> dblProbeSql(dblRoundRows),
     "q_diag_dbl_repr" -> dblProbeSql(dblReprRows),
     "q_diag_bigint_edge" -> bigintProbeSql,
+    "q_diag_str_edge" -> strProbeSql,
     // corpus data-profile probe: one row per feature PRESENT, so the
     // visible row counts reveal the driver-data profile
     "q_diag_profile" -> {
