@@ -483,28 +483,40 @@ object SqliteFile {
     * reference's SQLite sink has the same shape); memory stays bounded:
     * `toLocalIterator` pulls one partition at a time and the builder
     * flushes every finished page straight to disk. */
-  def write(df: DataFrame, path: String, table: String): Unit = {
+  def write(df: DataFrame, path: String, table: String): Unit =
+    writeTables(Seq(table -> df), path)
+
+  /** Write several tables into one NEW database file (the reference's
+    * SQLite databases are multi-table catalogs). Each table's b-tree
+    * streams to disk in turn; page 1's sqlite_master lists them all. */
+  def writeTables(tables: Seq[(String, DataFrame)], path: String): Unit = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size, "duplicate table names")
     val b = new DbBuilder(path)
     try {
       require(b.allocate() == 1) // page 1 reserved for sqlite_master
-      val cols = df.schema.fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
-      val createSql = s"""CREATE TABLE "$table" (${cols.mkString(", ")})"""
-      var rowid = 0L
-      val rows = df.toLocalIterator()
-      val cellIt = new Iterator[(Long, Array[Byte])] {
-        def hasNext: Boolean = rows.hasNext
-        def next(): (Long, Array[Byte]) = {
-          rowid += 1
-          (rowid, encodeRecord(rows.next().toSeq.map(toStored)))
+      val entries = tables.map { case (table, df) =>
+        val cols = df.schema.fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
+        val createSql = s"""CREATE TABLE "$table" (${cols.mkString(", ")})"""
+        var rowid = 0L
+        val rows = df.toLocalIterator()
+        val cellIt = new Iterator[(Long, Array[Byte])] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (Long, Array[Byte]) = {
+            rowid += 1
+            (rowid, encodeRecord(rows.next().toSeq.map(toStored)))
+          }
         }
+        val root = b.buildTree(cellIt)
+        (table, root, createSql)
       }
-      val root = b.buildTree(cellIt)
       // page 1: the 100-byte file header + the sqlite_master leaf
-      val masterRec = encodeRecord(Seq("table", table, table, root.toLong, createSql))
-      val pre = putVarint(masterRec.length.toLong) ++ putVarint(1L)
-      val cell = pre ++ masterRec
-      require(100 + 8 + 2 + cell.length <= b.pageSize,
-        "sqlite_master row too large for page 1")
+      val masterCells = entries.zipWithIndex.map { case ((table, root, createSql), i) =>
+        val rec = encodeRecord(Seq("table", table, table, root.toLong, createSql))
+        putVarint(rec.length.toLong) ++ putVarint((i + 1).toLong) ++ rec
+      }
+      require(100 + 8 + masterCells.map(_.length + 2).sum <= b.pageSize,
+        "sqlite_master catalog too large for page 1")
       val pg = new Array[Byte](b.pageSize)
       System.arraycopy(Magic, 0, pg, 0, 16)
       pg(16) = ((b.pageSize >> 8) & 0xFF).toByte; pg(17) = (b.pageSize & 0xFF).toByte
@@ -523,12 +535,17 @@ object SqliteFile {
       h32(92, 1) // version-valid-for == change counter
       h32(96, 3045000) // sqlite version number
       pg(100) = 13
-      pg(103) = 0; pg(104) = 1 // one catalog row
-      val content = b.pageSize - cell.length
+      pg(103) = ((masterCells.size >> 8) & 0xFF).toByte
+      pg(104) = (masterCells.size & 0xFF).toByte
+      var content = b.pageSize
+      masterCells.zipWithIndex.foreach { case (cell, j) =>
+        content -= cell.length
+        pg(108 + 2 * j) = ((content >> 8) & 0xFF).toByte
+        pg(109 + 2 * j) = (content & 0xFF).toByte
+        System.arraycopy(cell, 0, pg, content, cell.length)
+      }
       pg(105) = ((content >> 8) & 0xFF).toByte; pg(106) = (content & 0xFF).toByte
       pg(107) = 0
-      pg(108) = ((content >> 8) & 0xFF).toByte; pg(109) = (content & 0xFF).toByte
-      System.arraycopy(cell, 0, pg, content, cell.length)
       b.set(1, pg)
     } finally b.close()
   }

@@ -137,4 +137,21 @@ class SqliteFileSpec extends SparkSpec {
     assert(ts.head._2 >= 2) // root beyond page 1
     assert(ts.head._3.contains("CREATE TABLE \"only\""))
   }
+
+  test("multi-table database: independent trees, one catalog") {
+    val path = tmpDb("multi")
+    SqliteFile.writeTables(Seq(
+      "nums" -> (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("n", "d"),
+      "strs" -> Seq((1L, "one"), (2L, "two")).toDF("k", "s"),
+      "empty_t" -> spark.emptyDataFrame
+        .sparkSession.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("z", LongType))))), path)
+    assert(SqliteFile.tables(path).map(_._1).toSet == Set("nums", "strs", "empty_t"))
+    assert(SqliteFile.read(spark, path, "nums").count() == 500)
+    assert(SqliteFile.read(spark, path, "strs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "one"), (2L, "two")))
+    assert(SqliteFile.read(spark, path, "empty_t").count() == 0)
+  }
 }
