@@ -11,6 +11,9 @@ object CodegenProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE off: with an exchange in the plan, codegenString would see a
+      // not-yet-final AdaptiveSparkPlan and report zero fragments
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.execution.debug.codegenString
@@ -26,6 +29,12 @@ object CodegenProbe {
     val s = codegenString(frag.queryExecution.executedPlan)
     for (n <- Seq("TextStatsExpr\\.compute", "LangScoresExpr\\.compute"))
       println(n + " -> " + n.r.findAllIn(s).length)
+    // r12: the caseless class_counts kernel behind the fertility report —
+    // both sums must ride ONE compute() call per row
+    val fert = ta.fertilityReport(docs, Seq("source", "lang"), "text")
+    val fs = codegenString(fert.queryExecution.executedPlan)
+    println("ClassCountsExpr\\.compute -> " +
+      "ClassCountsExpr\\.compute".r.findAllIn(fs).length)
     spark.stop()
   }
 }
