@@ -160,14 +160,14 @@ object SparkEntry {
            CASE WHEN length(t) > 0 THEN
              CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                / length(t) ELSE 0.0 END AS f2,
-           CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
-             CAST(len(list_filter(string_split_regex(trim(lower(t)), '\s+'),
+           CASE WHEN len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+             CAST(len(list_filter(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+'),
                w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-               / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END AS f3,
-           least((CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
-             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\s+'),
+               / len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS f3,
+           least((CASE WHEN len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+'),
                w -> length(w))) AS DOUBLE)
-               / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+               / len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
            CASE WHEN length(t) > 0 THEN
              CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
                / length(t) ELSE 0.0 END AS f5,
@@ -1452,9 +1452,12 @@ object SparkEntry {
         numMerges = 16).orderBy("rank")),
     "q_bpe_segment" -> ((s, dir) => {
       val merges = bpeMergeFixture(s, dir)
+      // NULL text tokenizes as '' (both engines): a pipeline emits a row
+      // per doc, never drops records at the tokenizer
       T(s, dir, "documents")
         .select(col("doc_id"),
-          flatten(graft.pipeline.Bpe.segment(col("text"), merges)).as("pieces"))
+          flatten(graft.pipeline.Bpe.segment(coalesce(col("text"), lit("")), merges))
+            .as("pieces"))
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           concat_ws(" ", slice(col("pieces"), 1, 12)).as("head_pieces"))
         .orderBy("doc_id")
@@ -1470,7 +1473,8 @@ object SparkEntry {
       val vocab = bpeVocabFixture(s, dir)
       T(s, dir, "documents")
         .select(col("doc_id"),
-          graft.pipeline.Bpe.encode(col("text"), merges, vocab).as("ids"))
+          graft.pipeline.Bpe.encode(coalesce(col("text"), lit("")), merges, vocab)
+            .as("ids"))
         .select(col("doc_id"), size(col("ids")).as("n_ids"),
           concat_ws(" ", transform(slice(col("ids"), 1, 16),
             i => i.cast("string"))).as("head_ids"))
@@ -1481,7 +1485,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => {
       val ta = graft.pipeline.TextAnalysis
       T(s, dir, "documents").calculate(Seq(
-        "n_tokens" -> ta.tokenCountWs(col("text")),
+        "n_tokens" -> ta.tokenCountWsNonEmpty(col("text")),
         "n_bpe" -> ta.tokenCountBpe(col("text")),
         "punct_ratio" -> ta.punctRatio(col("text")),
         "mean_wlen" -> ta.meanWordLength(col("text")),
@@ -1549,21 +1553,23 @@ object SparkEntry {
     "q_classify_auc" -> ((s, dir) => {
       val sc = graft.pipeline.Classifier.scored(
         T(s, dir, "documents"), "text", classifyDemoWeights)
+      // total label: NULL lang counts as negative on both engines (the
+      // oracle CTE's CASE ... ELSE 0; aucReport would drop a NULL label)
       graft.pipeline.Classifier.aucReport(
-        sc, round(col("score"), 6), col("lang") === "en")
+        sc, round(col("score"), 6), coalesce(col("lang") === "en", lit(false)))
     }),
     "q_classify_calibration" -> ((s, dir) => {
       val sc = graft.pipeline.Classifier.scored(
         T(s, dir, "documents"), "text", classifyDemoWeights)
       graft.pipeline.Classifier.calibrationReport(
-          sc, round(col("score"), 6), col("lang") === "en")
+          sc, round(col("score"), 6), coalesce(col("lang") === "en", lit(false)))
         .warpSort(Seq(Order(col("bin"))))
     }),
     "q_classify_thresholds" -> ((s, dir) => {
       val sc = graft.pipeline.Classifier.scored(
         T(s, dir, "documents"), "text", classifyDemoWeights)
       graft.pipeline.Classifier.thresholdReport(
-          sc, round(col("score"), 6), col("lang") === "en",
+          sc, round(col("score"), 6), coalesce(col("lang") === "en", lit(false)),
           (1 to 9).map(_ / 10.0))
         .warpSort(Seq(Order(col("threshold"))))
     }),
@@ -1590,7 +1596,7 @@ object SparkEntry {
       val mixed = graft.pipeline.Sampling.temperatureSample(cut,
         col("source"), col("doc_id"), 0.5)
       graft.pipeline.Packing.packSequences(mixed,
-          ta.tokenCountWs(col("text_dedup")), col("source"), col("doc_id"), 256)
+          ta.tokenCountWsNonEmpty(col("text_dedup")), col("source"), col("doc_id"), 256)
         .selectColumns(Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))
         .warpSort(Seq(Order(col("doc_id"))))
     }),
@@ -1683,7 +1689,7 @@ object SparkEntry {
     //      runs over the <=256-row bucket-total aggregate)
     "q_token_budget" -> ((s, dir) => {
       val docs = T(s, dir, "documents").calculate(Seq(
-        "n_tokens" -> graft.pipeline.TextAnalysis.tokenCountWs(col("text")).cast("long")))
+        "n_tokens" -> graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text")).cast("long")))
       graft.pipeline.Sampling.takeTokenBudget(docs, col("doc_id"),
           col("n_tokens"), budget = 15000L)
         .selectColumns(Seq("doc_id", "source", "n_tokens", "cum_tokens"))
@@ -1704,8 +1710,12 @@ object SparkEntry {
     //      and an order-free per-shard checksum manifest
     "q_shard_manifest" -> ((s, dir) => {
       val Sa = graft.pipeline.Sampling
+      // total token count (NULL text = 0): a shard manifest must cover
+      // every doc — a NULL weight would orphan the doc from all shards
       val docs = T(s, dir, "documents").calculate(Seq(
-        "n_tokens" -> graft.pipeline.TextAnalysis.tokenCountWs(col("text")).cast("long")))
+        "n_tokens" -> coalesce(
+          graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text")).cast("long"),
+          lit(0L))))
       val assigned = Sa.assignShards(docs, col("doc_id"), col("n_tokens"),
         tokensPerShard = 2000L)
       Sa.shardManifest(assigned, col("doc_id"), col("n_tokens"), col("shard_id"))
@@ -1757,7 +1767,7 @@ object SparkEntry {
         .calculate(Seq("doc_id" -> (col("doc_id") + 300000)))
       val enriched = docs.warpUnion(planted).calculate(Seq(
         "fp" -> ta.fingerprintMd5(col("text")),
-        "ntok" -> ta.tokenCountWs(col("text")).cast("long"),
+        "ntok" -> ta.tokenCountWsNonEmpty(col("text")).cast("long"),
         "score" -> ta.qualityScore(col("text"))))
       val dupFps = enriched.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).select(col("fp"), lit(true).as("__dup"))
@@ -1849,7 +1859,7 @@ object SparkEntry {
     // ---- concat-and-chunk sequence packing (per-source token streams)
     "q_pack_sequences" -> ((s, dir) => {
       graft.pipeline.Packing.packSequences(T(s, dir, "documents"),
-          graft.pipeline.TextAnalysis.tokenCountWs(col("text")),
+          graft.pipeline.TextAnalysis.tokenCountWsNonEmpty(col("text")),
           col("source"), col("doc_id"), budget = 256)
         .selectColumns(Seq("doc_id", "source", "n_tokens", "pack_id", "pack_offset"))
         .warpSort(Seq(Order(col("doc_id"))))
@@ -3904,7 +3914,7 @@ object SparkEntry {
   private def bpeTrainerCtes(n: Int): Seq[String] = {
     val head =
       s"""words AS (
-         SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+         SELECT unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS w FROM documents
        ), wc AS (
          SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words WHERE len(w) > 0 GROUP BY w
        ), v0 AS MATERIALIZED (
@@ -3928,11 +3938,17 @@ object SparkEntry {
     val head =
       s"""dw AS (
          SELECT doc_id, ws[i] AS w, i
-         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+         FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+') AS ws
                FROM documents),
               unnest(generate_series(1, len(ws))) AS tt(i)
        ), d0 AS MATERIALIZED (
-         SELECT doc_id, i, list_append(string_split(w, ''), '</w>') AS syms FROM dw
+         -- empty words (NULL/empty text coalesced to '') carry ZERO base
+         -- symbols — just the </w> sentinel, as Bpe.segment emits;
+         -- DuckDB string_split('','') = [''] would plant a phantom ''
+         SELECT doc_id, i,
+           list_append(list_filter(string_split(w, ''), c -> c <> ''), '</w>') AS syms
+         FROM dw
        )"""
     head +: (0 until n).map(k =>
       bpeApplyMergeCte(s"d$k", s"d${k + 1}", s"w$k", s"y$k", "doc_id, i"))
@@ -4026,14 +4042,14 @@ object SparkEntry {
            CASE WHEN length(t) > 0 THEN
              CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                / length(t) ELSE 0.0 END AS f2,
-           CASE WHEN len(string_split_regex(trim(lower(t)), '\\s+')) > 0 THEN
-             CAST(len(list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+           CASE WHEN len(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+')) > 0 THEN
+             CAST(len(list_filter(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+'),
                w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-               / len(string_split_regex(trim(lower(t)), '\\s+')) ELSE 0.0 END AS f3,
-           least((CASE WHEN len(string_split_regex(trim(lower(t)), '\\s+')) > 0 THEN
-             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\\s+'),
+               / len(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+')) ELSE 0.0 END AS f3,
+           least((CASE WHEN len(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+')) > 0 THEN
+             CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+'),
                w -> length(w))) AS DOUBLE)
-               / len(string_split_regex(trim(lower(t)), '\\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+               / len(string_split_regex(trim(lower(t)), '[ \\t\\n\\x0b\\f\\r]+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
            CASE WHEN length(t) > 0 THEN
              CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
                / length(t) ELSE 0.0 END AS f5,
@@ -4155,7 +4171,7 @@ object SparkEntry {
            SELECT doc_id + 1000000 AS doc_id, text || ' nearly identical content' AS text
            FROM documents WHERE doc_id % 50 = 0
          ), w AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM d
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM d
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -4251,7 +4267,7 @@ object SparkEntry {
     s"""WITH d AS (
            $dCte
          ), w AS (
-           SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM d
+           SELECT side, doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM d
          ), sh AS (
            SELECT side, doc_id,
              CASE WHEN len(ws) >= 3
@@ -4331,7 +4347,7 @@ object SparkEntry {
            SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
            FROM documents WHERE doc_id < 50
          ), w AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
            FROM d
          ), tf AS (
            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
@@ -4918,7 +4934,7 @@ object SparkEntry {
     * [[graft.pipeline.Retrieval.bm25TopK]] shape-for-shape (same operator
     * tree, same decimal quantization of each term's contribution). */
   private def bm25Oracle(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
-    val toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    val toks = "string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
     val tfs = terms.indices.map(i =>
       s"CAST(len(list_filter($toks, w -> w = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(",\n           ")
     val dfs = terms.indices.map(i =>
@@ -5402,7 +5418,7 @@ object SparkEntry {
        SELECT id, rrf, runs_hit FROM f ORDER BY rrf DESC, id LIMIT 20""",
     "q_chunk" ->
       """WITH t AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
            FROM documents
          ), t2 AS (
            SELECT doc_id, toks, len(toks) AS n FROM t
@@ -6197,7 +6213,7 @@ object SparkEntry {
     "q_vocab_overlap" ->
       """WITH v AS (
            SELECT DISTINCT source AS g,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), sz AS (
            SELECT g, count(*) AS n FROM v GROUP BY g
@@ -6214,7 +6230,7 @@ object SparkEntry {
     "q_topk_per_group" ->
       """WITH toks AS (
            SELECT source,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS item
            FROM documents
          ), c AS (
            SELECT source, item, count(*) AS cnt FROM toks GROUP BY source, item
@@ -6256,14 +6272,21 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 200000,
                   array_to_string(w[1:20], ' ') || ' ' || array_to_string(w[1:20], ' ')
-           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS w
                  FROM documents WHERE doc_id < 25)
          ), words AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM base
+           -- empty tokens dropped pre-window; NULL/whitespace-only text
+           -- yields ZERO spans (mirrors Dedup.spans)
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+               w -> len(w) > 0) AS ws
+           FROM base
          ), sp AS (
            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                   array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS span
-           FROM words, unnest(generate_series(1, ((len(ws) - 1) // 10) + 1)) AS t(i)
+           FROM words, unnest(generate_series(1,
+             CASE WHEN ws IS NULL OR len(ws) = 0 THEN 0
+                  ELSE ((len(ws) - 1) // 10) + 1 END)) AS t(i)
          ), keep AS (
            SELECT doc_id, pos, span,
                   row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
@@ -6273,7 +6296,10 @@ object SparkEntry {
                   string_agg(span, ' ' ORDER BY pos) AS text_dedup
            FROM keep WHERE rn = 1 GROUP BY doc_id
          ), tot AS (
-           SELECT doc_id, CAST(((len(ws) - 1) // 10) + 1 AS INT) AS n_spans FROM words
+           SELECT doc_id,
+             CAST(CASE WHEN ws IS NULL OR len(ws) = 0 THEN 0
+                  ELSE ((len(ws) - 1) // 10) + 1 END AS INT) AS n_spans
+           FROM words
          )
          SELECT t.doc_id, t.n_spans,
                 CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
@@ -6281,7 +6307,7 @@ object SparkEntry {
          FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "q_tfidf_terms" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
            FROM documents
          ), tf AS (
            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
@@ -6299,8 +6325,8 @@ object SparkEntry {
     "q_pack_sequences" ->
       """WITH c AS (
            SELECT doc_id, source,
-                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+                  CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                   w -> len(w) > 0)) AS BIGINT)
                     AS n_tokens
            FROM documents
          ), s AS (
@@ -6315,7 +6341,7 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
     "q_text_oov" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), vocab AS (
            SELECT tok FROM toks GROUP BY tok
@@ -6344,7 +6370,7 @@ object SparkEntry {
        ORDER BY id, probe_id""",
     "q_novelty" ->
       """WITH w AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws FROM documents
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -6369,7 +6395,7 @@ object SparkEntry {
          ORDER BY t.doc_id""",
     "q_contamination" ->
       """WITH w AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws FROM documents
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -6388,7 +6414,7 @@ object SparkEntry {
          ORDER BY doc_id, probe_id""",
     "q_stream_contamination" ->
       """WITH w AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws FROM documents
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -6427,7 +6453,7 @@ object SparkEntry {
            SELECT doc_id + 1000000 AS doc_id, text || ' nearly identical content' AS text
            FROM documents WHERE doc_id % 50 = 0
          ), w AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM d
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws FROM d
          ), sh AS (
            SELECT doc_id,
              CASE WHEN len(ws) >= 3
@@ -6453,7 +6479,7 @@ object SparkEntry {
          ), w AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM d
          ), nz AS (
@@ -6504,8 +6530,8 @@ object SparkEntry {
          ), tr AS (
            SELECT doc_id + 3000000 AS doc_id,
              array_to_string(
-               (regexp_split_to_array(trim(lower(text)), '\s+'))
-                 [1:len(regexp_split_to_array(trim(lower(text)), '\s+')) // 2],
+               (regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'))
+                 [1:len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) // 2],
                ' ') AS text
            FROM base
          ), d AS (
@@ -6514,7 +6540,7 @@ object SparkEntry {
          ), w AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM d
          ), nz AS (
@@ -6536,8 +6562,8 @@ object SparkEntry {
          ), tr AS (
            SELECT doc_id + 3000000 AS doc_id,
              array_to_string(
-               (regexp_split_to_array(trim(lower(text)), '\s+'))
-                 [1:len(regexp_split_to_array(trim(lower(text)), '\s+')) // 2],
+               (regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'))
+                 [1:len(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) // 2],
                ' ') AS text
            FROM base
          ), d AS (
@@ -6546,7 +6572,7 @@ object SparkEntry {
          ), w AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM d
          ), nz AS (
@@ -6571,13 +6597,13 @@ object SparkEntry {
          ), wc AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM c
          ), wp AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM p
          ), nc AS (SELECT doc_id, s FROM wc WHERE len(s) > 0),
@@ -6605,7 +6631,7 @@ object SparkEntry {
          ), w AS (
            SELECT doc_id,
              list_distinct(list_filter(
-               regexp_split_to_array(trim(lower(text)), '\s+'),
+               regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                t -> len(t) > 0)) AS s
            FROM d
          ), nz AS (
@@ -6639,7 +6665,7 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q_text_lm" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), c AS (
            SELECT tok, count(*) AS c FROM toks GROUP BY tok
@@ -6653,7 +6679,7 @@ object SparkEntry {
          GROUP BY toks.doc_id ORDER BY toks.doc_id""",
     "q_ccnet_buckets" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), c AS (
            SELECT tok, count(*) AS c FROM toks GROUP BY tok
@@ -6690,7 +6716,7 @@ object SparkEntry {
       """WITH gt AS (
            SELECT g, tok, count(*) AS cg FROM (
              SELECT source AS g,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
              FROM documents)
            WHERE length(tok) > 0 GROUP BY g, tok
          ), corpus AS (
@@ -6713,7 +6739,7 @@ object SparkEntry {
          GROUP BY gt.g ORDER BY gt.g""",
     "q_text_lm2" ->
       """WITH d AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+           SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws FROM documents
          ), bg AS (
            SELECT doc_id,
              CASE WHEN i = 1 THEN chr(1) || 's' ELSE ws[i-1] END AS prev,
@@ -6733,7 +6759,7 @@ object SparkEntry {
          GROUP BY bg.doc_id ORDER BY doc_id""",
     "q_bpe_pairs" ->
       """WITH words AS (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS w
            FROM documents
          ), wc AS (
            SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM words
@@ -6752,28 +6778,28 @@ object SparkEntry {
     "q_classify_train" -> classifyTrainOracle(12),
     "q_text_quality" ->
       """SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
-         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+         len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                   w -> len(w) > 0)) AS n_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]')) AS n_bpe,
          CASE WHEN length(text) > 0 THEN
            CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
              / length(text) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
-           CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'), t -> length(t))) AS DOUBLE)
-             / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS mean_wlen,
-         CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
-           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+         CASE WHEN len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+           CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'), t -> length(t))) AS DOUBLE)
+             / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS mean_wlen,
+         CASE WHEN len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
              t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-             / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw_en
+             / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS sw_en
          FROM documents ORDER BY doc_id""",
     "q_text_scored" ->
       """WITH c AS (
            SELECT doc_id,
              least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
-             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             CASE WHEN len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                  t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw,
+                 / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS sw,
              CASE WHEN length(text) > 0 THEN
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(text) ELSE 0.0 END AS punct
@@ -6796,14 +6822,14 @@ object SparkEntry {
              CASE WHEN length(t) > 0 THEN
                CAST(length(t) - length(regexp_replace(t, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(t) ELSE 0.0 END AS f2,
-             CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(lower(t)), '\s+'),
+             CASE WHEN len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+'),
                  w -> w IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END AS f3,
-             least((CASE WHEN len(string_split_regex(trim(lower(t)), '\s+')) > 0 THEN
-               CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '\s+'),
+                 / len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS f3,
+             least((CASE WHEN len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(list_sum(list_transform(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+'),
                  w -> length(w))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(t)), '\s+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
+                 / len(string_split_regex(trim(lower(t)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END) / 10.0, 1.0) AS f4,
              CASE WHEN length(t) > 0 THEN
                CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
                  / length(t) ELSE 0.0 END AS f5,
@@ -6854,11 +6880,16 @@ object SparkEntry {
          FROM a ORDER BY threshold""",
     "q_curate_packed" ->
       """WITH words AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+               w -> len(w) > 0) AS ws
+           FROM documents
          ), sp AS (
            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
                   array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS span
-           FROM words, unnest(generate_series(1, ((len(ws) - 1) // 10) + 1)) AS t(i)
+           FROM words, unnest(generate_series(1,
+             CASE WHEN ws IS NULL OR len(ws) = 0 THEN 0
+                  ELSE ((len(ws) - 1) // 10) + 1 END)) AS t(i)
          ), keep AS (
            SELECT doc_id, pos, span,
                   row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
@@ -6871,10 +6902,10 @@ object SparkEntry {
          ), sc AS (
            SELECT doc_id, source, td,
              least(CAST(length(td) AS DOUBLE) / 1000.0, 1.0) * 0.4 +
-             least((CASE WHEN len(string_split_regex(trim(lower(td)), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(lower(td)), '\s+'),
+             least((CASE WHEN len(string_split_regex(trim(lower(td)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(td)), '[ \t\n\x0b\f\r]+'),
                  t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(td)), '\s+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+                 / len(string_split_regex(trim(lower(td)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
              greatest(0.0, 1.0 - (CASE WHEN length(td) > 0 THEN
                CAST(length(td) - length(regexp_replace(td, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(td) ELSE 0.0 END) * 5.0) * 0.3 AS score
@@ -6905,8 +6936,8 @@ object SparkEntry {
            WHERE rn <= target
          ), toks AS (
            SELECT doc_id, source,
-             CAST(CASE WHEN length(trim(td)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(lower(td)), '\s+')) END AS BIGINT)
+             CAST(len(list_filter(string_split_regex(trim(lower(td)), '[ \t\n\x0b\f\r]+'),
+                   w -> len(w) > 0)) AS BIGINT)
                AS n_tokens
            FROM mixed
          ), strts AS (
@@ -6968,10 +6999,10 @@ object SparkEntry {
          GROUP BY bin ORDER BY bin""",
     "q_importance" ->
       """WITH toks AS (
-           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), tt AS (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents WHERE lang = 'en'
          ), cc AS (
            SELECT tok, count(*) AS cc FROM toks GROUP BY tok
@@ -6996,8 +7027,8 @@ object SparkEntry {
     "q_token_budget" ->
       """WITH t AS (
            SELECT doc_id, source,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                   w -> len(w) > 0)) AS BIGINT)
                AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS pr
            FROM documents
@@ -7093,8 +7124,9 @@ object SparkEntry {
     "q_shard_manifest" ->
       """WITH t AS (
            SELECT doc_id,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+             coalesce(CAST(len(list_filter(
+                 string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                 w -> len(w) > 0)) AS BIGINT), 0)
                AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS pr
            FROM documents
@@ -7118,7 +7150,7 @@ object SparkEntry {
            UNION ALL
            SELECT text FROM documents WHERE doc_id = 0),
          f AS (
-           SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
              count(*) AS sz
            FROM ad WHERE text IS NOT NULL GROUP BY 1)
          SELECT sz AS cluster_size, count(*) AS n_clusters,
@@ -7131,7 +7163,7 @@ object SparkEntry {
            SELECT 'mirror' AS source, text FROM documents WHERE doc_id < 25),
          f AS (
            SELECT DISTINCT source AS g,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
            FROM ad WHERE source IS NOT NULL AND text IS NOT NULL),
          n AS (SELECT g, count(*) AS n FROM f GROUP BY g),
          pr AS (
@@ -7147,7 +7179,7 @@ object SparkEntry {
     "q_zipf" ->
       """WITH tk AS (
            SELECT t, count(*) AS c FROM (
-             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS t
              FROM documents)
            WHERE len(t) > 0 GROUP BY t),
          tp AS (
@@ -7183,15 +7215,15 @@ object SparkEntry {
            SELECT doc_id + 300000, text, source FROM documents WHERE doc_id < 25
          ), f AS (
            SELECT source,
-             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
-             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+             md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
+                   w -> len(w) > 0)) AS BIGINT)
                AS ntok,
              least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) * 0.4 +
-             least((CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             least((CASE WHEN len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                  t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
+                 / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END) * 5.0, 1.0) * 0.3 +
              greatest(0.0, 1.0 - (CASE WHEN length(text) > 0 THEN
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(text) ELSE 0.0 END) * 5.0) * 0.3 AS score
@@ -7210,10 +7242,10 @@ object SparkEntry {
       """WITH c AS (
            SELECT doc_id, source,
              least(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) AS len_score,
-             CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             CASE WHEN len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                  t -> t IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(text)), '\s+')) ELSE 0.0 END AS sw,
+                 / len(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) ELSE 0.0 END AS sw,
              CASE WHEN length(text) > 0 THEN
                CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
                  / length(text) ELSE 0.0 END AS punct
@@ -7232,11 +7264,11 @@ object SparkEntry {
          SELECT doc_id, source, score, keep_frac FROM r
          WHERE keep_frac <= 0.8 ORDER BY doc_id""",
     "q_text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
     "q_curate" ->
       """WITH toks AS (
-           SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS tks
+           SELECT doc_id, text, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS tks
            FROM documents
          ), feat AS (
            SELECT doc_id, text,
@@ -7265,7 +7297,7 @@ object SparkEntry {
            FROM feat
          ), dedup AS (
            SELECT doc_id, score, row_number() OVER (
-               PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))
                ORDER BY doc_id) AS rn
            FROM scored WHERE score >= 0.5 AND detected = 'en'
          )
@@ -7276,7 +7308,7 @@ object SparkEntry {
          FROM dedup WHERE rn = 1 ORDER BY doc_id""",
     "q_text_langid" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks FROM documents
+           SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS tks FROM documents
          ), scores AS (
            SELECT doc_id,
              CASE WHEN len(tks) > 0 THEN CAST(len(list_filter(tks,
@@ -7298,8 +7330,11 @@ object SparkEntry {
          FROM scores ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts,
-                  string_split(text, ' ') AS ls
+           SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ts,
+                  -- the Spark entry folds spaces onto newlines BEFORE the
+                  -- line split, so pre-existing newlines in the text are
+                  -- line boundaries too
+                  string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
            FROM documents
          ), tstats AS (
            SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS mx FROM (
@@ -7317,7 +7352,7 @@ object SparkEntry {
            CASE WHEN s.n > 0 THEN CAST(s.mx AS DOUBLE) / s.n ELSE 0.0 END AS top_token_frac,
            CASE WHEN coalesce(b.nb, 0) > 0 THEN CAST(b.nb - b.db AS DOUBLE) / b.nb ELSE 0.0 END AS dup_bigram_ratio,
            CASE WHEN len(t.ls) > 0 THEN CAST(len(t.ls) - len(list_distinct(t.ls)) AS DOUBLE) / len(t.ls) ELSE 0.0 END AS dup_line_frac
-         FROM toks t JOIN tstats s USING (doc_id) LEFT JOIN bstats b USING (doc_id)
+         FROM toks t LEFT JOIN tstats s USING (doc_id) LEFT JOIN bstats b USING (doc_id)
          ORDER BY doc_id""",
     "q_text_pii" ->
       """WITH synth AS (
@@ -7489,8 +7524,13 @@ object SparkEntry {
          FROM m ORDER BY media_id""",
     "q_media_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,
-           (length(text)*131) % 600000 AS dur,
-           least(16, octet_length(encode(text))) AS fb FROM documents)
+           -- NULL payload: duration coalesces to 0 (ts_ms stays LONG 0),
+           -- frame bytes stay NULL (DuckDB least() would skip the NULL
+           -- and return 16) — mirrors Multimodal.fabricate/sampleFrames
+           coalesce((length(text)*131) % 600000, 0) AS dur,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE least(16, octet_length(encode(text))) END AS fb
+         FROM documents)
          SELECT media_id, CAST(i AS INT) AS frame_idx,
            CAST(floor(CAST(i*dur AS DOUBLE)/3) AS BIGINT) AS ts_ms,
            CAST(fb AS INT) AS frame_bytes
@@ -7677,7 +7717,7 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_heavyhitters" ->
       """WITH toks AS (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+           SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS item
            FROM documents
          )
          SELECT item, count(*) AS cnt FROM toks GROUP BY item
@@ -7735,9 +7775,13 @@ object SparkEntry {
          FROM p""",
     "q_drift" ->
       """WITH a AS (
-           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id < 250),
+           -- NULL measures carry no drift signal and are dropped on both
+           -- engines (DuckDB least(19, NULL) = 19 would otherwise bin them)
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE doc_id < 250 AND n_chars IS NOT NULL),
          b AS (
-           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id >= 250),
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE doc_id >= 250 AND n_chars IS NOT NULL),
          mm AS (
            SELECT min(v) AS lo, max(v) AS hi
            FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
@@ -7832,7 +7876,7 @@ object SparkEntry {
                   WHEN wc < 69 THEN 'mid' ELSE 'hi' END AS r2
            FROM (SELECT source, n_chars,
                    len(list_filter(
-                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                      t -> len(t) > 0)) AS wc
                  FROM documents)
          ), cells AS (
@@ -8004,7 +8048,7 @@ object SparkEntry {
     "q_dict_encode" ->
       """WITH toks AS (
            SELECT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
            FROM documents
          ), dict AS (
            SELECT tok, dense_rank() OVER (ORDER BY tok) AS id

@@ -1009,12 +1009,19 @@ object Dedup {
     * the naive formulation is quadratic in document length). */
   def spans(textCol: Column, w: Int): Column = {
     require(w > 0, s"span width must be positive, got $w")
-    val words = split(trim(lower(textCol)), "\\s+")
+    // empty tokens are dropped BEFORE span windows form: split() emits a
+    // leading "" for text starting with non-space whitespace (trim only
+    // strips 0x20), and whitespace-only text must yield ZERO spans, not
+    // one empty span — no words, no spans, on both engines
+    val words = filter(split(trim(lower(textCol)), "\\s+"),
+      tok => length(tok) > 0)
     when(length(trim(textCol)) === 0, array().cast("array<string>"))
       .otherwise(element_at(
         transform(array(words), ws =>
-          transform(sequence(lit(0), floor((size(ws) - 1) / w).cast("int")),
-            i => array_join(slice(ws, i * w + 1, lit(w)), " "))),
+          when(size(ws) === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), floor((size(ws) - 1) / w).cast("int")),
+              i => array_join(slice(ws, i * w + 1, lit(w)), " ")))),
         1))
   }
 
