@@ -266,8 +266,29 @@ object SqliteFile {
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { colDef =>
       val unquoted = colDef.replaceAll("^[\"`\\[]", "")
       val name = unquoted.takeWhile(c => !c.isWhitespace && c != '"' && c != '`' && c != ']')
-      (name, colDef.drop(colDef.indexOf(name) + name.length).trim.toUpperCase)
+      // drop the name AND its closing quote — a leftover quote glued to
+      // the declaration would break exact-token rules like isRowidAlias
+      val decl = colDef.drop(colDef.indexOf(name) + name.length)
+        .replaceAll("^[\"`\\]]", "").trim.toUpperCase
+      (name, decl)
     }
+  }
+
+  /** Rowid-alias test per spec §2.1, on a column's UPPERCASED
+    * declaration remainder (everything after the name): the declared type
+    * must be exactly the single token INTEGER (a 'UNSIGNED INTEGER'
+    * column has plain INT affinity and stores its own values), there must
+    * be a column-level PRIMARY KEY, and its sort order must be ASC or
+    * unstated — 'INTEGER PRIMARY KEY DESC' is NOT an alias. Substring
+    * matching here would make the reader discard a real stored column and
+    * substitute the rowid on externally-written tables. */
+  private[graft] def isRowidAlias(declUpper: String): Boolean = {
+    val constraintKw = Set("CONSTRAINT", "PRIMARY", "NOT", "NULL", "UNIQUE",
+      "CHECK", "DEFAULT", "COLLATE", "REFERENCES", "GENERATED", "AS")
+    val toks = declUpper.split("[\\s(]+").filter(_.nonEmpty).toSeq
+    val typeToks = toks.takeWhile(t => !constraintKw.contains(t))
+    val pk = toks.indexOfSlice(Seq("PRIMARY", "KEY"))
+    typeToks == Seq("INTEGER") && pk >= 0 && !toks.lift(pk + 2).contains("DESC")
   }
 
   /** SQLite type-affinity rules (spec §3.1): the declared type maps to a
@@ -302,13 +323,20 @@ object SqliteFile {
     val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
     // INTEGER PRIMARY KEY is the rowid alias: its record slot is NULL and
     // the true value is the cell's rowid (spec §2.1)
-    val ipk = cols.indexWhere(c => c._2.contains("INTEGER") && c._2.contains("PRIMARY KEY"))
+    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
     val leaves = { val f = new PageFile(path); try leafPages(f, root) finally f.close() }
     val types = schema.fields.map(_.dataType)
     val rows = spark.sparkContext
       .parallelize(leaves, math.min(leaves.size, 32).max(1))
       .mapPartitions { pgs =>
         val f = new PageFile(path)
+        // the completion listener is the authoritative close: an
+        // exhaustion-only hook leaks the file handle on limit/take, task
+        // failure, or any short-circuited downstream (RandomAccessFile
+        // close is idempotent, so the drain close below stays as a
+        // fast-path for fully-consumed partitions)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => f.close()))
         val it = pgs.flatMap { pg =>
           leafRows(f, pg).map { case (rowid, vals) =>
             Row.fromSeq(types.indices.map { i =>
@@ -454,7 +482,17 @@ object SqliteFile {
       // becomes its right-most pointer
       val out = scala.collection.mutable.ArrayBuffer[Child]()
       val perPage = math.max(2, (pageSize - 12) / 15) // worst-case 13 B cell + 2 B ptr
-      children.grouped(perPage).foreach { grp =>
+      // a trailing group of ONE child would emit an interior page with
+      // zero cells and only a right-most pointer — a shape real SQLite
+      // never writes; rebalance by stealing one child from the previous
+      // group (which always has >= 2 since perPage >= 2)
+      val grouped0 = children.grouped(perPage).toSeq
+      val grouped =
+        if (grouped0.length > 1 && grouped0.last.size == 1) {
+          val prev = grouped0(grouped0.length - 2)
+          grouped0.dropRight(2) :+ prev.dropRight(1) :+ (prev.last +: grouped0.last)
+        } else grouped0
+      grouped.foreach { grp =>
         val no = allocate()
         val b = new Array[Byte](pageSize)
         b(0) = 5

@@ -154,4 +154,85 @@ class SqliteFileSpec extends SparkSpec {
       Set((1L, "one"), (2L, "two")))
     assert(SqliteFile.read(spark, path, "empty_t").count() == 0)
   }
+
+  test("rowid-alias detection follows spec \u00a72.1 exactly") {
+    assert(SqliteFile.isRowidAlias("INTEGER PRIMARY KEY"))
+    assert(SqliteFile.isRowidAlias("INTEGER PRIMARY KEY ASC"))
+    assert(SqliteFile.isRowidAlias("INTEGER PRIMARY KEY AUTOINCREMENT"))
+    assert(SqliteFile.isRowidAlias("INTEGER NOT NULL PRIMARY KEY"))
+    // DESC primary key is NOT a rowid alias (spec \u00a72.1)
+    assert(!SqliteFile.isRowidAlias("INTEGER PRIMARY KEY DESC"))
+    // the declared type must be exactly INTEGER
+    assert(!SqliteFile.isRowidAlias("UNSIGNED INTEGER PRIMARY KEY"))
+    assert(!SqliteFile.isRowidAlias("INT PRIMARY KEY"))
+    assert(!SqliteFile.isRowidAlias("BIGINT PRIMARY KEY"))
+    // no primary key at all
+    assert(!SqliteFile.isRowidAlias("INTEGER"))
+    assert(!SqliteFile.isRowidAlias("INTEGER NOT NULL"))
+  }
+
+  test("interior pages never have zero cells (trailing-group rebalance)") {
+    // calibrate rows-per-leaf with a probe write, then size the table so
+    // the leaf count is ONE MORE than a full interior page's fanout --
+    // the exact shape whose naive grouped() split yields a cell-less
+    // interior page holding only a right-most pointer
+    def leafCellCounts(path: String): Seq[Int] = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val pageSize = ((bytes(16) & 0xFF) << 8) | (bytes(17) & 0xFF)
+      def u16(o: Int) = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      (1 to bytes.length / pageSize).flatMap { pg =>
+        val base = (pg - 1) * pageSize + (if (pg == 1) 100 else 0)
+        if (bytes(base) == 13 && pg != 1) Some(u16(base + 3)) else None
+      }
+    }
+    def interiorCellCounts(path: String): Seq[Int] = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val pageSize = ((bytes(16) & 0xFF) << 8) | (bytes(17) & 0xFF)
+      def u16(o: Int) = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      (2 to bytes.length / pageSize).flatMap { pg =>
+        val base = (pg - 1) * pageSize
+        if (bytes(base) == 5) Some(u16(base + 3)) else None
+      }
+    }
+    val probe = tmpDb("rebalance_probe")
+    SqliteFile.write(spark.range(5000).selectExpr("id AS v"), probe, "t")
+    val perLeaf = leafCellCounts(probe).max
+    val perPage = (4096 - 12) / 15 // the builder's interior fanout
+    val n = perLeaf.toLong * perPage + 1 // leaf count = perPage + 1
+    val path = tmpDb("rebalance")
+    SqliteFile.write(spark.range(n).selectExpr("id AS v"), path, "t")
+    val ints = interiorCellCounts(path)
+    assert(ints.nonEmpty, "expected a two-level interior tree")
+    assert(ints.forall(_ >= 1),
+      s"interior page with zero cells written (counts: $ints)")
+    assert(SqliteFile.read(spark, path, "t").count() == n)
+    // real SQLite must accept the rebalanced shape
+    val rc = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val out = new String(rc.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(rc.waitFor() == 0 && out == "ok", s"integrity_check: $out")
+  }
+
+  test("partial consumption closes the page file (task completion listener)") {
+    val path = tmpDb("partial")
+    SqliteFile.write(spark.range(20000).selectExpr("id AS v"), path, "t")
+    def openFds(): Int = {
+      val dir = java.nio.file.Paths.get("/proc/self/fd")
+      if (!java.nio.file.Files.isDirectory(dir)) -1
+      else {
+        val st = java.nio.file.Files.list(dir)
+        try st.filter { fd =>
+          try java.nio.file.Files.readSymbolicLink(fd).toString.endsWith(path)
+          catch { case _: Throwable => false }
+        }.count().toInt
+        finally st.close()
+      }
+    }
+    assume(openFds() >= 0, "/proc/self/fd unavailable")
+    // limit() short-circuits the iterator: without the completion
+    // listener every take leaks one RandomAccessFile per touched task
+    for (_ <- 1 to 5)
+      assert(SqliteFile.read(spark, path, "t").limit(1).collect().length == 1)
+    assert(openFds() == 0, s"leaked ${openFds()} file handles to $path")
+  }
 }
