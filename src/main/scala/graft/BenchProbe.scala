@@ -46,7 +46,10 @@ object BenchProbe {
     // r12 additions (VERDICT r11 item 4): the r11 heavy new entries whose
     // in-catalog times carried shared-JVM attribution noise (ppjoin_screen
     // read 28.1 s in-catalog vs 13.3 s isolated) — adjudicate them here
-    "q_dedup_ppjoin_screen", "q_contrastive", "q_ppr", "q_kcore")
+    "q_dedup_ppjoin_screen", "q_contrastive", "q_ppr", "q_kcore",
+    // r13 addition (VERDICT r12 item 6): fresh-JVM floor for the r12
+    // streaming SQLite writer + pure-JVM b-tree reader round-trip
+    "q_sqlite_roundtrip")
 
   private val Marker = "BENCH_PROBE_RESULT "
 

@@ -825,6 +825,24 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // ---- LIVE PostgreSQL roundtrip over the pure-JVM wire-protocol
+    //      client (sources/PgWire.scala, protocol v3 — no JDBC jar): the
+    //      entry provisions a throwaway local cluster (initdb + pg_ctl,
+    //      trust auth), bulk-loads nation via COPY FROM STDIN, and reads
+    //      it back with the PARTITIONED executor-side scan (one wire
+    //      connection per task). Oracle = the source rows from parquet.
+    //      Reference connector: PostgresStream.swift:916.
+    "q_pg_roundtrip" -> ((s, dir) => {
+      val pg = graft.sources.PgWire
+      val conn = pg.ensureLocalServer()
+      val nat = T(s, dir, "nation")
+        .selectColumns(Seq("n_nationkey", "n_name", "n_regionkey"))
+      val tbl = s"nation_rt_${dirTag(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+      pg.writeTable(nat, conn, tbl)
+      pg.read(s, conn, tbl, "n_nationkey", numPartitions = 4)
+        .orderBy("n_nationkey")
+    }),
+
     // ---- SQLite FILE roundtrip through the pure-JVM on-disk-format
     //      reader/writer (sources/SqliteFile.scala — the driver-less
     //      answer to the reference's libsqlite3 source/sink): write a
@@ -7679,6 +7697,9 @@ object SparkEntry {
     "q_jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_acctbal, s_nationkey
          FROM supplier ORDER BY s_suppkey""",
+    "q_pg_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
     "q_sqlite_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(o_custkey AS BIGINT) AS o_custkey,
