@@ -861,6 +861,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- index-backed KEYED read (r13): the same orders table written
+    //      WITH a single-column index b-tree on o_custkey (leaf type 10 /
+    //      interior type 2, spec-shaped — real SQLite integrity_checks
+    //      and query-plans through it, pinned in SqliteFileSpec); the
+    //      read seeks rowids through the index (log-depth page touches
+    //      per key) and point-reads the table b-tree — the pushdown
+    //      posture of the reference's database connectors
+    //      (SQLiteStream.swift:238). Oracle = the equivalent IN-filter
+    //      over the source parquet.
+    "q_sqlite_index_read" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+      val path = s"/tmp/graft_sqlite_idx_${dirTag(dir)}.sqlite"
+      graft.sources.SqliteFile.writeTablesIndexed(
+        Seq(("orders_ix", ord, Seq("o_custkey"))), path)
+      graft.sources.SqliteFile.readIndexed(s, path, "orders_ix", "o_custkey",
+          Seq(1L, 7L, 13L, 25L))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- crawl step plumbing (QBECrawlStep.swift:16-60,232): bounded
     //      concurrency + rate cap are real; the fetcher is the offline
     //      deterministic stub (md5 of the url), so the oracle can verify
@@ -7706,6 +7729,12 @@ object SparkEntry {
            o_orderstatus,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q_sqlite_index_read" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM orders WHERE o_custkey IN (1, 7, 13, 25)
+         ORDER BY o_orderkey""",
     "q_dbf_roundtrip" ->
       """SELECT s_suppkey AS suppkey, s_name AS name,
          s_acctbal AS acctbal, s_nationkey AS nation

@@ -161,6 +161,44 @@ object SqliteFile {
     out.toByteArray
   }
 
+  // ---------- value ordering (spec §"Record Sort Order") ----------
+
+  /** SQLite value comparison under BINARY collation: NULL < numeric
+    * (INTEGER and REAL compare numerically across storage classes) <
+    * TEXT (UTF-8 byte order) < BLOB (unsigned memcmp). */
+  private[graft] def sqliteCompare(a: Any, b: Any): Int = {
+    def rank(v: Any): Int = v match {
+      case null => 0
+      case _: Long | _: Double => 1
+      case _: String => 2
+      case _: Array[Byte] => 3
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra != rb) return Integer.compare(ra, rb)
+    (a, b) match {
+      case (null, null) => 0
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+      case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) =>
+        memcmp(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      case (x: Array[Byte], y: Array[Byte]) => memcmp(x, y)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+  }
+
+  private def memcmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = Integer.compare(a(i) & 0xFF, b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
   // ---------- reading ----------
 
   private class PageFile(path: String) extends AutoCloseable {
@@ -235,6 +273,164 @@ object SqliteFile {
       }
       (rowid, decodeRecord(payload))
     }
+  }
+
+  /** Extract one INDEX cell's payload record starting at `off` (past the
+    * child pointer for interior cells): payload-length varint + local
+    * payload + overflow chain. Index pages use the X = ((U-12)*64/255)-23
+    * local-payload threshold (spec §"B-tree Pages"), not the table-leaf
+    * U-35. */
+  private def indexCellPayload(f: PageFile, b: Array[Byte], off: Int): Array[Byte] = {
+    val u = f.usable
+    val x = ((u - 12) * 64 / 255) - 23
+    val m = ((u - 12) * 32 / 255) - 23
+    val (payLen, n1) = varint(b, off)
+    val p = payLen.toInt
+    val cursor = off + n1
+    val local = if (p <= x) p else { val k = m + (p - m) % (u - 4); if (k <= x) k else m }
+    val payload = new Array[Byte](p)
+    System.arraycopy(b, cursor, payload, 0, local)
+    if (local < p) {
+      var next = u32(b, cursor + local).toInt
+      var got = local
+      while (next != 0 && got < p) {
+        val ob = f.page(next)
+        val take = math.min(u - 4, p - got)
+        System.arraycopy(ob, 4, payload, got, take)
+        got += take
+        next = u32(ob, 0).toInt
+      }
+      require(got == p, "index overflow chain truncated")
+    }
+    payload
+  }
+
+  /** Walk an index b-tree emitting every entry whose FIRST column equals
+    * `key`, in key order, pruned: subtrees strictly above the key are
+    * never touched. Index b-trees are true b-trees — entries live on
+    * interior pages too, so interior separators are emitted as matches.
+    * Returns the rowids (the record's LAST column). */
+  private def indexSeekRowids(f: PageFile, root: Int, key: Any): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    // returns false once the walk has passed beyond the key
+    def walk(pg: Int): Boolean = {
+      val b = f.page(pg)
+      val base = if (pg == 1) 100 else 0
+      val nCells = u16(b, base + 3)
+      u8(b, base) match {
+        case 10 => // index leaf
+          var i = 0
+          while (i < nCells) {
+            val off = u16(b, base + 8 + 2 * i)
+            val rec = decodeRecord(indexCellPayload(f, b, off))
+            val c = sqliteCompare(rec(0), key)
+            if (c == 0) out += rec(rec.length - 1).asInstanceOf[Long]
+            if (c > 0) return false
+            i += 1
+          }
+          true
+        case 2 => // index interior: child_i holds entries <= cell_i's key
+          var i = 0
+          while (i < nCells) {
+            val off = u16(b, base + 12 + 2 * i)
+            val child = u32(b, off).toInt
+            val rec = decodeRecord(indexCellPayload(f, b, off + 4))
+            val c = sqliteCompare(rec(0), key)
+            if (c >= 0) { // child may contain equal keys
+              if (!walk(child)) return false
+            }
+            if (c == 0) out += rec(rec.length - 1).asInstanceOf[Long]
+            if (c > 0) return false
+            i += 1
+          }
+          walk(u32(b, base + 8).toInt) // right-most child
+        case t => throw new IllegalStateException(s"page $pg: not an index b-tree page (type $t)")
+      }
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  /** Point-read one row from a TABLE b-tree by rowid (log-depth descent
+    * through interior maxRowid separators). */
+  private def rowidSeek(f: PageFile, root: Int, rowid: Long): Option[Array[Any]] = {
+    var pg = root
+    while (true) {
+      val b = f.page(pg)
+      val base = if (pg == 1) 100 else 0
+      val nCells = u16(b, base + 3)
+      u8(b, base) match {
+        case 5 =>
+          var i = 0
+          var next = u32(b, base + 8).toLong.toInt // default: right-most
+          var found = false
+          while (i < nCells && !found) {
+            val off = u16(b, base + 12 + 2 * i)
+            val (maxRowid, _) = varint(b, off + 4)
+            if (rowid <= maxRowid) { next = u32(b, off).toInt; found = true }
+            i += 1
+          }
+          pg = next
+        case 13 =>
+          return leafRows(f, pg).find(_._1 == rowid).map(_._2)
+        case t => throw new IllegalStateException(s"page $pg: not a table b-tree page (type $t)")
+      }
+    }
+    None // unreachable
+  }
+
+  /** (indexName, tableName, rootpage, createSql) for every index. */
+  def indexes(path: String): Seq[(String, String, Int, String)] = {
+    val f = new PageFile(path)
+    try leafPages(f, 1).flatMap(pg => leafRows(f, pg)).flatMap { case (_, v) =>
+      if (v.length >= 5 && v(0) == "index" && v(4) != null)
+        Some((v(1).asInstanceOf[String], v(2).asInstanceOf[String],
+          v(3).asInstanceOf[Long].toInt, v(4).asInstanceOf[String]))
+      else None
+    } finally f.close()
+  }
+
+  /** Index-backed filtered read: for each value in `values`, seek the
+    * matching rowids through `table`'s single-column index on `column`
+    * and point-read the rows — the pushdown shape of the reference's
+    * database connectors (log-depth page touches per key instead of a
+    * full scan). Values fan out one Spark task per key; each task opens
+    * its own PageFile (closed via task-completion listener). */
+  def readIndexed(spark: SparkSession, path: String, table: String,
+                  column: String, values: Seq[Any]): DataFrame = {
+    val (root, sql) = tables(path).find(_._1 == table)
+      .map(t => (t._2, t._3))
+      .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
+    val cols = parseColumns(sql)
+    val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
+    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
+    val colIdx = cols.indexWhere(_._1 == column)
+    require(colIdx >= 0, s"no column '$column' in $table")
+    val idxRoot = indexes(path).collectFirst {
+      case (_, t, r, isql) if t == table &&
+        isql.toUpperCase.replaceAll("[\"`]", "").matches(
+          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") => r
+    }.getOrElse(throw new IllegalArgumentException(s"no single-column index on $table($column)"))
+    val types = schema.fields.map(_.dataType)
+    val stored = values.map(toStored)
+    val rows = spark.sparkContext
+      .parallelize(stored, math.min(math.max(stored.size, 1), 32))
+      .mapPartitions { vs =>
+        val f = new PageFile(path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => f.close()))
+        vs.flatMap { v =>
+          indexSeekRowids(f, idxRoot, v).flatMap { rid =>
+            rowidSeek(f, root, rid).map { vals =>
+              Row.fromSeq(types.indices.map { i =>
+                if (i == ipk) rid
+                else coerce(if (i < vals.length) vals(i) else null, types(i))
+              })
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
   }
 
   /** (name, rootpage, createSql) for every table in the database. */
@@ -477,6 +673,112 @@ object SqliteFile {
       level.head.no
     }
 
+    /** Bulk-load an INDEX b-tree from entries already in SQLite record
+      * order. Index b-trees are true b-trees: when a leaf fills, the NEXT
+      * entry is pulled UP as the parent separator (it lives only on the
+      * interior page), exactly the shape real SQLite produces. Keys must
+      * fit a page locally — this writer indexes scalar columns, not
+      * document bodies (an oversize key throws rather than silently
+      * corrupting). Returns the root page. */
+    def buildIndexTree(entries: Iterator[Array[Byte]]): Int = {
+      val xIdx = ((usable - 12) * 64 / 255) - 23
+      val leaves = scala.collection.mutable.ArrayBuffer[Int]()
+      val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      val pending = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var pendingBytes = 0
+      def flushLeaf(): Unit = {
+        val no = allocate()
+        val b = new Array[Byte](pageSize)
+        b(0) = 10
+        w16(b, 1, 0)
+        w16(b, 3, pending.size)
+        b(7) = 0
+        var content = pageSize
+        pending.zipWithIndex.foreach { case (cell, j) =>
+          content -= cell.length
+          w16(b, 8 + 2 * j, content)
+          System.arraycopy(cell, 0, b, content, cell.length)
+        }
+        w16(b, 5, if (pending.isEmpty) pageSize & 0xFFFF else content)
+        set(no, b)
+        leaves += no
+        pending.clear(); pendingBytes = 0
+      }
+      while (entries.hasNext) {
+        val rec = entries.next()
+        require(rec.length <= xIdx,
+          s"index key record (${rec.length} B) exceeds the local-payload limit $xIdx")
+        val cell = putVarint(rec.length.toLong) ++ rec
+        if (pending.nonEmpty &&
+          8 + 2 * (pending.size + 1) + pendingBytes + cell.length > pageSize) {
+          flushLeaf()
+          // the entry that triggered the split is pulled up as the
+          // separator; it is NOT written to any leaf
+          seps += rec
+        } else {
+          pending += cell; pendingBytes += cell.length
+        }
+      }
+      flushLeaf() // also emits the single empty leaf of an empty index
+      var children: Seq[Int] = leaves.toVector
+      var sepLevel: Seq[Array[Byte]] = seps.toVector
+      while (children.size > 1) {
+        val (c2, s2) = packIndexInterior(children, sepLevel)
+        children = c2; sepLevel = s2
+      }
+      children.head
+    }
+
+    /** One interior level of an index b-tree: children with the
+      * separators BETWEEN them (|seps| = |children| - 1). Separators
+      * between pages are pulled up to the next level. Page capacity is
+      * sized by the level's LARGEST separator (keys are scalar-column
+      * records, so the conservatism costs a few percent of fanout), and a
+      * trailing single-child group is rebalanced like the table path. */
+    private def packIndexInterior(children: Seq[Int],
+                                  seps: Seq[Array[Byte]]): (Seq[Int], Seq[Array[Byte]]) = {
+      require(seps.size == children.size - 1,
+        s"index level shape: ${children.size} children, ${seps.size} separators")
+      val maxCell = 4 + 9 + (if (seps.isEmpty) 0 else seps.map(_.length).max)
+      val perPage = math.max(2, (pageSize - 12 - 4) / (2 + maxCell))
+      val grouped0 = children.grouped(perPage).toSeq
+      val grouped =
+        if (grouped0.length > 1 && grouped0.last.size == 1) {
+          val prev = grouped0(grouped0.length - 2)
+          grouped0.dropRight(2) :+ prev.dropRight(1) :+ (prev.last +: grouped0.last)
+        } else grouped0
+      val outChildren = scala.collection.mutable.ArrayBuffer[Int]()
+      val outSeps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var i = 0 // global index of the group's first child
+      grouped.foreach { grp =>
+        val no = allocate()
+        val b = new Array[Byte](pageSize)
+        b(0) = 2
+        w16(b, 1, 0)
+        b(7) = 0
+        var content = pageSize
+        val nCells = grp.size - 1
+        (0 until nCells).foreach { j =>
+          val sep = seps(i + j)
+          val cell = {
+            val h = new Array[Byte](4); w32(h, 0, grp(j).toLong)
+            h ++ putVarint(sep.length.toLong) ++ sep
+          }
+          content -= cell.length
+          w16(b, 12 + 2 * j, content)
+          System.arraycopy(cell, 0, b, content, cell.length)
+        }
+        w32(b, 8, grp.last.toLong)
+        w16(b, 3, nCells)
+        w16(b, 5, if (nCells == 0) pageSize & 0xFFFF else content)
+        set(no, b)
+        outChildren += no
+        i += grp.size
+        if (i < children.size) outSeps += seps(i - 1) // between-page separator moves up
+      }
+      (outChildren.toSeq, outSeps.toSeq)
+    }
+
     private def packInterior(children: Seq[Child]): Seq[Child] = {
       // children in key order; the last child of each interior page
       // becomes its right-most pointer
@@ -527,30 +829,62 @@ object SqliteFile {
   /** Write several tables into one NEW database file (the reference's
     * SQLite databases are multi-table catalogs). Each table's b-tree
     * streams to disk in turn; page 1's sqlite_master lists them all. */
-  def writeTables(tables: Seq[(String, DataFrame)], path: String): Unit = {
+  def writeTables(tables: Seq[(String, DataFrame)], path: String): Unit =
+    writeTablesIndexed(tables.map { case (t, df) => (t, df, Seq.empty[String]) }, path)
+
+  /** [[writeTables]] plus single-column indexes: each named column gets a
+    * real index b-tree (leaf type 10 / interior type 2, key-plus-rowid
+    * records, spec §"B-tree Pages") registered in sqlite_master, so both
+    * real SQLite and [[readIndexed]] can do log-depth keyed reads on the
+    * artifact. Key/rowid pairs are collected while the table streams
+    * (one pass over the data), then sorted in SQLite record order. */
+  def writeTablesIndexed(tables: Seq[(String, DataFrame, Seq[String])],
+                         path: String): Unit = {
     require(tables.nonEmpty, "need at least one table")
     require(tables.map(_._1).distinct.size == tables.size, "duplicate table names")
     val b = new DbBuilder(path)
     try {
       require(b.allocate() == 1) // page 1 reserved for sqlite_master
-      val entries = tables.map { case (table, df) =>
-        val cols = df.schema.fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
+      val entries = tables.flatMap { case (table, df, idxCols) =>
+        val fields = df.schema.fields
+        val idxPos = idxCols.map { c =>
+          val p = fields.indexWhere(_.name == c)
+          require(p >= 0, s"index column '$c' not in $table"); (c, p)
+        }
+        val cols = fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
         val createSql = s"""CREATE TABLE "$table" (${cols.mkString(", ")})"""
         var rowid = 0L
+        val keyLog = idxPos.map(_ => scala.collection.mutable.ArrayBuffer[(Any, Long)]())
         val rows = df.toLocalIterator()
         val cellIt = new Iterator[(Long, Array[Byte])] {
           def hasNext: Boolean = rows.hasNext
           def next(): (Long, Array[Byte]) = {
             rowid += 1
-            (rowid, encodeRecord(rows.next().toSeq.map(toStored)))
+            val vals = rows.next().toSeq.map(toStored)
+            idxPos.zipWithIndex.foreach { case ((_, p), k) =>
+              keyLog(k) += ((vals(p), rowid))
+            }
+            (rowid, encodeRecord(vals))
           }
         }
         val root = b.buildTree(cellIt)
-        (table, root, createSql)
+        val tableRow = ("table", table, table, root, createSql)
+        val idxRows = idxPos.zipWithIndex.map { case ((c, _), k) =>
+          val sorted = keyLog(k).sortWith { case ((ka, ra), (kb, rb)) =>
+            val cm = sqliteCompare(ka, kb)
+            if (cm != 0) cm < 0 else ra < rb
+          }
+          val idxRoot = b.buildIndexTree(
+            sorted.iterator.map { case (kv, rid) => encodeRecord(Seq(kv, rid)) })
+          val name = s"idx_${table}_$c"
+          ("index", name, table, idxRoot,
+            s"""CREATE INDEX "$name" ON "$table" ("$c")""")
+        }
+        tableRow +: idxRows
       }
       // page 1: the 100-byte file header + the sqlite_master leaf
-      val masterCells = entries.zipWithIndex.map { case ((table, root, createSql), i) =>
-        val rec = encodeRecord(Seq("table", table, table, root.toLong, createSql))
+      val masterCells = entries.zipWithIndex.map { case ((kind, name, tbl, root, sql), i) =>
+        val rec = encodeRecord(Seq(kind, name, tbl, root.toLong, sql))
         putVarint(rec.length.toLong) ++ putVarint((i + 1).toLong) ++ rec
       }
       require(100 + 8 + masterCells.map(_.length + 2).sum <= b.pageSize,

@@ -213,6 +213,62 @@ class SqliteFileSpec extends SparkSpec {
     assert(rc.waitFor() == 0 && out == "ok", s"integrity_check: $out")
   }
 
+  test("index b-trees: write, real-sqlite validates and uses them, keyed read") {
+    val path = tmpDb("indexed")
+    val df = spark.range(20000).selectExpr(
+      "id AS k", "CAST(id % 97 AS BIGINT) AS grp", "CAST(id * 7 AS STRING) AS v")
+    SqliteFile.writeTablesIndexed(Seq(("t", df, Seq("grp"))), path)
+    // catalog lists the index
+    val idx = SqliteFile.indexes(path)
+    assert(idx.map(_._1) == Seq("idx_t_grp") && idx.head._2 == "t")
+    // real SQLite accepts the file AND the index contents match the table
+    val ic = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(ic.waitFor() == 0 && icOut == "ok", s"integrity_check: $icOut")
+    // real SQLite actually PLANS through our index
+    val ep = new ProcessBuilder("sqlite3", path,
+      "EXPLAIN QUERY PLAN SELECT * FROM t WHERE grp = 42;")
+      .redirectErrorStream(true).start()
+    val epOut = new String(ep.getInputStream.readAllBytes(), "UTF-8")
+    assert(epOut.contains("idx_t_grp"), s"planner ignored the index: $epOut")
+    // our keyed read returns exactly the matching rows
+    val got = SqliteFile.readIndexed(spark, path, "t", "grp", Seq(0L, 42L, 96L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = (0L until 20000L).filter(k => Seq(0L, 42L, 96L).contains(k % 97))
+      .map(k => (k, k % 97, (k * 7).toString))
+    assert(got.sortBy(_._1).toSeq == want)
+    // absent key -> empty, no error
+    assert(SqliteFile.readIndexed(spark, path, "t", "grp", Seq(1000L)).count() == 0)
+  }
+
+  test("keyed read of an index REAL SQLite wrote (interop, reverse direction)") {
+    val path = tmpDb("ext_indexed")
+    val sql = Seq(
+      "CREATE TABLE t(a INTEGER, b TEXT);",
+      "CREATE INDEX ib ON t(b);",
+      "WITH RECURSIVE c(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM c WHERE x < 5000) " +
+        "INSERT INTO t SELECT x, 'k' || (x % 37) FROM c;").mkString(" ")
+    val p = new ProcessBuilder("sqlite3", path, sql).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, out)
+    val got = SqliteFile.readIndexed(spark, path, "t", "b", Seq("k3", "k36"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (1L to 5000L).filter(x => x % 37 == 3 || x % 37 == 36)
+      .map(x => (x, "k" + (x % 37)))
+    assert(got.sortBy(_._1).toSeq == want)
+  }
+
+  test("sqliteCompare follows the record sort order (NULL < numeric < text < blob)") {
+    val c = SqliteFile.sqliteCompare _
+    assert(c(null, 1L) < 0 && c(1L, "a") < 0 && c("a", Array[Byte](0)) < 0)
+    assert(c(2L, 10L) < 0 && c(2L, 2.5) < 0 && c(3.0, 3L) == 0)
+    // TEXT compares by UTF-8 bytes: supplementary (4-byte) sorts after BMP
+    assert(c("\uffff", new String(Character.toChars(0x10000))) < 0)
+    assert(c(Array[Byte](1, 2), Array[Byte](1, 2, 0)) < 0)
+    assert(c(Array[Byte](-1), Array[Byte](1)) > 0) // unsigned memcmp
+  }
+
   test("partial consumption closes the page file (task completion listener)") {
     val path = tmpDb("partial")
     SqliteFile.write(spark.range(20000).selectExpr("id AS v"), path, "t")
