@@ -379,6 +379,76 @@ object SqliteFile {
     None // unreachable
   }
 
+  /** Decode every entry record of one INDEX LEAF page (type 10). */
+  private def indexLeafRows(f: PageFile, pg: Int): Seq[Array[Any]] = {
+    val b = f.page(pg)
+    val base = if (pg == 1) 100 else 0
+    require(u8(b, base) == 10, s"page $pg is not an index leaf")
+    val nCells = u16(b, base + 3)
+    (0 until nCells).map { i =>
+      val off = u16(b, base + 8 + 2 * i)
+      decodeRecord(indexCellPayload(f, b, off))
+    }
+  }
+
+  /** Walk an index b-tree: returns (leaf page numbers in key order, the
+    * interior-resident entry records in key order). Index b-trees are
+    * true b-trees, so interior separators ARE entries and must be
+    * surfaced alongside the leaves; they are one-per-leaf-boundary, so
+    * the driver-side list stays ~1/fanout of the data. */
+  private def indexLeafPagesAndInteriorRows(
+      f: PageFile, root: Int): (Seq[Int], Seq[Array[Any]]) = {
+    val leaves = scala.collection.mutable.ArrayBuffer[Int]()
+    val interior = scala.collection.mutable.ArrayBuffer[Array[Any]]()
+    def walk(pg: Int): Unit = {
+      val b = f.page(pg)
+      val base = if (pg == 1) 100 else 0
+      val nCells = u16(b, base + 3)
+      u8(b, base) match {
+        case 10 => leaves += pg
+        case 2 =>
+          (0 until nCells).foreach { i =>
+            val off = u16(b, base + 12 + 2 * i)
+            walk(u32(b, off).toInt)
+            interior += decodeRecord(indexCellPayload(f, b, off + 4))
+          }
+          walk(u32(b, base + 8).toInt)
+        case t => throw new IllegalStateException(s"page $pg: not an index b-tree page (type $t)")
+      }
+    }
+    walk(root)
+    (leaves.toSeq, interior.toSeq)
+  }
+
+  /** PRIMARY KEY column names, in PK order, from a CREATE TABLE: either
+    * one column-level `PRIMARY KEY` or a table-level
+    * `PRIMARY KEY (a, b, ...)` constraint. */
+  private[graft] def parsePrimaryKey(sql: String): Seq[String] = {
+    val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val defs = parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    val tableLevel = defs.find(_.toUpperCase.matches("(?s)PRIMARY\\s+KEY\\s*\\(.*"))
+    tableLevel match {
+      case Some(c) =>
+        val inner = c.substring(c.indexOf('(') + 1, c.lastIndexOf(')'))
+        inner.split(',').toSeq.map(_.trim
+          .replaceAll("""(?i)\s+(ASC|DESC)$""", "")
+          .replaceAll("""^["`\[]|["`\]]$""", ""))
+      case None =>
+        parseColumns(sql).collect {
+          case (n, d) if d.split("[\\s(]+").containsSlice(Seq("PRIMARY", "KEY")) => n
+        }
+    }
+  }
+
   /** (indexName, tableName, rootpage, createSql) for every index. */
   def indexes(path: String): Seq[(String, String, Int, String)] = {
     val f = new PageFile(path)
@@ -459,7 +529,12 @@ object SqliteFile {
       case c => cur += c
     }
     parts += cur.toString
-    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { colDef =>
+    // table-level constraint clauses are not columns
+    val constraintStart = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(d => constraintStart.contains(
+        d.split("[\\s(]+").headOption.getOrElse("").toUpperCase))
+      .map { colDef =>
       val unquoted = colDef.replaceAll("^[\"`\\[]", "")
       val name = unquoted.takeWhile(c => !c.isWhitespace && c != '"' && c != '`' && c != ']')
       // drop the name AND its closing quote — a leftover quote glued to
@@ -510,11 +585,15 @@ object SqliteFile {
   }
 
   /** Read one table as a DataFrame. The driver walks interior pages only;
-    * leaf pages decode in parallel on executors. */
+    * leaf pages decode in parallel on executors. WITHOUT ROWID tables
+    * (stored as index b-trees with PRIMARY KEY columns leading each
+    * record, spec §2.2) are remapped back to declared column order. */
   def read(spark: SparkSession, path: String, table: String): DataFrame = {
     val (root, sql) = tables(path).find(_._1 == table)
       .map(t => (t._2, t._3))
       .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
+    if (sql.toUpperCase.replaceAll("\\s+", " ").trim.endsWith("WITHOUT ROWID"))
+      return readWithoutRowid(spark, path, root, sql)
     val cols = parseColumns(sql)
     val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
     // INTEGER PRIMARY KEY is the rowid alias: its record slot is NULL and
@@ -547,6 +626,43 @@ object SqliteFile {
         }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** WITHOUT ROWID reader: the table root is an INDEX b-tree whose
+    * records hold the PRIMARY KEY columns first, then the remaining
+    * columns in declared order (spec §2.2). Leaf pages decode on
+    * executors; the interior-resident entries (one per leaf boundary)
+    * come along as one extra slice. */
+  private def readWithoutRowid(spark: SparkSession, path: String,
+                               root: Int, sql: String): DataFrame = {
+    val cols = parseColumns(sql)
+    val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
+    val pk = parsePrimaryKey(sql)
+    require(pk.nonEmpty, s"WITHOUT ROWID table lacks a parsable PRIMARY KEY: $sql")
+    val names = cols.map(_._1)
+    // record position of declared column i: PK columns lead in PK order
+    val recordOrder = pk ++ names.filterNot(pk.contains)
+    val posOf: Array[Int] = names.map(recordOrder.indexOf).toArray
+    val types = schema.fields.map(_.dataType)
+    def remap(rec: Array[Any]): Row =
+      Row.fromSeq(types.indices.map { i =>
+        val p = posOf(i)
+        coerce(if (p < rec.length) rec(p) else null, types(i))
+      })
+    val (leaves, interiorRows) = {
+      val f = new PageFile(path)
+      try indexLeafPagesAndInteriorRows(f, root) finally f.close()
+    }
+    val leafRdd = spark.sparkContext
+      .parallelize(leaves, math.min(math.max(leaves.size, 1), 32))
+      .mapPartitions { pgs =>
+        val f = new PageFile(path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => f.close()))
+        pgs.flatMap(pg => indexLeafRows(f, pg).map(remap))
+      }
+    val intRdd = spark.sparkContext.parallelize(interiorRows.map(remap), 1)
+    spark.createDataFrame(leafRdd.union(intRdd), schema)
   }
 
   // ---------- writing ----------

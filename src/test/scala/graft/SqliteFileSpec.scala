@@ -259,6 +259,31 @@ class SqliteFileSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == want)
   }
 
+  test("WITHOUT ROWID tables read back in declared column order") {
+    val path = tmpDb("worowid")
+    // real SQLite writes it; PK columns lead each stored record and the
+    // reader must remap them back to declared order (spec \u00a72.2) --
+    // including a multi-page tree and a table-level composite PK
+    val sql = Seq(
+      "CREATE TABLE t(v TEXT, k INTEGER PRIMARY KEY, w REAL) WITHOUT ROWID;",
+      "WITH RECURSIVE c(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM c WHERE x < 8000) " +
+        "INSERT INTO t SELECT 'v' || x, x, x * 0.5 FROM c;",
+      "CREATE TABLE m(a TEXT, b INTEGER, c TEXT, PRIMARY KEY (c, b)) WITHOUT ROWID;",
+      "INSERT INTO m VALUES ('x', 1, 'p'), ('y', 2, 'q'), (NULL, 3, 'r');").mkString(" ")
+    val p = new ProcessBuilder("sqlite3", path, sql).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, out)
+    val t = SqliteFile.read(spark, path, "t")
+    assert(t.columns.toSeq == Seq("v", "k", "w"))
+    assert(t.count() == 8000)
+    val sample = t.filter("k = 4567").collect()
+    assert(sample.length == 1 &&
+      sample(0).getString(0) == "v4567" && sample(0).getDouble(2) == 2283.5)
+    val m = SqliteFile.read(spark, path, "m").orderBy("b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(m.toSeq == Seq(("x", 1L, "p"), ("y", 2L, "q"), (null, 3L, "r")))
+  }
+
   test("sqliteCompare follows the record sort order (NULL < numeric < text < blob)") {
     val c = SqliteFile.sqliteCompare _
     assert(c(null, 1L) < 0 && c(1L, "a") < 0 && c("a", Array[Byte](0)) < 0)
