@@ -319,7 +319,8 @@ object PgWire {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** CREATE TABLE (drop-first) + COPY FROM STDIN bulk load. */
+  /** CREATE TABLE (drop-first) + COPY FROM STDIN bulk load (driver-side
+    * single connection; bounded memory via toLocalIterator). */
   def writeTable(df: DataFrame, conn: Conn, table: String): Unit = {
     val cols = df.schema.fields
       .map(f => s""""${f.name}" ${sparkToPgType(f.dataType)}""").mkString(", ")
@@ -334,6 +335,26 @@ object PgWire {
       }
       w.copyIn(s"COPY $table FROM STDIN", lines)
     } finally w.close()
+  }
+
+  /** DISTRIBUTED bulk load: every partition opens its own wire connection
+    * and COPYs concurrently — PostgreSQL serializes heap extension per
+    * backend, so N executors stream N COPYs into one table without
+    * coordination. This is the 100 TB-ingest shape (the driver never sees
+    * a row); [[writeTable]] remains the single-artifact convenience. */
+  def writeTableDistributed(df: DataFrame, conn: Conn, table: String): Unit = {
+    val cols = df.schema.fields
+      .map(f => s""""${f.name}" ${sparkToPgType(f.dataType)}""").mkString(", ")
+    execute(conn, s"""DROP TABLE IF EXISTS $table""")
+    execute(conn, s"""CREATE TABLE $table ($cols)""")
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val w = new Wire(conn)
+        try w.copyIn(s"COPY $table FROM STDIN",
+          rows.map(_.toSeq.map(copyField).mkString("\t")))
+        finally w.close()
+      }
+    }
   }
 
   // ---------- local server provisioning (driver environment) ----------

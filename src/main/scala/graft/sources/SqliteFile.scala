@@ -351,6 +351,50 @@ object SqliteFile {
     out.toSeq
   }
 
+  /** Ordered RANGE scan of an index b-tree: rowids of every entry whose
+    * first column is in [lo, hi] (inclusive, SQLite value order), emitted
+    * in key order. Same pruned in-order walk as [[indexSeekRowids]]:
+    * subtrees entirely below `lo` or above `hi` are never paged in. */
+  private def indexRangeRowids(f: PageFile, root: Int, lo: Any, hi: Any): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    def walk(pg: Int): Boolean = {
+      val b = f.page(pg)
+      val base = if (pg == 1) 100 else 0
+      val nCells = u16(b, base + 3)
+      u8(b, base) match {
+        case 10 =>
+          var i = 0
+          while (i < nCells) {
+            val off = u16(b, base + 8 + 2 * i)
+            val rec = decodeRecord(indexCellPayload(f, b, off))
+            if (sqliteCompare(rec(0), hi) > 0) return false
+            if (sqliteCompare(rec(0), lo) >= 0)
+              out += rec(rec.length - 1).asInstanceOf[Long]
+            i += 1
+          }
+          true
+        case 2 =>
+          var i = 0
+          while (i < nCells) {
+            val off = u16(b, base + 12 + 2 * i)
+            val child = u32(b, off).toInt
+            val rec = decodeRecord(indexCellPayload(f, b, off + 4))
+            if (sqliteCompare(rec(0), lo) >= 0) { // child may overlap [lo, hi]
+              if (!walk(child)) return false
+            }
+            if (sqliteCompare(rec(0), hi) > 0) return false
+            if (sqliteCompare(rec(0), lo) >= 0)
+              out += rec(rec.length - 1).asInstanceOf[Long]
+            i += 1
+          }
+          walk(u32(b, base + 8).toInt)
+        case t => throw new IllegalStateException(s"page $pg: not an index b-tree page (type $t)")
+      }
+    }
+    walk(root)
+    out.toSeq
+  }
+
   /** Point-read one row from a TABLE b-tree by rowid (log-depth descent
     * through interior maxRowid separators). */
   private def rowidSeek(f: PageFile, root: Int, rowid: Long): Option[Array[Any]] = {
@@ -468,19 +512,7 @@ object SqliteFile {
     * its own PageFile (closed via task-completion listener). */
   def readIndexed(spark: SparkSession, path: String, table: String,
                   column: String, values: Seq[Any]): DataFrame = {
-    val (root, sql) = tables(path).find(_._1 == table)
-      .map(t => (t._2, t._3))
-      .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
-    val cols = parseColumns(sql)
-    val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
-    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
-    val colIdx = cols.indexWhere(_._1 == column)
-    require(colIdx >= 0, s"no column '$column' in $table")
-    val idxRoot = indexes(path).collectFirst {
-      case (_, t, r, isql) if t == table &&
-        isql.toUpperCase.replaceAll("[\"`]", "").matches(
-          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") => r
-    }.getOrElse(throw new IllegalArgumentException(s"no single-column index on $table($column)"))
+    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, column)
     val types = schema.fields.map(_.dataType)
     val stored = values.map(toStored)
     val rows = spark.sparkContext
@@ -501,6 +533,57 @@ object SqliteFile {
         }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Index-backed ORDERED RANGE read: every row whose indexed `column`
+    * falls in [lo, hi] (SQLite value order, inclusive). The driver walks
+    * only index pages (pruned — ~range-size/fanout page touches); the
+    * matching rowids then fan out to executor tasks that point-read the
+    * table b-tree, sorted by rowid for page locality. */
+  def readIndexedRange(spark: SparkSession, path: String, table: String,
+                       column: String, lo: Any, hi: Any): DataFrame = {
+    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, column)
+    val types = schema.fields.map(_.dataType)
+    val rowids = {
+      val f = new PageFile(path)
+      try indexRangeRowids(f, idxRoot, toStored(lo), toStored(hi)).sorted
+      finally f.close()
+    }
+    val rows = spark.sparkContext
+      .parallelize(rowids, math.min(math.max(rowids.size / 256, 1), 32))
+      .mapPartitions { rids =>
+        val f = new PageFile(path)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => f.close()))
+        rids.flatMap { rid =>
+          rowidSeek(f, root, rid).map { vals =>
+            Row.fromSeq(types.indices.map { i =>
+              if (i == ipk) rid
+              else coerce(if (i < vals.length) vals(i) else null, types(i))
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** (tableRoot, schema, rowid-alias position, indexRoot) for a table
+    * with a single-column index on `column`. */
+  private def indexedMeta(path: String, table: String,
+                          column: String): (Int, StructType, Int, Int) = {
+    val (root, sql) = tables(path).find(_._1 == table)
+      .map(t => (t._2, t._3))
+      .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
+    val cols = parseColumns(sql)
+    val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
+    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
+    require(cols.exists(_._1 == column), s"no column '$column' in $table")
+    val idxRoot = indexes(path).collectFirst {
+      case (_, t, r, isql) if t == table &&
+        isql.toUpperCase.replaceAll("[\"`]", "").matches(
+          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") => r
+    }.getOrElse(throw new IllegalArgumentException(s"no single-column index on $table($column)"))
+    (root, schema, ipk, idxRoot)
   }
 
   /** (name, rootpage, createSql) for every table in the database. */

@@ -58,6 +58,18 @@ class PgWireSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSet == (0L until 500L).toSet)
   }
 
+  test("distributed COPY loads concurrently from executor partitions") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    import spark.implicits._
+    val df = spark.range(3000).repartition(6)
+      .selectExpr("id", "'r' || CAST(id AS STRING) AS v")
+    PgWire.writeTableDistributed(df, c, "pgwire_dist")
+    val back = PgWire.read(spark, c, "pgwire_dist", "id", numPartitions = 4)
+    assert(back.count() == 3000)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 3000L).toSet)
+  }
+
   test("server-side errors surface with the postgres message") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val e = intercept[RuntimeException] {

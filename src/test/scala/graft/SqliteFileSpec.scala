@@ -259,6 +259,22 @@ class SqliteFileSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == want)
   }
 
+  test("index range scan returns the ordered window, pruned") {
+    val path = tmpDb("idx_range")
+    val df = spark.range(30000).selectExpr(
+      "id AS k", "CAST(id % 1009 AS BIGINT) AS grp")
+    SqliteFile.writeTablesIndexed(Seq(("t", df, Seq("grp"))), path)
+    val got = SqliteFile.readIndexedRange(spark, path, "t", "grp", 100L, 110L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (0L until 30000L).filter(k => k % 1009 >= 100 && k % 1009 <= 110)
+      .map(k => (k, k % 1009))
+    assert(got.sortBy(_._1).toSeq == want)
+    // degenerate windows
+    assert(SqliteFile.readIndexedRange(spark, path, "t", "grp", 2000L, 3000L).count() == 0)
+    assert(SqliteFile.readIndexedRange(spark, path, "t", "grp", 42L, 42L).count() ==
+      (0L until 30000L).count(_ % 1009 == 42).toLong)
+  }
+
   test("WITHOUT ROWID tables read back in declared column order") {
     val path = tmpDb("worowid")
     // real SQLite writes it; PK columns lead each stored record and the
