@@ -227,7 +227,15 @@ object PgWire {
           Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
       case DateType => java.sql.Date.valueOf(text)
       case TimestampNTZType =>
-        java.time.LocalDateTime.parse(text.replace(' ', 'T'))
+        // timestamptz (OID 1184) text carries a zone offset ("...+05:30",
+        // "...+00"); normalize to the UTC wall clock. Plain timestamp
+        // (1114) has no offset and parses directly.
+        val iso = text.replace(' ', 'T')
+        if (iso.matches(".*[+-]\\d\\d(:?\\d\\d)?$")) {
+          val padded = if (iso.matches(".*[+-]\\d\\d$")) iso + ":00" else iso
+          java.time.OffsetDateTime.parse(padded)
+            .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+        } else java.time.LocalDateTime.parse(iso)
       case _ => text
     }
 
@@ -308,9 +316,12 @@ object PgWire {
           val w = new Wire(conn)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => w.close()))
-          // cast to bigint BEFORE abs: abs(int4min) would overflow int4
+          // cast to bigint BEFORE abs: abs(int4min) would overflow int4.
+          // NULL keys hash to NULL and would match NO partition predicate
+          // (silent row loss) — partition 0 owns them explicitly.
+          val nullArm = if (p == 0) s" OR $keyCol IS NULL" else ""
           val (_, rows) = w.query(
-            s"SELECT * FROM $table WHERE mod(abs(hashtext($keyCol::text)::bigint), $numPartitions) = $p")
+            s"SELECT * FROM $table WHERE mod(abs(hashtext($keyCol::text)::bigint), $numPartitions) = $p$nullArm")
           w.close()
           rows.map(r => Row.fromSeq(
             r.toSeq.zip(types.toSeq).map { case (v, t) => parseValue(v, t) }))

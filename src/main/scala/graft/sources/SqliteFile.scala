@@ -247,32 +247,37 @@ object SqliteFile {
     val base = if (pg == 1) 100 else 0
     require(u8(b, base) == 13, s"page $pg is not a table leaf")
     val nCells = u16(b, base + 3)
+    (0 until nCells).map { i =>
+      tableCellRow(f, b, u16(b, base + 8 + 2 * i))
+    }
+  }
+
+  /** Decode ONE table-leaf cell at `off`: (rowid, values), following any
+    * overflow chain. */
+  private def tableCellRow(f: PageFile, b: Array[Byte], off: Int): (Long, Array[Any]) = {
     val u = f.usable
     val x = u - 35
     val m = ((u - 12) * 32 / 255) - 23
-    (0 until nCells).map { i =>
-      val off = u16(b, base + 8 + 2 * i)
-      val (payLen, n1) = varint(b, off)
-      val (rowid, n2) = varint(b, off + n1)
-      var cursor = off + n1 + n2
-      val p = payLen.toInt
-      val local = if (p <= x) p else { val k = m + (p - m) % (u - 4); if (k <= x) k else m }
-      val payload = new Array[Byte](p)
-      System.arraycopy(b, cursor, payload, 0, local)
-      if (local < p) {
-        var next = u32(b, cursor + local).toInt
-        var got = local
-        while (next != 0 && got < p) {
-          val ob = f.page(next)
-          val take = math.min(u - 4, p - got)
-          System.arraycopy(ob, 4, payload, got, take)
-          got += take
-          next = u32(ob, 0).toInt
-        }
-        require(got == p, s"overflow chain truncated on page $pg")
+    val (payLen, n1) = varint(b, off)
+    val (rowid, n2) = varint(b, off + n1)
+    val cursor = off + n1 + n2
+    val p = payLen.toInt
+    val local = if (p <= x) p else { val k = m + (p - m) % (u - 4); if (k <= x) k else m }
+    val payload = new Array[Byte](p)
+    System.arraycopy(b, cursor, payload, 0, local)
+    if (local < p) {
+      var next = u32(b, cursor + local).toInt
+      var got = local
+      while (next != 0 && got < p) {
+        val ob = f.page(next)
+        val take = math.min(u - 4, p - got)
+        System.arraycopy(ob, 4, payload, got, take)
+        got += take
+        next = u32(ob, 0).toInt
       }
-      (rowid, decodeRecord(payload))
+      require(got == p, "overflow chain truncated")
     }
+    (rowid, decodeRecord(payload))
   }
 
   /** Extract one INDEX cell's payload record starting at `off` (past the
@@ -306,50 +311,9 @@ object SqliteFile {
   }
 
   /** Walk an index b-tree emitting every entry whose FIRST column equals
-    * `key`, in key order, pruned: subtrees strictly above the key are
-    * never touched. Index b-trees are true b-trees — entries live on
-    * interior pages too, so interior separators are emitted as matches.
-    * Returns the rowids (the record's LAST column). */
-  private def indexSeekRowids(f: PageFile, root: Int, key: Any): Seq[Long] = {
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    // returns false once the walk has passed beyond the key
-    def walk(pg: Int): Boolean = {
-      val b = f.page(pg)
-      val base = if (pg == 1) 100 else 0
-      val nCells = u16(b, base + 3)
-      u8(b, base) match {
-        case 10 => // index leaf
-          var i = 0
-          while (i < nCells) {
-            val off = u16(b, base + 8 + 2 * i)
-            val rec = decodeRecord(indexCellPayload(f, b, off))
-            val c = sqliteCompare(rec(0), key)
-            if (c == 0) out += rec(rec.length - 1).asInstanceOf[Long]
-            if (c > 0) return false
-            i += 1
-          }
-          true
-        case 2 => // index interior: child_i holds entries <= cell_i's key
-          var i = 0
-          while (i < nCells) {
-            val off = u16(b, base + 12 + 2 * i)
-            val child = u32(b, off).toInt
-            val rec = decodeRecord(indexCellPayload(f, b, off + 4))
-            val c = sqliteCompare(rec(0), key)
-            if (c >= 0) { // child may contain equal keys
-              if (!walk(child)) return false
-            }
-            if (c == 0) out += rec(rec.length - 1).asInstanceOf[Long]
-            if (c > 0) return false
-            i += 1
-          }
-          walk(u32(b, base + 8).toInt) // right-most child
-        case t => throw new IllegalStateException(s"page $pg: not an index b-tree page (type $t)")
-      }
-    }
-    walk(root)
-    out.toSeq
-  }
+    * `key` — the degenerate [lo, hi] window of [[indexRangeRowids]]. */
+  private def indexSeekRowids(f: PageFile, root: Int, key: Any): Seq[Long] =
+    indexRangeRowids(f, root, key, key)
 
   /** Ordered RANGE scan of an index b-tree: rowids of every entry whose
     * first column is in [lo, hi] (inclusive, SQLite value order), emitted
@@ -416,7 +380,21 @@ object SqliteFile {
           }
           pg = next
         case 13 =>
-          return leafRows(f, pg).find(_._1 == rowid).map(_._2)
+          // binary search the cell-pointer array decoding ONLY the two
+          // leading varints per probe; the full record (and any overflow
+          // pages) decode once, for the hit
+          var lo = 0
+          var hi = nCells - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val off = u16(b, base + 8 + 2 * mid)
+            val (_, n1) = varint(b, off)
+            val (rid, _) = varint(b, off + n1)
+            if (rid == rowid) return Some(tableCellRow(f, b, off)._2)
+            else if (rid < rowid) lo = mid + 1
+            else hi = mid - 1
+          }
+          return None
         case t => throw new IllegalStateException(s"page $pg: not a table b-tree page (type $t)")
       }
     }
@@ -479,7 +457,9 @@ object SqliteFile {
     }
     parts += cur.toString
     val defs = parts.toSeq.map(_.trim).filter(_.nonEmpty)
-    val tableLevel = defs.find(_.toUpperCase.matches("(?s)PRIMARY\\s+KEY\\s*\\(.*"))
+    // table-level clause, optionally named: [CONSTRAINT <name>] PRIMARY KEY (...)
+    val tableLevel = defs.find(_.toUpperCase.matches(
+      "(?s)(CONSTRAINT\\s+\\S+\\s+)?PRIMARY\\s+KEY\\s*\\(.*"))
     tableLevel match {
       case Some(c) =>
         val inner = c.substring(c.indexOf('(') + 1, c.lastIndexOf(')'))
@@ -576,13 +556,19 @@ object SqliteFile {
       .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
     val cols = parseColumns(sql)
     val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
-    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
+    val ipk = rowidAliasIndex(cols, sql)
     require(cols.exists(_._1 == column), s"no column '$column' in $table")
     val idxRoot = indexes(path).collectFirst {
-      case (_, t, r, isql) if t == table &&
-        isql.toUpperCase.replaceAll("[\"`]", "").matches(
-          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") => r
-    }.getOrElse(throw new IllegalArgumentException(s"no single-column index on $table($column)"))
+      // a PARTIAL index (… WHERE …) only covers a subset — selecting one
+      // would silently drop rows from the keyed read
+      case (_, t, r, isql) if t == table && {
+        val up = isql.toUpperCase.replaceAll("[\"`]", "")
+        up.matches(
+          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") &&
+          !up.matches("""(?s).*\)\s*WHERE\s.*""")
+      } => r
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no complete single-column index on $table($column)"))
     (root, schema, ipk, idxRoot)
   }
 
@@ -645,6 +631,29 @@ object SqliteFile {
     typeToks == Seq("INTEGER") && pk >= 0 && !toks.lift(pk + 2).contains("DESC")
   }
 
+  /** Rowid-alias column position (spec §2.1), or -1: either a
+    * column-level `INTEGER PRIMARY KEY [ASC]`, or a single-column
+    * table-level `PRIMARY KEY(x)` naming a column whose declared type is
+    * exactly INTEGER (per spec the table-level form aliases regardless of
+    * ASC/DESC — only the column-level DESC form is excepted). Its record
+    * slot is NULL on disk and the true value is the cell's rowid. */
+  private def rowidAliasIndex(cols: Seq[(String, String)], sql: String): Int = {
+    val colLevel = cols.indexWhere(c => isRowidAlias(c._2))
+    if (colLevel >= 0) colLevel
+    else parsePrimaryKey(sql) match {
+      case Seq(pk) =>
+        cols.indexWhere { case (n, d) =>
+          n.equalsIgnoreCase(pk) &&
+            d.split("[\\s(]+").filter(_.nonEmpty).headOption.contains("INTEGER") &&
+            // only if the PK came from a TABLE-LEVEL clause (a column-level
+            // PRIMARY KEY already went through isRowidAlias, which rejects
+            // DESC and non-exact types)
+            !d.split("[\\s(]+").containsSlice(Seq("PRIMARY", "KEY"))
+        }
+      case _ => -1
+    }
+  }
+
   /** SQLite type-affinity rules (spec §3.1): the declared type maps to a
     * Spark column type. */
   private def affinity(decl: String): DataType =
@@ -679,9 +688,7 @@ object SqliteFile {
       return readWithoutRowid(spark, path, root, sql)
     val cols = parseColumns(sql)
     val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
-    // INTEGER PRIMARY KEY is the rowid alias: its record slot is NULL and
-    // the true value is the cell's rowid (spec §2.1)
-    val ipk = cols.indexWhere(c => isRowidAlias(c._2))
+    val ipk = rowidAliasIndex(cols, sql)
     val leaves = { val f = new PageFile(path); try leafPages(f, root) finally f.close() }
     val types = schema.fields.map(_.dataType)
     val rows = spark.sparkContext
@@ -723,8 +730,12 @@ object SqliteFile {
     val pk = parsePrimaryKey(sql)
     require(pk.nonEmpty, s"WITHOUT ROWID table lacks a parsable PRIMARY KEY: $sql")
     val names = cols.map(_._1)
-    // record position of declared column i: PK columns lead in PK order
-    val recordOrder = pk ++ names.filterNot(pk.contains)
+    // record position of declared column i: PK columns lead in PK order.
+    // SQLite identifiers are case-insensitive — resolve the PK references
+    // back to the declared spellings before building the order.
+    val pkResolved = pk.map(p => names.find(_.equalsIgnoreCase(p)).getOrElse(
+      throw new IllegalArgumentException(s"PRIMARY KEY names unknown column '$p' in: $sql")))
+    val recordOrder = pkResolved ++ names.filterNot(n => pkResolved.exists(_.equalsIgnoreCase(n)))
     val posOf: Array[Int] = names.map(recordOrder.indexOf).toArray
     val types = schema.fields.map(_.dataType)
     def remap(rec: Array[Any]): Row =
@@ -774,6 +785,71 @@ object SqliteFile {
   }
 
   /** (pageNo, maxRowid) of a finished subtree node — the interior key. */
+  /** Bounded-memory (key, rowid) sorter for index builds: 1M-pair chunks
+    * sort in memory and spill to temp files as length-prefixed encoded
+    * records; `sortedRecords()` k-way merges the spills in SQLite record
+    * order. Keeps the writer's bounded-memory contract — an indexed write
+    * of any size holds one chunk plus one head record per spill. */
+  private class RecordSorter {
+    private val chunkSize = 1 << 20
+    private val buf = scala.collection.mutable.ArrayBuffer[(Any, Long)]()
+    private val spills = scala.collection.mutable.ArrayBuffer[java.io.File]()
+    private def lt(a: (Any, Long), b: (Any, Long)): Boolean = {
+      val c = sqliteCompare(a._1, b._1)
+      if (c != 0) c < 0 else a._2 < b._2
+    }
+    def add(key: Any, rowid: Long): Unit = {
+      buf += ((key, rowid))
+      if (buf.size >= chunkSize) spill()
+    }
+    private def spill(): Unit = {
+      val f = java.io.File.createTempFile("graft_idx_", ".spill")
+      f.deleteOnExit()
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16))
+      try buf.sortWith(lt).foreach { case (k, rid) =>
+        val rec = encodeRecord(Seq(k, rid))
+        out.writeInt(rec.length); out.write(rec)
+      } finally out.close()
+      spills += f
+      buf.clear()
+    }
+    def sortedRecords(): Iterator[Array[Byte]] = {
+      if (spills.isEmpty)
+        return buf.sortWith(lt).iterator.map { case (k, rid) => encodeRecord(Seq(k, rid)) }
+      spill() // flush the tail chunk so the merge sees everything
+      final class Stream(f: java.io.File) {
+        private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 1 << 16))
+        var head: Array[Byte] = _
+        var key: (Any, Long) = _
+        advance()
+        def advance(): Unit =
+          try {
+            val len = in.readInt()
+            head = new Array[Byte](len); in.readFully(head)
+            val d = decodeRecord(head)
+            key = (d(0), d(1).asInstanceOf[Long])
+          } catch {
+            case _: java.io.EOFException => head = null; in.close(); f.delete()
+          }
+      }
+      val heap = new java.util.PriorityQueue[Stream](spills.size,
+        (a: Stream, b: Stream) => if (lt(a.key, b.key)) -1 else if (lt(b.key, a.key)) 1 else 0)
+      spills.foreach { f => val s = new Stream(f); if (s.head != null) heap.add(s) }
+      new Iterator[Array[Byte]] {
+        def hasNext: Boolean = !heap.isEmpty
+        def next(): Array[Byte] = {
+          val s = heap.poll()
+          val rec = s.head
+          s.advance()
+          if (s.head != null) heap.add(s)
+          rec
+        }
+      }
+    }
+  }
+
   private case class Child(no: Int, maxRowid: Long)
 
   /** Disk-backed page store + streaming b-tree builder: finished pages
@@ -911,9 +987,16 @@ object SqliteFile {
         if (pending.nonEmpty &&
           8 + 2 * (pending.size + 1) + pendingBytes + cell.length > pageSize) {
           flushLeaf()
-          // the entry that triggered the split is pulled up as the
-          // separator; it is NOT written to any leaf
-          seps += rec
+          if (entries.hasNext) {
+            // the entry that triggered the split is pulled up as the
+            // separator; it is NOT written to any leaf
+            seps += rec
+          } else {
+            // LAST entry: promoting it would leave an empty trailing
+            // leaf (a shape real SQLite never writes) — it becomes the
+            // final one-entry leaf instead
+            pending += cell; pendingBytes += cell.length
+          }
         } else {
           pending += cell; pendingBytes += cell.length
         }
@@ -1053,7 +1136,7 @@ object SqliteFile {
         val cols = fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
         val createSql = s"""CREATE TABLE "$table" (${cols.mkString(", ")})"""
         var rowid = 0L
-        val keyLog = idxPos.map(_ => scala.collection.mutable.ArrayBuffer[(Any, Long)]())
+        val keyLog = idxPos.map(_ => new RecordSorter)
         val rows = df.toLocalIterator()
         val cellIt = new Iterator[(Long, Array[Byte])] {
           def hasNext: Boolean = rows.hasNext
@@ -1061,7 +1144,7 @@ object SqliteFile {
             rowid += 1
             val vals = rows.next().toSeq.map(toStored)
             idxPos.zipWithIndex.foreach { case ((_, p), k) =>
-              keyLog(k) += ((vals(p), rowid))
+              keyLog(k).add(vals(p), rowid)
             }
             (rowid, encodeRecord(vals))
           }
@@ -1069,12 +1152,7 @@ object SqliteFile {
         val root = b.buildTree(cellIt)
         val tableRow = ("table", table, table, root, createSql)
         val idxRows = idxPos.zipWithIndex.map { case ((c, _), k) =>
-          val sorted = keyLog(k).sortWith { case ((ka, ra), (kb, rb)) =>
-            val cm = sqliteCompare(ka, kb)
-            if (cm != 0) cm < 0 else ra < rb
-          }
-          val idxRoot = b.buildIndexTree(
-            sorted.iterator.map { case (kv, rid) => encodeRecord(Seq(kv, rid)) })
+          val idxRoot = b.buildIndexTree(keyLog(k).sortedRecords())
           val name = s"idx_${table}_$c"
           ("index", name, table, idxRoot,
             s"""CREATE INDEX "$name" ON "$table" ("$c")""")

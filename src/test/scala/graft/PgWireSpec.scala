@@ -70,6 +70,28 @@ class PgWireSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSet == (0L until 3000L).toSet)
   }
 
+  test("partitioned read keeps NULL-key rows; timestamptz normalizes to UTC") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgwire_nulls")
+    PgWire.execute(c,
+      "CREATE TABLE pgwire_nulls (k bigint, v text, ts timestamptz)")
+    PgWire.execute(c,
+      "INSERT INTO pgwire_nulls VALUES " +
+        "(1, 'a', '2024-01-15 10:30:00+00'), " +
+        "(NULL, 'null-key', '2024-01-15 12:00:00+02'), " +
+        "(2, NULL, NULL), (NULL, 'null-key-2', NULL)")
+    val back = PgWire.read(spark, c, "pgwire_nulls", "k", numPartitions = 3).collect()
+    assert(back.length == 4, s"NULL-key rows dropped: got ${back.length}")
+    assert(back.count(_.isNullAt(0)) == 2)
+    val ts = back.filter(r => !r.isNullAt(0) && r.getLong(0) == 1L).head
+      .getAs[java.time.LocalDateTime]("ts")
+    assert(ts == java.time.LocalDateTime.parse("2024-01-15T10:30:00"))
+    val ts2 = back.filter(r => !r.isNullAt(2) && r.isNullAt(0)).head
+      .getAs[java.time.LocalDateTime]("ts") // +02 offset -> 10:00 UTC
+    assert(ts2 == java.time.LocalDateTime.parse("2024-01-15T10:00:00"))
+  }
+
   test("server-side errors surface with the postgres message") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val e = intercept[RuntimeException] {

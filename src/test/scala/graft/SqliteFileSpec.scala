@@ -300,6 +300,57 @@ class SqliteFileSpec extends SparkSpec {
     assert(m.toSeq == Seq(("x", 1L, "p"), ("y", 2L, "q"), (null, 3L, "r")))
   }
 
+  test("review fixes: table-level rowid alias, named-constraint PK, partial-index rejection, spilling index sort") {
+    // (1) table-level single-column PRIMARY KEY(x) on an INTEGER column is
+    // a rowid alias too (spec 2.1) -- real SQLite stores NULL in the slot
+    val p1 = tmpDb("tbl_pk_alias")
+    val sql1 = Seq(
+      "CREATE TABLE t(a INTEGER, b TEXT, PRIMARY KEY(a));",
+      "INSERT INTO t VALUES (7, 'seven'), (9, 'nine');").mkString(" ")
+    val pr1 = new ProcessBuilder("sqlite3", p1, sql1).redirectErrorStream(true).start()
+    assert(pr1.waitFor() == 0, new String(pr1.getInputStream.readAllBytes(), "UTF-8"))
+    val got1 = SqliteFile.read(spark, p1, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1 == Set((7L, "seven"), (9L, "nine")))
+
+    // (2) named table-level constraint + case-insensitive PK references in
+    // a WITHOUT ROWID table
+    val p2 = tmpDb("named_pk")
+    val sql2 = Seq(
+      "CREATE TABLE m(a TEXT, B INTEGER, c TEXT, CONSTRAINT pk PRIMARY KEY (b, C)) WITHOUT ROWID;",
+      "INSERT INTO m VALUES ('x', 1, 'p'), ('y', 2, 'q');").mkString(" ")
+    val pr2 = new ProcessBuilder("sqlite3", p2, sql2).redirectErrorStream(true).start()
+    assert(pr2.waitFor() == 0, new String(pr2.getInputStream.readAllBytes(), "UTF-8"))
+    val got2 = SqliteFile.read(spark, p2, "m").orderBy("B")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got2.toSeq == Seq(("x", 1L, "p"), ("y", 2L, "q")))
+
+    // (3) a PARTIAL index must be rejected, not silently used
+    val p3 = tmpDb("partial_idx")
+    val sql3 = Seq(
+      "CREATE TABLE t(k INTEGER, g INTEGER);",
+      "CREATE INDEX ig ON t(g) WHERE g > 0;",
+      "INSERT INTO t VALUES (1, 0), (2, 5);").mkString(" ")
+    val pr3 = new ProcessBuilder("sqlite3", p3, sql3).redirectErrorStream(true).start()
+    assert(pr3.waitFor() == 0, new String(pr3.getInputStream.readAllBytes(), "UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      SqliteFile.readIndexed(spark, p3, "t", "g", Seq(0L))
+    }
+    assert(e.getMessage.contains("no complete single-column index"))
+
+    // (4) indexed write past the 1M-pair spill threshold: bounded-memory
+    // external sort produces a valid index real SQLite accepts and plans
+    val p4 = tmpDb("spill_idx")
+    val big = spark.range(1200000).selectExpr("id AS k", "CAST(id % 4096 AS BIGINT) AS g")
+    SqliteFile.writeTablesIndexed(Seq(("t", big, Seq("g"))), p4)
+    val ic = new ProcessBuilder("sqlite3", p4, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(ic.waitFor() == 0 && icOut == "ok", s"integrity_check: $icOut")
+    assert(SqliteFile.readIndexed(spark, p4, "t", "g", Seq(511L)).count() ==
+      (0L until 1200000L).count(_ % 4096 == 511).toLong)
+  }
+
   test("sqliteCompare follows the record sort order (NULL < numeric < text < blob)") {
     val c = SqliteFile.sqliteCompare _
     assert(c(null, 1L) < 0 && c(1L, "a") < 0 && c("a", Array[Byte](0)) < 0)
