@@ -53,8 +53,24 @@ object JdbcSource {
       lowerBound, upperBound, numPartitions, derbyOpts)
 
   def derbyWrite(df: DataFrame, dbDir: String, table: String,
-                 mode: SaveMode = SaveMode.Overwrite): Unit =
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // a KILLED writer JVM can leave the embedded database unrecoverable
+    // ("Failed to start database"); the roundtrip artifact is always
+    // regenerated whole, so a boot failure just wipes and recreates it
+    if (mode == SaveMode.Overwrite && new java.io.File(dbDir).exists()) {
+      val probe = scala.util.Try {
+        java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir").close()
+      }
+      if (probe.isFailure) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(dbDir))
+      }
+    }
     write(df, s"jdbc:derby:$dbDir;create=true", table, derbyOpts, mode)
+  }
 
   /** Single-partition read — dimension tables only. */
   def read(spark: SparkSession, url: String, table: String,
