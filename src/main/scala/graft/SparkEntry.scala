@@ -3534,6 +3534,37 @@ object SparkEntry {
     //      sentinel is needed; the single-file fixture keeps arrival
     //      order deterministic (one batch), matching the oracle's
     //      (ts, event_id) chronological rank
+    // ---- REAL Structured Streaming -> LIVE PostgreSQL sink: micro-batches
+    //      land via foreachBatch + distributed COPY (one wire connection
+    //      per batch partition, sources/PgWire.scala), then the result is
+    //      read back through the partitioned wire scan. The stream->
+    //      warehouse shape every ingest pipeline runs; AvailableNow makes
+    //      it deterministic and oracle-gated against the source parquet.
+    "q_stream_pg_sink" -> ((s, dir) => {
+      val pg = graft.sources.PgWire
+      val conn = pg.ensureLocalServer()
+      val tbl = s"stream_sink_${dirTag(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+      streamShuffle(s) {
+        val ev = T(s, dir, "events").filter(col("event_id") < 20000L)
+          .select(col("event_id").cast("long").as("event_id"),
+            col("event_type").cast("string").as("event_type"),
+            col("value").cast("double").as("value"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_pg").toString
+        ev.coalesce(2).write.mode("overwrite").parquet(tmp)
+        pg.createTable(conn, tbl, ev.schema)
+        val src = s.readStream.schema(ev.schema).parquet(tmp)
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            pg.appendDistributed(batch, conn, tbl)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        pg.read(s, conn, tbl, "event_id", numPartitions = 4)
+          .orderBy("event_id")
+      }
+    }),
+
     "q_stream_cap" -> ((s, dir) => {
       import org.apache.spark.sql.types.TimestampType
       streamShuffle(s) {
@@ -8206,6 +8237,10 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_stream_pg_sink" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+         FROM events WHERE event_id < 20000 ORDER BY event_id""",
     "q_stream_cap" ->
       """WITH r AS (
            SELECT event_id AS id, event_type AS key,

@@ -358,6 +358,14 @@ object PgWire {
       .map(f => s""""${f.name}" ${sparkToPgType(f.dataType)}""").mkString(", ")
     execute(conn, s"""DROP TABLE IF EXISTS $table""")
     execute(conn, s"""CREATE TABLE $table ($cols)""")
+    appendDistributed(df, conn, table)
+  }
+
+  /** Distributed COPY append into an EXISTING table (no DDL) — the
+    * per-micro-batch sink shape for Structured Streaming foreachBatch:
+    * each batch partition streams its own COPY, exactly-once left to the
+    * caller's trigger/checkpoint discipline. */
+  def appendDistributed(df: DataFrame, conn: Conn, table: String): Unit =
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val w = new Wire(conn)
@@ -366,6 +374,13 @@ object PgWire {
         finally w.close()
       }
     }
+
+  /** CREATE-only DDL for [[appendDistributed]] callers. */
+  def createTable(conn: Conn, table: String, schema: StructType): Unit = {
+    val cols = schema.fields
+      .map(f => s""""${f.name}" ${sparkToPgType(f.dataType)}""").mkString(", ")
+    execute(conn, s"""DROP TABLE IF EXISTS $table""")
+    execute(conn, s"""CREATE TABLE $table ($cols)""")
   }
 
   // ---------- local server provisioning (driver environment) ----------
