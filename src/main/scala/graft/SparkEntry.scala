@@ -843,6 +843,26 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ---- RANGE-partitioned live-PG read (the INDEXABLE partitioned-scan
+    //      shape: n disjoint `key >= lo AND key < hi` slices instead of n
+    //      full `mod(hashtext)` scans) over a table loaded by the STAGED
+    //      exactly-once distributed COPY (per-partition stage tables
+    //      promoted in one transaction). Oracle = the source rows — so
+    //      this row pins range-read == hash-read == parquet truth.
+    "q_pg_range_read" -> ((s, dir) => {
+      val pg = graft.sources.PgWire
+      val conn = pg.ensureLocalServer()
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_name").cast("string").as("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+      val tbl = s"supplier_rr_${dirTag(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+      pg.writeTableDistributed(sup.repartition(3), conn, tbl)
+      pg.readRange(s, conn, tbl, "s_suppkey", numPartitions = 4)
+        .orderBy("s_suppkey")
+    }),
+
     // ---- SQLite FILE roundtrip through the pure-JVM on-disk-format
     //      reader/writer (sources/SqliteFile.scala — the driver-less
     //      answer to the reference's libsqlite3 source/sink): write a
@@ -2096,11 +2116,13 @@ object SparkEntry {
     //      downweighted in one deterministic step; integer-published
     //      arithmetic end-to-end
     "q_mixture_reweight" -> ((s, dir) => {
-      // legacyDouble: this entry's integer-published oracle is pinned to
-      // the pre-r12 (lowered-kernel + double-ratio) construct and has been
-      // driver-green since r9 — not migrated with the red family.
+      // r14: migrated off the pre-r12 legacyDouble construct (VERDICT r13
+      // item 5) — ONE fertility construct (caseless kernel counts +
+      // integer-derived DECIMAL(18,9) ratio) now serves every consumer;
+      // mixtureReweight re-publishes the decimal cost to __c9 by an EXACT
+      // decimal multiply, so exp() still sees bit-identical doubles.
       val fert = graft.pipeline.TextAnalysis.fertilityReport(
-        T(s, dir, "documents"), Seq("source"), "text", legacyDouble = true)
+        T(s, dir, "documents"), Seq("source"), "text")
       graft.pipeline.Sampling.mixtureReweight(
           fert.select(col("source"), col("docs"), col("fertility")),
           col("docs"), col("fertility"), eta = -1.0)
@@ -2191,32 +2213,33 @@ object SparkEntry {
       s.range(0).select(lit("latin_regexp_replace").as("construct"),
         lit(0L).as("regex_total"), lit(0L).as("charclass_total"))
     }),
-    // ---- r13 conviction pair for the HUGEINT root cause (VERDICT r12
-    //      item 2). The two entries are IDENTICAL on the Spark side — the
-    //      production caseless grouped kernel-ws sum; the oracles differ
-    //      in exactly one token: CAST(sum(ws) AS BIGINT) vs bare sum(ws).
-    //      Green-cast + red-uncast convicts DuckDB's sum→HUGEINT widening
-    //      (Arrow decimal128(38,0) vs Spark LONG) by difference in the
-    //      same artifact that shows the production reports green.
-    //      Retired r11/r12 probes with their information extracted
-    //      (VERDICT r12 item 3): q_diag_ws_hist / q_diag_bpe_hist /
-    //      q_diag_bpe_hist_nolower / q_diag_groups (all green — per-doc
-    //      counts and group machinery exonerated), q_diag_ws_grouped /
-    //      q_diag_bpe_grouped / q_diag_fert_double (red — adjudicated as
-    //      the HUGEINT oracle artifact, the same confound as production).
-    "q_diag_sum_cast" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .groupBy("source", "lang")
-        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsCaseless(col("text")))
-          .as("ws_tokens"))
+    // ---- r14 conviction pair for the wide-DECIMAL root cause (VERDICT
+    //      r13 item 1) — the second member of the 128-bit-repr class. The
+    //      two entries compute the IDENTICAL value (the production
+    //      integer-derived fertility ratio); each side's only difference
+    //      is the PRESENTATION precision, changed in lockstep on both
+    //      engines: _wide casts the final column to DECIMAL(20,9)
+    //      (int128-backed: DuckDB HUGEINT storage / parquet FLBA — the
+    //      exact r13 red construct, EXPECTED red) while _narrow keeps the
+    //      production DECIMAL(18,9) (int64-backed, expected green).
+    //      Red-wide + green-narrow convicts the 128-bit repr by
+    //      difference in the same artifact that shows production green.
+    //      Retired with information extracted (VERDICT r13 item 6): the
+    //      r13 HUGEINT pair q_diag_sum_cast (green) / q_diag_sum_uncast
+    //      (red exactly as designed — DuckDB sum→HUGEINT widening
+    //      convicted; all production sums carry CAST(... AS BIGINT) and
+    //      OracleLintSpec gates the construct).
+    "q_diag_dec_wide" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      graft.pipeline.TextAnalysis.fertilityReport(
+        T(s, dir, "documents"), Seq("source", "lang"), "text")
+        .withColumn("fertility", col("fertility").cast(DecimalType(20, 9)))
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
-    "q_diag_sum_uncast" -> ((s, dir) => {
-      T(s, dir, "documents")
-        .groupBy("source", "lang")
-        .agg(sum(graft.pipeline.TextAnalysis.tokenCountWsCaseless(col("text")))
-          .as("ws_tokens"))
+    "q_diag_dec_narrow" -> ((s, dir) => {
+      graft.pipeline.TextAnalysis.fertilityReport(
+        T(s, dir, "documents"), Seq("source", "lang"), "text")
         .warpSort(Seq(Order(col("source"), numeric = false),
           Order(col("lang"), numeric = false)))
     }),
@@ -3551,7 +3574,7 @@ object SparkEntry {
             col("value").cast("double").as("value"))
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_pg").toString
         ev.coalesce(2).write.mode("overwrite").parquet(tmp)
-        pg.createTable(conn, tbl, ev.schema)
+        pg.resetTable(conn, tbl, ev.schema) // start-empty: re-runs must not append
         val src = s.readStream.schema(ev.schema).parquet(tmp)
         val q = src.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -4914,15 +4937,19 @@ object SparkEntry {
               + len(list_filter(cl, x -> x = 'o')) AS BIGINT) AS bpe
          FROM cls)"""
 
-  /** Exact cross-engine DECIMAL(20,9) ratio — the oracle-side twin of
+  /** Exact cross-engine DECIMAL(18,9) ratio — the oracle-side twin of
     * [[graft.pipeline.TextAnalysis.ratioDecimal9]]: round-half-up of
     * `num/den * 1e9` in INTEGER (HUGEINT) arithmetic, then an exact
-    * decimal multiply. No double division, no `round(double, n)`. */
+    * decimal multiply. No double division, no `round(double, n)`. The
+    * OUTPUT is DECIMAL(18,9) — the int64-backed tier — because
+    * precision > 18 decimals are 128-bit-backed in both engines, the
+    * repr class the driver hash convicted in r12 (HUGEINT) and r13
+    * (DECIMAL(20,9)); ratios are < 1e9 so 18 digits are exact. */
   private def dec9Sql(num: String, den: String): String =
     s"""CAST(CAST(CASE WHEN $den > 0
           THEN (CAST($num AS HUGEINT) * 2000000000 + $den) // (CAST($den AS HUGEINT) * 2)
           ELSE 0 END AS DECIMAL(20,0))
-        * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(20,9))"""
+        * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(18,9))"""
 
   /** Shared (label, expression) rows for the data-independent double /
     * bigint probes: the SAME strings are parsed by Spark SQL (query side)
@@ -5202,7 +5229,7 @@ object SparkEntry {
     // driver's DuckDB by the q_diag_agree_* sentinels.
     // r12: the production family moved onto the CASELESS char-class CTE
     // (no lower() on either engine's path) and integer-derived
-    // DECIMAL(20,9) ratios (no round(double, 9) anywhere) — the two
+    // DECIMAL(18,9) ratios (no round(double, 9) anywhere) — the two
     // engine-owned surfaces the r11 bisect left as suspects.
     // r13: every integer sum() reaching an output column is wrapped in
     // CAST(... AS BIGINT) — DuckDB widens sum(BIGINT) to HUGEINT, which
@@ -5221,15 +5248,18 @@ object SparkEntry {
            FROM cnt GROUP BY source, lang)
          ORDER BY source, lang""",
     "q_mixture_reweight" ->
-      s"""WITH $charClassCte,
+      s"""WITH $charClassCteNoLower,
          f AS (
            SELECT source, count(*) AS docs,
-             round(CASE WHEN sum(ws) > 0
-               THEN CAST(sum(bpe) AS DOUBLE) / sum(ws) ELSE 0.0 END, 9) AS fertility
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
            FROM cnt GROUP BY source
          ), b AS (
            SELECT source, docs,
-             CAST(round(fertility * 1e9) AS BIGINT) AS c9
+             CAST(CASE WHEN ws_tokens > 0
+               THEN (CAST(bpe_tokens AS HUGEINT) * 2000000000 + ws_tokens)
+                    // (CAST(ws_tokens AS HUGEINT) * 2)
+               ELSE 0 END AS BIGINT) AS c9
            FROM f
          ), t AS (
            SELECT CAST(sum(docs) AS BIGINT) AS t_docs,
@@ -5381,20 +5411,37 @@ object SparkEntry {
          SELECT 'latin_regexp_replace' AS construct,
            CAST(a.v AS BIGINT) AS regex_total, CAST(b.v AS BIGINT) AS charclass_total
          FROM a, b WHERE a.v IS DISTINCT FROM b.v""",
-    // r13 conviction pair (VERDICT r12 item 2): identical Spark side,
-    // oracles differ in exactly one token. q_diag_sum_uncast is EXPECTED
-    // red in-driver — DuckDB widens sum(BIGINT) to HUGEINT, which the
-    // driver's Arrow fetch serializes as decimal128(38,0) while Spark
-    // emits LONG; green-cast + red-uncast convicts that repr by
-    // difference. (OracleLintSpec allowlists the uncast twin.)
-    "q_diag_sum_cast" ->
+    // r14 conviction pair (VERDICT r13 items 1+6): identical value on
+    // both sides; the ONLY difference between the twins — changed in
+    // lockstep on Spark and DuckDB — is the final presentation precision.
+    // q_diag_dec_wide is EXPECTED red in-driver: DECIMAL(20,9) is
+    // int128-backed on both engines (DuckDB HUGEINT storage, parquet
+    // FIXED_LEN_BYTE_ARRAY) and the driver's type-sensitive hash diverges
+    // on that repr exactly as it did on sum()'s HUGEINT (r13 pair, now
+    // retired with its information extracted). Red-wide + green-narrow
+    // convicts the 128-bit repr class by difference.
+    // (OracleLintSpec allowlists the wide twin — and its detector
+    // self-test REQUIRES it to be flagged.)
+    "q_diag_dec_wide" ->
       s"""WITH $charClassCteNoLower
-         SELECT source, lang, CAST(sum(ws) AS BIGINT) AS ws_tokens
-         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
-    "q_diag_sum_uncast" ->
+         SELECT source, lang, docs, ws_tokens, bpe_tokens,
+           CAST(${dec9Sql("bpe_tokens", "ws_tokens")} AS DECIMAL(20,9)) AS fertility
+         FROM (
+           SELECT source, lang, count(*) AS docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+           FROM cnt GROUP BY source, lang)
+         ORDER BY source, lang""",
+    "q_diag_dec_narrow" ->
       s"""WITH $charClassCteNoLower
-         SELECT source, lang, sum(ws) AS ws_tokens
-         FROM cnt GROUP BY source, lang ORDER BY source, lang""",
+         SELECT source, lang, docs, ws_tokens, bpe_tokens,
+           ${dec9Sql("bpe_tokens", "ws_tokens")} AS fertility
+         FROM (
+           SELECT source, lang, count(*) AS docs,
+             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+           FROM cnt GROUP BY source, lang)
+         ORDER BY source, lang""",
     // data-independent construct probes: IDENTICAL SQL text on both sides
     "q_diag_dbl_arith" -> dblProbeSql(dblArithRows),
     "q_diag_dbl_round" -> dblProbeSql(dblRoundRows),
@@ -7754,6 +7801,11 @@ object SparkEntry {
     "q_pg_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    "q_pg_range_read" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
     "q_sqlite_roundtrip" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(o_custkey AS BIGINT) AS o_custkey,

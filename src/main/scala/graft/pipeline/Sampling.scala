@@ -329,9 +329,10 @@ object Sampling {
     * doc-weighted mean is computed in exact decimal and published at 12
     * decimals, and the normalizing sum runs over decimal-cast factors
     * (double summation order never touches the result). Input: one row
-    * per group with (docs: long, cost: double). Output adds
-    * excess, factor and weight (rounded 9). Group-bounded frame
-    * throughout — scales trivially. */
+    * per group with (docs: long, cost: a 9dp-published DECIMAL — e.g.
+    * [[graft.pipeline.TextAnalysis.ratioDecimal9]]'s DECIMAL(18,9) — or
+    * a round(x, 9) double). Output adds excess, factor and weight
+    * (rounded 9). Group-bounded frame throughout — scales trivially. */
   def mixtureReweight(perGroup: DataFrame, docsCol: Column, costCol: Column,
                       eta: Double): DataFrame = {
     // integer discipline end-to-end: cost re-published as a 9dp-scaled
@@ -345,9 +346,17 @@ object Sampling {
     // assert_true (evaluated in-plan on the 1-row aggregate — the
     // filter on the null-returning check column forces it) to make
     // overflow equally loud on the Spark side.
+    // exact decimal re-publish: cast to DECIMAL(20,9) (HALF_UP at 9dp —
+    // a no-op when cost is already a 9dp decimal, equal to round(x, 9)
+    // when it is a double) then an EXACT decimal multiply by 1e9 — no
+    // double product anywhere, so a DECIMAL(18,9) cost survives to __c9
+    // bit-exactly on any engine
     val base = perGroup
       .withColumn("__docs", docsCol.cast("long"))
-      .withColumn("__c9", round(costCol * lit(1e9)).cast("long"))
+      .withColumn("__c9",
+        (costCol.cast(org.apache.spark.sql.types.DecimalType(20, 9)) *
+          lit(1000000000L).cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+          .cast("long"))
     val tot = base.agg(
         sum(col("__docs")).as("__t_docs"),
         sum(col("__docs") * col("__c9")).as("__snum"))

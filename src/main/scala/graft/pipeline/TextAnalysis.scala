@@ -109,12 +109,22 @@ object TextAnalysis {
 
   /** Exact cross-engine ratio with 9 decimals: round-half-up of
     * `num/den * 1e9` computed in INTEGER arithmetic
-    * (`(2*num*1e9 + den) div (2*den)`), then presented as DECIMAL(20,9) by
+    * (`(2*num*1e9 + den) div (2*den)`), then presented as DECIMAL(18,9) by
     * an exact decimal multiply — no double division, no `round(double, n)`
     * (whose half-way behavior and result repr are engine-owned) anywhere.
     * Inputs are widened to DECIMAL(38,0) first so the `2e9 *` numerator
     * survives group-level counts far beyond long range (1e13 tokens/group
-    * at the 100 TB end → 2e22, well inside 38 digits). */
+    * at the 100 TB end → 2e22, well inside 38 digits).
+    *
+    * The OUTPUT precision is deliberately 18, not 20: precision ≤ 18
+    * decimals are int64-backed in both engines (DuckDB int64, Spark
+    * parquet int64 physical), while precision > 18 flips both to a
+    * 128-bit representation (DuckDB HUGEINT storage, parquet
+    * FIXED_LEN_BYTE_ARRAY) — the repr class the r12/r13 driver-hash
+    * adjudications convicted for `sum()` HUGEINT and the r13 residual
+    * red family. All consumers are RATIOS (value < 1e9), so 9+9 digits
+    * hold every reachable value exactly; exactness is unchanged, only
+    * the storage tier narrows to the proven-green one. */
   def ratioDecimal9(num: Column, den: Column): Column = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
@@ -126,7 +136,7 @@ object TextAnalysis {
       .otherwise(lit(0L))
     (e9.cast(DecimalType(20, 0)) *
       lit(new java.math.BigDecimal("0.000000001")).cast(DecimalType(10, 9)))
-      .cast(DecimalType(20, 9))
+      .cast(DecimalType(18, 9))
   }
 
   /** Quality score components + weighted aggregate, following the usual
@@ -674,34 +684,24 @@ object TextAnalysis {
     * counts come from the CASELESS kernel ([[classCounts]] — no
     * case-mapping table on either engine's path), the word denominator is
     * the NON-EMPTY token count (immune to any engine's empty-edge-token
-    * split behavior), and the ratio is integer-derived DECIMAL(20,9)
+    * split behavior), and the ratio is integer-derived DECIMAL(18,9)
     * ([[ratioDecimal9]] — no `round(double, n)` whose half-way behavior
     * and repr are engine-owned). One map pass (both counts ride the one
     * kernel call) + one map-side-combined aggregate, grouped by the
     * (small) slice keys.
     *
-    * `legacyDouble = true` keeps the pre-r12 construct — lowered-text
-    * counts ([[textStats]]) and a `round(double, 9)` ratio — for the
-    * mixture-reweight path whose integer-published oracle is pinned to it,
-    * and for the r12 bisect probe of the old construct. */
-  def fertilityReport(df: DataFrame, groupCols: Seq[String], textCol: String,
-                      legacyDouble: Boolean = false): DataFrame =
-    if (legacyDouble)
-      df.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("docs"),
-          sum(tokenCountWsNonEmpty(col(textCol)).cast("long")).as("ws_tokens"),
-          sum(tokenCountBpe(col(textCol)).cast("long")).as("bpe_tokens"))
-        .withColumn("fertility",
-          round(when(col("ws_tokens") > 0,
-            col("bpe_tokens").cast("double") / col("ws_tokens"))
-            .otherwise(lit(0.0)), 9))
-    else
-      df.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("docs"),
-          sum(tokenCountWsCaseless(col(textCol))).as("ws_tokens"),
-          sum(tokenCountBpeCaseless(col(textCol))).as("bpe_tokens"))
-        .withColumn("fertility",
-          ratioDecimal9(col("bpe_tokens"), col("ws_tokens")))
+    * One construct serves every fertility consumer (the report itself and
+    * the mixture-reweight cost signal); the pre-r12 `legacyDouble` path —
+    * lowered-text counts + `round(double, 9)` — was deleted in r14 once
+    * its last consumer (`q_mixture_reweight`) migrated here. */
+  def fertilityReport(df: DataFrame, groupCols: Seq[String],
+                      textCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCountWsCaseless(col(textCol))).as("ws_tokens"),
+        sum(tokenCountBpeCaseless(col(textCol))).as("bpe_tokens"))
+      .withColumn("fertility",
+        ratioDecimal9(col("bpe_tokens"), col("ws_tokens")))
 
   /** Per-slice SCRIPT/character-class report — the script-mix curation
     * stage (mixed-script spam and mislabeled-language slices show up as
@@ -714,7 +714,7 @@ object TextAnalysis {
     * U+0400-04FF, Greek U+0370-03FF, CJK unified U+4E00-9FFF; `other` is
     * the remainder after also removing the explicit Java-\s whitespace
     * class. All integer totals; the ratio is integer-derived
-    * DECIMAL(20,9) ([[ratioDecimal9]]). One map pass + map-side-combined
+    * DECIMAL(18,9) ([[ratioDecimal9]]). One map pass + map-side-combined
     * aggregate — scales as a pure scan. */
   def scriptReport(df: DataFrame, groupCols: Seq[String],
                    textCol: String): DataFrame = {

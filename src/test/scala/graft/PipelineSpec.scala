@@ -83,7 +83,7 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("other"))
   }
 
-  test("ratioDecimal9 is exact integer-derived DECIMAL(20,9), half-up") {
+  test("ratioDecimal9 is exact integer-derived DECIMAL(18,9), half-up") {
     val df = Seq((1L, 1024L), (1L, 3L), (2L, 3L), (5L, 4L), (0L, 7L), (3L, 0L))
       .toDF("n", "d")
     val got = df.select(col("n"), col("d"),
@@ -101,7 +101,10 @@ class PipelineSpec extends SparkSpec {
     assert(got((3L, 0L)) == "0.000000000") // zero denominator -> 0
     val tpe = df.select(TextAnalysis.ratioDecimal9(col("n"), col("d")))
       .schema.fields.head.dataType
-    assert(tpe == org.apache.spark.sql.types.DecimalType(20, 9))
+    // precision 18, NOT 20: ≤18 is the int64-backed tier in both engines;
+    // >18 flips to 128-bit repr (DuckDB HUGEINT storage / parquet FLBA),
+    // the class the r12/r13 driver-hash adjudications convicted
+    assert(tpe == org.apache.spark.sql.types.DecimalType(18, 9))
   }
 
   test("fertilityReport caseless kernel equals legacy on caseless text; caseless on mixed") {
@@ -111,8 +114,15 @@ class PipelineSpec extends SparkSpec {
       .toDF("source", "text")
     val neu = TextAnalysis.fertilityReport(df, Seq("source"), "text")
       .orderBy("source").collect()
-    val leg = TextAnalysis.fertilityReport(df, Seq("source"), "text",
-      legacyDouble = true).orderBy("source").collect()
+    // the lowered-construct counts the deleted legacyDouble path used —
+    // recomputed inline so the kernel-equivalence pin survives the
+    // r14 construct unification
+    val leg = df.groupBy("source")
+      .agg(sum(TextAnalysis.tokenCountWsNonEmpty(col("text")).cast("long"))
+          .as("ws_tokens"),
+        sum(TextAnalysis.tokenCountBpe(col("text")).cast("long"))
+          .as("bpe_tokens"))
+      .orderBy("source").collect()
     // on lowercase-only text the caseless and lowered constructs agree
     for ((n, l) <- neu.zip(leg)) {
       assert(n.getAs[Long]("ws_tokens") == l.getAs[Long]("ws_tokens"))
