@@ -5361,20 +5361,24 @@ object SparkEntry {
          FROM cnt GROUP BY source, lang
          ORDER BY source, lang""",
 
-    // ---- Permanent diagnostic canaries. The r8-r12 corpus-statistics
-    // bisect CLOSED in r12 (VERDICT r12 "what's wrong" item 1): the red
-    // family was an oracle result-type artifact — DuckDB widens integer
-    // sum() to HUGEINT (Arrow decimal128(38,0)) while Spark emits LONG,
-    // so a type-sensitive driver hash diverged on identical values. All
-    // production oracles now CAST output-level integer sums to BIGINT,
-    // OracleLintSpec gates the class, and the q_diag_sum_cast/_uncast
-    // pair (above) convicts the mechanism by difference each round.
+    // ---- Permanent diagnostic canaries. The r8-r13 corpus-statistics
+    // bisect CLOSED across r12/r13: the red family was an oracle
+    // result-REPRESENTATION artifact with two members of one int128
+    // class — DuckDB widens integer sum() to HUGEINT (Arrow
+    // decimal128(38,0)) while Spark emits LONG (r12), and DECIMAL
+    // outputs with precision > 18 are int128-backed on both engines
+    // while precision <= 18 is int64-backed (r13). All production
+    // oracles CAST integer sums to BIGINT and present ratios as
+    // DECIMAL(18,9); OracleLintSpec gates the whole class, and the
+    // q_diag_dec_wide/_narrow pair (above) convicts the mechanism by
+    // difference each round.
     // Retired with information extracted: q_diag_ws_sql and
     // q_diag_fert_source (r11), q_diag_ws_hist / q_diag_bpe_hist /
     // q_diag_bpe_hist_nolower / q_diag_groups (r12 green — per-doc counts
     // and group machinery exonerated), q_diag_ws_grouped /
     // q_diag_bpe_grouped / q_diag_fert_double (r12 red — adjudicated as
-    // the HUGEINT confound, superseded by the cast/uncast pair).
+    // the HUGEINT confound), q_diag_sum_cast / q_diag_sum_uncast (r13
+    // pair — behaved exactly as designed, HUGEINT convicted, retired r14).
     // Kept below: the data-INDEPENDENT construct probes (identical SQL
     // text parsed by both engines — a red names an engine/compare
     // divergence with zero data dependence), q_diag_profile (leaks the

@@ -959,7 +959,9 @@ object SqliteFile {
       val xIdx = ((usable - 12) * 64 / 255) - 23
       val leaves = scala.collection.mutable.ArrayBuffer[Int]()
       val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      val pending = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // pending keeps (record, cell) so a final-entry split can pop the
+      // last record back out as the promoted separator (see below)
+      val pending = scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]()
       var pendingBytes = 0
       def flushLeaf(): Unit = {
         val no = allocate()
@@ -969,7 +971,7 @@ object SqliteFile {
         w16(b, 3, pending.size)
         b(7) = 0
         var content = pageSize
-        pending.zipWithIndex.foreach { case (cell, j) =>
+        pending.zipWithIndex.foreach { case ((_, cell), j) =>
           content -= cell.length
           w16(b, 8 + 2 * j, content)
           System.arraycopy(cell, 0, b, content, cell.length)
@@ -986,19 +988,28 @@ object SqliteFile {
         val cell = putVarint(rec.length.toLong) ++ rec
         if (pending.nonEmpty &&
           8 + 2 * (pending.size + 1) + pendingBytes + cell.length > pageSize) {
-          flushLeaf()
           if (entries.hasNext) {
             // the entry that triggered the split is pulled up as the
             // separator; it is NOT written to any leaf
+            flushLeaf()
             seps += rec
           } else {
             // LAST entry: promoting it would leave an empty trailing
-            // leaf (a shape real SQLite never writes) — it becomes the
-            // final one-entry leaf instead
-            pending += cell; pendingBytes += cell.length
+            // leaf (a shape real SQLite never writes), and just starting
+            // a new leaf would break the leaf/separator invariant
+            // (|seps| = |leaves| - 1). Keep the invariant by popping the
+            // filled leaf's final entry as the promoted separator and
+            // writing the triggering entry as the one-entry last leaf.
+            // pending always holds >= 2 entries here: xIdx caps a cell at
+            // ~1/4 usable page, so any leaf that overflows has at least 3.
+            val (sepRec, sepCell) = pending.remove(pending.size - 1)
+            pendingBytes -= sepCell.length
+            flushLeaf()
+            seps += sepRec
+            pending += ((rec, cell)); pendingBytes += cell.length
           }
         } else {
-          pending += cell; pendingBytes += cell.length
+          pending += ((rec, cell)); pendingBytes += cell.length
         }
       }
       flushLeaf() // also emits the single empty leaf of an empty index

@@ -55,7 +55,7 @@ class PlantedCorpusSpec extends SparkSpec {
     "q_weighted_sample", "q_pack_sequences", "q_bm25", "q_hybrid_search",
     "q_chunk", "q_fertility", "q_mixture_reweight", "q_pad_waste",
     "q_sample_k_group", "q_text_scripts", "q_fertility_counts",
-    "q_diag_sum_cast", "q_diag_profile", "q_curate", "q_text_fingerprint",
+    "q_diag_dec_narrow", "q_diag_profile", "q_curate", "q_text_fingerprint",
     "q_text_langid", "q_text_repetition", "q_text_pii", "q_dedup_clusters",
     "q_dedup_canon", "q_dedup_keepbest", "q_split", "q_split_cluster",
     "q_stratified", "q_adaptive_sample", "q_text_boilerplate",
@@ -65,9 +65,10 @@ class PlantedCorpusSpec extends SparkSpec {
     "q_video_mpeg_b", "q_video_mpeg_b_decode", "q_drift", "q_rater_kappa",
     "q_pref_pairs", "q_dict_encode", "q_stream_neardup",
     "q_stream_contamination", "q_epoch_shuffle")
-  // q_diag_sum_uncast is excluded: its oracle is DELIBERATELY bare
-  // (HUGEINT conviction probe) and check.py's python fetch masks the
-  // divergence anyway; the cast twin covers the construct here.
+  // q_diag_dec_wide is excluded: its oracle output is DELIBERATELY
+  // DECIMAL(20,9) (the int128-repr conviction probe) and check.py's
+  // python fetch masks the divergence anyway; the narrow twin covers
+  // the construct here.
 
   /** Build the planted dir at the fixed path (also usable manually:
     * `Test/runMain graft.OneOff <query> /tmp/graft_planted`). */

@@ -242,6 +242,39 @@ class SqliteFileSpec extends SparkSpec {
     assert(SqliteFile.readIndexed(spark, path, "t", "grp", Seq(1000L)).count() == 0)
   }
 
+  test("index leaf-split boundary: last entry exactly overflowing the last leaf") {
+    // ~950 B keys make an index leaf hold exactly a handful of cells, so a
+    // small N sweep crosses several leaf boundaries — including the shape
+    // where the FINAL entry triggers the split (pre-fix: the new leaf got
+    // no separator, |seps| = |leaves| - 2, and packIndexInterior threw).
+    // The invariant-preserving fix promotes the filled leaf's last entry
+    // as the separator and writes the trigger as the one-entry last leaf.
+    def key(i: Int): String = f"k$i%05d" + ("x" * 940)
+    (2 to 20).foreach { n =>
+      val path = tmpDb(s"idx_boundary_$n")
+      val df = spark.range(n.toLong)
+        .selectExpr("id AS rid", s"printf('k%05d', id) || '${"x" * 940}' AS bigkey")
+      SqliteFile.writeTablesIndexed(Seq(("t", df, Seq("bigkey"))), path)
+      val ic = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+        .redirectErrorStream(true).start()
+      val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+      assert(ic.waitFor() == 0 && icOut == "ok", s"n=$n integrity_check: $icOut")
+      // every key found through OUR index reader, including the promoted
+      // separators (which live only on interior pages)
+      val probes = Seq(0, n / 2, n - 1).distinct.map(key)
+      val got = SqliteFile.readIndexed(spark, path, "t", "bigkey", probes)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(0, n / 2, n - 1).distinct.map(_.toLong).sorted,
+        s"n=$n keyed read lost rows: $got")
+      // and real SQLite finds every row THROUGH the index
+      val q = new ProcessBuilder("sqlite3", path,
+        s"SELECT count(*) FROM t INDEXED BY idx_t_bigkey WHERE bigkey >= 'k';")
+        .redirectErrorStream(true).start()
+      val qOut = new String(q.getInputStream.readAllBytes(), "UTF-8").trim
+      assert(q.waitFor() == 0 && qOut == n.toString, s"n=$n index scan: $qOut")
+    }
+  }
+
   test("keyed read of an index REAL SQLite wrote (interop, reverse direction)") {
     val path = tmpDb("ext_indexed")
     val sql = Seq(
