@@ -904,6 +904,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- COMPOSITE-key index read from the pure-JVM SQLite writer: a
+    //      real two-column index b-tree on (o_custkey, o_orderstatus)
+    //      (key-columns-plus-rowid records, promoted separators), range-
+    //      read over a LEXICOGRAPHIC tuple window — the keyed pushdown
+    //      shape of the reference's mutable connectors
+    //      (MutableData.swift:124-196). Oracle replays the window with
+    //      DuckDB row-value comparisons on the source parquet.
+    "q_sqlite_composite_read" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+      val path = s"/tmp/graft_sqlite_cidx_${dirTag(dir)}.sqlite"
+      graft.sources.SqliteFile.writeTablesIndexedMulti(
+        Seq(("orders_cx", ord, Seq(Seq("o_custkey", "o_orderstatus")))), path)
+      graft.sources.SqliteFile.readIndexedRangeMulti(s, path, "orders_cx",
+          Seq("o_custkey", "o_orderstatus"),
+          Seq(10L, "O"), Seq(20L, "F"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- crawl step plumbing (QBECrawlStep.swift:16-60,232): bounded
     //      concurrency + rate cap are real; the fetcher is the offline
     //      deterministic stub (md5 of the url), so the oracle can verify
@@ -7821,6 +7844,15 @@ object SparkEntry {
            CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice
          FROM orders WHERE o_custkey IN (1, 7, 13, 25)
+         ORDER BY o_orderkey""",
+    "q_sqlite_composite_read" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+         FROM orders
+         WHERE (o_custkey > 10 OR (o_custkey = 10 AND o_orderstatus >= 'O'))
+           AND (o_custkey < 20 OR (o_custkey = 20 AND o_orderstatus <= 'F'))
          ORDER BY o_orderkey""",
     "q_dbf_roundtrip" ->
       """SELECT s_suppkey AS suppkey, s_name AS name,

@@ -188,6 +188,21 @@ object SqliteFile {
     }
   }
 
+  /** Lexicographic comparison of a decoded index record's LEADING columns
+    * against a (possibly prefix) key bound: compares exactly
+    * `bound.length` columns, so a 1-column bound against a 3-column
+    * composite index yields prefix-range semantics (every full key
+    * sharing the prefix compares equal). */
+  private[graft] def comparePrefix(rec: Array[Any], bound: Seq[Any]): Int = {
+    var i = 0
+    while (i < bound.length) {
+      val c = sqliteCompare(rec(i), bound(i))
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   private def memcmp(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
@@ -310,16 +325,20 @@ object SqliteFile {
     payload
   }
 
-  /** Walk an index b-tree emitting every entry whose FIRST column equals
-    * `key` — the degenerate [lo, hi] window of [[indexRangeRowids]]. */
-  private def indexSeekRowids(f: PageFile, root: Int, key: Any): Seq[Long] =
+  /** Walk an index b-tree emitting every entry whose leading columns
+    * equal `key` (a full or PREFIX composite key) — the degenerate
+    * [lo, hi] window of [[indexRangeRowids]]. */
+  private def indexSeekRowids(f: PageFile, root: Int, key: Seq[Any]): Seq[Long] =
     indexRangeRowids(f, root, key, key)
 
   /** Ordered RANGE scan of an index b-tree: rowids of every entry whose
-    * first column is in [lo, hi] (inclusive, SQLite value order), emitted
-    * in key order. Same pruned in-order walk as [[indexSeekRowids]]:
-    * subtrees entirely below `lo` or above `hi` are never paged in. */
-  private def indexRangeRowids(f: PageFile, root: Int, lo: Any, hi: Any): Seq[Long] = {
+    * leading columns fall in [lo, hi] (inclusive, SQLite value order,
+    * lexicographic over the bound's columns — `lo`/`hi` may be a PREFIX
+    * of a composite key), emitted in key order. Same pruned in-order walk
+    * as [[indexSeekRowids]]: subtrees entirely below `lo` or above `hi`
+    * are never paged in. */
+  private def indexRangeRowids(f: PageFile, root: Int,
+                               lo: Seq[Any], hi: Seq[Any]): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     def walk(pg: Int): Boolean = {
       val b = f.page(pg)
@@ -331,8 +350,8 @@ object SqliteFile {
           while (i < nCells) {
             val off = u16(b, base + 8 + 2 * i)
             val rec = decodeRecord(indexCellPayload(f, b, off))
-            if (sqliteCompare(rec(0), hi) > 0) return false
-            if (sqliteCompare(rec(0), lo) >= 0)
+            if (comparePrefix(rec, hi) > 0) return false
+            if (comparePrefix(rec, lo) >= 0)
               out += rec(rec.length - 1).asInstanceOf[Long]
             i += 1
           }
@@ -343,11 +362,11 @@ object SqliteFile {
             val off = u16(b, base + 12 + 2 * i)
             val child = u32(b, off).toInt
             val rec = decodeRecord(indexCellPayload(f, b, off + 4))
-            if (sqliteCompare(rec(0), lo) >= 0) { // child may overlap [lo, hi]
+            if (comparePrefix(rec, lo) >= 0) { // child may overlap [lo, hi]
               if (!walk(child)) return false
             }
-            if (sqliteCompare(rec(0), hi) > 0) return false
-            if (sqliteCompare(rec(0), lo) >= 0)
+            if (comparePrefix(rec, hi) > 0) return false
+            if (comparePrefix(rec, lo) >= 0)
               out += rec(rec.length - 1).asInstanceOf[Long]
             i += 1
           }
@@ -485,16 +504,26 @@ object SqliteFile {
   }
 
   /** Index-backed filtered read: for each value in `values`, seek the
-    * matching rowids through `table`'s single-column index on `column`
-    * and point-read the rows — the pushdown shape of the reference's
-    * database connectors (log-depth page touches per key instead of a
-    * full scan). Values fan out one Spark task per key; each task opens
-    * its own PageFile (closed via task-completion listener). */
+    * matching rowids through `table`'s index on `column` and point-read
+    * the rows — the pushdown shape of the reference's database connectors
+    * (log-depth page touches per key instead of a full scan). Convenience
+    * over [[readIndexedMulti]]. */
   def readIndexed(spark: SparkSession, path: String, table: String,
-                  column: String, values: Seq[Any]): DataFrame = {
-    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, column)
+                  column: String, values: Seq[Any]): DataFrame =
+    readIndexedMulti(spark, path, table, Seq(column), values.map(Seq(_)))
+
+  /** [[readIndexed]] over a COMPOSITE key: each entry of `keys` is a
+    * tuple of values for the leading `columns` of a (possibly wider)
+    * index — a PREFIX tuple matches every full key that extends it.
+    * Keys fan out one Spark task per tuple; each task opens its own
+    * PageFile (closed via task-completion listener). */
+  def readIndexedMulti(spark: SparkSession, path: String, table: String,
+                       columns: Seq[String], keys: Seq[Seq[Any]]): DataFrame = {
+    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, columns)
+    require(keys.forall(_.length == columns.length),
+      "every key tuple must have one value per requested column")
     val types = schema.fields.map(_.dataType)
-    val stored = values.map(toStored)
+    val stored = keys.map(_.map(toStored))
     val rows = spark.sparkContext
       .parallelize(stored, math.min(math.max(stored.size, 1), 32))
       .mapPartitions { vs =>
@@ -516,17 +545,29 @@ object SqliteFile {
   }
 
   /** Index-backed ORDERED RANGE read: every row whose indexed `column`
-    * falls in [lo, hi] (SQLite value order, inclusive). The driver walks
-    * only index pages (pruned — ~range-size/fanout page touches); the
-    * matching rowids then fan out to executor tasks that point-read the
-    * table b-tree, sorted by rowid for page locality. */
+    * falls in [lo, hi] (SQLite value order, inclusive). Convenience over
+    * [[readIndexedRangeMulti]]. */
   def readIndexedRange(spark: SparkSession, path: String, table: String,
-                       column: String, lo: Any, hi: Any): DataFrame = {
-    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, column)
+                       column: String, lo: Any, hi: Any): DataFrame =
+    readIndexedRangeMulti(spark, path, table, Seq(column), Seq(lo), Seq(hi))
+
+  /** [[readIndexedRange]] over a COMPOSITE key: rows whose leading index
+    * columns fall in the LEXICOGRAPHIC window [lo, hi] (inclusive; the
+    * bounds may be a PREFIX of the index's columns — a 1-column bound on
+    * a 2-column index gives the classic leading-column range). The driver
+    * walks only index pages (pruned — ~range-size/fanout page touches);
+    * the matching rowids then fan out to executor tasks that point-read
+    * the table b-tree, sorted by rowid for page locality. */
+  def readIndexedRangeMulti(spark: SparkSession, path: String, table: String,
+                            columns: Seq[String], lo: Seq[Any],
+                            hi: Seq[Any]): DataFrame = {
+    val (root, schema, ipk, idxRoot) = indexedMeta(path, table, columns)
+    require(lo.length <= columns.length && lo.length == hi.length,
+      "range bounds must cover the same (prefix of the) requested columns")
     val types = schema.fields.map(_.dataType)
     val rowids = {
       val f = new PageFile(path)
-      try indexRangeRowids(f, idxRoot, toStored(lo), toStored(hi)).sorted
+      try indexRangeRowids(f, idxRoot, lo.map(toStored), hi.map(toStored)).sorted
       finally f.close()
     }
     val rows = spark.sparkContext
@@ -547,28 +588,43 @@ object SqliteFile {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Column names of a CREATE INDEX statement, unquoted, in order. */
+  private[graft] def parseIndexColumns(createSql: String): Seq[String] = {
+    val open = createSql.indexOf('(')
+    val close = createSql.lastIndexOf(')')
+    require(open >= 0 && close > open, s"unparseable index DDL: $createSql")
+    createSql.substring(open + 1, close).split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+        // strip a per-column collation/direction suffix (COLLATE x, ASC)
+        .split("\\s+")(0))
+      .filter(_.nonEmpty)
+  }
+
   /** (tableRoot, schema, rowid-alias position, indexRoot) for a table
-    * with a single-column index on `column`. */
+    * with an index whose LEADING columns are `columns` (an exact
+    * single/composite index or any wider index sharing the prefix —
+    * leading-column seeks through a wider index are complete). */
   private def indexedMeta(path: String, table: String,
-                          column: String): (Int, StructType, Int, Int) = {
+                          columns: Seq[String]): (Int, StructType, Int, Int) = {
+    require(columns.nonEmpty, "need at least one index column")
     val (root, sql) = tables(path).find(_._1 == table)
       .map(t => (t._2, t._3))
       .getOrElse(throw new IllegalArgumentException(s"no table '$table' in $path"))
     val cols = parseColumns(sql)
     val schema = StructType(cols.map { case (n, d) => StructField(n, affinity(d), nullable = true) })
     val ipk = rowidAliasIndex(cols, sql)
-    require(cols.exists(_._1 == column), s"no column '$column' in $table")
+    columns.foreach(c =>
+      require(cols.exists(_._1 == c), s"no column '$c' in $table"))
+    val want = columns.map(_.toUpperCase)
     val idxRoot = indexes(path).collectFirst {
       // a PARTIAL index (… WHERE …) only covers a subset — selecting one
       // would silently drop rows from the keyed read
-      case (_, t, r, isql) if t == table && {
-        val up = isql.toUpperCase.replaceAll("[\"`]", "")
-        up.matches(
-          s"""(?s).*\\(\\s*${java.util.regex.Pattern.quote(column.toUpperCase)}\\s*\\).*""") &&
-          !up.matches("""(?s).*\)\s*WHERE\s.*""")
-      } => r
+      case (_, t, r, isql) if t == table &&
+        parseIndexColumns(isql).map(_.toUpperCase).startsWith(want) &&
+        !isql.toUpperCase.matches("""(?s).*\)\s*WHERE\s.*""") => r
     }.getOrElse(throw new IllegalArgumentException(
-      s"no complete single-column index on $table($column)"))
+      s"no complete index with leading columns (${columns.mkString(", ")}) on $table"))
     (root, schema, ipk, idxRoot)
   }
 
@@ -792,13 +848,19 @@ object SqliteFile {
     * of any size holds one chunk plus one head record per spill. */
   private class RecordSorter {
     private val chunkSize = 1 << 20
-    private val buf = scala.collection.mutable.ArrayBuffer[(Any, Long)]()
+    private val buf = scala.collection.mutable.ArrayBuffer[(Seq[Any], Long)]()
     private val spills = scala.collection.mutable.ArrayBuffer[java.io.File]()
-    private def lt(a: (Any, Long), b: (Any, Long)): Boolean = {
-      val c = sqliteCompare(a._1, b._1)
-      if (c != 0) c < 0 else a._2 < b._2
+    private def lt(a: (Seq[Any], Long), b: (Seq[Any], Long)): Boolean = {
+      var i = 0
+      val n = math.min(a._1.length, b._1.length)
+      while (i < n) {
+        val c = sqliteCompare(a._1(i), b._1(i))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a._2 < b._2
     }
-    def add(key: Any, rowid: Long): Unit = {
+    def add(key: Seq[Any], rowid: Long): Unit = {
       buf += ((key, rowid))
       if (buf.size >= chunkSize) spill()
     }
@@ -808,7 +870,7 @@ object SqliteFile {
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16))
       try buf.sortWith(lt).foreach { case (k, rid) =>
-        val rec = encodeRecord(Seq(k, rid))
+        val rec = encodeRecord(k :+ rid)
         out.writeInt(rec.length); out.write(rec)
       } finally out.close()
       spills += f
@@ -816,20 +878,20 @@ object SqliteFile {
     }
     def sortedRecords(): Iterator[Array[Byte]] = {
       if (spills.isEmpty)
-        return buf.sortWith(lt).iterator.map { case (k, rid) => encodeRecord(Seq(k, rid)) }
+        return buf.sortWith(lt).iterator.map { case (k, rid) => encodeRecord(k :+ rid) }
       spill() // flush the tail chunk so the merge sees everything
       final class Stream(f: java.io.File) {
         private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           new java.io.FileInputStream(f), 1 << 16))
         var head: Array[Byte] = _
-        var key: (Any, Long) = _
+        var key: (Seq[Any], Long) = _
         advance()
         def advance(): Unit =
           try {
             val len = in.readInt()
             head = new Array[Byte](len); in.readFully(head)
             val d = decodeRecord(head)
-            key = (d(0), d(1).asInstanceOf[Long])
+            key = (d.init.toSeq, d.last.asInstanceOf[Long])
           } catch {
             case _: java.io.EOFException => head = null; in.close(); f.delete()
           }
@@ -1125,24 +1187,38 @@ object SqliteFile {
   def writeTables(tables: Seq[(String, DataFrame)], path: String): Unit =
     writeTablesIndexed(tables.map { case (t, df) => (t, df, Seq.empty[String]) }, path)
 
-  /** [[writeTables]] plus single-column indexes: each named column gets a
-    * real index b-tree (leaf type 10 / interior type 2, key-plus-rowid
-    * records, spec §"B-tree Pages") registered in sqlite_master, so both
-    * real SQLite and [[readIndexed]] can do log-depth keyed reads on the
-    * artifact. Key/rowid pairs are collected while the table streams
-    * (one pass over the data), then sorted in SQLite record order. */
+  /** [[writeTables]] plus single-column indexes: each named column gets
+    * its own index b-tree. Convenience over [[writeTablesIndexedMulti]]. */
   def writeTablesIndexed(tables: Seq[(String, DataFrame, Seq[String])],
-                         path: String): Unit = {
+                         path: String): Unit =
+    writeTablesIndexedMulti(
+      tables.map { case (t, df, cs) => (t, df, cs.map(Seq(_))) }, path)
+
+  /** [[writeTables]] plus indexes, each over one or MORE columns: every
+    * column list gets a real index b-tree (leaf type 10 / interior type
+    * 2, key-columns-plus-rowid records, spec §"B-tree Pages") registered
+    * in sqlite_master, so both real SQLite and [[readIndexedMulti]] /
+    * [[readIndexedRangeMulti]] can do log-depth keyed reads on the
+    * artifact — composite keys cover the reference connector's keyed
+    * update/delete pushdown shapes (MutableData.swift:124-196). Key/rowid
+    * tuples are collected while the table streams (one pass over the
+    * data), then spill-sorted in SQLite record order (lexicographic
+    * across the key columns, rowid last). */
+  def writeTablesIndexedMulti(tables: Seq[(String, DataFrame, Seq[Seq[String]])],
+                              path: String): Unit = {
     require(tables.nonEmpty, "need at least one table")
     require(tables.map(_._1).distinct.size == tables.size, "duplicate table names")
     val b = new DbBuilder(path)
     try {
       require(b.allocate() == 1) // page 1 reserved for sqlite_master
-      val entries = tables.flatMap { case (table, df, idxCols) =>
+      val entries = tables.flatMap { case (table, df, idxSpecs) =>
         val fields = df.schema.fields
-        val idxPos = idxCols.map { c =>
-          val p = fields.indexWhere(_.name == c)
-          require(p >= 0, s"index column '$c' not in $table"); (c, p)
+        val idxPos = idxSpecs.map { spec =>
+          require(spec.nonEmpty, s"empty index column list for $table")
+          spec.map { c =>
+            val p = fields.indexWhere(_.name == c)
+            require(p >= 0, s"index column '$c' not in $table"); (c, p)
+          }
         }
         val cols = fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
         val createSql = s"""CREATE TABLE "$table" (${cols.mkString(", ")})"""
@@ -1154,19 +1230,19 @@ object SqliteFile {
           def next(): (Long, Array[Byte]) = {
             rowid += 1
             val vals = rows.next().toSeq.map(toStored)
-            idxPos.zipWithIndex.foreach { case ((_, p), k) =>
-              keyLog(k).add(vals(p), rowid)
+            idxPos.zipWithIndex.foreach { case (spec, k) =>
+              keyLog(k).add(spec.map { case (_, p) => vals(p) }, rowid)
             }
             (rowid, encodeRecord(vals))
           }
         }
         val root = b.buildTree(cellIt)
         val tableRow = ("table", table, table, root, createSql)
-        val idxRows = idxPos.zipWithIndex.map { case ((c, _), k) =>
+        val idxRows = idxPos.zipWithIndex.map { case (spec, k) =>
           val idxRoot = b.buildIndexTree(keyLog(k).sortedRecords())
-          val name = s"idx_${table}_$c"
+          val name = s"idx_${table}_${spec.map(_._1).mkString("_")}"
           ("index", name, table, idxRoot,
-            s"""CREATE INDEX "$name" ON "$table" ("$c")""")
+            s"""CREATE INDEX "$name" ON "$table" (${spec.map(c => s""""${c._1}"""").mkString(", ")})""")
         }
         tableRow +: idxRows
       }

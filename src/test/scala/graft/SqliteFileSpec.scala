@@ -275,6 +275,70 @@ class SqliteFileSpec extends SparkSpec {
     }
   }
 
+  test("composite index: write, real-sqlite plans through it, tuple seeks and ranges") {
+    val path = tmpDb("composite")
+    val df = spark.range(9000).selectExpr(
+      "id AS k", "CAST(id % 53 AS BIGINT) AS a",
+      "CASE WHEN id % 3 = 0 THEN 'F' WHEN id % 3 = 1 THEN 'O' ELSE 'P' END AS b",
+      "CAST(id * 2 AS BIGINT) AS v")
+    SqliteFile.writeTablesIndexedMulti(
+      Seq(("t", df, Seq(Seq("a", "b")))), path)
+    assert(SqliteFile.indexes(path).map(_._1) == Seq("idx_t_a_b"))
+    // real SQLite accepts the file and PLANS a two-column probe through it
+    val ic = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(ic.waitFor() == 0 && icOut == "ok", s"integrity_check: $icOut")
+    val ep = new ProcessBuilder("sqlite3", path,
+      "EXPLAIN QUERY PLAN SELECT * FROM t WHERE a = 7 AND b = 'O';")
+      .redirectErrorStream(true).start()
+    val epOut = new String(ep.getInputStream.readAllBytes(), "UTF-8")
+    assert(epOut.contains("idx_t_a_b"), s"planner ignored the composite index: $epOut")
+    // full-tuple equality seeks
+    val eq = SqliteFile.readIndexedMulti(spark, path, "t", Seq("a", "b"),
+      Seq(Seq(7L, "O"), Seq(11L, "P")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val eqWant = (0L until 9000L).filter { id =>
+      (id % 53 == 7 && id % 3 == 1) || (id % 53 == 11 && id % 3 == 2) }
+    assert(eq == eqWant)
+    // PREFIX seek through the composite index (leading column only)
+    val pre = SqliteFile.readIndexedMulti(spark, path, "t", Seq("a"), Seq(Seq(13L)))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(pre == (0L until 9000L).filter(_ % 53 == 13))
+    // lexicographic tuple window: (10,'O') <= (a,b) <= (12,'F') — includes
+    // ALL of a=11, not a per-column rectangle
+    val rng = SqliteFile.readIndexedRangeMulti(spark, path, "t", Seq("a", "b"),
+      Seq(10L, "O"), Seq(12L, "F"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val rngWant = (0L until 9000L).filter { id =>
+      val a = id % 53
+      val b = id % 3 match { case 0 => "F"; case 1 => "O"; case _ => "P" }
+      (a == 10 && b >= "O") || a == 11 || (a == 12 && b <= "F")
+    }
+    assert(rng == rngWant)
+    // absent tuple -> empty, no error
+    assert(SqliteFile.readIndexedMulti(spark, path, "t", Seq("a", "b"),
+      Seq(Seq(999L, "Z"))).count() == 0)
+  }
+
+  test("composite keyed read of an index REAL SQLite wrote (interop)") {
+    val path = tmpDb("ext_composite")
+    val sql = Seq(
+      "CREATE TABLE t(x INTEGER, g INTEGER, s TEXT);",
+      "CREATE INDEX icomp ON t(g, s);",
+      "WITH RECURSIVE c(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM c WHERE x < 4000) " +
+        "INSERT INTO t SELECT x, x % 19, 'z' || (x % 5) FROM c;").mkString(" ")
+    val p = new ProcessBuilder("sqlite3", path, sql).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, out)
+    val got = SqliteFile.readIndexedMulti(spark, path, "t", Seq("g", "s"),
+      Seq(Seq(3L, "z2"), Seq(17L, "z0")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = (1L to 4000L).filter(x =>
+      (x % 19 == 3 && x % 5 == 2) || (x % 19 == 17 && x % 5 == 0))
+    assert(got == want)
+  }
+
   test("keyed read of an index REAL SQLite wrote (interop, reverse direction)") {
     val path = tmpDb("ext_indexed")
     val sql = Seq(
@@ -369,7 +433,7 @@ class SqliteFileSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SqliteFile.readIndexed(spark, p3, "t", "g", Seq(0L))
     }
-    assert(e.getMessage.contains("no complete single-column index"))
+    assert(e.getMessage.contains("no complete index with leading columns"))
 
     // (4) indexed write past the 1M-pair spill threshold: bounded-memory
     // external sort produces a valid index real SQLite accepts and plans
