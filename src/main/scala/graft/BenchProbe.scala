@@ -49,7 +49,10 @@ object BenchProbe {
     "q_dedup_ppjoin_screen", "q_contrastive", "q_ppr", "q_kcore",
     // r13 addition (VERDICT r12 item 6): fresh-JVM floor for the r12
     // streaming SQLite writer + pure-JVM b-tree reader round-trip
-    "q_sqlite_roundtrip")
+    "q_sqlite_roundtrip",
+    // r14 additions (VERDICT r13 item 7): fresh-JVM floors for the r13
+    // live-PG wire round-trip and the indexed SQLite write+keyed-read
+    "q_pg_roundtrip", "q_sqlite_index_read")
 
   private val Marker = "BENCH_PROBE_RESULT "
 

@@ -927,6 +927,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // ---- WITHOUT ROWID roundtrip: the table IS a clustered-PK index
+    //      b-tree (spec §2.2 — PK columns lead each record, no rowid,
+    //      schema format 4); written by our streaming builder with
+    //      spill-sorted PK order + overflow chains, read back by our
+    //      index-tree reader. Real SQLite interop pinned in
+    //      SqliteFileSpec; oracle = the source rows.
+    "q_sqlite_worowid" -> ((s, dir) => {
+      val cust = T(s, dir, "customer")
+        .select(col("c_name").cast("string").as("c_name"),
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      val path = s"/tmp/graft_sqlite_worowid_${dirTag(dir)}.sqlite"
+      graft.sources.SqliteFile.writeTablesWithoutRowid(
+        Seq(("customer_wr", cust, Seq("c_custkey"))), path)
+      graft.sources.SqliteFile.read(s, path, "customer_wr")
+        .orderBy("c_custkey")
+    }),
+
     // ---- crawl step plumbing (QBECrawlStep.swift:16-60,232): bounded
     //      concurrency + rate cap are real; the fetcher is the offline
     //      deterministic stub (md5 of the url), so the oracle can verify
@@ -7854,6 +7873,11 @@ object SparkEntry {
          WHERE (o_custkey > 10 OR (o_custkey = 10 AND o_orderstatus >= 'O'))
            AND (o_custkey < 20 OR (o_custkey = 20 AND o_orderstatus <= 'F'))
          ORDER BY o_orderkey""",
+    "q_sqlite_worowid" ->
+      """SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+         FROM customer ORDER BY c_custkey""",
     "q_dbf_roundtrip" ->
       """SELECT s_suppkey AS suppkey, s_name AS name,
          s_acctbal AS acctbal, s_nationkey AS nation

@@ -848,20 +848,24 @@ object SqliteFile {
     * of any size holds one chunk plus one head record per spill. */
   private class RecordSorter {
     private val chunkSize = 1 << 20
-    private val buf = scala.collection.mutable.ArrayBuffer[(Seq[Any], Long)]()
+    private val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     private val spills = scala.collection.mutable.ArrayBuffer[java.io.File]()
-    private def lt(a: (Seq[Any], Long), b: (Seq[Any], Long)): Boolean = {
+    // element-wise SQLite record order over the WHOLE value list: for
+    // index entries that is (key columns..., rowid); for WITHOUT ROWID
+    // rows it is (PK columns..., remaining columns) — in both, the
+    // leading columns dominate and the tail only breaks ties
+    private def lt(a: Seq[Any], b: Seq[Any]): Boolean = {
       var i = 0
-      val n = math.min(a._1.length, b._1.length)
+      val n = math.min(a.length, b.length)
       while (i < n) {
-        val c = sqliteCompare(a._1(i), b._1(i))
+        val c = sqliteCompare(a(i), b(i))
         if (c != 0) return c < 0
         i += 1
       }
-      a._2 < b._2
+      a.length < b.length
     }
-    def add(key: Seq[Any], rowid: Long): Unit = {
-      buf += ((key, rowid))
+    def add(vals: Seq[Any]): Unit = {
+      buf += vals
       if (buf.size >= chunkSize) spill()
     }
     private def spill(): Unit = {
@@ -869,8 +873,8 @@ object SqliteFile {
       f.deleteOnExit()
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16))
-      try buf.sortWith(lt).foreach { case (k, rid) =>
-        val rec = encodeRecord(k :+ rid)
+      try buf.sortWith(lt).foreach { vals =>
+        val rec = encodeRecord(vals)
         out.writeInt(rec.length); out.write(rec)
       } finally out.close()
       spills += f
@@ -878,20 +882,20 @@ object SqliteFile {
     }
     def sortedRecords(): Iterator[Array[Byte]] = {
       if (spills.isEmpty)
-        return buf.sortWith(lt).iterator.map { case (k, rid) => encodeRecord(k :+ rid) }
+        return buf.sortWith(lt).iterator.map(encodeRecord)
       spill() // flush the tail chunk so the merge sees everything
       final class Stream(f: java.io.File) {
         private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           new java.io.FileInputStream(f), 1 << 16))
         var head: Array[Byte] = _
-        var key: (Seq[Any], Long) = _
+        var key: Seq[Any] = _
         advance()
         def advance(): Unit =
           try {
             val len = in.readInt()
             head = new Array[Byte](len); in.readFully(head)
             val d = decodeRecord(head)
-            key = (d.init.toSeq, d.last.asInstanceOf[Long])
+            key = d.toSeq
           } catch {
             case _: java.io.EOFException => head = null; in.close(); f.delete()
           }
@@ -1013,17 +1017,54 @@ object SqliteFile {
     /** Bulk-load an INDEX b-tree from entries already in SQLite record
       * order. Index b-trees are true b-trees: when a leaf fills, the NEXT
       * entry is pulled UP as the parent separator (it lives only on the
-      * interior page), exactly the shape real SQLite produces. Keys must
-      * fit a page locally — this writer indexes scalar columns, not
-      * document bodies (an oversize key throws rather than silently
-      * corrupting). Returns the root page. */
+      * interior page), exactly the shape real SQLite produces. Oversized
+      * entries spill to overflow chains ([[indexCell]]) — document-sized
+      * payloads (WITHOUT ROWID rows) are fine. Returns the root page. */
+    /** One INDEX cell (leaf form — interior callers prepend the child
+      * pointer): payload-length varint + local payload, spilling past the
+      * index local-payload threshold X = ((U-12)*64/255)-23 into an
+      * overflow chain exactly like table cells do (spec §"B-tree Pages")
+      * — so index entries (and WITHOUT ROWID rows, which live in index
+      * b-trees) may be arbitrarily large. */
+    private def indexCell(rec: Array[Byte]): Array[Byte] = {
+      val x = ((usable - 12) * 64 / 255) - 23
+      val m = ((usable - 12) * 32 / 255) - 23
+      val p = rec.length
+      if (p <= x) putVarint(p.toLong) ++ rec
+      else {
+        val k = m + (p - m) % (usable - 4)
+        val local = if (k <= x) k else m
+        var off = local
+        var firstOv = 0
+        var prevPage: Array[Byte] = null
+        var prevNo = 0
+        while (off < p) {
+          val no = allocate()
+          val pgb = new Array[Byte](pageSize)
+          val take = math.min(usable - 4, p - off)
+          System.arraycopy(rec, off, pgb, 4, take)
+          if (prevPage != null) { w32(prevPage, 0, no.toLong); set(prevNo, prevPage) }
+          else firstOv = no
+          prevPage = pgb; prevNo = no
+          off += take
+        }
+        if (prevPage != null) { w32(prevPage, 0, 0L); set(prevNo, prevPage) }
+        val head = new Array[Byte](4)
+        w32(head, 0, firstOv.toLong)
+        putVarint(p.toLong) ++ rec.take(local) ++ head
+      }
+    }
+
     def buildIndexTree(entries: Iterator[Array[Byte]]): Int = {
-      val xIdx = ((usable - 12) * 64 / 255) - 23
       val leaves = scala.collection.mutable.ArrayBuffer[Int]()
+      // separators are PREPARED CELLS (varint + local payload [+ overflow
+      // pointer]) — promoting the cell, not the record, means an entry's
+      // overflow chain is written exactly once and referenced exactly
+      // once wherever the entry ends up (leaf or any interior level);
+      // re-encoding a promoted record would orphan the chain its leaf
+      // cell had already written (integrity_check: "page never used")
       val seps = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      // pending keeps (record, cell) so a final-entry split can pop the
-      // last record back out as the promoted separator (see below)
-      val pending = scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]()
+      val pending = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
       var pendingBytes = 0
       def flushLeaf(): Unit = {
         val no = allocate()
@@ -1033,7 +1074,7 @@ object SqliteFile {
         w16(b, 3, pending.size)
         b(7) = 0
         var content = pageSize
-        pending.zipWithIndex.foreach { case ((_, cell), j) =>
+        pending.zipWithIndex.foreach { case (cell, j) =>
           content -= cell.length
           w16(b, 8 + 2 * j, content)
           System.arraycopy(cell, 0, b, content, cell.length)
@@ -1045,16 +1086,14 @@ object SqliteFile {
       }
       while (entries.hasNext) {
         val rec = entries.next()
-        require(rec.length <= xIdx,
-          s"index key record (${rec.length} B) exceeds the local-payload limit $xIdx")
-        val cell = putVarint(rec.length.toLong) ++ rec
+        val cell = indexCell(rec) // spills oversized payloads to overflow pages
         if (pending.nonEmpty &&
           8 + 2 * (pending.size + 1) + pendingBytes + cell.length > pageSize) {
           if (entries.hasNext) {
             // the entry that triggered the split is pulled up as the
             // separator; it is NOT written to any leaf
             flushLeaf()
-            seps += rec
+            seps += cell
           } else {
             // LAST entry: promoting it would leave an empty trailing
             // leaf (a shape real SQLite never writes), and just starting
@@ -1062,16 +1101,17 @@ object SqliteFile {
             // (|seps| = |leaves| - 1). Keep the invariant by popping the
             // filled leaf's final entry as the promoted separator and
             // writing the triggering entry as the one-entry last leaf.
-            // pending always holds >= 2 entries here: xIdx caps a cell at
-            // ~1/4 usable page, so any leaf that overflows has at least 3.
-            val (sepRec, sepCell) = pending.remove(pending.size - 1)
+            // pending always holds >= 2 entries here: indexCell caps the
+            // IN-PAGE cell at X+13 ≈ 1/4 usable page (bigger payloads
+            // spill to overflow), so any leaf that overflows has >= 3.
+            val sepCell = pending.remove(pending.size - 1)
             pendingBytes -= sepCell.length
             flushLeaf()
-            seps += sepRec
-            pending += ((rec, cell)); pendingBytes += cell.length
+            seps += sepCell
+            pending += cell; pendingBytes += cell.length
           }
         } else {
-          pending += ((rec, cell)); pendingBytes += cell.length
+          pending += cell; pendingBytes += cell.length
         }
       }
       flushLeaf() // also emits the single empty leaf of an empty index
@@ -1085,16 +1125,18 @@ object SqliteFile {
     }
 
     /** One interior level of an index b-tree: children with the
-      * separators BETWEEN them (|seps| = |children| - 1). Separators
-      * between pages are pulled up to the next level. Page capacity is
-      * sized by the level's LARGEST separator (keys are scalar-column
-      * records, so the conservatism costs a few percent of fanout), and a
+      * separators BETWEEN them (|seps| = |children| - 1), each separator
+      * a PREPARED cell body (see [[buildIndexTree]] — its overflow chain,
+      * if any, is already on disk and stays referenced wherever the cell
+      * lands). Separators between pages are pulled up to the next level.
+      * Page capacity is sized by the level's LARGEST cell (in-page size
+      * is X+13-capped by [[indexCell]], so at least 3 fit), and a
       * trailing single-child group is rebalanced like the table path. */
     private def packIndexInterior(children: Seq[Int],
                                   seps: Seq[Array[Byte]]): (Seq[Int], Seq[Array[Byte]]) = {
       require(seps.size == children.size - 1,
         s"index level shape: ${children.size} children, ${seps.size} separators")
-      val maxCell = 4 + 9 + (if (seps.isEmpty) 0 else seps.map(_.length).max)
+      val maxCell = 4 + (if (seps.isEmpty) 0 else seps.map(_.length).max)
       val perPage = math.max(2, (pageSize - 12 - 4) / (2 + maxCell))
       val grouped0 = children.grouped(perPage).toSeq
       val grouped =
@@ -1114,10 +1156,9 @@ object SqliteFile {
         var content = pageSize
         val nCells = grp.size - 1
         (0 until nCells).foreach { j =>
-          val sep = seps(i + j)
           val cell = {
             val h = new Array[Byte](4); w32(h, 0, grp(j).toLong)
-            h ++ putVarint(sep.length.toLong) ++ sep
+            h ++ seps(i + j) // prepared cell body, chain already on disk
           }
           content -= cell.length
           w16(b, 12 + 2 * j, content)
@@ -1231,7 +1272,7 @@ object SqliteFile {
             rowid += 1
             val vals = rows.next().toSeq.map(toStored)
             idxPos.zipWithIndex.foreach { case (spec, k) =>
-              keyLog(k).add(spec.map { case (_, p) => vals(p) }, rowid)
+              keyLog(k).add(spec.map { case (_, p) => vals(p) } :+ rowid)
             }
             (rowid, encodeRecord(vals))
           }
@@ -1246,43 +1287,104 @@ object SqliteFile {
         }
         tableRow +: idxRows
       }
-      // page 1: the 100-byte file header + the sqlite_master leaf
-      val masterCells = entries.zipWithIndex.map { case ((kind, name, tbl, root, sql), i) =>
-        val rec = encodeRecord(Seq(kind, name, tbl, root.toLong, sql))
-        putVarint(rec.length.toLong) ++ putVarint((i + 1).toLong) ++ rec
-      }
-      require(100 + 8 + masterCells.map(_.length + 2).sum <= b.pageSize,
-        "sqlite_master catalog too large for page 1")
-      val pg = new Array[Byte](b.pageSize)
-      System.arraycopy(Magic, 0, pg, 0, 16)
-      pg(16) = ((b.pageSize >> 8) & 0xFF).toByte; pg(17) = (b.pageSize & 0xFF).toByte
-      pg(18) = 1; pg(19) = 1 // file format read/write version: legacy
-      pg(20) = 0 // reserved space per page
-      pg(21) = 64; pg(22) = 32; pg(23) = 32 // payload fractions (fixed by spec)
-      def h32(o: Int, v: Long): Unit = {
-        pg(o) = ((v >> 24) & 0xFF).toByte; pg(o + 1) = ((v >> 16) & 0xFF).toByte
-        pg(o + 2) = ((v >> 8) & 0xFF).toByte; pg(o + 3) = (v & 0xFF).toByte
-      }
-      h32(24, 1) // file change counter
-      h32(28, b.pageCount.toLong)
-      h32(40, 1) // schema cookie
-      h32(44, 1) // schema format 1 (most compatible)
-      h32(56, 1) // text encoding: UTF-8
-      h32(92, 1) // version-valid-for == change counter
-      h32(96, 3045000) // sqlite version number
-      pg(100) = 13
-      pg(103) = ((masterCells.size >> 8) & 0xFF).toByte
-      pg(104) = (masterCells.size & 0xFF).toByte
-      var content = b.pageSize
-      masterCells.zipWithIndex.foreach { case (cell, j) =>
-        content -= cell.length
-        pg(108 + 2 * j) = ((content >> 8) & 0xFF).toByte
-        pg(109 + 2 * j) = (content & 0xFF).toByte
-        System.arraycopy(cell, 0, pg, content, cell.length)
-      }
-      pg(105) = ((content >> 8) & 0xFF).toByte; pg(106) = (content & 0xFF).toByte
-      pg(107) = 0
-      b.set(1, pg)
+      writeCatalog(b, entries, schemaFormat = 1)
     } finally b.close()
+  }
+
+  /** Write tables as WITHOUT ROWID tables (spec §2.2): each table is
+    * stored as an INDEX b-tree whose records carry the PRIMARY KEY
+    * columns first (in PK order) then the remaining columns in declared
+    * order; lookups by PK are log-depth in real SQLite with no separate
+    * index object. Rows are spill-sorted into PK record order; oversized
+    * rows ride index-page overflow chains; NULL or duplicate PRIMARY KEY
+    * values throw (the constraint real SQLite enforces). The file header
+    * carries schema format 4, the minimum that admits WITHOUT ROWID. */
+  def writeTablesWithoutRowid(tables: Seq[(String, DataFrame, Seq[String])],
+                              path: String): Unit = {
+    require(tables.nonEmpty, "need at least one table")
+    require(tables.map(_._1).distinct.size == tables.size, "duplicate table names")
+    val b = new DbBuilder(path)
+    try {
+      require(b.allocate() == 1) // page 1 reserved for sqlite_master
+      val entries = tables.map { case (table, df, pk) =>
+        require(pk.nonEmpty, s"WITHOUT ROWID table $table needs PRIMARY KEY columns")
+        val fields = df.schema.fields
+        val pkPos = pk.map { c =>
+          val p = fields.indexWhere(_.name == c)
+          require(p >= 0, s"PRIMARY KEY column '$c' not in $table"); p
+        }
+        require(pkPos.distinct.size == pkPos.size, s"duplicate PRIMARY KEY column in $table")
+        val order = pkPos ++ fields.indices.filterNot(pkPos.contains)
+        val cols = fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
+        val createSql =
+          s"""CREATE TABLE "$table" (${cols.mkString(", ")}, """ +
+            s"""PRIMARY KEY (${pk.map(c => s""""$c"""").mkString(", ")})) WITHOUT ROWID"""
+        val sorter = new RecordSorter
+        val rows = df.toLocalIterator()
+        while (rows.hasNext) {
+          val vals = rows.next().toSeq.map(toStored)
+          pkPos.foreach(p => require(vals(p) != null,
+            s"NULL PRIMARY KEY value in WITHOUT ROWID table $table"))
+          sorter.add(order.map(vals))
+        }
+        // PK-uniqueness guard over the sorted stream: equal consecutive
+        // PK prefixes mean a constraint violation real SQLite would
+        // reject — corrupting silently here would poison every reader
+        var prevPk: Seq[Any] = null
+        val guarded = sorter.sortedRecords().map { rec =>
+          val k = decodeRecord(rec).take(pk.length).toSeq
+          require(prevPk == null || k.zip(prevPk).exists { case (a, c) =>
+            sqliteCompare(a, c) != 0 },
+            s"duplicate PRIMARY KEY ${k.mkString("(", ", ", ")")} in $table")
+          prevPk = k
+          rec
+        }
+        val root = b.buildIndexTree(guarded)
+        ("table", table, table, root, createSql)
+      }
+      writeCatalog(b, entries, schemaFormat = 4)
+    } finally b.close()
+  }
+
+  /** Page 1: the 100-byte file header + the sqlite_master leaf. */
+  private def writeCatalog(b: DbBuilder,
+                           entries: Seq[(String, String, String, Int, String)],
+                           schemaFormat: Int): Unit = {
+    val masterCells = entries.zipWithIndex.map { case ((kind, name, tbl, root, sql), i) =>
+      val rec = encodeRecord(Seq(kind, name, tbl, root.toLong, sql))
+      putVarint(rec.length.toLong) ++ putVarint((i + 1).toLong) ++ rec
+    }
+    require(100 + 8 + masterCells.map(_.length + 2).sum <= b.pageSize,
+      "sqlite_master catalog too large for page 1")
+    val pg = new Array[Byte](b.pageSize)
+    System.arraycopy(Magic, 0, pg, 0, 16)
+    pg(16) = ((b.pageSize >> 8) & 0xFF).toByte; pg(17) = (b.pageSize & 0xFF).toByte
+    pg(18) = 1; pg(19) = 1 // file format read/write version: legacy
+    pg(20) = 0 // reserved space per page
+    pg(21) = 64; pg(22) = 32; pg(23) = 32 // payload fractions (fixed by spec)
+    def h32(o: Int, v: Long): Unit = {
+      pg(o) = ((v >> 24) & 0xFF).toByte; pg(o + 1) = ((v >> 16) & 0xFF).toByte
+      pg(o + 2) = ((v >> 8) & 0xFF).toByte; pg(o + 3) = (v & 0xFF).toByte
+    }
+    h32(24, 1) // file change counter
+    h32(28, b.pageCount.toLong)
+    h32(40, 1) // schema cookie
+    h32(44, schemaFormat.toLong) // 1 = most compatible; 4 = WITHOUT ROWID
+    h32(56, 1) // text encoding: UTF-8
+    h32(92, 1) // version-valid-for == change counter
+    h32(96, 3045000) // sqlite version number
+    pg(100) = 13
+    pg(103) = ((masterCells.size >> 8) & 0xFF).toByte
+    pg(104) = (masterCells.size & 0xFF).toByte
+    var content = b.pageSize
+    masterCells.zipWithIndex.foreach { case (cell, j) =>
+      content -= cell.length
+      pg(108 + 2 * j) = ((content >> 8) & 0xFF).toByte
+      pg(109 + 2 * j) = (content & 0xFF).toByte
+      System.arraycopy(cell, 0, pg, content, cell.length)
+    }
+    pg(105) = ((content >> 8) & 0xFF).toByte; pg(106) = (content & 0xFF).toByte
+    pg(107) = 0
+    b.set(1, pg)
   }
 }

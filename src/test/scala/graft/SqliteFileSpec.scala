@@ -372,6 +372,66 @@ class SqliteFileSpec extends SparkSpec {
       (0L until 30000L).count(_ % 1009 == 42).toLong)
   }
 
+  test("WITHOUT ROWID write: real sqlite reads it via the PRIMARY KEY, we read it back") {
+    val path = tmpDb("worowid_w")
+    val df = spark.range(5000).selectExpr(
+      "CAST(id AS STRING) || '-v' AS v", "id AS k", "CAST(id AS DOUBLE) / 4 AS w")
+    // PK column is NOT first in declared order: the record remap
+    // (PK-first storage, declared-order presentation) is exercised
+    SqliteFile.writeTablesWithoutRowid(Seq(("t", df, Seq("k"))), path)
+    val ic = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(ic.waitFor() == 0 && icOut == "ok", s"integrity_check: $icOut")
+    // real SQLite point-reads THROUGH the clustered PK (no fallback scan)
+    val q = new ProcessBuilder("sqlite3", path,
+      "EXPLAIN QUERY PLAN SELECT v FROM t WHERE k = 4321; " +
+        "SELECT v, w FROM t WHERE k = 4321;")
+      .redirectErrorStream(true).start()
+    val qOut = new String(q.getInputStream.readAllBytes(), "UTF-8")
+    assert(q.waitFor() == 0 && qOut.contains("PRIMARY KEY"), s"plan: $qOut")
+    assert(qOut.contains("4321-v|1080.25"), s"row: $qOut")
+    // our reader round-trips in DECLARED order
+    val back = SqliteFile.read(spark, path, "t").orderBy("k").collect()
+    assert(back.length == 5000)
+    assert(back(17).getString(0) == "17-v" && back(17).getLong(1) == 17L &&
+      back(17).getDouble(2) == 4.25)
+  }
+
+  test("WITHOUT ROWID write: composite PK, oversized rows ride overflow chains") {
+    val path = tmpDb("worowid_big")
+    // ~3 KB rows force index-page overflow chains on leaves AND promoted
+    // separators; 400 rows force interior pages above them
+    val df = spark.range(400).selectExpr(
+      "CAST(id % 20 AS BIGINT) AS a", "id AS b",
+      "repeat('x', 3000) || CAST(id AS STRING) AS body")
+    SqliteFile.writeTablesWithoutRowid(Seq(("big", df, Seq("a", "b"))), path)
+    val ic = new ProcessBuilder("sqlite3", path, "PRAGMA integrity_check;")
+      .redirectErrorStream(true).start()
+    val icOut = new String(ic.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(ic.waitFor() == 0 && icOut == "ok", s"integrity_check: $icOut")
+    val q = new ProcessBuilder("sqlite3", path,
+      "SELECT length(body), substr(body, 3001) FROM big WHERE a = 7 AND b = 247;")
+      .redirectErrorStream(true).start()
+    val qOut = new String(q.getInputStream.readAllBytes(), "UTF-8").trim
+    assert(q.waitFor() == 0 && qOut == "3003|247", s"row: $qOut")
+    val back = SqliteFile.read(spark, path, "big")
+    assert(back.count() == 400)
+    assert(back.filter("b = 399").collect()(0).getString(2) ==
+      "x" * 3000 + "399")
+    // constraint violations throw instead of corrupting
+    val dup = spark.range(4).selectExpr("CAST(id % 2 AS BIGINT) AS a", "'z' AS s")
+    val e = intercept[Exception] {
+      SqliteFile.writeTablesWithoutRowid(Seq(("d", dup, Seq("a"))), tmpDb("worowid_dup"))
+    }
+    assert(e.getMessage.contains("duplicate PRIMARY KEY"))
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS a, 'z' AS s")
+    val e2 = intercept[Exception] {
+      SqliteFile.writeTablesWithoutRowid(Seq(("n", withNull, Seq("a"))), tmpDb("worowid_null"))
+    }
+    assert(e2.getMessage.contains("NULL PRIMARY KEY"))
+  }
+
   test("WITHOUT ROWID tables read back in declared column order") {
     val path = tmpDb("worowid")
     // real SQLite writes it; PK columns lead each stored record and the
