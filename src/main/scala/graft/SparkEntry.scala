@@ -3630,6 +3630,43 @@ object SparkEntry {
       }
     }),
 
+    // ---- REAL Structured Streaming SOURCE from LIVE PostgreSQL: the
+    //      DataSource V2 micro-batch source (sources/PgStreamSource.scala)
+    //      polls a monotonic key's high-water mark, range-splits each key
+    //      window into executor tasks, and each task consumes its slice
+    //      over its own wire connection INCREMENTALLY (O(row) memory).
+    //      Trigger.AvailableNow pins the target offset so the run drains
+    //      exactly the rows present at start -> deterministic, oracle-
+    //      gated against the parquet the table was seeded from.
+    "q_stream_pg_source" -> ((s, dir) => {
+      val pg = graft.sources.PgWire
+      val conn = pg.ensureLocalServer()
+      val tbl = s"stream_src_${dirTag(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+      streamShuffle(s) {
+        val ev = T(s, dir, "events").filter(col("event_id") < 20000L)
+          .select(col("event_id").cast("long").as("event_id"),
+            col("event_type").cast("string").as("event_type"),
+            col("value").cast("double").as("value"))
+        pg.resetTable(conn, tbl, ev.schema) // start-empty: re-runs must not append
+        pg.appendDistributed(ev, conn, tbl)
+        val qname = "graft_stream_pg_src_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val src = s.readStream.format("graft.sources.PgStreamSource")
+          .option("host", conn.host).option("port", conn.port.toString)
+          .option("db", conn.db).option("user", conn.user)
+          .option("password", conn.password)
+          .option("table", tbl).option("keycol", "event_id")
+          .option("numpartitions", "4")
+          .load()
+        val q = src.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("event_id")
+      }
+    }),
+
     "q_stream_cap" -> ((s, dir) => {
       import org.apache.spark.sql.types.TimestampType
       streamShuffle(s) {
@@ -8350,6 +8387,10 @@ object SparkEntry {
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "q_stream_pg_sink" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(value AS DOUBLE) AS value
+         FROM events WHERE event_id < 20000 ORDER BY event_id""",
+    "q_stream_pg_source" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
            CAST(value AS DOUBLE) AS value
          FROM events WHERE event_id < 20000 ORDER BY event_id""",

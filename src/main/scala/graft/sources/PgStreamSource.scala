@@ -1,0 +1,284 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Structured Streaming SOURCE over live PostgreSQL via the pure-JVM
+  * [[PgWire]] protocol client — the polling-ingest shape every warehouse
+  * pipeline runs ("stream the rows that arrived since the last batch"),
+  * with no JDBC jar and no driver-side row buffering.
+  *
+  * DataSource V2 micro-batch contract:
+  *   - OFFSET = the high-water mark of a MONOTONIC integral key column
+  *     (`keycol` option — an append-only ingest id/sequence; NULLs are
+  *     excluded by contract). `latestOffset` asks the server for
+  *     `max(key)`; a batch is the half-open key window (start, end].
+  *   - Each batch is RANGE-SPLIT into `numpartitions` executor tasks;
+  *     every task opens its own wire connection and consumes its slice
+  *     INCREMENTALLY (O(row) task memory, indexable `>`/`<=` predicates —
+  *     the [[PgWire.readRange]] scale shape).
+  *   - Exactly-once within the stream: offsets are checkpointed by the
+  *     engine, a replayed batch re-reads the same immutable key window.
+  *     Rows must be append-only up to the key (updates behind the
+  *     high-water mark are invisible, as in any offset-polled source).
+  *   - `Trigger.AvailableNow` is supported: the target offset is pinned
+  *     at `prepareForTriggerAvailableNow`, so a run drains exactly the
+  *     rows present at start and stops — the deterministic, oracle-gated
+  *     shape `q_stream_pg_source` verifies.
+  *   - Admission control: `maxkeysperbatch` caps each batch's key-window
+  *     advance, so a large backfill arrives as a sequence of bounded
+  *     micro-batches (under AvailableNow the engine loops batches until
+  *     the pinned target is reached) instead of one unbounded window.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.PgStreamSource")
+  *   .option("host", c.host).option("port", c.port).option("db", c.db)
+  *   .option("user", c.user).option("table", "events_in")
+  *   .option("keycol", "event_id").option("numpartitions", 4)
+  *   .load()
+  * }}}
+  */
+class PgStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgWire.fetchSchema(PgStreamSource.connOf(options),
+      PgStreamSource.required(options, "table"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new PgStreamSource.PgTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object PgStreamSource {
+
+  private[sources] def required(o: CaseInsensitiveStringMap, k: String): String = {
+    val v = o.get(k)
+    require(v != null && v.nonEmpty, s"PgStreamSource: missing option '$k'")
+    v
+  }
+
+  private[sources] def connOf(o: CaseInsensitiveStringMap): PgWire.Conn =
+    PgWire.Conn(
+      required(o, "host"), required(o, "port").toInt,
+      required(o, "db"), required(o, "user"),
+      Option(o.get("password")).getOrElse(""))
+
+  /** The stream offset: high-water mark of the monotonic key. */
+  final case class KeyOffset(max: Long) extends Offset {
+    override def json(): String = s"""{"max":$max}"""
+  }
+  private def parseOffset(json: String): KeyOffset = {
+    val m = """\{\s*"max"\s*:\s*(-?\d+)\s*\}""".r
+    json match {
+      case m(v) => KeyOffset(v.toLong)
+      case other => throw new IllegalArgumentException(s"bad PgStreamSource offset: $other")
+    }
+  }
+
+  private final class PgTable(tableSchema: StructType,
+                              options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+    override def name(): String = s"pgstream:${options.get("table")}"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ)
+    override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = tableSchema
+          override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+            new PgMicroBatchStream(tableSchema, options)
+          // same connector, batch shape: spark.read.format(...) scans the
+          // whole current key span through the identical range partitions
+          // and per-task incremental wire readers
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            new PgBatchScan(tableSchema, options)
+        }
+      }
+  }
+
+  private final class PgBatchScan(schema: StructType,
+                                  options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.Batch {
+    private val conn = connOf(options)
+    private val table = required(options, "table")
+    private val keyCol = required(options, "keycol")
+    private val numPartitions =
+      Option(options.get("numpartitions")).map(_.toInt).getOrElse(4)
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val w = new PgWire.Wire(conn)
+      val (lo, hi) =
+        try {
+          val (_, rows) = w.query(
+            s"SELECT min($keyCol)::bigint, max($keyCol)::bigint FROM $table " +
+              s"WHERE $keyCol IS NOT NULL")
+          val r = rows.headOption.getOrElse(Array[String](null, null))
+          (Option(r(0)).map(_.toLong), Option(r(1)).map(_.toLong))
+        } finally w.close()
+      (lo, hi) match {
+        case (Some(a), Some(b)) =>
+          val span = BigInt(b) - BigInt(a) + 1
+          val n = numPartitions.min(span.min(Int.MaxValue).toInt).max(1)
+          (0 until n).map { p =>
+            val x = BigInt(a) - 1 + span * p / n
+            val y = BigInt(a) - 1 + span * (p + 1) / n
+            PgRangePartition(s"$keyCol > $x AND $keyCol <= $y"): InputPartition
+          }.toArray
+        case _ => Array.empty // empty table
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PgReaderFactory(conn, table, schema)
+  }
+
+  private final class PgMicroBatchStream(schema: StructType,
+                                         options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    private val conn = connOf(options)
+    private val table = required(options, "table")
+    private val keyCol = required(options, "keycol")
+    private val numPartitions =
+      Option(options.get("numpartitions")).map(_.toInt).getOrElse(4)
+    require(numPartitions > 0, "numpartitions must be positive")
+    // admission control: cap how far the key window advances per batch —
+    // a 100 TB backfill must arrive as bounded micro-batches, not one
+    // giant window. Keys are the unit (== rows when the key is a dense
+    // sequence; an upper bound on rows otherwise, since keys are unique)
+    private val maxKeysPerBatch: Option[Long] =
+      Option(options.get("maxkeysperbatch")).map(_.toLong)
+    require(maxKeysPerBatch.forall(_ > 0), "maxkeysperbatch must be positive")
+    // pinned target for Trigger.AvailableNow (engine calls prepare first)
+    @volatile private var availableNowTarget: Offset = _
+
+    private def serverMax(): Long = {
+      val w = new PgWire.Wire(conn)
+      try {
+        val (_, rows) = w.query(
+          s"SELECT max($keyCol)::bigint FROM $table WHERE $keyCol IS NOT NULL")
+        rows.headOption.flatMap(r => Option(r(0))).map(_.toLong)
+          .getOrElse(Long.MinValue)
+      } finally w.close()
+    }
+    private def serverMinMinusOne(): Long = {
+      val w = new PgWire.Wire(conn)
+      try {
+        val (_, rows) = w.query(
+          s"SELECT min($keyCol)::bigint FROM $table WHERE $keyCol IS NOT NULL")
+        rows.headOption.flatMap(r => Option(r(0))).map(_.toLong - 1)
+          .getOrElse(Long.MinValue)
+      } finally w.close()
+    }
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = KeyOffset(math.max(serverMax(), serverMinMinusOne()))
+
+    override def initialOffset(): Offset = {
+      val start = Option(options.get("startkey")).map(_.toLong)
+        .getOrElse(serverMinMinusOne())
+      KeyOffset(start)
+    }
+
+    override def latestOffset(): Offset =
+      if (availableNowTarget != null) availableNowTarget
+      else {
+        val mx = serverMax()
+        if (mx == Long.MinValue) initialOffset() else KeyOffset(mx)
+      }
+
+    // SupportsAdmissionControl (via SupportsTriggerAvailableNow): each
+    // batch advances toward the pinned AvailableNow target (or the live
+    // high-water mark), clamped to at most maxKeysPerBatch keys — under
+    // Trigger.AvailableNow the engine keeps issuing batches until the
+    // prepared target is reached, so a capped drain becomes a SEQUENCE
+    // of bounded micro-batches instead of one unbounded window
+    override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      maxKeysPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+    }
+
+    override def latestOffset(start: Offset,
+                              limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+      import org.apache.spark.sql.connector.read.streaming.ReadMaxRows
+      val lo = start.asInstanceOf[KeyOffset].max
+      val target =
+        if (availableNowTarget != null) availableNowTarget.asInstanceOf[KeyOffset].max
+        else {
+          val mx = serverMax()
+          if (mx == Long.MinValue) lo else mx
+        }
+      val cap = limit match {
+        case r: ReadMaxRows => Some(r.maxRows())
+        case _ => maxKeysPerBatch
+      }
+      val hi = cap match {
+        case Some(n) =>
+          val stepped = lo + n // saturate on overflow
+          if (stepped < lo) target else math.min(target, stepped)
+        case None => target
+      }
+      KeyOffset(math.max(hi, lo))
+    }
+
+    override def deserializeOffset(json: String): Offset = parseOffset(json)
+
+    override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+      val lo = start.asInstanceOf[KeyOffset].max
+      val hi = end.asInstanceOf[KeyOffset].max
+      if (hi <= lo) return Array.empty
+      // split the half-open window (lo, hi] into contiguous slices — the
+      // same indexable range shape as PgWire.readRange
+      val span = BigInt(hi) - BigInt(lo)
+      val n = numPartitions.min(span.min(Int.MaxValue).toInt).max(1)
+      (0 until n).map { p =>
+        val a = BigInt(lo) + span * p / n
+        val b = BigInt(lo) + span * (p + 1) / n
+        PgRangePartition(s"$keyCol > $a AND $keyCol <= $b"): InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PgReaderFactory(conn, table, schema)
+
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  private final case class PgRangePartition(predicate: String) extends InputPartition
+
+  private final class PgReaderFactory(conn: PgWire.Conn, table: String,
+                                      schema: StructType)
+    extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val pred = partition.asInstanceOf[PgRangePartition].predicate
+      new PartitionReader[InternalRow] {
+        private val wire = new PgWire.Wire(conn)
+        private val types = schema.fields.map(_.dataType)
+        private val toCatalyst =
+          CatalystTypeConverters.createToCatalystConverter(schema)
+        private val rows =
+          wire.queryStream(s"SELECT * FROM $table WHERE $pred")._2
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (rows.hasNext) {
+            val r = rows.next()
+            val vals = r.toSeq.zip(types.toSeq).map { case (v, t) =>
+              PgWire.parseValue(v, t) }
+            current = toCatalyst(org.apache.spark.sql.Row.fromSeq(vals))
+              .asInstanceOf[InternalRow]
+            true
+          } else false
+        override def get(): InternalRow = current
+        override def close(): Unit = wire.close()
+      }
+    }
+  }
+}
