@@ -261,17 +261,16 @@ object PgStreamSource {
       val pred = partition.asInstanceOf[PgRangePartition].predicate
       new PartitionReader[InternalRow] {
         private val wire = new PgWire.Wire(conn)
-        private val types = schema.fields.map(_.dataType)
         private val toCatalyst =
           CatalystTypeConverters.createToCatalystConverter(schema)
+        // extended protocol, binary result formats (PgWire.queryStreamBinary):
+        // values arrive as Spark-layer objects, O(row) task memory
         private val rows =
-          wire.queryStream(s"SELECT * FROM $table WHERE $pred")._2
+          wire.queryStreamBinary(s"SELECT * FROM $table WHERE $pred")._2
         private var current: InternalRow = _
         override def next(): Boolean =
           if (rows.hasNext) {
-            val r = rows.next()
-            val vals = r.toSeq.zip(types.toSeq).map { case (v, t) =>
-              PgWire.parseValue(v, t) }
+            val vals = scala.collection.immutable.ArraySeq.unsafeWrapArray(rows.next())
             current = toCatalyst(org.apache.spark.sql.Row.fromSeq(vals))
               .asInstanceOf[InternalRow]
             true

@@ -92,6 +92,70 @@ class PgWireSpec extends SparkSpec {
     assert(ts2 == java.time.LocalDateTime.parse("2024-01-15T10:00:00"))
   }
 
+  test("extended-protocol binary results decode edge values exactly") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgwire_bin")
+    PgWire.execute(c,
+      """CREATE TABLE pgwire_bin (
+           id bigint, n20 numeric(20,4), nu numeric, d date, t timestamp,
+           tz timestamptz, f4 real, f8 double precision, i2 smallint,
+           i4 integer, by bytea, b boolean, s text, u uuid)""")
+    PgWire.execute(c,
+      """INSERT INTO pgwire_bin VALUES
+         (1, 9999.9999, 42.5, '1999-12-31', '1999-12-31 23:59:59.999999',
+          '2024-01-15 12:00:00+02', 1.5, 1e-300, 32767, 2147483647,
+          '\x00ff7f', true, 'café 中𝄞', '123e4567-e89b-12d3-a456-426614174000'),
+         (2, -0.0001, -0.5, '2000-01-01', '2000-01-01 00:00:00',
+          NULL, -0.25, -1.75e300, -32768, -2147483648,
+          '\x', false, E'a\tb', NULL),
+         (3, 123456789012345.6789, NULL, '2024-02-29', '2024-06-01 06:30:15.25',
+          NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+         (4, 10000.0001, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+          NULL, NULL, NULL, NULL)""")
+    val back = PgWire.read(spark, c, "pgwire_bin", "id", numPartitions = 2)
+      .orderBy("id").collect()
+    assert(back.length == 4)
+    def dec(r: org.apache.spark.sql.Row, i: Int) =
+      r.getAs[java.math.BigDecimal](i)
+    // numeric(20,4): base-10000 digit groups incl. boundary and signs
+    assert(dec(back(0), 1).compareTo(new java.math.BigDecimal("9999.9999")) == 0)
+    assert(dec(back(1), 1).compareTo(new java.math.BigDecimal("-0.0001")) == 0)
+    assert(dec(back(2), 1).compareTo(
+      new java.math.BigDecimal("123456789012345.6789")) == 0)
+    assert(dec(back(3), 1).compareTo(new java.math.BigDecimal("10000.0001")) == 0)
+    // unconstrained numeric (typmod -1): text-format fallback -> string
+    assert(back(0).getString(2) == "42.5" && back(1).getString(2) == "-0.5")
+    // date: negative and positive day counts from the 2000-01-01 epoch
+    assert(back(0).getDate(3).toString == "1999-12-31")
+    assert(back(1).getDate(3).toString == "2000-01-01")
+    assert(back(2).getDate(3).toString == "2024-02-29")
+    // timestamp: negative micros (pre-2000) keep full precision
+    assert(back(0).getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.parse("1999-12-31T23:59:59.999999"))
+    assert(back(1).getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.parse("2000-01-01T00:00"))
+    assert(back(2).getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.parse("2024-06-01T06:30:15.250"))
+    // timestamptz arrives as the UTC wall clock
+    assert(back(0).getAs[java.time.LocalDateTime](5) ==
+      java.time.LocalDateTime.parse("2024-01-15T10:00:00"))
+    assert(back(0).getFloat(6) == 1.5f && back(1).getFloat(6) == -0.25f)
+    assert(back(0).getDouble(7) == 1e-300 && back(1).getDouble(7) == -1.75e300)
+    assert(back(0).getShort(8) == 32767 && back(1).getShort(8) == -32768)
+    assert(back(0).getInt(9) == 2147483647 && back(1).getInt(9) == -2147483648)
+    assert(back(0).getAs[Array[Byte]](10).toSeq ==
+      Seq(0x00.toByte, 0xff.toByte, 0x7f.toByte))
+    assert(back(1).getAs[Array[Byte]](10).length == 0)
+    assert(back(0).getBoolean(11) && !back(1).getBoolean(11))
+    assert(back(0).getString(12) == "café 中𝄞")
+    assert(back(1).getString(12) == "a\tb")
+    // unknown OID (uuid): per-column text format keeps it readable
+    assert(back(0).getString(13) == "123e4567-e89b-12d3-a456-426614174000")
+    // NULL propagates through every binary decoder
+    assert((3 to 13).forall(back(3).isNullAt))
+  }
+
   test("server-side errors surface with the postgres message") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val e = intercept[RuntimeException] {
