@@ -14,11 +14,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   * .swift:916`, which likewise implements its own protocol client rather
   * than shipping libpq).
   *
-  * Supported: trust, cleartext, MD5 and SCRAM-SHA-256 (RFC 7677) auth,
-  * simple query ('Q') with STREAMED text-format results, COPY ... FROM
-  * STDIN (text format) for bulk ingest, and OID → Spark type mapping for
-  * the scalar types the engine's tables use (numeric derives its real
-  * precision/scale from the RowDescription typmod).
+  * Supported: trust, cleartext, MD5 and SCRAM-SHA-256 (RFC 7677) auth;
+  * simple query ('Q') with STREAMED text-format results; the EXTENDED
+  * protocol (Parse/Bind/Describe/Execute/Sync) with per-column BINARY
+  * result formats for table scans; COPY ... FROM STDIN in both text and
+  * PGCOPY binary format for bulk ingest; and OID → Spark type mapping
+  * for the scalar types the engine's tables use (numeric derives its
+  * real precision/scale from the RowDescription typmod).
   *
   * Scale shape: [[read]] / [[readRange]] are PARTITIONED executor-side
   * scans — the driver fetches only the zero-row schema; each task opens
@@ -366,6 +368,53 @@ object PgWire {
       if (err != null) throw new RuntimeException(s"postgres error: $err")
     }
 
+    /** COPY ... FROM STDIN WITH (FORMAT binary): same CopyInResponse
+      * handshake as [[copyIn]], but the payload is the PGCOPY binary
+      * stream — 11-byte signature + flags, then per-row field images in
+      * the same per-type layouts [[decodeBinary]] reads, then the -1
+      * trailer. No text escaping, no per-cell formatting. */
+    def copyInBinary(sql: String, rowImages: Iterator[Array[Byte]]): Unit = {
+      sendQuery(sql)
+      var inCopy = false
+      while (!inCopy) {
+        val (tag, body) = readMessage()
+        tag match {
+          case 'G' => inCopy = true
+          case 'E' => throw new RuntimeException(s"postgres error: ${errorText(body)}")
+          case 'C' | 'N' | 'S' | 'A' => // preceding statements / async notices
+          case 'Z' => throw new RuntimeException("statement completed without entering COPY")
+          case other => throw new RuntimeException(s"unexpected $other to COPY")
+        }
+      }
+      val buf = new java.io.ByteArrayOutputStream(1 << 16)
+      def flushBuf(): Unit = if (buf.size() > 0) {
+        out.writeByte('d'); out.writeInt(4 + buf.size())
+        buf.writeTo(out); buf.reset()
+      }
+      buf.write("PGCOPY\n".getBytes(UTF_8)) // signature: PGCOPY\n\377\r\n\0
+      buf.write(Array[Byte](0xFF.toByte, '\r'.toByte, '\n'.toByte, 0))
+      buf.write(i32(0)); buf.write(i32(0)) // flags, header-extension length
+      rowImages.foreach { img =>
+        buf.write(img)
+        if (buf.size() > 60000) flushBuf()
+      }
+      buf.write(i16(-1)) // file trailer
+      flushBuf()
+      out.writeByte('c'); out.writeInt(4) // CopyDone
+      out.flush()
+      var done = false
+      var err: String = null
+      while (!done) {
+        val (t, bd) = readMessage()
+        t match {
+          case 'E' => err = errorText(bd)
+          case 'Z' => done = true
+          case _ =>
+        }
+      }
+      if (err != null) throw new RuntimeException(s"postgres error: $err")
+    }
+
     private def sendMsg(tag: Char, body: Array[Byte]): Unit = {
       out.writeByte(tag)
       out.writeInt(4 + body.length)
@@ -481,6 +530,90 @@ object PgWire {
   }
 
   private val PgEpochSec = 946684800L // 2000-01-01T00:00:00Z (PG timestamp epoch)
+
+  /** Encode one Spark row as a PGCOPY binary tuple: int16 field count,
+    * then per field int32 byte length (-1 = NULL) + the field image in
+    * the layout the column's [[sparkToPgType]] DDL type receives — the
+    * exact inverse of [[decodeBinary]]. */
+  private[sources] def encodeBinaryRow(values: Seq[Any],
+                                       types: Array[DataType]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64)
+    val o = new java.io.DataOutputStream(bos)
+    o.writeShort(types.length)
+    var i = 0
+    while (i < types.length) {
+      val v = values(i)
+      if (v == null) o.writeInt(-1)
+      else types(i) match {
+        case BooleanType => o.writeInt(1); o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+        case ByteType => o.writeInt(2); o.writeShort(v.asInstanceOf[Byte].toInt)
+        case ShortType => o.writeInt(2); o.writeShort(v.asInstanceOf[Short].toInt)
+        case IntegerType => o.writeInt(4); o.writeInt(v.asInstanceOf[Int])
+        case LongType => o.writeInt(8); o.writeLong(v.asInstanceOf[Long])
+        case FloatType => o.writeInt(4); o.writeFloat(v.asInstanceOf[Float])
+        case DoubleType => o.writeInt(8); o.writeDouble(v.asInstanceOf[Double])
+        case StringType =>
+          val b = v.toString.getBytes(UTF_8)
+          o.writeInt(b.length); o.write(b)
+        case BinaryType =>
+          val b = v.asInstanceOf[Array[Byte]]
+          o.writeInt(b.length); o.write(b)
+        case DateType =>
+          val ld = v match {
+            case d: java.sql.Date => d.toLocalDate
+            case d: java.time.LocalDate => d
+          }
+          o.writeInt(4); o.writeInt((ld.toEpochDay - 10957L).toInt)
+        case _: TimestampNTZType | TimestampType =>
+          val ldt = v match {
+            case t: java.time.LocalDateTime => t
+            case t: java.sql.Timestamp => t.toLocalDateTime
+            case t: java.time.Instant =>
+              java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+          }
+          val micros = (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - PgEpochSec) *
+            1000000L + ldt.getNano / 1000
+          o.writeInt(8); o.writeLong(micros)
+        case _: DecimalType =>
+          val bd0 = v match {
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+          }
+          val bd = if (bd0.scale < 0) bd0.setScale(0) else bd0
+          val dscale = bd.scale
+          val fracGroups = (dscale + 3) / 4
+          val a = bd.abs.movePointRight(4 * fracGroups).toBigIntegerExact
+          if (a.signum == 0) {
+            o.writeInt(8); o.writeShort(0); o.writeShort(0)
+            o.writeShort(0); o.writeShort(dscale)
+          } else {
+            val tenK = java.math.BigInteger.valueOf(10000L)
+            var rest = a
+            var groups = List.empty[Int]
+            while (rest.signum != 0) {
+              val qr = rest.divideAndRemainder(tenK)
+              groups = qr(1).intValue :: groups
+              rest = qr(0)
+            }
+            var weight = groups.length - 1 - fracGroups
+            // strip leading zero groups (weight tracks the FIRST digit)
+            while (groups.nonEmpty && groups.head == 0) {
+              groups = groups.tail; weight -= 1
+            }
+            val digits = groups.reverse.dropWhile(_ == 0).reverse // trailing zeros
+            o.writeInt(8 + 2 * digits.length)
+            o.writeShort(digits.length); o.writeShort(weight)
+            o.writeShort(if (bd.signum < 0) 0x4000 else 0); o.writeShort(dscale)
+            digits.foreach(o.writeShort)
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported type for binary COPY: $other")
+      }
+      i += 1
+    }
+    o.flush()
+    bos.toByteArray
+  }
 
   /** Decode one binary-format wire value to the Spark-layer object the
     * [[oidToSpark]] type expects (postgresql.org/docs/current/protocol
@@ -757,12 +890,13 @@ object PgWire {
     resetTable(conn, table, df.schema)
     val w = new Wire(conn)
     try {
+      val types = df.schema.fields.map(_.dataType)
       val it = df.toLocalIterator()
-      val lines = new Iterator[String] {
+      val images = new Iterator[Array[Byte]] {
         def hasNext: Boolean = it.hasNext
-        def next(): String = it.next().toSeq.map(copyField).mkString("\t")
+        def next(): Array[Byte] = encodeBinaryRow(it.next().toSeq, types)
       }
-      w.copyIn(s"COPY $table FROM STDIN", lines)
+      w.copyInBinary(s"COPY $table FROM STDIN WITH (FORMAT binary)", images)
     } finally w.close()
   }
 
@@ -785,6 +919,7 @@ object PgWire {
     resetTable(conn, table, df.schema)
     if (!staged) { appendDistributed(df, conn, table); return }
     val cols = ddlColumns(df.schema)
+    val types = df.schema.fields.map(_.dataType)
     val stageName = (p: Int) => s"${table}__stage_$p"
     // materialize ONE RDD and use it for both the partition count and the
     // write: separate df.rdd / df.foreachPartition calls may finalize the
@@ -799,10 +934,10 @@ object PgWire {
       // the whole stage write is one transaction (empty partitions still
       // create their stage so promotion finds every table): a concurrent/
       // retried attempt serializes on the DROP lock and last-writer-wins
-      try w.copyIn(
+      try w.copyInBinary(
         s"BEGIN; DROP TABLE IF EXISTS $stage; CREATE TABLE $stage ($cols); " +
-          s"COPY $stage FROM STDIN; COMMIT",
-        rows.map(_.toSeq.map(copyField).mkString("\t")))
+          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT",
+        rows.map(r => encodeBinaryRow(r.toSeq, types)))
       finally w.close()
     }
     val promote = (0 until nParts).map { p =>
@@ -819,15 +954,17 @@ object PgWire {
     * caller's trigger/checkpoint discipline plus an idempotent target
     * (unique key + ON CONFLICT, or the staged [[writeTableDistributed]]
     * shape keyed by epoch). */
-  def appendDistributed(df: DataFrame, conn: Conn, table: String): Unit =
+  def appendDistributed(df: DataFrame, conn: Conn, table: String): Unit = {
+    val types = df.schema.fields.map(_.dataType)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val w = new Wire(conn)
-        try w.copyIn(s"COPY $table FROM STDIN",
-          rows.map(_.toSeq.map(copyField).mkString("\t")))
+        try w.copyInBinary(s"COPY $table FROM STDIN WITH (FORMAT binary)",
+          rows.map(r => encodeBinaryRow(r.toSeq, types)))
         finally w.close()
       }
     }
+  }
 
   /** CREATE TABLE IF NOT EXISTS — safe to call on an existing append
     * target (never drops data). Use [[resetTable]] to start empty. */

@@ -156,6 +156,32 @@ class PgWireSpec extends SparkSpec {
     assert((3 to 13).forall(back(3).isNullAt))
   }
 
+  test("binary COPY numeric encoding round-trips base-10000 boundaries") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DecimalType(22, 4)),
+      StructField("e", DecimalType(10, 8))))
+    val vals = Seq(
+      (1L, "123456789012345678.9012", "0.00000001"),
+      (2L, "-9999.9999", "-1.00000000"),
+      (3L, "10000.0000", "0.00000000"),
+      (4L, "0.0001", "99.99999999"))
+    val rows = vals.map { case (i, a, b) =>
+      Row(i, new java.math.BigDecimal(a), new java.math.BigDecimal(b)) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    PgWire.writeTable(df, c, "pgwire_numenc")
+    // server-side text rendering proves the received numeric is exact
+    val back = PgWire.query(spark, c,
+      "SELECT id, d::text AS dt, e::text AS et FROM pgwire_numenc ORDER BY id")
+      .collect()
+    vals.zip(back).foreach { case ((_, a, b), r) =>
+      assert(r.getString(1) == a, s"d: ${r.getString(1)} != $a")
+      assert(r.getString(2) == b, s"e: ${r.getString(2)} != $b")
+    }
+  }
+
   test("server-side errors surface with the postgres message") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val e = intercept[RuntimeException] {
