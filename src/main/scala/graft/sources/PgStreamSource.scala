@@ -91,22 +91,109 @@ object PgStreamSource {
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_READ)
     override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder {
-        override def build(): Scan = new Scan {
-          override def readSchema(): StructType = tableSchema
-          override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-            new PgMicroBatchStream(tableSchema, options)
-          // same connector, batch shape: spark.read.format(...) scans the
-          // whole current key span through the identical range partitions
-          // and per-task incremental wire readers
-          override def toBatch: org.apache.spark.sql.connector.read.Batch =
-            new PgBatchScan(tableSchema, options)
+      new PgScanBuilder(tableSchema, options)
+  }
+
+  /** Column pruning + filter pushdown: a projection/filter in the Spark
+    * plan becomes a narrower SELECT list and an extra server-side WHERE —
+    * at scale the server ships only the referenced columns and rows, and
+    * an index on a filtered column turns the slice scan into an index
+    * scan. Pushed filters are ALSO left in the Spark plan (they are
+    * returned as residuals), so a conservative translation can never
+    * change results. */
+  private final class PgScanBuilder(tableSchema: StructType,
+                                    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    import org.apache.spark.sql.sources.Filter
+
+    private var requiredSchema: StructType = tableSchema
+    private var pushed: Array[Filter] = Array.empty
+
+    override def pruneColumns(required: StructType): Unit =
+      requiredSchema = required
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      pushed = filters.filter(f => toPgPredicate(f).isDefined)
+      filters // everything stays a residual: pushdown only pre-filters
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+
+    override def build(): Scan = {
+      val where = pushed.flatMap(toPgPredicate)
+        .map(p => s"($p)").mkString(" AND ")
+      val extra = if (where.isEmpty) None else Some(where)
+      new Scan {
+        override def readSchema(): StructType = requiredSchema
+        override def description(): String = {
+          val cols = requiredSchema.fields.map(_.name).mkString(",")
+          s"pgstream:${options.get("table")} cols=[$cols] " +
+            s"PushedFilters=[${pushed.mkString(", ")}]"
         }
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new PgMicroBatchStream(requiredSchema, options, extra)
+        // same connector, batch shape: spark.read.format(...) scans the
+        // whole current key span through the identical range partitions
+        // and per-task incremental wire readers
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new PgBatchScan(requiredSchema, options, extra)
       }
+    }
+  }
+
+  private def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Conservative Spark-Filter → PostgreSQL predicate translation: plain
+    * column references and bool/number/string/decimal literals only;
+    * anything else (dates, nested fields, exotic ops) returns None and
+    * simply isn't pushed. */
+  private[sources] def toPgPredicate(
+      f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def col(a: String): Option[String] =
+      if (a.contains(".")) None else Some(quoteIdent(a))
+    def lit(v: Any): Option[String] = v match {
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case b: Boolean => Some(if (b) "true" else "false")
+      case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+      case fl: Float => if (fl.isNaN || fl.isInfinite) None else Some(fl.toString)
+      case d: Double => if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: scala.math.BigDecimal => Some(d.bigDecimal.toPlainString)
+      case _ => None
+    }
+    def bin(a: String, op: String, v: Any): Option[String] =
+      for { c <- col(a); l <- lit(v) } yield s"$c $op $l"
+    f match {
+      case EqualTo(a, v) => bin(a, "=", v)
+      case GreaterThan(a, v) => bin(a, ">", v)
+      case GreaterThanOrEqual(a, v) => bin(a, ">=", v)
+      case LessThan(a, v) => bin(a, "<", v)
+      case LessThanOrEqual(a, v) => bin(a, "<=", v)
+      case IsNull(a) => col(a).map(c => s"$c IS NULL")
+      case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+      case In(a, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.map(lit)
+        if (lits.exists(_.isEmpty)) None
+        else col(a).map(c => s"$c IN (${lits.flatten.mkString(", ")})")
+      case StringStartsWith(a, p) =>
+        // escape LIKE metacharacters so the prefix is literal
+        val esc = p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        for { c <- col(a); l <- lit(esc + "%") } yield s"$c LIKE $l"
+      case And(l, r) =>
+        for { a <- toPgPredicate(l); b <- toPgPredicate(r) } yield s"($a AND $b)"
+      case Or(l, r) =>
+        for { a <- toPgPredicate(l); b <- toPgPredicate(r) } yield s"($a OR $b)"
+      case Not(c) => toPgPredicate(c).map(p => s"NOT ($p)")
+      case _ => None
+    }
   }
 
   private final class PgBatchScan(schema: StructType,
-                                  options: CaseInsensitiveStringMap)
+                                  options: CaseInsensitiveStringMap,
+                                  extraWhere: Option[String])
     extends org.apache.spark.sql.connector.read.Batch {
     private val conn = connOf(options)
     private val table = required(options, "table")
@@ -137,11 +224,12 @@ object PgStreamSource {
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new PgReaderFactory(conn, table, schema)
+      new PgReaderFactory(conn, table, schema, extraWhere)
   }
 
   private final class PgMicroBatchStream(schema: StructType,
-                                         options: CaseInsensitiveStringMap)
+                                         options: CaseInsensitiveStringMap,
+                                         extraWhere: Option[String])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
     private val conn = connOf(options)
     private val table = required(options, "table")
@@ -246,7 +334,7 @@ object PgStreamSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PgReaderFactory(conn, table, schema)
+      new PgReaderFactory(conn, table, schema, extraWhere)
 
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
@@ -255,10 +343,17 @@ object PgStreamSource {
   private final case class PgRangePartition(predicate: String) extends InputPartition
 
   private final class PgReaderFactory(conn: PgWire.Conn, table: String,
-                                      schema: StructType)
+                                      schema: StructType,
+                                      extraWhere: Option[String])
     extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val pred = partition.asInstanceOf[PgRangePartition].predicate
+      val range = partition.asInstanceOf[PgRangePartition].predicate
+      val pred = extraWhere.map(w => s"($range) AND $w").getOrElse(range)
+      // pruned projection; an empty required schema (pure count) still
+      // needs one emitted row per match, so select a constant
+      val select =
+        if (schema.isEmpty) "1"
+        else schema.fields.map(f => quoteIdent(f.name)).mkString(", ")
       new PartitionReader[InternalRow] {
         private val wire = new PgWire.Wire(conn)
         private val toCatalyst =
@@ -266,13 +361,16 @@ object PgStreamSource {
         // extended protocol, binary result formats (PgWire.queryStreamBinary):
         // values arrive as Spark-layer objects, O(row) task memory
         private val rows =
-          wire.queryStreamBinary(s"SELECT * FROM $table WHERE $pred")._2
+          wire.queryStreamBinary(s"SELECT $select FROM $table WHERE $pred")._2
         private var current: InternalRow = _
         override def next(): Boolean =
           if (rows.hasNext) {
-            val vals = scala.collection.immutable.ArraySeq.unsafeWrapArray(rows.next())
-            current = toCatalyst(org.apache.spark.sql.Row.fromSeq(vals))
-              .asInstanceOf[InternalRow]
+            val r = rows.next()
+            current =
+              if (schema.isEmpty) InternalRow.empty
+              else toCatalyst(org.apache.spark.sql.Row.fromSeq(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(r)))
+                .asInstanceOf[InternalRow]
             true
           } else false
         override def get(): InternalRow = current

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.PgWire
 
@@ -109,6 +110,42 @@ class PgStreamSourceSpec extends SparkSpec {
     assert(back.count() == 500)
     assert(back.select("id").collect().map(_.getLong(0)).toSet ==
       (0L until 500L).toSet)
+  }
+
+  test("column pruning and filter pushdown reach the server-side scan") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    val df = spark.range(1000).selectExpr(
+      "id", "CAST(id % 7 AS INT) AS grp",
+      "CASE WHEN id = 13 THEN 'O''Brien' WHEN id = 14 THEN '50% off' " +
+        "ELSE 'row' || CAST(id AS STRING) END AS v")
+    PgWire.writeTable(df, c, "pgstream_push")
+    def src = spark.read.format("graft.sources.PgStreamSource")
+      .option("host", c.host).option("port", c.port.toString)
+      .option("db", c.db).option("user", c.user)
+      .option("password", c.password)
+      .option("table", "pgstream_push").option("keycol", "id")
+      .option("numpartitions", "3")
+      .load()
+    // projection + filter: the scan description carries both
+    val q = src.filter(col("grp") === 3 && col("id") < 500).select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    // pruned to the referenced columns (grp stays: the residual Spark
+    // filter re-checks it — pushdown never changes results), v dropped
+    assert(plan.contains("cols=[id,grp]"), s"pruning missing in:\n$plan")
+    assert(plan.contains("EqualTo(grp,3)") && plan.contains("LessThan(id,500)"),
+      s"pushdown missing in:\n$plan")
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0L until 500L).filter(_ % 7 == 3).toSet)
+    // escaping: quotes in literals, LIKE metacharacters in prefixes
+    assert(src.filter(col("v") === "O'Brien").count() == 1)
+    assert(src.filter(col("v").startsWith("50%")).count() == 1)
+    assert(src.filter(col("v").startsWith("row99")).count() == 11) // 99, 990..999
+    // IN + IS NULL + pure count (empty projection)
+    assert(src.filter(col("grp").isin(1, 2)).count() ==
+      (0 until 1000).count(i => i % 7 == 1 || i % 7 == 2))
+    assert(src.filter(col("v").isNotNull).count() == 1000)
+    assert(src.count() == 1000)
   }
 
   test("empty table yields an empty drain, startkey skips history") {
