@@ -15,6 +15,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   * than shipping libpq).
   *
   * Supported: trust, cleartext, MD5 and SCRAM-SHA-256 (RFC 7677) auth;
+  * TLS via SSLRequest upgrade (sslmode require / verify-ca on [[Conn]]);
   * simple query ('Q') with STREAMED text-format results; the EXTENDED
   * protocol (Parse/Bind/Describe/Execute/Sync) with per-column BINARY
   * result formats for table scans; COPY ... FROM STDIN in both text and
@@ -40,8 +41,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object PgWire {
 
+  /** Connection coordinates. `ssl` follows libpq's sslmode vocabulary:
+    * "disable" (plaintext), "require" (TLS, no certificate check — stops
+    * passive eavesdropping), "verify-ca" (TLS, server certificate must
+    * chain to `sslRootCert`). Serializable so executor tasks can open
+    * their own sockets. */
   final case class Conn(host: String, port: Int, db: String, user: String,
-                        password: String = "")
+                        password: String = "", ssl: String = "disable",
+                        sslRootCert: Option[String] = None)
 
   /** One output column as described by the backend: name, pg_type OID,
     * and the type modifier (for numeric: precision/scale; -1 = none). */
@@ -117,9 +124,51 @@ object PgWire {
   // ---------- low-level protocol ----------
 
   private[sources] final class Wire(conn: Conn) extends AutoCloseable {
-    private val sock = new Socket()
-    sock.connect(new InetSocketAddress(conn.host, conn.port), 10000)
-    sock.setTcpNoDelay(true)
+    private val sock: Socket = {
+      val plain = new Socket()
+      plain.connect(new InetSocketAddress(conn.host, conn.port), 10000)
+      plain.setTcpNoDelay(true)
+      if (conn.ssl == "disable") plain
+      else {
+        // SSLRequest (protocol doc 55.2.10): the server answers a single
+        // byte — 'S' means the TLS handshake starts now on this socket
+        val o = new DataOutputStream(plain.getOutputStream)
+        o.writeInt(8); o.writeInt(80877103); o.flush()
+        val resp = plain.getInputStream.read()
+        if (resp != 'S')
+          throw new RuntimeException(
+            s"server refused SSL (sslmode=${conn.ssl}); answered ${resp.toChar}")
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        val tms: Array[javax.net.ssl.TrustManager] = conn.sslRootCert match {
+          case Some(path) => // verify-ca: chain must end at this root
+            val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+            val cert = {
+              val s = new java.io.FileInputStream(path)
+              try cf.generateCertificate(s) finally s.close()
+            }
+            val ks = java.security.KeyStore.getInstance(
+              java.security.KeyStore.getDefaultType)
+            ks.load(null, null)
+            ks.setCertificateEntry("pg-root", cert)
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            tmf.getTrustManagers
+          case None => // "require": encrypt, accept any certificate
+            Array(new javax.net.ssl.X509TrustManager {
+              def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+              def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+              def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+            })
+        }
+        ctx.init(null, tms, new java.security.SecureRandom)
+        val ssl = ctx.getSocketFactory
+          .createSocket(plain, conn.host, conn.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.startHandshake()
+        ssl
+      }
+    }
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
     private val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
 

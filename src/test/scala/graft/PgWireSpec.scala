@@ -182,6 +182,65 @@ class PgWireSpec extends SparkSpec {
     }
   }
 
+  test("TLS: sslmode=require and verify-ca handshake against the live server") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    val dataDir = PgWire.query(spark, c, "SHOW data_directory")
+      .collect()(0).getString(0)
+    val dd = new java.io.File(dataDir)
+    assume(dd.canWrite, s"cannot write $dataDir from this uid")
+    val crt = new java.io.File(dd, "server.crt")
+    val key = new java.io.File(dd, "server.key")
+    if (!crt.exists) {
+      // self-signed server certificate; 0600 key as the server demands
+      val cmd = Array("openssl", "req", "-new", "-x509", "-days", "2",
+        "-nodes", "-subj", "/CN=localhost",
+        "-out", crt.getAbsolutePath, "-keyout", key.getAbsolutePath)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val outTxt = new String(p.getInputStream.readAllBytes)
+      assume(p.waitFor() == 0, s"openssl failed: $outTxt")
+      java.nio.file.Files.setPosixFilePermissions(key.toPath,
+        java.util.Set.of(java.nio.file.attribute.PosixFilePermission.OWNER_READ,
+          java.nio.file.attribute.PosixFilePermission.OWNER_WRITE))
+      // the key must be readable by the SERVER's uid (the data-dir owner),
+      // not by this test's uid
+      val serverOwner = java.nio.file.Files.getOwner(dd.toPath)
+      java.nio.file.Files.setOwner(crt.toPath, serverOwner)
+      java.nio.file.Files.setOwner(key.toPath, serverOwner)
+    }
+    // idempotent: (re)apply in case an earlier attempt reloaded before
+    // the key was readable by the server's uid
+    PgWire.execute(c, "ALTER SYSTEM SET ssl = on")
+    PgWire.execute(c, "SELECT pg_reload_conf()") // ssl is reloadable
+    Thread.sleep(500)
+    // require: encrypted session, no cert check
+    val tls = c.copy(ssl = "require")
+    val row = PgWire.query(spark, tls,
+      "SELECT ssl, version FROM pg_stat_ssl WHERE pid = pg_backend_pid()")
+      .collect()(0)
+    assert(row.getBoolean(0), "session is not SSL")
+    assert(row.getString(1).startsWith("TLS"))
+    // verify-ca: trusting the server's own cert succeeds...
+    val verified = c.copy(ssl = "verify-ca",
+      sslRootCert = Some(crt.getAbsolutePath))
+    assert(PgWire.query(spark, verified, "SELECT 42").collect()(0).getInt(0) == 42)
+    // ...while a root that did NOT sign the server cert is rejected
+    val wrongCrt = java.io.File.createTempFile("wrong", ".crt")
+    val wrongKey = java.io.File.createTempFile("wrong", ".key")
+    val p2 = new ProcessBuilder("openssl", "req", "-new", "-x509", "-days", "2",
+      "-nodes", "-subj", "/CN=evil",
+      "-out", wrongCrt.getAbsolutePath, "-keyout", wrongKey.getAbsolutePath)
+      .redirectErrorStream(true).start()
+    assume(p2.waitFor() == 0)
+    val bad = c.copy(ssl = "verify-ca", sslRootCert = Some(wrongCrt.getAbsolutePath))
+    intercept[Exception] { PgWire.query(spark, bad, "SELECT 1").collect() }
+    // distributed paths carry the TLS coordinates to executor sockets
+    val df = spark.range(300).selectExpr("id", "CAST(id AS STRING) AS v")
+    PgWire.writeTableDistributed(df.repartition(3), tls, "pgwire_tls_rt")
+    val back = PgWire.readRange(spark, tls, "pgwire_tls_rt", "id", numPartitions = 3)
+    assert(back.count() == 300)
+  }
+
   test("server-side errors surface with the postgres message") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val e = intercept[RuntimeException] {
