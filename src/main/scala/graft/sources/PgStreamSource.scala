@@ -166,12 +166,18 @@ object PgStreamSource {
     }
     def bin(a: String, op: String, v: Any): Option[String] =
       for { c <- col(a); l <- lit(v) } yield s"$c $op $l"
+    // ORDERING on strings is collation-dependent (PG en_US sorts 'a' < 'B';
+    // Spark compares binary UTF-8) — the server could exclude rows the
+    // residual Spark filter would keep. Push string ordering never;
+    // equality/IN are safe (deterministic collations tie-break by bytes).
+    def ord(a: String, op: String, v: Any): Option[String] =
+      if (v.isInstanceOf[String]) None else bin(a, op, v)
     f match {
       case EqualTo(a, v) => bin(a, "=", v)
-      case GreaterThan(a, v) => bin(a, ">", v)
-      case GreaterThanOrEqual(a, v) => bin(a, ">=", v)
-      case LessThan(a, v) => bin(a, "<", v)
-      case LessThanOrEqual(a, v) => bin(a, "<=", v)
+      case GreaterThan(a, v) => ord(a, ">", v)
+      case GreaterThanOrEqual(a, v) => ord(a, ">=", v)
+      case LessThan(a, v) => ord(a, "<", v)
+      case LessThanOrEqual(a, v) => ord(a, "<=", v)
       case IsNull(a) => col(a).map(c => s"$c IS NULL")
       case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
       case In(a, vs) if vs.nonEmpty =>
@@ -211,17 +217,12 @@ object PgStreamSource {
           val r = rows.headOption.getOrElse(Array[String](null, null))
           (Option(r(0)).map(_.toLong), Option(r(1)).map(_.toLong))
         } finally w.close()
-      (lo, hi) match {
-        case (Some(a), Some(b)) =>
-          val span = BigInt(b) - BigInt(a) + 1
-          val n = numPartitions.min(span.min(Int.MaxValue).toInt).max(1)
-          (0 until n).map { p =>
-            val x = BigInt(a) - 1 + span * p / n
-            val y = BigInt(a) - 1 + span * (p + 1) / n
-            PgRangePartition(s"$keyCol > $x AND $keyCol <= $y"): InputPartition
-          }.toArray
-        case _ => Array.empty // empty table
-      }
+      // shared slicer: identical NULL-ownership and boundary rules as
+      // PgWire.readRange (partition 0 keeps NULL-key rows; an empty key
+      // span still reads the NULL-only slice)
+      val bounds = for { a <- lo; b <- hi } yield (a, b)
+      PgWire.rangePredicates(keyCol, bounds, numPartitions)
+        .map(p => PgRangePartition(p): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new PgReaderFactory(conn, table, schema, extraWhere)
@@ -247,27 +248,26 @@ object PgStreamSource {
     // pinned target for Trigger.AvailableNow (engine calls prepare first)
     @volatile private var availableNowTarget: Offset = _
 
-    private def serverMax(): Long = {
+    /** One probe round trip: (min(key)-1, max(key)); both Long.MinValue
+      * when the table has no non-NULL keys. */
+    private def serverBounds(): (Long, Long) = {
       val w = new PgWire.Wire(conn)
       try {
         val (_, rows) = w.query(
-          s"SELECT max($keyCol)::bigint FROM $table WHERE $keyCol IS NOT NULL")
-        rows.headOption.flatMap(r => Option(r(0))).map(_.toLong)
-          .getOrElse(Long.MinValue)
+          s"SELECT min($keyCol)::bigint, max($keyCol)::bigint FROM $table " +
+            s"WHERE $keyCol IS NOT NULL")
+        val r = rows.headOption.getOrElse(Array[String](null, null))
+        (Option(r(0)).map(_.toLong - 1).getOrElse(Long.MinValue),
+          Option(r(1)).map(_.toLong).getOrElse(Long.MinValue))
       } finally w.close()
     }
-    private def serverMinMinusOne(): Long = {
-      val w = new PgWire.Wire(conn)
-      try {
-        val (_, rows) = w.query(
-          s"SELECT min($keyCol)::bigint FROM $table WHERE $keyCol IS NOT NULL")
-        rows.headOption.flatMap(r => Option(r(0))).map(_.toLong - 1)
-          .getOrElse(Long.MinValue)
-      } finally w.close()
-    }
+    private def serverMax(): Long = serverBounds()._2
+    private def serverMinMinusOne(): Long = serverBounds()._1
 
-    override def prepareForTriggerAvailableNow(): Unit =
-      availableNowTarget = KeyOffset(math.max(serverMax(), serverMinMinusOne()))
+    override def prepareForTriggerAvailableNow(): Unit = {
+      val (minM1, mx) = serverBounds()
+      availableNowTarget = KeyOffset(math.max(mx, minM1))
+    }
 
     override def initialOffset(): Offset = {
       val start = Option(options.get("startkey")).map(_.toLong)

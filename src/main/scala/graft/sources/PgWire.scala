@@ -378,8 +378,10 @@ object PgWire {
       * NotificationResponse ('A') messages are consumed while waiting for
       * CopyInResponse ('G'); trailing statements execute after CopyDone
       * inside the same implicit/explicit transaction. */
-    def copyIn(sql: String, rows: Iterator[String]): Unit = {
-      sendQuery(sql)
+    /** Consume messages until CopyInResponse ('G'): preceding statements'
+      * CommandComplete and async notices are skipped, anything else is a
+      * protocol error. Shared by the text and binary COPY paths. */
+    private def awaitCopyInResponse(): Unit = {
       var inCopy = false
       while (!inCopy) {
         val (tag, body) = readMessage()
@@ -391,19 +393,11 @@ object PgWire {
           case other => throw new RuntimeException(s"unexpected $other to COPY")
         }
       }
-      val buf = new StringBuilder
-      def flushBuf(): Unit = if (buf.nonEmpty) {
-        val data = buf.toString.getBytes(UTF_8)
-        out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
-        buf.clear()
-      }
-      rows.foreach { r =>
-        buf.append(r).append('\n')
-        if (buf.length > 60000) flushBuf()
-      }
-      flushBuf()
-      out.writeByte('c'); out.writeInt(4) // CopyDone
-      out.flush()
+    }
+
+    /** Drain to ReadyForQuery, surfacing any backend error raised after
+      * CopyDone (constraint violations, trailing-statement failures). */
+    private def drainToReady(): Unit = {
       var done = false
       var err: String = null
       while (!done) {
@@ -417,6 +411,25 @@ object PgWire {
       if (err != null) throw new RuntimeException(s"postgres error: $err")
     }
 
+    def copyIn(sql: String, rows: Iterator[String]): Unit = {
+      sendQuery(sql)
+      awaitCopyInResponse()
+      val buf = new StringBuilder
+      def flushBuf(): Unit = if (buf.nonEmpty) {
+        val data = buf.toString.getBytes(UTF_8)
+        out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+        buf.clear()
+      }
+      rows.foreach { r =>
+        buf.append(r).append('\n')
+        if (buf.length > 60000) flushBuf()
+      }
+      flushBuf()
+      out.writeByte('c'); out.writeInt(4) // CopyDone
+      out.flush()
+      drainToReady()
+    }
+
     /** COPY ... FROM STDIN WITH (FORMAT binary): same CopyInResponse
       * handshake as [[copyIn]], but the payload is the PGCOPY binary
       * stream — 11-byte signature + flags, then per-row field images in
@@ -424,17 +437,7 @@ object PgWire {
       * trailer. No text escaping, no per-cell formatting. */
     def copyInBinary(sql: String, rowImages: Iterator[Array[Byte]]): Unit = {
       sendQuery(sql)
-      var inCopy = false
-      while (!inCopy) {
-        val (tag, body) = readMessage()
-        tag match {
-          case 'G' => inCopy = true
-          case 'E' => throw new RuntimeException(s"postgres error: ${errorText(body)}")
-          case 'C' | 'N' | 'S' | 'A' => // preceding statements / async notices
-          case 'Z' => throw new RuntimeException("statement completed without entering COPY")
-          case other => throw new RuntimeException(s"unexpected $other to COPY")
-        }
-      }
+      awaitCopyInResponse()
       val buf = new java.io.ByteArrayOutputStream(1 << 16)
       def flushBuf(): Unit = if (buf.size() > 0) {
         out.writeByte('d'); out.writeInt(4 + buf.size())
@@ -451,17 +454,7 @@ object PgWire {
       flushBuf()
       out.writeByte('c'); out.writeInt(4) // CopyDone
       out.flush()
-      var done = false
-      var err: String = null
-      while (!done) {
-        val (t, bd) = readMessage()
-        t match {
-          case 'E' => err = errorText(bd)
-          case 'Z' => done = true
-          case _ =>
-        }
-      }
-      if (err != null) throw new RuntimeException(s"postgres error: $err")
+      drainToReady()
     }
 
     private def sendMsg(tag: Char, body: Array[Byte]): Unit = {
@@ -614,9 +607,13 @@ object PgWire {
           }
           o.writeInt(4); o.writeInt((ld.toEpochDay - 10957L).toInt)
         case _: TimestampNTZType | TimestampType =>
+          // instant-carrying values (Timestamp/Instant) normalize to the
+          // UTC wall clock regardless of the JVM zone or the java8API
+          // flag, so the stored value is representation-independent
           val ldt = v match {
             case t: java.time.LocalDateTime => t
-            case t: java.sql.Timestamp => t.toLocalDateTime
+            case t: java.sql.Timestamp =>
+              java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
             case t: java.time.Instant =>
               java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
           }
@@ -914,14 +911,24 @@ object PgWire {
       rows.headOption.filter(r => r(0) != null && r(1) != null)
         .map(r => (r(0).toLong, r(1).toLong))
     } finally probe.close()
+    partitionedScan(spark, conn, table, schema,
+      rangePredicates(keyCol, bounds, numPartitions))
+  }
+
+  /** Contiguous range-slice predicates over closed [lo, hi] with
+    * partition 0 owning NULL keys; `None` bounds (empty table or all-NULL
+    * keys) yield one NULL-only slice. Shared by [[readRange]] and the
+    * DSv2 batch scan so the NULL-ownership and boundary rules cannot
+    * drift apart. */
+  private[sources] def rangePredicates(keyCol: String,
+                                       bounds: Option[(Long, Long)],
+                                       numPartitions: Int): IndexedSeq[String] =
     bounds match {
-      case None => // empty table or all-NULL keys: one slice for the NULLs
-        partitionedScan(spark, conn, table, schema,
-          IndexedSeq(s"$keyCol IS NULL"))
+      case None => IndexedSeq(s"$keyCol IS NULL")
       case Some((lo, hi)) =>
         val span = BigInt(hi) - BigInt(lo) + 1
         val n = numPartitions.min(span.min(Int.MaxValue).toInt).max(1)
-        val preds = (0 until n).map { p =>
+        (0 until n).map { p =>
           val a = BigInt(lo) + span * p / n
           val b = BigInt(lo) + span * (p + 1) / n
           val arm =
@@ -929,9 +936,7 @@ object PgWire {
             else s"$keyCol >= $a AND $keyCol < $b"
           if (p == 0) s"($arm) OR $keyCol IS NULL" else arm
         }
-        partitionedScan(spark, conn, table, schema, preds)
     }
-  }
 
   /** Drop-and-recreate + COPY FROM STDIN bulk load (driver-side single
     * connection; bounded memory via toLocalIterator). */
@@ -975,7 +980,9 @@ object PgWire {
     // (AQE) plan twice with different partition counts, leaving promotion
     // expecting stage tables that were never created
     val rdd = df.rdd
-    val nParts = rdd.getNumPartitions.max(1)
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) return // zero-partition plan: no tasks would run, so
+    // no stage tables exist — the reset target is already the empty result
     rdd.foreachPartition { (rows: Iterator[Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val stage = stageName(pid)

@@ -594,10 +594,18 @@ object SqliteFile {
     val close = createSql.lastIndexOf(')')
     require(open >= 0 && close > open, s"unparseable index DDL: $createSql")
     createSql.substring(open + 1, close).split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
-        // strip a per-column collation/direction suffix (COLLATE x, ASC)
-        .split("\\s+")(0))
+      .map { spec =>
+        val toks = spec.trim.split("\\s+").toSeq
+        val name = toks.head.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+        val mods = toks.tail.map(_.toUpperCase)
+        // DESC / COLLATE change the b-tree key order away from the
+        // binary-ascending order our seeks and range walks assume; such
+        // a column must never satisfy a prefix match, so it keeps its
+        // modifier behind a separator no real column name can contain
+        if (mods.isEmpty || mods == Seq("ASC")) name
+        else name + " " + mods.mkString(" ")
+      }
       .filter(_.nonEmpty)
   }
 

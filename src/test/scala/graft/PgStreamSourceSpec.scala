@@ -146,6 +146,40 @@ class PgStreamSourceSpec extends SparkSpec {
       (0 until 1000).count(i => i % 7 == 1 || i % 7 == 2))
     assert(src.filter(col("v").isNotNull).count() == 1000)
     assert(src.count() == 1000)
+    // string ORDERING is collation-dependent server-side -> never pushed;
+    // the residual Spark filter still computes the right (binary) answer
+    val sq = src.filter(col("v") > "row500")
+    val splan = sq.queryExecution.executedPlan.toString
+    assert(!splan.contains("GreaterThan(v,"), s"string ordering pushed:\n$splan")
+    assert(sq.count() ==
+      (0 until 1000).count(i => i != 13 && i != 14 && s"row$i" > "row500"))
+  }
+
+  test("batch read keeps NULL-key rows (partition 0 owns them)") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgstream_nullk")
+    PgWire.execute(c, "CREATE TABLE pgstream_nullk (id bigint, v text)")
+    PgWire.execute(c, "INSERT INTO pgstream_nullk VALUES " +
+      "(1, 'a'), (NULL, 'null-1'), (2, 'b'), (NULL, 'null-2')")
+    val back = spark.read.format("graft.sources.PgStreamSource")
+      .option("host", c.host).option("port", c.port.toString)
+      .option("db", c.db).option("user", c.user)
+      .option("password", c.password)
+      .option("table", "pgstream_nullk").option("keycol", "id")
+      .option("numpartitions", "3")
+      .load().collect()
+    assert(back.length == 4, s"NULL-key rows dropped: ${back.length}")
+    assert(back.count(_.isNullAt(0)) == 2)
+    // all-NULL keys: the NULL-only slice still reads every row
+    PgWire.execute(c, "DELETE FROM pgstream_nullk WHERE id IS NOT NULL")
+    val onlyNulls = spark.read.format("graft.sources.PgStreamSource")
+      .option("host", c.host).option("port", c.port.toString)
+      .option("db", c.db).option("user", c.user)
+      .option("password", c.password)
+      .option("table", "pgstream_nullk").option("keycol", "id")
+      .load().count()
+    assert(onlyNulls == 2)
   }
 
   test("empty table yields an empty drain, startkey skips history") {

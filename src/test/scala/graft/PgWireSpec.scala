@@ -70,6 +70,17 @@ class PgWireSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSet == (0L until 3000L).toSet)
   }
 
+  test("staged distributed write of an empty/zero-partition frame succeeds") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    PgWire.writeTableDistributed(empty, c, "pgwire_empty_w")
+    assert(PgWire.read(spark, c, "pgwire_empty_w", "id").count() == 0)
+  }
+
   test("partitioned read keeps NULL-key rows; timestamptz normalizes to UTC") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val c = conn.get

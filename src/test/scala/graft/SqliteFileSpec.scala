@@ -339,6 +339,40 @@ class SqliteFileSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("DESC / COLLATE indexes are refused, not silently mis-walked") {
+    val path = tmpDb("ext_desc_idx")
+    val sql = Seq(
+      "CREATE TABLE t(a INTEGER, b INTEGER, c TEXT);",
+      "CREATE INDEX ibd ON t(b DESC);",
+      "CREATE INDEX icn ON t(c COLLATE NOCASE);",
+      "CREATE INDEX iab ON t(a ASC, b DESC);",
+      "WITH RECURSIVE r(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM r WHERE x < 500) " +
+        "INSERT INTO t SELECT x, x % 7, 'v' || (x % 7) FROM r;").mkString(" ")
+    val p = new ProcessBuilder("sqlite3", path, sql).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, out)
+    // a DESC or COLLATE index stores keys in a different order than the
+    // binary-ascending walk assumes — selecting it would return wrong or
+    // empty results, so the lookup must fail loudly instead
+    val e1 = intercept[IllegalArgumentException] {
+      SqliteFile.readIndexed(spark, path, "t", "b", Seq(3L)).collect()
+    }
+    assert(e1.getMessage.contains("no complete index"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqliteFile.readIndexed(spark, path, "t", "c", Seq("v3")).collect()
+    }
+    assert(e2.getMessage.contains("no complete index"))
+    // an explicit ASC leading column is fine; the DESC trailing column
+    // never joins the matched prefix
+    val got = SqliteFile.readIndexed(spark, path, "t", "a", Seq(42L))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(42L % 7))
+    intercept[IllegalArgumentException] {
+      SqliteFile.readIndexedMulti(spark, path, "t", Seq("a", "b"),
+        Seq(Seq(1L, 1L))).collect()
+    }
+  }
+
   test("keyed read of an index REAL SQLite wrote (interop, reverse direction)") {
     val path = tmpDb("ext_indexed")
     val sql = Seq(
