@@ -56,10 +56,12 @@ object PgWire {
 
   // ---------- SCRAM-SHA-256 (RFC 5802 + RFC 7677, public specs) ----------
 
-  /** Pure SCRAM-SHA-256 client computation, separated from the socket so
-    * the RFC 7677 §3 test vectors pin it directly (PgWireSpec). Channel
-    * binding is not offered (gs2 header `n,,` — no TLS on this path),
-    * matching the plain SCRAM-SHA-256 mechanism. */
+  /** Pure SCRAM-SHA-256 / -PLUS client computation, separated from the
+    * socket so the RFC 7677 §3 test vectors pin it directly (PgWireSpec).
+    * On TLS connections where the server offers SCRAM-SHA-256-PLUS, the
+    * client binds the authentication to the channel with the RFC 5929
+    * tls-server-end-point certificate hash (gs2 `p=tls-server-end-point`);
+    * plaintext connections use the plain mechanism (gs2 `n,,`). */
   object Scram {
     import javax.crypto.spec.{PBEKeySpec, SecretKeySpec}
     import javax.crypto.{Mac, SecretKeyFactory}
@@ -92,8 +94,21 @@ object PgWire {
     /** Given the password, our client-first-bare and the server-first
       * message, produce the client-final message and the expected
       * server signature (to verify the `v=` in server-final). */
+    /** RFC 5929 tls-server-end-point: hash of the server certificate,
+      * using the hash of its signature algorithm (SHA-256 for MD5/SHA-1
+      * per §4.1). This is the cbind-data for SCRAM-SHA-256-PLUS. */
+    def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+      val alg = cert.getSigAlgName.toUpperCase
+      val h =
+        if (alg.contains("SHA384")) "SHA-384"
+        else if (alg.contains("SHA512")) "SHA-512"
+        else "SHA-256"
+      java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
+    }
+
     def exchange(password: String, firstBare: String, serverFirst: String,
-                 gs2Header: String = "n,,"): Exchange = {
+                 gs2Header: String = "n,,",
+                 cbindData: Array[Byte] = Array.emptyByteArray): Exchange = {
       val attrs = serverFirst.split(",").map { kv =>
         kv.charAt(0) -> kv.substring(2) }.toMap
       val serverNonce = attrs('r')
@@ -105,7 +120,9 @@ object PgWire {
       val salted = hi(password, salt, iters)
       val clientKey = hmac(salted, "Client Key")
       val storedKey = sha256(clientKey)
-      val withoutProof = s"c=${b64(gs2Header.getBytes(UTF_8))},r=$serverNonce"
+      // channel-binding attribute: base64(gs2-header ++ cbind-data)
+      val withoutProof =
+        s"c=${b64(gs2Header.getBytes(UTF_8) ++ cbindData)},r=$serverNonce"
       val authMessage = s"$firstBare,$serverFirst,$withoutProof"
       val clientSig = hmac(storedKey, authMessage)
       val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
@@ -123,7 +140,10 @@ object PgWire {
 
   // ---------- low-level protocol ----------
 
-  private[sources] final class Wire(conn: Conn) extends AutoCloseable {
+  private[graft] final class Wire(conn: Conn) extends AutoCloseable {
+    /** Which auth mechanism the startup actually negotiated ("none" for
+      * trust) — observable so tests can pin the -PLUS selection. */
+    @volatile private[graft] var authMechanism: String = "none"
     private val sock: Socket = {
       val plain = new Socket()
       plain.connect(new InetSocketAddress(conn.host, conn.port), 10000)
@@ -196,6 +216,16 @@ object PgWire {
       out.write(params)
       out.flush()
       var scramFirstBare: String = null
+      var scramGs2: String = "n,,"
+      var scramCbind: Array[Byte] = Array.emptyByteArray
+      // the server certificate, when this socket is TLS (enables -PLUS)
+      val tlsCert: Option[java.security.cert.X509Certificate] = sock match {
+        case s: javax.net.ssl.SSLSocket =>
+          s.getSession.getPeerCertificates.headOption.collect {
+            case c: java.security.cert.X509Certificate => c
+          }
+        case _ => None
+      }
       var ready = false
       while (!ready) {
         val (tag, body) = readMessage()
@@ -216,18 +246,35 @@ object PgWire {
               case 10 => // AuthenticationSASL: NUL-separated mechanism list
                 val mechs = new String(body, 4, body.length - 4, UTF_8)
                   .split("\u0000").filter(_.nonEmpty).toSeq
-                require(mechs.contains("SCRAM-SHA-256"),
-                  s"server offers only [${mechs.mkString(", ")}]; client supports SCRAM-SHA-256")
+                // over TLS, prefer the channel-bound -PLUS variant: the
+                // proof then covers the server certificate, so a MITM
+                // terminating TLS cannot relay the authentication.
+                // "y,," (instead of "n,,") on the plain mechanism tells
+                // the server we COULD bind — downgrade protection if a
+                // MITM stripped the -PLUS offer.
+                val usePlus =
+                  tlsCert.isDefined && mechs.contains("SCRAM-SHA-256-PLUS")
+                val mechanism =
+                  if (usePlus) "SCRAM-SHA-256-PLUS" else "SCRAM-SHA-256"
+                require(mechs.contains(mechanism),
+                  s"server offers only [${mechs.mkString(", ")}]; " +
+                    "client supports SCRAM-SHA-256[-PLUS]")
+                if (usePlus) {
+                  scramGs2 = "p=tls-server-end-point,,"
+                  scramCbind = Scram.tlsServerEndPoint(tlsCert.get)
+                } else if (tlsCert.isDefined) scramGs2 = "y,,"
+                authMechanism = mechanism
                 scramFirstBare = Scram.clientFirstBare("", Scram.freshNonce())
-                val initial = ("n,," + scramFirstBare).getBytes(UTF_8)
-                val msg = cstr("SCRAM-SHA-256") ++
+                val initial = (scramGs2 + scramFirstBare).getBytes(UTF_8)
+                val msg = cstr(mechanism) ++
                   Array[Byte](
                     (initial.length >> 24).toByte, (initial.length >> 16).toByte,
                     (initial.length >> 8).toByte, initial.length.toByte) ++ initial
                 sendPasswordMessage(msg)
               case 11 => // AuthenticationSASLContinue: server-first-message
                 val serverFirst = new String(body, 4, body.length - 4, UTF_8)
-                val ex = Scram.exchange(conn.password, scramFirstBare, serverFirst)
+                val ex = Scram.exchange(conn.password, scramFirstBare,
+                  serverFirst, scramGs2, scramCbind)
                 scramFirstBare = ex.serverSignature // stash for the final check
                 sendPasswordMessage(ex.clientFinal.getBytes(UTF_8))
               case 12 => // AuthenticationSASLFinal: verify v=<ServerSignature>

@@ -307,6 +307,33 @@ class PgWireSpec extends SparkSpec {
       }
       assert(bad.getMessage.contains("28P01") || // invalid_password
         bad.getMessage.toLowerCase.contains("password"))
+      // plaintext negotiates the plain mechanism...
+      val wPlain = new PgWire.Wire(
+        c.copy(user = "scram_probe", password = "graft-scram-pw"))
+      try assert(wPlain.authMechanism == "SCRAM-SHA-256")
+      finally wPlain.close()
+      // ...and over TLS (server.crt provisioned by the TLS test) the
+      // channel-bound -PLUS variant is selected and authenticates: the
+      // proof covers the RFC 5929 hash of the server certificate
+      val dataDir = PgWire.query(spark, c, "SHOW data_directory")
+        .collect()(0).getString(0)
+      val sslOn = PgWire.query(spark, c, "SHOW ssl").collect()(0).getString(0)
+      if (sslOn == "on") {
+        val wTls = new PgWire.Wire(c.copy(user = "scram_probe",
+          password = "graft-scram-pw", ssl = "require"))
+        try {
+          assert(wTls.authMechanism == "SCRAM-SHA-256-PLUS")
+          val (_, rows) = wTls.query("SELECT 41 + 1")
+          assert(rows.head(0) == "42")
+        } finally wTls.close()
+        // a wrong password fails -PLUS too (the binding does not bypass
+        // the password proof)
+        intercept[RuntimeException] {
+          val w = new PgWire.Wire(c.copy(user = "scram_probe",
+            password = "wrong", ssl = "require"))
+          w.close()
+        }
+      } else info(s"ssl=off in $dataDir; -PLUS leg skipped this run")
     } finally {
       java.nio.file.Files.writeString(hbaFile.toPath, original)
       PgWire.execute(c, "SELECT pg_reload_conf()")
