@@ -249,17 +249,30 @@ object PgStreamSource {
     @volatile private var availableNowTarget: Offset = _
 
     /** One probe round trip: (min(key)-1, max(key)); both Long.MinValue
-      * when the table has no non-NULL keys. */
+      * when the table has no non-NULL keys. Transient connection failures
+      * are retried with backoff — a network blip during a driver-side
+      * offset poll must not kill the whole streaming query (executor
+      * reads already get Spark's task retries). */
     private def serverBounds(): (Long, Long) = {
-      val w = new PgWire.Wire(conn)
-      try {
-        val (_, rows) = w.query(
-          s"SELECT min($keyCol)::bigint, max($keyCol)::bigint FROM $table " +
-            s"WHERE $keyCol IS NOT NULL")
-        val r = rows.headOption.getOrElse(Array[String](null, null))
-        (Option(r(0)).map(_.toLong - 1).getOrElse(Long.MinValue),
-          Option(r(1)).map(_.toLong).getOrElse(Long.MinValue))
-      } finally w.close()
+      var attempt = 0
+      while (true) {
+        try {
+          val w = new PgWire.Wire(conn)
+          try {
+            val (_, rows) = w.query(
+              s"SELECT min($keyCol)::bigint, max($keyCol)::bigint FROM $table " +
+                s"WHERE $keyCol IS NOT NULL")
+            val r = rows.headOption.getOrElse(Array[String](null, null))
+            return (Option(r(0)).map(_.toLong - 1).getOrElse(Long.MinValue),
+              Option(r(1)).map(_.toLong).getOrElse(Long.MinValue))
+          } finally w.close()
+        } catch {
+          case _: java.io.IOException if attempt < 3 =>
+            attempt += 1
+            Thread.sleep(250L << attempt) // 500ms, 1s, 2s
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
     private def serverMax(): Long = serverBounds()._2
     private def serverMinMinusOne(): Long = serverBounds()._1
