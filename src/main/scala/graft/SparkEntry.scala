@@ -3619,8 +3619,10 @@ object SparkEntry {
         pg.resetTable(conn, tbl, ev.schema) // start-empty: re-runs must not append
         val src = s.readStream.schema(ev.schema).parquet(tmp)
         val q = src.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            pg.appendDistributed(batch, conn, tbl)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+            // epoch-ledgered staged promote: a replayed micro-batch is a
+            // no-op, so the sink is exactly-once end-to-end
+            pg.appendDistributedExactlyOnce(batch, conn, tbl, epoch)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

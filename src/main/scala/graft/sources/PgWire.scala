@@ -1069,15 +1069,67 @@ object PgWire {
     }
   }
 
+  /** EXACTLY-ONCE micro-batch append for streaming sinks: partitions
+    * stage through transactional COPY (as [[writeTableDistributed]]),
+    * then ONE promote transaction inserts every stage AND records the
+    * epoch in `<table>__epochs` (primary key). A REPLAYED batch — Spark
+    * re-delivers the same epochId after a failure — is skipped up front
+    * when the ledger already holds the epoch, and if two promotions race,
+    * the ledger's uniqueness makes the loser's whole transaction roll
+    * back. foreachBatch sinks therefore get end-to-end exactly-once on
+    * top of Spark's replayed epochs, not just at-least-once. */
+  def appendDistributedExactlyOnce(df: DataFrame, conn: Conn, table: String,
+                                   epochId: Long): Unit = {
+    val ledger = s"${table}__epochs"
+    execute(conn, s"CREATE TABLE IF NOT EXISTS $ledger (epoch bigint PRIMARY KEY)")
+    val seen = {
+      val w = new Wire(conn)
+      try w.query(s"SELECT 1 FROM $ledger WHERE epoch = $epochId")._2.nonEmpty
+      finally w.close()
+    }
+    if (seen) return // this epoch already landed: replay is a no-op
+    val cols = ddlColumns(df.schema)
+    val types = df.schema.fields.map(_.dataType)
+    val stageName = (p: Int) => s"${table}__astage_${epochId}_$p"
+    val rdd = df.rdd
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) {
+      execute(conn,
+        s"INSERT INTO $ledger VALUES ($epochId) ON CONFLICT DO NOTHING")
+      return
+    }
+    rdd.foreachPartition { (rows: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val stage = stageName(pid)
+      val w = new Wire(conn)
+      try w.copyInBinary(
+        s"BEGIN; DROP TABLE IF EXISTS $stage; CREATE TABLE $stage ($cols); " +
+          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT",
+        rows.map(r => encodeBinaryRow(r.toSeq, types)))
+      finally w.close()
+    }
+    val promote = (0 until nParts).map { p =>
+      s"INSERT INTO $table SELECT * FROM ${stageName(p)}; DROP TABLE ${stageName(p)};"
+    }.mkString(" ")
+    // the plain ledger INSERT (no ON CONFLICT) is the exactly-once gate:
+    // a concurrent/duplicate promotion violates the PK and rolls back
+    // its entire transaction, stages and all
+    execute(conn,
+      s"BEGIN; INSERT INTO $ledger VALUES ($epochId); $promote COMMIT")
+  }
+
   /** CREATE TABLE IF NOT EXISTS — safe to call on an existing append
     * target (never drops data). Use [[resetTable]] to start empty. */
   def createTable(conn: Conn, table: String, schema: StructType): Unit =
     execute(conn, s"""CREATE TABLE IF NOT EXISTS $table (${ddlColumns(schema)})""")
 
   /** DROP IF EXISTS + CREATE: the start-empty DDL for full-table loads.
-    * Destroys existing data by design — append sinks want [[createTable]]. */
+    * Destroys existing data by design — append sinks want [[createTable]].
+    * The exactly-once epoch ledger resets with its table, so a fresh
+    * stream against a reset target starts from a clean slate. */
   def resetTable(conn: Conn, table: String, schema: StructType): Unit = {
     execute(conn, s"""DROP TABLE IF EXISTS $table""")
+    execute(conn, s"""DROP TABLE IF EXISTS ${table}__epochs""")
     execute(conn, s"""CREATE TABLE $table (${ddlColumns(schema)})""")
   }
 

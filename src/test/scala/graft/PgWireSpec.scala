@@ -70,6 +70,38 @@ class PgWireSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSet == (0L until 3000L).toSet)
   }
 
+  test("epoch-ledgered append is exactly-once under batch replay") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    val df = spark.range(400).repartition(3)
+      .selectExpr("id", "CAST(id * 2 AS STRING) AS v")
+    PgWire.resetTable(c, "pgwire_eo", df.schema)
+    PgWire.appendDistributedExactlyOnce(df, c, "pgwire_eo", epochId = 0L)
+    assert(PgWire.read(spark, c, "pgwire_eo", "id").count() == 400)
+    // Spark re-delivers the SAME epoch after a sink failure: must not
+    // duplicate a single row
+    PgWire.appendDistributedExactlyOnce(df, c, "pgwire_eo", epochId = 0L)
+    assert(PgWire.read(spark, c, "pgwire_eo", "id").count() == 400)
+    // the next epoch appends normally
+    val df2 = spark.range(400, 500).repartition(2)
+      .selectExpr("id", "CAST(id * 2 AS STRING) AS v")
+    PgWire.appendDistributedExactlyOnce(df2, c, "pgwire_eo", epochId = 1L)
+    val back = PgWire.read(spark, c, "pgwire_eo", "id")
+    assert(back.count() == 500)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 500L).toSet)
+    // an empty epoch is recorded, so ITS replay is also a no-op
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], df.schema)
+    PgWire.appendDistributedExactlyOnce(empty, c, "pgwire_eo", epochId = 2L)
+    PgWire.appendDistributedExactlyOnce(empty, c, "pgwire_eo", epochId = 2L)
+    assert(PgWire.read(spark, c, "pgwire_eo", "id").count() == 500)
+    // resetTable clears the ledger with the table: epoch 0 lands again
+    PgWire.resetTable(c, "pgwire_eo", df.schema)
+    PgWire.appendDistributedExactlyOnce(df, c, "pgwire_eo", epochId = 0L)
+    assert(PgWire.read(spark, c, "pgwire_eo", "id").count() == 400)
+  }
+
   test("staged distributed write of an empty/zero-partition frame succeeds") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val c = conn.get
