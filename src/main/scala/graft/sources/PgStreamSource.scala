@@ -9,10 +9,13 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Structured Streaming SOURCE over live PostgreSQL via the pure-JVM
-  * [[PgWire]] protocol client — the polling-ingest shape every warehouse
-  * pipeline runs ("stream the rows that arrived since the last batch"),
-  * with no JDBC jar and no driver-side row buffering.
+/** Full DataSource V2 connector over live PostgreSQL via the pure-JVM
+  * [[PgWire]] protocol client — streaming SOURCE (the polling-ingest
+  * shape every warehouse pipeline runs: "stream the rows that arrived
+  * since the last batch"), batch READ, and native batch/streaming WRITE
+  * through the V2 commit protocol (per-task transactional COPY stages,
+  * atomic driver-side promote, epoch-ledgered streaming commits) — with
+  * no JDBC jar and no driver-side row buffering.
   *
   * DataSource V2 micro-batch contract:
   *   - OFFSET = the high-water mark of a MONOTONIC integral key column
@@ -50,6 +53,10 @@ class PgStreamSource extends TableProvider {
     PgWire.fetchSchema(PgStreamSource.connOf(options),
       PgStreamSource.required(options, "table"))
 
+  // writes carry the dataframe's schema (the target table may not exist
+  // yet — the write creates it); reads without a user schema still infer
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new PgStreamSource.PgTable(schema,
@@ -84,14 +91,179 @@ object PgStreamSource {
 
   private final class PgTable(tableSchema: StructType,
                               options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
     override def name(): String = s"pgstream:${options.get("table")}"
     override def schema(): StructType = tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_READ)
+        TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
       new PgScanBuilder(tableSchema, options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+      new PgWriteBuilder(info.schema(), options)
+  }
+
+  // ---------- DataSource V2 WRITE: the V2 commit protocol mapped onto
+  // staged transactional COPY — each task stages into its own table
+  // inside one server transaction (a failed/aborted task's stage simply
+  // rolls back), the driver's job commit promotes every stage into the
+  // target in ONE transaction (atomic all-or-nothing; truncate-mode
+  // deletes inside the same transaction, so overwrite is atomic too),
+  // and streaming epochs gate through the <table>__epochs ledger for
+  // exactly-once under replay ----------
+
+  private final case class PgStageCommit(stage: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private final class PgWriteBuilder(schema: StructType,
+                                     options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    private var truncateFirst = false
+    override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+      truncateFirst = true; this
+    }
+    override def build(): org.apache.spark.sql.connector.write.Write =
+      new org.apache.spark.sql.connector.write.Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new PgBatchWrite(schema, options, truncateFirst)
+        override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new PgStreamingWrite(schema, options, truncateFirst)
+      }
+  }
+
+  private def promoteStages(conn: PgWire.Conn, table: String,
+                            stages: Seq[String], truncateFirst: Boolean,
+                            epoch: Option[Long]): Unit = {
+    val led = epoch.map(e =>
+      s"INSERT INTO ${table}__epochs VALUES ($e); ").getOrElse("")
+    val del = if (truncateFirst) s"DELETE FROM $table; " else ""
+    val ins = stages.map(s =>
+      s"INSERT INTO $table SELECT * FROM $s; DROP TABLE $s;").mkString(" ")
+    PgWire.execute(conn, s"BEGIN; $led$del$ins COMMIT")
+  }
+
+  private def dropStages(conn: PgWire.Conn, stages: Seq[String]): Unit =
+    stages.foreach(s =>
+      try PgWire.execute(conn, s"DROP TABLE IF EXISTS $s")
+      catch { case _: Throwable => })
+
+  private def stagesOf(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+    : Seq[String] =
+    messages.toSeq.collect { case PgStageCommit(s) => s }
+
+  private final class PgBatchWrite(schema: StructType,
+                                   options: CaseInsensitiveStringMap,
+                                   truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+    private val conn = connOf(options)
+    private val table = required(options, "table")
+    private val nonce =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    PgWire.createTable(conn, table, schema) // ensure target (never drops)
+
+    override def createBatchWriterFactory(
+        info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+      new PgDataWriterFactory(conn, table, schema, nonce)
+    override def commit(
+        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+      promoteStages(conn, table, stagesOf(messages), truncateFirst, None)
+    override def abort(
+        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+      dropStages(conn, stagesOf(messages))
+  }
+
+  private final class PgStreamingWrite(schema: StructType,
+                                       options: CaseInsensitiveStringMap,
+                                       truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    private val conn = connOf(options)
+    private val table = required(options, "table")
+    private val nonce =
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    PgWire.createTable(conn, table, schema)
+    PgWire.execute(conn,
+      s"CREATE TABLE IF NOT EXISTS ${table}__epochs (epoch bigint PRIMARY KEY)")
+
+    private def epochSeen(e: Long): Boolean = {
+      val w = new PgWire.Wire(conn)
+      try w.query(s"SELECT 1 FROM ${table}__epochs WHERE epoch = $e")._2.nonEmpty
+      finally w.close()
+    }
+    override def createStreamingWriterFactory(
+        info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      new PgDataWriterFactory(conn, table, schema, nonce)
+    override def commit(epochId: Long,
+        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+      val stages = stagesOf(messages)
+      if (epochSeen(epochId)) { dropStages(conn, stages); return } // replay
+      try promoteStages(conn, table, stages, truncateFirst = false,
+        epoch = Some(epochId))
+      catch {
+        // lost a promote race: the ledger PK rolled this transaction
+        // back whole — the epoch's rows landed exactly once elsewhere
+        case e: RuntimeException
+            if e.getMessage != null && e.getMessage.contains("23505") =>
+          dropStages(conn, stages)
+      }
+    }
+    override def abort(epochId: Long,
+        messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+      dropStages(conn, stagesOf(messages))
+  }
+
+  private final class PgDataWriterFactory(conn: PgWire.Conn, table: String,
+                                          schema: StructType, nonce: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      new PgDataWriter(conn, table, schema,
+        s"${table}__v2_${nonce}_${partitionId}_$taskId")
+    override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      new PgDataWriter(conn, table, schema,
+        s"${table}__v2_${nonce}_e${epochId}_${partitionId}_$taskId")
+  }
+
+  /** One task's writer: stage-table CREATE + binary COPY inside a single
+    * server transaction. `commit` finishes the COPY (committing the
+    * stage) and reports the stage name; `abort` drops the socket, which
+    * rolls the open transaction — and the stage with it — back, so a
+    * failed or speculative task attempt leaves nothing behind. */
+  private final class PgDataWriter(conn: PgWire.Conn, table: String,
+                                   schema: StructType, stage: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+    private val types = schema.fields.map(_.dataType)
+    private val toScala =
+      CatalystTypeConverters.createToScalaConverter(schema)
+    private lazy val wire = {
+      val w = new PgWire.Wire(conn)
+      w.copyBeginBinary(
+        s"BEGIN; DROP TABLE IF EXISTS $stage; " +
+          s"CREATE TABLE $stage (${PgWire.ddlColumns(schema)}); " +
+          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT")
+      w
+    }
+    override def write(r: InternalRow): Unit =
+      wire.copyPut(PgWire.encodeBinaryRow(
+        toScala(r).asInstanceOf[org.apache.spark.sql.Row].toSeq, types))
+    override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      wire.copyFinishBinary() // empty partitions still create their stage
+      wire.close()
+      PgStageCommit(stage)
+    }
+    override def abort(): Unit =
+      try wire.close() catch { case _: Throwable => }
+    override def close(): Unit = ()
   }
 
   /** Column pruning + filter pushdown: a projection/filter in the Spark

@@ -483,22 +483,41 @@ object PgWire {
       * the same per-type layouts [[decodeBinary]] reads, then the -1
       * trailer. No text escaping, no per-cell formatting. */
     def copyInBinary(sql: String, rowImages: Iterator[Array[Byte]]): Unit = {
+      copyBeginBinary(sql)
+      rowImages.foreach(copyPut)
+      copyFinishBinary()
+    }
+
+    // incremental binary-COPY channel (push shape, for DataWriter-style
+    // callers that receive rows one at a time): begin -> put* -> finish
+    private val copyBuf = new java.io.ByteArrayOutputStream(1 << 16)
+    private def flushCopyBuf(): Unit = if (copyBuf.size() > 0) {
+      out.writeByte('d'); out.writeInt(4 + copyBuf.size())
+      copyBuf.writeTo(out); copyBuf.reset()
+    }
+
+    /** Enter binary COPY: runs `sql` (which may carry leading statements)
+      * to CopyInResponse and writes the PGCOPY header. */
+    def copyBeginBinary(sql: String): Unit = {
       sendQuery(sql)
       awaitCopyInResponse()
-      val buf = new java.io.ByteArrayOutputStream(1 << 16)
-      def flushBuf(): Unit = if (buf.size() > 0) {
-        out.writeByte('d'); out.writeInt(4 + buf.size())
-        buf.writeTo(out); buf.reset()
-      }
-      buf.write("PGCOPY\n".getBytes(UTF_8)) // signature: PGCOPY\n\377\r\n\0
-      buf.write(Array[Byte](0xFF.toByte, '\r'.toByte, '\n'.toByte, 0))
-      buf.write(i32(0)); buf.write(i32(0)) // flags, header-extension length
-      rowImages.foreach { img =>
-        buf.write(img)
-        if (buf.size() > 60000) flushBuf()
-      }
-      buf.write(i16(-1)) // file trailer
-      flushBuf()
+      copyBuf.reset()
+      copyBuf.write("PGCOPY\n".getBytes(UTF_8)) // signature: PGCOPY\n\377\r\n\0
+      copyBuf.write(Array[Byte](0xFF.toByte, '\r'.toByte, '\n'.toByte, 0))
+      copyBuf.write(i32(0)); copyBuf.write(i32(0)) // flags, header-ext length
+    }
+
+    /** Append one row image (from [[encodeBinaryRow]]) to the COPY. */
+    def copyPut(img: Array[Byte]): Unit = {
+      copyBuf.write(img)
+      if (copyBuf.size() > 60000) flushCopyBuf()
+    }
+
+    /** Trailer + CopyDone, then drain: trailing statements in the begin
+      * SQL (e.g. COMMIT) execute now; their errors surface here. */
+    def copyFinishBinary(): Unit = {
+      copyBuf.write(i16(-1)) // file trailer
+      flushCopyBuf()
       out.writeByte('c'); out.writeInt(4) // CopyDone
       out.flush()
       drainToReady()
@@ -847,7 +866,7 @@ object PgWire {
     case other => other.toString
   }
 
-  private def ddlColumns(schema: StructType): String =
+  private[sources] def ddlColumns(schema: StructType): String =
     schema.fields
       .map(f => s""""${f.name}" ${sparkToPgType(f.dataType)}""").mkString(", ")
 

@@ -182,6 +182,69 @@ class PgStreamSourceSpec extends SparkSpec {
     assert(onlyNulls == 2)
   }
 
+  test("native DSv2 batch write: append twice, then atomic overwrite") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgstream_w")
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgstream_w__epochs")
+    def writer(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft.sources.PgStreamSource")
+        .option("host", c.host).option("port", c.port.toString)
+        .option("db", c.db).option("user", c.user)
+        .option("password", c.password).option("table", "pgstream_w")
+    val df = spark.range(300).repartition(3)
+      .selectExpr("id", "CAST(id AS STRING) AS v")
+    writer(df).mode("append").save() // creates the target, stages, promotes
+    assert(PgWire.read(spark, c, "pgstream_w", "id").count() == 300)
+    writer(df).mode("append").save()
+    assert(PgWire.read(spark, c, "pgstream_w", "id").count() == 600)
+    // overwrite = truncate + insert in ONE transaction (atomic flip)
+    val df2 = spark.range(50).selectExpr("id", "CAST(id AS STRING) AS v")
+    writer(df2).mode("overwrite").save()
+    val back = PgWire.read(spark, c, "pgstream_w", "id")
+    assert(back.count() == 50)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 50L).toSet)
+    // no stage tables left behind
+    val leftovers = PgWire.query(spark, c,
+      "SELECT count(*) FROM pg_tables WHERE tablename LIKE 'pgstream_w__v2_%'")
+      .collect()(0).getLong(0)
+    assert(leftovers == 0L, s"$leftovers stage tables leaked")
+  }
+
+  test("native DSv2 streaming write lands micro-batches through the ledger") {
+    assume(conn.isDefined, "PostgreSQL unavailable in this environment")
+    val c = conn.get
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgstream_sw")
+    PgWire.execute(c, "DROP TABLE IF EXISTS pgstream_sw__epochs")
+    val ev = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS v")
+    val tmp = java.nio.file.Files.createTempDirectory("pgstream_sw_in").toString
+    ev.coalesce(2).write.mode("overwrite").parquet(tmp)
+    val ckpt = java.nio.file.Files.createTempDirectory("pgstream_sw_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(tmp)
+        .writeStream.format("graft.sources.PgStreamSource")
+        .option("host", c.host).option("port", c.port.toString)
+        .option("db", c.db).option("user", c.user)
+        .option("password", c.password).option("table", "pgstream_sw")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(PgWire.read(spark, c, "pgstream_sw", "id").count() == 200)
+    // a second run from the same checkpoint re-reads nothing: still 200
+    drain()
+    val back = PgWire.read(spark, c, "pgstream_sw", "id")
+    assert(back.count() == 200)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 200L).toSet)
+    // the epoch ledger recorded the committed batch
+    val epochs = PgWire.query(spark, c,
+      "SELECT count(*) FROM pgstream_sw__epochs").collect()(0).getLong(0)
+    assert(epochs >= 1L)
+  }
+
   test("empty table yields an empty drain, startkey skips history") {
     assume(conn.isDefined, "PostgreSQL unavailable in this environment")
     val c = conn.get
