@@ -75,7 +75,9 @@ object PgStreamSource {
     PgWire.Conn(
       required(o, "host"), required(o, "port").toInt,
       required(o, "db"), required(o, "user"),
-      Option(o.get("password")).getOrElse(""))
+      Option(o.get("password")).getOrElse(""),
+      ssl = Option(o.get("ssl")).getOrElse("disable"),
+      sslRootCert = Option(o.get("sslrootcert")))
 
   /** The stream offset: high-water mark of the monotonic key. */
   final case class KeyOffset(max: Long) extends Offset {
@@ -104,7 +106,9 @@ object PgStreamSource {
     override def newWriteBuilder(
         info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-      new PgWriteBuilder(info.schema(), options)
+      // queryId: stable across restarts FROM THE SAME CHECKPOINT, fresh
+      // otherwise — exactly the run identity the epoch ledger needs
+      new PgWriteBuilder(info.schema(), options, info.queryId())
   }
 
   // ---------- DataSource V2 WRITE: the V2 commit protocol mapped onto
@@ -120,7 +124,8 @@ object PgStreamSource {
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
   private final class PgWriteBuilder(schema: StructType,
-                                     options: CaseInsensitiveStringMap)
+                                     options: CaseInsensitiveStringMap,
+                                     queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
     private var truncateFirst = false
@@ -133,15 +138,16 @@ object PgStreamSource {
           new PgBatchWrite(schema, options, truncateFirst)
         override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new PgStreamingWrite(schema, options, truncateFirst)
+          new PgStreamingWrite(schema, options, truncateFirst, queryId)
       }
   }
 
   private def promoteStages(conn: PgWire.Conn, table: String,
                             stages: Seq[String], truncateFirst: Boolean,
-                            epoch: Option[Long]): Unit = {
-    val led = epoch.map(e =>
-      s"INSERT INTO ${table}__epochs VALUES ($e); ").getOrElse("")
+                            run: Option[(String, Long)]): Unit = {
+    val led = run.map { case (r, e) =>
+      s"INSERT INTO ${table}__epochs VALUES (${PgWire.sqlStringLit(r)}, $e); "
+    }.getOrElse("")
     val del = if (truncateFirst) s"DELETE FROM $table; " else ""
     val ins = stages.map(s =>
       s"INSERT INTO $table SELECT * FROM $s; DROP TABLE $s;").mkString(" ")
@@ -175,6 +181,10 @@ object PgStreamSource {
     override def commit(
         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
       promoteStages(conn, table, stagesOf(messages), truncateFirst, None)
+    // NOTE: if the driver dies between task commits and this job commit,
+    // the committed stage tables of the dead run are orphaned (a fresh
+    // run uses a fresh nonce and never references them); sweep
+    // <table>__v2_% when reclaiming space after a crashed job
     override def abort(
         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
       dropStages(conn, stagesOf(messages))
@@ -182,21 +192,16 @@ object PgStreamSource {
 
   private final class PgStreamingWrite(schema: StructType,
                                        options: CaseInsensitiveStringMap,
-                                       truncateFirst: Boolean)
+                                       truncateFirst: Boolean,
+                                       queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
     private val conn = connOf(options)
     private val table = required(options, "table")
     private val nonce =
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     PgWire.createTable(conn, table, schema)
-    PgWire.execute(conn,
-      s"CREATE TABLE IF NOT EXISTS ${table}__epochs (epoch bigint PRIMARY KEY)")
+    PgWire.ensureLedger(conn, table) // keyed (run, epoch): see ensureLedger
 
-    private def epochSeen(e: Long): Boolean = {
-      val w = new PgWire.Wire(conn)
-      try w.query(s"SELECT 1 FROM ${table}__epochs WHERE epoch = $e")._2.nonEmpty
-      finally w.close()
-    }
     override def createStreamingWriterFactory(
         info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
@@ -204,14 +209,22 @@ object PgStreamSource {
     override def commit(epochId: Long,
         messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
       val stages = stagesOf(messages)
-      if (epochSeen(epochId)) { dropStages(conn, stages); return } // replay
-      try promoteStages(conn, table, stages, truncateFirst = false,
-        epoch = Some(epochId))
+      if (PgWire.epochSeen(conn, table, queryId, epochId)) {
+        dropStages(conn, stages); return // replay from this run: no-op
+      }
+      // truncateFirst flows through: Complete output mode replaces the
+      // table contents atomically each epoch instead of accumulating
+      try promoteStages(conn, table, stages, truncateFirst,
+        run = Some((queryId, epochId)))
       catch {
-        // lost a promote race: the ledger PK rolled this transaction
-        // back whole — the epoch's rows landed exactly once elsewhere
+        // lost a promote race ON THE LEDGER: the (run, epoch) PK rolled
+        // this transaction back whole — the epoch landed exactly once
+        // elsewhere. A unique-violation from the TARGET's own
+        // constraints is NOT swallowed: it propagates and fails the
+        // batch loudly.
         case e: RuntimeException
-            if e.getMessage != null && e.getMessage.contains("23505") =>
+            if e.getMessage != null && e.getMessage.contains("23505") &&
+              e.getMessage.contains("__epochs") =>
           dropStages(conn, stages)
       }
     }
@@ -227,11 +240,11 @@ object PgStreamSource {
     override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
       new PgDataWriter(conn, table, schema,
-        s"${table}__v2_${nonce}_${partitionId}_$taskId")
+        PgWire.stageIdent(s"${table}__v2_${nonce}_${partitionId}_$taskId"))
     override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
       new PgDataWriter(conn, table, schema,
-        s"${table}__v2_${nonce}_e${epochId}_${partitionId}_$taskId")
+        PgWire.stageIdent(s"${table}__v2_${nonce}_e${epochId}_${partitionId}_$taskId"))
   }
 
   /** One task's writer: stage-table CREATE + binary COPY inside a single
@@ -247,10 +260,7 @@ object PgStreamSource {
       CatalystTypeConverters.createToScalaConverter(schema)
     private lazy val wire = {
       val w = new PgWire.Wire(conn)
-      w.copyBeginBinary(
-        s"BEGIN; DROP TABLE IF EXISTS $stage; " +
-          s"CREATE TABLE $stage (${PgWire.ddlColumns(schema)}); " +
-          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT")
+      w.copyBeginBinary(PgWire.stageCopySql(stage, PgWire.ddlColumns(schema)))
       w
     }
     override def write(r: InternalRow): Unit =
@@ -442,6 +452,15 @@ object PgStreamSource {
           case _: java.io.IOException if attempt < 3 =>
             attempt += 1
             Thread.sleep(250L << attempt) // 500ms, 1s, 2s
+          case e: RuntimeException if attempt < 3 && {
+              // server-sent transients: starting up / shutting down
+              // (57P03), too many connections (53300), connection
+              // failure (08006) — the same blip class as an IOException
+              val m = Option(e.getMessage).getOrElse("")
+              m.contains("57P03") || m.contains("53300") || m.contains("08006")
+            } =>
+            attempt += 1
+            Thread.sleep(250L << attempt)
         }
       }
       throw new IllegalStateException("unreachable")

@@ -102,7 +102,17 @@ object PgWire {
       val h =
         if (alg.contains("SHA384")) "SHA-384"
         else if (alg.contains("SHA512")) "SHA-512"
-        else "SHA-256"
+        else if (alg.contains("RSASSA-PSS")) {
+          // PSS hides its hash in the signature parameters
+          try {
+            val ap = java.security.AlgorithmParameters.getInstance("RSASSA-PSS")
+            ap.init(cert.getSigAlgParams)
+            val d = ap.getParameterSpec(
+              classOf[java.security.spec.PSSParameterSpec]).getDigestAlgorithm
+            val n = d.toUpperCase.replace("SHA", "SHA-").replace("--", "-")
+            if (n == "SHA-1") "SHA-256" else n // MD5/SHA-1 -> SHA-256 (RFC 5929 §4.1)
+          } catch { case _: Throwable => "SHA-256" }
+        } else "SHA-256"
       java.security.MessageDigest.getInstance(h).digest(cert.getEncoded)
     }
 
@@ -1040,7 +1050,7 @@ object PgWire {
     if (!staged) { appendDistributed(df, conn, table); return }
     val cols = ddlColumns(df.schema)
     val types = df.schema.fields.map(_.dataType)
-    val stageName = (p: Int) => s"${table}__stage_$p"
+    val stageName = (p: Int) => stageIdent(s"${table}__stage_$p")
     // materialize ONE RDD and use it for both the partition count and the
     // write: separate df.rdd / df.foreachPartition calls may finalize the
     // (AQE) plan twice with different partition counts, leaving promotion
@@ -1056,9 +1066,7 @@ object PgWire {
       // the whole stage write is one transaction (empty partitions still
       // create their stage so promotion finds every table): a concurrent/
       // retried attempt serializes on the DROP lock and last-writer-wins
-      try w.copyInBinary(
-        s"BEGIN; DROP TABLE IF EXISTS $stage; CREATE TABLE $stage ($cols); " +
-          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT",
+      try w.copyInBinary(stageCopySql(stage, cols),
         rows.map(r => encodeBinaryRow(r.toSeq, types)))
       finally w.close()
     }
@@ -1096,34 +1104,32 @@ object PgWire {
     * when the ledger already holds the epoch, and if two promotions race,
     * the ledger's uniqueness makes the loser's whole transaction roll
     * back. foreachBatch sinks therefore get end-to-end exactly-once on
-    * top of Spark's replayed epochs, not just at-least-once. */
+    * top of Spark's replayed epochs, not just at-least-once.
+    *
+    * `runId` disambiguates epoch numbering across query runs (Spark
+    * epoch ids restart at 0 with a fresh checkpoint): pass something
+    * stable per checkpoint — the streaming query id or the checkpoint
+    * path — whenever more than one run can append to the same table. */
   def appendDistributedExactlyOnce(df: DataFrame, conn: Conn, table: String,
-                                   epochId: Long): Unit = {
-    val ledger = s"${table}__epochs"
-    execute(conn, s"CREATE TABLE IF NOT EXISTS $ledger (epoch bigint PRIMARY KEY)")
-    val seen = {
-      val w = new Wire(conn)
-      try w.query(s"SELECT 1 FROM $ledger WHERE epoch = $epochId")._2.nonEmpty
-      finally w.close()
-    }
-    if (seen) return // this epoch already landed: replay is a no-op
+                                   epochId: Long,
+                                   runId: String = "default"): Unit = {
+    ensureLedger(conn, table)
+    if (epochSeen(conn, table, runId, epochId)) return // replay: no-op
     val cols = ddlColumns(df.schema)
     val types = df.schema.fields.map(_.dataType)
-    val stageName = (p: Int) => s"${table}__astage_${epochId}_$p"
+    val stageName = (p: Int) =>
+      stageIdent(s"${table}__astage_${sanitizeRun(runId)}_${epochId}_$p")
     val rdd = df.rdd
     val nParts = rdd.getNumPartitions
     if (nParts == 0) {
-      execute(conn,
-        s"INSERT INTO $ledger VALUES ($epochId) ON CONFLICT DO NOTHING")
+      execute(conn, s"INSERT INTO ${table}__epochs VALUES " +
+        s"(${sqlStringLit(runId)}, $epochId) ON CONFLICT DO NOTHING")
       return
     }
     rdd.foreachPartition { (rows: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val stage = stageName(pid)
       val w = new Wire(conn)
       try w.copyInBinary(
-        s"BEGIN; DROP TABLE IF EXISTS $stage; CREATE TABLE $stage ($cols); " +
-          s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT",
+        stageCopySql(stageName(org.apache.spark.TaskContext.getPartitionId()), cols),
         rows.map(r => encodeBinaryRow(r.toSeq, types)))
       finally w.close()
     }
@@ -1131,11 +1137,49 @@ object PgWire {
       s"INSERT INTO $table SELECT * FROM ${stageName(p)}; DROP TABLE ${stageName(p)};"
     }.mkString(" ")
     // the plain ledger INSERT (no ON CONFLICT) is the exactly-once gate:
-    // a concurrent/duplicate promotion violates the PK and rolls back
-    // its entire transaction, stages and all
-    execute(conn,
-      s"BEGIN; INSERT INTO $ledger VALUES ($epochId); $promote COMMIT")
+    // a concurrent/duplicate promotion violates the (run, epoch) PK and
+    // rolls back its entire transaction, stages and all
+    execute(conn, s"BEGIN; INSERT INTO ${table}__epochs VALUES " +
+      s"(${sqlStringLit(runId)}, $epochId); $promote COMMIT")
   }
+
+  /** The exactly-once ledger is keyed by (run, epoch): Spark epoch ids
+    * are only unique WITHIN one query run from one checkpoint, so a
+    * restarted stream with a fresh checkpoint (or a second query on the
+    * same table) must carry a different run identity or its first
+    * batches would be misread as replays. */
+  private[sources] def ensureLedger(conn: Conn, table: String): Unit =
+    execute(conn, s"CREATE TABLE IF NOT EXISTS ${table}__epochs " +
+      "(run text, epoch bigint, PRIMARY KEY (run, epoch))")
+
+  private[sources] def epochSeen(conn: Conn, table: String,
+                                 runId: String, epochId: Long): Boolean = {
+    val w = new Wire(conn)
+    try w.query(s"SELECT 1 FROM ${table}__epochs WHERE " +
+      s"run = ${sqlStringLit(runId)} AND epoch = $epochId")._2.nonEmpty
+    finally w.close()
+  }
+
+  private[sources] def sqlStringLit(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+  private def sanitizeRun(s: String): String =
+    s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** The one staging transaction every distributed writer uses: stage
+    * table lives and dies with its transaction, so an aborted task
+    * leaves nothing behind. */
+  private[sources] def stageCopySql(stage: String, cols: String): String =
+    s"BEGIN; DROP TABLE IF EXISTS $stage; CREATE TABLE $stage ($cols); " +
+      s"COPY $stage FROM STDIN WITH (FORMAT binary); COMMIT"
+
+  /** Identifier-length guard: PostgreSQL silently TRUNCATES identifiers
+    * to 63 bytes, which would collapse different partitions' stage
+    * tables into one name (concurrent tasks then clobber each other's
+    * stages). Long names collapse to a hash-derived short form instead. */
+  private[sources] def stageIdent(raw: String): String =
+    if (raw.getBytes(UTF_8).length <= 63) raw
+    else "g__" + java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes(UTF_8)).map(b => f"${b & 0xFF}%02x").mkString
 
   /** CREATE TABLE IF NOT EXISTS — safe to call on an existing append
     * target (never drops data). Use [[resetTable]] to start empty. */

@@ -243,6 +243,19 @@ class PgStreamSourceSpec extends SparkSpec {
     val epochs = PgWire.query(spark, c,
       "SELECT count(*) FROM pgstream_sw__epochs").collect()(0).getLong(0)
     assert(epochs >= 1L)
+    // a NEW run (fresh checkpoint -> fresh queryId, epoch ids restart
+    // at 0) must APPEND its re-read, not be misread as a replay of the
+    // first run's epoch 0 — the ledger is keyed (run, epoch)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("pgstream_sw_ck2").toString
+    val q2 = spark.readStream.schema(ev.schema).parquet(tmp)
+      .writeStream.format("graft.sources.PgStreamSource")
+      .option("host", c.host).option("port", c.port.toString)
+      .option("db", c.db).option("user", c.user)
+      .option("password", c.password).option("table", "pgstream_sw")
+      .option("checkpointLocation", ckpt2).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(PgWire.read(spark, c, "pgstream_sw", "id").count() == 400)
   }
 
   test("empty table yields an empty drain, startkey skips history") {
