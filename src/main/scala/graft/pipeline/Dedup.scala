@@ -465,7 +465,26 @@ object Dedup {
     * When `sideCol` is set, CANDIDATES are restricted to cross-side pairs
     * before dedup and verify — the screen must not pay set-intersections
     * for same-side pairs it will discard — and the output carries
-    * `__sd1`/`__sd2` so the caller can orient pairs without re-joining. */
+    * `__sd1`/`__sd2` so the caller can orient pairs without re-joining.
+    *
+    * Token-id representation (r14, guide §2.3/§1.2): documents are
+    * re-encoded onto BIJECTIVE long token ids assigned in the canonical
+    * (document-frequency asc, token asc) order — `monotonically_increasing_id`
+    * over the range-sorted vocabulary is strictly increasing with the sort
+    * order (the id's high bits are the partition index and range partitions
+    * are themselves ordered), so `sort_array` over a document's ids IS the
+    * rare-first canonical order, prefixes are the same token sets as the
+    * string formulation, and candidate equi-join keys are 8-byte longs
+    * instead of token strings. The verify stage intersects two
+    * ascending-sorted long arrays with the
+    * [[graft.functions.SortedLongIntersectCount]] merge kernel — EXACT
+    * (ids are bijective: same cardinalities as string intersection, no
+    * hashing anywhere), O(|a|+|b|) with zero allocation, replacing
+    * `size(array_intersect)`'s per-pair hash set over strings. Which
+    * PHYSICAL id a token gets may vary run to run (range boundaries,
+    * AQE); only its ORDER and IDENTITY matter, and both are preserved
+    * per evaluation — the vocab map is persisted alongside the document
+    * table so every plan branch reads the same assignment. */
   private def prefixJaccardCore(df: DataFrame, textCol: String, idCol: String,
                                 threshold: Double, materialize: Boolean,
                                 sideCol: Option[String]): DataFrame = {
@@ -477,13 +496,15 @@ object Dedup {
       .filter(size(col("__t")) > 0)
     val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
     val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    // canonical rare-first order per document: array_sort over
-    // (df, token) structs sorts field-by-field, so ties on frequency
-    // break deterministically on the token itself
-    val ordered = exploded.join(freq, "__tok")
+    // bijective long token ids in the canonical rare-first order (ties on
+    // frequency break deterministically on the token itself); persisted so
+    // all four downstream plan branches read ONE id assignment
+    val vocabPlan = freq.sort(col("__df"), col("__tok"))
+      .select(col("__tok"), monotonically_increasing_id().as("__tid"))
+    val vocab = if (materialize) vocabPlan.persist() else vocabPlan
+    val ordered = exploded.join(vocab, "__tok")
       .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
-        s => s.getField("__tok")).as("__ord"))
+      .agg(sort_array(collect_list(col("__tid"))).as("__ord"))
     val sizedPlan = ordered
       .withColumn("__n", size(col("__ord")))
       .withColumn("__p",
@@ -502,27 +523,55 @@ object Dedup {
         sized0.join(toks.select(col("id"), col("__sd")), "id")
     }
     val prefCols = Seq(col("id"), col("__n"),
-      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok")) ++
+      posexplode(slice(col("__ord"), lit(1), col("__p"))).as(Seq("__pos", "__tok"))) ++
       sideCol.map(_ => col("__sd"))
     val pref = sized.select(prefCols: _*)
     val lenOk =
       col("__n2").cast("double") >= lit(threshold) * col("__n1") - lit(1e-9) &&
       col("__n1").cast("double") >= lit(threshold) * col("__n2") - lit(1e-9)
-    val aCols = Seq(col("id").as("id1"), col("__n").as("__n1"), col("__tok")) ++
+    // PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2): a qualifying
+    // pair has overlap o ≥ t/(1+t)·(n1+n2); at its EARLIEST common token
+    // (canonical order, 0-based positions i1/i2) every common token sits
+    // at position ≥ i1 in s1 and ≥ i2 in s2, so o ≤ 1 + min(n1-1-i1,
+    // n2-1-i2). The earliest common token of a true pair is always inside
+    // BOTH prefixes (it precedes whichever shared token the prefix lemma
+    // guarantees), so filtering EVERY collision row by the bound keeps at
+    // least that row per true pair — exact, and it halves the candidate
+    // volume entering the pair dedup. The −1e-9 slack can only ADMIT a
+    // boundary candidate, never lose one.
+    val posOk = (lit(1) + least(col("__n1") - lit(1) - col("__pos1"),
+        col("__n2") - lit(1) - col("__pos2"))).cast("double") >=
+      lit(threshold / (1.0 + threshold)) *
+        (col("__n1") + col("__n2")).cast("double") - lit(1e-9)
+    val aCols = Seq(col("id").as("id1"), col("__n").as("__n1"),
+      col("__pos").as("__pos1"), col("__tok")) ++
       sideCol.map(_ => col("__sd").as("__sd1"))
-    val bCols = Seq(col("id").as("id2"), col("__n").as("__n2"), col("__tok")) ++
+    val bCols = Seq(col("id").as("id2"), col("__n").as("__n2"),
+      col("__pos").as("__pos2"), col("__tok")) ++
       sideCol.map(_ => col("__sd").as("__sd2"))
     val crossOnly = sideCol.map(_ => col("__sd1") =!= col("__sd2"))
       .getOrElse(lit(true))
     val candCols = Seq("id1", "id2") ++ sideCol.map(_ => "__sd1").toSeq ++
       sideCol.map(_ => "__sd2").toSeq
-    val cand = pref.select(aCols: _*)
+    // the collision join EXPLODES (its output is the candidate-collision
+    // volume, orders of magnitude above its input): repartitioning the
+    // probe side by id first spreads that explosion over the executors —
+    // without it, AQE sees only the tiny INPUT byte size, coalesces the
+    // exchange, and the whole explosion runs in a handful of tasks (on a
+    // small-vocabulary corpus: essentially serial). Partition count =
+    // defaultParallelism, scale-adaptive, never a constant.
+    val fanout = df.sparkSession.sparkContext.defaultParallelism
+    val cand = pref.select(aCols: _*).repartition(fanout, col("id1"))
       .join(pref.select(bCols: _*), Seq("__tok"))
-      .filter(col("id1") < col("id2") && lenOk && crossOnly)
+      .filter(col("id1") < col("id2") && lenOk && posOk && crossOnly)
       .select(candCols.head, candCols.tail: _*)
       .dropDuplicates("id1", "id2")
     val sets = sized0.select(col("id"), col("__ord"))
-    val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
+    val inter = {
+      import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+      C(graft.functions.SortedLongIntersectCount(
+        E(col("__s1")), E(col("__s2")))).cast("double")
+    }
     val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
     val outCols = Seq(col("id1"), col("id2"), col("jaccard")) ++
       sideCol.map(_ => col("__sd1")).toSeq ++ sideCol.map(_ => col("__sd2")).toSeq
@@ -535,7 +584,7 @@ object Dedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sized0.unpersist()
+      sized0.unpersist(); vocab.unpersist()
       out
     }
   }
@@ -591,25 +640,45 @@ object Dedup {
       .filter(size(col("__t")) > 0)
     val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
     val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val ordered = exploded.join(freq, "__tok")
+    // bijective long token ids in canonical rare-first order — same
+    // representation (and exactness argument) as [[prefixJaccardCore]]
+    val vocabPlan = freq.sort(col("__df"), col("__tok"))
+      .select(col("__tok"), monotonically_increasing_id().as("__tid"))
+    val vocab = if (materialize) vocabPlan.persist() else vocabPlan
+    val ordered = exploded.join(vocab, "__tok")
       .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("__df"), col("__tok")))),
-        s => s.getField("__tok")).as("__ord"))
+      .agg(sort_array(collect_list(col("__tid"))).as("__ord"))
     val sizedPlan = ordered
       .withColumn("__n", size(col("__ord")))
       .withColumn("__p",
         col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int") + 1)
     val sized = if (materialize) sizedPlan.persist() else sizedPlan
-    val prefA = sized.select(col("id").as("id_a"),
-      explode(slice(col("__ord"), lit(1), col("__p"))).as("__tok"))
-    val fullB = sized.select(col("id").as("id_b"),
-      explode(col("__ord")).as("__tok"))
-    val cand = prefA.join(fullB, Seq("__tok"))
-      .filter(col("id_a") =!= col("id_b"))
+    // positional filter, containment form: C ≥ t ⟹ o ≥ t·|A|, and at the
+    // pair's earliest common token (0-based positions iA/iB) the overlap
+    // is ≤ 1 + min(nA-1-iA, nB-1-iB) — the earliest common token is
+    // always inside A's prefix (it precedes the shared token the prefix
+    // lemma guarantees) and trivially inside B's full list, so the
+    // per-row filter keeps at least that row for every true pair. The
+    // explosion-spreading repartition mirrors [[prefixJaccardCore]].
+    val prefA = sized.select(col("id").as("id_a"), size(col("__ord")).as("__na"),
+      posexplode(slice(col("__ord"), lit(1), col("__p"))).as(Seq("__pa", "__tok")))
+    val fullB = sized.select(col("id").as("id_b"), size(col("__ord")).as("__nb"),
+      posexplode(col("__ord")).as(Seq("__pb", "__tok")))
+    val posOk = (lit(1) + least(col("__na") - lit(1) - col("__pa"),
+        col("__nb") - lit(1) - col("__pb"))).cast("double") >=
+      lit(threshold) * col("__na").cast("double") - lit(1e-9)
+    val fanout = df.sparkSession.sparkContext.defaultParallelism
+    val cand = prefA.repartition(fanout, col("id_a"))
+      .join(fullB, Seq("__tok"))
+      .filter(col("id_a") =!= col("id_b") && posOk)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val sets = sized.select(col("id"), col("__ord"))
-    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+    val inter = {
+      import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+      C(graft.functions.SortedLongIntersectCount(
+        E(col("__sa")), E(col("__sb")))).cast("double")
+    }
     val result = cand
       .join(sets.select(col("id").as("id_a"), col("__ord").as("__sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("__ord").as("__sb")), "id_b")
@@ -619,7 +688,7 @@ object Dedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sized.unpersist()
+      sized.unpersist(); vocab.unpersist()
       out
     }
   }
@@ -1178,7 +1247,19 @@ object Dedup {
     * substring keys per row WORST case (clamps shrink it) — linear in
     * rows, never quadratic; candidates deduplicate per pair before the
     * verify, and the verify is Spark's THRESHOLDED levenshtein kernel
-    * (O(d·min(m,n)), early-abandon), evaluated once per candidate pair. */
+    * (O(d·min(m,n)), early-abandon), evaluated once per candidate pair.
+    *
+    * Shuffle diet (r14, guide §2.3): the exploded block rows carry an
+    * 8-byte `xxhash64(t, i, segment)` block key plus (id, len) — never
+    * the key STRINGS, which would otherwise be replicated across every
+    * one of the up-to-(2d+1)·(d+1)·(2d+1) probe rows and both candidate
+    * shuffles. A 64-bit block-key collision can only ADD a candidate
+    * pair, never lose one (the blocking lemma guarantees every true pair
+    * still collides on a REAL shared segment), and every candidate is
+    * verified by the exact thresholded levenshtein — so the output set is
+    * provably identical to the string-keyed formulation. Key strings are
+    * re-attached AFTER per-pair dedup, by joining the (id -> key) table
+    * twice, so each string crosses the wire once per SURVIVING pair. */
   def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
                  maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
@@ -1190,14 +1271,15 @@ object Dedup {
       floor(t / k).cast("int") + when(i < t % k, 1).otherwise(0)
     def segStart(t: Column, i: Column): Column = // 0-based
       (i * floor(t / k).cast("int") + least(i, t % k)).cast("int")
-    // partitioned side: own-length segments, one block key per segment
-    val parts = keyed.filter(col("len") >= k).select(col("id"), col("k"), col("len"),
+    // partitioned side: own-length segments, one 8-byte block-key hash per
+    // segment (never the strings — see "shuffle diet" above)
+    val parts = keyed.filter(col("len") >= k).select(col("id"), col("len"),
         explode(transform(sequence(lit(0), lit(d)), i =>
           struct(col("len").as("t"), i.as("i"),
             col("k").substr(segStart(col("len"), i) + 1,
               segLen(col("len"), i)).as("s")))).as("blk"))
-      .select(col("id").as("pid"), col("k").as("pk"), col("len").as("plen"),
-        col("blk.t"), col("blk.i"), col("blk.s"))
+      .select(col("id").as("pid"), col("len").as("plen"),
+        xxhash64(col("blk.t"), col("blk.i"), col("blk.s")).as("__bh"))
     // probe side: for every candidate partitioned length t >= own length
     // (role: partitioned side is the longer string) with t <= len + d,
     // every substring matching segment i of a length-t partition at
@@ -1207,7 +1289,7 @@ object Dedup {
     // len=0 would make the outer sequence descend (k > 0+d); an empty
     // key's qualifying partners are all shorter than k, so its pairs are
     // covered by the tiny bucket — exclude it from the probe side
-    val probes = keyed.filter(col("len") >= 1).select(col("id"), col("k"), col("len"),
+    val probes = keyed.filter(col("len") >= 1).select(col("id"), col("len"),
         explode(flatten(flatten(transform(
           sequence(greatest(col("len"), lit(k)), col("len") + d), t =>
             transform(sequence(lit(0), lit(d)), i => {
@@ -1218,17 +1300,19 @@ object Dedup {
                 struct(t.as("t"), i.as("i"), col("k").substr(p + 1, sl).as("s"))))
                 .otherwise(array().cast("array<struct<t:int,i:int,s:string>>"))
             }))))).as("blk"))
-      .select(col("id").as("qid"), col("k").as("qk"), col("len").as("qlen"),
-        col("blk.t"), col("blk.i"), col("blk.s"))
+      .select(col("id").as("qid"), col("len").as("qlen"),
+        xxhash64(col("blk.t"), col("blk.i"), col("blk.s")).as("__bh"))
     // longer-string-partitions role (ties: lower id) kills the mirror
     val role = col("plen") > col("qlen") ||
       (col("plen") === col("qlen") && col("pid") < col("qid"))
-    val candidates = parts.join(probes, Seq("t", "i", "s"))
+    val candPairs = parts.join(probes, Seq("__bh"))
       .filter(role)
       .select(least(col("pid"), col("qid")).as("id1"),
-        greatest(col("pid"), col("qid")).as("id2"),
-        col("pk").as("k1"), col("qk").as("k2"))
+        greatest(col("pid"), col("qid")).as("id2"))
       .dropDuplicates("id1", "id2")
+    val candidates = candPairs
+      .join(keyed.select(col("id").as("id1"), col("k").as("k1")), "id1")
+      .join(keyed.select(col("id").as("id2"), col("k").as("k2")), "id2")
     val dist = levenshtein(col("k1"), col("k2"), d)
     val big = candidates.filter(dist >= 0)
       .select(col("id1"), col("id2"), dist.as("dist"))

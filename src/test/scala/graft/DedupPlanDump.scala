@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Interior-plan dump for the prefix-filtered similarity joins: the
+  * catalog queries eagerly localCheckpoint their pair result (the
+  * materialize discipline), so `PlanDump` shows only a checkpoint scan.
+  * This tool rebuilds the same inputs and prints the UNMATERIALIZED
+  * (materialize=false) plan — the shape the checkpoint actually executes —
+  * which is what plans/r14 *_before/_after evidence refers to. */
+object DedupPlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    def show(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"===== $name")
+      println(df.queryExecution.explainString(FormattedMode))
+    }
+
+    show("ppjoin_interior") {
+      val d = docs.filter(col("doc_id") % 7 === 0)
+      val near = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra trailing words appended")).as("text"))
+      graft.pipeline.Dedup.prefixJaccardJoin(
+        d.select(col("doc_id"), col("text")).unionByName(near),
+        "text", "doc_id", 0.6, materialize = false)
+    }
+    show("containment_interior") {
+      graft.pipeline.Dedup.containmentJoin(docs, "text", "doc_id", 0.8,
+        materialize = false)
+    }
+    show("fuzzy") {
+      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 48).as("k"))
+      graft.pipeline.Dedup.fuzzyPairs(keyed, "k", "doc_id", maxDist = 4)
+    }
+    spark.stop()
+  }
+}
