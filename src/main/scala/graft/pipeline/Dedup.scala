@@ -991,13 +991,19 @@ object Dedup {
       // multiply rows (mins2 is unique per u), and small-star's final
       // distinct restores set semantics — so skipping it saves one full
       // shuffle of the edge set per round
+      // SHUFFLE_HASH hints (r14, guide §3.1): the per-round inputs are
+      // checkpoint scans with no size statistics — never auto-broadcast,
+      // and sort-merge would re-sort the edge-sized side every round; the
+      // per-node min tables are the classic hash build side. Join results
+      // and the min aggregates are set/order-exact, so labels are
+      // bit-identical.
       val large = und.filter(col("v") > col("u"))
-        .join(mins, "u")
+        .join(mins.hint("SHUFFLE_HASH"), "u")
         .select(col("v").as("u"), col("m").as("v"))
       // small-star: all edges now point large->small; every node folds its
       // smaller neighbors (and itself) onto their minimum
       val mins2 = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(mins2, "u")
+      val small = large.join(mins2.hint("SHUFFLE_HASH"), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mins2.select(col("u"), col("m").as("v")))
@@ -1013,7 +1019,8 @@ object Dedup {
     // fixpoint: e is a star forest (child -> componentMin); roots and
     // isolated nodes label themselves
     val out = cut(nodes
-      .join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .join(e.select(col("u").as("id"), col("v").as("cluster")).hint("SHUFFLE_HASH"),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
     e.unpersist()
     out

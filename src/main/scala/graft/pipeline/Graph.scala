@@ -77,14 +77,24 @@ object Graph {
       val n = nodes.count()
       require(n > 0, "cannot rank an empty graph")
       var pr = nodes.withColumn("__pr", lit(1.0 / n))
+      // SHUFFLE_HASH hints (r14, guide §3.1): every per-round join input
+      // here is a localCheckpoint scan, which carries NO size statistics —
+      // the planner can never auto-broadcast and falls back to sort-merge,
+      // re-SORTING the edge table (the big side) every round. Hinting the
+      // node-sized build side picks the shuffled-hash join: same result
+      // set (and the DECIMAL contribution sum is aggregation-order-exact),
+      // no per-round sort of the edges. Scale-safe: the build side is one
+      // partition's slice of the node-rank table, the standard SHJ shape.
       for (_ <- 1 to iters) {
-        val withDeg = pr.join(deg, pr("__n") === deg("__src"), "left")
+        val withDeg = pr.join(deg.hint("SHUFFLE_HASH"),
+            pr("__n") === deg("__src"), "left")
           .select(col("__n"), col("__pr"), col("__deg"))
         // dangling mass: exact decimal sum -> ONE broadcast row riding the
         // same job as the rank projection (no separate driver action)
         val dang = withDeg.filter(col("__deg").isNull)
           .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__dang"))
-        val quant = e.join(withDeg.filter(col("__deg").isNotNull),
+        val quant = e.join(
+            withDeg.filter(col("__deg").isNotNull).hint("SHUFFLE_HASH"),
             col("__src") === col("__n"))
           .select(col("__dst"), col("__src"),
             (col("__pr") / col("__deg").cast("double"))
@@ -98,7 +108,8 @@ object Graph {
               .agg(sum(col("__c")).as("__part"))
               .groupBy("__dst").agg(sum(col("__part")).as("__in"))
         val base = (1.0 - damping) / n.toDouble
-        val next = nodes.join(contrib, nodes("__n") === contrib("__dst"), "left")
+        val next = nodes.join(contrib.hint("SHUFFLE_HASH"),
+            nodes("__n") === contrib("__dst"), "left")
           .crossJoin(broadcast(dang))
           .select(col("__n"),
             (lit(base) +
@@ -157,12 +168,16 @@ object Graph {
         .localCheckpoint(true)
       try {
         var pr = tele.select(col("__n"), col("__t").as("__pr"))
+        // SHUFFLE_HASH hints: same rationale as [[pageRank]] — checkpoint
+        // scans have no stats, SMJ would re-sort the edge table per round
         for (_ <- 1 to iters) {
-          val withDeg = pr.join(deg, pr("__n") === deg("__src"), "left")
+          val withDeg = pr.join(deg.hint("SHUFFLE_HASH"),
+              pr("__n") === deg("__src"), "left")
             .select(col("__n"), col("__pr"), col("__deg"))
           val dang = withDeg.filter(col("__deg").isNull)
             .agg(sum(col("__pr").cast(DecimalType(30, 15))).as("__dang"))
-          val quant = e.join(withDeg.filter(col("__deg").isNotNull),
+          val quant = e.join(
+              withDeg.filter(col("__deg").isNotNull).hint("SHUFFLE_HASH"),
               col("__src") === col("__n"))
             .select(col("__dst"), col("__src"),
               (col("__pr") / col("__deg").cast("double"))
@@ -175,7 +190,8 @@ object Graph {
                 .groupBy(col("__dst"), pmod(xxhash64(col("__src")), lit(dstSalt)))
                 .agg(sum(col("__c")).as("__part"))
                 .groupBy("__dst").agg(sum(col("__part")).as("__in"))
-          val next = tele.join(contrib, tele("__n") === contrib("__dst"), "left")
+          val next = tele.join(contrib.hint("SHUFFLE_HASH"),
+              tele("__n") === contrib("__dst"), "left")
             .crossJoin(broadcast(dang))
             .select(col("__n"),
               (lit(1.0 - damping) * col("__t") +
@@ -231,8 +247,9 @@ object Graph {
         .select(col("__n"), col("__seed"),
           coalesce(col("__seed"), lit(prior)).as("__s"))
         .localCheckpoint(true)
+      // SHUFFLE_HASH hints: same rationale as [[pageRank]]
       for (_ <- 1 to iters) {
-        val quant = e.join(sc, col("__src") === col("__n"))
+        val quant = e.join(sc.hint("SHUFFLE_HASH"), col("__src") === col("__n"))
           .select(col("__dst"), col("__src"),
             col("__s").cast(DecimalType(30, 15)).as("__c"))
         val in =
@@ -245,7 +262,7 @@ object Graph {
               .agg(sum(col("__c")).as("__ps"), count(lit(1)).as("__pc"))
               .groupBy("__dst")
               .agg(sum(col("__ps")).as("__sum"), sum(col("__pc")).as("__cnt"))
-        val next = sc.join(in, sc("__n") === in("__dst"), "left")
+        val next = sc.join(in.hint("SHUFFLE_HASH"), sc("__n") === in("__dst"), "left")
           .select(col("__n"), col("__seed"),
             when(col("__seed").isNotNull, col("__seed"))
               .when(col("__cnt").isNotNull,
@@ -297,9 +314,12 @@ object Graph {
         .agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select("__n")
+      // SHUFFLE_HASH: checkpointed e has no stats (never broadcasts) and
+      // SMJ would sort the edge table twice per round; the node-sized
+      // keep set is the classic hash build side
       val next = e
-        .join(keep.select(col("__n").as("__s")), "__s")
-        .join(keep.select(col("__n").as("__t")), "__t")
+        .join(keep.select(col("__n").as("__s")).hint("SHUFFLE_HASH"), "__s")
+        .join(keep.select(col("__n").as("__t")).hint("SHUFFLE_HASH"), "__t")
         .select("__s", "__t")
         .localCheckpoint(true)
       e.unpersist()
