@@ -112,7 +112,16 @@ object Preference {
         lit(nBuckets))
     val cands = df.select(col(idCol).as("neg_id"))
       .withColumn("__bk", bucket(col("neg_id")))
+    // the bucket join EXPLODES (|anchors| × corpus/buckets rows from a
+    // tiny input) and its join key has only `nBuckets` distinct values:
+    // left unspread, AQE coalesces the anchor side's exchange on INPUT
+    // bytes and the explosion runs in a handful of tasks. Repartitioning
+    // the anchor side by anchor_id first spreads it evenly
+    // (defaultParallelism: scale-adaptive, not a constant) — same move as
+    // Dedup.prefixJaccardCore's collision join (r14, guide §2.5).
+    val fanout = df.sparkSession.sparkContext.defaultParallelism
     val probes = best.withColumn("__bk", bucket(col("anchor_id")))
+      .repartition(fanout, col("anchor_id"))
       .join(cands, "__bk")
       .filter(col("neg_id") =!= col("anchor_id") &&
         col("neg_id") =!= col("pos_id"))
