@@ -3704,7 +3704,12 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val hist = docs.warpFilter(col("doc_id") < 250)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // materialize the ledger once (r14): the streaming screen references
+      // it in TWO plan branches (band probe + shingle verify) and each
+      // MICRO-BATCH would otherwise re-run its 16-md5-per-shingle
+      // signature pass — a static batch side should be computed once
       val ledger = graft.pipeline.Dedup.minhashLedgerMd5(hist, "text", "doc_id")
+        .localCheckpoint(true)
       val fresh = docs
         .warpFilter(col("doc_id") >= 250 && col("doc_id") < 500)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -120,26 +120,36 @@ object Dedup {
     * never all-pairs, history never re-shingled. */
   private def ledgerProbe(batch: DataFrame, ledger: DataFrame,
                           jaccardThreshold: Double, maxBucket: Int): DataFrame = {
+    // materialize discipline (r14, guide §1.2): BOTH ledgers feed TWO plan
+    // branches each (band probe + shingle-set verify), and a ledger built
+    // inline (minhashLedgerMd5: 16 md5 calls per shingle) would otherwise
+    // re-run its signature pass once per branch. Persist both, checkpoint
+    // the small pair result eagerly, release the corpus-sized caches.
+    val batchP = batch.persist()
+    val ledgerP = ledger.persist()
     def explodeBands(d: DataFrame, out: String) =
       d.select(col("id").as(out), posexplode(col("bhs")))
         .select(col(out), col("pos").as("band"), col("col").as("bh"))
-    val hist = explodeBands(ledger, "hist_id")
+    val hist = explodeBands(ledgerP, "hist_id")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("hist_id")))
       .filter(col("rn") <= maxBucket)
       .drop("rn")
-    val cands = explodeBands(batch, "new_id")
+    val cands = explodeBands(batchP, "new_id")
       .join(hist, Seq("band", "bh"))
       .select("new_id", "hist_id").dropDuplicates("new_id", "hist_id")
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val uni = (size(col("sh1")) + size(col("sh2"))).cast("double") - inter
-    cands
-      .join(batch.select(col("id").as("new_id"), col("shh").as("sh1")), "new_id")
-      .join(ledger.select(col("id").as("hist_id"), col("shh").as("sh2")), "hist_id")
+    val result = cands
+      .join(batchP.select(col("id").as("new_id"), col("shh").as("sh1")), "new_id")
+      .join(ledgerP.select(col("id").as("hist_id"), col("shh").as("sh2")), "hist_id")
       .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("new_id", "hist_id", "jaccard")
+    val out = result.localCheckpoint(true)
+    batchP.unpersist(); ledgerP.unpersist()
+    out
   }
 
   /** ENGINE-REPLAYABLE MinHash LSH near-dup pairs — the md5 tier of
@@ -166,11 +176,15 @@ object Dedup {
         conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
           .cast("long"))).as(s"__sig$i")
     }
+    // materialize discipline (r14): withSig feeds THREE plan branches
+    // (both band-join sides + the shingle-set verify) and its signature
+    // pass costs numHashes md5 calls per shingle — cache it once.
     val withSig = df
       .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), shingleSize)).as("__set"))
       .filter(size(col("__set")) > 0)
       .select(col("id") +: col("__set") +: sigCols: _*)
+      .persist()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(j => col(s"__sig${b * r + j}")): _*)
@@ -187,12 +201,15 @@ object Dedup {
       .dropDuplicates("id1", "id2")
     val inter = size(array_intersect(col("__s1"), col("__s2"))).cast("double")
     val uni = (size(col("__s1")) + size(col("__s2"))).cast("double") - inter
-    pairs
+    val result = pairs
       .join(sets.select(col("id").as("id1"), col("__set").as("__s1")), "id1")
       .join(sets.select(col("id").as("id2"), col("__set").as("__s2")), "id2")
       .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+    val out = result.localCheckpoint(true)
+    withSig.unpersist()
+    out
   }
 
   /** ENGINE-REPLAYABLE near-dup LEDGER — the md5 tier of
@@ -1355,7 +1372,12 @@ object Dedup {
     // reject rather than return an incomplete pair set
     require(maxHamming >= 0 && maxHamming <= 3,
       s"16-bit-quarter blocking is complete only for maxHamming <= 3, got $maxHamming")
-    val blocked = sigd.select(col("id"), col("sig"),
+    // materialize discipline (r14): the signature table feeds BOTH sides
+    // of the quarter-block self-join — computed signatures (md5-tier
+    // aggregations, image dhashes, ...) would otherwise run twice.
+    // Checkpoint the small pair result eagerly, release the cache.
+    val sigP = sigd.persist()
+    val blocked = sigP.select(col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),
           shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("qh"))
@@ -1363,10 +1385,13 @@ object Dedup {
       .select(col("id"), col("sig"), col("blk.q"), col("blk.qh"))
     val l = blocked.select(col("q"), col("qh"), col("id").as("id1"), col("sig").as("sig1"))
     val r = blocked.select(col("q"), col("qh"), col("id").as("id2"), col("sig").as("sig2"))
-    l.join(r, Seq("q", "qh")).filter(col("id1") < col("id2"))
+    val result = l.join(r, Seq("q", "qh")).filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxHamming)
+    val out = result.localCheckpoint(true)
+    sigP.unpersist()
+    out
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
