@@ -2350,10 +2350,13 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // distinct on the INTEGER key pair, node strings built after (r14,
+      // guide §2.3): the dedup shuffle carries two longs per row instead
+      // of two strings, and concat runs once per distinct pair
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.pipeline.Graph.pageRank(edges, "src", "dst", iters = 3)
         .withColumn("pagerank", round(col("pagerank"), 9))
@@ -2367,10 +2370,13 @@ object SparkEntry {
     "q_ppr" -> ((s, dir) => {
       val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // distinct on the INTEGER key pair, node strings built after (r14,
+      // guide §2.3): the dedup shuffle carries two longs per row instead
+      // of two strings, and concat runs once per distinct pair
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = T(s, dir, "orders").warpFilter(col("o_custkey") < 20)
         .select(concat(lit("c"), col("o_custkey")).as("id")).distinct()
@@ -2387,10 +2393,13 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) => {
       val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // distinct on the INTEGER key pair, node strings built after (r14,
+      // guide §2.3): the dedup shuffle carries two longs per row instead
+      // of two strings, and concat runs once per distinct pair
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("src"),
           concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
       val edges = pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = T(s, dir, "customer")
         .warpFilter(abs(col("c_acctbal")) > 9000)
