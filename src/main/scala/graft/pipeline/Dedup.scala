@@ -124,9 +124,15 @@ object Dedup {
     // branches each (band probe + shingle-set verify), and a ledger built
     // inline (minhashLedgerMd5: 16 md5 calls per shingle) would otherwise
     // re-run its signature pass once per branch. Persist both, checkpoint
-    // the small pair result eagerly, release the corpus-sized caches.
-    val batchP = batch.persist()
-    val ledgerP = ledger.persist()
+    // the small pair result eagerly, release the corpus-sized caches —
+    // but ONLY the caches THIS call introduced: a caller-persisted frame
+    // (e.g. a ledger probed across many micro-batches) must not lose its
+    // cache to our cleanup (ADVICE r14).
+    import org.apache.spark.storage.StorageLevel
+    val batchOwned = batch.storageLevel == StorageLevel.NONE
+    val ledgerOwned = ledger.storageLevel == StorageLevel.NONE
+    val batchP = if (batchOwned) batch.persist() else batch
+    val ledgerP = if (ledgerOwned) ledger.persist() else ledger
     def explodeBands(d: DataFrame, out: String) =
       d.select(col("id").as(out), posexplode(col("bhs")))
         .select(col(out), col("pos").as("band"), col("col").as("bh"))
@@ -148,7 +154,8 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select("new_id", "hist_id", "jaccard")
     val out = result.localCheckpoint(true)
-    batchP.unpersist(); ledgerP.unpersist()
+    if (batchOwned) batchP.unpersist()
+    if (ledgerOwned) ledgerP.unpersist()
     out
   }
 
@@ -167,7 +174,8 @@ object Dedup {
   def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16,
                       bands: Int = 4,
-                      jaccardThreshold: Double = 0.5): DataFrame = {
+                      jaccardThreshold: Double = 0.5,
+                      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(numHashes > 0 && bands > 0, "need numHashes, bands > 0")
     val r = numHashes / bands
@@ -179,12 +187,14 @@ object Dedup {
     // materialize discipline (r14): withSig feeds THREE plan branches
     // (both band-join sides + the shingle-set verify) and its signature
     // pass costs numHashes md5 calls per shingle — cache it once.
-    val withSig = df
+    // materialize=false (plan audits, callers managing their own cache)
+    // keeps the fully lazy plan, like the sibling pair functions.
+    val withSigPlan = df
       .select(col(idCol).as("id"),
         array_distinct(shingles(col(textCol), shingleSize)).as("__set"))
       .filter(size(col("__set")) > 0)
       .select(col("id") +: col("__set") +: sigCols: _*)
-      .persist()
+    val withSig = if (materialize) withSigPlan.persist() else withSigPlan
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(j => col(s"__sig${b * r + j}")): _*)
@@ -207,9 +217,12 @@ object Dedup {
       .withColumn("jaccard", when(uni === 0.0, 1.0).otherwise(inter / uni))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
-    val out = result.localCheckpoint(true)
-    withSig.unpersist()
-    out
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      withSig.unpersist()
+      out
+    }
   }
 
   /** ENGINE-REPLAYABLE near-dup LEDGER — the md5 tier of
@@ -499,9 +512,10 @@ object Dedup {
     * hashing anywhere), O(|a|+|b|) with zero allocation, replacing
     * `size(array_intersect)`'s per-pair hash set over strings. Which
     * PHYSICAL id a token gets may vary run to run (range boundaries,
-    * AQE); only its ORDER and IDENTITY matter, and both are preserved
-    * per evaluation — the vocab map is persisted alongside the document
-    * table so every plan branch reads the same assignment. */
+    * AQE); only its ORDER and IDENTITY matter, and both are pinned for
+    * the query's lifetime — the vocab map is eagerly localCheckpointed
+    * (materialize=true) so every plan branch reads the ONE assignment
+    * and a recompute can never silently produce a different one. */
   private def prefixJaccardCore(df: DataFrame, textCol: String, idCol: String,
                                 threshold: Double, materialize: Boolean,
                                 sideCol: Option[String]): DataFrame = {
@@ -514,11 +528,19 @@ object Dedup {
     val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
     val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // bijective long token ids in the canonical rare-first order (ties on
-    // frequency break deterministically on the token itself); persisted so
-    // all four downstream plan branches read ONE id assignment
+    // frequency break deterministically on the token itself).
+    // monotonically_increasing_id over a range sort is only stable WITHIN
+    // one evaluation, so the assignment is PINNED with an eager
+    // localCheckpoint: every downstream plan branch (both prefix sides,
+    // both verify sides) reads the one checkpointed map, and a lost
+    // executor fails the query loudly instead of silently recomputing a
+    // DIFFERENT assignment mid-query (ADVICE r14: a persist()-only vocab
+    // could be evicted and re-sampled inconsistently). materialize=false
+    // (plan audits only) keeps the fully lazy plan — ids there are NOT
+    // guaranteed branch-consistent; audit the SHAPE, never the values.
     val vocabPlan = freq.sort(col("__df"), col("__tok"))
       .select(col("__tok"), monotonically_increasing_id().as("__tid"))
-    val vocab = if (materialize) vocabPlan.persist() else vocabPlan
+    val vocab = if (materialize) vocabPlan.localCheckpoint(true) else vocabPlan
     val ordered = exploded.join(vocab, "__tok")
       .groupBy("id")
       .agg(sort_array(collect_list(col("__tid"))).as("__ord"))
@@ -601,7 +623,7 @@ object Dedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sized0.unpersist(); vocab.unpersist()
+      sized0.unpersist() // vocab checkpoint blocks are GC-reclaimed
       out
     }
   }
@@ -658,10 +680,12 @@ object Dedup {
     val exploded = toks.select(col("id"), explode(col("__t")).as("__tok"))
     val freq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
     // bijective long token ids in canonical rare-first order — same
-    // representation (and exactness argument) as [[prefixJaccardCore]]
+    // representation (and exactness + id-pinning argument) as
+    // [[prefixJaccardCore]]: the assignment is eagerly checkpointed so
+    // every plan branch reads ONE map and cache loss can never reassign
     val vocabPlan = freq.sort(col("__df"), col("__tok"))
       .select(col("__tok"), monotonically_increasing_id().as("__tid"))
-    val vocab = if (materialize) vocabPlan.persist() else vocabPlan
+    val vocab = if (materialize) vocabPlan.localCheckpoint(true) else vocabPlan
     val ordered = exploded.join(vocab, "__tok")
       .groupBy("id")
       .agg(sort_array(collect_list(col("__tid"))).as("__ord"))
@@ -705,7 +729,7 @@ object Dedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      sized.unpersist(); vocab.unpersist()
+      sized.unpersist() // vocab checkpoint blocks are GC-reclaimed
       out
     }
   }
@@ -1283,7 +1307,10 @@ object Dedup {
     * verified by the exact thresholded levenshtein — so the output set is
     * provably identical to the string-keyed formulation. Key strings are
     * re-attached AFTER per-pair dedup, by joining the (id -> key) table
-    * twice, so each string crosses the wire once per SURVIVING pair. */
+    * twice, so each string crosses the wire once per SURVIVING pair.
+    * REQUIRES unique ids: the post-dedup key re-attach joins on id, so a
+    * duplicated id would multiply its pairs (and mix key combinations) —
+    * dedup ids upstream (every catalog caller passes a primary key). */
   def fuzzyPairs(df: DataFrame, keyCol: String, idCol: String,
                  maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
@@ -1366,7 +1393,8 @@ object Dedup {
     * `sigd` must have columns (id, sig). Two signatures within Hamming
     * distance <= 3 share at least one identical 16-bit quarter, so only
     * quarter-block collisions ever meet. */
-  def signaturePairs(sigd: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def signaturePairs(sigd: DataFrame, maxHamming: Int = 3,
+                     materialize: Boolean = true): DataFrame = {
     // 4 quarters pigeonhole Hamming <= 3 ONLY: at distance 4 one flipped
     // bit per quarter defeats the blocking and pairs silently vanish —
     // reject rather than return an incomplete pair set
@@ -1375,8 +1403,12 @@ object Dedup {
     // materialize discipline (r14): the signature table feeds BOTH sides
     // of the quarter-block self-join — computed signatures (md5-tier
     // aggregations, image dhashes, ...) would otherwise run twice.
-    // Checkpoint the small pair result eagerly, release the cache.
-    val sigP = sigd.persist()
+    // Checkpoint the small pair result eagerly, release the cache —
+    // unless the CALLER already persisted sigd, in which case its cache
+    // is theirs to manage and must survive this call (ADVICE r14).
+    val sigOwned = materialize && sigd.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val sigP = if (sigOwned) sigd.persist() else sigd
     val blocked = sigP.select(col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),
@@ -1389,9 +1421,12 @@ object Dedup {
       .select(col("id1"), col("id2"), hamming(col("sig1"), col("sig2")).as("hamming"))
       .dropDuplicates("id1", "id2")
       .filter(col("hamming") <= maxHamming)
-    val out = result.localCheckpoint(true)
-    sigP.unpersist()
-    out
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      if (sigOwned) sigP.unpersist()
+      out
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -64,7 +64,7 @@ object Packing {
           sum(col("n") * col("mx")).as("padded_cells"))
         .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
           col("token_sum"), col("padded_cells"),
-          graft.pipeline.TextAnalysis.ratioDecimal9(
+          graft.pipeline.TextAnalysis.ratioDouble9(
             col("padded_cells") - col("token_sum"), col("padded_cells"))
             .as("waste_ratio"))
     strat("arrival", Seq(Order(col("id"))))

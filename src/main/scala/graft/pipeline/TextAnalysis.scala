@@ -126,18 +126,44 @@ object TextAnalysis {
     * hold every reachable value exactly; exactness is unchanged, only
     * the storage tier narrows to the proven-green one. */
   def ratioDecimal9(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    (ratioE9(num, den).cast(DecimalType(20, 0)) *
+      lit(new java.math.BigDecimal("0.000000001")).cast(DecimalType(10, 9)))
+      .cast(DecimalType(18, 9))
+  }
+
+  /** The shared integer core of [[ratioDecimal9]]/[[ratioDouble9]]: the
+    * 9-decimal ratio as a plain LONG of scaled units (round-half-up of
+    * `num/den * 1e9` in integer arithmetic; 0 when `den <= 0`). */
+  private def ratioE9(num: Column, den: Column): Column = {
     import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.types.DecimalType
     val n38 = num.cast(DecimalType(38, 0))
     val d38 = den.cast(DecimalType(38, 0))
-    val e9 = when(den > 0,
+    when(den > 0,
       C(IntegralDivide(E(n38 * lit(2000000000L) + d38), E(d38 * lit(2L)))))
       .otherwise(lit(0L))
-    (e9.cast(DecimalType(20, 0)) *
-      lit(new java.math.BigDecimal("0.000000001")).cast(DecimalType(10, 9)))
-      .cast(DecimalType(18, 9))
   }
+
+  /** The same exact 9-decimal ratio presented as DOUBLE: `e9 / 1e9` where
+    * `e9` is [[ratioE9]]'s integer. The r15 adjudication of the residual
+    * driver-hash red family (q_fertility / q_pad_waste / q_text_scripts /
+    * q_diag_dec_narrow) showed that EVERY scale-9 DECIMAL output column —
+    * int64-backed (18,9) exactly like int128-backed (20,9) — hash-diverges
+    * on the driver's compare path while the values are equal (sf0.01
+    * value-level replay exact, parquet physical INT64, rows/schema green),
+    * so the r13 "precision <= 18 is the green tier" theory was incomplete:
+    * the only repeatedly-proven-green presentation tiers are BIGINT and
+    * DOUBLE (hundreds of green queries + the data-independent
+    * q_diag_dbl_* probes). This presents the identical integer-derived
+    * value in the proven tier: `CAST(e9 AS DOUBLE)` is exact for
+    * e9 < 2^53 (ratios up to ~9e6, far beyond any reachable
+    * tokens-per-word / ratio-of-counts value at 100 TB) and `/ 1e9` is one
+    * correctly-rounded IEEE-754 binary64 division both engines perform
+    * identically — no engine-owned `round(double, n)` anywhere. */
+  def ratioDouble9(num: Column, den: Column): Column =
+    ratioE9(num, den).cast("double") / lit(1e9)
 
   /** Quality score components + weighted aggregate, following the usual
     * heuristic-filter recipe (length, punctuation density, stopword
@@ -684,9 +710,11 @@ object TextAnalysis {
     * counts come from the CASELESS kernel ([[classCounts]] — no
     * case-mapping table on either engine's path), the word denominator is
     * the NON-EMPTY token count (immune to any engine's empty-edge-token
-    * split behavior), and the ratio is integer-derived DECIMAL(18,9)
-    * ([[ratioDecimal9]] — no `round(double, n)` whose half-way behavior
-    * and repr are engine-owned). One map pass (both counts ride the one
+    * split behavior), and the ratio is the integer-derived 9-decimal value
+    * presented as DOUBLE ([[ratioDouble9]] — no `round(double, n)` whose
+    * half-way behavior and repr are engine-owned; DOUBLE because every
+    * scale-9 DECIMAL presentation is driver-hash red, see [[ratioDouble9]]).
+    * One map pass (both counts ride the one
     * kernel call) + one map-side-combined aggregate, grouped by the
     * (small) slice keys.
     *
@@ -701,7 +729,7 @@ object TextAnalysis {
         sum(tokenCountWsCaseless(col(textCol))).as("ws_tokens"),
         sum(tokenCountBpeCaseless(col(textCol))).as("bpe_tokens"))
       .withColumn("fertility",
-        ratioDecimal9(col("bpe_tokens"), col("ws_tokens")))
+        ratioDouble9(col("bpe_tokens"), col("ws_tokens")))
 
   /** Per-slice SCRIPT/character-class report — the script-mix curation
     * stage (mixed-script spam and mislabeled-language slices show up as
@@ -713,9 +741,9 @@ object TextAnalysis {
     * BETWEEN lo AND hi`): ASCII letters, ASCII digits, Cyrillic
     * U+0400-04FF, Greek U+0370-03FF, CJK unified U+4E00-9FFF; `other` is
     * the remainder after also removing the explicit Java-\s whitespace
-    * class. All integer totals; the ratio is integer-derived
-    * DECIMAL(18,9) ([[ratioDecimal9]]). One map pass + map-side-combined
-    * aggregate — scales as a pure scan. */
+    * class. All integer totals; the ratio is the integer-derived 9-decimal
+    * value presented as DOUBLE ([[ratioDouble9]]). One map pass +
+    * map-side-combined aggregate — scales as a pure scan. */
   def scriptReport(df: DataFrame, groupCols: Seq[String],
                    textCol: String): DataFrame = {
     val cc = classCounts(col(textCol))
@@ -731,7 +759,7 @@ object TextAnalysis {
       .withColumn("other",
         col("chars") - col("latin") - col("digit") - col("cyrillic") -
           col("greek") - col("cjk") - col("whitespace"))
-      .withColumn("latin_ratio", ratioDecimal9(col("latin"), col("chars")))
+      .withColumn("latin_ratio", ratioDouble9(col("latin"), col("chars")))
   }
 
   /** Content fingerprint: MD5 of whitespace-normalized lowercase text —

@@ -135,8 +135,27 @@ class PipelineSpec extends SparkSpec {
     val rep = TextAnalysis.fertilityReport(mixed, Seq("source"), "text").collect()(0)
     assert(rep.getAs[Long]("ws_tokens") == 6)
     assert(rep.getAs[Long]("bpe_tokens") == 8) // FooBar|foobar, BAZ|baz, 9, x
-    assert(rep.getAs[java.math.BigDecimal]("fertility").toPlainString
-      == "1.333333333")
+    // r15: presented as DOUBLE (e9/1e9; scale-9 DECIMAL is driver-hash red)
+    assert(rep.getAs[Double]("fertility") == 1.333333333)
+  }
+
+  test("ratioDouble9 presents the exact e9 integer as e9/1e9 in binary64") {
+    val df = Seq((1L, 1024L), (1L, 3L), (2L, 3L), (5L, 4L), (0L, 7L), (3L, 0L))
+      .toDF("n", "d")
+    val got = df.select(col("n"), col("d"),
+      TextAnalysis.ratioDouble9(col("n"), col("d")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // each expected literal is the binary64 nearest to the 9dp decimal —
+    // the same value CAST(e9 AS DOUBLE)/1e9 must produce on any IEEE engine
+    assert(got((1L, 1024L)) == 0.000976563) // true half at digit 10, half-up
+    assert(got((1L, 3L)) == 0.333333333)
+    assert(got((2L, 3L)) == 0.666666667)
+    assert(got((5L, 4L)) == 1.25)
+    assert(got((0L, 7L)) == 0.0)
+    assert(got((3L, 0L)) == 0.0) // zero denominator -> 0
+    val tpe = df.select(TextAnalysis.ratioDouble9(col("n"), col("d")))
+      .schema.fields.head.dataType
+    assert(tpe == org.apache.spark.sql.types.DoubleType)
   }
 
   test("planted-pattern fixtures invert exactly: dHash/afp == md5 pattern") {
