@@ -52,7 +52,11 @@ object BenchProbe {
     "q_sqlite_roundtrip",
     // r14 additions (VERDICT r13 item 7): fresh-JVM floors for the r13
     // live-PG wire round-trip and the indexed SQLite write+keyed-read
-    "q_pg_roundtrip", "q_sqlite_index_read")
+    "q_pg_roundtrip", "q_sqlite_index_read",
+    // r15 additions (VERDICT r14 item 7): the remaining r14 sf1-rehearsal
+    // movers not yet in the cohort, so their round-over-round floors are
+    // adjudicated from this artifact
+    "q_dedup_incr_md5", "q_stream_neardup")
 
   private val Marker = "BENCH_PROBE_RESULT "
 

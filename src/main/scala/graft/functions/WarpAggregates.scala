@@ -172,6 +172,8 @@ object WarpAggregates {
   val PairMomentDomain: Double = 1e12 - 1
 
   private def pairMoments(x: Column, y: Column) = {
+    import org.apache.spark.sql.GraftColumnAccess.{column => C, expression => E}
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
     val xv = when(Warp.num(y).isNotNull, Warp.num(x))
     val yv = when(Warp.num(x).isNotNull, Warp.num(y))
     // product moments quantize each FACTOR to decimal before multiplying:
@@ -181,13 +183,21 @@ object WarpAggregates {
     val D2 = DecimalType(18, 6)
     val bothIn = abs(xv) <= PairMomentDomain && abs(yv) <= PairMomentDomain
     // the cast sits INSIDE the domain gate so it can never overflow (CASE
-    // short-circuits in codegen — no ANSI error, no silent null)
+    // short-circuits in codegen — no ANSI error, no silent null).
+    // r15 (VERDICT r14 item 3): the quantized factor's UNSCALED LONG
+    // feeds [[SumProduct128]] — the identical scale-12 product terms,
+    // summed in a two-long 128-bit accumulator (primitive codegen) instead
+    // of a per-row BigDecimal multiply + precision-38 decimal sum buffer.
+    // Bit-identical by construction; pinned by spec against the inline
+    // decimal formulation.
+    val xq = C(UnscaledValue(E(when(bothIn, xv).cast(D2))))
+    val yq = C(UnscaledValue(E(when(bothIn, yv).cast(D2))))
     def dp(a: Column, b: Column) =
-      sum(when(bothIn, a.cast(D2) * b.cast(D2))).cast("double")
+      C(SumProduct128(E(a), E(b)).toAggregateExpression())
     val inDomain = coalesce(max(abs(xv) > PairMomentDomain ||
       abs(yv) > PairMomentDomain), lit(false)) === lit(false)
     (count(xv).cast("double"), dsum(xv), dsum(yv),
-      dp(xv, xv), dp(yv, yv), dp(xv, yv), inDomain)
+      dp(xq, xq), dp(yq, yq), dp(xq, yq), inDomain)
   }
 
   /** Sample covariance: (Σxy − ΣxΣy/n) / (n−1); n<2 => null. */

@@ -85,12 +85,14 @@ object Preference {
   def contrastiveTriplets(df: DataFrame, textCol: String, idCol: String,
                           threshold: Double = 0.6, kNeg: Int = 3,
                           buckets: Int = 0,
-                          targetCandsPerAnchor: Long = 4096L): DataFrame = {
+                          targetCandsPerAnchor: Long = 4096L,
+                          saltFactor: Int = 0): DataFrame = {
     require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
     require(buckets >= 0 && buckets <= 4096,
       s"buckets must be in [0, 4096] (0 = auto-size), got $buckets")
     require(targetCandsPerAnchor >= 1,
       s"targetCandsPerAnchor must be >= 1, got $targetCandsPerAnchor")
+    require(saltFactor >= 0, s"saltFactor must be >= 0 (0 = auto), got $saltFactor")
     val pairs = Dedup.prefixJaccardJoin(df, textCol, idCol, threshold)
     val sym = pairs.select(col("id1").as("anchor_id"), col("id2").as("other"),
         col("jaccard"))
@@ -110,19 +112,42 @@ object Preference {
     val bucket = (c: Column) =>
       pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
         lit(nBuckets))
+    // the bucket join EXPLODES (|anchors| × corpus/buckets rows from a
+    // tiny input) and its join key has only `nBuckets` distinct values —
+    // as few as 16 in the pinned gauge. Two failure modes, two moves
+    // (guide §2.5 skew):
+    //  1. SALT the key: each corpus row gets a deterministic salt
+    //     pmod(xxhash64(neg_id), S) and the anchor side replicates ×S,
+    //     joining on (__bk, __salt). Every (anchor, candidate) bucket
+    //     pair still meets EXACTLY once (at the candidate's one salt
+    //     value), so the join multiset — and the output — is identical;
+    //     but the key space grows from nBuckets to nBuckets·S, so when
+    //     the corpus side is too big to broadcast (the 100 TB regime —
+    //     EnsureRequirements then exchanges BOTH sides on the join key)
+    //     the explosion no longer concentrates on ≤ nBuckets partitions.
+    //     The replication cost lands on the SMALL side (anchors = near-dup
+    //     pair members), never the corpus.
+    //  2. REPARTITION the exploded anchor side: when the corpus side DOES
+    //     broadcast (local/gauge scale), there is no exchange on the
+    //     stream side at all — AQE coalesces the tiny anchor input and the
+    //     explosion runs in a handful of tasks. An explicit repartition on
+    //     (anchor_id, __salt) spreads it (defaultParallelism:
+    //     scale-adaptive, not a constant) — same move as
+    //     Dedup.prefixJaccardCore's collision join (r14).
+    // saltFactor: 0 = derive from the cluster (defaultParallelism);
+    // 1 = salting off (one salt value — the join key degenerates to __bk);
+    // >1 = explicit. Output is salt-INVARIANT (pinned by spec): the salt
+    // only re-keys the join, never changes which pairs meet.
+    val fanout = df.sparkSession.sparkContext.defaultParallelism
+    val nSalt = if (saltFactor > 0) saltFactor else fanout
     val cands = df.select(col(idCol).as("neg_id"))
       .withColumn("__bk", bucket(col("neg_id")))
-    // the bucket join EXPLODES (|anchors| × corpus/buckets rows from a
-    // tiny input) and its join key has only `nBuckets` distinct values:
-    // left unspread, AQE coalesces the anchor side's exchange on INPUT
-    // bytes and the explosion runs in a handful of tasks. Repartitioning
-    // the anchor side by anchor_id first spreads it evenly
-    // (defaultParallelism: scale-adaptive, not a constant) — same move as
-    // Dedup.prefixJaccardCore's collision join (r14, guide §2.5).
-    val fanout = df.sparkSession.sparkContext.defaultParallelism
+      .withColumn("__salt", pmod(xxhash64(col("neg_id")), lit(nSalt.toLong)))
     val probes = best.withColumn("__bk", bucket(col("anchor_id")))
-      .repartition(fanout, col("anchor_id"))
-      .join(cands, "__bk")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(nSalt.toLong - 1L))))
+      .repartition(fanout, col("anchor_id"), col("__salt"))
+      .join(cands, Seq("__bk", "__salt"))
       .filter(col("neg_id") =!= col("anchor_id") &&
         col("neg_id") =!= col("pos_id"))
       // a bucket-mate that is a true near-dup of the anchor is NOT a

@@ -240,6 +240,50 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(inD.getDouble(0) - 10.0) < 1e-9)
   }
 
+  test("SumProduct128 moments are bit-identical to the decimal formulation") {
+    // r15 (VERDICT r14 item 3): the two-long 128-bit accumulator must
+    // reproduce sum(cast(x as DECIMAL(18,6)) * cast(y as DECIMAL(18,6)))
+    // cast double BIT-exactly — negatives, fractions, half-up quantization
+    // edges, nulls, many groups (exercising merge paths) included
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(4000) { i =>
+      val x = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(9))
+      val y = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(9))
+      (i % 7, x, y)
+    } ++ Seq((0, 0.0000005, 1.0), (1, -0.0000005, 1.0), // half-up edges
+      (2, 123.4567895, -0.1234565))
+    val df = pts.toDF("g", "x", "y").repartition(13)
+    val D2 = DecimalType(18, 6)
+    def decRef(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast(D2) * b.cast(D2)).cast("double")
+    val rows = df.groupBy("g").agg(
+      WA.warpCorr(col("x"), col("y")).as("c"),
+      WA.warpSlope(col("x"), col("y")).as("sl"),
+      WA.warpIntercept(col("x"), col("y")).as("ic"),
+      WA.warpCovarSample(col("x"), col("y")).as("cv"),
+      // the inline decimal reference, same closed forms
+      count(col("x")).cast("double").as("n"),
+      WA.dsum(col("x")).as("sx"), WA.dsum(col("y")).as("sy"),
+      decRef(col("x"), col("x")).as("sxx"),
+      decRef(col("x"), col("y")).as("sxy")).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Double]("n"); val sx = r.getAs[Double]("sx")
+      val sy = r.getAs[Double]("sy"); val sxx = r.getAs[Double]("sxx")
+      val sxy = r.getAs[Double]("sxy")
+      val den = n * sxx - sx * sx
+      assert(r.getAs[Double]("sl") == (n * sxy - sx * sy) / den) // bit-equal
+      assert(r.getAs[Double]("ic") == (sy - sx * (n * sxy - sx * sy) / den) / n)
+      assert(r.getAs[Double]("cv") == (sxy - sx * sy / n) / (n - 1.0))
+    }
+    // plan shape: the product moments run as a codegen'd HashAggregate
+    // over primitive long buffer slots — no Decimal(37,12) sum anywhere
+    val plan = df.groupBy("g").agg(WA.warpSlope(col("x"), col("y")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("sum_product_128"), plan.take(2000))
+    assert(!plan.contains("(37,12)"), plan.take(2000))
+  }
+
   test("aggregates: all-null groups yield null medians, not index errors") {
     val df = Seq(("g", null.asInstanceOf[java.lang.Double]),
                  ("g", null.asInstanceOf[java.lang.Double])).toDF("k", "v")

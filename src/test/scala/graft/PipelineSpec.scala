@@ -423,6 +423,16 @@ class PipelineSpec extends SparkSpec {
     val pinned = Preference.contrastiveTriplets(corpus, "text", "doc_id",
       0.6, 3, buckets = 16).collect()
     assert(pinned.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    // salt-INVARIANT (r15 skew salt): the salt only re-keys the negative
+    // bucket join — every (anchor, candidate) pair still meets exactly
+    // once — so salting off (1) and an explicit high factor (64) must
+    // both equal the default (auto = defaultParallelism) run
+    for (s <- Seq(1, 64)) {
+      val salted = Preference.contrastiveTriplets(corpus, "text", "doc_id",
+        0.6, 3, saltFactor = s).collect()
+      assert(salted.map(_.toSeq).toSet == rows.map(_.toSeq).toSet,
+        s"saltFactor=$s changed the output")
+    }
   }
 
   test("frequentPairs: per-basket dedup, singleton prune, canonical pairs") {
@@ -2152,6 +2162,22 @@ class PipelineSpec extends SparkSpec {
       if d <= 2
     } yield (i1, i2, d.toInt)).toSet
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // second pass at the CATALOG's maxDist=4 over longer strings — the
+    // multi-match-aware window (r15) has more shift/Δ corner cases as d
+    // grows, so the completeness pin must exercise the production setting
+    val rows4 = (1L to 50L).map { i =>
+      (i, (0 until (6 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+    } ++ Seq(51L -> "", 52L -> "aba", 53L -> "abab")
+    val df4 = rows4.toDF("id", "k")
+    val got4 = Dedup.fuzzyPairs(df4, "k", "id", maxDist = 4)
+      .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+    val brute4 = (for {
+      (i1, k1) <- rows4; (i2, k2) <- rows4 if i1 < i2
+      d = org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(k1, k2)
+      if d <= 4
+    } yield (i1, i2, d.toInt)).toSet
+    assert(got4 == brute4, s"missing=${brute4 -- got4} extra=${got4 -- brute4}")
   }
 
   test("perplexityBuckets: tercile cuts tag head/middle/tail; ties land low; invariant") {
